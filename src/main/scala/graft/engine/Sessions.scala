@@ -1,0 +1,28 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session config so Verify / Bench / tests agree.
+  *
+  * Scale notes: shuffle partitions default to the local core count (the
+  * driver harness runs local[N]); on a real cluster this would be unset
+  * and left to AQE coalescing (`spark.sql.adaptive.enabled` stays on —
+  * it also handles skew joins and runtime broadcast demotion).
+  */
+object Sessions {
+  def local(appName: String, cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) — read as long, then
+      // Tables normalizes to TimestampType (µs)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines. All of them are shuffle-planned (inverted-index or
+  * LSH-bucket joins) — never an O(n²) cross join — so they scale to a
+  * corpus that doesn't fit one executor.
+  *
+  * Variants:
+  *   - [[exact]]: hash-groupBy on the full text (one shuffle).
+  *   - [[jaccardPairs]]: exact n-gram Jaccard via inverted-index
+  *     self-join (shuffle on token, then on pair).
+  *   - [[minHashPairs]]: MinHash signatures + banded LSH bucket join —
+  *     the scale path: candidate generation touches only colliding
+  *     bands, never all pairs.
+  *   - [[simHash]]: 64-bit SimHash fingerprint per document; near-dups
+  *     have small Hamming distance.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest id per identical `textCol`.
+    * One hash-aggregate shuffle on the text hash. At 100 TB you'd
+    * pre-hash to a 128-bit key (xxhash64 + length) to avoid shuffling
+    * full document bodies; we group by (hash, text) so the shuffle key
+    * is the 8-byte hash prefix while correctness still compares text.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("_h"), col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("_h", textCol)
+
+  /** Distinct word-level shingles per doc: (id, shingle). `n = 1` gives
+    * unigram token sets; `n >= 2` gives word n-grams (sliding window).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val sh =
+      if (n == 1) words
+      else {
+        // sliding word n-grams via transform over start positions;
+        // docs with fewer than n words yield an empty shingle set
+        val grams = transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n))))
+        when(size(words) >= n, grams)
+          .otherwise(array().cast("array<string>"))
+      }
+    docs.select(col(idCol).as("id"),
+      explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs with sim >= threshold.
+    *
+    * Plan shape: inverted index (shuffle on shingle) → pair counting
+    * (shuffle on (a,b)) → join against per-doc sizes (broadcastable when
+    * the doc-id/size table is small relative to pairs). No cross join.
+    * For skewed shingles (stopword-like), `maxDocFreq` drops shingles
+    * occurring in more than that many docs — a standard posting-list cut
+    * that bounds the worst-case pair blowup.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val posting =
+      if (maxDocFreq == Long.MaxValue) sh
+      else {
+        val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= maxDocFreq)
+        sh.join(df, "shingle").drop("_df")
+      }
+    val a = posting.select(col("id").as("a"), col("shingle"))
+    val b = posting.select(col("id").as("b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** Deterministic 64-bit non-cryptographic hash of a shingle, built from
+    * xxhash64 with a per-function salt — the standard MinHash family
+    * h_i(x) = xxhash64(i, x).
+    */
+  private def saltedHash(c: Column, salt: Int): Column =
+    xxhash64(lit(salt), c)
+
+  /** MinHash signature: for each of `numHashes` salted hash functions,
+    * the minimum over the doc's shingles. Computed with one groupBy —
+    * signature entries are `min(saltedHash)` aggregates, so the whole
+    * signature is a single map-side-combinable shuffle.
+    */
+  def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(saltedHash(col("shingle"), i)).as(s"mh$i"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + banded LSH candidate pairs, optionally verified against
+    * the true Jaccard estimate from the full signature.
+    *
+    * `numHashes = bands * rowsPerBand`. Docs colliding on any band's
+    * row-hash tuple become candidates (shuffle on band bucket), then the
+    * estimated Jaccard (fraction of agreeing signature positions) is
+    * computed per candidate pair and thresholded. The expensive all-pairs
+    * comparison never happens — only hash-bucket collisions are joined.
+    */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minHashSignature(docs, idCol, textCol, n, numHashes).cache()
+    val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
+
+    // band buckets: (band, hash(row-tuple)) per doc
+    val banded = sig.select(col("id") +: (0 until bands).map { bnd =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
+      xxhash64(lit(bnd) +: rows: _*).as(s"band$bnd")
+    }: _*)
+    val buckets = banded.select(col("id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"), col(s"band$b").as("bkt"))): _*
+    )).as("bb")).select(col("id"), col("bb.band"), col("bb.bkt"))
+
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+
+    // verify candidates with the signature-estimated Jaccard
+    val sigA = sig.select(col("id").as("a") +:
+      sigCols.zipWithIndex.map { case (c, i) => c.as(s"a$i") }: _*)
+    val sigB = sig.select(col("id").as("b") +:
+      sigCols.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates.join(sigA, Seq("a")).join(sigB, Seq("b"))
+      .withColumn("est_jac", agree.cast("double") / numHashes)
+      .filter(col("est_jac") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jac"), 4).as("est_jac"))
+  }
+
+  /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
+    * token hash's bit value; fingerprint bit = sign of the sum. Pure
+    * expression pipeline (explode → groupBy id → bit packing).
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$i")
+    }
+    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs by embedding cosine similarity, blocked by an
+    * equi-join key (e.g. a label or an LSH bucket) so the pair space is
+    * partitioned instead of crossed.
+    */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val a = emb.select(col(idCol).as("a"), col(blockCol).as("blk"),
+      col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("b"), col(blockCol).as("blk"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("blk")).filter(col("a") < col("b"))
+      .withColumn("sim", cosineSim(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
+}

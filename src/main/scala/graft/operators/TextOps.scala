@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, fingerprinting, corpus word counts.
+  * Everything is a Catalyst expression pipeline (split / filter /
+  * aggregate higher-order functions) — no UDFs, no driver-side loops.
+  */
+object TextOps {
+
+  /** Words = non-empty segments after splitting on single spaces (the
+    * documents table is space-separated by construction).
+    */
+  def words(textCol: Column): Column =
+    filter(split(textCol, " "), w => w =!= "")
+
+  /** Tokens under a BPE-ish lowercase alphanumeric regex. */
+  def regexTokens(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Corpus-level word frequency, descending. One explode + one
+    * map-side-combinable groupBy.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+
+  private val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  /** Per-document quality features: word count, character count, mean
+    * word length, stopword ratio, punctuation ratio. All per-row
+    * expression work — fully parallel, no shuffle.
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val nWords = size(ws).cast("double")
+    val stopHits = size(filter(ws, w => w.isin(stopwords.map(lit(_)): _*)))
+    // punct count = chars removed by stripping punctuation (identical
+    // formula in the DuckDB oracle — avoids engine-specific char splits)
+    val punct = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[.,!?;]", ""))
+    docs.select(
+      col(idCol),
+      size(ws).cast("bigint").as("n_words"),
+      length(col(textCol)).cast("bigint").as("nchars"),
+      round(aggregate(ws, lit(0.0), (acc, w) => acc + length(w)) / nWords, 4)
+        .as("avg_word_len"),
+      round(stopHits.cast("double") / nWords, 4).as("stopword_ratio"),
+      round(punct.cast("double") / length(col(textCol)), 4).as("punct_ratio"))
+  }
+
+  /** Marker-word vocabularies for the n-gram-heuristic language ID.
+    * Deliberately tiny — the point is the operator shape (per-language
+    * score → argmax), not lexicographic completeness.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "la", "y", "los", "de"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Heuristic language ID: score = marker-word hit count per language;
+    * prediction = argmax (ties → lexicographically first language,
+    * no hits at all → "und" i.e. undetermined).
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(ws, w => w.isin(markers.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: sort (score desc, lang asc) by sorting on (-score, lang)
+    val best = array_min(array(scored.map(s =>
+      struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))): _*))
+    docs.select(col(idCol),
+      when(best.getField("neg") === 0, lit("und"))
+        .otherwise(best.getField("lang")).as("pred_lang"))
+  }
+
+  /** Content-defined fingerprints: md5 hex (exact), xxhash64 (cheap
+    * exact), and a polynomial rolling hash over characters (order-
+    * sensitive, oracle-reproducible: h = Σ (31^i · code_i) mod 2^31-1,
+    * evaluated left-to-right as h = (h·31 + code) mod p).
+    */
+  def fingerprints(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val p = lit(2147483647L) // 2^31 - 1: keeps h*31+code < 2^36, no overflow
+    // split(text, "") emits a trailing "" (Java split with limit -1) —
+    // filter it so char enumeration matches a plain per-char walk
+    val chars = filter(split(col(textCol), ""), ch => ch =!= "")
+    val rolling = aggregate(
+      transform(chars, ch => ascii(ch).cast("bigint")),
+      lit(0L),
+      (h, code) => pmod(h * 31 + code, p))
+    docs.select(col(idCol),
+      md5(col(textCol)).as("md5_fp"),
+      xxhash64(col(textCol)).as("xx_fp"),
+      rolling.as("roll_fp"))
+  }
+}

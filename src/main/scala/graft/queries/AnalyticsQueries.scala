@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.VectorFunctions.cosineSim
+import graft.operators.{Dedup, Similarity, TextOps}
+
+/** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
+  * training-data-pipeline operator suite): dedup, similarity search,
+  * text analysis. Same conventions as [[CoreQueries]] — total ORDER BY,
+  * ROUND(…, 4) on floating outputs, identical column names in the
+  * DuckDB oracles.
+  *
+  * Queries whose hashes depend on engine-internal hash functions
+  * (xxhash64-based MinHash / SimHash / LSH) have no SQL oracle — the
+  * driver records a rows-only check and their semantics are certified
+  * by ScalaTest specs instead.
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  val queries: Map[String, Q] = Map(
+    // Q24 — exact dedup, distinct-based form (SURVEY Q24)
+    "q24_dedup_distinct" -> ((s, d) => t(s, d, "documents")
+      .select(col("text"), col("lang")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .orderBy("lang")),
+
+    // Q24b — exact dedup, keep-lowest-id form (operators.Dedup.exact)
+    "q24_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // Q26 — vector similarity pairs (label-blocked, cos_sim threshold)
+    "q26_vec_sim" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("vec_id"), col("label"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("nn"), col("label"), col("embedding").as("eb"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_id") < col("nn"))
+        .filter(cosineSim(col("ea"), col("eb")) > 0.35)
+        .select(col("vec_id"), col("nn"))
+        .orderBy("vec_id", "nn")
+    }),
+
+    // Q27 — corpus word count, top 20
+    "q27_wordcount" -> ((s, d) =>
+      TextOps.wordCounts(t(s, d, "documents"), "text")
+        .orderBy(col("c").desc, col("word")).limit(20)),
+
+    // n-gram (trigram) Jaccard near-dup pairs — exact inverted-index plan
+    "q28_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)
+    "q29_minhash" -> ((s, d) =>
+      Dedup.minHashPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    // SimHash fingerprints (no SQL oracle: xxhash64-based)
+    "q30_simhash" -> ((s, d) =>
+      Dedup.simHash(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("id")),
+
+    // text quality features
+    "q31_quality" -> ((s, d) =>
+      TextOps.qualityFeatures(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // heuristic language ID
+    "q32_langid" -> ((s, d) =>
+      TextOps.langId(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // document fingerprints (md5 + rolling hash; xxhash64 column kept
+    // engine-side only)
+    "q33_fingerprint" -> ((s, d) =>
+      TextOps.fingerprints(t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "md5_fp", "roll_fp")
+        .orderBy("doc_id")),
+
+    // BPE-ish token counting
+    "q34_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(TextOps.regexTokens(col("text"))).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")),
+
+    // brute-force cosine top-k (exact ANN baseline; ids+rank only so the
+    // hash does not depend on float rounding)
+    "q35_topk_sim" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // LSH-bucketed approximate top-k (no SQL oracle: engine-defined
+    // hyperplane hashing; recall certified in ScalaTest vs q35)
+    "q36_lsh_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    })
+  )
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private val wordsCte =
+    "SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents"
+
+  val oracles: Map[String, String] = Map(
+    "q24_dedup_distinct" ->
+      "SELECT lang, COUNT(*) AS c FROM (SELECT DISTINCT text, lang FROM documents) GROUP BY lang ORDER BY lang",
+    "q24_dedup_exact" ->
+      "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keep_id",
+    "q26_vec_sim" ->
+      "SELECT a.vec_id, b.vec_id AS nn FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35 ORDER BY a.vec_id, nn",
+    "q27_wordcount" ->
+      "SELECT w AS word, COUNT(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20",
+    "q28_jaccard" ->
+      ("WITH words AS (" + wordsCte + "), " +
+       "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
+       "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), " +
+       "sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), " +
+       "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM sh x JOIN sh y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2) " +
+       "SELECT a, b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac " +
+       "FROM inter JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id " +
+       "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5 ORDER BY a, b"),
+    "q31_quality" ->
+      ("SELECT doc_id, len(ws)::BIGINT AS n_words, length(text)::BIGINT AS nchars, " +
+       "ROUND(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4) AS avg_word_len, " +
+       s"ROUND(len(list_filter(ws, w -> list_contains(${inList(stop)}, w)))::DOUBLE / len(ws), 4) AS stopword_ratio, " +
+       "ROUND((length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))::DOUBLE / length(text), 4) AS punct_ratio " +
+       "FROM (" + wordsCte + ") t ORDER BY doc_id"),
+    "q32_langid" ->
+      ("WITH words AS (" + wordsCte + "), scored AS (" +
+       "SELECT doc_id, 'en' AS lang, len(list_filter(ws, w -> list_contains(['the', 'and', 'of', 'to', 'a'], w))) AS score FROM words " +
+       "UNION ALL SELECT doc_id, 'de', len(list_filter(ws, w -> list_contains(['der', 'die', 'und', 'das', 'ist'], w))) FROM words " +
+       "UNION ALL SELECT doc_id, 'fr', len(list_filter(ws, w -> list_contains(['le', 'la', 'et', 'les', 'des'], w))) FROM words " +
+       "UNION ALL SELECT doc_id, 'es', len(list_filter(ws, w -> list_contains(['el', 'la', 'y', 'los', 'de'], w))) FROM words " +
+       "UNION ALL SELECT doc_id, 'zh', len(list_filter(ws, w -> list_contains(['的', '是', '了', '在', '我'], w))) FROM words), " +
+       "best AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM scored) " +
+       "SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS pred_lang FROM best WHERE rn = 1 ORDER BY doc_id"),
+    "q33_fingerprint" ->
+      ("SELECT doc_id, md5(text) AS md5_fp, " +
+       "list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT)), " +
+       "(h, c) -> (h * 31 + c) % 2147483647) AS roll_fp FROM documents ORDER BY doc_id"),
+    "q34_tokens" ->
+      "SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM documents ORDER BY doc_id",
+    "q35_topk_sim" ->
+      ("SELECT qid, cid, rn FROM (" +
+       "SELECT a.vec_id AS qid, b.vec_id AS cid, " +
+       "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
+       "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
+       "WHERE rn <= 3 ORDER BY qid, rn")
+  )
+}

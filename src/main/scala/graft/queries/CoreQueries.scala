@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.PathExtract
+
+/** SURVEY.md §2.3 Q1–Q25: the declared relational query inventory.
+  *
+  * Conventions (§2.3 rules, enforced here and in every oracle):
+  *   - every query ends in a total ORDER BY (deterministic row hash);
+  *   - floating aggregates wrapped in ROUND(x, 4);
+  *   - `events.ts` passed through date_trunc('second') before compare;
+  *   - aggregate/computed columns aliased identically in Spark + oracle;
+  *   - integer SUMs cast to BIGINT in the oracle (DuckDB widens to
+  *     HUGEINT, Spark stays LongType) and window ranks cast to BIGINT in
+  *     Spark (Spark rank() is IntegerType, DuckDB's is BIGINT).
+  *
+  * Scale notes: all joins below are either dim-table joins (Catalyst
+  * auto-broadcasts under the 10 MB default with AQE) or key-partitioned
+  * shuffles with map-side partial aggregation — nothing materializes on
+  * the driver.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  val queries: Map[String, Q] = Map(
+    // Q1 — scan + projection (reference R9/R10)
+    "q01_scan" -> ((s, d) => t(s, d, "events")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")),
+
+    // Q2 — filter (pushed into the parquet scan)
+    "q02_filter" -> ((s, d) => t(s, d, "events")
+      .filter(col("event_type") === "purchase" && col("value") > 100)
+      .select("event_id", "value")
+      .orderBy("event_id")),
+
+    // Q3 — dotted-path JSON extraction (reference R9, sql.py:145-166)
+    "q03_json_path" -> ((s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        PathExtract.fromJson(col("props"), "k").cast("bigint").as("k"))
+      .orderBy("event_id")),
+
+    // Q4 — missing path ⇒ NULL (sql.py:157-163)
+    "q04_missing_path" -> ((s, d) => t(s, d, "events")
+      .orderBy("event_id").limit(100)
+      .select(col("event_id"),
+        PathExtract.fromJson(col("props"), "nope.deeper").as("missing"))),
+
+    // Q5 — residual nesting ⇒ JSON string (sql.py:164-166)
+    "q05_residual_json" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        to_json(struct(col("lang"), col("n_chars").as("n"))).as("j"))
+      .orderBy("doc_id")),
+
+    // Q6 — sink-side CAST (reference R13, docs/usage.rst:40-41)
+    "q06_cast_ts" -> ((s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        date_trunc("second", col("ts")).cast("string").as("ts_s"))
+      .orderBy("event_id")),
+
+    // Q8 — inner equi-join (dim side auto-broadcast)
+    "q08_join" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"),
+          round(col("c_acctbal"), 4).as("bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // Q9 — multi-way join + agg
+    "q09_multijoin" -> ((s, d) => {
+      val r = t(s, d, "region"); val n = t(s, d, "nation")
+      val cu = t(s, d, "customer")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .join(cu, cu("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Q10 — left outer join
+    "q10_left_join" -> ((s, d) => {
+      val n = t(s, d, "nation"); val su = t(s, d, "supplier")
+      n.join(su, su("s_nationkey") === n("n_nationkey"), "left")
+        .groupBy(col("n_nationkey"))
+        .agg(count(col("s_suppkey")).as("nsup"))
+        .orderBy("n_nationkey")
+    }),
+
+    // Q11 — semi / anti join
+    "q11_semi" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_semi")
+        .select("o_custkey").distinct()
+        .orderBy("o_custkey")
+    }),
+    "q11_anti" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .select("o_custkey").distinct()
+        .orderBy("o_custkey")
+    }),
+
+    // Q12 — range/theta join (equi key + residual range predicate)
+    "q12_range_join" -> ((s, d) => {
+      val p = t(s, d, "part"); val l = t(s, d, "lineitem")
+      p.join(l, l("l_partkey") === p("p_partkey") &&
+          l("l_quantity") > p("p_size").cast("double"))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("p_partkey")
+    }),
+
+    // Q13 — hash aggregation (TPC-H Q1 shape; partial agg map-side)
+    "q13_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q14 — exact distinct (approx_count_distinct certified in tests)
+    "q14_distinct" -> ((s, d) => t(s, d, "events")
+      .agg(countDistinct(col("user_id")).as("du"))),
+
+    // Q15/Q16 — rollup / cube
+    "q15_rollup" -> ((s, d) => t(s, d, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("c"))),
+    "q16_cube" -> ((s, d) => t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("c"))),
+
+    // Q17 — ranking window + filter (top-3 per nation)
+    "q17_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("rnk", rank().over(w).cast("bigint"))
+        .filter(col("rnk") <= 3)
+        .select("c_custkey", "c_nationkey", "rnk")
+        .orderBy("c_nationkey", "rnk", "c_custkey")
+    }),
+
+    // Q18 — analytic window with row frame
+    "q18_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"),
+          round(sum(col("value")).over(w), 4).as("mv"))
+        .orderBy("event_id")
+    }),
+
+    // Q19 — lag/lead
+    "q19_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), lag(col("event_type"), 1).over(w).as("prev"))
+        .orderBy("event_id")
+    }),
+
+    // Q20 — global top-K (TakeOrderedAndProject — no full sort at scale)
+    "q20_topk" -> ((s, d) => t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))),
+
+    // Q21 — set operations
+    "q21_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+    "q21_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+    "q21_union_agg" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .unionAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .orderBy("k")),
+
+    // Q22 — string / date / math scalars
+    "q22_scalars" -> ((s, d) => t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("pri"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("mon"),
+        round(col("o_totalprice") * 0.1, 4).as("tithe"))
+      .orderBy("o_orderkey")),
+
+    // Q23 — tumbling-window agg, batch-equivalent form (streaming twin
+    // registered separately as q23_stream)
+    "q23_hourly" -> ((s, d) => t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("h"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("v"))
+      .orderBy("h", "event_type")),
+
+    // Q25 — sessionization (30-min inactivity gap), batch-equivalent
+    "q25_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val base = t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val flagged = base.withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts_s") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+      flagged
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("sid")).as("n_sessions"))
+        .orderBy("user_id")
+    })
+  )
+
+  /** DuckDB-dialect oracles, one per query above. */
+  val oracles: Map[String, String] = Map(
+    "q01_scan" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "q02_filter" ->
+      "SELECT event_id, value FROM events WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id",
+    "q03_json_path" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q04_missing_path" ->
+      "SELECT event_id, props->>'$.nope.deeper' AS missing FROM events ORDER BY event_id LIMIT 100",
+    "q05_residual_json" ->
+      "SELECT doc_id, to_json(struct_pack(lang := lang, n := n_chars)) AS j FROM documents ORDER BY doc_id",
+    "q06_cast_ts" ->
+      "SELECT event_id, CAST(date_trunc('second', ts) AS VARCHAR) AS ts_s FROM events ORDER BY event_id",
+    "q08_join" ->
+      "SELECT c.c_custkey, n.n_name, ROUND(c.c_acctbal, 4) AS bal FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey ORDER BY c.c_custkey",
+    "q09_multijoin" ->
+      "SELECT r.r_name, n.n_name, COUNT(*) AS c FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey JOIN customer cu ON cu.c_nationkey = n.n_nationkey GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name",
+    "q10_left_join" ->
+      "SELECT n.n_nationkey, COUNT(s.s_suppkey) AS nsup FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey GROUP BY n.n_nationkey ORDER BY n.n_nationkey",
+    "q11_semi" ->
+      "SELECT o_custkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') GROUP BY o_custkey ORDER BY o_custkey",
+    "q11_anti" ->
+      "SELECT o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') GROUP BY o_custkey ORDER BY o_custkey",
+    "q12_range_join" ->
+      "SELECT p.p_partkey, COUNT(*) AS c FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size GROUP BY p.p_partkey ORDER BY p.p_partkey",
+    "q13_agg" ->
+      "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty, ROUND(SUM(l_extendedprice), 4) AS sum_price, ROUND(AVG(l_discount), 4) AS avg_disc, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q14_distinct" ->
+      "SELECT COUNT(DISTINCT user_id) AS du FROM events",
+    "q15_rollup" ->
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
+    "q16_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
+    "q17_rank" ->
+      "SELECT c_custkey, c_nationkey, rnk FROM (SELECT c_custkey, c_nationkey, RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk FROM customer) t WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey",
+    "q18_window_frame" ->
+      "SELECT event_id, ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv FROM events ORDER BY event_id",
+    "q19_lag" ->
+      "SELECT event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev FROM events ORDER BY event_id",
+    "q20_topk" ->
+      "SELECT o_orderkey, ROUND(o_totalprice, 4) AS price FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q21_intersect" ->
+      "SELECT k FROM (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier) t ORDER BY k",
+    "q21_except" ->
+      "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier) t ORDER BY k",
+    "q21_union_agg" ->
+      "SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) t GROUP BY k ORDER BY k",
+    "q22_scalars" ->
+      "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
+    "q23_hourly" ->
+      "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS c, ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY h, event_type",
+    "q25_sessionize" ->
+      ("SELECT user_id, COUNT(DISTINCT sid) AS n_sessions FROM (" +
+        "SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS sid FROM (" +
+        "SELECT user_id, event_id, date_trunc('second', ts) AS ts_s, " +
+        "CASE WHEN LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) IS NULL " +
+        "OR date_trunc('second', ts) > LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) + INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS new_s FROM events) a) b GROUP BY user_id ORDER BY user_id")
+  )
+}
