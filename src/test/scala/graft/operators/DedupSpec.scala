@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  private lazy val docs = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "the quick brown fox jumps over the lazy dog"),
+      org.apache.spark.sql.Row(2L, "the quick brown fox jumps over the lazy dog"),
+      org.apache.spark.sql.Row(3L, "the quick brown fox jumps over the lazy cat"),
+      org.apache.spark.sql.Row(4L, "completely different text about spark engines"),
+      org.apache.spark.sql.Row(5L, "short")
+    ).asJava, schema)
+  }
+
+  test("exact dedup keeps lowest id and counts copies") {
+    val r = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("shingles: unigrams and trigram windows; short docs empty") {
+    val uni = Dedup.shingles(docs.filter(col("doc_id") === 5), "doc_id", "text", 1)
+    assert(uni.collect().map(_.getString(1)).toSeq == Seq("short"))
+    val tri = Dedup.shingles(docs.filter(col("doc_id") === 5), "doc_id", "text", 3)
+    assert(tri.count() == 0) // fewer than n words => no shingles
+    val tri1 = Dedup.shingles(docs.filter(col("doc_id") === 1), "doc_id", "text", 3)
+      .collect().map(_.getString(1)).toSet
+    assert(tri1.contains("the quick brown") && tri1.contains("the lazy dog"))
+    assert(tri1.size == 7) // 9 words -> 7 windows, all distinct
+  }
+
+  test("jaccardPairs finds identical and near-identical pairs") {
+    val r = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("a", "b").collect()
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(pairs.contains((1L, 2L))) // identical: jac = 1.0
+    val jac12 = r.find(x => x.getLong(0) == 1L && x.getLong(1) == 2L).get.getDouble(2)
+    assert(jac12 == 1.0)
+    // 1 vs 3 share 6 of 8 distinct trigrams => 6/8 = 0.75
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("maxDocFreq drops over-frequent shingles from the posting list") {
+    val r = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
+      threshold = 0.01, maxDocFreq = 2)
+    // "the" appears in docs 1,2,3 (freq 3) and is dropped; pairs survive
+    // on remaining tokens
+    assert(r.count() > 0)
+  }
+
+  test("minHash LSH candidates cover all true near-dup pairs (recall)") {
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val est = Dedup.minHashPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.subsetOf(est),
+      s"missing: ${truth.diff(est)}") // banded LSH must catch jac>=0.7 pairs
+  }
+
+  test("simHash: identical texts share fingerprints, near texts are close") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    val d13 = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    val d14 = java.lang.Long.bitCount(fp(1L) ^ fp(4L))
+    assert(d13 < d14, s"near-dup hamming $d13 should be < unrelated $d14")
+  }
+
+  test("hamming distance expression") {
+    val r = docs.select(Dedup.hamming(lit(0b1011L), lit(0b0001L))).collect()
+    assert(r.head.getInt(0) == 2)
+  }
+}

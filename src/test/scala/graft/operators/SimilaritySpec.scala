@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.engine.Tables
+
+class SimilaritySpec extends SparkSpec {
+  private lazy val emb = Tables(spark, sf, "embeddings").cache()
+
+  test("bruteForceTopK returns k neighbors per query, ranked by cosine") {
+    val r = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 3)
+    val rows = r.collect()
+    assert(rows.length == 15) // 5 queries x 3
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p.head >= p.last)) // rank order
+      assert(g.forall(x => x.getLong(0) != x.getLong(1)))   // self excluded
+    }
+  }
+
+  test("lshTopK recall vs brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 1)
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+        k = 1, nPlanes = 8, tables = 8)
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low") // random 64-dim data is
+    // a worst case for LSH; the contract here is "well above chance"
+  }
+}

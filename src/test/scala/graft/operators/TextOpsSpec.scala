@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class TextOpsSpec extends SparkSpec {
+  private def docs(rows: (Long, String)*) = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, schema)
+  }
+
+  test("wordCounts ignores empty segments from double spaces") {
+    val r = TextOps.wordCounts(docs(1L -> "a b  b c", 2L -> "b"), "text")
+      .orderBy(desc("c"), col("word")).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      Seq(("b", 3L), ("a", 1L), ("c", 1L)))
+  }
+
+  test("qualityFeatures on a known sentence") {
+    val r = TextOps.qualityFeatures(
+      docs(1L -> "the cat sat, on a mat!"), "doc_id", "text").collect().head
+    assert(r.getLong(1) == 6L)            // n_words
+    assert(r.getLong(2) == 22L)           // nchars
+    // words: the(3) cat(3) sat,(4) on(2) a(1) mat!(4) => 17/6
+    assert(r.getDouble(3) == math.rint(17.0 / 6 * 10000) / 10000)
+    assert(r.getDouble(4) == math.rint(3.0 / 6 * 10000) / 10000) // the,on,a
+    assert(r.getDouble(5) == math.rint(2.0 / 22 * 10000) / 10000) // , !
+  }
+
+  test("langId picks marker-majority language; no markers => und") {
+    val r = TextOps.langId(docs(
+      1L -> "the cat and the dog of it",
+      2L -> "der hund und die katze ist",
+      3L -> "xyzzy plugh"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("en", "de", "und"))
+  }
+
+  test("rolling fingerprint matches a reference fold") {
+    val text = "abc"
+    def roll(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 2147483647L)
+    val r = TextOps.fingerprints(docs(1L -> text), "doc_id", "text").collect().head
+    assert(r.getLong(3) == roll(text)) // roll_fp is 4th column
+    assert(r.getString(1).length == 32) // md5 hex
+  }
+
+  test("regexTokens lowercases and splits on non-alphanumerics") {
+    val r = docs(1L -> "Hello, World!42 foo_bar")
+      .select(TextOps.regexTokens(col("text"))).collect().head
+    assert(r.getSeq[String](0) == Seq("hello", "world", "42", "foo", "bar"))
+  }
+}
