@@ -1,0 +1,111 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sinks.SqlSink
+
+/** Flow assembly: config -> one StreamingQuery per flow (the Spark
+  * re-expression of the reference's `create_flow` wiring,
+  * cli.py:111-167). The implicit per-flow Batcher (docs/usage.rst:89-91)
+  * becomes the micro-batch boundary: `Trigger.ProcessingTime(time_limit)`
+  * is the time axis, source-side `maxMessagesPerTrigger = size_limit`
+  * the size axis (SURVEY §7.4).
+  *
+  * Input block types:
+  *   - `amqp` / `mq`: the graftmq DataSource V2 ([[graft.sources.MqDataSource]])
+  *   - `file`: file-source streaming (parquet/json dir), used in tests
+  * Output block types:
+  *   - `sql`: [[SqlSink]] foreachBatch JDBC writer
+  *   - `parquet`: append parquet sink (bench/tests)
+  */
+object Flows {
+
+  /** Corrupt-JSON dead-lettering (reference amqp.py:107-109: nack, no
+    * requeue — message leaves the pipeline but is observable): a row is
+    * valid iff the body parses as a JSON object/array.
+    */
+  def validJson(df: DataFrame, jsonCol: String): DataFrame =
+    df.filter(get_json_object(col(jsonCol), "$").isNotNull)
+
+  def invalidJson(df: DataFrame, jsonCol: String): DataFrame =
+    df.filter(get_json_object(col(jsonCol), "$").isNull)
+
+  def start(spark: SparkSession, cfg: Config.Engine,
+      checkpointRoot: String): Seq[StreamingQuery] =
+    cfg.flows.zipWithIndex.map { case (flow, i) =>
+      startFlow(spark, cfg, flow, s"$checkpointRoot/flow$i", s"flow$i")
+    }
+
+  def startFlow(spark: SparkSession, cfg: Config.Engine, flow: Config.Flow,
+      checkpoint: String, name: String): StreamingQuery = {
+    val inBlock = cfg.block(flow.input.name)
+    val outBlock = cfg.block(flow.output.name)
+    val kin = flow.input.kwargs
+    val kout = flow.output.kwargs
+
+    val stream: DataFrame = inBlock.typ match {
+      case "amqp" | "mq" =>
+        spark.readStream.format("graftmq")
+          .option("exchange", kin.getOrElse("exchange",
+            throw new IllegalArgumentException("flow input needs an exchange")).toString)
+          .option("maxMessagesPerTrigger", cfg.sizeLimit.toString)
+          .load()
+      case "file" =>
+        val dir = inBlock.kwargs("path").toString
+        val fmt = inBlock.kwargs.getOrElse("format", "parquet").toString
+        val schema = spark.read.format(fmt).load(dir).schema
+        val r = spark.readStream.format(fmt).schema(schema)
+        kin.get("pathGlobFilter").foreach(g => r.option("pathGlobFilter", g.toString))
+        r.load(dir)
+      case other =>
+        throw new IllegalArgumentException(s"unknown input block type: $other")
+    }
+
+    val deadLetter = kout.get("dead_letter_dir").map(_.toString)
+    val writer = outBlock.typ match {
+      case "sql" =>
+        val url = outBlock.kwargs("url").toString
+        val query = kout("query").toString
+        val mapping = kout.get("parameters") match {
+          case None => SqlSink.Identity
+          case Some(l: java.util.List[_]) =>
+            SqlSink.Positional(l.toArray.map(_.toString).toSeq)
+          case Some(m: java.util.Map[_, _]) =>
+            import scala.jdk.CollectionConverters._
+            SqlSink.Named(m.asScala.toSeq.map { case (k, v) =>
+              k.toString -> v.toString })
+          case Some(other) =>
+            // reference sql.py:88-90: invalid parameters type => error
+            throw new IllegalArgumentException(
+              s"invalid parameters type: ${other.getClass.getSimpleName}")
+        }
+        // schema-less flows bind dotted paths against the raw JSON body
+        val jsonCol = if (stream.columns.contains("value")) Some("value") else None
+        val sink = SqlSink.foreachBatch(url, query, mapping, jsonCol, deadLetter)
+        (batch: DataFrame, id: Long) => {
+          val valid = jsonCol.fold(batch)(c => validJson(batch, c))
+          jsonCol.foreach { c =>
+            val bad = invalidJson(batch, c)
+            deadLetter.foreach(d => if (!bad.isEmpty)
+              bad.write.mode("append").parquet(s"$d/corrupt"))
+          }
+          sink(valid, id)
+        }
+      case "parquet" =>
+        val path = outBlock.kwargs("path").toString
+        (batch: DataFrame, id: Long) =>
+          batch.write.mode("append").parquet(path)
+      case other =>
+        throw new IllegalArgumentException(s"unknown output block type: $other")
+    }
+
+    stream.writeStream
+      .queryName(name)
+      .foreachBatch(writer)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(s"${cfg.timeLimit} seconds"))
+      .start()
+  }
+}

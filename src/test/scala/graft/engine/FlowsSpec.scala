@@ -1,0 +1,72 @@
+package graft.engine
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+import graft.sources.MemoryBroker
+
+/** End-to-end: YAML config -> flow assembly -> graftmq source ->
+  * SQL sink, including corrupt-JSON dead-lettering — the full
+  * reference dataflow (cli.py:111-167) on Spark.
+  */
+class FlowsSpec extends SparkSpec {
+  test("config-driven flow moves messages from broker to SQL table") {
+    val url = "jdbc:derby:memory:flowdb;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE logs (msg VARCHAR(100), k INT)")
+    c.close()
+    val dl = java.nio.file.Files.createTempDirectory("graft-dl").toString
+    val cfg = Config.parseString(
+      s"""size_limit: 4
+         |time_limit: 1
+         |blocks:
+         |  - name: in
+         |    type: amqp
+         |    kwargs: {}
+         |  - name: out
+         |    type: sql
+         |    kwargs:
+         |      url: '$url'
+         |flows:
+         |  - - name: in
+         |      kwargs:
+         |        exchange: e2e
+         |    - name: out
+         |      kwargs:
+         |        query: "INSERT INTO logs (msg, k) VALUES (:m, CAST(:k AS INT))"
+         |        dead_letter_dir: '$dl'
+         |        parameters:
+         |          m: message.text
+         |          k: k
+         |""".stripMargin)
+    (1 to 6).foreach(i =>
+      MemoryBroker.publish("e2e", s"""{"message":{"text":"m$i"},"k":$i}"""))
+    MemoryBroker.publish("e2e", "not json at all {")
+    val ckpt = java.nio.file.Files.createTempDirectory("flow-ckpt").toString
+    val q = Flows.startFlow(spark, cfg, cfg.flows.head, ckpt, "e2e_flow")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def count(): Int = {
+        val cc = DriverManager.getConnection(url)
+        try {
+          val rs = cc.createStatement().executeQuery("SELECT COUNT(*) FROM logs")
+          rs.next(); rs.getInt(1)
+        } finally cc.close()
+      }
+      while (count() < 6 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(count() == 6)
+      val cc = DriverManager.getConnection(url)
+      val rs = cc.createStatement().executeQuery(
+        "SELECT msg FROM logs WHERE k = 3")
+      rs.next(); assert(rs.getString(1) == "m3"); cc.close()
+      // corrupt message was dead-lettered, not inserted and not fatal
+      val deadline2 = System.currentTimeMillis() + 30000
+      def deadCount(): Long =
+        try spark.read.parquet(s"$dl/corrupt").count() catch { case _: Exception => 0L }
+      while (deadCount() < 1 && System.currentTimeMillis() < deadline2)
+        Thread.sleep(200)
+      assert(deadCount() == 1L)
+    } finally q.stop()
+  }
+}
