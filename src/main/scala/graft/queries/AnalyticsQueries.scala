@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.cosineSim
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextOps}
 
 /** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
   * training-data-pipeline operator suite): dedup, similarity search,
@@ -113,6 +113,24 @@ object AnalyticsQueries {
           "vec_id", "embedding", k = 3)
         .select(col("qid"), col("cid"), col("rn"))
         .orderBy("qid", "rn")
+    }),
+
+    // backward as-of join: each purchase matched to the user's latest
+    // click at-or-before it (second resolution; right side deduped to
+    // unique (user_id, ts) so both engines are deterministic)
+    "q37_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_s"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.backward(purchases, clicks,
+          keys = Seq("user_id"), tsCol = "ts_s", rightValues = Seq("click_id"))
+        .filter(col("click_id").isNotNull) // inner as-of semantics
+        .select(col("event_id"), col("click_id"))
+        .orderBy("event_id")
     })
   )
 
@@ -166,6 +184,10 @@ object AnalyticsQueries {
        "SELECT a.vec_id AS qid, b.vec_id AS cid, " +
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
-       "WHERE rn <= 3 ORDER BY qid, rn")
+       "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q37_asof" ->
+      ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
+       "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
+       "SELECT p.event_id, c.click_id FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s ORDER BY p.event_id")
   )
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def df(schema: String, rows: Row*) =
+    spark.createDataFrame(rows.asJava, StructType.fromDDL(schema))
+
+  private lazy val trades = df("k STRING, t BIGINT, trade_id BIGINT",
+    Row("a", 10L, 1L), Row("a", 20L, 2L), Row("a", 25L, 3L),
+    Row("b", 10L, 4L), Row("c", 5L, 5L))
+  private lazy val quotes = df("k STRING, t BIGINT, px DOUBLE",
+    Row("a", 8L, 1.0), Row("a", 20L, 2.0), Row("a", 21L, 3.0),
+    Row("b", 15L, 4.0))
+
+  test("backward as-of picks latest right row at-or-before left ts") {
+    val r = AsOfJoin.backward(trades, quotes, Seq("k"), "t", Seq("px"))
+      .orderBy("trade_id").collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r(1L) == Some(1.0))  // t=10: quote@8
+    assert(r(2L) == Some(2.0))  // t=20: quote@20 inclusive
+    assert(r(3L) == Some(3.0))  // t=25: quote@21
+    assert(r(4L) == None)       // b: only quote is at t=15 > 10
+    assert(r(5L) == None)       // c: no quotes at all
+  }
+
+  test("tolerance nulls out stale matches") {
+    val r = AsOfJoin.backward(trades, quotes, Seq("k"), "t", Seq("px"),
+        tolerance = Some(lit(1L)))
+      .orderBy("trade_id").collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r(1L) == None)       // quote@8 is 2 old, tolerance 1
+    assert(r(2L) == Some(2.0))  // exact-ts match always fresh
+  }
+
+  test("right value column collision is rejected") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, quotes.withColumnRenamed("px", "trade_id"),
+        Seq("k"), "t", Seq("trade_id"))
+    }
+  }
+}
