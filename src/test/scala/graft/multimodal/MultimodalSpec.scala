@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.engine.Tables
+
+class MultimodalSpec extends SparkSpec {
+  private lazy val media =
+    Multimodal.syntheticMedia(Tables(spark, sf, "documents")).cache()
+
+  test("synthetic media table matches the canonical schema") {
+    assert(media.schema.fieldNames.toSeq ==
+      Multimodal.mediaSchema.fieldNames.toSeq)
+    assert(media.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(media.count() > 0)
+  }
+
+  test("decode emits dimensions per row, deterministic, content dropped") {
+    val d = Multimodal.decode(media)
+    assert(d.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "width", "height", "channels", "ok"))
+    val rows = d.orderBy("media_id").collect()
+    assert(rows.length == media.count())
+    assert(rows.forall(_.getBoolean(5)))
+    val again = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("decode flags undecodable content instead of failing") {
+    import scala.jdk.CollectionConverters._
+    val bad = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "image", Array[Byte](1, 2)),
+      org.apache.spark.sql.Row(2L, "image", null)
+    ).asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, media_type STRING, content BINARY"))
+    val d = Multimodal.decode(bad).collect()
+    assert(d.forall(!_.getBoolean(5)))
+  }
+
+  test("extractFeatures: fixed-dim L2-normalized vectors compose with ANN ops") {
+    val f = Multimodal.extractFeatures(media, dim = 16)
+    val rows = f.collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    val norms = f.select(
+      graft.functions.VectorFunctions.normSq(col("embedding")).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // composes with the similarity operator (identical docs -> sim 1)
+    val top = graft.operators.Similarity.bruteForceTopK(
+      f.filter(col("media_id") < 3), f, "media_id", "embedding", k = 2)
+    assert(top.count() == 6)
+  }
+
+  test("resize produces exactly w*h bytes per row") {
+    val r = Multimodal.resize(media, 8, 4).collect()
+    assert(r.forall(_.getAs[Array[Byte]](1).length == 32))
+    assert(r.forall(x => x.getInt(2) == 8 && x.getInt(3) == 4))
+  }
+
+  test("sampleFrames explodes every Nth frame for videos only") {
+    val s = Multimodal.sampleFrames(media, everyN = 10)
+    val byId = s.groupBy("media_id").agg(count(lit(1)).as("c"),
+        max("frame_idx").as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // media_id % 3 == 2 => video; n_frames = media_id % 50
+    assert(byId.keySet.forall(_ % 3 == 2))
+    val id = byId.keys.find(_ % 50 >= 21).get
+    val nf = (id % 50).toInt
+    assert(byId(id)._1 == (nf - 1) / 10 + 1) // frames 0,10,20...
+  }
+}
