@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for FLOAT[] vector math. These stay
+  * inside whole-stage codegen (the generated code is a direct static
+  * call into [[VecKernels]]'s primitive loops), unlike the
+  * `zip_with`/`aggregate` higher-order formulation which falls out of
+  * codegen and boxes every element — ~10x on brute-force similarity
+  * scans (SURVEY §4.2: "upgrade to a codegen'd Catalyst Expression
+  * only if bench demands" — bench demanded).
+  */
+abstract class FloatVecBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def kernel: String // method name on VecKernels
+
+  override def nullSafeEval(a: Any, b: Any): Any = kernel match {
+    case "dot"    => VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "cosine" => VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "l2"     => VecKernels.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.$kernel($a, $b)")
+}
+
+case class FloatDot(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class FloatCosine(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "cosine"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class FloatL2(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "l2"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class FloatNormSq(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.normSq(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.normSq($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class FloatHyperplaneBucket(child: Expression, nPlanes: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.hyperplane(a.asInstanceOf[ArrayData], nPlanes, seed)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecKernels.hyperplane($a, $nPlanes, $seed)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ARRAY<FLOAT>` embedding columns, built entirely from
-  * Catalyst higher-order functions (`zip_with` / `aggregate`) — no Scala
-  * UDF, so Catalyst can still prune/push around these expressions and no
-  * serialization boundary is introduced.
+/** Vector math over `ARRAY<FLOAT>` embedding columns, backed by native
+  * codegen'd Catalyst expressions ([[VecExpressions]] /[[VecKernels]]):
+  * tight primitive loops inside whole-stage codegen, no per-element
+  * boxing, no UDF serialization boundary.
   *
   * All arithmetic is promoted to Double before accumulation (matching
   * what an oracle engine does when handed a FLOAT[] list), and summation
@@ -14,32 +14,31 @@ import org.apache.spark.sql.functions._
   * row regardless of partitioning.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
 
   /** Σ aᵢ·bᵢ in double precision. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    column(FloatDot(expression(a), expression(b)))
 
   /** Σ vᵢ² in double precision. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+  def normSq(a: Column): Column = column(FloatNormSq(expression(a)))
 
   /** Cosine similarity: dot / (|a|·|b|). NULL-propagating; 0-vectors ⇒ NaN
     * (same as the naive formula — callers filter if needed).
     */
   def cosineSim(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+    column(FloatCosine(expression(a), expression(b)))
+
+  /** Cosine from a precomputed dot and per-side norms — use when one
+    * side is joined against many (norms computed once per row, not per
+    * pair).
+    */
+  def cosineFromNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / sqrt(normA * normB)
 
   /** L2 (Euclidean) distance in double precision. */
   def l2Dist(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0),
-      (acc, v) => acc + v))
+    column(FloatL2(expression(a), expression(b)))
 
   /** Sign-bit bucket for random-hyperplane LSH: for each hyperplane
     * (a fixed seeded pseudo-random ±1 pattern over dimensions), emit one
@@ -47,17 +46,6 @@ object VectorFunctions {
     * near vectors collide with high probability. Deterministic: plane i's
     * sign for dim j = parity of a small integer hash of (i, j).
     */
-  def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int = 42): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      // projection of v onto pseudo-random ±1 plane p
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, j) => {
-          val h = pmod(j * lit(2654435761L) + lit(p * 40503 + seed), lit(2L))
-          when(h === 0, x.cast("double")).otherwise(-x.cast("double"))
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int = 42): Column =
+    column(FloatHyperplaneBucket(expression(v), nPlanes, seed))
 }

@@ -34,8 +34,9 @@ object Dedup {
   /** Distinct word-level shingles per doc: (id, shingle). `n = 1` gives
     * unigram token sets; `n >= 2` gives word n-grams (sliding window).
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String,
+  def shingles(docs0: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
     val words = filter(split(col(textCol), " "), w => w =!= "")
     val sh =
       if (n == 1) words
@@ -62,7 +63,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // cached: consumed 3x (sizes + both join sides) — without this the
+    // whole shingling pipeline re-executes per consumer
+    val sh = shingles(docs, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val posting =
       if (maxDocFreq == Long.MaxValue) sh
@@ -71,9 +74,13 @@ object Dedup {
           .filter(col("_df") <= maxDocFreq)
         sh.join(df, "shingle").drop("_df")
       }
-    val a = posting.select(col("id").as("a"), col("shingle"))
-    val b = posting.select(col("id").as("b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    // shuffle 8-byte shingle hashes, not shingle strings (64-bit
+    // collisions are ~p=1e-8 at 1M distinct shingles — negligible
+    // against the join-width saving at scale)
+    val hashed = posting.select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val a = hashed.select(col("id").as("a"), col("sh"))
+    val b = hashed.select(col("id").as("b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
@@ -155,7 +162,8 @@ object Dedup {
     * token hash's bit value; fingerprint bit = sign of the sum. Pure
     * expression pipeline (explode → groupBy id → bit packing).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
     val tok = docs.select(col(idCol).as("id"),
       explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
       .withColumn("h", xxhash64(col("w")))
@@ -179,13 +187,14 @@ object Dedup {
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.cosineSim
+    import graft.functions.VectorFunctions.{cosineFromNorms, dot, normSq}
     val a = emb.select(col(idCol).as("a"), col(blockCol).as("blk"),
-      col(vecCol).as("va"))
+      col(vecCol).as("va"), normSq(col(vecCol)).as("na"))
     val b = emb.select(col(idCol).as("b"), col(blockCol).as("blk"),
-      col(vecCol).as("vb"))
+      col(vecCol).as("vb"), normSq(col(vecCol)).as("nb"))
     a.join(b, Seq("blk")).filter(col("a") < col("b"))
-      .withColumn("sim", cosineSim(col("va"), col("vb")))
+      .withColumn("sim",
+        cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("sim") > threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }

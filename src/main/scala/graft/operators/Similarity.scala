@@ -29,11 +29,17 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // norms once per row (not per pair): the per-pair hot loop is a
+    // single codegen'd dot product
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val c = graft.engine.Par.widen(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn"))
     val joined = c.crossJoin(broadcast(q))
     val scored0 = if (excludeSelf) joined.filter(col("qid") =!= col("cid")) else joined
-    val scored = scored0.withColumn("sim", cosineSim(col("qv"), col("cv")))
+    val scored = scored0.withColumn("sim",
+      cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
@@ -50,22 +56,25 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 12, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+    def bucketed(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
       df.select(
         col(idCol).as(id) +: col(vecCol).as(vec) +:
+        normSq(col(vecCol)).as(nrm) +:
         (0 until tables).map(t =>
           hyperplaneBucket(col(vecCol), nPlanes, seed = 1000 * t).as(s"bkt$t")): _*)
-    val q = bucketed(queries, "qid", "qv")
-    val c = bucketed(corpus, "cid", "cv")
+    val q = bucketed(queries, "qid", "qv", "qn")
+    val c = bucketed(graft.engine.Par.widen(corpus), "cid", "cv", "cn")
     val candidates = (0 until tables).map { tb =>
-      c.join(broadcast(q.select(col("qid"), col("qv"), col(s"bkt$tb"))),
+      c.join(broadcast(q.select(col("qid"), col("qv"), col("qn"), col(s"bkt$tb"))),
           Seq(s"bkt$tb"))
-        .select(col("qid"), col("qv"), col("cid"), col("cv"))
+        .select(col("qid"), col("qv"), col("qn"),
+          col("cid"), col("cv"), col("cn"))
     }.reduce(_ unionByName _).distinct()
       .filter(col("qid") =!= col("cid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
-    candidates.withColumn("sim", cosineSim(col("qv"), col("cv")))
+    candidates.withColumn("sim",
+      cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),

@@ -24,7 +24,8 @@ object TextOps {
     * map-side-combinable groupBy.
     */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(words(col(textCol))).as("word"))
+    graft.engine.Par.widen(docs)
+      .select(explode(words(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
 
   private val stopwords: Seq[String] =
@@ -34,8 +35,9 @@ object TextOps {
     * word length, stopword ratio, punctuation ratio. All per-row
     * expression work — fully parallel, no shuffle.
     */
-  def qualityFeatures(docs: DataFrame, idCol: String,
+  def qualityFeatures(docs0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
     val ws = words(col(textCol))
     val nWords = size(ws).cast("double")
     val stopHits = size(filter(ws, w => w.isin(stopwords.map(lit(_)): _*)))
@@ -68,7 +70,8 @@ object TextOps {
     * prediction = argmax (ties → lexicographically first language,
     * no hits at all → "und" i.e. undetermined).
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
     val ws = words(col(textCol))
     val scored = langMarkers.map { case (lang, markers) =>
       struct(
@@ -88,8 +91,9 @@ object TextOps {
     * sensitive, oracle-reproducible: h = Σ (31^i · code_i) mod 2^31-1,
     * evaluated left-to-right as h = (h·31 + code) mod p).
     */
-  def fingerprints(docs: DataFrame, idCol: String,
+  def fingerprints(docs0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
     val p = lit(2147483647L) // 2^31 - 1: keeps h*31+code < 2^36, no overflow
     // split(text, "") emits a trailing "" (Java split with limit -1) —
     // filter it so char enumeration matches a plain per-char walk

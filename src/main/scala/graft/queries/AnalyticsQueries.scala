@@ -40,12 +40,16 @@ object AnalyticsQueries {
 
     // Q26 — vector similarity pairs (label-blocked, cos_sim threshold)
     "q26_vec_sim" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{cosineFromNorms, dot, normSq}
       val e = t(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("vec_id"), col("label"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("nn"), col("label"), col("embedding").as("eb"))
+      val a = e.select(col("vec_id").as("vec_id"), col("label"),
+        col("embedding").as("ea"), normSq(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("nn"), col("label"),
+        col("embedding").as("eb"), normSq(col("embedding")).as("nb"))
       a.join(b, Seq("label"))
         .filter(col("vec_id") < col("nn"))
-        .filter(cosineSim(col("ea"), col("eb")) > 0.35)
+        .filter(cosineFromNorms(dot(col("ea"), col("eb")),
+          col("na"), col("nb")) > 0.35)
         .select(col("vec_id"), col("nn"))
         .orderBy("vec_id", "nn")
     }),

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Column <-> Expression conversion for the
+  * engine's native Catalyst expressions (graft.functions.VecExpressions).
+  * Lives in the org.apache.spark.sql package on purpose — the standard
+  * pattern for Spark-native extension libraries.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
