@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.SparkSpec
+
+/** Physical-plan contracts that keep the inventory scale-safe: filters
+  * reach the parquet scan, projections prune the read schema, dimension
+  * joins broadcast, global top-K never globally sorts, and the dedup
+  * joins never degenerate into cartesian products. These are the
+  * properties that decide whether a plan survives a 100x scale-up —
+  * asserted here so a refactor can't silently regress them.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def planString(df: DataFrame): String = {
+    // force AQE final plan where present
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => df.collect()
+      case _ => ()
+    }
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q02 filter is pushed into the parquet scan") {
+    val s = planString(q("q02_filter"))
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("IsNotNull(event_type)") || s.contains("EqualTo(event_type"), s)
+  }
+
+  test("q01 projection prunes the scan to the selected columns") {
+    val s = planString(q("q01_scan"))
+    val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("event_id") && !read.contains("props"),
+      s"scan must not read unused columns: $read")
+  }
+
+  test("q08 dim join broadcasts the nation side") {
+    val s = planString(q("q08_join"))
+    assert(s.contains("BroadcastHashJoin"), s)
+  }
+
+  test("q20 global top-K uses TakeOrderedAndProject (no full sort)") {
+    val s = planString(q("q20_topk"))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("q13 aggregation is partial (map-side) before the shuffle") {
+    val s = planString(q("q13_agg"))
+    assert(s.contains("HashAggregate"), s)
+    assert(s.split("HashAggregate").length >= 3,
+      "expect partial+final HashAggregate pair")
+  }
+
+  test("dedup joins are equi-joins, never cartesian") {
+    Seq("q28_jaccard", "q29_minhash", "q26_vec_sim").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct"),
+        s"$name degenerated to a cartesian product")
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to BNLJ")
+    }
+  }
+
+  test("whole-stage codegen covers the vector-similarity scoring") {
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
+    // the dot-product filter must sit inside one, not in an interpreted
+    // Filter node
+    val s = planString(q("q26_vec_sim"))
+    assert(s.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("floatdot")), s)
+  }
+}
