@@ -1,0 +1,34 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions registration: exposes the engine's native
+  * vector expressions to the SQL surface (`spark.sql("... cos_sim(a,b)
+  * ...")`), so SQL-only users get the same codegen'd kernels as the
+  * Column API. Enabled via
+  * `spark.sql.extensions=graft.engine.GraftExtensions` (Sessions.local
+  * sets it).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cos_sim"),
+      info("cos_sim", "cos_sim(a, b) - cosine similarity of two FLOAT arrays"),
+      (cs: Seq[Expression]) => FloatCosine(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two FLOAT arrays"),
+      (cs: Seq[Expression]) => FloatDot(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_l2"),
+      info("vec_l2", "vec_l2(a, b) - euclidean distance of two FLOAT arrays"),
+      (cs: Seq[Expression]) => FloatL2(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm_sq"),
+      info("vec_norm_sq", "vec_norm_sq(a) - squared L2 norm of a FLOAT array"),
+      (cs: Seq[Expression]) => FloatNormSq(cs(0))))
+  }
+}

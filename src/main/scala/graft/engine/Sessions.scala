@@ -17,6 +17,7 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) — read as long, then
       // Tables normalizes to TimestampType (µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

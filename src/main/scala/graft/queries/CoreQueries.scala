@@ -146,6 +146,17 @@ object CoreQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first, col("c"))),
 
+    // Q15b — explicit GROUPING SETS (beyond rollup/cube)
+    "q15_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c
+          |""".stripMargin)
+    }),
+
     // Q17 — ranking window + filter (top-3 per nation)
     "q17_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("c_nationkey"))
@@ -268,6 +279,8 @@ object CoreQueries {
       "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
     "q16_cube" ->
       "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
+    "q15_grouping_sets" ->
+      "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c",
     "q17_rank" ->
       "SELECT c_custkey, c_nationkey, rnk FROM (SELECT c_custkey, c_nationkey, RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk FROM customer) t WHERE rnk <= 3 ORDER BY c_nationkey, rnk, c_custkey",
     "q18_window_frame" ->
