@@ -181,6 +181,17 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Streaming exact dedup: drop duplicate keys across micro-batches,
+    * with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — keys older than the delay are
+    * expired from the state store, the only way streaming dedup survives
+    * unbounded input).
+    */
+  def streamingExact(stream: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermarkDelay: String): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Near-dup pairs by embedding cosine similarity, blocked by an
     * equi-join key (e.g. a label or an LSH bucket) so the pair space is
     * partitioned instead of crossed.

@@ -53,6 +53,67 @@ object Similarity {
     * re-rank within candidates. Recall grows with `tables`, cost stays
     * ~|corpus| × tables instead of |queries| × |corpus|.
     */
+  /** IVF (inverted-file) approximate top-k: Lloyd's k-means over the
+    * corpus (deterministic init = lowest-id vectors), corpus vectors
+    * assigned to their nearest centroid, queries probe the `nProbe`
+    * nearest centroid lists only. Classic ANN trade-off: cost ~
+    * |corpus| * nProbe / nCentroids per query instead of |corpus|.
+    *
+    * Everything is DataFrame ops: assignment = broadcast-centroids join
+    * + window argmin; centroid update = posexplode + per-dimension mean
+    * (map-side combinable). No driver-side math, no randomness.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val c = graft.engine.Par.widen(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")).cache()
+
+    // deterministic seed centroids: the nCentroids lowest ids
+    var centroids = c.orderBy("cid").limit(nCentroids)
+      .select(col("cid").as("ctr"), col("cv").as("cvec"))
+
+    def nearest(df: DataFrame, vec: String, out: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__d").asc, col("ctr"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__d", l2Dist(col(vec), col("cvec")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .withColumnRenamed("ctr", out)
+        .drop("cvec", "__d", "__rn")
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = nearest(c.withColumn("__id", col("cid")), "cv", "actr", 1)
+      centroids = assigned
+        .select(col("actr").as("ctr"), posexplode(col("cv")))
+        .groupBy(col("ctr"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("ctr"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("cvec"))
+    }
+
+    val corpusAssigned = nearest(c.withColumn("__id", col("cid")), "cv", "actr", 1)
+      .select(col("cid"), col("cv"), col("cn"), col("actr").as("bucket"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val probes = nearest(q.withColumn("__id", col("qid")), "qv", "pctr", nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("pctr").as("bucket"))
+
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    corpusAssigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 12, tables: Int = 4): DataFrame = {

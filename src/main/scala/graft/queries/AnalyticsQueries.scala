@@ -119,6 +119,16 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // IVF (kmeans-bucketed) approximate top-k (no SQL oracle:
+    // engine-defined clustering; recall certified in ScalaTest vs q35)
+    "q38_ivf_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)

@@ -116,4 +116,68 @@ object SqlSink extends Logging {
       }
     }
   }
+
+  /** Marker table for idempotent replay detection. */
+  val MarkerTable = "graft_committed"
+
+  /** Creates the marker table if absent (dialect-neutral minimal DDL). */
+  def ensureMarkerTable(url: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      s"CREATE TABLE $MarkerTable (flow_id VARCHAR(128), batch_id BIGINT, part_id INT)")
+    catch { case _: java.sql.SQLException => () } // already exists
+    finally conn.close()
+  }
+
+  /** Idempotent variant: rows + a (flow, batch, partition) marker commit
+    * in ONE transaction per partition; a replayed micro-batch (Spark
+    * restart re-runs the last uncommitted batch — at-least-once) finds
+    * its marker and skips. Checkpoint + replayable source + this sink =
+    * effectively exactly-once end-to-end (SURVEY §7.4 upgrade path).
+    */
+  def idempotentForeachBatch(url: String, query: String, mapping: Mapping,
+      flowId: String, jsonCol: Option[String] = None,
+      deadLetterDir: Option[String] = None): (DataFrame, Long) => Unit = {
+    val (positional, paramOrder) = compile(query)
+    ensureMarkerTable(url)
+    (batch: DataFrame, batchId: Long) => {
+      val params = mapParameters(batch, mapping, paramOrder, jsonCol)
+      val n = params.columns.length
+      try {
+        params.rdd.mapPartitionsWithIndex { (pid, rows) =>
+          if (rows.nonEmpty) {
+            val conn = DriverManager.getConnection(url)
+            try {
+              conn.setAutoCommit(false)
+              val seen = conn.prepareStatement(
+                s"SELECT COUNT(*) FROM $MarkerTable WHERE flow_id = ? AND batch_id = ? AND part_id = ?")
+              seen.setString(1, flowId); seen.setLong(2, batchId); seen.setInt(3, pid)
+              val rs = seen.executeQuery(); rs.next()
+              if (rs.getInt(1) == 0) {
+                val st = conn.prepareStatement(positional)
+                rows.foreach { r =>
+                  var i = 0
+                  while (i < n) { st.setObject(i + 1, r.get(i)); i += 1 }
+                  st.addBatch()
+                }
+                st.executeBatch()
+                val mark = conn.prepareStatement(
+                  s"INSERT INTO $MarkerTable VALUES (?, ?, ?)")
+                mark.setString(1, flowId); mark.setLong(2, batchId); mark.setInt(3, pid)
+                mark.executeUpdate()
+                conn.commit() // rows + marker atomically
+              }
+            } finally conn.close()
+          }
+          Iterator.empty
+        }.count(): Unit
+      } catch {
+        case e: Exception =>
+          logError(s"Batch $batchId failed: ${e.getMessage}")
+          logError(s"Dropped batch $batchId (query: $query)")
+          deadLetterDir.foreach(d =>
+            batch.write.mode("append").parquet(s"$d/batch_$batchId"))
+      }
+    }
+  }
 }

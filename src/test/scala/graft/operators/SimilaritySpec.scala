@@ -20,6 +20,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK recall vs brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 1)
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 1, nCentroids = 8, nProbe = 4, iters = 2)
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
   test("lshTopK recall vs brute force is reasonable") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 1)
