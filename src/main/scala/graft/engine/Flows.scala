@@ -83,7 +83,13 @@ object Flows {
         }
         // schema-less flows bind dotted paths against the raw JSON body
         val jsonCol = if (stream.columns.contains("value")) Some("value") else None
-        val sink = SqlSink.foreachBatch(url, query, mapping, jsonCol, deadLetter)
+        // idempotent: true => batchId-keyed replay protection (exactly-
+        // once with the checkpointed replayable source)
+        val sink =
+          if (kout.get("idempotent").exists(_.toString.toBoolean))
+            SqlSink.idempotentForeachBatch(url, query, mapping, name,
+              jsonCol, deadLetter)
+          else SqlSink.foreachBatch(url, query, mapping, jsonCol, deadLetter)
         (batch: DataFrame, id: Long) => {
           val valid = jsonCol.fold(batch)(c => validJson(batch, c))
           jsonCol.foreach { c =>

@@ -87,12 +87,15 @@ object Similarity {
 
     for (_ <- 1 to iters) {
       val assigned = nearest(c.withColumn("__id", col("cid")), "cv", "actr", 1)
+      // localCheckpoint: centroids are nCentroids tiny rows — truncate
+      // the lineage so iteration i doesn't recompute iterations 1..i-1
       centroids = assigned
         .select(col("actr").as("ctr"), posexplode(col("cv")))
         .groupBy(col("ctr"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("ctr"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("cvec"))
+        .localCheckpoint(true)
     }
 
     val corpusAssigned = nearest(c.withColumn("__id", col("cid")), "cv", "actr", 1)
