@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition a 100 TB corpus
+  * pipeline actually runs, built entirely from the engine's operators —
+  *
+  *   quality gate -> language ID -> exact dedup -> MinHash near-dup
+  *   removal -> per-document stats -> partitioned parquet layout
+  *
+  * Plan shape: two narrow per-row passes (features, langid), one
+  * hash-agg shuffle (exact dedup), one LSH candidate join (near-dup),
+  * and a final partitioned write. Document bodies are carried through
+  * joins by id only (anti-joins against the removal lists), so shuffles
+  * move 8-byte keys, not text.
+  */
+object CurationPipeline {
+
+  case class Config(
+      minWords: Long = 5,
+      maxWords: Long = 100000,
+      minAvgWordLen: Double = 2.0,
+      maxStopwordRatio: Double = 0.9,
+      shingleN: Int = 3,
+      nearDupThreshold: Double = 0.8)
+
+  /** Returns the curated corpus: surviving documents annotated with
+    * quality features, predicted language, and token counts.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val feats = TextOps.qualityFeatures(docs, idCol, textCol)
+    val keepQuality = feats
+      .filter(col("n_words").between(cfg.minWords, cfg.maxWords) &&
+        col("avg_word_len") >= cfg.minAvgWordLen &&
+        col("stopword_ratio") <= cfg.maxStopwordRatio)
+      .select(col(idCol), col("n_words"), col("avg_word_len"))
+
+    val qualified = docs.join(keepQuality, Seq(idCol)) // id-keyed join
+
+    // exact dedup: survivors are the keep_ids
+    val keepExact = Dedup.exact(qualified, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val deduped = qualified.join(keepExact, Seq(idCol))
+
+    // near-dup removal: among each candidate pair keep the lower id
+    val nearDupLosers = Dedup.minHashPairs(deduped, idCol, textCol,
+        cfg.shingleN, cfg.nearDupThreshold)
+      .select(col("b").as(idCol)).distinct()
+    val survivors = deduped.join(nearDupLosers, Seq(idCol), "left_anti")
+
+    survivors
+      .join(TextOps.langId(survivors, idCol, textCol), Seq(idCol))
+      .withColumn("n_tokens", size(TextOps.regexTokens(col(textCol))).cast("bigint"))
+  }
+
+  /** Writes the curated corpus partitioned by predicted language — the
+    * layout downstream training jobs prune on (`WHERE pred_lang = 'en'`
+    * reads only that partition's files).
+    */
+  def writePartitioned(curated: DataFrame, path: String): Unit =
+    curated.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("pred_lang")
+      .parquet(path)
+}

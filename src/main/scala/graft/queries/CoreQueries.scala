@@ -59,6 +59,14 @@ object CoreQueries {
         to_json(struct(col("lang"), col("n_chars").as("n"))).as("j"))
       .orderBy("doc_id")),
 
+    // Q3b — the same dotted-path extraction through Spark 4 VariantType
+    // (parse once, typed access - the scale path for repeated access to
+    // schema-less JSON; oracle identical to q03)
+    "q03_variant" -> ((s, d) => t(s, d, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .orderBy("event_id")),
+
     // Q6 — sink-side CAST (reference R13, docs/usage.rst:40-41)
     "q06_cast_ts" -> ((s, d) => t(s, d, "events")
       .select(col("event_id"),
@@ -252,6 +260,8 @@ object CoreQueries {
     "q02_filter" ->
       "SELECT event_id, value FROM events WHERE event_type = 'purchase' AND value > 100 ORDER BY event_id",
     "q03_json_path" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q03_variant" ->
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id",
     "q04_missing_path" ->
       "SELECT event_id, props->>'$.nope.deeper' AS missing FROM events ORDER BY event_id LIMIT 100",
