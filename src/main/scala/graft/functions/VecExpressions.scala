@@ -55,6 +55,15 @@ case class FloatNormSq(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.simHash64(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.simHash64($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class FloatHyperplaneBucket(child: Expression, nPlanes: Int, seed: Int)
     extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType

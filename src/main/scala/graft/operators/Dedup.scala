@@ -159,23 +159,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
-    * token hash's bit value; fingerprint bit = sign of the sum. Pure
-    * expression pipeline (explode → groupBy id → bit packing).
+    * token hash's bit value; fingerprint bit = sign of the sum.
+    * Runs as a single per-row codegen kernel
+    * ([[graft.functions.VecKernels.simHash64]]) — a pure map with NO
+    * shuffle, vs. the naive explode→groupBy plan that would shuffle
+    * every token of a 100 TB corpus.
     */
   def simHash(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     val docs = graft.engine.Par.widen(docs0)
-    val tok = docs.select(col(idCol).as("id"),
-      explode(filter(split(col(textCol), " "), w => w =!= "")).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"s$i")
-    }
-    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"s$i") > 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
-    sums.select(col("id"), fp.as("simhash"))
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    docs.select(col(idCol).as("id"),
+      column(graft.functions.SimHash64(expression(words))).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
