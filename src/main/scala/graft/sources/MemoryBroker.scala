@@ -20,13 +20,40 @@ import scala.collection.mutable.ArrayBuffer
   * source code is transport-agnostic (it only sees [[slice]]/[[ack]]).
   */
 object MemoryBroker {
-  final class ExchangeLog {
+  final class ExchangeLog(name: String, walDir: Option[java.nio.file.Path]) {
     private val buf = ArrayBuffer.empty[String]
     private var base = 0L                  // offset of buf(0)
     private var nacked = 0L                // corrupt-drop counter (stats)
 
+    private val walFile = walDir.map(_.resolve(s"$name.wal"))
+    private val commitFile = walDir.map(_.resolve(s"$name.committed"))
+
+    // Recovery: un-acked suffix of the WAL is replayed into the buffer,
+    // so a broker restart preserves at-least-once delivery.
+    walFile.foreach { wf =>
+      if (java.nio.file.Files.exists(wf)) {
+        val committed = commitFile
+          .filter(java.nio.file.Files.exists(_))
+          .map(f => java.nio.file.Files.readString(f).trim.toLong)
+          .getOrElse(0L)
+        val lines = java.nio.file.Files.readAllLines(wf)
+        base = committed
+        lines.forEach { l =>
+          val i = l.indexOf('\t')
+          val off = l.substring(0, i).toLong
+          if (off >= committed) buf += l.substring(i + 1)
+        }
+      }
+    }
+
     def publish(msg: String): Long = synchronized {
-      buf += msg; base + buf.size - 1
+      val off = base + buf.size
+      buf += msg
+      walFile.foreach(wf => java.nio.file.Files.writeString(wf,
+        s"$off\t$msg\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND))
+      off
     }
     /** Messages in [from, until), capped at the log end. */
     def slice(from: Long, until: Long): Array[(Long, String)] = synchronized {
@@ -40,18 +67,34 @@ object MemoryBroker {
     def ack(until: Long): Unit = synchronized {
       val n = math.min(math.max(until - base, 0), buf.size.toLong).toInt
       buf.remove(0, n); base += n
+      commitFile.foreach(f => java.nio.file.Files.writeString(f, base.toString))
     }
     def nack(): Unit = synchronized { nacked += 1 }
     def nackCount: Long = synchronized { nacked }
   }
 
   private val exchanges = new ConcurrentHashMap[String, ExchangeLog]()
+  @volatile private var walDir: Option[java.nio.file.Path] = None
+
+  /** Enable file-backed WAL durability for exchanges created after this
+    * call: publishes append to `<dir>/<exchange>.wal`, acks persist the
+    * committed offset, and a restarted broker replays the un-acked
+    * suffix (SURVEY §7.4's "file-backed WAL later" upgrade).
+    */
+  def enablePersistence(dir: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    walDir = Some(dir)
+  }
+  def disablePersistence(): Unit = walDir = None
 
   def exchange(name: String): ExchangeLog =
-    exchanges.computeIfAbsent(name, _ => new ExchangeLog)
+    exchanges.computeIfAbsent(name, n => new ExchangeLog(n, walDir))
 
   def publish(exchangeName: String, msg: String): Long =
     exchange(exchangeName).publish(msg)
 
+  /** Drops in-memory state (exchanges re-created lazily — with WAL
+    * enabled they recover from disk, simulating a broker restart).
+    */
   def reset(): Unit = exchanges.clear()
 }
