@@ -232,6 +232,44 @@ object CoreQueries {
       .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("v"))
       .orderBy("h", "event_type")),
 
+    // TPC-H Q3 shape: shipping-priority top-10 (3-way join + agg + topK)
+    "q39_tpch3" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > expr("TIMESTAMP '1997-01-01'"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("string").as("od"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: regional supplier revenue (6-table join)
+    "q40_tpch5" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(n, su("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .filter(r("r_name") === "ASIA" &&
+          o("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
+          o("o_orderdate") < expr("TIMESTAMP '1997-01-01'"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Q25 — sessionization (30-min inactivity gap), batch-equivalent
     "q25_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -309,6 +347,20 @@ object CoreQueries {
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS c, ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY h, event_type",
+    "q39_tpch3" ->
+      ("SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, CAST(o_orderdate AS VARCHAR) AS od " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+       "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01' AND l_shipdate > TIMESTAMP '1997-01-01' " +
+       "GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "q40_tpch5" ->
+      ("SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+       "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey " +
+       "JOIN nation n ON s.s_nationkey = n.n_nationkey " +
+       "JOIN region r ON n.n_regionkey = r.r_regionkey " +
+       "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+       "GROUP BY n_name ORDER BY revenue DESC, n_name"),
     "q25_sessionize" ->
       ("SELECT user_id, COUNT(DISTINCT sid) AS n_sessions FROM (" +
         "SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS sid FROM (" +
