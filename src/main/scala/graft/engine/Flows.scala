@@ -33,10 +33,12 @@ object Flows {
     df.filter(get_json_object(col(jsonCol), "$").isNull)
 
   def start(spark: SparkSession, cfg: Config.Engine,
-      checkpointRoot: String): Seq[StreamingQuery] =
+      checkpointRoot: String): Seq[StreamingQuery] = {
+    Metrics.register(spark)
     cfg.flows.zipWithIndex.map { case (flow, i) =>
       startFlow(spark, cfg, flow, s"$checkpointRoot/flow$i", s"flow$i")
     }
+  }
 
   def startFlow(spark: SparkSession, cfg: Config.Engine, flow: Config.Flow,
       checkpoint: String, name: String): StreamingQuery = {
