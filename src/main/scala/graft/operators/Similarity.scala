@@ -126,15 +126,18 @@ object Similarity {
         normSq(col(vecCol)).as(nrm) +:
         (0 until tables).map(t =>
           hyperplaneBucket(col(vecCol), nPlanes, seed = 1000 * t).as(s"bkt$t")): _*)
-    val q = bucketed(queries, "qid", "qv", "qn")
-    val c = bucketed(graft.engine.Par.widen(corpus), "cid", "cv", "cn")
-    val candidates = (0 until tables).map { tb =>
-      c.join(broadcast(q.select(col("qid"), col("qv"), col("qn"), col(s"bkt$tb"))),
-          Seq(s"bkt$tb"))
-        .select(col("qid"), col("qv"), col("qn"),
-          col("cid"), col("cv"), col("cn"))
+    val q = bucketed(queries, "qid", "qv", "qn").cache()
+    val c = bucketed(graft.engine.Par.widen(corpus), "cid", "cv", "cn").cache()
+    // candidate pairs carry ids ONLY through the union+distinct shuffle
+    // (16 bytes/row, not two 64-float vectors); vectors re-attach after
+    val candidateIds = (0 until tables).map { tb =>
+      c.join(broadcast(q.select(col("qid"), col(s"bkt$tb"))), Seq(s"bkt$tb"))
+        .select(col("qid"), col("cid"))
     }.reduce(_ unionByName _).distinct()
       .filter(col("qid") =!= col("cid"))
+    val candidates = candidateIds
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), Seq("qid"))
+      .join(c.select(col("cid"), col("cv"), col("cn")), Seq("cid"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
     candidates.withColumn("sim",
