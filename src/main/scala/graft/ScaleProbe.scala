@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale probe (not part of the driver contract): replicates the
+  * sf0.1 tables Nx into /tmp and times the shuffle-heaviest operators,
+  * to catch super-linear blowups before they ship. Run:
+  *   sbt "runMain graft.ScaleProbe 20"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = graft.engine.Sessions.local("graft-scale", "32")
+    val base = "/root/testdata/sf0.1"
+    val tmp = java.nio.file.Files.createTempDirectory("scaleprobe").toString
+
+    // replicate documents/embeddings with shifted ids (keeps dup
+    // structure per replica, no cross-replica exact dups)
+    val docs0 = graft.engine.Tables(spark, base, "documents")
+    val nDocs = docs0.count()
+    val docs = spark.range(mult).crossJoin(docs0)
+      .select((col("doc_id") + col("id") * nDocs * 10).as("doc_id"),
+        concat(col("text"), lit(" r"), col("id")).as("text"))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val emb0 = graft.engine.Tables(spark, base, "embeddings")
+    val nEmb = emb0.count()
+    spark.range(mult).crossJoin(emb0)
+      .select((col("vec_id") + col("id") * nEmb * 10).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+
+    val d = spark.read.parquet(s"$tmp/documents.parquet")
+    val e = spark.read.parquet(s"$tmp/embeddings.parquet")
+    println(s"[scale] docs=${d.count()} embeddings=${e.count()} (${mult}x sf0.1)")
+
+    t("exact_dedup")(graft.operators.Dedup.exact(d, "doc_id", "text").count())
+    t("minhash_pairs")(graft.operators.Dedup.minHashPairs(
+      d, "doc_id", "text", 3, 0.5).count())
+    t("simhash")(graft.operators.Dedup.simHash(d, "doc_id", "text").count())
+    t("jaccard_pairs")(graft.operators.Dedup.jaccardPairs(
+      d, "doc_id", "text", 3, 0.5, maxDocFreq = 1000).count())
+    t("lsh_topk")(graft.operators.Similarity.lshTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 3).count())
+    t("wordcount")(graft.operators.TextOps.wordCounts(d, "text").count())
+    spark.stop()
+  }
+}
