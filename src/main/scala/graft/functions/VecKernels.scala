@@ -50,6 +50,19 @@ object VecKernels {
     bits
   }
 
+  /** Fraction of positions where two equal-length BIGINT arrays agree —
+    * the MinHash signature-similarity estimator, as one codegen kernel
+    * instead of N per-column comparisons.
+    */
+  def agreeFrac(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+
   /** 64-bit SimHash over a token array, one pass, no shuffle: per
     * token, xxhash64 its UTF-8 bytes (seed 42, same family as Spark's
     * xxhash64); per bit, count +1/-1 by the hash's bit value; result

@@ -103,7 +103,9 @@ object Dedup {
   /** MinHash signature: for each of `numHashes` salted hash functions,
     * the minimum over the doc's shingles. Computed with one groupBy —
     * signature entries are `min(saltedHash)` aggregates, so the whole
-    * signature is a single map-side-combinable shuffle.
+    * signature is a single map-side-combinable shuffle. Output packs
+    * the signature into one `sig: ARRAY<BIGINT>` column (narrow rows
+    * through the downstream joins).
     */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
@@ -111,6 +113,8 @@ object Dedup {
     val aggs = (0 until numHashes).map(i =>
       min(saltedHash(col("shingle"), i)).as(s"mh$i"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
 
   /** MinHash + banded LSH candidate pairs, optionally verified against
@@ -125,17 +129,15 @@ object Dedup {
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     val numHashes = bands * rowsPerBand
     val sig = minHashSignature(docs, idCol, textCol, n, numHashes).cache()
-    val sigCols = (0 until numHashes).map(i => col(s"mh$i"))
 
-    // band buckets: (band, hash(row-tuple)) per doc
-    val banded = sig.select(col("id") +: (0 until bands).map { bnd =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh${bnd * rowsPerBand + r}"))
-      xxhash64(lit(bnd) +: rows: _*).as(s"band$bnd")
-    }: _*)
-    val buckets = banded.select(col("id"), explode(array(
-      (0 until bands).map(b => struct(lit(b).as("band"), col(s"band$b").as("bkt"))): _*
+    // band buckets: (band, hash(row-slice of the signature)) per doc
+    val buckets = sig.select(col("id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          .as("bkt"))): _*
     )).as("bb")).select(col("id"), col("bb.band"), col("bb.bkt"))
 
     val candidates = buckets.as("x").join(buckets.as("y"),
@@ -144,16 +146,14 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    // verify candidates with the signature-estimated Jaccard
-    val sigA = sig.select(col("id").as("a") +:
-      sigCols.zipWithIndex.map { case (c, i) => c.as(s"a$i") }: _*)
-    val sigB = sig.select(col("id").as("b") +:
-      sigCols.zipWithIndex.map { case (c, i) => c.as(s"b$i") }: _*)
-    val agree = (0 until numHashes)
-      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    candidates.join(sigA, Seq("a")).join(sigB, Seq("b"))
-      .withColumn("est_jac", agree.cast("double") / numHashes)
+    // verify candidates with the signature-estimated Jaccard (codegen
+    // kernel over the packed signature arrays)
+    val agree = column(graft.functions.LongArrayAgreeFrac(
+      expression(col("siga")), expression(col("sigb"))))
+    candidates
+      .join(sig.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sig.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .withColumn("est_jac", agree)
       .filter(col("est_jac") >= threshold)
       .select(col("a"), col("b"), round(col("est_jac"), 4).as("est_jac"))
   }
