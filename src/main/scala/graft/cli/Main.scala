@@ -10,20 +10,46 @@ import graft.engine.{Config, Flows, Sessions}
   */
 object Main {
   private case class Args(config: String = "", logLevel: String = "WARN",
-      checkpoint: String = "")
+      checkpoint: String = "", logFile: String = "")
 
   private def parse(argv: Array[String]): Args = {
     def loop(rest: List[String], acc: Args): Args = rest match {
       case "--log-level" :: v :: t => loop(t, acc.copy(logLevel = v.toUpperCase))
       case "--checkpoint" :: v :: t => loop(t, acc.copy(checkpoint = v))
+      case "--log-file" :: v :: t => loop(t, acc.copy(logFile = v))
       case c :: t if !c.startsWith("--") => loop(t, acc.copy(config = c))
       case Nil => acc
       case other :: _ =>
         System.err.println(s"unknown argument: $other"); sys.exit(2)
     }
     val a = loop(argv.toList, Args())
-    if (a.config.isEmpty) { System.err.println("usage: graft <config.yml> [--log-level L] [--checkpoint DIR]"); sys.exit(2) }
+    if (a.config.isEmpty) { System.err.println("usage: graft <config.yml> [--log-level L] [--log-file F] [--checkpoint DIR]"); sys.exit(2) }
     a
+  }
+
+  /** Optional file handler (reference cli.py:263-271: stderr + file at
+    * the chosen level) via a programmatic log4j2 appender.
+    */
+  private def addFileLogger(path: String, level: String): Unit = {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.FileAppender
+    import org.apache.logging.log4j.core.layout.PatternLayout
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val layout = PatternLayout.newBuilder()
+      .withPattern("%d{yy/MM/dd HH:mm:ss} %p %c{1}: %m%n")
+      .withConfiguration(cfg).build()
+    // legacy factory: the generic fluent builder's recursive type bound
+    // is not expressible from Scala
+    val appender = FileAppender.createAppender(path, "true", "false",
+      "graft-file", "true", "false", "false", null, layout, null, "false",
+      null, cfg)
+    appender.start()
+    cfg.addAppender(appender)
+    cfg.getRootLogger.addAppender(appender,
+      org.apache.logging.log4j.Level.toLevel(level), null)
+    ctx.updateLoggers()
   }
 
   def main(argv: Array[String]): Unit = {
@@ -33,6 +59,7 @@ object Main {
       case e: Exception =>
         System.err.println(s"config error: ${e.getMessage}"); sys.exit(1)
     }
+    if (args.logFile.nonEmpty) addFileLogger(args.logFile, args.logLevel)
     val spark = Sessions.local("graft",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel(args.logLevel)
