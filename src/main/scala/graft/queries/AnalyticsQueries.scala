@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.cosineSim
-import graft.operators.{AsOfJoin, Dedup, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Similarity, TextOps}
 
 /** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
   * training-data-pipeline operator suite): dedup, similarity search,
@@ -119,6 +119,25 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // unkeyed interval join (bucketed equi-join plan, no BNLJ): for
+    // each early purchase, count error events across ALL users within
+    // the following 10 minutes
+    "q41_interval" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("sec", unix_timestamp(date_trunc("second", col("ts"))))
+      val purchases = ev.filter(col("event_type") === "purchase" &&
+          col("event_id") < 500)
+        .select(col("event_id").as("p_id"), col("sec").as("p_start"),
+          (col("sec") + 600).as("p_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("e_id"), col("sec").as("e_sec"))
+      IntervalJoin.pointInInterval(errors, purchases,
+          "e_sec", "p_start", "p_end", bucketWidthSec = 600)
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_errors"))
+        .orderBy("p_id")
+    }),
+
     // IVF (kmeans-bucketed) approximate top-k (no SQL oracle:
     // engine-defined clustering; recall certified in ScalaTest vs q35)
     "q38_ivf_topk" -> ((s, d) => {
@@ -199,6 +218,12 @@ object AnalyticsQueries {
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
        "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q41_interval" ->
+      ("WITH ev AS (SELECT event_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), " +
+       "p AS (SELECT event_id AS p_id, sec AS p_start, sec + 600 AS p_end FROM ev WHERE event_type = 'purchase' AND event_id < 500), " +
+       "e AS (SELECT event_id AS e_id, sec AS e_sec FROM ev WHERE event_type = 'error') " +
+       "SELECT p_id, COUNT(*) AS n_errors FROM e JOIN p ON e_sec >= p_start AND e_sec <= p_end " +
+       "GROUP BY p_id ORDER BY p_id"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

@@ -232,6 +232,16 @@ object CoreQueries {
       .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("v"))
       .orderBy("h", "event_type")),
 
+    // Pivot: event counts per user_id bucket x event_type matrix
+    "q42_pivot" -> ((s, d) => t(s, d, "events")
+      .withColumn("ub", pmod(col("user_id"), lit(10)))
+      .groupBy(col("ub"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("ub")),
+
     // TPC-H Q3 shape: shipping-priority top-10 (3-way join + agg + topK)
     "q39_tpch3" -> ((s, d) => {
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -347,6 +357,14 @@ object CoreQueries {
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS c, ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY h, event_type",
+    "q42_pivot" ->
+      ("SELECT user_id % 10 AS ub, " +
+       "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
+       "COUNT(*) FILTER (WHERE event_type = 'error') AS error, " +
+       "COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase, " +
+       "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
+       "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
+       "FROM events GROUP BY 1 ORDER BY 1"),
     "q39_tpch3" ->
       ("SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, CAST(o_orderdate AS VARCHAR) AS od " +
        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
