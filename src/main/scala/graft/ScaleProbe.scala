@@ -43,8 +43,8 @@ object ScaleProbe {
     t("minhash_pairs")(graft.operators.Dedup.minHashPairs(
       d, "doc_id", "text", 3, 0.5).count())
     t("simhash")(graft.operators.Dedup.simHash(d, "doc_id", "text").count())
-    t("jaccard_pairs")(graft.operators.Dedup.jaccardPairs(
-      d, "doc_id", "text", 3, 0.5, maxDocFreq = 1000).count())
+    t("jaccard_prefix")(graft.operators.Dedup.jaccardPairsPrefix(
+      d, "doc_id", "text", 3, 0.5).count())
     t("lsh_topk")(graft.operators.Similarity.lshTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 3).count())
     t("wordcount")(graft.operators.TextOps.wordCounts(d, "text").count())

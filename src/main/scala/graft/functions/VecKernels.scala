@@ -50,6 +50,22 @@ object VecKernels {
     bits
   }
 
+  /** Count of common elements of two SORTED BIGINT arrays (merge scan).
+    * Used for exact set-intersection verification of candidate pairs —
+    * O(|a|+|b|) per pair with no join explosion.
+    */
+  def sortedIntersect(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Fraction of positions where two equal-length BIGINT arrays agree —
     * the MinHash signature-similarity estimator, as one codegen kernel
     * instead of N per-column comparisons.

@@ -93,6 +93,58 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Exact Jaccard with PREFIX FILTERING (PPJoin-style): for threshold
+    * t, any pair with jac >= t must share a shingle within each side's
+    * first `|d| - ceil(t*|d|) + 1` shingles under a global frequency
+    * order (rarest first). Candidates come from an inverted index over
+    * prefixes only — typically a small fraction of the full posting
+    * list — then exact intersections verify each candidate. Same output
+    * as [[jaccardPairs]], far less join volume at high thresholds.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh")).cache()
+
+    // one row per doc: sorted shingle-hash array (for merge-intersect
+    // verification) + size
+    val docArrays = sh.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("sh"))).as("shs"),
+        count(lit(1)).as("sz")).cache()
+
+    // global rarity order: df asc, hash asc (total, deterministic)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("_df").asc, col("sh").asc)
+    val prefix = sh.join(df, "sh")
+      .withColumn("_pos", row_number().over(byRarity))
+      .join(docArrays.select(col("id"), col("sz")), "id")
+      .filter(col("_pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id"), col("sh"))
+
+    val candidates = prefix.select(col("id").as("a"), col("sh"))
+      .join(prefix.select(col("id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+
+    // exact verification: one codegen merge-intersect per candidate
+    // pair over the packed sorted arrays — no expand-join, no groupBy
+    val inter = column(graft.functions.SortedLongIntersect(
+      expression(col("shsa")), expression(col("shsb"))))
+    candidates
+      .join(docArrays.select(col("id").as("a"), col("shs").as("shsa"),
+        col("sz").as("sza")), Seq("a"))
+      .join(docArrays.select(col("id").as("b"), col("shs").as("shsb"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter", inter)
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
+  }
+
   /** Deterministic 64-bit non-cryptographic hash of a shingle, built from
     * xxhash64 with a per-function salt — the standard MinHash family
     * h_i(x) = xxhash64(i, x).

@@ -65,6 +65,13 @@ object AnalyticsQueries {
           n = 3, threshold = 0.5)
         .orderBy("a", "b")),
 
+    // same relation as q28 via PPJoin-style prefix filtering + codegen
+    // merge-intersect verification (the exact path that scales)
+    "q28b_jaccard_prefix" -> ((s, d) =>
+      Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("a", "b")),
+
     // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)
     "q29_minhash" -> ((s, d) =>
       Dedup.minHashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -183,6 +190,15 @@ object AnalyticsQueries {
     "q27_wordcount" ->
       "SELECT w AS word, COUNT(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20",
     "q28_jaccard" ->
+      ("WITH words AS (" + wordsCte + "), " +
+       "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
+       "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), " +
+       "sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), " +
+       "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM sh x JOIN sh y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2) " +
+       "SELECT a, b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac " +
+       "FROM inter JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id " +
+       "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5 ORDER BY a, b"),
+    "q28b_jaccard_prefix" ->
       ("WITH words AS (" + wordsCte + "), " +
        "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
        "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), " +

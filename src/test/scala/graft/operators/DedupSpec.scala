@@ -46,6 +46,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered jaccard equals the plain inverted-index jaccard") {
+    val docs01 = graft.engine.Tables(spark, sf, "documents")
+    for (t <- Seq(0.5, 0.8)) {
+      val plain = Dedup.jaccardPairs(docs01, "doc_id", "text", 3, t)
+        .collect().map(_.toString).sorted.toSeq
+      val prefix = Dedup.jaccardPairsPrefix(docs01, "doc_id", "text", 3, t)
+        .collect().map(_.toString).sorted.toSeq
+      assert(prefix == plain, s"threshold $t mismatch")
+    }
+  }
+
   test("maxDocFreq drops over-frequent shingles from the posting list") {
     val r = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
       threshold = 0.01, maxDocFreq = 2)
