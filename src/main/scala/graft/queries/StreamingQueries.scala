@@ -46,12 +46,41 @@ object StreamingQueries {
       .orderBy("h", "event_type")
   }
 
+  /** Sessionization through native session_window in a STREAMING query
+    * (complete mode: session state merges across micro-batches), checked
+    * against the same DuckDB oracle as the batch lag-based q25 — three
+    * independent implementations of the same semantics must agree.
+    */
+  def q25Stream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val name = s"q25_stream_${System.nanoTime()}"
+    val q = s.readStream
+      .schema(raw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+      .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q23_stream" -> (q23Stream(_, _))
+    "q23_stream" -> (q23Stream(_, _)),
+    "q25_stream" -> (q25Stream(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
-    "q23_stream" -> CoreQueries.oracles("q23_hourly")
+    "q23_stream" -> CoreQueries.oracles("q23_hourly"),
+    "q25_stream" -> CoreQueries.oracles("q25_sessionize")
   )
 }
