@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  * Unlike `randomSplit` (seed- and partitioning-dependent), assignment
+  * is a pure function of a row's key: md5 prefix -> 16-bit bucket ->
+  * threshold ranges. The same row lands in the same split on any
+  * cluster, any partitioning, any engine — reproducible dataset cuts
+  * are a correctness requirement for train/eval separation.
+  */
+object Sampling {
+  val Buckets = 65536 // md5 first 4 hex chars
+
+  /** 0..65535 bucket from the md5 of the key column. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key), 1, 4), 16, 10).cast("int")
+
+  /** Adds a `split` column per the named fractions (must sum to ~1).
+    * Ranges are cumulative over the bucket space, boundaries computed
+    * identically to the SQL oracle (floor of cumulative * 65536).
+    */
+  def deterministicSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * Buckets).toInt)
+    val b = hashBucket(col(keyCol))
+    val expr = fractions.zip(cuts).reverse.foldLeft(lit(fractions.last._1)) {
+      case (acc, ((name, _), cut)) => when(b < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep a deterministic `fraction` of rows (by key hash). */
+  def deterministicSample(df: DataFrame, keyCol: String,
+      fraction: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < math.floor(fraction * Buckets).toInt)
+
+  /** Per-stratum deterministic sampling: same fraction within every
+    * value of `strataCol` (hash is salted with the stratum so strata
+    * don't share bucket structure).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      fraction: Double): DataFrame =
+    df.filter(
+      conv(substring(md5(concat_ws("|", col(strataCol), col(keyCol))), 1, 4),
+        16, 10).cast("int") < math.floor(fraction * Buckets).toInt)
+}

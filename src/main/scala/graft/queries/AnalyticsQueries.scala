@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.cosineSim
-import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Sampling, Similarity, TextOps}
 
 /** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
   * training-data-pipeline operator suite): dedup, similarity search,
@@ -126,6 +126,15 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // deterministic 80/10/10 train/val/test split (pure function of the
+    // row key — reproducible across engines/partitionings)
+    "q43_split" -> ((s, d) =>
+      Sampling.deterministicSplit(t(s, d, "documents"), "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy("split", "lang")),
+
     // unkeyed interval join (bucketed equi-join plan, no BNLJ): for
     // each early purchase, count error events across ALL users within
     // the following 10 minutes
@@ -234,6 +243,10 @@ object AnalyticsQueries {
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
        "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q43_split" ->
+      ("SELECT CASE WHEN b < 52428 THEN 'train' WHEN b < 58982 THEN 'val' ELSE 'test' END AS split, lang, COUNT(*) AS c " +
+       "FROM (SELECT lang, CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) AS b FROM documents) t " +
+       "GROUP BY 1, 2 ORDER BY split, lang"),
     "q41_interval" ->
       ("WITH ev AS (SELECT event_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), " +
        "p AS (SELECT event_id AS p_id, sec AS p_start, sec + 600 AS p_end FROM ev WHERE event_type = 'purchase' AND event_id < 500), " +
