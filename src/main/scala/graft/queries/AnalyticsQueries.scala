@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.cosineSim
-import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Sampling, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Packing, Sampling, Similarity, TextOps}
 
 /** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
   * training-data-pipeline operator suite): dedup, similarity search,
@@ -126,6 +126,18 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // sequence packing: documents -> fixed-token-budget training shards
+    // (offset-chunking; manifest = docs+tokens per bin)
+    "q44_packing" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.regexTokens(col("text"))).cast("bigint").as("n_tokens"))
+      Packing.binManifest(
+          Packing.byTokenOffset(docs, "doc_id", "n_tokens", budget = 2048),
+          "n_tokens")
+        .orderBy("bin")
+    }),
+
     // deterministic 80/10/10 train/val/test split (pure function of the
     // row key — reproducible across engines/partitionings)
     "q43_split" -> ((s, d) =>
@@ -243,6 +255,11 @@ object AnalyticsQueries {
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
        "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q44_packing" ->
+      ("WITH toks AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM documents), " +
+       "off AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset FROM toks) " +
+       "SELECT (token_offset // 2048)::BIGINT AS bin, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS n_tokens " +
+       "FROM off GROUP BY 1 ORDER BY bin"),
     "q43_split" ->
       ("SELECT CASE WHEN b < 52428 THEN 'train' WHEN b < 58982 THEN 'val' ELSE 'test' END AS split, lang, COUNT(*) AS c " +
        "FROM (SELECT lang, CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) AS b FROM documents) t " +
