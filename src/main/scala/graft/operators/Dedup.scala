@@ -101,8 +101,14 @@ object Dedup {
     * list — then exact intersections verify each candidate. Same output
     * as [[jaccardPairs]], far less join volume at high thresholds.
     */
+  /** @param rarityOrder order shingles rarest-first (global df) before
+    *        taking prefixes — costs a df join + per-doc window but
+    *        minimizes candidates; the right default at corpus scale.
+    *        `false` uses the hash order straight off the packed array
+    *        (no df pass — cheaper on small/low-skew corpora).
+    */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, rarityOrder: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, idCol, textCol, n)
@@ -114,15 +120,20 @@ object Dedup {
       .agg(sort_array(collect_list(col("sh"))).as("shs"),
         count(lit(1)).as("sz")).cache()
 
-    // global rarity order: df asc, hash asc (total, deterministic)
-    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
-    val byRarity = Window.partitionBy(col("id"))
-      .orderBy(col("_df").asc, col("sh").asc)
-    val prefix = sh.join(df, "sh")
-      .withColumn("_pos", row_number().over(byRarity))
-      .join(docArrays.select(col("id"), col("sz")), "id")
-      .filter(col("_pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("id"), col("sh"))
+    // any global total order satisfies the prefix-filter guarantee
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val prefix =
+      if (rarityOrder) {
+        val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+        val byRarity = Window.partitionBy(col("id"))
+          .orderBy(col("_df").asc, col("sh").asc)
+        sh.join(df, "sh")
+          .withColumn("_pos", row_number().over(byRarity))
+          .join(docArrays.select(col("id"), col("sz")), "id")
+          .filter(col("_pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+          .select(col("id"), col("sh"))
+      } else docArrays
+        .select(col("id"), explode(slice(col("shs"), lit(1), prefixLen)).as("sh"))
 
     val candidates = prefix.select(col("id").as("a"), col("sh"))
       .join(prefix.select(col("id").as("b"), col("sh")), Seq("sh"))

@@ -48,12 +48,13 @@ class DedupSpec extends SparkSpec {
 
   test("prefix-filtered jaccard equals the plain inverted-index jaccard") {
     val docs01 = graft.engine.Tables(spark, sf, "documents")
-    for (t <- Seq(0.5, 0.8)) {
+    for (t <- Seq(0.5, 0.8); rarity <- Seq(true, false)) {
       val plain = Dedup.jaccardPairs(docs01, "doc_id", "text", 3, t)
         .collect().map(_.toString).sorted.toSeq
-      val prefix = Dedup.jaccardPairsPrefix(docs01, "doc_id", "text", 3, t)
+      val prefix = Dedup.jaccardPairsPrefix(docs01, "doc_id", "text", 3, t,
+          rarityOrder = rarity)
         .collect().map(_.toString).sorted.toSeq
-      assert(prefix == plain, s"threshold $t mismatch")
+      assert(prefix == plain, s"threshold $t rarity=$rarity mismatch")
     }
   }
 
