@@ -86,6 +86,44 @@ object TextOps {
         .otherwise(best.getField("lang")).as("pred_lang"))
   }
 
+  /** Repetition signals (Gopher/RefinedWeb-style quality rules): the
+    * fraction of duplicated words and duplicated word-bigrams within a
+    * document. High values flag boilerplate/spam. Pure per-row
+    * expression work.
+    */
+  def repetitionFeatures(docs0: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val ws = words(col(textCol))
+    val nW = size(ws).cast("double")
+    val bigrams = zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(
+      col(idCol),
+      round(lit(1.0) - size(array_distinct(ws)) / nW, 4)
+        .as("dup_word_frac"),
+      round(when(size(bigrams) > 0,
+          lit(1.0) - size(array_distinct(bigrams)) / size(bigrams).cast("double"))
+        .otherwise(0.0), 4)
+        .as("dup_bigram_frac"))
+  }
+
+  /** PII-ish pattern counts per document (emails, URLs, long digit
+    * runs) — the redaction-candidate signal of a curation pipeline.
+    */
+  def piiFeatures(docs0: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    def cnt(pattern: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).cast("bigint")
+    docs.select(
+      col(idCol),
+      cnt("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("n_emails"),
+      cnt("https?://[^ ]+").as("n_urls"),
+      cnt("[0-9]{9,}").as("n_long_digits"))
+  }
+
   /** Content-defined fingerprints: md5 hex (exact), xxhash64 (cheap
     * exact), and a polynomial rolling hash over characters (order-
     * sensitive, oracle-reproducible: h = Σ (31^i · code_i) mod 2^31-1,

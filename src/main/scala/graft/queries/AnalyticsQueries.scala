@@ -106,6 +106,16 @@ object AnalyticsQueries {
         size(TextOps.regexTokens(col("text"))).cast("bigint").as("n_tokens"))
       .orderBy("doc_id")),
 
+    // repetition quality signals (Gopher-style dup-word/dup-bigram)
+    "q45_repetition" -> ((s, d) =>
+      TextOps.repetitionFeatures(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // PII-ish pattern counts (emails / urls / long digit runs)
+    "q46_pii" -> ((s, d) =>
+      TextOps.piiFeatures(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // brute-force cosine top-k (exact ANN baseline; ids+rank only so the
     // hash does not depend on float rounding)
     "q35_topk_sim" -> ((s, d) => {
@@ -249,6 +259,18 @@ object AnalyticsQueries {
        "(h, c) -> (h * 31 + c) % 2147483647) AS roll_fp FROM documents ORDER BY doc_id"),
     "q34_tokens" ->
       "SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM documents ORDER BY doc_id",
+    "q45_repetition" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+       "bg AS (SELECT doc_id, ws, [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)] AS bgs FROM w) " +
+       "SELECT doc_id, ROUND(1.0 - len(list_distinct(ws))::DOUBLE / len(ws), 4) AS dup_word_frac, " +
+       "CASE WHEN len(bgs) > 0 THEN ROUND(1.0 - len(list_distinct(bgs))::DOUBLE / len(bgs), 4) ELSE 0.0 END AS dup_bigram_frac " +
+       "FROM bg ORDER BY doc_id"),
+    "q46_pii" ->
+      ("SELECT doc_id, " +
+       "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0))::BIGINT AS n_emails, " +
+       "len(regexp_extract_all(text, 'https?://[^ ]+', 0))::BIGINT AS n_urls, " +
+       "len(regexp_extract_all(text, '[0-9]{9,}', 0))::BIGINT AS n_long_digits " +
+       "FROM documents ORDER BY doc_id"),
     "q35_topk_sim" ->
       ("SELECT qid, cid, rn FROM (" +
        "SELECT a.vec_id AS qid, b.vec_id AS cid, " +

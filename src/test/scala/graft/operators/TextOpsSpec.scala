@@ -49,6 +49,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getString(1).length == 32) // md5 hex
   }
 
+  test("repetitionFeatures on crafted strings") {
+    val r = TextOps.repetitionFeatures(docs(
+      1L -> "a a a a",        // 1 distinct of 4 words; bigram 'a a' x3
+      2L -> "a b c d",        // no repetition
+      3L -> "solo"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(1) == 0.75 && r(0).getDouble(2) ==
+      math.rint((1.0 - 1.0 / 3) * 10000) / 10000)
+    assert(r(1).getDouble(1) == 0.0 && r(1).getDouble(2) == 0.0)
+    assert(r(2).getDouble(1) == 0.0 && r(2).getDouble(2) == 0.0) // no bigrams
+  }
+
+  test("piiFeatures counts emails, urls, digit runs") {
+    val r = TextOps.piiFeatures(docs(
+      1L -> "mail me at a.b@example.com or c@d.org see https://x.y/z id 1234567890"),
+      "doc_id", "text").collect().head
+    assert(r.getLong(1) == 2L) // emails
+    assert(r.getLong(2) == 1L) // urls
+    assert(r.getLong(3) == 1L) // long digit runs
+  }
+
   test("regexTokens lowercases and splits on non-alphanumerics") {
     val r = docs(1L -> "Hello, World!42 foo_bar")
       .select(TextOps.regexTokens(col("text"))).collect().head
