@@ -22,6 +22,7 @@ object CurationPipeline {
       maxWords: Long = 100000,
       minAvgWordLen: Double = 2.0,
       maxStopwordRatio: Double = 0.9,
+      maxDupBigramFrac: Double = 0.9,
       shingleN: Int = 3,
       nearDupThreshold: Double = 0.8)
 
@@ -31,10 +32,13 @@ object CurationPipeline {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val feats = TextOps.qualityFeatures(docs, idCol, textCol)
+    val rep = TextOps.repetitionFeatures(docs, idCol, textCol)
     val keepQuality = feats
+      .join(rep, Seq(idCol))
       .filter(col("n_words").between(cfg.minWords, cfg.maxWords) &&
         col("avg_word_len") >= cfg.minAvgWordLen &&
-        col("stopword_ratio") <= cfg.maxStopwordRatio)
+        col("stopword_ratio") <= cfg.maxStopwordRatio &&
+        col("dup_bigram_frac") <= cfg.maxDupBigramFrac)
       .select(col(idCol), col("n_words"), col("avg_word_len"))
 
     val qualified = docs.join(keepQuality, Seq(idCol)) // id-keyed join
