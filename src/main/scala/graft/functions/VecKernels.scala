@@ -27,21 +27,26 @@ object VecKernels {
     dot(a, b) / math.sqrt(normSq(a) * normSq(b))
 
   /** Random-hyperplane LSH bucket: bit p of the result = sign of the
-    * projection of `v` onto pseudo-random ±1 plane p, where plane p's
-    * sign for dim j = parity of (j*2654435761 + p*40503 + seed).
-    * Bit-exact with the former HOF formulation in VectorFunctions.
+    * projection of `v` onto pseudo-random ±1 plane p. The plane sign for
+    * dim j comes from a murmur3-style 64-bit finalizer over (j, p, seed)
+    * so each plane is an independent random ±1 pattern. (The previous
+    * formulation took the raw parity of a sum of odd multiples, which
+    * collapsed every plane to one of two alternating patterns — buckets
+    * took ≤4 distinct values and LSH degenerated to brute force.)
     */
   def hyperplane(v: ArrayData, nPlanes: Int, seed: Int): Long = {
     val n = v.numElements()
     var bits = 0L
     var p = 0
     while (p < nPlanes) {
-      val c = p.toLong * 40503 + seed
+      val c = p.toLong * 0xC2B2AE3D27D4EB4FL + seed
       var proj = 0.0
       var j = 0
       while (j < n) {
+        var h = j * 0x9E3779B97F4A7C15L + c
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
         val x = v.getFloat(j).toDouble
-        proj += (if ((j * 2654435761L + c) % 2 == 0) x else -x)
+        proj += (if ((h & 1L) == 0L) x else -x)
         j += 1
       }
       if (proj > 0) bits |= (1L << p)

@@ -44,7 +44,8 @@ object VectorFunctions {
     * (a fixed seeded pseudo-random ±1 pattern over dimensions), emit one
     * bit = (Σ signᵢ·vᵢ > 0). Packing `nPlanes` bits gives a bucket id;
     * near vectors collide with high probability. Deterministic: plane i's
-    * sign for dim j = parity of a small integer hash of (i, j).
+    * sign for dim j = low bit of a murmur3-finalized 64-bit hash of
+    * (i, j, seed) — see [[VecKernels.hyperplane]].
     */
   def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int = 42): Column =
     column(FloatHyperplaneBucket(expression(v), nPlanes, seed))

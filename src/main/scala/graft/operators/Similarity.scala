@@ -48,11 +48,6 @@ object Similarity {
         col("rn").cast("bigint").as("rn"))
   }
 
-  /** LSH-bucketed approximate top-k: `tables` independent hyperplane
-    * hashes; candidates = bucket collisions in any table; exact cosine
-    * re-rank within candidates. Recall grows with `tables`, cost stays
-    * ~|corpus| × tables instead of |queries| × |corpus|.
-    */
   /** IVF (inverted-file) approximate top-k: Lloyd's k-means over the
     * corpus (deterministic init = lowest-id vectors), corpus vectors
     * assigned to their nearest centroid, queries probe the `nProbe`
@@ -117,9 +112,19 @@ object Similarity {
         col("rn").cast("bigint").as("rn"))
   }
 
+  /** LSH-bucketed approximate top-k: `tables` independent hyperplane
+    * hashes; candidates = bucket collisions in any table; exact cosine
+    * re-rank within candidates. Recall grows with `tables` and with
+    * `probeRadius` (multi-probe: each query also probes every bucket
+    * within Hamming distance `probeRadius` of its own — the standard
+    * trick to buy recall without extra tables). Probing happens on the
+    * broadcast query side only, so cost stays ~|corpus| × tables ×
+    * collision-rate instead of |queries| × |corpus|; the corpus is
+    * hashed once per table and never expanded.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 12, tables: Int = 4): DataFrame = {
+      nPlanes: Int = 8, tables: Int = 8, probeRadius: Int = 1): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
       df.select(
         col(idCol).as(id) +: col(vecCol).as(vec) +:
@@ -131,7 +136,17 @@ object Similarity {
     // candidate pairs carry ids ONLY through the union+distinct shuffle
     // (16 bytes/row, not two 64-float vectors); vectors re-attach after
     val candidateIds = (0 until tables).map { tb =>
-      c.join(broadcast(q.select(col("qid"), col(s"bkt$tb"))), Seq(s"bkt$tb"))
+      val base = q.select(col("qid"), col(s"bkt$tb"))
+      // all bit-flip masks of Hamming weight <= probeRadius (weight 0 =
+      // the query's own bucket); tiny driver-side enumeration
+      val masks: Seq[Long] = (0 to probeRadius).flatMap(w =>
+        (0 until nPlanes).combinations(w)
+          .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+      val probed =
+        if (probeRadius <= 0) base
+        else base.select(col("qid"), explode(array(masks.map(m =>
+          col(s"bkt$tb").bitwiseXOR(lit(m))): _*)).as(s"bkt$tb"))
+      c.join(broadcast(probed), Seq(s"bkt$tb"))
         .select(col("qid"), col("cid"))
     }.reduce(_ unionByName _).distinct()
       .filter(col("qid") =!= col("cid"))

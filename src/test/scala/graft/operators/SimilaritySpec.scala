@@ -33,13 +33,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("hyperplane buckets are well-distributed, not degenerate") {
+    // regression: the pre-fix sign hash collapsed every plane to one of
+    // two alternating patterns, so 8-plane buckets took <= 4 distinct
+    // values and LSH was secretly brute force
+    import graft.functions.VectorFunctions.hyperplaneBucket
+    val distinct = emb
+      .select(hyperplaneBucket(col("embedding"), 8, seed = 0).as("b"))
+      .distinct().count()
+    assert(distinct > 64, s"only $distinct distinct buckets out of 256")
+  }
+
   test("lshTopK recall vs brute force is reasonable") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 1)
       .filter(col("rn") === 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
-        k = 1, nPlanes = 8, tables = 8)
+        k = 1, nPlanes = 8, tables = 8, probeRadius = 2)
       .filter(col("rn") === 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
