@@ -30,12 +30,44 @@ import graft.functions.PathExtract
 object SqlSink extends Logging {
 
   /** `INSERT ... VALUES (:a, CAST(:b AS X))` -> positional form + param
-    * order, compiled once (reference sql.py:58-61).
+    * order, compiled once (reference sql.py:58-61). A character scan
+    * rather than a bare regex: `:name` inside single-quoted literals is
+    * text, `''` is the in-literal quote escape, and `::type` (Postgres
+    * cast syntax) is never a parameter.
     */
   def compile(query: String): (String, Seq[String]) = {
-    val rx = ":([A-Za-z_][A-Za-z0-9_]*)".r
-    val names = rx.findAllMatchIn(query).map(_.group(1)).toSeq
-    (rx.replaceAllIn(query, "?"), names)
+    def nameStart(c: Char) =
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || c == '_'
+    def namePart(c: Char) = nameStart(c) || (c >= '0' && c <= '9')
+    val sb = new StringBuilder(query.length)
+    val names = Seq.newBuilder[String]
+    val n = query.length
+    var i = 0
+    var inQuote = false
+    while (i < n) {
+      val ch = query.charAt(i)
+      if (inQuote) {
+        sb.append(ch)
+        if (ch == '\'') {
+          if (i + 1 < n && query.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inQuote = false
+        }
+        i += 1
+      } else if (ch == '\'') {
+        inQuote = true; sb.append(ch); i += 1
+      } else if (ch == ':' && i + 1 < n && query.charAt(i + 1) == ':') {
+        sb.append("::"); i += 2
+      } else if (ch == ':' && i + 1 < n && nameStart(query.charAt(i + 1))) {
+        var j = i + 1
+        while (j < n && namePart(query.charAt(j))) j += 1
+        names += query.substring(i + 1, j)
+        sb.append('?')
+        i = j
+      } else {
+        sb.append(ch); i += 1
+      }
+    }
+    (sb.toString, names.result())
   }
 
   sealed trait Mapping
@@ -120,11 +152,18 @@ object SqlSink extends Logging {
   /** Marker table for idempotent replay detection. */
   val MarkerTable = "graft_committed"
 
-  /** Creates the marker table if absent (dialect-neutral minimal DDL). */
+  /** Creates the marker table if absent. The composite PRIMARY KEY is
+    * load-bearing: two task attempts for the same (flow, batch,
+    * partition) — speculative execution, zombie task after a stage
+    * retry — race their marker INSERTs, and the key forces exactly one
+    * to commit; the loser rolls back its rows.
+    */
   def ensureMarkerTable(url: String): Unit = {
     val conn = DriverManager.getConnection(url)
     try conn.createStatement().execute(
-      s"CREATE TABLE $MarkerTable (flow_id VARCHAR(128), batch_id BIGINT, part_id INT)")
+      s"CREATE TABLE $MarkerTable (flow_id VARCHAR(128) NOT NULL, " +
+        "batch_id BIGINT NOT NULL, part_id INT NOT NULL, " +
+        "PRIMARY KEY (flow_id, batch_id, part_id))")
     catch { case _: java.sql.SQLException => () } // already exists
     finally conn.close()
   }
@@ -134,14 +173,26 @@ object SqlSink extends Logging {
     * restart re-runs the last uncommitted batch — at-least-once) finds
     * its marker and skips. Checkpoint + replayable source + this sink =
     * effectively exactly-once end-to-end (SURVEY §7.4 upgrade path).
+    *
+    * Two replay hazards are closed here: (a) concurrent task attempts
+    * for one partition — the marker INSERT goes first inside the
+    * transaction, so the marker-table PRIMARY KEY makes the second
+    * committer fail and roll back; (b) a replayed batch partitioned
+    * differently than the pre-crash run (file-source splits and
+    * shuffle confs are not restart-stable), under which a surviving
+    * marker would silently drop a *different* row subset — so the
+    * batch is hash-repartitioned on every bind column into a fixed
+    * `sinkPartitions` count, making pid a pure function of row values.
     */
   def idempotentForeachBatch(url: String, query: String, mapping: Mapping,
       flowId: String, jsonCol: Option[String] = None,
-      deadLetterDir: Option[String] = None): (DataFrame, Long) => Unit = {
+      deadLetterDir: Option[String] = None,
+      sinkPartitions: Int = 16): (DataFrame, Long) => Unit = {
     val (positional, paramOrder) = compile(query)
     ensureMarkerTable(url)
     (batch: DataFrame, batchId: Long) => {
-      val params = mapParameters(batch, mapping, paramOrder, jsonCol)
+      val mapped = mapParameters(batch, mapping, paramOrder, jsonCol)
+      val params = mapped.repartition(sinkPartitions, mapped.columns.map(col): _*)
       val n = params.columns.length
       try {
         params.rdd.mapPartitionsWithIndex { (pid, rows) =>
@@ -154,18 +205,27 @@ object SqlSink extends Logging {
               seen.setString(1, flowId); seen.setLong(2, batchId); seen.setInt(3, pid)
               val rs = seen.executeQuery(); rs.next()
               if (rs.getInt(1) == 0) {
-                val st = conn.prepareStatement(positional)
-                rows.foreach { r =>
-                  var i = 0
-                  while (i < n) { st.setObject(i + 1, r.get(i)); i += 1 }
-                  st.addBatch()
+                val committed =
+                  try {
+                    // marker first: the PK arbitrates concurrent attempts
+                    val mark = conn.prepareStatement(
+                      s"INSERT INTO $MarkerTable VALUES (?, ?, ?)")
+                    mark.setString(1, flowId); mark.setLong(2, batchId); mark.setInt(3, pid)
+                    mark.executeUpdate()
+                    true
+                  } catch {
+                    case _: java.sql.SQLException => conn.rollback(); false
+                  }
+                if (committed) {
+                  val st = conn.prepareStatement(positional)
+                  rows.foreach { r =>
+                    var i = 0
+                    while (i < n) { st.setObject(i + 1, r.get(i)); i += 1 }
+                    st.addBatch()
+                  }
+                  st.executeBatch()
+                  conn.commit() // rows + marker atomically
                 }
-                st.executeBatch()
-                val mark = conn.prepareStatement(
-                  s"INSERT INTO $MarkerTable VALUES (?, ?, ?)")
-                mark.setString(1, flowId); mark.setLong(2, batchId); mark.setInt(3, pid)
-                mark.executeUpdate()
-                conn.commit() // rows + marker atomically
               }
             } finally conn.close()
           }

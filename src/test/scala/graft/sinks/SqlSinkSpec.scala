@@ -22,6 +22,22 @@ class SqlSinkSpec extends SparkSpec {
     assert(names == Seq("x", "y_2"))
   }
 
+  test("compile ignores quoted literals and postgres-style casts") {
+    val (sql1, names1) = SqlSink.compile(
+      "INSERT INTO t (a, b) VALUES (:a, 'x:y')")
+    assert(sql1 == "INSERT INTO t (a, b) VALUES (?, 'x:y')")
+    assert(names1 == Seq("a"))
+    val (sql2, names2) = SqlSink.compile(
+      "INSERT INTO t (a) VALUES (:a::bigint)")
+    assert(sql2 == "INSERT INTO t (a) VALUES (?::bigint)")
+    assert(names2 == Seq("a"))
+    // '' is the in-literal escape: everything stays quoted text
+    val (sql3, names3) = SqlSink.compile(
+      "INSERT INTO t (a, b) VALUES ('it''s :not_a_param', :b)")
+    assert(sql3 == "INSERT INTO t (a, b) VALUES ('it''s :not_a_param', ?)")
+    assert(names3 == Seq("b"))
+  }
+
   test("named mapping extracts dotted paths from raw JSON bodies") {
     val url = derby("named")
     val c = DriverManager.getConnection(url)
