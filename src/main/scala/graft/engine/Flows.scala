@@ -20,7 +20,7 @@ import graft.sinks.SqlSink
   *   - `sql`: [[SqlSink]] foreachBatch JDBC writer
   *   - `parquet`: append parquet sink (bench/tests)
   */
-object Flows {
+object Flows extends org.apache.spark.internal.Logging {
 
   /** Corrupt-JSON dead-lettering (reference amqp.py:107-109: nack, no
     * requeue — message leaves the pipeline but is observable): a row is
@@ -31,6 +31,18 @@ object Flows {
 
   def invalidJson(df: DataFrame, jsonCol: String): DataFrame =
     df.filter(get_json_object(col(jsonCol), "$").isNull)
+
+  /** R3 first half (reference amqp.py:101-103): a message whose
+    * content type is not JSON gets a logged WARNING but is still
+    * forwarded — only bodies that fail to parse dead-letter.
+    */
+  def warnNonJsonContentType(batch: DataFrame): Unit =
+    if (batch.columns.contains("content_type")) {
+      val n = batch.filter(col("content_type").isNotNull &&
+        col("content_type") =!= "application/json").count()
+      if (n > 0) logWarning(
+        s"$n message(s) with non-JSON content type received; forwarding anyway")
+    }
 
   def start(spark: SparkSession, cfg: Config.Engine,
       checkpointRoot: String): Seq[StreamingQuery] = {
@@ -49,11 +61,14 @@ object Flows {
 
     val stream: DataFrame = inBlock.typ match {
       case "amqp" | "mq" =>
-        spark.readStream.format("graftmq")
+        val r = spark.readStream.format("graftmq")
           .option("exchange", kin.getOrElse("exchange",
             throw new IllegalArgumentException("flow input needs an exchange")).toString)
           .option("maxMessagesPerTrigger", cfg.sizeLimit.toString)
-          .load()
+        // cross-process transport: block-level `broker: tcp://host:port`
+        kin.get("broker").orElse(inBlock.kwargs.get("broker"))
+          .foreach(b => r.option("broker", b.toString))
+        r.load()
       case "file" =>
         val dir = inBlock.kwargs("path").toString
         val fmt = inBlock.kwargs.getOrElse("format", "parquet").toString
@@ -93,6 +108,7 @@ object Flows {
               jsonCol, deadLetter)
           else SqlSink.foreachBatch(url, query, mapping, jsonCol, deadLetter)
         (batch: DataFrame, id: Long) => {
+          warnNonJsonContentType(batch)
           val valid = jsonCol.fold(batch)(c => validJson(batch, c))
           jsonCol.foreach { c =>
             val bad = invalidJson(batch, c)

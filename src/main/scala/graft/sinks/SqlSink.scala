@@ -204,7 +204,9 @@ object SqlSink extends Logging {
                 s"SELECT COUNT(*) FROM $MarkerTable WHERE flow_id = ? AND batch_id = ? AND part_id = ?")
               seen.setString(1, flowId); seen.setLong(2, batchId); seen.setInt(3, pid)
               val rs = seen.executeQuery(); rs.next()
-              if (rs.getInt(1) == 0) {
+              val alreadyCommitted = rs.getInt(1) > 0
+              if (alreadyCommitted) conn.rollback() // end the SELECT's txn
+              if (!alreadyCommitted) {
                 val committed =
                   try {
                     // marker first: the PK arbitrates concurrent attempts

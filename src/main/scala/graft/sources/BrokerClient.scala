@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+/** TCP client for a [[BrokerServer]], one exchange per instance —
+  * the [[BrokerLog]] the graftmq source uses when `broker` is set.
+  *
+  * One short-lived connection per operation: the source calls the
+  * broker a handful of times per micro-batch (latest/slice/ack), and
+  * per-op connections make the client trivially robust to broker
+  * restarts — the next operation simply reconnects, and un-acked
+  * messages are still there thanks to the server-side WAL.
+  */
+final class BrokerClient(host: String, port: Int, exchange: String)
+    extends BrokerLog {
+
+  private def b64e(s: String) = Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+  private def b64d(s: String) = new String(Base64.getDecoder.decode(s), UTF_8)
+
+  private def withConn[T](f: (BufferedReader, PrintWriter) => T): T = {
+    val sock = new Socket(host, port)
+    try {
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
+      val out = new PrintWriter(sock.getOutputStream, false)
+      f(in, out)
+    } finally sock.close()
+  }
+
+  private def expectOk(line: String): Array[String] = {
+    require(line != null, s"broker $host:$port closed the connection")
+    val parts = line.split(" ")
+    require(parts(0) == "OK", s"broker error: $line")
+    parts
+  }
+
+  private def simple(cmd: String): Array[String] = withConn { (in, out) =>
+    out.println(cmd); out.flush()
+    expectOk(in.readLine())
+  }
+
+  override def publish(body: String,
+      contentType: String = "application/json"): Long =
+    simple(s"PUB $exchange ${b64e(contentType)} ${b64e(body)}")(1).toLong
+
+  override def slice(from: Long, until: Long): Array[BrokerMessage] =
+    withConn { (in, out) =>
+      out.println(s"SLICE $exchange $from $until"); out.flush()
+      val n = expectOk(in.readLine())(1).toInt
+      Array.fill(n) {
+        val p = in.readLine().split(" ")
+        BrokerMessage(p(0).toLong, b64d(p(1)), b64d(p(2)))
+      }
+    }
+
+  override def latest: Long = simple(s"LATEST $exchange")(1).toLong
+  override def committed: Long = simple(s"COMMITTED $exchange")(1).toLong
+  override def ack(until: Long): Unit = { simple(s"ACK $exchange $until"); () }
+  override def nack(): Unit = { simple(s"NACK $exchange"); () }
+  override def nackCount: Long = simple(s"NACKCOUNT $exchange")(1).toLong
+}
+
+/** Resolves the transport for an exchange from the source's `broker`
+  * option: unset -> in-JVM [[MemoryBroker]]; `tcp://host:port` -> a
+  * [[BrokerClient]] to that server.
+  */
+object Broker {
+  private val TcpUrl = "tcp://([^:/]+):([0-9]+)".r
+
+  def log(exchange: String, brokerUrl: Option[String]): BrokerLog =
+    brokerUrl match {
+      case None                  => MemoryBroker.exchange(exchange)
+      case Some(TcpUrl(h, p))    => new BrokerClient(h, p.toInt, exchange)
+      case Some(other)           =>
+        throw new IllegalArgumentException(
+          s"unsupported broker url '$other' (expected tcp://host:port)")
+    }
+}

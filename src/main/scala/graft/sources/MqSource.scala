@@ -12,18 +12,25 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 micro-batch source over [[MemoryBroker]] — the Spark
+/** DataSource V2 micro-batch source over a [[BrokerLog]] — the Spark
   * re-expression of the reference's AMQP consumer block (reference
   * amqp.py:36-118): one "queue" per exchange, JSON payloads as a string
-  * column, per-message demux metadata.
+  * column, per-message demux + content-type metadata.
   *
   * `format("graftmq")`, options:
   *   - `exchange` (required): exchange/log name to consume
+  *   - `broker` (optional): `tcp://host:port` of a [[BrokerServer]] —
+  *     the cross-process transport; unset reads the in-JVM
+  *     [[MemoryBroker]] (local mode / tests)
   *   - `maxMessagesPerTrigger`: size-axis admission control — together
   *     with `Trigger.ProcessingTime(time_limit)` this reproduces the
   *     reference batcher's size-OR-time contract (batcher.py:54-109,
   *     SURVEY §7.4): a micro-batch closes at the time limit or earlier
-  *     when the size cap fills it.
+  *     when the size cap fills it
+  *   - `rowsPerPartition` (default 5000): each admitted offset range is
+  *     split into ceil(rows / rowsPerPartition) input partitions, so a
+  *     large backlog fans out across executor cores instead of hitting
+  *     one task
   *
   * Offsets are log positions; `commit(end)` acks (truncates) the broker
   * log — at-least-once end-to-end, exactly-once with an idempotent sink.
@@ -39,10 +46,11 @@ class MqDataSource extends TableProvider with DataSourceRegister {
 
 object MqDataSource {
   val schema: StructType = StructType(Seq(
-    StructField("value", StringType),      // raw JSON body
-    StructField("exchange", StringType),   // demux key (amqp.py:99)
+    StructField("value", StringType),        // raw JSON body
+    StructField("exchange", StringType),     // demux key (amqp.py:99)
+    StructField("content_type", StringType), // R3 warn path (amqp.py:101-103)
     StructField("offset", LongType),
-    StructField("ts", TimestampType)))     // broker-ingest time
+    StructField("ts", TimestampType)))       // broker-ingest time
 }
 
 class MqTable(options: CaseInsensitiveStringMap)
@@ -60,17 +68,20 @@ class MqScan(options: CaseInsensitiveStringMap) extends Scan {
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MqMicroBatchStream(
       options.get("exchange"),
-      Option(options.get("maxMessagesPerTrigger")).map(_.toLong))
+      Option(options.get("maxMessagesPerTrigger")).map(_.toLong),
+      Option(options.get("broker")),
+      Option(options.get("rowsPerPartition")).map(_.toInt).getOrElse(5000))
 }
 
 case class MqOffset(pos: Long) extends Offset {
   override def json(): String = pos.toString
 }
 
-class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long])
+class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long],
+    brokerUrl: Option[String], rowsPerPartition: Int)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  private def log = MemoryBroker.exchange(exchangeName)
+  private val log: BrokerLog = Broker.log(exchangeName, brokerUrl)
   // Trigger.AvailableNow: pin the end of the backlog at start; batches
   // still respect the size cap, the stream stops at the pinned target.
   @volatile private var availableTarget: Option[Long] = None
@@ -103,18 +114,38 @@ class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long])
 
   override def reportLatestOffset(): Offset = MqOffset(log.latest)
 
+  /** The admitted range is chunked into `rowsPerPartition`-sized input
+    * partitions. With a `broker` server the partitions carry only
+    * (url, exchange, lo, hi) and each EXECUTOR fetches its own slice
+    * over TCP — rows never pass through the driver. The in-JVM
+    * transport inlines the rows (driver == executor JVM in local mode).
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[MqOffset].pos
     val until = end.asInstanceOf[MqOffset].pos
-    // Messages ride inside the partition (serialized to executors). On a
-    // multi-node cluster this is the standard receiver-less pattern for
-    // un-partitioned brokers; per-exchange parallelism comes from running
-    // one flow per exchange.
-    Array(MqInputPartition(exchangeName, log.slice(from, until)))
+    val rpp = rowsPerPartition.toLong
+    val n = math.max(1L, (until - from + rpp - 1) / rpp).toInt
+    val bounds = (0 until n).map(i =>
+      (from + i * rpp, math.min(until, from + (i + 1) * rpp)))
+    brokerUrl match {
+      case Some(url) =>
+        bounds.map { case (lo, hi) =>
+          MqRemotePartition(url, exchangeName, lo, hi): InputPartition
+        }.toArray
+      case None =>
+        bounds.map { case (lo, hi) =>
+          MqInlinePartition(exchangeName, log.slice(lo, hi)): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (p: InputPartition) => new MqPartitionReader(p.asInstanceOf[MqInputPartition])
+    (p: InputPartition) => p match {
+      case ip: MqInlinePartition => new MqPartitionReader(ip.exchange, ip.msgs)
+      case rp: MqRemotePartition =>
+        val msgs = Broker.log(rp.exchange, Some(rp.url)).slice(rp.from, rp.until)
+        new MqPartitionReader(rp.exchange, msgs)
+    }
 
   /** Broker ack AFTER durable commit. Note Spark invokes this while
     * constructing the NEXT micro-batch (cleanUpLastExecutedMicroBatch),
@@ -127,20 +158,24 @@ class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long])
   override def stop(): Unit = ()
 }
 
-case class MqInputPartition(exchange: String, msgs: Array[(Long, String)])
+case class MqInlinePartition(exchange: String, msgs: Array[BrokerMessage])
     extends InputPartition
 
-class MqPartitionReader(p: MqInputPartition)
+case class MqRemotePartition(url: String, exchange: String, from: Long, until: Long)
+    extends InputPartition
+
+class MqPartitionReader(exchange: String, msgs: Array[BrokerMessage])
     extends PartitionReader[InternalRow] {
   private var i = -1
   private val nowUs = System.currentTimeMillis() * 1000L
-  override def next(): Boolean = { i += 1; i < p.msgs.length }
+  override def next(): Boolean = { i += 1; i < msgs.length }
   override def get(): InternalRow = {
-    val (off, msg) = p.msgs(i)
+    val m = msgs(i)
     InternalRow(
-      UTF8String.fromString(msg),
-      UTF8String.fromString(p.exchange),
-      off,
+      UTF8String.fromString(m.body),
+      UTF8String.fromString(exchange),
+      UTF8String.fromString(m.contentType),
+      m.offset,
       nowUs)
   }
   override def close(): Unit = ()

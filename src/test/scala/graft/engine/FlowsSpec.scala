@@ -69,4 +69,51 @@ class FlowsSpec extends SparkSpec {
       assert(deadCount() == 1L)
     } finally q.stop()
   }
+
+  test("non-JSON content type is warned about but forwarded (R3 first half)") {
+    val url = "jdbc:derby:memory:ctdb;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE ctlogs (v VARCHAR(100))")
+    c.close()
+    // a JSON-parseable body published under a non-JSON content type:
+    // the reference warns (amqp.py:101-103) and processes it anyway
+    MemoryBroker.publish("ct_ex", """{"v":"forwarded"}""",
+      contentType = "text/plain")
+    val cfg = Config.parseString(
+      s"""size_limit: 4
+         |time_limit: 1
+         |blocks:
+         |  - name: in
+         |    type: amqp
+         |    kwargs: {}
+         |  - name: out
+         |    type: sql
+         |    kwargs:
+         |      url: '$url'
+         |flows:
+         |  - - name: in
+         |      kwargs:
+         |        exchange: ct_ex
+         |    - name: out
+         |      kwargs:
+         |        query: "INSERT INTO ctlogs (v) VALUES (:v)"
+         |        parameters:
+         |          v: v
+         |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("ct-ckpt").toString
+    val q = Flows.startFlow(spark, cfg, cfg.flows.head, ckpt, "ct_flow")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def one(): Option[String] = {
+        val cc = DriverManager.getConnection(url)
+        try {
+          val rs = cc.createStatement().executeQuery("SELECT v FROM ctlogs")
+          if (rs.next()) Some(rs.getString(1)) else None
+        } finally cc.close()
+      }
+      while (one().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(one().contains("forwarded"))
+    } finally q.stop()
+  }
 }

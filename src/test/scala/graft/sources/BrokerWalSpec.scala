@@ -16,8 +16,8 @@ class BrokerWalSpec extends AnyFunSuite {
       val log = MemoryBroker.exchange("wal_ex")
       assert(log.committed == 2L)
       assert(log.latest == 5L)
-      assert(log.slice(0, 10).map(_._2).toSeq == Seq("m2", "m3", "m4"))
-      assert(log.slice(0, 10).map(_._1).toSeq == Seq(2L, 3L, 4L))
+      assert(log.slice(0, 10).map(_.body).toSeq == Seq("m2", "m3", "m4"))
+      assert(log.slice(0, 10).map(_.offset).toSeq == Seq(2L, 3L, 4L))
       // new publishes continue the offset sequence after recovery
       assert(log.publish("m5") == 5L)
     } finally {

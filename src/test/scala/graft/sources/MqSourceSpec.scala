@@ -70,20 +70,24 @@ class MqSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("schema carries value/exchange/offset/ts and demux column") {
+  test("schema carries value/exchange/content_type/offset/ts and demux column") {
     val ex = "ex_schema"
     MemoryBroker.publish(ex, """{"a":1}""")
+    MemoryBroker.publish(ex, "plain body", contentType = "text/plain")
     val got = new ConcurrentLinkedQueue[String]()
     val q = spark.readStream.format("graftmq").option("exchange", ex).load()
       .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
         b.collect().foreach(r => got.add(
-          s"${r.getAs[String]("exchange")}|${r.getAs[Long]("offset")}|${r.getAs[String]("value")}"))
+          s"${r.getAs[String]("exchange")}|${r.getAs[Long]("offset")}|" +
+            s"${r.getAs[String]("content_type")}|${r.getAs[String]("value")}"))
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("mq-ckpt").toString)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     import scala.jdk.CollectionConverters._
-    assert(got.asScala.toSeq == Seq(s"""$ex|0|{"a":1}"""))
+    assert(got.asScala.toSeq.sorted == Seq(
+      s"""$ex|0|application/json|{"a":1}""",
+      s"$ex|1|text/plain|plain body"))
   }
 }
