@@ -1,0 +1,36 @@
+package graft
+
+/** Regenerates the golden parquet pins for the queries whose outputs
+  * are defined by engine-internal hash functions (xxhash64 MinHash /
+  * SimHash, hyperplane LSH, k-means IVF) and therefore have no
+  * SQL-expressible DuckDB oracle. The goldens turn those queries'
+  * correctness rows from rows-only checks into full regression pins:
+  * the oracle SQL reads the pinned parquet back via `read_parquet`.
+  *
+  * Run after any intentional change to the underlying hash/clustering
+  * semantics:
+  * {{{
+  *   for sf in sf0.001 sf0.01 sf0.1; do
+  *     sbt "runMain graft.MakeGolden /root/testdata/$sf golden/$sf"
+  *   done
+  * }}}
+  */
+object MakeGolden {
+  /** Queries pinned by golden parquet (keep in sync with the
+    * `read_parquet` oracles in [[graft.queries.AnalyticsQueries]]).
+    */
+  val goldenQueries: Seq[String] =
+    Seq("q29_minhash", "q30_simhash", "q36_lsh_topk", "q38_ivf_topk")
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.engine.Sessions.local("graft-golden", cpus)
+    goldenQueries.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[golden] wrote $outDir/$name")
+    }
+    spark.stop()
+  }
+}

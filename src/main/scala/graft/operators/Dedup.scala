@@ -59,14 +59,16 @@ object Dedup {
     * the doc-id/size table is small relative to pairs). No cross join.
     * For skewed shingles (stopword-like), `maxDocFreq` drops shingles
     * occurring in more than that many docs — a standard posting-list cut
-    * that bounds the worst-case pair blowup.
+    * that bounds the worst-case pair blowup. The cut removes ubiquitous
+    * shingles from the ENTIRE similarity space (intersections AND doc
+    * sizes), so identical documents still score jac = 1.0 and the
+    * measure stays a true Jaccard over the filtered shingle sets.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
     // cached: consumed 3x (sizes + both join sides) — without this the
     // whole shingling pipeline re-executes per consumer
     val sh = shingles(docs, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val posting =
       if (maxDocFreq == Long.MaxValue) sh
       else {
@@ -74,6 +76,7 @@ object Dedup {
           .filter(col("_df") <= maxDocFreq)
         sh.join(df, "shingle").drop("_df")
       }
+    val sizes = posting.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // shuffle 8-byte shingle hashes, not shingle strings (64-bit
     // collisions are ~p=1e-8 at 1M distinct shingles — negligible
     // against the join-width saving at scale)

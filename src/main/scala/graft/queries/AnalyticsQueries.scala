@@ -13,10 +13,11 @@ import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Packing, Sampling, Simila
   * ROUND(…, 4) on floating outputs, identical column names in the
   * DuckDB oracles.
   *
-  * Queries whose hashes depend on engine-internal hash functions
-  * (xxhash64-based MinHash / SimHash / LSH) have no SQL oracle — the
-  * driver records a rows-only check and their semantics are certified
-  * by ScalaTest specs instead.
+  * Queries whose outputs depend on engine-internal hash functions
+  * (xxhash64-based MinHash / SimHash / LSH / IVF) cannot be recomputed
+  * in DuckDB SQL; they are pinned by golden parquet
+  * ([[graft.MakeGolden]]) that the oracle reads back, and their
+  * semantics are certified by ScalaTest recall/equivalence specs.
   */
 object AnalyticsQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -59,10 +60,13 @@ object AnalyticsQueries {
       TextOps.wordCounts(t(s, d, "documents"), "text")
         .orderBy(col("c").desc, col("word")).limit(20)),
 
-    // n-gram (trigram) Jaccard near-dup pairs — exact inverted-index plan
+    // n-gram (trigram) Jaccard near-dup pairs — exact inverted-index
+    // plan WITH the production posting-list cut (maxDocFreq=5): a
+    // stopword-like shingle can otherwise explode candidate pairs at
+    // corpus scale, so the declared query exercises the bounded plan
     "q28_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.5)
+          n = 3, threshold = 0.5, maxDocFreq = 5)
         .orderBy("a", "b")),
 
     // same relation as q28 via PPJoin-style prefix filtering + codegen
@@ -72,13 +76,13 @@ object AnalyticsQueries {
           n = 3, threshold = 0.5)
         .orderBy("a", "b")),
 
-    // MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)
+    // MinHash+LSH near-dup candidates (golden-parquet oracle: xxhash64-based)
     "q29_minhash" -> ((s, d) =>
       Dedup.minHashPairs(t(s, d, "documents"), "doc_id", "text",
           n = 3, threshold = 0.5)
         .orderBy("a", "b")),
 
-    // SimHash fingerprints (no SQL oracle: xxhash64-based)
+    // SimHash fingerprints (golden-parquet oracle: xxhash64-based)
     "q30_simhash" -> ((s, d) =>
       Dedup.simHash(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id")),
@@ -126,8 +130,8 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
-    // LSH-bucketed approximate top-k (no SQL oracle: engine-defined
-    // hyperplane hashing; recall certified in ScalaTest vs q35)
+    // LSH-bucketed approximate top-k (golden-parquet oracle; recall
+    // certified in ScalaTest vs q35)
     "q36_lsh_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e,
@@ -176,8 +180,8 @@ object AnalyticsQueries {
         .orderBy("p_id")
     }),
 
-    // IVF (kmeans-bucketed) approximate top-k (no SQL oracle:
-    // engine-defined clustering; recall certified in ScalaTest vs q35)
+    // IVF (kmeans-bucketed) approximate top-k (golden-parquet oracle;
+    // recall certified in ScalaTest vs q35)
     "q38_ivf_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), e,
@@ -211,7 +215,20 @@ object AnalyticsQueries {
   private val wordsCte =
     "SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents"
 
+  /** Queries whose outputs are engine-hash-defined (MinHash / SimHash /
+    * LSH / IVF) are pinned by golden parquet written by
+    * [[graft.MakeGolden]]: the oracle reads the pin back. The sf0.01
+    * path matches the driver's correctness scale; `tools/compare.py`
+    * rewrites the sf segment when checking other scales locally.
+    */
+  private def golden(q: String, cols: String, order: String): String =
+    s"SELECT $cols FROM read_parquet('/root/repo/golden/sf0.01/$q/*.parquet') ORDER BY $order"
+
   val oracles: Map[String, String] = Map(
+    "q29_minhash" -> golden("q29_minhash", "a, b, est_jac", "a, b"),
+    "q30_simhash" -> golden("q30_simhash", "id, simhash", "id"),
+    "q36_lsh_topk" -> golden("q36_lsh_topk", "qid, cid, rn", "qid, rn"),
+    "q38_ivf_topk" -> golden("q38_ivf_topk", "qid, cid, rn", "qid, rn"),
     "q24_dedup_distinct" ->
       "SELECT lang, COUNT(*) AS c FROM (SELECT DISTINCT text, lang FROM documents) GROUP BY lang ORDER BY lang",
     "q24_dedup_exact" ->
@@ -224,8 +241,12 @@ object AnalyticsQueries {
       ("WITH words AS (" + wordsCte + "), " +
        "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
        "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), " +
-       "sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), " +
-       "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM sh x JOIN sh y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2) " +
+       // the maxDocFreq=5 posting-list cut: ubiquitous shingles leave
+       // the similarity space entirely (sizes AND intersections)
+       "df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1), " +
+       "cut AS (SELECT sh.id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.c <= 5), " +
+       "sz AS (SELECT id, COUNT(*) AS sz FROM cut GROUP BY id), " +
+       "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM cut x JOIN cut y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2) " +
        "SELECT a, b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac " +
        "FROM inter JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id " +
        "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5 ORDER BY a, b"),

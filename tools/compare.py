@@ -11,10 +11,14 @@ for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# golden-parquet oracles hardcode the driver's sf0.01 path; when
+# checking another scale locally, point them at that scale's pins
+sf_name = sf_dir.rstrip("/").split("/")[-1]
 fail = 0
 for name in sorted(oracle):
     try:
-        o = con.execute(oracle[name]).df()
+        sql = oracle[name].replace("/golden/sf0.01/", f"/golden/{sf_name}/")
+        o = con.execute(sql).df()
         e = pd.concat([pd.read_parquet(p) for p in
                        sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))])
     except Exception as ex:
