@@ -14,8 +14,15 @@ import org.apache.spark.sql.DataFrame
   * anyway.
   */
 object Par {
+  /** Partition count read off the EXECUTED plan's output partitioning —
+    * `df.rdd` would force a second, throwaway physical planning of the
+    * whole query (and an RDD conversion) just to ask this question.
+    */
+  private def planPartitions(df: DataFrame): Int =
+    df.queryExecution.executedPlan.outputPartitioning.numPartitions
+
   def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (planPartitions(df) < target) df.repartition(target) else df
   }
 }

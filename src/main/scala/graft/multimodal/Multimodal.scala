@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   * of `mapInPandas`: iterator in, iterator out, nothing on the driver,
   * arbitrary native-lib calls inside).
   *
-  * The actual codec calls are STUBS — this container has no image/audio
-  * libraries — marked `// STUB:` below with a deterministic fake so the
-  * plumbing (schema, batch shape, partitioning, downstream joins) is
-  * real and testable. Swapping in javacv/ffmpeg changes only the stub
-  * bodies.
+  * Image decode/resize are REAL: `javax.imageio.ImageIO` (JDK
+  * built-in, headless-safe) parses/re-encodes actual PNG/JPEG bytes.
+  * Audio/video codecs don't exist in the JDK — those paths fall back
+  * to a deterministic fake, marked `// STUB:`, so the plumbing
+  * (schema, batch shape, partitioning, downstream joins) stays real
+  * and testable; swapping in ffmpeg/javacv changes only those bodies.
   *
   * Scale notes: each transform is narrow (no shuffle); media bytes
   * never leave their partition, and decoded outputs drop the `content`
@@ -46,8 +47,20 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("ok", BooleanType)))
 
+  /** Real image parse: null for bytes no installed ImageIO reader
+    * understands (also null input / truncated streams).
+    */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null || bytes.length < 4) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+
   /** Decode pass: binary -> dimensions/validity. Batch-shaped
     * partition-wise transform; output drops `content`.
+    *
+    * Images decode for real (ImageIO: PNG/JPEG/GIF/BMP). Audio/video
+    * have no JDK codec — deterministic fake below, clearly marked.
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
@@ -56,15 +69,19 @@ object Multimodal {
         val id = r.getLong(0)
         val typ = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
-        // STUB: real impl calls an image codec (e.g. ImageIO/javacv).
-        // Deterministic fake: dimensions derived from the byte content
-        // so tests are stable and collisions meaningful.
-        if (bytes == null || bytes.length < 4) Row(id, typ, null, null, null, false)
-        else {
+        val img = readImage(bytes)
+        if (img != null)
+          Row(id, typ, img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, true)
+        else if ((typ == "audio" || typ == "video") &&
+            bytes != null && bytes.length >= 4) {
+          // STUB: no audio/video codec in the JDK; deterministic fake
+          // dimensions derived from the byte content so tests are
+          // stable. A real impl calls ffmpeg/javacv here.
           val h = java.util.Arrays.hashCode(bytes)
           Row(id, typ, 16 + math.abs(h % 64), 16 + math.abs((h >> 8) % 64),
             1 + math.abs((h >> 16) % 4), true)
-        }
+        } else Row(id, typ, null, null, null, false)
       }
     }(enc)
   }
@@ -96,7 +113,9 @@ object Multimodal {
   }
 
   /** Image resize: partition-wise binary->binary transform; metadata
-    * updated in lockstep.
+    * updated in lockstep. Decodable images are really scaled
+    * (Graphics2D bilinear) and re-encoded as PNG; non-image bytes fall
+    * back to a deterministic byte resample of exactly w*h bytes.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val schema = StructType(Seq(
@@ -108,16 +127,30 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        // STUB: real impl decodes, scales, re-encodes. Fake: resample
-        // bytes to w*h length deterministically.
-        val out = new Array[Byte](w * h)
-        if (bytes != null && bytes.nonEmpty) {
-          var i = 0
-          while (i < out.length) {
-            out(i) = bytes((i.toLong * bytes.length / out.length).toInt); i += 1
+        val img = readImage(bytes)
+        if (img != null) {
+          val scaled = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          Row(r.getLong(0), bos.toByteArray, w, h)
+        } else {
+          // STUB: non-image media has no JDK codec; deterministic byte
+          // resample to w*h bytes keeps the contract testable.
+          val out = new Array[Byte](w * h)
+          if (bytes != null && bytes.nonEmpty) {
+            var i = 0
+            while (i < out.length) {
+              out(i) = bytes((i.toLong * bytes.length / out.length).toInt); i += 1
+            }
           }
+          Row(r.getLong(0), out, w, h)
         }
-        Row(r.getLong(0), out, w, h)
       }
     }(enc)
   }
@@ -135,21 +168,49 @@ object Multimodal {
       .select(col("media_id"), col("pos").as("sample_idx"),
         col("col").as("frame_idx"))
 
+  /** Deterministic real PNG bytes for a media id: a small RGB pattern
+    * image (varied dimensions, pixels from a per-id hash) encoded with
+    * ImageIO — actual decodable media for tests/bench.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = 12 + (id % 9).toInt
+    val h = 8 + (id % 7).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var p = id * 6364136223846793005L + (y.toLong * w + x) * 1442695040888963407L
+        p ^= p >>> 32
+        img.setRGB(x, y, (p & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Synthesizes a deterministic media table from the documents table —
-    * the test/bench corpus (no real media in the container).
+    * the test/bench corpus. Image rows carry REAL PNG bytes
+    * ([[syntheticPng]]); audio/video rows carry the document's UTF-8
+    * bytes (no real codec exists for them in the container anyway).
     */
   def syntheticMedia(docs: DataFrame): DataFrame = {
-    val types = array(lit("image"), lit("audio"), lit("video"))
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(types, (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("content"),
-      struct(
-        lit(null).cast(IntegerType).as("width"),
-        lit(null).cast(IntegerType).as("height"),
-        lit(null).cast(IntegerType).as("channels"),
-        lit(44100).as("sample_rate"),
-        (col("n_chars") * 10).cast(LongType).as("duration_ms"),
-        pmod(col("doc_id"), lit(50)).cast(IntegerType).as("n_frames")).as("meta"))
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    docs.select(col("doc_id"), col("text"), col("n_chars"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val typ = Seq("image", "audio", "video")((id % 3).toInt)
+          val content =
+            if (typ == "image") syntheticPng(id)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(id, typ, content,
+            Row(null, null, null, 44100, r.getLong(2) * 10L, (id % 50).toInt))
+        }
+      }(enc)
   }
 }

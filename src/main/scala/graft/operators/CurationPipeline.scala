@@ -28,20 +28,30 @@ object CurationPipeline {
 
   /** Returns the curated corpus: surviving documents annotated with
     * quality features, predicted language, and token counts.
+    *
+    * All per-row signals — quality gates, repetition, language ID,
+    * token counts — are computed in ONE projection pass over the text
+    * (column-level builders from [[TextOps]]), not as separate
+    * operators joined back by id: at corpus scale that saves four full
+    * passes over the document bodies and three id-keyed joins.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val feats = TextOps.qualityFeatures(docs, idCol, textCol)
-    val rep = TextOps.repetitionFeatures(docs, idCol, textCol)
-    val keepQuality = feats
-      .join(rep, Seq(idCol))
+    val t = col(textCol)
+    val annotated = graft.engine.Par.widen(docs).select(col("*"),
+      TextOps.nWordsCol(t).as("n_words"),
+      TextOps.avgWordLenCol(t).as("avg_word_len"),
+      TextOps.stopwordRatioCol(t).as("stopword_ratio"),
+      TextOps.dupBigramFracCol(t).as("dup_bigram_frac"),
+      TextOps.predLangCol(t).as("pred_lang"),
+      TextOps.nTokensCol(t).as("n_tokens"))
+
+    val qualified = annotated
       .filter(col("n_words").between(cfg.minWords, cfg.maxWords) &&
         col("avg_word_len") >= cfg.minAvgWordLen &&
         col("stopword_ratio") <= cfg.maxStopwordRatio &&
         col("dup_bigram_frac") <= cfg.maxDupBigramFrac)
-      .select(col(idCol), col("n_words"), col("avg_word_len"))
-
-    val qualified = docs.join(keepQuality, Seq(idCol)) // id-keyed join
+      .drop("stopword_ratio", "dup_bigram_frac")
 
     // exact dedup: survivors are the keep_ids
     val keepExact = Dedup.exact(qualified, idCol, textCol)
@@ -52,11 +62,7 @@ object CurationPipeline {
     val nearDupLosers = Dedup.minHashPairs(deduped, idCol, textCol,
         cfg.shingleN, cfg.nearDupThreshold)
       .select(col("b").as(idCol)).distinct()
-    val survivors = deduped.join(nearDupLosers, Seq(idCol), "left_anti")
-
-    survivors
-      .join(TextOps.langId(survivors, idCol, textCol), Seq(idCol))
-      .withColumn("n_tokens", size(TextOps.regexTokens(col(textCol))).cast("bigint"))
+    deduped.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
   /** Writes the curated corpus partitioned by predicted language — the

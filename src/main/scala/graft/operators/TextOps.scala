@@ -31,6 +31,62 @@ object TextOps {
   private val stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
+  // ---- Column-level feature builders ----------------------------------
+  // Composable into ONE projection (the curation pipeline computes every
+  // per-row signal in a single pass over the text); the per-feature
+  // DataFrame operators below are thin wrappers with oracle-matched
+  // output shapes.
+
+  def nWordsCol(t: Column): Column = size(words(t)).cast("bigint")
+
+  def avgWordLenCol(t: Column): Column =
+    round(aggregate(words(t), lit(0.0), (acc, w) => acc + length(w)) /
+      size(words(t)).cast("double"), 4)
+
+  def stopwordRatioCol(t: Column): Column =
+    round(size(filter(words(t), w => w.isin(stopwords.map(lit(_)): _*)))
+      .cast("double") / size(words(t)).cast("double"), 4)
+
+  /** Punct count = chars removed by stripping punctuation (identical
+    * formula in the DuckDB oracle — avoids engine-specific char splits).
+    */
+  def punctRatioCol(t: Column): Column =
+    round((length(t) - length(regexp_replace(t, "[.,!?;]", "")))
+      .cast("double") / length(t), 4)
+
+  def dupWordFracCol(t: Column): Column =
+    round(lit(1.0) -
+      size(array_distinct(words(t))) / size(words(t)).cast("double"), 4)
+
+  def dupBigramFracCol(t: Column): Column = {
+    val ws = words(t)
+    val bigrams = zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    round(when(size(bigrams) > 0,
+        lit(1.0) - size(array_distinct(bigrams)) / size(bigrams).cast("double"))
+      .otherwise(0.0), 4)
+  }
+
+  def nTokensCol(t: Column): Column = size(regexTokens(t)).cast("bigint")
+
+  /** Heuristic language-ID prediction: marker-word hit count per
+    * language, argmax (ties → lexicographically first language, zero
+    * hits everywhere → "und").
+    */
+  def predLangCol(t: Column): Column = {
+    val ws = words(t)
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(ws, w => w.isin(markers.map(lit(_)): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax: sort (score desc, lang asc) by sorting on (-score, lang)
+    val best = array_min(array(scored.map(s =>
+      struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))): _*))
+    when(best.getField("neg") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
   /** Per-document quality features: word count, character count, mean
     * word length, stopword ratio, punctuation ratio. All per-row
     * expression work — fully parallel, no shuffle.
@@ -38,21 +94,14 @@ object TextOps {
   def qualityFeatures(docs0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val docs = graft.engine.Par.widen(docs0)
-    val ws = words(col(textCol))
-    val nWords = size(ws).cast("double")
-    val stopHits = size(filter(ws, w => w.isin(stopwords.map(lit(_)): _*)))
-    // punct count = chars removed by stripping punctuation (identical
-    // formula in the DuckDB oracle — avoids engine-specific char splits)
-    val punct = length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[.,!?;]", ""))
+    val t = col(textCol)
     docs.select(
       col(idCol),
-      size(ws).cast("bigint").as("n_words"),
-      length(col(textCol)).cast("bigint").as("nchars"),
-      round(aggregate(ws, lit(0.0), (acc, w) => acc + length(w)) / nWords, 4)
-        .as("avg_word_len"),
-      round(stopHits.cast("double") / nWords, 4).as("stopword_ratio"),
-      round(punct.cast("double") / length(col(textCol)), 4).as("punct_ratio"))
+      nWordsCol(t).as("n_words"),
+      length(t).cast("bigint").as("nchars"),
+      avgWordLenCol(t).as("avg_word_len"),
+      stopwordRatioCol(t).as("stopword_ratio"),
+      punctRatioCol(t).as("punct_ratio"))
   }
 
   /** Marker-word vocabularies for the n-gram-heuristic language ID.
@@ -72,18 +121,7 @@ object TextOps {
     */
   def langId(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = graft.engine.Par.widen(docs0)
-    val ws = words(col(textCol))
-    val scored = langMarkers.map { case (lang, markers) =>
-      struct(
-        size(filter(ws, w => w.isin(markers.map(lit(_)): _*))).as("score"),
-        lit(lang).as("lang"))
-    }
-    // argmax: sort (score desc, lang asc) by sorting on (-score, lang)
-    val best = array_min(array(scored.map(s =>
-      struct((-s.getField("score")).as("neg"), s.getField("lang").as("lang"))): _*))
-    docs.select(col(idCol),
-      when(best.getField("neg") === 0, lit("und"))
-        .otherwise(best.getField("lang")).as("pred_lang"))
+    docs.select(col(idCol), predLangCol(col(textCol)).as("pred_lang"))
   }
 
   /** Repetition signals (Gopher/RefinedWeb-style quality rules): the
@@ -94,19 +132,11 @@ object TextOps {
   def repetitionFeatures(docs0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val docs = graft.engine.Par.widen(docs0)
-    val ws = words(col(textCol))
-    val nW = size(ws).cast("double")
-    val bigrams = zip_with(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
+    val t = col(textCol)
     docs.select(
       col(idCol),
-      round(lit(1.0) - size(array_distinct(ws)) / nW, 4)
-        .as("dup_word_frac"),
-      round(when(size(bigrams) > 0,
-          lit(1.0) - size(array_distinct(bigrams)) / size(bigrams).cast("double"))
-        .otherwise(0.0), 4)
-        .as("dup_bigram_frac"))
+      dupWordFracCol(t).as("dup_word_frac"),
+      dupBigramFracCol(t).as("dup_bigram_frac"))
   }
 
   /** PII-ish pattern counts per document (emails, URLs, long digit

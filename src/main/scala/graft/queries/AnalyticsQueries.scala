@@ -190,6 +190,16 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // end-to-end curation pipeline (quality gates -> exact dedup ->
+    // MinHash near-dup removal -> langid): per-language survivor counts
+    // and token totals — the whole composed path through one oracle
+    "q47_curation" -> ((s, d) =>
+      graft.operators.CurationPipeline
+        .curate(t(s, d, "documents"), "doc_id", "text")
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("pred_lang")),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -313,6 +323,37 @@ object AnalyticsQueries {
        "e AS (SELECT event_id AS e_id, sec AS e_sec FROM ev WHERE event_type = 'error') " +
        "SELECT p_id, COUNT(*) AS n_errors FROM e JOIN p ON e_sec >= p_start AND e_sec <= p_end " +
        "GROUP BY p_id ORDER BY p_id"),
+    // the quality/dedup/langid stages re-derived in SQL (same formulas
+    // as q31/q45/q24/q32); the engine-hash MinHash near-dup stage is
+    // pair-local, so the q29 golden pin filtered to est_jac >= 0.8 and
+    // to surviving endpoints IS the removal list
+    "q47_curation" ->
+      ("WITH words AS (" + wordsCte + "), " +
+       "bg AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws) - 1)] AS bgs FROM words), " +
+       "feats AS (SELECT w.doc_id, w.text, len(w.ws)::BIGINT AS n_words, " +
+       "ROUND(list_sum(list_transform(w.ws, x -> length(x)))::DOUBLE / len(w.ws), 4) AS avg_word_len, " +
+       s"ROUND(len(list_filter(w.ws, x -> list_contains(${inList(stop)}, x)))::DOUBLE / len(w.ws), 4) AS stopword_ratio, " +
+       "CASE WHEN len(b.bgs) > 0 THEN ROUND(1.0 - len(list_distinct(b.bgs))::DOUBLE / len(b.bgs), 4) ELSE 0.0 END AS dup_bigram_frac " +
+       "FROM words w JOIN bg b USING (doc_id)), " +
+       "qualified AS (SELECT doc_id, text FROM feats WHERE n_words BETWEEN 5 AND 100000 " +
+       "AND avg_word_len >= 2.0 AND stopword_ratio <= 0.9 AND dup_bigram_frac <= 0.9), " +
+       "keep AS (SELECT MIN(doc_id) AS doc_id FROM qualified GROUP BY text), " +
+       "deduped AS (SELECT q.doc_id, q.text FROM qualified q JOIN keep k USING (doc_id)), " +
+       "losers AS (SELECT DISTINCT p.b AS doc_id FROM read_parquet('/root/repo/golden/sf0.01/q29_minhash/*.parquet') p " +
+       "JOIN deduped da ON p.a = da.doc_id JOIN deduped db ON p.b = db.doc_id WHERE p.est_jac >= 0.8), " +
+       "surv AS (SELECT d.doc_id, d.text FROM deduped d LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL), " +
+       "sws AS (SELECT s.doc_id, w.ws FROM surv s JOIN words w USING (doc_id)), " +
+       "scored AS (SELECT doc_id, 'en' AS lang, len(list_filter(ws, w -> list_contains(['the', 'and', 'of', 'to', 'a'], w))) AS score FROM sws " +
+       "UNION ALL SELECT doc_id, 'de', len(list_filter(ws, w -> list_contains(['der', 'die', 'und', 'das', 'ist'], w))) FROM sws " +
+       "UNION ALL SELECT doc_id, 'fr', len(list_filter(ws, w -> list_contains(['le', 'la', 'et', 'les', 'des'], w))) FROM sws " +
+       "UNION ALL SELECT doc_id, 'es', len(list_filter(ws, w -> list_contains(['el', 'la', 'y', 'los', 'de'], w))) FROM sws " +
+       "UNION ALL SELECT doc_id, 'zh', len(list_filter(ws, w -> list_contains(['的', '是', '了', '在', '我'], w))) FROM sws), " +
+       "best AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn FROM scored), " +
+       "lang AS (SELECT doc_id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS pred_lang FROM best WHERE rn = 1), " +
+       "toks AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM surv) " +
+       "SELECT l.pred_lang, COUNT(*) AS c, SUM(t.n_tokens)::BIGINT AS total_tokens " +
+       "FROM surv s JOIN lang l USING (doc_id) JOIN toks t USING (doc_id) " +
+       "GROUP BY 1 ORDER BY pred_lang"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

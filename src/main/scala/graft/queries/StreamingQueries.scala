@@ -17,11 +17,59 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** These are bounded local backfills with tiny state: run them with a
+    * few state partitions instead of the session's 32 — each state
+    * partition is a state-store instance with its own checkpoint files
+    * and per-batch commit, and that file churn (not data) dominates the
+    * fixed cost of a small streaming query. State partitioning is
+    * pinned per-checkpoint, so production streams size this once at
+    * first start via the same session conf.
+    */
+  /** The file-source schema per events dir, read once per JVM — a
+    * repeated `read.parquet(...).schema` costs a footer read + session
+    * resolution on every stream launch.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  private def eventsSchema(s: SparkSession, dir: String) =
+    schemaCache.computeIfAbsent(dir,
+      d => s.read.parquet(s"$d/events.parquet").schema)
+
+  /** Checkpoint for a bounded local backfill: the offset/commit logs
+    * and state-store files fsync per micro-batch, so put them on tmpfs
+    * (/dev/shm) when available instead of a disk-backed /tmp — the
+    * stream is drained and discarded, durability buys nothing here.
+    * (Production streams pass a real, durable checkpointLocation.)
+    */
+  private def scratchCheckpoint(name: String): String = {
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+        java.nio.file.Paths.get("/dev/shm")
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, s"graft-$name-").toString
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+  }
+
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", n.toString))
+    try f finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Q23 via readStream → window(ts, 1 hour) → memory sink (complete). */
-  def q23Stream(s: SparkSession, dir: String): DataFrame = {
+  def q23Stream(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     // schema as parquet stores it: ts is TIMESTAMP(NANOS) => LongType
     // under nanosAsLong (Sessions sets it)
-    val raw = s.read.parquet(s"$dir/events.parquet").schema
+    val raw = eventsSchema(s, dir)
     val name = s"q23_stream_${System.nanoTime()}" // unique memory sink
     val stream = s.readStream
       .schema(raw)
@@ -30,13 +78,16 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
+    val ckpt = scratchCheckpoint("q23")
     val q = stream.writeStream
       .format("memory")
       .queryName(name)
       .outputMode("complete")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt)
     s.table(name)
       .select(
         col("window.start").cast("string").as("h"),
@@ -51,22 +102,31 @@ object StreamingQueries {
     * against the same DuckDB oracle as the batch lag-based q25 — three
     * independent implementations of the same semantics must agree.
     */
-  def q25Stream(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet").schema
+  def q25Stream(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    val raw = eventsSchema(s, dir)
     val name = s"q25_stream_${System.nanoTime()}"
+    val ckpt = scratchCheckpoint("q25")
     val q = s.readStream
       .schema(raw)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+      // Boundary semantics verified empirically (sf0.01 has exact-gap
+      // ties): session_window MERGES sessions whose ranges touch — an
+      // event at exactly prev + 30min stays in the same session, i.e.
+      // "new session iff gap > 30min". That is exactly the batch/
+      // oracle lag predicate `ts > prev + 30min`, so the two agree on
+      // ties; a "+1s gap" adjustment would actually break them apart.
       .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    deleteRecursively(ckpt)
     s.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"))

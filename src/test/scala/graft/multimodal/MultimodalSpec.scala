@@ -27,6 +27,33 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("decode reads real PNG dimensions via ImageIO") {
+    import scala.jdk.CollectionConverters._
+    // an actual PNG fixture, 23x7 RGB, built with the JDK encoder
+    val img = new java.awt.image.BufferedImage(23, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "image", bos.toByteArray)
+    ).asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, media_type STRING, content BINARY"))
+    val d = Multimodal.decode(df).collect().head
+    assert(d.getInt(2) == 23 && d.getInt(3) == 7)
+    assert(d.getInt(4) == 3) // RGB components
+    assert(d.getBoolean(5))
+    // the synthetic corpus's image rows are real PNGs too: decoded
+    // dimensions match the generator exactly, not a byte-hash fake
+    val imgRows = Multimodal.decode(media.filter(col("media_type") === "image"))
+      .collect()
+    assert(imgRows.nonEmpty)
+    imgRows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == 12 + (id % 9).toInt)
+      assert(r.getInt(3) == 8 + (id % 7).toInt)
+    }
+  }
+
   test("decode flags undecodable content instead of failing") {
     import scala.jdk.CollectionConverters._
     val bad = spark.createDataFrame(Seq(
@@ -52,10 +79,22 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 6)
   }
 
-  test("resize produces exactly w*h bytes per row") {
-    val r = Multimodal.resize(media, 8, 4).collect()
-    assert(r.forall(_.getAs[Array[Byte]](1).length == 32))
-    assert(r.forall(x => x.getInt(2) == 8 && x.getInt(3) == 4))
+  test("resize really scales images; non-images resample to w*h bytes") {
+    val r = Multimodal.resize(media, 8, 4)
+    assert(r.collect().forall(x => x.getInt(2) == 8 && x.getInt(3) == 4))
+    // image rows: output is a real PNG that decodes to the new size
+    val scaledImgs = Multimodal.decode(
+      r.join(media.select(col("media_id"), col("media_type")), "media_id")
+        .filter(col("media_type") === "image")
+        .select(col("media_id"), col("media_type"), col("content")))
+      .collect()
+    assert(scaledImgs.nonEmpty)
+    assert(scaledImgs.forall(x =>
+      x.getBoolean(5) && x.getInt(2) == 8 && x.getInt(3) == 4))
+    // non-image rows: deterministic byte resample, exactly w*h bytes
+    val other = r.join(media.select(col("media_id"), col("media_type")), "media_id")
+      .filter(col("media_type") =!= "image").collect()
+    assert(other.forall(_.getAs[Array[Byte]](1).length == 32))
   }
 
   test("sampleFrames explodes every Nth frame for videos only") {
