@@ -61,13 +61,25 @@ object Flows extends org.apache.spark.internal.Logging {
 
     val stream: DataFrame = inBlock.typ match {
       case "amqp" | "mq" =>
+        val exchangeName = kin.getOrElse("exchange",
+          throw new IllegalArgumentException("flow input needs an exchange")).toString
+        val brokerUrl = kin.get("broker").orElse(inBlock.kwargs.get("broker"))
+          .map(_.toString)
+        // exchange_declare kwargs passthrough (reference amqp.py:55-78):
+        // declared on bind, before the stream starts consuming
+        kin.get("exchange_declare_kwargs").foreach {
+          case m: java.util.Map[_, _] =>
+            import scala.jdk.CollectionConverters._
+            graft.sources.Broker.declare(exchangeName, brokerUrl,
+              m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap)
+          case other => throw new IllegalArgumentException(
+            s"exchange_declare_kwargs must be a map, got ${other.getClass.getSimpleName}")
+        }
         val r = spark.readStream.format("graftmq")
-          .option("exchange", kin.getOrElse("exchange",
-            throw new IllegalArgumentException("flow input needs an exchange")).toString)
+          .option("exchange", exchangeName)
           .option("maxMessagesPerTrigger", cfg.sizeLimit.toString)
         // cross-process transport: block-level `broker: tcp://host:port`
-        kin.get("broker").orElse(inBlock.kwargs.get("broker"))
-          .foreach(b => r.option("broker", b.toString))
+        brokerUrl.foreach(b => r.option("broker", b))
         r.load()
       case "file" =>
         val dir = inBlock.kwargs("path").toString

@@ -60,6 +60,19 @@ final class BrokerClient(host: String, port: Int, exchange: String)
   override def ack(until: Long): Unit = { simple(s"ACK $exchange $until"); () }
   override def nack(): Unit = { simple(s"NACK $exchange"); () }
   override def nackCount: Long = simple(s"NACKCOUNT $exchange")(1).toLong
+
+  /** Exchange-declare kwargs passthrough (reference amqp.py:55-78). */
+  def declare(kwargs: Map[String, String]): Unit = {
+    val kv = kwargs.map { case (k, v) => s"$k=${b64e(v)}" }.toSeq.sorted
+    simple(("DECLARE" +: exchange +: kv).mkString(" ")); ()
+  }
+
+  /** Kwargs recorded by a prior declare (empty if none). */
+  def declared: Map[String, String] =
+    simple(s"DECLARED $exchange").drop(1).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> b64d(kv.substring(i + 1))
+    }.toMap
 }
 
 /** Resolves the transport for an exchange from the source's `broker`
@@ -74,6 +87,20 @@ object Broker {
       case None                  => MemoryBroker.exchange(exchange)
       case Some(TcpUrl(h, p))    => new BrokerClient(h, p.toInt, exchange)
       case Some(other)           =>
+        throw new IllegalArgumentException(
+          s"unsupported broker url '$other' (expected tcp://host:port)")
+    }
+
+  /** Declare-with-kwargs against whichever transport serves the
+    * exchange (the reference declares on bind, amqp.py:70).
+    */
+  def declare(exchange: String, brokerUrl: Option[String],
+      kwargs: Map[String, String]): Unit =
+    brokerUrl match {
+      case None => MemoryBroker.declare(exchange, kwargs)
+      case Some(TcpUrl(h, p)) =>
+        new BrokerClient(h, p.toInt, exchange).declare(kwargs)
+      case Some(other) =>
         throw new IllegalArgumentException(
           s"unsupported broker url '$other' (expected tcp://host:port)")
     }

@@ -24,8 +24,18 @@ import java.util.concurrent.ConcurrentHashMap
   *   ACK <exchange> <until>                        -> OK
   *   NACK <exchange>                               -> OK
   *   NACKCOUNT <exchange>                          -> OK <n>
+  *   DECLARE <exchange> [k=<b64 v> ...]            -> OK
+  *   DECLARED <exchange>                           -> OK [k=<b64 v> ...]
   *   PING                                          -> OK
   * }}}
+  *
+  * DECLARE mirrors the reference's `exchange_declare(**kwargs)`
+  * passthrough (reference amqp.py:55-78): kwargs are recorded on the
+  * exchange; `durable` maps to this broker's real durability axis —
+  * `durable=false` creates the exchange WITHOUT a WAL even when the
+  * server has one (gone on restart), `durable=true` (and the default)
+  * uses the server's WAL dir. Re-declares are idempotent (first one
+  * wins), like the reference's signal cache.
   * Malformed requests answer `ERR <reason>` and keep the connection.
   *
   * Durability: pass a WAL dir and every exchange's un-acked suffix
@@ -33,6 +43,7 @@ import java.util.concurrent.ConcurrentHashMap
   */
 final class BrokerServer(port: Int, walDir: Option[Path]) {
   private val exchanges = new ConcurrentHashMap[String, ExchangeLog]()
+  private val declaredKwargs = new ConcurrentHashMap[String, Map[String, String]]()
   private val server = new ServerSocket(port)
   @volatile private var running = true
 
@@ -40,6 +51,13 @@ final class BrokerServer(port: Int, walDir: Option[Path]) {
 
   private def log(name: String): ExchangeLog =
     exchanges.computeIfAbsent(name, n => new ExchangeLog(n, walDir))
+
+  private def declare(name: String, kwargs: Map[String, String]): Unit = {
+    declaredKwargs.putIfAbsent(name, kwargs)
+    val dir = if (kwargs.get("durable").exists(_.equalsIgnoreCase("false")))
+      None else walDir
+    exchanges.computeIfAbsent(name, n => new ExchangeLog(n, dir)): Unit
+  }
 
   private def b64d(s: String) = new String(Base64.getDecoder.decode(s), UTF_8)
 
@@ -91,6 +109,18 @@ final class BrokerServer(port: Int, walDir: Option[Path]) {
     case "ACK"       => log(parts(1)).ack(parts(2).toLong); out.println("OK")
     case "NACK"      => log(parts(1)).nack(); out.println("OK")
     case "NACKCOUNT" => out.println(s"OK ${log(parts(1)).nackCount}")
+    case "DECLARE" =>
+      val kwargs = parts.drop(2).map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i) -> b64d(kv.substring(i + 1))
+      }.toMap
+      declare(parts(1), kwargs)
+      out.println("OK")
+    case "DECLARED" =>
+      val enc = Base64.getEncoder
+      val kv = declaredKwargs.getOrDefault(parts(1), Map.empty)
+        .map { case (k, v) => s"$k=${enc.encodeToString(v.getBytes(UTF_8))}" }
+      out.println(("OK" +: kv.toSeq.sorted).mkString(" "))
     case "PING"      => out.println("OK")
     case other       => out.println(s"ERR unknown command $other")
   }

@@ -26,6 +26,25 @@ object MemoryBroker {
   def exchange(name: String): ExchangeLog =
     exchanges.computeIfAbsent(name, n => new ExchangeLog(n, walDir))
 
+  private val declaredKwargs =
+    new ConcurrentHashMap[String, Map[String, String]]()
+
+  /** Exchange-declare kwargs passthrough (reference amqp.py:55-78):
+    * kwargs are recorded; `durable=false` creates the exchange without
+    * a WAL even when persistence is enabled. Idempotent like the
+    * reference's signal cache.
+    */
+  def declare(name: String, kwargs: Map[String, String]): Unit = {
+    declaredKwargs.putIfAbsent(name, kwargs)
+    val dir = if (kwargs.get("durable").exists(_.equalsIgnoreCase("false")))
+      None else walDir
+    exchanges.computeIfAbsent(name, n => new ExchangeLog(n, dir)): Unit
+  }
+
+  /** Kwargs recorded by a prior [[declare]] (empty if none). */
+  def declared(name: String): Map[String, String] =
+    declaredKwargs.getOrDefault(name, Map.empty)
+
   def publish(exchangeName: String, msg: String,
       contentType: String = "application/json"): Long =
     exchange(exchangeName).publish(msg, contentType)

@@ -70,6 +70,42 @@ class FlowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exchange_declare_kwargs from YAML reach the broker (R2)") {
+    val url = "jdbc:derby:memory:decldb;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE dummy (v VARCHAR(10))")
+    c.close()
+    val cfg = Config.parseString(
+      s"""size_limit: 4
+         |time_limit: 1
+         |blocks:
+         |  - name: in
+         |    type: amqp
+         |    kwargs: {}
+         |  - name: out
+         |    type: sql
+         |    kwargs:
+         |      url: '$url'
+         |flows:
+         |  - - name: in
+         |      kwargs:
+         |        exchange: decl_flow_ex
+         |        exchange_declare_kwargs:
+         |          exchange_type: fanout
+         |          durable: 'true'
+         |    - name: out
+         |      kwargs:
+         |        query: "INSERT INTO dummy (v) VALUES (:v)"
+         |        parameters:
+         |          v: v
+         |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("decl-ckpt").toString
+    val q = Flows.startFlow(spark, cfg, cfg.flows.head, ckpt, "decl_flow")
+    try assert(MemoryBroker.declared("decl_flow_ex") ==
+      Map("exchange_type" -> "fanout", "durable" -> "true"))
+    finally q.stop()
+  }
+
   test("non-JSON content type is warned about but forwarded (R3 first half)") {
     val url = "jdbc:derby:memory:ctdb;create=true"
     val c = DriverManager.getConnection(url)

@@ -130,6 +130,31 @@ class BrokerServerSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  test("declare kwargs pass through; durable=false skips the WAL") {
+    val wal = tmp("decl-wal")
+    val srv1 = new BrokerServer(0, Some(wal))
+    val c1d = new BrokerClient("localhost", srv1.boundPort, "decl_durable")
+    val c1t = new BrokerClient("localhost", srv1.boundPort, "decl_transient")
+    c1d.declare(Map("exchange_type" -> "fanout"))          // durable default
+    c1t.declare(Map("durable" -> "false", "exchange_type" -> "topic"))
+    assert(c1d.declared == Map("exchange_type" -> "fanout"))
+    assert(c1t.declared ==
+      Map("durable" -> "false", "exchange_type" -> "topic"))
+    c1d.publish("""{"keep":1}""")
+    c1t.publish("""{"gone":1}""")
+    // re-declare is idempotent, first kwargs win (reference signal cache)
+    c1t.declare(Map("durable" -> "true"))
+    assert(c1t.declared("durable") == "false")
+    srv1.stop()
+    val srv2 = new BrokerServer(0, Some(wal))
+    try {
+      val c2d = new BrokerClient("localhost", srv2.boundPort, "decl_durable")
+      val c2t = new BrokerClient("localhost", srv2.boundPort, "decl_transient")
+      assert(c2d.latest == 1L) // durable exchange survived the restart
+      assert(c2t.latest == 0L) // transient one did not
+    } finally srv2.stop()
+  }
+
   test("broker runs as a separate OS process (own JVM, no Spark)") {
     val scalaLib = new java.io.File("/opt/spark/jars").listFiles()
       .filter(_.getName.startsWith("scala-library")).head.getPath
