@@ -66,23 +66,28 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // cached: consumed 3x (sizes + both join sides) — without this the
-    // whole shingling pipeline re-executes per consumer
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // hash IMMEDIATELY: every downstream shuffle (df counting, the
+    // posting cut join, pair counting) moves 8-byte shingle hashes, not
+    // shingle strings (64-bit collisions are ~p=1e-8 at 1M distinct
+    // shingles — negligible against the join-width saving at scale).
+    // cached: consumed 3x (df + posting join + sizes).
+    val hashed = shingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh")).cache()
+    // the cut is an ANTI-join against the HOT set (df > maxDocFreq):
+    // hot shingles are few by definition (stopword-like), so the join's
+    // build side stays small at any corpus scale — the inner-join
+    // formulation against the non-hot set would build over essentially
+    // every distinct shingle
     val posting =
-      if (maxDocFreq == Long.MaxValue) sh
+      if (maxDocFreq == Long.MaxValue) hashed
       else {
-        val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-          .filter(col("_df") <= maxDocFreq)
-        sh.join(df, "shingle").drop("_df")
+        val hot = hashed.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select(col("sh"))
+        hashed.join(hot, Seq("sh"), "left_anti")
       }
     val sizes = posting.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // shuffle 8-byte shingle hashes, not shingle strings (64-bit
-    // collisions are ~p=1e-8 at 1M distinct shingles — negligible
-    // against the join-width saving at scale)
-    val hashed = posting.select(col("id"), xxhash64(col("shingle")).as("sh"))
-    val a = hashed.select(col("id").as("a"), col("sh"))
-    val b = hashed.select(col("id").as("b"), col("sh"))
+    val a = posting.select(col("id").as("a"), col("sh"))
+    val b = posting.select(col("id").as("b"), col("sh"))
     val inter = a.join(b, Seq("sh"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))

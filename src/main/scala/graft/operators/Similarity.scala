@@ -60,7 +60,7 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val c = graft.engine.Par.widen(corpus)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         normSq(col(vecCol)).as("cn")).cache()
@@ -69,19 +69,38 @@ object Similarity {
     var centroids = c.orderBy("cid").limit(nCentroids)
       .select(col("cid").as("ctr"), col("cv").as("cvec"))
 
-    def nearest(df: DataFrame, vec: String, out: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(col("__id"))
+    /** Argmin centroid as a hash aggregation, NOT a window: min over
+      * struct(dist, ctr) is partial-aggregatable (map-side combine of
+      * the nCentroids-wide expansion), where a window would sort the
+      * whole expansion per id. Ties break on ctr via the struct order —
+      * identical result to ORDER BY (dist, ctr) LIMIT 1.
+      */
+    def nearest1(df: DataFrame, id: String, vec: String,
+        carry: Seq[String], out: String): DataFrame = {
+      val payload = struct(
+        l2Dist(col(vec), col("cvec")).as("d") +: col("ctr").as("ctr") +:
+          carry.map(col): _*)
+      df.crossJoin(broadcast(centroids))
+        .groupBy(col(id))
+        .agg(min(payload).as("s"))
+        .select(col(id) +: carry.map(f => col(s"s.$f").as(f)) :+
+          col("s.ctr").as(out): _*)
+    }
+
+    /** Top-nProbe centroids (query side only — tiny input, window ok). */
+    def nearestN(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
         .orderBy(col("__d").asc, col("ctr"))
       df.crossJoin(broadcast(centroids))
         .withColumn("__d", l2Dist(col(vec), col("cvec")))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= n)
-        .withColumnRenamed("ctr", out)
+        .withColumnRenamed("ctr", "pctr")
         .drop("cvec", "__d", "__rn")
     }
 
     for (_ <- 1 to iters) {
-      val assigned = nearest(c.withColumn("__id", col("cid")), "cv", "actr", 1)
+      val assigned = nearest1(c, "cid", "cv", Seq("cv"), "actr")
       // localCheckpoint: centroids are nCentroids tiny rows — truncate
       // the lineage so iteration i doesn't recompute iterations 1..i-1
       centroids = assigned
@@ -93,11 +112,10 @@ object Similarity {
         .localCheckpoint(true)
     }
 
-    val corpusAssigned = nearest(c.withColumn("__id", col("cid")), "cv", "actr", 1)
-      .select(col("cid"), col("cv"), col("cn"), col("actr").as("bucket"))
+    val corpusAssigned = nearest1(c, "cid", "cv", Seq("cv", "cn"), "bucket")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
-    val probes = nearest(q.withColumn("__id", col("qid")), "qv", "pctr", nProbe)
+    val probes = nearestN(q, "qid", "qv", nProbe)
       .select(col("qid"), col("qv"), col("qn"), col("pctr").as("bucket"))
 
     val w = Window.partitionBy(col("qid"))
@@ -133,22 +151,26 @@ object Similarity {
           hyperplaneBucket(col(vecCol), nPlanes, seed = 1000 * t).as(s"bkt$t")): _*)
     val q = bucketed(queries, "qid", "qv", "qn").cache()
     val c = bucketed(graft.engine.Par.widen(corpus), "cid", "cv", "cn").cache()
-    // candidate pairs carry ids ONLY through the union+distinct shuffle
-    // (16 bytes/row, not two 64-float vectors); vectors re-attach after
-    val candidateIds = (0 until tables).map { tb =>
-      val base = q.select(col("qid"), col(s"bkt$tb"))
-      // all bit-flip masks of Hamming weight <= probeRadius (weight 0 =
-      // the query's own bucket); tiny driver-side enumeration
-      val masks: Seq[Long] = (0 to probeRadius).flatMap(w =>
-        (0 until nPlanes).combinations(w)
-          .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
-      val probed =
-        if (probeRadius <= 0) base
-        else base.select(col("qid"), explode(array(masks.map(m =>
-          col(s"bkt$tb").bitwiseXOR(lit(m))): _*)).as(s"bkt$tb"))
-      c.join(broadcast(probed), Seq(s"bkt$tb"))
-        .select(col("qid"), col("cid"))
-    }.reduce(_ unionByName _).distinct()
+    // all bit-flip masks of Hamming weight <= probeRadius (weight 0 =
+    // the query's own bucket); tiny driver-side enumeration
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(w =>
+      (0 until nPlanes).combinations(w)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    val allBkts = (0 until tables).map(t => col(s"bkt$t"))
+    // ONE posting-list join instead of `tables` separate join stages:
+    // the corpus explodes to (table, bucket, cid) id-only rows — 24
+    // bytes/row, the standard inverted-index materialization — and the
+    // query side (broadcast) explodes to its full multi-probe ball.
+    // Candidate pairs carry ids ONLY through the distinct shuffle;
+    // vectors re-attach after.
+    val cLong = c.select(col("cid"),
+      posexplode(array(allBkts: _*))).toDF("cid", "tb", "bkt")
+    val qLong = q.select(col("qid"), posexplode(array(allBkts: _*)))
+      .toDF("qid", "tb", "bkt0")
+      .select(col("qid"), col("tb"), explode(array(masks.map(m =>
+        col("bkt0").bitwiseXOR(lit(m))): _*)).as("bkt"))
+    val candidateIds = cLong.join(broadcast(qLong), Seq("tb", "bkt"))
+      .select(col("qid"), col("cid")).distinct()
       .filter(col("qid") =!= col("cid"))
     val candidates = candidateIds
       .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), Seq("qid"))
