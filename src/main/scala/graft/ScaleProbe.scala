@@ -43,11 +43,24 @@ object ScaleProbe {
     t("minhash_pairs")(graft.operators.Dedup.minHashPairs(
       d, "doc_id", "text", 3, 0.5).count())
     t("simhash")(graft.operators.Dedup.simHash(d, "doc_id", "text").count())
-    t("jaccard_prefix")(graft.operators.Dedup.jaccardPairsPrefix(
+    t("jaccard_cut")(graft.operators.Dedup.jaccardPairs(
+      d, "doc_id", "text", 3, 0.5, maxDocFreq = 50).count())
+    t("jaccard_prefix_t08")(graft.operators.Dedup.jaccardPairsPrefix(
+      d, "doc_id", "text", 3, 0.8).count())
+    t("jaccard_prefix_t05")(graft.operators.Dedup.jaccardPairsPrefix(
       d, "doc_id", "text", 3, 0.5).count())
     t("lsh_topk")(graft.operators.Similarity.lshTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 3).count())
     t("wordcount")(graft.operators.TextOps.wordCounts(d, "text").count())
+    t("packing")({
+      val toks = d.select(col("doc_id"),
+        size(graft.operators.TextOps.regexTokens(col("text")))
+          .cast("bigint").as("n_tokens"))
+      graft.operators.Packing.byTokenOffset(toks, "doc_id", "n_tokens",
+        budget = 2048).count()
+    })
+    t("curation")(graft.operators.CurationPipeline
+      .curate(d, "doc_id", "text").count())
     spark.stop()
   }
 }

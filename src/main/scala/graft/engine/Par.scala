@@ -7,22 +7,25 @@ import org.apache.spark.sql.DataFrame
   * a small parquet file arrives as 1-2 partitions, which would serialize
   * the whole operator on one core.
   *
-  * `widen` repartitions ONLY when the input is narrower than the
-  * cluster's parallelism — at real scale (file splits >> cores) it is a
-  * no-op, so it never adds a shuffle to the 100 TB plan; round-robin
-  * (not keyed) because the caller's next op re-shuffles by its own key
-  * anyway.
+  * `widen` repartitions ONLY when the input is smaller than the
+  * cluster's parallelism × files.maxPartitionBytes — i.e. when the scan
+  * cannot possibly have produced `defaultParallelism` splits. At real
+  * scale (file bytes >> cores × split size) it is a no-op, so it never
+  * adds a shuffle to the 100 TB plan; round-robin (not keyed) because
+  * the caller's next op re-shuffles by its own key anyway.
+  *
+  * The decision reads the optimizer's byte statistics (actual file
+  * sizes for relations) — NOT `df.rdd`/`executedPlan`, which force a
+  * throwaway physical planning, and NOT `outputPartitioning`, which is
+  * `UnknownPartitioning(0)` under AQE for every unexecuted plan.
   */
 object Par {
-  /** Partition count read off the EXECUTED plan's output partitioning —
-    * `df.rdd` would force a second, throwaway physical planning of the
-    * whole query (and an RDD conversion) just to ask this question.
-    */
-  private def planPartitions(df: DataFrame): Int =
-    df.queryExecution.executedPlan.outputPartitioning.numPartitions
-
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (planPartitions(df) < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeInBytes < BigInt(maxPartitionBytes) * target) df.repartition(target)
+    else df
   }
 }
