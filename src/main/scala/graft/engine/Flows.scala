@@ -119,15 +119,21 @@ object Flows extends org.apache.spark.internal.Logging {
             SqlSink.idempotentForeachBatch(url, query, mapping, name,
               jsonCol, deadLetter)
           else SqlSink.foreachBatch(url, query, mapping, jsonCol, deadLetter)
-        (batch: DataFrame, id: Long) => {
-          warnNonJsonContentType(batch)
-          val valid = jsonCol.fold(batch)(c => validJson(batch, c))
-          jsonCol.foreach { c =>
-            val bad = invalidJson(batch, c)
-            deadLetter.foreach(d => if (!bad.isEmpty)
-              bad.write.mode("append").parquet(s"$d/corrupt"))
-          }
-          sink(valid, id)
+        (batch0: DataFrame, id: Long) => {
+          // the writer runs up to three actions over the micro-batch
+          // (content-type warn, dead-letter split, the sink) — cache it
+          // once instead of re-reading the source per action
+          val batch = batch0.persist()
+          try {
+            warnNonJsonContentType(batch)
+            val valid = jsonCol.fold(batch)(c => validJson(batch, c))
+            jsonCol.foreach { c =>
+              val bad = invalidJson(batch, c)
+              deadLetter.foreach(d => if (!bad.isEmpty)
+                bad.write.mode("append").parquet(s"$d/corrupt"))
+            }
+            sink(valid, id)
+          } finally { batch.unpersist(); () }
         }
       case "parquet" =>
         val path = outBlock.kwargs("path").toString

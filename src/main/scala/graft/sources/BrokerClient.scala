@@ -24,7 +24,8 @@ final class BrokerClient(host: String, port: Int, exchange: String)
     val sock = new Socket(host, port)
     try {
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
-      val out = new PrintWriter(sock.getOutputStream, false)
+      val out = new PrintWriter(
+        new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8), false)
       f(in, out)
     } finally sock.close()
   }

@@ -78,7 +78,8 @@ final class BrokerServer(port: Int, walDir: Option[Path]) {
 
   private def serve(sock: Socket): Unit = {
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
-    val out = new PrintWriter(sock.getOutputStream, false)
+    val out = new PrintWriter(
+      new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8), false)
     try {
       var line = in.readLine()
       while (line != null) {

@@ -81,7 +81,10 @@ class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long],
     brokerUrl: Option[String], rowsPerPartition: Int)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
-  private val log: BrokerLog = Broker.log(exchangeName, brokerUrl)
+  // def, not val: the in-JVM transport must re-resolve the exchange so
+  // a broker reset between stream construction and use (tests simulate
+  // restarts this way) is observed rather than served from a stale ref
+  private def log: BrokerLog = Broker.log(exchangeName, brokerUrl)
   // Trigger.AvailableNow: pin the end of the backlog at start; batches
   // still respect the size cap, the stream stops at the pinned target.
   @volatile private var availableTarget: Option[Long] = None
