@@ -20,7 +20,8 @@ object MakeGolden {
     * `read_parquet` oracles in [[graft.queries.AnalyticsQueries]]).
     */
   val goldenQueries: Seq[String] =
-    Seq("q29_minhash", "q30_simhash", "q36_lsh_topk", "q38_ivf_topk")
+    Seq("q29_minhash", "q30_simhash", "q36_lsh_topk", "q38_ivf_topk",
+      "q48_simhash_pairs", "q49_embed_pairs_lsh")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

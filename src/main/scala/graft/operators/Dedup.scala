@@ -277,6 +277,42 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup PAIRS: all (a, b) with
+    * Hamming(simhash(a), simhash(b)) <= maxHamming — the classic
+    * web-scale near-dup join over bit fingerprints.
+    *
+    * Blocking is exact by pigeonhole: split the 64-bit fingerprint
+    * into maxHamming+1 bands; a pair within the Hamming budget differs
+    * in at most maxHamming bands, so it matches at least one band
+    * EXACTLY. Candidates come from a band-bucket equi-join (two longs
+    * per row), verification is one bit_count(xor) per candidate —
+    * no cross join, full recall (blocking loses nothing).
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val fp = simHash(docs, idCol, textCol).cache()
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val bands = (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 64 - lo else width
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
+    val banded = fp
+      .select(col("id"), col("simhash"), posexplode(array(bands: _*)))
+      .toDF("id", "fp", "band", "bkt")
+    banded.select(col("id").as("a"), col("fp").as("fpa"), col("band"), col("bkt"))
+      .join(banded.select(col("id").as("b"), col("fp").as("fpb"),
+        col("band"), col("bkt")), Seq("band", "bkt"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("fpa"), col("fpb")).distinct()
+      .withColumn("hamming", hamming(col("fpa"), col("fpb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))
+  }
+
   /** Streaming exact dedup: drop duplicate keys across micro-batches,
     * with state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark` — keys older than the delay are
@@ -300,6 +336,50 @@ object Dedup {
     val b = emb.select(col(idCol).as("b"), col(blockCol).as("blk"),
       col(vecCol).as("vb"), normSq(col(vecCol)).as("nb"))
     a.join(b, Seq("blk")).filter(col("a") < col("b"))
+      .withColumn("sim",
+        cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim") > threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Embedding near-dup pairs WITHOUT a natural blocking column:
+    * random-hyperplane LSH buckets are the block key. `tables`
+    * independent hashes; side A additionally probes its Hamming-ball
+    * (`probeRadius`) of buckets, so high-similarity pairs collide with
+    * probability ~1 while the pair space stays partitioned. Candidates
+    * carry ids only; vectors re-attach for the exact cosine verify.
+    * Approximate in recall (tune nPlanes/tables/probeRadius), exact in
+    * precision (every emitted pair really clears the threshold).
+    */
+  def embeddingPairsLsh(emb0: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 8, tables: Int = 8,
+      probeRadius: Int = 1): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineFromNorms, dot, normSq,
+      hyperplaneBucket}
+    val emb = graft.engine.Par.widen(emb0)
+    val e = emb.select(
+      col(idCol).as("id") +: col(vecCol).as("v") +:
+      normSq(col(vecCol)).as("n") +:
+      (0 until tables).map(t =>
+        hyperplaneBucket(col(vecCol), nPlanes, seed = 1000 * t).as(s"bkt$t")): _*)
+      .cache()
+    val allBkts = (0 until tables).map(t => col(s"bkt$t"))
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(w =>
+      (0 until nPlanes).combinations(w)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))))
+    val exact = e.select(col("id"), posexplode(array(allBkts: _*)))
+      .toDF("id", "tb", "bkt")
+    val probed = exact
+      .select(col("id"), col("tb"), explode(array(masks.map(m =>
+        col("bkt").bitwiseXOR(lit(m))): _*)).as("bkt"))
+    val candidates = probed.select(col("id").as("a"), col("tb"), col("bkt"))
+      .join(exact.select(col("id").as("b"), col("tb"), col("bkt")),
+        Seq("tb", "bkt"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    candidates
+      .join(e.select(col("id").as("a"), col("v").as("va"), col("n").as("na")), Seq("a"))
+      .join(e.select(col("id").as("b"), col("v").as("vb"), col("n").as("nb")), Seq("b"))
       .withColumn("sim",
         cosineFromNorms(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("sim") > threshold)

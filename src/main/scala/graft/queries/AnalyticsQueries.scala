@@ -87,6 +87,20 @@ object AnalyticsQueries {
       Dedup.simHash(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id")),
 
+    // SimHash near-dup pairs: band-blocked Hamming join, full recall
+    // (golden-parquet oracle: xxhash64-based)
+    "q48_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("a", "b")),
+
+    // embedding near-dup pairs, LSH-bucket blocked — no label column
+    // needed (golden-parquet oracle: engine-defined hyperplanes)
+    "q49_embed_pairs_lsh" -> ((s, d) =>
+      Dedup.embeddingPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35)
+        .orderBy("a", "b")),
+
     // text quality features
     "q31_quality" -> ((s, d) =>
       TextOps.qualityFeatures(t(s, d, "documents"), "doc_id", "text")
@@ -237,6 +251,8 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q29_minhash" -> golden("q29_minhash", "a, b, est_jac", "a, b"),
     "q30_simhash" -> golden("q30_simhash", "id, simhash", "id"),
+    "q48_simhash_pairs" -> golden("q48_simhash_pairs", "a, b, hamming", "a, b"),
+    "q49_embed_pairs_lsh" -> golden("q49_embed_pairs_lsh", "a, b, sim", "a, b"),
     "q36_lsh_topk" -> golden("q36_lsh_topk", "qid, cid, rn", "qid, rn"),
     "q38_ivf_topk" -> golden("q38_ivf_topk", "qid, cid, rn", "qid, rn"),
     "q24_dedup_distinct" ->

@@ -66,6 +66,40 @@ class DedupSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("simHashPairs equals the brute-force Hamming join (full recall)") {
+    val corpus = graft.engine.Tables(spark, sf, "documents")
+    for (budget <- Seq(0, 3)) {
+      val blocked = Dedup.simHashPairs(corpus, "doc_id", "text",
+          maxHamming = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fps = Dedup.simHash(corpus, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= budget
+      } yield (ia, ib, h.toLong)).toSet
+      assert(blocked == brute, s"budget=$budget")
+      if (budget == 0) assert(blocked.nonEmpty) // sf corpora carry exact dups
+    }
+  }
+
+  test("embeddingPairsLsh: exact duplicates always collide; precision exact") {
+    val emb = graft.engine.Tables(spark, sf, "embeddings")
+    // plant an exact duplicate pair with ids beyond the corpus
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(900001L).as("vec_id"), col("embedding"), col("label"))
+      .unionByName(emb.filter(col("vec_id") === 0)
+        .select(lit(900002L).as("vec_id"), col("embedding"), col("label")))
+    val r = Dedup.embeddingPairsLsh(emb.unionByName(dup),
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // identical vectors share every bucket => guaranteed candidate
+    assert(r.exists(p => p._1 == 900001L && p._2 == 900002L && p._3 == 1.0))
+    assert(r.exists(p => p._1 == 0L && (p._2 == 900001L || p._2 == 900002L)))
+    // precision: every emitted pair really clears the threshold
+    assert(r.forall(_._3 > 0.9))
+  }
+
   test("minHash LSH candidates cover all true near-dup pairs (recall)") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
       .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet

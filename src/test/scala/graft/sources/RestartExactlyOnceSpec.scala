@@ -45,8 +45,9 @@ class RestartExactlyOnceSpec extends SparkSpec {
     }
 
     // phase 1: process part of the backlog, then kill abruptly
+    // (generous deadlines: this spec shares the box with 30+ suites)
     val q1 = run()
-    val deadline1 = System.currentTimeMillis() + 30000
+    val deadline1 = System.currentTimeMillis() + 90000
     while (count() < 3 && System.currentTimeMillis() < deadline1)
       Thread.sleep(100)
     q1.stop() // kill (ideally mid-backlog; timing-dependent — if the
@@ -58,7 +59,7 @@ class RestartExactlyOnceSpec extends SparkSpec {
     // absorbed by the idempotent sink, the rest of the backlog drains
     val q2 = run()
     try {
-      val deadline2 = System.currentTimeMillis() + 30000
+      val deadline2 = System.currentTimeMillis() + 90000
       while (count() < 10 && System.currentTimeMillis() < deadline2)
         Thread.sleep(100)
       assert(count() == 10, s"expected exactly 10, got ${count()}")
