@@ -49,6 +49,10 @@ object ScaleProbe {
       d, "doc_id", "text", 3, 0.8).count())
     t("jaccard_prefix_t05")(graft.operators.Dedup.jaccardPairsPrefix(
       d, "doc_id", "text", 3, 0.5).count())
+    t("simhash_pairs")(graft.operators.Dedup.simHashPairs(
+      d, "doc_id", "text", maxHamming = 3).count())
+    t("embed_pairs_lsh")(graft.operators.Dedup.embeddingPairsLsh(
+      e, "vec_id", "embedding", threshold = 0.9).count())
     t("lsh_topk")(graft.operators.Similarity.lshTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 3).count())
     t("wordcount")(graft.operators.TextOps.wordCounts(d, "text").count())
