@@ -21,7 +21,11 @@ final class BrokerClient(host: String, port: Int, exchange: String)
   private def b64d(s: String) = new String(Base64.getDecoder.decode(s), UTF_8)
 
   private def withConn[T](f: (BufferedReader, PrintWriter) => T): T = {
-    val sock = new Socket(host, port)
+    // bounded waits: a hung/partitioned broker must fail the Spark task
+    // (which then retries) rather than block it forever
+    val sock = new Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), 10000)
+    sock.setSoTimeout(60000)
     try {
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
       val out = new PrintWriter(
