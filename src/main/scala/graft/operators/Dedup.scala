@@ -303,14 +303,17 @@ object Dedup {
     val banded = fp
       .select(col("id"), col("simhash"), posexplode(array(bands: _*)))
       .toDF("id", "fp", "band", "bkt")
+    // the Hamming verify is a per-row bit_count on the joined rows —
+    // apply it BEFORE the distinct so non-qualifying candidates never
+    // enter the pair shuffle
     banded.select(col("id").as("a"), col("fp").as("fpa"), col("band"), col("bkt"))
       .join(banded.select(col("id").as("b"), col("fp").as("fpb"),
         col("band"), col("bkt")), Seq("band", "bkt"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("fpa"), col("fpb")).distinct()
       .withColumn("hamming", hamming(col("fpa"), col("fpb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))
+      .distinct()
   }
 
   /** Streaming exact dedup: drop duplicate keys across micro-batches,
