@@ -142,6 +142,17 @@ object CoreQueries {
     "q14_distinct" -> ((s, d) => t(s, d, "events")
       .agg(countDistinct(col("user_id")).as("du"))),
 
+    // Q50 — exact percentiles per group (linear interpolation; Spark
+    // percentile == DuckDB quantile_cont). approx_percentile is the
+    // engine-only scale path, certified within 5% in SketchSpec
+    "q50_percentiles" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("q25"))
+      .orderBy("l_returnflag")),
+
     // Q15/Q16 — rollup / cube
     "q15_rollup" -> ((s, d) => t(s, d, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -357,6 +368,11 @@ object CoreQueries {
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->
       "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type, COUNT(*) AS c, ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY h, event_type",
+    "q50_percentiles" ->
+      ("SELECT l_returnflag, ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50, " +
+       "ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95, " +
+       "ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25 " +
+       "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
     "q42_pivot" ->
       ("SELECT user_id % 10 AS ub, " +
        "COUNT(*) FILTER (WHERE event_type = 'click') AS click, " +
