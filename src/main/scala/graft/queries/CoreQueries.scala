@@ -148,8 +148,12 @@ object CoreQueries {
     "q50_percentiles" -> ((s, d) => t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.95)), 4).as("p95"),
+        // array form: one value buffer serves both price percentiles
+        // (identical aggregate expressions are planned once)
+        round(element_at(percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95))), 1), 4).as("p50"),
+        round(element_at(percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95))), 2), 4).as("p95"),
         round(percentile(col("l_quantity"), lit(0.25)), 4).as("q25"))
       .orderBy("l_returnflag")),
 
