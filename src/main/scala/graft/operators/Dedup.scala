@@ -194,6 +194,39 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Eval-set decontamination (GPT-3-style n-gram overlap filtering):
+    * annotate every training document with the fraction of its n-gram
+    * shingles that appear ANYWHERE in the eval corpus, and keep docs
+    * under `maxOverlapFrac`.
+    *
+    * Plan shape: the eval n-gram set is tiny relative to the training
+    * corpus (benchmarks are small by definition) — it is distinct'd to
+    * 8-byte hashes and BROADCAST, so the training side is one narrow
+    * pass (shingle explode -> broadcast semi-match -> per-doc count);
+    * the training corpus is never shuffled by shingle.
+    *
+    * Returns the training rows + (`overlap_frac`, `contaminated`);
+    * docs too short to shingle count as clean (overlap 0).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      maxOverlapFrac: Double): DataFrame = {
+    val evalGrams = shingles(eval, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    val trainSh = shingles(train, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val stats = trainSh
+      .join(broadcast(evalGrams).withColumn("_hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_sz"), sum(col("_hit")).as("_hits"))
+      .select(col("id").as(idCol),
+        round(coalesce(col("_hits"), lit(0)).cast("double") / col("_sz"), 4)
+          .as("overlap_frac"))
+    train.join(stats, Seq(idCol), "left")
+      .withColumn("overlap_frac", coalesce(col("overlap_frac"), lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") >= maxOverlapFrac)
+  }
+
   /** Deterministic 64-bit non-cryptographic hash of a shingle, built from
     * xxhash64 with a per-function salt — the standard MinHash family
     * h_i(x) = xxhash64(i, x).

@@ -214,6 +214,30 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("pred_lang")),
 
+    // eval-set decontamination: flag training docs sharing >= 30% of
+    // their trigrams with the (broadcast) eval corpus — here eval =
+    // every 97th doc, train = the rest
+    "q51_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.operators.Dedup.decontaminate(train, eval, "doc_id", "text",
+          n = 3, maxOverlapFrac = 0.3)
+        .select(col("doc_id"), col("overlap_frac"),
+          col("contaminated").cast("int").cast("bigint").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // duplicate-cluster assignment: connected components over the
+    // label-blocked embedding near-dup pair graph (q26's edges)
+    "q52_components" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding",
+        blockCol = "label", threshold = 0.35)
+      graft.operators.Components.connectedComponents(pairs, "a", "b")
+        .orderBy("id")
+    }),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -370,6 +394,28 @@ object AnalyticsQueries {
        "SELECT l.pred_lang, COUNT(*) AS c, SUM(t.n_tokens)::BIGINT AS total_tokens " +
        "FROM surv s JOIN lang l USING (doc_id) JOIN toks t USING (doc_id) " +
        "GROUP BY 1 ORDER BY pred_lang"),
+    "q51_decontaminate" ->
+      ("WITH words AS (" + wordsCte + "), " +
+       "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
+       "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), " +
+       "ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0), " +
+       "tr AS (SELECT * FROM sh WHERE id % 97 <> 0), " +
+       "stats AS (SELECT tr.id, COUNT(*) AS sz, COUNT(ev.shingle) AS hits " +
+       "FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.id) " +
+       "SELECT d.doc_id, COALESCE(ROUND(s.hits::DOUBLE / s.sz, 4), 0.0) AS overlap_frac, " +
+       "CASE WHEN COALESCE(ROUND(s.hits::DOUBLE / s.sz, 4), 0.0) >= 0.3 THEN 1 ELSE 0 END::BIGINT AS contaminated " +
+       "FROM documents d LEFT JOIN stats s ON d.doc_id = s.id " +
+       "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"),
+    "q52_components" ->
+      ("WITH RECURSIVE pairs AS (" +
+       "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b " +
+       "ON a.label = b.label AND a.vec_id < b.vec_id " +
+       "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35), " +
+       "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs), " +
+       "reach(id, comp) AS (" +
+       "SELECT src, src FROM edges " +
+       "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id) " +
+       "SELECT id, MIN(comp) AS comp FROM reach GROUP BY id ORDER BY id"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

@@ -100,6 +100,27 @@ class DedupSpec extends SparkSpec {
     assert(r.forall(_._3 > 0.9))
   }
 
+  test("decontaminate flags training docs overlapping the eval set") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+    val eval = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(100L, "the quick brown fox jumps over the lazy dog")
+    ).asJava, schema)
+    val train = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      org.apache.spark.sql.Row(2L, "an entirely unrelated document about engines"),
+      org.apache.spark.sql.Row(3L, "ok")                                           // too short to shingle
+    ).asJava, schema)
+    val r = Dedup.decontaminate(train, eval, "doc_id", "text",
+        n = 3, maxOverlapFrac = 0.3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Double]("overlap_frac"), x.getAs[Boolean]("contaminated"))).toMap
+    assert(r(1L) == ((1.0, true)))   // every trigram leaked
+    assert(r(2L) == ((0.0, false)))
+    assert(r(3L) == ((0.0, false))) // unshingleable counts as clean
+  }
+
   test("minHash LSH candidates cover all true near-dup pairs (recall)") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.7)
       .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
