@@ -117,7 +117,7 @@ object Flows extends org.apache.spark.internal.Logging {
         val sink =
           if (kout.get("idempotent").exists(_.toString.toBoolean))
             SqlSink.idempotentForeachBatch(url, query, mapping, name,
-              jsonCol, deadLetter)
+              jsonCol)
           else SqlSink.foreachBatch(url, query, mapping, jsonCol, deadLetter)
         (batch0: DataFrame, id: Long) => {
           // the writer runs up to three actions over the micro-batch

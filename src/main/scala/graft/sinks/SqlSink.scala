@@ -183,10 +183,15 @@ object SqlSink extends Logging {
     * marker would silently drop a *different* row subset — so the
     * batch is hash-repartitioned on every bind column into a fixed
     * `sinkPartitions` count, making pid a pure function of row values.
+    *
+    * Error contract (deliberately different from the R14 sink above):
+    * a failed batch RETHROWS, failing the micro-batch so the checkpoint
+    * does not advance and the restart replays it — log-and-drop here
+    * would be silent at-most-once. Deterministic poison input should be
+    * dead-lettered upstream (Flows' corrupt-JSON split), not here.
     */
   def idempotentForeachBatch(url: String, query: String, mapping: Mapping,
       flowId: String, jsonCol: Option[String] = None,
-      deadLetterDir: Option[String] = None,
       sinkPartitions: Int = 16): (DataFrame, Long) => Unit = {
     val (positional, paramOrder) = compile(query)
     ensureMarkerTable(url)
@@ -219,14 +224,26 @@ object SqlSink extends Logging {
                     case _: java.sql.SQLException => conn.rollback(); false
                   }
                 if (committed) {
-                  val st = conn.prepareStatement(positional)
-                  rows.foreach { r =>
-                    var i = 0
-                    while (i < n) { st.setObject(i + 1, r.get(i)); i += 1 }
-                    st.addBatch()
+                  try {
+                    val st = conn.prepareStatement(positional)
+                    rows.foreach { r =>
+                      var i = 0
+                      while (i < n) { st.setObject(i + 1, r.get(i)); i += 1 }
+                      st.addBatch()
+                    }
+                    st.executeBatch()
+                    conn.commit() // rows + marker atomically
+                  } catch {
+                    // roll back the open txn (marker + partial rows)
+                    // before close: Derby throws on closing a connection
+                    // with an active txn, which would mask the real error
+                    // and leave the marker-row lock held against the
+                    // task retry's INSERT
+                    case e: Throwable =>
+                      try conn.rollback()
+                      catch { case _: java.sql.SQLException => () }
+                      throw e
                   }
-                  st.executeBatch()
-                  conn.commit() // rows + marker atomically
                 }
               }
             } finally conn.close()
@@ -234,11 +251,17 @@ object SqlSink extends Logging {
           Iterator.empty
         }.count(): Unit
       } catch {
+        // Unlike the best-effort R14 sink above, a failed batch is NOT
+        // dropped here: rethrowing fails the micro-batch, the streaming
+        // checkpoint does not advance, and the restart replays the batch
+        // into the marker table — which is exactly what makes the retry
+        // safe. Log-and-drop in this path would silently convert a
+        // transient failure (interrupt, executor loss, SQL timeout) into
+        // permanent, checkpoint-committed data loss.
         case e: Exception =>
-          logError(s"Batch $batchId failed: ${e.getMessage}")
-          logError(s"Dropped batch $batchId (query: $query)")
-          deadLetterDir.foreach(d =>
-            batch.write.mode("append").parquet(s"$d/batch_$batchId"))
+          logError(s"Batch $batchId failed, will be replayed from " +
+            s"checkpoint: ${e.getMessage} (query: $query)")
+          throw e
       }
     }
   }

@@ -68,6 +68,30 @@ class IdempotentSinkSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("a failing batch rethrows; the replay writes everything, once") {
+    // transient-failure contract: the sink must FAIL the micro-batch
+    // (so the checkpoint does not advance), roll back its markers, and
+    // let the replay write the full batch — never log-and-drop
+    val s = spark
+    val df = s.createDataset((0 until 8).map(i => s"""{"v":"t$i"}"""))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val sink = SqlSink.idempotentForeachBatch(url,
+      "INSERT INTO tgt4 (v) VALUES (:v)",
+      SqlSink.Named(Seq("v" -> "v")), flowId = "f4", jsonCol = Some("value"))
+    // the target table does not exist yet -> every partition task throws
+    // after its marker INSERT; the rollback-before-close path must
+    // release the markers and the sink must rethrow
+    intercept[Exception] { sink(df, 5L) }
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE tgt4 (v VARCHAR(10))")
+    c.close()
+    // "restart": same batchId replays once the transient condition clears
+    sink(df, 5L)
+    assert(count("tgt4") == 8)
+    sink(df, 5L) // and a second replay is still a no-op
+    assert(count("tgt4") == 8)
+  }
+
   test("flows are isolated by flowId") {
     val c = DriverManager.getConnection(url)
     c.createStatement().execute("CREATE TABLE tgt2 (v VARCHAR(10))")
