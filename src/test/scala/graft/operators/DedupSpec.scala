@@ -58,6 +58,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardAuto picks the plan by threshold, same results either side") {
+    val docs01 = graft.engine.Tables(spark, sf, "documents")
+    // above the crossover: the prefix path (identifiable by its codegen
+    // merge-intersect kernel in the optimized plan)
+    val hi = Dedup.jaccardAuto(docs01, "doc_id", "text", 3, threshold = 0.8)
+    assert(hi.queryExecution.optimizedPlan.toString.contains(
+      "sortedlongintersect"), "t=0.8 should select the prefix plan")
+    // below: the inverted-index path (no merge-intersect kernel)
+    val lo = Dedup.jaccardAuto(docs01, "doc_id", "text", 3, threshold = 0.5)
+    assert(!lo.queryExecution.optimizedPlan.toString.contains(
+      "sortedlongintersect"), "t=0.5 should select the inverted index")
+    // both branches produce the exact relation
+    assert(hi.collect().map(_.toString).sorted.toSeq ==
+      Dedup.jaccardPairs(docs01, "doc_id", "text", 3, 0.8)
+        .collect().map(_.toString).sorted.toSeq)
+    // a posting cut is only meaningful on the inverted-index branch
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardAuto(docs01, "doc_id", "text", 3, 0.9, maxDocFreq = 5)
+    }
+  }
+
   test("maxDocFreq drops over-frequent shingles from the posting list") {
     val r = Dedup.jaccardPairs(docs, "doc_id", "text", n = 1,
       threshold = 0.01, maxDocFreq = 2)
