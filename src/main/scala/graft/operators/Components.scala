@@ -11,17 +11,29 @@ import org.apache.spark.sql.functions._
   * min id) per component — transitive closure, where pairwise
   * keep-lowest alone over-removes on chains.
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with its own id; each round every node takes the min of its
-  * own and its neighbors' labels; stop when no label changes. Each
-  * round is one equi-join + partial-aggregatable min — no driver-side
-  * graph state, O(diameter) rounds. Near-dup graphs are unions of
-  * near-cliques (tiny diameter), so convergence is a handful of
-  * rounds; `maxIters` bounds pathological chains. `localCheckpoint`
-  * per round truncates lineage so round i does not recompute rounds
-  * 1..i-1.
+  * Algorithm: min-label propagation with POINTER DOUBLING. Every node
+  * starts labeled with its own id; each round every node takes the min
+  * of (its label, its neighbors' labels, its label's label). The last
+  * term is the pointer-doubling shortcut: the distance a min label has
+  * travelled doubles each round, so a chain of diameter D converges in
+  * O(log D) rounds instead of O(D) — min-label alone would silently
+  * need `maxIters` ~ D (the adversarial case for dup graphs is long
+  * similarity chains). Labels stay inside the component throughout
+  * (initial label = own id; neighbor labels are component-internal;
+  * label-of-label therefore too), and at the fixpoint labels are
+  * constant along every edge, i.e. each component carries exactly its
+  * min id.
+  *
+  * Each round is two equi-joins + a partial-aggregatable min — no
+  * driver-side graph state. The convergence check rides the SAME job
+  * as the round's materialization via `observe()` (an accumulator-
+  * backed count of changed labels) — no extra per-round action.
+  * `localCheckpoint` per round truncates lineage so round i does not
+  * recompute rounds 1..i-1. Non-convergence within `maxIters` (only
+  * possible for diameter > 2^maxIters) logs a WARNING rather than
+  * returning silently-split components.
   */
-object Components {
+object Components extends org.apache.spark.internal.Logging {
 
   /** (id, comp) for every node incident to an edge; comp = min node id
     * reachable in the undirected closure.
@@ -44,17 +56,31 @@ object Components {
         .groupBy(col("src"))
         .agg(min(col("comp")).as("ncomp"))
         .select(col("src").as("id"), col("ncomp"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val changed = updated
-        .join(labels.select(col("id"), col("comp").as("_old")), "id")
-        .filter(col("comp") =!= col("_old")).count()
-      labels = updated
-      converged = changed == 0
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("_old"))
+      // pointer doubling: follow my label to ITS label (left join — the
+      // label is always a live node id, but never drop a row on a miss)
+      val doubled = propagated
+        .join(labels.select(col("id").as("_pid"), col("comp").as("_pcomp")),
+          col("comp") === col("_pid"), "left")
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
+      val next = doubled
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_pcomp"), col("comp"))).as("comp"),
+          col("_old"))
+        .observe(obs, sum(when(col("comp") =!= col("_old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select(col("id"), col("comp"))
+        .localCheckpoint(true) // the round's single action
+      labels = next
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
+    if (!converged) logWarning(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(graph diameter exceeds 2^maxIters); labels may split components")
     labels
   }
 

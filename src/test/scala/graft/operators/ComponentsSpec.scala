@@ -46,6 +46,18 @@ class ComponentsSpec extends SparkSpec {
     assert(clusters(comps(edges(pairs: _*))) == clusters(expected))
   }
 
+  test("adversarial diameter: a 100-node chain converges within few rounds") {
+    // min-label alone needs ~diameter rounds; pointer doubling needs
+    // O(log D). maxIters = 10 << 99 proves the doubling is doing the
+    // work (2^10 = 1024 >> 99); a plain propagation loop would return
+    // split components here
+    val chain = (0L until 99L).map(i => i -> (i + 1))
+    val c = Components.connectedComponents(edges(chain: _*), "a", "b",
+        maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 99L).forall(c(_) == 0L), "chain must collapse to one component")
+  }
+
   test("componentSizes counts members per cluster") {
     val sizes = Components.componentSizes(
         Components.connectedComponents(edges(1L -> 2L, 2L -> 3L, 7L -> 8L), "a", "b"))
