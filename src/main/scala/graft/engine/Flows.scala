@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -34,15 +34,15 @@ object Flows extends org.apache.spark.internal.Logging {
 
   /** R3 first half (reference amqp.py:101-103): a message whose
     * content type is not JSON gets a logged WARNING but is still
-    * forwarded — only bodies that fail to parse dead-letter.
+    * forwarded — only bodies that fail to parse dead-letter. Expressed
+    * as an aggregate so it can ride the sink's own job via `observe()`
+    * instead of costing a separate count() action per micro-batch.
     */
-  def warnNonJsonContentType(batch: DataFrame): Unit =
-    if (batch.columns.contains("content_type")) {
-      val n = batch.filter(col("content_type").isNotNull &&
-        col("content_type") =!= "application/json").count()
-      if (n > 0) logWarning(
-        s"$n message(s) with non-JSON content type received; forwarding anyway")
-    }
+  def nonJsonContentTypeCount(batch: DataFrame): Column =
+    if (batch.columns.contains("content_type"))
+      sum(when(col("content_type").isNotNull &&
+        col("content_type") =!= "application/json", 1L).otherwise(0L))
+    else sum(lit(0L))
 
   def start(spark: SparkSession, cfg: Config.Engine,
       checkpointRoot: String): Seq[StreamingQuery] = {
@@ -120,19 +120,39 @@ object Flows extends org.apache.spark.internal.Logging {
               jsonCol)
           else SqlSink.foreachBatch(url, query, mapping, jsonCol, deadLetter)
         (batch0: DataFrame, id: Long) => {
-          // the writer runs up to three actions over the micro-batch
-          // (content-type warn, dead-letter split, the sink) — cache it
-          // once instead of re-reading the source per action
+          // ONE action per micro-batch on the happy path: the
+          // content-type warn count and the corrupt-JSON count ride the
+          // sink's own job as observe() metrics. The dead-letter write
+          // (a second action) runs only when the metric says corrupt
+          // rows actually exist — the cache makes that re-read cheap.
           val batch = batch0.persist()
           try {
-            warnNonJsonContentType(batch)
-            val valid = jsonCol.fold(batch)(c => validJson(batch, c))
-            jsonCol.foreach { c =>
-              val bad = invalidJson(batch, c)
-              deadLetter.foreach(d => if (!bad.isEmpty)
-                bad.write.mode("append").parquet(s"$d/corrupt"))
+            val corruptCount = jsonCol match {
+              case Some(c) => sum(when(
+                get_json_object(col(c), "$").isNull, 1L).otherwise(0L))
+              case None => sum(lit(0L))
             }
+            val obs = new org.apache.spark.sql.Observation()
+            val observed = batch.observe(obs,
+              nonJsonContentTypeCount(batch).as("non_json_ct"),
+              corruptCount.as("corrupt"))
+            val valid = jsonCol.fold(observed)(c => validJson(observed, c))
             sink(valid, id)
+            // bounded fetch: on success the metrics arrive with the job's
+            // SQLExecutionEnd event (ms); if the best-effort sink swallowed
+            // a job failure the event may never carry metrics — give up
+            // after ~2 s instead of blocking the stream on obs.get
+            val deadline = System.currentTimeMillis() + 2000
+            var m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs)
+            while (m.isEmpty && System.currentTimeMillis() < deadline)
+              m = org.apache.spark.sql.GraftBridge.observedOrEmpty(obs) // ~100 ms internal wait per call
+            def metric(k: String): Long =
+              m.get(k).flatMap(Option(_)).map(_.toString.toLong).getOrElse(0L)
+            if (metric("non_json_ct") > 0) logWarning(
+              s"${metric("non_json_ct")} message(s) with non-JSON content " +
+                "type received; forwarding anyway")
+            if (metric("corrupt") > 0) for (c <- jsonCol; d <- deadLetter)
+              invalidJson(batch, c).write.mode("append").parquet(s"$d/corrupt")
           } finally { batch.unpersist(); () }
         }
       case "parquet" =>

@@ -200,7 +200,13 @@ object SqlSink extends Logging {
       val params = mapped.repartition(sinkPartitions, mapped.columns.map(col): _*)
       val n = params.columns.length
       try {
-        params.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        // Dataset.foreachPartition (not .rdd) so the action carries a SQL
+        // execution id — upstream observe() metrics (Flows' one-pass
+        // corrupt/content-type counts) are delivered off this same job.
+        // The partition id is still the deterministic hash-partition
+        // index, read off the task context.
+        params.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
           if (rows.nonEmpty) {
             val conn = DriverManager.getConnection(url)
             try {
@@ -248,8 +254,7 @@ object SqlSink extends Logging {
               }
             } finally conn.close()
           }
-          Iterator.empty
-        }.count(): Unit
+        }
       } catch {
         // Unlike the best-effort R14 sink above, a failed batch is NOT
         // dropped here: rethrowing fails the micro-batch, the streaming

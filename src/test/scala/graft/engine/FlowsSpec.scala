@@ -70,6 +70,73 @@ class FlowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clean micro-batches run ONE action (no per-batch count/isEmpty)") {
+    val url = "jdbc:derby:memory:actdb;create=true"
+    val c = DriverManager.getConnection(url)
+    c.createStatement().execute("CREATE TABLE actlogs (v VARCHAR(100))")
+    c.close()
+    // count action names fired through the session while the flow runs;
+    // the old writer cost a count() (content-type warn) + isEmpty()
+    // (corrupt split) per micro-batch on top of the sink action
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        seen.merge(funcName, 1, (a, b) => a + b)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    (1 to 5).foreach(i => MemoryBroker.publish("act_ex", s"""{"v":"a$i"}"""))
+    val cfg = Config.parseString(
+      s"""size_limit: 8
+         |time_limit: 1
+         |blocks:
+         |  - name: in
+         |    type: amqp
+         |    kwargs: {}
+         |  - name: out
+         |    type: sql
+         |    kwargs:
+         |      url: '$url'
+         |flows:
+         |  - - name: in
+         |      kwargs:
+         |        exchange: act_ex
+         |    - name: out
+         |      kwargs:
+         |        query: "INSERT INTO actlogs (v) VALUES (:v)"
+         |        parameters:
+         |          v: v
+         |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("act-ckpt").toString
+    spark.listenerManager.register(listener)
+    val q = Flows.startFlow(spark, cfg, cfg.flows.head, ckpt, "act_flow")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def count(): Int = {
+        val cc = DriverManager.getConnection(url)
+        try {
+          val rs = cc.createStatement().executeQuery("SELECT COUNT(*) FROM actlogs")
+          rs.next(); rs.getInt(1)
+        } finally cc.close()
+      }
+      while (count() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(count() == 5)
+      // the sink action ran; the per-batch metric actions did not
+      assert(seen.getOrDefault("foreachPartition", 0) >= 1)
+      assert(seen.getOrDefault("count", 0) == 0,
+        s"writer must not run a per-batch count(): $seen")
+      assert(seen.getOrDefault("isEmpty", 0) == 0,
+        s"writer must not run a per-batch isEmpty(): $seen")
+    } finally {
+      q.stop()
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("exchange_declare_kwargs from YAML reach the broker (R2)") {
     val url = "jdbc:derby:memory:decldb;create=true"
     val c = DriverManager.getConnection(url)
