@@ -65,30 +65,68 @@ object StreamingQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", old)
   }
 
-  /** Q23 via readStream → window(ts, 1 hour) → memory sink (complete). */
+  /** One far-future sentinel row written as a parquet dir for a second
+    * file stream. APPEND-mode windowed aggregation only emits a window
+    * once the watermark passes its end — which for a bounded backfill
+    * means the trailing windows would never flush. The sentinel (a
+    * deliberately out-of-band key, filtered from the result) advances
+    * the watermark past every real window so the final no-data batch
+    * both EMITS and EVICTS them — the same punctuation pattern a
+    * production backfill uses to drain state. `tsNanos` rides the
+    * nanosAsLong LongType column.
+    */
+  private def sentinelDir(s: SparkSession, tsNanos: Long): String = {
+    val dir = scratchCheckpoint("sentinel")
+    import scala.jdk.CollectionConverters._
+    val row = org.apache.spark.sql.Row(-1L, tsNanos, -1L, "__flush__", 0.0,
+      null.asInstanceOf[String])
+    s.createDataFrame(Seq(row).asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+          "value DOUBLE, props STRING"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private val FourHoursNanos = 4L * 3600 * 1000 * 1000 * 1000
+
+  /** Q23 via readStream → watermark → window(ts, 1 hour) → memory sink
+    * in APPEND mode: each window is emitted exactly once when finalized
+    * and its state row is evicted — output and state both stay bounded
+    * on unbounded input (the complete-mode twin re-emitted the whole
+    * state every micro-batch). StreamingSemanticsSpec pins the
+    * eviction; the oracle pins the answer.
+    */
   def q23Stream(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     // schema as parquet stores it: ts is TIMESTAMP(NANOS) => LongType
     // under nanosAsLong (Sessions sets it)
     val raw = eventsSchema(s, dir)
     val name = s"q23_stream_${System.nanoTime()}" // unique memory sink
-    val stream = s.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val maxTs = s.read.schema(raw)
+      .parquet(s"$dir/events.parquet").agg(max(col("ts"))).head.getLong(0)
+    val flushDir = sentinelDir(s, maxTs + FourHoursNanos)
+    val events = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val flush = s.readStream.schema(raw).parquet(flushDir)
+    val stream = events.unionByName(flush)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // 2h tolerance for cross-file disorder; the +4h sentinel still
+      // pushes the watermark an hour past the last real window's end
+      .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
     val ckpt = scratchCheckpoint("q23")
     val q = stream.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    deleteRecursively(ckpt)
+    deleteRecursively(ckpt); deleteRecursively(flushDir)
     s.table(name)
+      .filter(col("event_type") =!= "__flush__")
       .select(
         col("window.start").cast("string").as("h"),
         col("event_type"),
@@ -97,20 +135,26 @@ object StreamingQueries {
       .orderBy("h", "event_type")
   }
 
-  /** Sessionization through native session_window in a STREAMING query
-    * (complete mode: session state merges across micro-batches), checked
-    * against the same DuckDB oracle as the batch lag-based q25 — three
-    * independent implementations of the same semantics must agree.
+  /** Sessionization through native session_window in a STREAMING query,
+    * APPEND mode with watermark: a session is emitted exactly once when
+    * the watermark passes its end (state evicted), driven over the top
+    * by the same sentinel flush. Checked against the same DuckDB oracle
+    * as the batch lag-based q25 — three independent implementations of
+    * the same semantics must agree.
     */
   def q25Stream(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     val raw = eventsSchema(s, dir)
     val name = s"q25_stream_${System.nanoTime()}"
     val ckpt = scratchCheckpoint("q25")
-    val q = s.readStream
-      .schema(raw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val maxTs = s.read.schema(raw)
+      .parquet(s"$dir/events.parquet").agg(max(col("ts"))).head.getLong(0)
+    val flushDir = sentinelDir(s, maxTs + FourHoursNanos)
+    val events = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val flush = s.readStream.schema(raw).parquet(flushDir)
+    val q = events.unionByName(flush)
       .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+      .withWatermark("ts_s", "2 hours")
       // Boundary semantics verified empirically (sf0.01 has exact-gap
       // ties): session_window MERGES sessions whose ranges touch — an
       // event at exactly prev + 30min stays in the same session, i.e.
@@ -121,13 +165,14 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"))
       .writeStream
       .format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    deleteRecursively(ckpt)
+    deleteRecursively(ckpt); deleteRecursively(flushDir)
     s.table(name)
+      .filter(col("user_id") =!= -1L)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy("user_id")

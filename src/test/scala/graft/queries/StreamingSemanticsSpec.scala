@@ -48,6 +48,44 @@ class StreamingSemanticsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state rows are evicted once the watermark passes (append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = new java.sql.Timestamp(10800L * 1000 * 24 + min * 60000L)
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("k"))
+      .count()
+    val q = agg.writeStream.format("memory").queryName("evict_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // three open windows -> three state rows
+      input.addData((ts(0), "a"), (ts(6), "a"), (ts(11), "b"))
+      q.processAllAvailable()
+      input.addData((ts(12), "b"))
+      q.processAllAvailable()
+      val peak = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      assert(peak >= 3, s"expected >=3 open windows in state, got $peak")
+      // jump the watermark far past them; the follow-up batch runs the
+      // eviction (emit + state cleanup) — this is what bounds state on
+      // unbounded input, and what complete mode never exercises
+      input.addData((ts(500), "c"))
+      q.processAllAvailable()
+      input.addData((ts(501), "c"))
+      q.processAllAvailable()
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      val last = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(removed >= 3,
+        s"windows past the watermark must be evicted (removed=$removed)")
+      assert(last < peak, s"state must shrink after eviction: $last vs $peak")
+    } finally q.stop()
+  }
+
   test("session_window groups by inactivity gap in streaming") {
     val s = spark
     import s.implicits._
