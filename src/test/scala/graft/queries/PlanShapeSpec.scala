@@ -69,6 +69,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q39 TPC-H Q3: filtered customer side broadcasts, no BNLJ") {
+    // the BUILDING-segment customer filter shrinks that side far below
+    // the broadcast threshold; lineitem (the fact side) must never be
+    // the build side of anything, and there is no cross/BNLJ anywhere.
+    // Pinned so a regression is a structural fact, not bench-box noise.
+    val s = planString(q("q39_tpch3"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"customer side must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-10 must not globally sort:\n$s")
+  }
+
+  test("q40 TPC-H Q5: dimension sides broadcast, no BNLJ") {
+    val s = planString(q("q40_tpch5"))
+    // nation/region/supplier (and the date-filtered orders at small SF)
+    // are broadcast dims; at minimum two broadcast joins must survive
+    assert(s.split("BroadcastHashJoin").length >= 3,
+      s"nation/region dims must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("whole-stage codegen covers the vector-similarity scoring") {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
     // the dot-product filter must sit inside one, not in an interpreted
