@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   *
   * Image decode/resize are REAL: `javax.imageio.ImageIO` (JDK
   * built-in, headless-safe) parses/re-encodes actual PNG/JPEG bytes.
-  * Audio/video codecs don't exist in the JDK — those paths fall back
-  * to a deterministic fake, marked `// STUB:`, so the plumbing
-  * (schema, batch shape, partitioning, downstream joins) stays real
-  * and testable; swapping in ffmpeg/javacv changes only those bodies.
+  * Audio decode is REAL for WAV/AIFF/AU: `javax.sound.sampled
+  * .AudioSystem` (also JDK built-in) parses the container and yields
+  * sample rate / channels / frame count. Only video has no JDK codec —
+  * that path falls back to a deterministic fake, marked `// STUB:`, so
+  * the plumbing (schema, batch shape, partitioning, downstream joins)
+  * stays real and testable; swapping in ffmpeg/javacv changes only
+  * that body.
   *
   * Scale notes: each transform is narrow (no shuffle); media bytes
   * never leave their partition, and decoded outputs drop the `content`
@@ -45,6 +48,8 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
     StructField("ok", BooleanType)))
 
   /** Real image parse: null for bytes no installed ImageIO reader
@@ -56,11 +61,36 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
 
+  private case class AudioInfo(sampleRate: Int, channels: Int, frames: Long) {
+    def durationMs: Long =
+      if (sampleRate > 0 && frames >= 0) frames * 1000L / sampleRate else -1L
+  }
+
+  /** Real audio parse (WAV/AIFF/AU — the JDK's built-in containers):
+    * header + frame count via `AudioSystem`, no full PCM materialize.
+    * null for anything the installed readers don't understand.
+    */
+  private def readAudio(bytes: Array[Byte]): AudioInfo =
+    if (bytes == null || bytes.length < 12) null
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try AudioInfo(ais.getFormat.getSampleRate.toInt,
+          ais.getFormat.getChannels, ais.getFrameLength)
+        finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+
   /** Decode pass: binary -> dimensions/validity. Batch-shaped
     * partition-wise transform; output drops `content`.
     *
-    * Images decode for real (ImageIO: PNG/JPEG/GIF/BMP). Audio/video
-    * have no JDK codec — deterministic fake below, clearly marked.
+    * Images decode for real (ImageIO: PNG/JPEG/GIF/BMP); audio decodes
+    * for real (AudioSystem: WAV/AIFF/AU — sample rate, channels,
+    * duration). Only video has no JDK codec — deterministic fake
+    * below, clearly marked.
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
@@ -70,18 +100,21 @@ object Multimodal {
         val typ = r.getString(1)
         val bytes = r.getAs[Array[Byte]](2)
         val img = readImage(bytes)
+        lazy val au = readAudio(bytes)
         if (img != null)
           Row(id, typ, img.getWidth, img.getHeight,
-            img.getColorModel.getNumComponents, true)
-        else if ((typ == "audio" || typ == "video") &&
-            bytes != null && bytes.length >= 4) {
-          // STUB: no audio/video codec in the JDK; deterministic fake
+            img.getColorModel.getNumComponents, null, null, true)
+        else if (au != null)
+          Row(id, typ, null, null, au.channels, au.sampleRate,
+            au.durationMs, true)
+        else if (typ == "video" && bytes != null && bytes.length >= 4) {
+          // STUB: no video codec in the JDK; deterministic fake
           // dimensions derived from the byte content so tests are
           // stable. A real impl calls ffmpeg/javacv here.
           val h = java.util.Arrays.hashCode(bytes)
           Row(id, typ, 16 + math.abs(h % 64), 16 + math.abs((h >> 8) % 64),
-            1 + math.abs((h >> 16) % 4), true)
-        } else Row(id, typ, null, null, null, false)
+            1 + math.abs((h >> 16) % 4), null, null, true)
+        } else Row(id, typ, null, null, null, null, null, false)
       }
     }(enc)
   }
@@ -193,10 +226,40 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic real WAV bytes for a media id: 16-bit mono PCM at
+    * 8 kHz, sample values from a per-id hash, encoded through the JDK's
+    * own WAVE writer — actual decodable audio for tests/bench.
+    * Frame count = 400 + (id % 50) * 40, so duration is a pure function
+    * of id (50..295 ms).
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val sampleRate = 8000f
+    val nFrames = 400 + (id % 50).toInt * 40
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      var p = id * 6364136223846793005L + i * 1442695040888963407L
+      p ^= p >>> 32
+      val s = (p & 0xffff).toInt - 0x8000 // signed 16-bit
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Synthesizes a deterministic media table from the documents table —
     * the test/bench corpus. Image rows carry REAL PNG bytes
-    * ([[syntheticPng]]); audio/video rows carry the document's UTF-8
-    * bytes (no real codec exists for them in the container anyway).
+    * ([[syntheticPng]]), audio rows REAL WAV bytes ([[syntheticWav]]);
+    * only video rows carry the document's UTF-8 bytes (no video codec
+    * exists in the container).
     */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -205,11 +268,17 @@ object Multimodal {
         it.map { r =>
           val id = r.getLong(0)
           val typ = Seq("image", "audio", "video")((id % 3).toInt)
-          val content =
-            if (typ == "image") syntheticPng(id)
-            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val content = typ match {
+            case "image" => syntheticPng(id)
+            case "audio" => syntheticWav(id)
+            case _ =>
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          val durMs =
+            if (typ == "audio") (400 + (id % 50) * 40) * 1000L / 8000L
+            else r.getLong(2) * 10L
           Row(id, typ, content,
-            Row(null, null, null, 44100, r.getLong(2) * 10L, (id % 50).toInt))
+            Row(null, null, null, 8000, durMs, (id % 50).toInt))
         }
       }(enc)
   }

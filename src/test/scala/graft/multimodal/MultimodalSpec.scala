@@ -19,12 +19,46 @@ class MultimodalSpec extends SparkSpec {
   test("decode emits dimensions per row, deterministic, content dropped") {
     val d = Multimodal.decode(media)
     assert(d.schema.fieldNames.toSeq ==
-      Seq("media_id", "media_type", "width", "height", "channels", "ok"))
+      Seq("media_id", "media_type", "width", "height", "channels",
+        "sample_rate", "duration_ms", "ok"))
     val rows = d.orderBy("media_id").collect()
     assert(rows.length == media.count())
-    assert(rows.forall(_.getBoolean(5)))
+    assert(rows.forall(_.getBoolean(7)))
     val again = Multimodal.decode(media).orderBy("media_id").collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("decode reads real WAV sample rate/duration via AudioSystem") {
+    import scala.jdk.CollectionConverters._
+    // an actual WAV fixture: 8 kHz mono 16-bit PCM, 1600 frames = 200 ms,
+    // written with the JDK's own WAVE encoder
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1600L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "audio", bos.toByteArray)
+    ).asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, media_type STRING, content BINARY"))
+    val d = Multimodal.decode(df).collect().head
+    assert(d.getInt(4) == 1, "mono => 1 channel")
+    assert(d.getInt(5) == 8000, "sample rate from the actual header")
+    assert(d.getLong(6) == 200L, "1600 frames at 8 kHz = 200 ms")
+    assert(d.getBoolean(7))
+    // the synthetic corpus's audio rows are real WAVs too: decoded
+    // sample rate and duration match the generator, not a byte hash
+    val audioRows = Multimodal.decode(
+      media.filter(col("media_type") === "audio")).collect()
+    assert(audioRows.nonEmpty)
+    audioRows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(5) == 8000)
+      assert(r.getLong(6) == (400 + (id % 50) * 40) * 1000L / 8000L)
+      assert(r.getBoolean(7))
+    }
   }
 
   test("decode reads real PNG dimensions via ImageIO") {
@@ -41,7 +75,7 @@ class MultimodalSpec extends SparkSpec {
     val d = Multimodal.decode(df).collect().head
     assert(d.getInt(2) == 23 && d.getInt(3) == 7)
     assert(d.getInt(4) == 3) // RGB components
-    assert(d.getBoolean(5))
+    assert(d.getBoolean(7))
     // the synthetic corpus's image rows are real PNGs too: decoded
     // dimensions match the generator exactly, not a byte-hash fake
     val imgRows = Multimodal.decode(media.filter(col("media_type") === "image"))
@@ -62,7 +96,7 @@ class MultimodalSpec extends SparkSpec {
     ).asJava, org.apache.spark.sql.types.StructType.fromDDL(
       "media_id BIGINT, media_type STRING, content BINARY"))
     val d = Multimodal.decode(bad).collect()
-    assert(d.forall(!_.getBoolean(5)))
+    assert(d.forall(!_.getBoolean(7)))
   }
 
   test("extractFeatures: fixed-dim L2-normalized vectors compose with ANN ops") {
@@ -90,7 +124,7 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(scaledImgs.nonEmpty)
     assert(scaledImgs.forall(x =>
-      x.getBoolean(5) && x.getInt(2) == 8 && x.getInt(3) == 4))
+      x.getBoolean(7) && x.getInt(2) == 8 && x.getInt(3) == 4))
     // non-image rows: deterministic byte resample, exactly w*h bytes
     val other = r.join(media.select(col("media_id"), col("media_type")), "media_id")
       .filter(col("media_type") =!= "image").collect()
