@@ -5,10 +5,34 @@ import graft.engine.{Config, Flows, Sessions}
 /** CLI entry point mirroring the reference's `rabbithole config.yml`
   * (reference cli.py:35-70, 190-244): positional YAML config,
   * `--log-level`, optional checkpoint root; launches every flow and
-  * parks in awaitAnyTermination (the reference's sleep-until-Ctrl-C
-  * loop, cli.py:63-68).
+  * parks in awaitAnyTermination. Ctrl-C stops every flow gracefully
+  * and exits 0 — parity with the reference's KeyboardInterrupt handler
+  * (cli.py:63-68), and it narrows the window for an interrupt landing
+  * mid-JDBC-transaction.
   */
 object Main {
+
+  private val shuttingDown =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Graceful Ctrl-C: stop each StreamingQuery (lets the in-flight
+    * micro-batch finish and the checkpoint commit), report, exit 0.
+    * `sun.misc.Signal` (jdk.unsupported — the same API Spark's own
+    * SignalUtils uses) because a plain JVM shutdown hook cannot turn
+    * the default SIGINT exit code (130) into the reference's clean 0.
+    */
+  private def installSigint(
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery]): Unit =
+    try
+      sun.misc.Signal.handle(new sun.misc.Signal("INT"),
+        (_: sun.misc.Signal) =>
+          if (shuttingDown.compareAndSet(false, true)) {
+            queries.foreach(q => try q.stop()
+              catch { case _: Exception => () })
+            System.err.println(s"stopped ${queries.size} flow(s)")
+            sys.exit(0)
+          })
+    catch { case _: Throwable => () } // exotic JVM: keep default handling
   private case class Args(config: String = "", logLevel: String = "WARN",
       checkpoint: String = "", logFile: String = "")
 
@@ -67,6 +91,13 @@ object Main {
       else java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val queries = Flows.start(spark, cfg, checkpoint)
     System.err.println(s"started ${queries.size} flow(s); Ctrl-C to stop")
-    spark.streams.awaitAnyTermination()
+    installSigint(queries)
+    try spark.streams.awaitAnyTermination()
+    catch {
+      // a query stopped by the SIGINT handler can surface here as an
+      // exception before exit(0) wins the race — not an error
+      case e: Exception if !shuttingDown.get => throw e
+      case _: Exception => ()
+    }
   }
 }
