@@ -46,12 +46,24 @@ trait BrokerLog {
   * stream's `commit`) truncates — i.e. broker acknowledgement happens
   * only after a micro-batch is durably committed, upgrading delivery to
   * at-least-once (SURVEY §7.4, a documented deliberate divergence).
+  *
+  * Durability hygiene for a long-lived exchange:
+  *   - acked entries are COMPACTED out of the WAL once more than
+  *     `compactEvery` of them have accumulated (atomic tmp+rename
+  *     rewrite of the live suffix) — without it the file grows without
+  *     bound and every restart re-reads every acked line;
+  *   - a torn final line (crash mid-append of the non-atomic write) is
+  *     TRUNCATED at recovery instead of failing the broker start — the
+  *     partial record was never acknowledged to any publisher, so
+  *     dropping it is the correct at-least-once outcome.
   */
-final class ExchangeLog(name: String, walDir: Option[Path]) extends BrokerLog {
+final class ExchangeLog(name: String, walDir: Option[Path],
+    compactEvery: Int = 1024) extends BrokerLog {
   private case class Entry(contentType: String, body: String)
   private val buf = ArrayBuffer.empty[Entry]
   private var base = 0L                  // offset of buf(0)
   private var nacked = 0L                // corrupt-drop counter (stats)
+  private var walBase = 0L               // offset of the WAL's first line
 
   private val walFile = walDir.map(_.resolve(s"$name.wal"))
   private val commitFile = walDir.map(_.resolve(s"$name.committed"))
@@ -61,8 +73,29 @@ final class ExchangeLog(name: String, walDir: Option[Path]) extends BrokerLog {
   private def b64d(s: String): String =
     new String(Base64.getDecoder.decode(s), UTF_8)
 
+  /** Rewrite the WAL to exactly the live (un-acked) buffer, atomically
+    * (tmp file + rename) so a crash mid-compaction leaves the old WAL.
+    */
+  private def rewriteWal(): Unit = walFile.foreach { wf =>
+    val sb = new StringBuilder
+    var i = 0
+    while (i < buf.size) {
+      val e = buf(i)
+      sb.append(base + i).append('\t').append(b64e(e.contentType))
+        .append('\t').append(b64e(e.body)).append('\n')
+      i += 1
+    }
+    val tmp = wf.resolveSibling(s"${wf.getFileName}.tmp")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, wf, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    walBase = base
+  }
+
   // Recovery: un-acked suffix of the WAL is replayed into the buffer,
-  // so a broker restart preserves at-least-once delivery.
+  // so a broker restart preserves at-least-once delivery. A malformed
+  // final line (torn append) truncates the WAL there instead of
+  // failing the start.
   walFile.foreach { wf =>
     if (Files.exists(wf)) {
       val committedOff = commitFile
@@ -70,11 +103,27 @@ final class ExchangeLog(name: String, walDir: Option[Path]) extends BrokerLog {
         .map(f => Files.readString(f).trim.toLong)
         .getOrElse(0L)
       base = committedOff
-      Files.readAllLines(wf).forEach { l =>
-        val parts = l.split("\t", 3)
-        val off = parts(0).toLong
-        if (off >= committedOff) buf += Entry(b64d(parts(1)), b64d(parts(2)))
+      walBase = committedOff
+      var torn = false
+      val it = Files.readAllLines(wf).iterator()
+      var first = true
+      while (it.hasNext && !torn) {
+        val l = it.next()
+        try {
+          val parts = l.split("\t", 3)
+          val off = parts(0).toLong
+          val e = Entry(b64d(parts(1)), b64d(parts(2)))
+          if (first) { walBase = math.min(off, committedOff); first = false }
+          if (off >= committedOff) buf += e
+        } catch {
+          // NumberFormatException / IllegalArgumentException (base64) /
+          // ArrayIndexOutOfBounds (missing field): a torn tail — the
+          // record was never fully written, so it was never owed to
+          // anyone; drop it and everything after it
+          case _: RuntimeException => torn = true
+        }
       }
+      if (torn) rewriteWal()
     }
   }
 
@@ -104,6 +153,9 @@ final class ExchangeLog(name: String, walDir: Option[Path]) extends BrokerLog {
     val n = math.min(math.max(until - base, 0), buf.size.toLong).toInt
     buf.remove(0, n); base += n
     commitFile.foreach(f => Files.writeString(f, base.toString))
+    // compact once enough acked lines have piled up below `base`; the
+    // threshold amortizes the rewrite against appends
+    if (base - walBase >= compactEvery) rewriteWal()
   }
 
   override def nack(): Unit = synchronized { nacked += 1 }
