@@ -33,7 +33,13 @@ object Main {
             sys.exit(0)
           })
     catch { case _: Throwable => () } // exotic JVM: keep default handling
-  private case class Args(config: String = "", logLevel: String = "WARN",
+  /** `logLevel` empty = not passed: reference parity is root-at-DEBUG
+    * (cli.py:229-232, 247-253), but the reference process contains only
+    * its own modules — so the default maps to DEBUG for the `graft`
+    * namespace while Spark internals stay at WARN. An explicit
+    * `--log-level` applies to both, like the reference's flag.
+    */
+  private case class Args(config: String = "", logLevel: String = "",
       checkpoint: String = "", logFile: String = "")
 
   private def parse(argv: Array[String]): Args = {
@@ -83,10 +89,14 @@ object Main {
       case e: Exception =>
         System.err.println(s"config error: ${e.getMessage}"); sys.exit(1)
     }
-    if (args.logFile.nonEmpty) addFileLogger(args.logFile, args.logLevel)
+    val sparkLevel = if (args.logLevel.nonEmpty) args.logLevel else "WARN"
+    val graftLevel = if (args.logLevel.nonEmpty) args.logLevel else "DEBUG"
+    if (args.logFile.nonEmpty) addFileLogger(args.logFile, sparkLevel)
     val spark = Sessions.local("graft",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-    spark.sparkContext.setLogLevel(args.logLevel)
+    spark.sparkContext.setLogLevel(sparkLevel)
+    org.apache.logging.log4j.core.config.Configurator.setLevel("graft",
+      org.apache.logging.log4j.Level.toLevel(graftLevel))
     val checkpoint = if (args.checkpoint.nonEmpty) args.checkpoint
       else java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val queries = Flows.start(spark, cfg, checkpoint)

@@ -20,6 +20,17 @@ object TextOps {
   def regexTokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Canonical text normalization for dedup keys: lowercase, collapse
+    * every non-alphanumeric run to a single space, trim. Case/
+    * punctuation/whitespace variants of the same content normalize to
+    * one key, so exact dedup over this column catches the "trivially
+    * edited duplicate" class that byte-exact dedup misses (the standard
+    * first rung below MinHash on the near-dup ladder). Pure codegen
+    * string ops — safe in a 100 TB projection.
+    */
+  def normalizeText(textCol: Column): Column =
+    trim(regexp_replace(lower(textCol), "[^a-z0-9]+", " "))
+
   /** Corpus-level word frequency, descending. One explode + one
     * map-side-combinable groupBy.
     */

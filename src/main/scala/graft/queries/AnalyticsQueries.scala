@@ -241,6 +241,26 @@ object AnalyticsQueries {
         .orderBy("id")
     }),
 
+    // per-group top-k through the partial-aggregatable UDAF: the shuffle
+    // carries |groups|*k buffered rows, not every scored row — the
+    // bounded-buffer alternative to the window row_number formulation
+    "q53_topk_per_group" -> ((s, d) =>
+      graft.operators.TopKAggregator.topKPerGroup(
+          t(s, d, "documents"), "lang", "doc_id", "n_chars", k = 3)
+        .select(col("grp").as("lang"), col("id").as("doc_id"),
+          col("score"), col("rn"))
+        .orderBy("lang", "rn")),
+
+    // normalized-text dedup: case/punctuation/whitespace variants of
+    // the same content collapse to one canonical key before the exact
+    // hash-groupBy — the rung between byte-exact dedup and MinHash
+    "q54_normalized_dedup" -> ((s, d) =>
+      Dedup.exact(
+          t(s, d, "documents")
+            .withColumn("ntext", TextOps.normalizeText(col("text"))),
+          "doc_id", "ntext")
+        .orderBy("keep_id")),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -419,6 +439,15 @@ object AnalyticsQueries {
        "SELECT src, src FROM edges " +
        "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id) " +
        "SELECT id, MIN(comp) AS comp FROM reach GROUP BY id ORDER BY id"),
+    "q53_topk_per_group" ->
+      ("SELECT lang, doc_id, score, rn FROM (" +
+       "SELECT lang, doc_id, n_chars::DOUBLE AS score, " +
+       "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn " +
+       "FROM documents) WHERE rn <= 3 ORDER BY lang, rn"),
+    "q54_normalized_dedup" ->
+      ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM " +
+       "(SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ntext FROM documents) " +
+       "GROUP BY ntext ORDER BY keep_id"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

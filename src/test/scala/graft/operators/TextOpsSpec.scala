@@ -75,4 +75,16 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.regexTokens(col("text"))).collect().head
     assert(r.getSeq[String](0) == Seq("hello", "world", "42", "foo", "bar"))
   }
+
+  test("normalizeText collapses case/punct/whitespace variants to one key") {
+    val variants = docs(
+      1L -> "The quick  brown fox!",
+      2L -> "the QUICK brown-fox",
+      3L -> "  the quick brown... FOX  ",
+      4L -> "a genuinely different document")
+    val keys = variants.select(TextOps.normalizeText(col("text")))
+      .collect().map(_.getString(0))
+    assert(keys.take(3).toSet == Set("the quick brown fox"))
+    assert(keys(3) == "a genuinely different document")
+  }
 }
