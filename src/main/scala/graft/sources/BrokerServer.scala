@@ -47,6 +47,16 @@ final class BrokerServer(port: Int, walDir: Option[Path]) {
   private val server = new ServerSocket(port)
   @volatile private var running = true
 
+  // connection-cost observability for many-flow configs: clients open
+  // one short-lived connection per operation, so `open` tracks in-flight
+  // operations (not flow count) and `peak` records the worst concurrency
+  private val acceptedCount = new java.util.concurrent.atomic.AtomicLong
+  private val openCount = new java.util.concurrent.atomic.AtomicLong
+  private val peakCount = new java.util.concurrent.atomic.AtomicLong
+  def connectionsAccepted: Long = acceptedCount.get
+  def connectionsOpen: Long = openCount.get
+  def connectionsPeak: Long = peakCount.get
+
   def boundPort: Int = server.getLocalPort
 
   private def log(name: String): ExchangeLog =
@@ -77,6 +87,9 @@ final class BrokerServer(port: Int, walDir: Option[Path]) {
   acceptor.start()
 
   private def serve(sock: Socket): Unit = {
+    acceptedCount.incrementAndGet()
+    val now = openCount.incrementAndGet()
+    peakCount.accumulateAndGet(now, math.max)
     val in = new BufferedReader(new InputStreamReader(sock.getInputStream, UTF_8))
     val out = new PrintWriter(
       new java.io.OutputStreamWriter(sock.getOutputStream, UTF_8), false)
@@ -90,7 +103,7 @@ final class BrokerServer(port: Int, walDir: Option[Path]) {
       }
     } catch {
       case _: java.io.IOException => ()
-    } finally sock.close()
+    } finally { sock.close(); openCount.decrementAndGet(): Unit }
   }
 
   private def handle(parts: Array[String], out: PrintWriter): Unit = parts(0) match {
