@@ -20,6 +20,46 @@ object TextOps {
   def regexTokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= "")
 
+  /** BM25 ranked retrieval over the corpus for a fixed bag of query
+    * terms (Robertson/Okapi, Lucene-style idf) — the quality-retrieval
+    * primitive a training-data pipeline uses to mine topical documents.
+    *
+    * Plan shape for 100 TB: the token explode is filtered to the QUERY
+    * terms before any shuffle, so the tf table carries at most
+    * |terms| rows per matching doc — the corpus is never shuffled by
+    * token. Document lengths are one map-side-combinable groupBy;
+    * corpus-level scalars (N, avgdl) stay in the plan as a broadcast
+    * one-row cross join (no driver collect); per-term df is a broadcast
+    * of |terms| rows. Output is the rounded-score top-N with a
+    * deterministic doc-id tiebreak, via TakeOrderedAndProject.
+    */
+  def bm25Search(docs0: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topN: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("w"))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(docFreq), "w")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .select(col("id").as(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, collapse
     * every non-alphanumeric run to a single space, trim. Case/
     * punctuation/whitespace variants of the same content normalize to

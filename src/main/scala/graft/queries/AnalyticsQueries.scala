@@ -261,6 +261,13 @@ object AnalyticsQueries {
           "doc_id", "ntext")
         .orderBy("keep_id")),
 
+    // BM25 ranked retrieval for a fixed query bag — the corpus is never
+    // shuffled by token (tf filtered to query terms pre-shuffle; N/avgdl
+    // ride the plan as a broadcast one-row join)
+    "q55_bm25" -> ((s, d) =>
+      TextOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("vector", "join", "data"), topN = 20)),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -448,6 +455,17 @@ object AnalyticsQueries {
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM " +
        "(SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ntext FROM documents) " +
        "GROUP BY ntext ORDER BY keep_id"),
+    "q55_bm25" ->
+      ("WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
+       "dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id), " +
+       "stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), " +
+       "tf AS (SELECT id, w, COUNT(*) AS tf FROM tok2 WHERE w IN ('vector', 'join', 'data') GROUP BY id, w), " +
+       "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+       "sc AS (SELECT tf.id, ROUND(SUM(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) * " +
+       "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
+       "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id) " +
+       "SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

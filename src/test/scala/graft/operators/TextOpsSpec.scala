@@ -76,6 +76,24 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getSeq[String](0) == Seq("hello", "world", "42", "foo", "bar"))
   }
 
+  test("bm25Search ranks higher-tf shorter docs first, drops non-matches") {
+    val corpus = docs(
+      1L -> "data data spark",          // tf(data)=2, short
+      2L -> "data engine",              // tf(data)=1
+      3L -> "other words entirely",     // no query terms => absent
+      4L -> "data data data data data data data data filler pad pad pad")
+    val r = TextOps.bm25Search(corpus, "doc_id", "text",
+        terms = Seq("data"), topN = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1))
+    assert(r.map(_._1).toSet == Set(1L, 2L, 4L), "only matching docs score")
+    val byId = r.toMap
+    // saturating tf: doc4 (tf 8) beats doc1 (tf 2) beats doc2 (tf 1)
+    assert(byId(4L) > byId(1L) && byId(1L) > byId(2L), r.mkString(","))
+    assert(r.forall(_._2 > 0))
+    // output already ordered: rounded score desc, id tiebreak
+    assert(r.map(_._1).toSeq == Seq(4L, 1L, 2L))
+  }
+
   test("normalizeText collapses case/punct/whitespace variants to one key") {
     val variants = docs(
       1L -> "The quick  brown fox!",
