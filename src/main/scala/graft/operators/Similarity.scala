@@ -184,4 +184,36 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
         col("rn").cast("bigint").as("rn"))
   }
+
+  /** Per-label centroid + distance-to-centroid outlier ranking — the
+    * embedding-quality primitive: vectors far from their label's
+    * centroid are mislabeled/noisy candidates for curation review.
+    *
+    * Plan shape for 100 TB: the centroid is `dim` partial-aggregatable
+    * `avg(vec[i])` aggregates in ONE groupBy — each map task combines
+    * its partition down to |labels| x dim doubles before the shuffle
+    * (never an explode of rows x dim through the wire). Centroids
+    * (|labels| rows) broadcast back; the distance is a single codegen
+    * zip_with/aggregate fold per row; the per-label top-K windows over
+    * rows already reduced to (label, id, dist).
+    */
+  def centroidOutliers(emb0: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, topK: Int): DataFrame = {
+    val emb = graft.engine.Par.widen(emb0)
+    val cent = emb.groupBy(col(labelCol).as("label"))
+      .agg(array((0 until dim).map(i => avg(col(vecCol)(i))): _*).as("c"))
+    val dist = sqrt(aggregate(
+      zip_with(col(vecCol), col("c"),
+        (a, b) => pow(a.cast("double") - b, lit(2))),
+      lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col(idCol))
+    emb.select(col(idCol), col(labelCol).as("label"), col(vecCol))
+      .join(broadcast(cent), "label")
+      .withColumn("dist", round(dist, 4))
+      .select(col("label"), col(idCol), col("dist"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= topK)
+      .orderBy("label", "rn")
+  }
 }

@@ -261,6 +261,12 @@ object AnalyticsQueries {
           "doc_id", "ntext")
         .orderBy("keep_id")),
 
+    // embedding outliers: distance to the per-label centroid, top-3
+    // farthest per label (mislabeled/noisy-vector review queue)
+    "q56_centroid_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(t(s, d, "embeddings"),
+        "vec_id", "embedding", "label", dim = 64, topK = 3)),
+
     // BM25 ranked retrieval for a fixed query bag — the corpus is never
     // shuffled by token (tf filtered to query terms pre-shuffle; N/avgdl
     // ride the plan as a broadcast one-row join)
@@ -466,6 +472,15 @@ object AnalyticsQueries {
        "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
        "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id) " +
        "SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"),
+    "q56_centroid_outliers" ->
+      ("WITH cd AS (SELECT label, i, AVG(embedding[i]::DOUBLE) AS m " +
+       "FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i), " +
+       "cent AS (SELECT label, list(m ORDER BY i) AS c FROM cd GROUP BY label), " +
+       "d AS (SELECT e.label, e.vec_id, ROUND(sqrt(list_sum(list_transform(generate_series(1, 64), " +
+       "i -> pow(e.embedding[i]::DOUBLE - cent.c[i], 2)))), 4) AS dist " +
+       "FROM embeddings e JOIN cent USING (label)), " +
+       "r AS (SELECT label, vec_id, dist, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn FROM d) " +
+       "SELECT label, vec_id, dist, rn FROM r WHERE rn <= 3 ORDER BY label, rn"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

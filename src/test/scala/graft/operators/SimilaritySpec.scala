@@ -57,4 +57,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low") // random 64-dim data is
     // a worst case for LSH; the contract here is "well above chance"
   }
+
+  test("centroidOutliers ranks a planted far vector first in its label") {
+    // plant a vector 100x the typical magnitude into label 0: it drags
+    // the centroid a little but sits far from it — must be rn=1
+    val planted = emb.filter(col("vec_id") === 0)
+      .select(lit(900009L).as("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * 100.0f).as("embedding"),
+        lit(0).as("label"))
+    val r = Similarity.centroidOutliers(emb.unionByName(planted),
+        "vec_id", "embedding", "label", dim = 64, topK = 3)
+      .collect()
+    val lbl0 = r.filter(_.getInt(0) == 0)
+    assert(lbl0.length == 3)
+    assert(lbl0.head.getLong(1) == 900009L && lbl0.head.getLong(3) == 1L,
+      s"planted outlier must rank first: ${lbl0.mkString(";")}")
+    // every label produces exactly topK ranked rows
+    assert(r.groupBy(_.getInt(0)).forall(_._2.length == 3))
+  }
 }
