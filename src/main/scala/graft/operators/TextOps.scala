@@ -60,6 +60,34 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Context-window chunking: split each document's word sequence into
+    * windows of `size` words advancing by `stride` (overlap = size -
+    * stride), the standard long-document transform ahead of
+    * tokenize-and-pack. A doc with n <= size words yields one chunk;
+    * otherwise ceil((n - size) / stride) + 1 chunks, the last one
+    * possibly short. Pure Catalyst (sequence + posexplode + slice) —
+    * one narrow pass, rows fan out by chunk count only.
+    */
+  def chunk(docs0: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && size >= stride, "need 1 <= stride <= size")
+    val docs = graft.engine.Par.widen(docs0)
+    val w = words(col(textCol))
+    val n = org.apache.spark.sql.functions.size(w)
+    val numChunks = when(n <= size, lit(1L))
+      .otherwise(ceil((n - size).cast("double") / stride).cast("long") + 1)
+    docs
+      .select(col(idCol).as("id"), w.as("w"),
+        posexplode(sequence(lit(0L), numChunks - 1)))
+      .select(col("id").as(idCol), col("col").as("chunk_idx"),
+        concat_ws(" ",
+          slice(col("w"), (col("col") * stride + 1).cast("int"), lit(size)))
+          .as("chunk_text"))
+      .withColumn("chunk_words",
+        org.apache.spark.sql.functions.size(words(col("chunk_text")))
+          .cast("bigint"))
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, collapse
     * every non-alphanumeric run to a single space, trim. Case/
     * punctuation/whitespace variants of the same content normalize to

@@ -261,6 +261,13 @@ object AnalyticsQueries {
           "doc_id", "ntext")
         .orderBy("keep_id")),
 
+    // context-window chunking (32-word windows, stride 24): the long-doc
+    // transform ahead of tokenize-and-pack; verified chunk-by-chunk
+    "q57_chunking" -> ((s, d) =>
+      TextOps.chunk(t(s, d, "documents"), "doc_id", "text",
+          size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
     // embedding outliers: distance to the per-label centroid, top-3
     // farthest per label (mislabeled/noisy-vector review queue)
     "q56_centroid_outliers" -> ((s, d) =>
@@ -481,6 +488,16 @@ object AnalyticsQueries {
        "FROM embeddings e JOIN cent USING (label)), " +
        "r AS (SELECT label, vec_id, dist, ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn FROM d) " +
        "SELECT label, vec_id, dist, rn FROM r WHERE rn <= 3 ORDER BY label, rn"),
+    "q57_chunking" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+       "nc AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+       "ELSE CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT) + 1 END AS n FROM w), " +
+       "ch AS (SELECT doc_id, i AS chunk_idx, " +
+       "array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text " +
+       "FROM nc, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g) " +
+       "SELECT doc_id, chunk_idx, chunk_text, " +
+       "len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))::BIGINT AS chunk_words " +
+       "FROM ch ORDER BY doc_id, chunk_idx"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

@@ -94,6 +94,29 @@ class TextOpsSpec extends SparkSpec {
     assert(r.map(_._1).toSeq == Seq(4L, 1L, 2L))
   }
 
+  test("chunk windows words by size/stride with overlap, short tail kept") {
+    // 70 words, size 8, stride 6 => ceil((70-8)/6)+1 = 12 chunks;
+    // chunk i = words [6i, 6i+8); last chunk starts at 66, holds 4
+    val text = (0 until 70).map(i => s"w$i").mkString(" ")
+    val r = TextOps.chunk(docs(1L -> text), "doc_id", "text",
+        size = 8, stride = 6)
+      .orderBy("chunk_idx").collect()
+    assert(r.length == 12)
+    r.zipWithIndex.foreach { case (row, i) =>
+      val ws = row.getString(2).split(" ").toSeq
+      assert(ws.head == s"w${6 * i}", s"chunk $i start")
+      assert(ws.length == math.min(8, 70 - 6 * i), s"chunk $i len")
+      assert(row.getLong(3) == ws.length)
+    }
+    // consecutive chunks overlap by size - stride = 2 words
+    assert(r(0).getString(2).split(" ").takeRight(2).toSeq ==
+      r(1).getString(2).split(" ").take(2).toSeq)
+    // short doc: one chunk, intact
+    val one = TextOps.chunk(docs(2L -> "a b c"), "doc_id", "text", 8, 6)
+      .collect()
+    assert(one.length == 1 && one.head.getString(2) == "a b c")
+  }
+
   test("normalizeText collapses case/punct/whitespace variants to one key") {
     val variants = docs(
       1L -> "The quick  brown fox!",
