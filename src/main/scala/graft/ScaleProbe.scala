@@ -45,17 +45,30 @@ object ScaleProbe {
     t("simhash")(graft.operators.Dedup.simHash(d, "doc_id", "text").count())
     t("jaccard_cut")(graft.operators.Dedup.jaccardPairs(
       d, "doc_id", "text", 3, 0.5, maxDocFreq = 50).count())
-    t("jaccard_prefix_t08")(graft.operators.Dedup.jaccardPairsPrefix(
+    // the declared q28b plan: jaccardAuto at t=0.8 selects the prefix
+    // path (the t=0.5 prefix crossover measurement — 65 s vs 6 s for
+    // the inverted index — is recorded in BASELINE.md; the selector
+    // exists precisely so that plan never runs at low thresholds)
+    t("jaccard_auto_t08")(graft.operators.Dedup.jaccardAuto(
       d, "doc_id", "text", 3, 0.8).count())
-    t("jaccard_prefix_t05")(graft.operators.Dedup.jaccardPairsPrefix(
-      d, "doc_id", "text", 3, 0.5).count())
     t("simhash_pairs")(graft.operators.Dedup.simHashPairs(
       d, "doc_id", "text", maxHamming = 3).count())
+    t("components_over_simhash_pairs")({
+      val pairs = graft.operators.Dedup.simHashPairs(
+        d, "doc_id", "text", maxHamming = 3)
+      graft.operators.Components.connectedComponents(pairs, "a", "b").count()
+    })
     t("embed_pairs_lsh")(graft.operators.Dedup.embeddingPairsLsh(
       e, "vec_id", "embedding", threshold = 0.9).count())
     t("lsh_topk")(graft.operators.Similarity.lshTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 3).count())
     t("wordcount")(graft.operators.TextOps.wordCounts(d, "text").count())
+    t("bm25")(graft.operators.TextOps.bm25Search(
+      d, "doc_id", "text", Seq("vector", "join", "data"), topN = 20).count())
+    t("chunking")(graft.operators.TextOps.chunk(
+      d, "doc_id", "text", size = 32, stride = 24).count())
+    t("centroid_outliers")(graft.operators.Similarity.centroidOutliers(
+      e, "vec_id", "embedding", "label", dim = 64, topK = 3).count())
     t("packing")({
       val toks = d.select(col("doc_id"),
         size(graft.operators.TextOps.regexTokens(col("text")))
