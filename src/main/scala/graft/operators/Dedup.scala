@@ -261,6 +261,45 @@ object Dedup {
     * xxhash64 with a per-function salt — the standard MinHash family
     * h_i(x) = xxhash64(i, x).
     */
+  /** Substring-level duplication stats (the signal behind exact
+    * substring dedup à la "Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022, reference approach — not code):
+    * every word `n`-gram OCCURRENCE (with position, not distinct) is a
+    * span; a span is duplicated when its n-gram occurs in at least two
+    * distinct documents. Output per document: total spans, duplicated
+    * spans, duplicated fraction — the "how much of this doc is copied
+    * from elsewhere" score that drives span-removal or doc-dropping
+    * policies.
+    *
+    * Plan shape for 100 TB: spans shuffle by the 8-byte xxhash64 of the
+    * n-gram, never by the n-gram text (the 64-bit collision rate is
+    * negligible below ~10^9 distinct n-grams and only perturbs counts,
+    * not the schema of the result); the document-frequency side is
+    * (hash → distinct-doc count), map-side combinable; the flag join is
+    * hash-to-hash. Docs shorter than n words have no spans and are
+    * absent from the output.
+    */
+  def duplicatedSpans(docs0: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    val grams = transform(
+      sequence(lit(0), size(ws) - n),
+      i => xxhash64(array_join(slice(ws, i + 1, lit(n)), " ")))
+    val spans = docs
+      .filter(size(ws) >= n)
+      .select(col(idCol).as("id"), explode(grams).as("sh"))
+    val docFreq = spans.select(col("id"), col("sh")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+    spans.join(docFreq, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4)
+          .as("dup_frac"))
+  }
+
   private def saltedHash(c: Column, salt: Int): Column =
     xxhash64(lit(salt), c)
 

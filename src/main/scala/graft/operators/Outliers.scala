@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Metric-stream anomaly detection: per-group z-score outliers over a
+  * numeric column (the "which events are wildly off their type's
+  * distribution" question a pipeline asks of telemetry and of
+  * per-document statistics alike).
+  *
+  * Determinism at scale is designed in: the mean/variance sums run over
+  * a FIXED-POINT integer quantization of the value (`floor(value *
+  * scale)` as a long), so the partial aggregates are exact integer
+  * arithmetic — the result is bit-identical under any partitioning,
+  * any aggregation order, any engine. A plain double `sum()` differs
+  * in the last ulps between aggregation orders (and between engines),
+  * which turns every downstream rounded comparison into a coin flip;
+  * exact integer moments make the whole statistic a pure function of
+  * the data. (With scale=100 and |value| <= ~10^6 the squared sums stay
+  * far below 2^63; for wider ranges pick a smaller scale.)
+  *
+  * Plan shape: one map-side-combinable groupBy for the moments (output
+  * = one row per group), broadcast back onto the stream, per-row codegen
+  * z computation, filter. No shuffle of the event stream itself.
+  */
+object Outliers {
+
+  /** Rows whose |value - mean| / stddev (sample stddev within
+    * `groupCol`) exceeds `threshold`. Output: idCol, groupCol,
+    * z (rounded to 4 decimals).
+    */
+  def zscoreOutliers(df0: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, threshold: Double, scale: Int = 100): DataFrame = {
+    val df = graft.engine.Par.widen(df0)
+    val iv = floor(col(valueCol) * scale).cast("long")
+    val st = df
+      .select(col(groupCol), iv.as("iv"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("iv")).as("si"), sum(col("iv") * col("iv")).as("ssi"),
+        count(lit(1)).as("cnt"))
+    val sd = sqrt(
+      (col("ss") / (scale.toDouble * scale) -
+        (col("s") / scale) * (col("s") / scale) / col("n")) / (col("n") - 1.0))
+    val mv = st.select(
+        col(groupCol),
+        col("si").cast("double").as("s"),
+        col("ssi").cast("double").as("ss"),
+        col("cnt").cast("double").as("n"))
+      .select(col(groupCol),
+        (col("s") / scale / col("n")).as("m"), sd.as("sd"))
+    df.join(broadcast(mv), groupCol)
+      .withColumn("z", round(abs(col(valueCol) - col("m")) / col("sd"), 4))
+      .filter(col("z") > threshold)
+      .select(col(idCol), col(groupCol), col("z"))
+  }
+}

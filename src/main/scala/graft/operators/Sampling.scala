@@ -37,6 +37,37 @@ object Sampling {
       fraction: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < math.floor(fraction * Buckets).toInt)
 
+  /** Temperature-balanced resampling across strata (the multilingual
+    * rebalancing step of an LLM data mix, as in the GPT-3 / mT5 data
+    * recipes): the target distribution is p^alpha renormalized, reached
+    * by DOWNSAMPLING only — each stratum keeps rate
+    * (n_min / n_stratum)^(1-alpha), so the smallest stratum keeps 100%
+    * and larger strata shrink toward balance (alpha=1 keeps everything,
+    * alpha=0 equalizes counts). Selection is the same md5-bucket pure
+    * function of the row key as [[deterministicSplit]] — reproducible
+    * on any engine/partitioning.
+    *
+    * Plan shape: stratum counts are one map-side-combinable groupBy
+    * (|strata| rows), broadcast back; the keep decision is per-row
+    * codegen. The data is never shuffled.
+    */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min(col("_n")).as("_n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("_thresh",
+        floor(lit(Buckets.toDouble) *
+          pow(col("_n_min").cast("double") / col("_n"), 1.0 - alpha))
+          .cast("long"))
+      .select(col(strataCol), col("_thresh"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("keep",
+        (hashBucket(col(keyCol)).cast("long") < col("_thresh")).cast("int")
+          .cast("long"))
+      .drop("_thresh")
+  }
+
   /** Per-stratum deterministic sampling: same fraction within every
     * value of `strataCol` (hash is salted with the stratum so strata
     * don't share bucket structure).

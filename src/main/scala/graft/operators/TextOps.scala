@@ -60,6 +60,75 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Top-k TF-IDF terms per document (tf · ln(N/df), df = number of
+    * documents containing the term) — the per-document keyword signal a
+    * curation pipeline uses for topic tagging and near-topic retrieval.
+    *
+    * Plan shape for 100 TB: tf is one map-side-combinable groupBy on
+    * (doc, term); df derives from tf (already one row per doc-term) by
+    * a second combinable groupBy on term — the corpus text is tokenized
+    * exactly once and nothing wider than (id, term, count) ever
+    * shuffles. The corpus-size scalar N rides the plan as a broadcast
+    * one-row cross join (no driver collect), and the final top-k is a
+    * bounded per-doc window over at most |vocab ∩ doc| rows. Ranking
+    * compares the ROUNDED score (ties broken by term), so the order is
+    * insensitive to last-ulp float differences between engines.
+    */
+  def tfidfTopTerms(docs0: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.engine.Par.widen(docs0)
+    val tf = docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(docFreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id").as(idCol), col("term"), col("tfidf"), col("rn"))
+  }
+
+  /** Deterministic logistic quality classifier: a fixed-weight logistic
+    * regression over the per-row quality features (mean word length,
+    * stopword ratio, punctuation ratio, log document length). The
+    * weights are frozen constants — the operator models the SHAPE of a
+    * learned quality filter (FastText/logreg score + threshold gate, as
+    * in CCNet/RefinedWeb-style pipelines) while staying reproducible on
+    * any engine. Pure per-row codegen expression work, no shuffle: at
+    * 100 TB this rides the same single projection as every other
+    * per-document signal.
+    */
+  def qualityScoreCol(t: Column): Column = {
+    val ws = words(t)
+    val nWords = size(ws).cast("bigint")
+    val awl = aggregate(ws, lit(0.0), (acc, w) => acc + length(w)) /
+      size(ws).cast("double")
+    val sw = size(filter(ws, w => w.isin(stopwords.map(lit(_)): _*)))
+      .cast("double") / size(ws).cast("double")
+    val pr = (length(t) - length(regexp_replace(t, "[.,!?;]", "")))
+      .cast("double") / length(t)
+    val z = lit(-1.0) + lit(0.35) * awl + lit(2.2) * sw - lit(6.0) * pr +
+      lit(0.15) * log(lit(1).cast("bigint") + nWords)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Per-document quality score + keep gate at 0.5 (see
+    * [[qualityScoreCol]]). Output: idCol, score (rounded 4), keep (0/1).
+    */
+  def qualityScore(docs0: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val s = qualityScoreCol(col(textCol))
+    docs.select(col(idCol),
+      round(s, 4).as("score"),
+      when(s >= 0.5, 1L).otherwise(0L).as("keep"))
+  }
+
   /** Context-window chunking: split each document's word sequence into
     * windows of `size` words advancing by `stride` (overlap = size -
     * stride), the standard long-document transform ahead of

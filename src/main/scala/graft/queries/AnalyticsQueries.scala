@@ -281,6 +281,43 @@ object AnalyticsQueries {
       TextOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
         terms = Seq("vector", "join", "data"), topN = 20)),
 
+    // top-3 TF-IDF terms per document (tf · ln(N/df)) — keyword/topic
+    // signal; ranking on the ROUNDED score with term tiebreak
+    "q60_tfidf" -> ((s, d) =>
+      TextOps.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn")),
+
+    // deterministic logistic quality classifier (frozen weights):
+    // score + keep gate, the learned-filter shape of CCNet/RefinedWeb
+    "q61_quality_score" -> ((s, d) =>
+      TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // per-event-type z-score outliers on the metric stream; moments run
+    // over an exact fixed-point integer quantization so the statistic
+    // is bit-identical under any aggregation order / engine
+    "q62_value_outliers" -> ((s, d) =>
+      graft.operators.Outliers.zscoreOutliers(t(s, d, "events"),
+          "event_id", "event_type", "value", threshold = 3.0)
+        .orderBy("event_id")),
+
+    // substring-level duplication: fraction of each doc's 5-gram spans
+    // that occur in >= 2 distinct documents (Lee et al. 2022-style
+    // exact-substring signal; spans shuffle as 8-byte hashes)
+    "q63_dup_spans" -> ((s, d) =>
+      Dedup.duplicatedSpans(t(s, d, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+
+    // temperature-balanced language resampling (alpha = 0.5): rarest
+    // language keeps 100%, larger ones downsample toward balance;
+    // md5-bucket selection is a pure function of the row key
+    "q64_temperature_sample" -> ((s, d) =>
+      Sampling.temperatureSample(t(s, d, "documents"), "lang", "text",
+          alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
+        .orderBy("lang")),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -498,6 +535,46 @@ object AnalyticsQueries {
        "SELECT doc_id, chunk_idx, chunk_text, " +
        "len(list_filter(string_split(chunk_text, ' '), x -> x <> ''))::BIGINT AS chunk_words " +
        "FROM ch ORDER BY doc_id, chunk_idx"),
+    "q60_tfidf" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+       + "tok2 AS (SELECT doc_id, w FROM toks WHERE w <> ''), "
+       + "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2), "
+       + "df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1), "
+       + "n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents), "
+       + "sc AS (SELECT doc_id, w AS term, ROUND(tf * ln(n.n / df.df), 4) AS tfidf FROM tf JOIN df USING (w) CROSS JOIN n), "
+       + "r AS (SELECT doc_id, term, tfidf, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM sc) "
+       + "SELECT doc_id, term, tfidf, rn FROM r WHERE rn <= 3 ORDER BY doc_id, rn"),
+    "q61_quality_score" ->
+      ("WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws, text FROM documents), "
+       + "f AS (SELECT doc_id, len(ws)::BIGINT AS n_words, "
+       + "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS awl, "
+       + s"len(list_filter(ws, w -> list_contains(${inList(stop)}, w)))::DOUBLE / len(ws) AS sw, "
+       + "(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))::DOUBLE / length(text) AS pr FROM ws) "
+       + "SELECT doc_id, ROUND(1.0/(1.0+exp(-(-1.0 + 0.35*awl + 2.2*sw - 6.0*pr + 0.15*ln(1+n_words)))), 4) AS score, "
+       + "CASE WHEN 1.0/(1.0+exp(-(-1.0 + 0.35*awl + 2.2*sw - 6.0*pr + 0.15*ln(1+n_words)))) >= 0.5 THEN 1 ELSE 0 END::BIGINT AS keep "
+       + "FROM f ORDER BY doc_id"),
+    "q62_value_outliers" ->
+      ("WITH iv AS (SELECT event_id, event_type, value, CAST(floor(value*100) AS BIGINT) AS iv FROM events), "
+       + "st AS (SELECT event_type, SUM(iv)::DOUBLE AS s, SUM(iv*iv)::DOUBLE AS ss, COUNT(*)::DOUBLE AS n FROM iv GROUP BY 1), "
+       + "mv AS (SELECT event_type, s/100/n AS m, sqrt((ss/10000.0 - (s/100)*(s/100)/n)/(n-1.0)) AS sd FROM st), "
+       + "z AS (SELECT e.event_id, e.event_type, ROUND(abs(e.value - mv.m)/mv.sd, 4) AS z FROM events e JOIN mv USING (event_type)) "
+       + "SELECT event_id, event_type, z FROM z WHERE z > 3.0 ORDER BY event_id"),
+    "q63_dup_spans" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + "sp AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS sh "
+       + "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) g WHERE len(ws) >= 5), "
+       + "docsh AS (SELECT DISTINCT doc_id, sh FROM sp), "
+       + "dfc AS (SELECT sh, COUNT(*) AS c FROM docsh GROUP BY 1), "
+       + "j AS (SELECT sp.doc_id, CASE WHEN dfc.c >= 2 THEN 1 ELSE 0 END AS dup FROM sp JOIN dfc USING (sh)) "
+       + "SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(dup)::BIGINT AS n_dup_spans, "
+       + "ROUND(SUM(dup)::DOUBLE / COUNT(*), 4) AS dup_frac FROM j GROUP BY 1 ORDER BY doc_id"),
+    "q64_temperature_sample" ->
+      ("WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), "
+       + "mn AS (SELECT MIN(n) AS n_min FROM counts), "
+       + "rates AS (SELECT lang, CAST(floor(65536 * pow(n_min::DOUBLE / n, 0.5)) AS BIGINT) AS thresh FROM counts CROSS JOIN mn), "
+       + "sel AS (SELECT d.lang, CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER) < r.thresh THEN 1 ELSE 0 END::BIGINT AS keep "
+       + "FROM documents d JOIN rates r USING (lang)) "
+       + "SELECT lang, COUNT(*) AS total, SUM(keep)::BIGINT AS kept FROM sel GROUP BY 1 ORDER BY lang"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

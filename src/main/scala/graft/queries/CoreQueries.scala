@@ -295,6 +295,48 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // 4-way join where nation broadcasts and customer/orders/lineitem
+    // shuffle on their join keys; the topK is TakeOrderedAndProject
+    // over the ROUNDED revenue (custkey tiebreak) so the cut is
+    // insensitive to last-ulp float sums
+    "q58_tpch10" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-04-01'"))
+      val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape: large-order customers (groupBy-HAVING semi join
+    // back onto the fact table). The qualifying-orderkey set is tiny
+    // relative to lineitem, so it broadcasts into a semi join — the
+    // fact table is filtered before the wide 3-way join
+    "q59_tpch18" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("_q"))
+        .filter(col("_q") > 150).select(col("l_orderkey").as("_bk"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(big), o("o_orderkey") === col("_bk"), "left_semi")
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // Q25 — sessionization (30-min inactivity gap), batch-equivalent
     "q25_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id"))
@@ -399,6 +441,20 @@ object CoreQueries {
        "JOIN region r ON n.n_regionkey = r.r_regionkey " +
        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
        "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q58_tpch10" ->
+      ("SELECT c_custkey, c_name, revenue, n_name FROM (" +
+       "SELECT c.c_custkey, c.c_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue, n.n_name " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +
+       "JOIN nation n ON c.c_nationkey = n.n_nationkey " +
+       "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01' AND l.l_returnflag = 'R' " +
+       "GROUP BY 1, 2, 4) t ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q59_tpch18" ->
+      ("SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice, SUM(l.l_quantity) AS total_qty " +
+       "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+       "JOIN lineitem l ON o.o_orderkey = l.l_orderkey " +
+       "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 150) " +
+       "GROUP BY 1, 2, 3, 4 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"),
     "q25_sessionize" ->
       ("SELECT user_id, COUNT(DISTINCT sid) AS n_sessions FROM (" +
         "SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS sid FROM (" +

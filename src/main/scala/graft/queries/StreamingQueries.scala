@@ -188,14 +188,69 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-stream inner join with event-time range: each purchase
+    * matched to the same user's clicks in the preceding 10 minutes,
+    * then counted per user. Both sides carry watermarks and the join
+    * condition bounds event time on both sides, so Spark derives state
+    * eviction for BOTH join buffers — the state store holds a sliding
+    * ~10-minute window of each side, bounded on unbounded input (the
+    * one Structured Streaming stateful shape the inventory didn't yet
+    * declare). Inner-join matches emit as soon as both rows are
+    * present; the aggregation over the emitted pairs runs as a batch
+    * query over the sink table, keeping the streaming graph single-
+    * stateful-operator.
+    */
+  def q65StreamJoin(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q65_stream_join_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q65")
+      def side(kind: String, idAs: String, tsAs: String) =
+        s.readStream.schema(raw)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type") === kind)
+          .select(col("event_id").as(idAs), col("user_id"),
+            timestamp_seconds(expr("ts div 1000000000")).as(tsAs))
+          .withWatermark(tsAs, "10 minutes")
+      val purchases = side("purchase", "p_id", "p_ts")
+      val clicks = side("click", "c_id", "c_ts")
+        .withColumnRenamed("user_id", "c_user_id")
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") <= col("p_ts"))
+        .select(col("user_id"), col("p_id"), col("c_id"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }
+
   val queries: Map[String, Q] = Map(
     "q23_stream" -> (q23Stream(_, _)),
-    "q25_stream" -> (q25Stream(_, _))
+    "q25_stream" -> (q25Stream(_, _)),
+    "q65_stream_join" -> (q65StreamJoin(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
     "q23_stream" -> CoreQueries.oracles("q23_hourly"),
-    "q25_stream" -> CoreQueries.oracles("q25_sessionize")
+    "q25_stream" -> CoreQueries.oracles("q25_sessionize"),
+    // the batch formulation of the same join IS the equivalence contract
+    "q65_stream_join" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
+       + "p AS (SELECT event_id AS p_id, user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'), "
+       + "c AS (SELECT event_id AS c_id, user_id, sec AS c_sec FROM e WHERE event_type = 'click') "
+       + "SELECT p.user_id, COUNT(*) AS n_pairs FROM p JOIN c "
+       + "ON p.user_id = c.user_id AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec "
+       + "GROUP BY 1 ORDER BY p.user_id")
   )
 }

@@ -164,4 +164,19 @@ class DedupSpec extends SparkSpec {
     val r = docs.select(Dedup.hamming(lit(0b1011L), lit(0b0001L))).collect()
     assert(r.head.getInt(0) == 2)
   }
+
+  test("duplicatedSpans: shared 5-gram occurrences are counted per doc") {
+    // docs 1 and 2 are identical (9 words -> 5 spans, all duplicated);
+    // doc 3 differs only in its last word, so the 4 spans that do not
+    // touch it are shared and only the final span is unique; doc 4 is
+    // disjoint; doc 5 is too short for any span
+    val r = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((5L, 5L)))
+    assert(r(2L) == ((5L, 5L)))
+    assert(r(3L) == ((5L, 4L)))
+    assert(r(4L)._2 == 0L)
+    assert(!r.contains(5L)) // "short" has < 5 words: no spans, no row
+  }
 }

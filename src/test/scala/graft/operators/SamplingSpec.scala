@@ -42,4 +42,31 @@ class SamplingSpec extends SparkSpec {
       assert(f > 0.25 && f < 0.75, s"$lang sampled at $f")
     }
   }
+
+  test("temperatureSample: smallest stratum keeps all; rates shrink with size") {
+    val kept = Sampling.temperatureSample(docs, "lang", "text", alpha = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val minLang = kept.minBy(_._2._1)._1
+    assert(kept(minLang)._2 == kept(minLang)._1, s"min stratum must keep 100%: $kept")
+    // expected rate per stratum is (n_min/n)^0.5 within binomial noise
+    val nMin = kept(minLang)._1.toDouble
+    kept.foreach { case (lang, (n, k)) =>
+      val want = math.sqrt(nMin / n)
+      val got = k.toDouble / n
+      assert(math.abs(got - want) < 0.15, s"$lang rate=$got want=$want")
+    }
+  }
+
+  test("temperatureSample: alpha=1 keeps everything; deterministic") {
+    val all = Sampling.temperatureSample(docs, "lang", "text", alpha = 1.0)
+    assert(all.filter(col("keep") === 0).count() == 0)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureSample(d, "lang", "text", alpha = 0.5)
+        .filter(col("keep") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(docs) == ids(docs.repartition(13)))
+  }
 }

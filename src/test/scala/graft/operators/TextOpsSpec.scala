@@ -117,6 +117,40 @@ class TextOpsSpec extends SparkSpec {
     assert(one.length == 1 && one.head.getString(2) == "a b c")
   }
 
+  test("tfidfTopTerms ranks a doc-specific term above corpus-wide ones") {
+    // "zebra" appears only in doc 1; "common" appears in all three docs
+    // (idf = ln(1) = 0, so it can never outrank a distinctive term)
+    val corpus = docs(
+      1L -> "common zebra zebra apple",
+      2L -> "common apple banana",
+      3L -> "common banana banana banana")
+    val r = TextOps.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rn").collect()
+    val top1 = r.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq
+    assert(top1.head == "zebra", r.mkString(","))
+    // hand-check the top score: tf=2, df=1, N=3 -> 2*ln(3)
+    val z = r.filter(x => x.getLong(0) == 1L && x.getString(1) == "zebra").head
+    assert(z.getDouble(2) == math.rint(2 * math.log(3.0) * 10000) / 10000)
+    // "common" (df = N) scores zero everywhere => ranked by term asc last
+    assert(r.forall(x =>
+      x.getString(1) != "common" || x.getDouble(2) == 0.0))
+    // every doc gets exactly k rows with rn 1..k
+    assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(3)).sorted
+      .toSeq == Seq(1, 2)))
+  }
+
+  test("qualityScore: clean prose above punctuation soup; gate at 0.5") {
+    val r = TextOps.qualityScore(docs(
+      1L -> "the cat sat on a mat and the dog sat on the log for a while",
+      2L -> "!!! ??? ;;; ... !!! ??? ;;; buy now !!! ??? ;;;"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    val clean = r(0).getDouble(1); val spam = r(1).getDouble(1)
+    assert(clean > spam, s"clean=$clean spam=$spam")
+    assert(r(0).getLong(2) == 1L) // clean prose passes the 0.5 gate
+    assert(r(1).getLong(2) == 0L) // punctuation soup fails it
+    assert(r.forall(x => x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0))
+  }
+
   test("normalizeText collapses case/punct/whitespace variants to one key") {
     val variants = docs(
       1L -> "The quick  brown fox!",
