@@ -35,10 +35,15 @@ object Bench {
       name -> ts(ts.length / 2)
     }
 
-    val qjson = results.map { case (k, v) => s""""$k":$v""" }
+    // Round to ms precision: full-precision doubles made the line ~4.4 KB and
+    // the driver's tail capture truncated it mid-stream (round-4 artifact was
+    // unparseable). 3 decimals keeps it well under the capture window.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qjson = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

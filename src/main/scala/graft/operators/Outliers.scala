@@ -38,16 +38,22 @@ object Outliers {
       .groupBy(col(groupCol))
       .agg(sum(col("iv")).as("si"), sum(col("iv") * col("iv")).as("ssi"),
         count(lit(1)).as("cnt"))
-    val sd = sqrt(
+    val variance =
       (col("ss") / (scale.toDouble * scale) -
-        (col("s") / scale) * (col("s") / scale) / col("n")) / (col("n") - 1.0))
+        (col("s") / scale) * (col("s") / scale) / col("n")) / (col("n") - 1.0)
+    // Degenerate groups (n < 2, or zero/negative variance from a constant
+    // group) are excluded BEFORE the sqrt: engines disagree on 0/0 and
+    // sqrt(-eps) (NULL vs inf/NaN), so the guard must be explicit and
+    // identical on both sides of the oracle comparison.
     val mv = st.select(
         col(groupCol),
         col("si").cast("double").as("s"),
         col("ssi").cast("double").as("ss"),
         col("cnt").cast("double").as("n"))
-      .select(col(groupCol),
-        (col("s") / scale / col("n")).as("m"), sd.as("sd"))
+      .select(col(groupCol), col("n"),
+        (col("s") / scale / col("n")).as("m"), variance.as("v"))
+      .filter(col("n") >= 2 && col("v") > 0)
+      .select(col(groupCol), col("m"), sqrt(col("v")).as("sd"))
     df.join(broadcast(mv), groupCol)
       .withColumn("z", round(abs(col(valueCol) - col("m")) / col("sd"), 4))
       .filter(col("z") > threshold)

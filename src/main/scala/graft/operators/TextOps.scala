@@ -27,7 +27,9 @@ object TextOps {
     * Plan shape for 100 TB: the token explode is filtered to the QUERY
     * terms before any shuffle, so the tf table carries at most
     * |terms| rows per matching doc — the corpus is never shuffled by
-    * token. Document lengths are one map-side-combinable groupBy;
+    * token. Document lengths are one map-side-combinable groupBy,
+    * broadcast-semi-pruned to the matching ids before the per-doc join
+    * (the full (id, dl) relation never shuffles);
     * corpus-level scalars (N, avgdl) stay in the plan as a broadcast
     * one-row cross join (no driver collect); per-term df is a broadcast
     * of |terms| rows. Output is the rounded-score top-N with a
@@ -45,8 +47,14 @@ object TextOps {
     val tf = toks.filter(col("w").isin(terms: _*))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // stats (N, avgdl) are corpus-wide and already computed above; for
+    // the per-doc join, prune dl to the query-matching ids FIRST — at
+    // 10^10 docs the full (id, dl) relation must not shuffle to serve a
+    // join that only touches |matching docs| rows.
+    val dlPruned = dl.join(broadcast(tf.select(col("id")).distinct()),
+      Seq("id"), "left_semi")
     tf.join(broadcast(docFreq), "w")
-      .join(dl, "id")
+      .join(dlPruned, "id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))

@@ -556,7 +556,8 @@ object AnalyticsQueries {
     "q62_value_outliers" ->
       ("WITH iv AS (SELECT event_id, event_type, value, CAST(floor(value*100) AS BIGINT) AS iv FROM events), "
        + "st AS (SELECT event_type, SUM(iv)::DOUBLE AS s, SUM(iv*iv)::DOUBLE AS ss, COUNT(*)::DOUBLE AS n FROM iv GROUP BY 1), "
-       + "mv AS (SELECT event_type, s/100/n AS m, sqrt((ss/10000.0 - (s/100)*(s/100)/n)/(n-1.0)) AS sd FROM st), "
+       + "mv AS (SELECT event_type, s/100/n AS m, sqrt((ss/10000.0 - (s/100)*(s/100)/n)/(n-1.0)) AS sd FROM st "
+       + "WHERE n >= 2 AND (ss/10000.0 - (s/100)*(s/100)/n)/(n-1.0) > 0), "
        + "z AS (SELECT e.event_id, e.event_type, ROUND(abs(e.value - mv.m)/mv.sd, 4) AS z FROM events e JOIN mv USING (event_type)) "
        + "SELECT event_id, event_type, z FROM z WHERE z > 3.0 ORDER BY event_id"),
     "q63_dup_spans" ->

@@ -319,17 +319,21 @@ object CoreQueries {
 
     // TPC-H Q18 shape: large-order customers (groupBy-HAVING semi join
     // back onto the fact table). The qualifying-orderkey set is tiny
-    // relative to lineitem, so it broadcasts into a semi join — the
-    // fact table is filtered before the wide 3-way join
+    // relative to lineitem, so it broadcasts into semi joins applied to
+    // BOTH orders and lineitem BEFORE the wide 3-way join — Catalyst
+    // does not reorder left-semi across inner joins, so the pruning
+    // must be written where it should execute (fact rows are dropped at
+    // the scan side of the shuffle, not after it).
     "q59_tpch18" -> ((s, d) => {
       val c = t(s, d, "customer"); val o = t(s, d, "orders")
       val l = t(s, d, "lineitem")
       val big = l.groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity")).as("_q"))
         .filter(col("_q") > 150).select(col("l_orderkey").as("_bk"))
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
-        .join(broadcast(big), o("o_orderkey") === col("_bk"), "left_semi")
+      val oBig = o.join(broadcast(big), o("o_orderkey") === col("_bk"), "left_semi")
+      val lBig = l.join(broadcast(big), l("l_orderkey") === col("_bk"), "left_semi")
+      c.join(oBig, c("c_custkey") === oBig("o_custkey"))
+        .join(lBig, oBig("o_orderkey") === lBig("l_orderkey"))
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_totalprice"))
         .agg(sum(col("l_quantity")).as("total_qty"))

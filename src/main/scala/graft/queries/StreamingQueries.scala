@@ -199,6 +199,15 @@ object StreamingQueries {
     * present; the aggregation over the emitted pairs runs as a batch
     * query over the sink table, keeping the streaming graph single-
     * stateful-operator.
+    *
+    * Batch-equivalence caveat: the oracle comparison assumes the whole
+    * input lands in ONE micro-batch (single events.parquet file +
+    * AvailableNow). If the input were split across files, AvailableNow
+    * would split batches and rows arriving out of event-time order by
+    * more than the 10-minute watermark could be evicted from join state
+    * — correct streaming semantics, but no longer equal to the batch
+    * inner join. For multi-file inputs, size the watermark to the join
+    * range PLUS the max cross-batch disorder.
     */
   def q65StreamJoin(s: SparkSession, dir: String): DataFrame =
     withShufflePartitions(s, 8) {

@@ -27,6 +27,22 @@ class OutliersSpec extends SparkSpec {
     assert(run(df.repartition(1)) == run(df.repartition(17)))
   }
 
+  test("degenerate groups (n=1, constant-valued) emit nothing") {
+    import spark.implicits._
+    // single-row group: n-1 = 0; constant group: variance = 0. Engines
+    // disagree on 0/0 and sqrt(0-eps) (NULL vs inf/NaN), so both shapes
+    // are excluded by an explicit guard rather than left to float rules.
+    val rows = Seq((1L, "single", 42.0)) ++
+      (1 to 50).map(i => (100L + i, "const", 7.0)) ++
+      ((1 to 50).map(i => (200L + i, "ok", 10.0 + (i % 5) * 0.01)) :+
+        (299L, "ok", 500.0))
+    val out = Outliers.zscoreOutliers(
+      rows.toDF("id", "grp", "v"), "id", "grp", "v", threshold = 3.0)
+      .collect()
+    assert(out.map(_.getString(1)).toSet == Set("ok"), out.mkString(","))
+    assert(out.map(_.getLong(0)).toSet == Set(299L), out.mkString(","))
+  }
+
   test("z matches a direct two-pass computation") {
     import spark.implicits._
     val rows = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),

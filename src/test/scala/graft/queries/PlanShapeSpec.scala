@@ -93,6 +93,29 @@ class PlanShapeSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q59 TPC-H Q18: broadcast semi prune sits BELOW the inner joins") {
+    // Catalyst does not move left-semi joins across inner joins, so the
+    // pruning must be authored below them — pinned here so the written
+    // plan shape is the executed one (fact rows drop before the wide
+    // join's shuffle, not after it).
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    val plan = q("q59_tpch18").queryExecution.optimizedPlan
+    val semis = plan.collect { case j: LJoin if j.joinType == LeftSemi => j }
+    assert(semis.size >= 2, s"expected semi joins on both orders and lineitem:\n$plan")
+    semis.foreach { sj =>
+      val innerBelow = sj.left.collect { case j: LJoin if j.joinType == Inner => j }
+      assert(innerBelow.isEmpty,
+        s"semi join must apply to the base table, below the inner joins:\n$plan")
+    }
+  }
+
+  test("q55 BM25: doc-length side is semi-pruned before the per-doc join") {
+    val s = planString(q("q55_bm25"))
+    assert(s.contains("LeftSemi"),
+      s"dl must be pruned to matching ids via a semi join:\n$s")
+  }
+
   test("whole-stage codegen covers the vector-similarity scoring") {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string;
     // the dot-product filter must sit inside one, not in an interpreted
