@@ -21,13 +21,18 @@ object MakeGolden {
     */
   val goldenQueries: Seq[String] =
     Seq("q29_minhash", "q30_simhash", "q36_lsh_topk", "q38_ivf_topk",
-      "q48_simhash_pairs", "q49_embed_pairs_lsh")
+      "q48_simhash_pairs", "q49_embed_pairs_lsh", "q66_multimodal")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: regenerate only the named queries (comma-
+    // separated) — adding a new pin must not rewrite existing ones
+    val wanted =
+      if (args.length > 2) goldenQueries.filter(args(2).split(",").contains(_))
+      else goldenQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.engine.Sessions.local("graft-golden", cpus)
-    goldenQueries.foreach { name =>
+    wanted.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[golden] wrote $outDir/$name")

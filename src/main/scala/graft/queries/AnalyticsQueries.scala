@@ -318,6 +318,19 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
         .orderBy("lang")),
 
+    // multimodal decode over the deterministic synthetic media corpus
+    // (one media row per document: real PNG bytes for images, real WAV
+    // bytes for audio, the marked stub for video) — golden-parquet
+    // oracle pins dimensions / channels / sample rate / duration /
+    // validity per media id. Decode is a narrow partition-wise
+    // transform; the binary column never shuffles and is dropped from
+    // the output.
+    "q66_multimodal" -> ((s, d) =>
+      graft.multimodal.Multimodal.decode(
+          graft.multimodal.Multimodal.syntheticMedia(
+            graft.engine.Par.widen(t(s, d, "documents"))))
+        .orderBy("media_id")),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -359,6 +372,9 @@ object AnalyticsQueries {
     "q49_embed_pairs_lsh" -> golden("q49_embed_pairs_lsh", "a, b, sim", "a, b"),
     "q36_lsh_topk" -> golden("q36_lsh_topk", "qid, cid, rn", "qid, rn"),
     "q38_ivf_topk" -> golden("q38_ivf_topk", "qid, cid, rn", "qid, rn"),
+    "q66_multimodal" -> golden("q66_multimodal",
+      "media_id, media_type, width, height, channels, sample_rate, duration_ms, ok",
+      "media_id"),
     "q24_dedup_distinct" ->
       "SELECT lang, COUNT(*) AS c FROM (SELECT DISTINCT text, lang FROM documents) GROUP BY lang ORDER BY lang",
     "q24_dedup_exact" ->
