@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.cosineSim
-import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Bpe, Dedup, IntervalJoin, Packing, Sampling, Similarity, TextOps}
 
 /** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
   * training-data-pipeline operator suite): dedup, similarity search,
@@ -318,6 +318,26 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
         .orderBy("lang")),
 
+    // BPE tokenizer training: the frozen merge-table artifact (48
+    // merges learned from the corpus word counts; deterministic
+    // count-desc / pair-lexicographic tie-break). Golden-pinned — the
+    // training loop is data-dependent and not SQL-expressible.
+    "q34b_bpe_merges" -> ((s, d) =>
+      Bpe.trainTable(t(s, d, "documents"), "text", numMerges = 48)
+        .orderBy("mrank")),
+
+    // BPE tokenizer apply under the frozen merges: per-doc token count
+    // + token string. The DuckDB oracle RE-EXECUTES the apply
+    // independently (recursive CTE over the pinned merge table, one
+    // greedy replace pass per rank), so this is a true cross-engine
+    // certification of the tokenizer, not a pin read-back.
+    "q34c_bpe_tokens" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 48)
+        .map { case (l, r, _) => (l, r) }
+      Bpe.tokenize(docs, "doc_id", "text", merges).orderBy("doc_id")
+    }),
+
     // multimodal decode over the deterministic synthetic media corpus
     // (one media row per document: real PNG bytes for images, real WAV
     // bytes for audio, the marked stub for video) — golden-parquet
@@ -375,6 +395,25 @@ object AnalyticsQueries {
     "q66_multimodal" -> golden("q66_multimodal",
       "media_id, media_type, width, height, channels, sample_rate, duration_ms, ok",
       "media_id"),
+    "q34b_bpe_merges" -> golden("q34b_bpe_merges", "mrank, l, r, cnt", "mrank"),
+    // independent re-execution of BPE apply: tokens ride as
+    // '|'-delimited strings ('|tok|' per token, so adjacent tokens meet
+    // at '||' and pattern '|l||r|' matches exactly one greedy
+    // left-to-right pass per rank — the same semantics as the engine's
+    // mergePair); words join with ' ' so merges never cross words
+    "q34c_bpe_tokens" ->
+      ("WITH RECURSIVE m AS (SELECT mrank, l, r FROM read_parquet('/root/repo/golden/sf0.01/q34b_bpe_merges/*.parquet')), "
+       + "w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), "
+       + "base AS (SELECT doc_id, array_to_string(list_transform(ws, wd -> "
+       + "'|' || array_to_string(list_transform(generate_series(1, length(wd)), i -> substring(wd, i, 1)), '||') || '|'), ' ') AS s, "
+       + "1 AS k FROM w), "
+       + "rec AS (SELECT doc_id, s, k FROM base "
+       + "UNION ALL SELECT rec.doc_id, replace(rec.s, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|'), rec.k + 1 "
+       + "FROM rec JOIN m ON m.mrank = rec.k), "
+       + "fin AS (SELECT doc_id, s FROM rec WHERE k = (SELECT MAX(mrank) + 1 FROM m)) "
+       + "SELECT doc_id, CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tokens, "
+       + "replace(replace(s, '||', ' '), '|', '') AS toks "
+       + "FROM fin ORDER BY doc_id"),
     "q24_dedup_distinct" ->
       "SELECT lang, COUNT(*) AS c FROM (SELECT DISTINCT text, lang FROM documents) GROUP BY lang ORDER BY lang",
     "q24_dedup_exact" ->
