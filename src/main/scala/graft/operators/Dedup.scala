@@ -300,6 +300,56 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Span REMOVAL (the transform behind the [[duplicatedSpans]] stats —
+    * Lee et al. 2022's exact-substring dedup): emit each document's
+    * cleaned text with the words covered by cross-document duplicated
+    * n-gram spans dropped. Policy: a span occurring in >= 2 distinct
+    * documents is kept only by the document with the SMALLEST id
+    * (keep-first-occurrence; the keeper keeps all its in-doc copies),
+    * every other document drops all words covered by any occurrence of
+    * that span. Output: (idCol, clean_text, n_kept, n_dropped) for
+    * every input document (docs shorter than n words pass through
+    * unchanged; clean_text is single-space re-joined).
+    *
+    * Plan shape for 100 TB: spans shuffle as (id, pos, 8-byte xxhash64)
+    * — never the n-gram text; the span stats (distinct-doc count +
+    * min id) are map-side combinable after the per-doc distinct; the
+    * drop list collapses to ONE row per affected doc (the array of
+    * dropped span starts), so the only join touching full text is
+    * docs ⋈ drop-starts by id — bucket the docs table by id
+    * ([[graft.sinks.BucketedTables]]) and that join is shuffle-free.
+    * The word-drop itself is a per-row codegen higher-order filter
+    * (exists over the starts array), no explode of the corpus words.
+    */
+  def removeDuplicatedSpans(docs0: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val ws = filter(split(col(textCol), " "), w => w =!= "")
+    val grams = transform(
+      sequence(lit(0), size(ws) - n),
+      i => xxhash64(array_join(slice(ws, i + 1, lit(n)), " ")))
+    val spans = docs
+      .filter(size(ws) >= n)
+      .select(col(idCol).as("id"), posexplode(grams))
+      .select(col("id"), col("pos"), col("col").as("sh"))
+    val stats = spans.select(col("id"), col("sh")).distinct()
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("_ndocs"), min(col("id")).as("_keep"))
+      .filter(col("_ndocs") >= 2)
+    val dropStarts = spans.join(stats, "sh")
+      .filter(col("id") =!= col("_keep"))
+      .groupBy(col("id")).agg(collect_set(col("pos")).as("_starts"))
+    val starts = coalesce(col("_starts"),
+      array().cast("array<int>"))
+    val kept = filter(ws, (_, i) =>
+      !exists(starts, s => i >= s && i <= s + lit(n - 1)))
+    docs.join(dropStarts, docs(idCol) === dropStarts("id"), "left")
+      .select(docs(idCol),
+        array_join(kept, " ").as("clean_text"),
+        size(kept).cast("long").as("n_kept"),
+        (size(ws) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   private def saltedHash(c: Column, salt: Int): Column =
     xxhash64(lit(salt), c)
 

@@ -338,6 +338,14 @@ object AnalyticsQueries {
       Bpe.tokenize(docs, "doc_id", "text", merges).orderBy("doc_id")
     }),
 
+    // span REMOVAL (the transform q63 only reports stats for): cleaned
+    // text with words covered by >= 2-doc 5-gram spans dropped,
+    // keep-first-occurrence (smallest doc id keeps the span)
+    "q67_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+          n = 5)
+        .orderBy("doc_id")),
+
     // multimodal decode over the deterministic synthetic media corpus
     // (one media row per document: real PNG bytes for images, real WAV
     // bytes for audio, the marked stub for video) — golden-parquet
@@ -624,6 +632,21 @@ object AnalyticsQueries {
        + "j AS (SELECT sp.doc_id, CASE WHEN dfc.c >= 2 THEN 1 ELSE 0 END AS dup FROM sp JOIN dfc USING (sh)) "
        + "SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(dup)::BIGINT AS n_dup_spans, "
        + "ROUND(SUM(dup)::DOUBLE / COUNT(*), 4) AS dup_frac FROM j GROUP BY 1 ORDER BY doc_id"),
+    "q67_span_removal" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + "sp AS (SELECT doc_id, i - 1 AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g "
+       + "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 4)) AS i) t WHERE len(ws) >= 5), "
+       + "st AS (SELECT g, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keep FROM sp GROUP BY 1), "
+       + "dr AS (SELECT sp.doc_id, sp.pos FROM sp JOIN st USING (g) WHERE st.nd >= 2 AND sp.doc_id <> st.keep), "
+       + "cov AS (SELECT DISTINCT doc_id, pos + j AS wp FROM dr, LATERAL (SELECT unnest(generate_series(0, 4)) AS j) u), "
+       + "wpos AS (SELECT doc_id, i - 1 AS wp, ws[i] AS w FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) v), "
+       + "kept AS (SELECT wpos.doc_id, wpos.wp, wpos.w FROM wpos ANTI JOIN cov USING (doc_id, wp)), "
+       + "agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY wp) AS ct, COUNT(*) AS nk FROM kept GROUP BY 1), "
+       + "tot AS (SELECT doc_id, len(ws) AS nw FROM words) "
+       + "SELECT tot.doc_id, COALESCE(agg.ct, '') AS clean_text, "
+       + "COALESCE(agg.nk, 0)::BIGINT AS n_kept, "
+       + "(tot.nw - COALESCE(agg.nk, 0))::BIGINT AS n_dropped "
+       + "FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id"),
     "q64_temperature_sample" ->
       ("WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), "
        + "mn AS (SELECT MIN(n) AS n_min FROM counts), "

@@ -179,4 +179,24 @@ class DedupSpec extends SparkSpec {
     assert(r(4L)._2 == 0L)
     assert(!r.contains(5L)) // "short" has < 5 words: no spans, no row
   }
+
+  test("removeDuplicatedSpans: keeper keeps, others drop covered words only") {
+    val r = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    // doc 1 is the min-id keeper of every shared span: untouched
+    assert(r(1L) == (("the quick brown fox jumps over the lazy dog", 9L, 0L)))
+    // doc 2 is fully covered by spans doc 1 keeps: everything drops
+    assert(r(2L) == (("", 0L, 9L)))
+    // doc 3: spans 0-3 are shared (cover words 0-7); its last span
+    // "jumps over the lazy cat" is unique, but only word 8 ("cat")
+    // escapes the shared spans' coverage — boundary overlap pins that
+    // coverage is by word position, not by span identity
+    assert(r(3L) == (("cat", 1L, 8L)))
+    // doc 4 shares nothing; doc 5 is shorter than n — both unchanged
+    // (and present, unlike the stats operator which has no row for 5)
+    assert(r(4L) == (("completely different text about spark engines", 6L, 0L)))
+    assert(r(5L) == (("short", 1L, 0L)))
+  }
 }
