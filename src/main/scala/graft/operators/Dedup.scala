@@ -382,33 +382,82 @@ object Dedup {
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, bands: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    import org.apache.spark.sql.GraftBridge.{column, expression}
     val numHashes = bands * rowsPerBand
     val sig = minHashSignature(docs, idCol, textCol, n, numHashes).cache()
 
-    // band buckets: (band, hash(row-slice of the signature)) per doc
-    val buckets = sig.select(col("id"), explode(array(
-      (0 until bands).map(b => struct(lit(b).as("band"),
-        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
-          .as("bkt"))): _*
-    )).as("bb")).select(col("id"), col("bb.band"), col("bb.bkt"))
-
+    val buckets = bandBuckets(sig, bands, rowsPerBand)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
 
-    // verify candidates with the signature-estimated Jaccard (codegen
-    // kernel over the packed signature arrays)
+    verifyEstJaccard(candidates, sig, sig, threshold)
+  }
+
+  /** Band buckets: (band, hash(row-slice of the signature)) per doc. */
+  private def bandBuckets(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band"),
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+          .as("bkt"))): _*
+    )).as("bb")).select(col("id"), col("bb.band"), col("bb.bkt"))
+
+  /** Verify candidate pairs with the signature-estimated Jaccard
+    * (codegen kernel over the packed signature arrays), keep those at
+    * or above `threshold`.
+    */
+  private def verifyEstJaccard(candidates: DataFrame, sigA: DataFrame,
+      sigB: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     val agree = column(graft.functions.LongArrayAgreeFrac(
       expression(col("siga")), expression(col("sigb"))))
     candidates
-      .join(sig.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
-      .join(sig.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
+      .join(sigA.select(col("id").as("a"), col("sig").as("siga")), Seq("a"))
+      .join(sigB.select(col("id").as("b"), col("sig").as("sigb")), Seq("b"))
       .withColumn("est_jac", agree)
       .filter(col("est_jac") >= threshold)
       .select(col("a"), col("b"), round(col("est_jac"), 4).as("est_jac"))
+  }
+
+  /** The persistable MinHash signature index for a corpus: (id, sig).
+    * Write this to parquet once; [[minHashPairsAgainst]] dedups any
+    * later batch against it without touching the corpus text again.
+    */
+  def minHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    minHashSignature(docs, idCol, textCol, n, bands * rowsPerBand)
+
+  /** INCREMENTAL near-dup dedup: detect pairs between a NEW batch and
+    * an EXISTING corpus represented only by its persisted signature
+    * index ([[minHashIndex]] output read back from storage) — the
+    * production delta shape: the old corpus is never re-read, never
+    * re-shingled, never re-signed. Returns (a = index id, b = batch id,
+    * est_jac >= threshold); batch-internal pairs are out of scope (run
+    * [[minHashPairs]] on the batch for those), and a == b self-matches
+    * are excluded so re-checking a batch already in the index is safe.
+    *
+    * Plan shape for 100 TB: the index side ships only (id, sig) rows —
+    * band buckets are derived from 8-byte slices of the stored
+    * signature, so incremental cost is |index| narrow rows + full
+    * processing of the (small) batch; the bucket equi-join shuffles
+    * three-long rows, and with a small batch the batch side broadcasts.
+    * `index` must have been built with the same (n, bands, rowsPerBand).
+    */
+  def minHashPairsAgainst(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val batchSig =
+      minHashSignature(batch, idCol, textCol, n, bands * rowsPerBand).cache()
+    val idxSig = index.select(col("id"), col("sig"))
+    val candidates = bandBuckets(idxSig, bands, rowsPerBand).as("x")
+      .join(bandBuckets(batchSig, bands, rowsPerBand).as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+        col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    verifyEstJaccard(candidates, idxSig, batchSig, threshold)
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the

@@ -338,6 +338,19 @@ object AnalyticsQueries {
       Bpe.tokenize(docs, "doc_id", "text", merges).orderBy("doc_id")
     }),
 
+    // incremental near-dup dedup: odd-id docs arrive as the NEW batch
+    // and are deduped against the signature index of the even-id
+    // corpus — the index side is (id, sig) only, the corpus text is
+    // never re-shingled (golden-parquet oracle: xxhash64-based)
+    "q68_incremental_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = Dedup.minHashIndex(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3)
+      Dedup.minHashPairsAgainst(idx, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("a", "b")
+    }),
+
     // span REMOVAL (the transform q63 only reports stats for): cleaned
     // text with words covered by >= 2-doc 5-gram spans dropped,
     // keep-first-occurrence (smallest doc id keeps the span)
@@ -404,6 +417,8 @@ object AnalyticsQueries {
       "media_id, media_type, width, height, channels, sample_rate, duration_ms, ok",
       "media_id"),
     "q34b_bpe_merges" -> golden("q34b_bpe_merges", "mrank, l, r, cnt", "mrank"),
+    "q68_incremental_minhash" ->
+      golden("q68_incremental_minhash", "a, b, est_jac", "a, b"),
     // independent re-execution of BPE apply: tokens ride as
     // '|'-delimited strings ('|tok|' per token, so adjacent tokens meet
     // at '||' and pattern '|l||r|' matches exactly one greedy

@@ -199,4 +199,39 @@ class DedupSpec extends SparkSpec {
     assert(r(4L) == (("completely different text about spark engines", 6L, 0L)))
     assert(r(5L) == (("short", 1L, 0L)))
   }
+
+  test("incremental minhash: batch dedups against a PERSISTED index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an entirely unrelated document about databases")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of 1+2
+      (11L, "fresh new content with no prior match at all")
+    ).toDF("doc_id", "text")
+
+    // build the index once, round-trip it through parquet — the later
+    // incremental run sees ONLY (id, sig), never the corpus text
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.minHashIndex(corpus, "doc_id", "text", n = 3)
+      .write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+
+    val pairs = Dedup.minHashPairsAgainst(idx, batch, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact dups of both indexed copies, estimated Jaccard 1.0
+    assert(pairs.toSet == Set((1L, 10L, 1.0), (2L, 10L, 1.0)), pairs.toSeq)
+    // and NO batch-internal or index-internal pairs leak into the output
+
+    // re-checking a batch that is already in the index must not
+    // self-match (a == b excluded), only report its true near-dups
+    val again = Dedup.minHashPairsAgainst(idx,
+        corpus.filter($"doc_id" === 1L), "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSet == Set((2L, 1L)), again.toSeq)
+  }
 }
