@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * built-in, headless-safe) parses/re-encodes actual PNG/JPEG bytes.
   * Audio decode is REAL for WAV/AIFF/AU: `javax.sound.sampled
   * .AudioSystem` (also JDK built-in) parses the container and yields
-  * sample rate / channels / frame count. Only video has no JDK codec —
-  * that path falls back to a deterministic fake, marked `// STUB:`, so
-  * the plumbing (schema, batch shape, partitioning, downstream joins)
-  * stays real and testable; swapping in ffmpeg/javacv changes only
-  * that body.
+  * sample rate / channels / frame count. Video METADATA is REAL for
+  * AVI: a pure-JDK RIFF walk ([[readAvi]]) reads width / height /
+  * frame count / frame rate from the `avih` header (public format,
+  * no codec needed). Only per-frame pixel decode has no JDK codec —
+  * non-AVI video bytes fall back to a deterministic fake, marked
+  * `// STUB:`, so the plumbing (schema, batch shape, partitioning,
+  * downstream joins) stays real and testable; swapping in
+  * ffmpeg/javacv changes only that body.
   *
   * Scale notes: each transform is narrow (no shuffle); media bytes
   * never leave their partition, and decoded outputs drop the `content`
@@ -84,13 +87,64 @@ object Multimodal {
         case _: java.io.IOException => null
       }
 
+  private[multimodal] case class VideoInfo(width: Int, height: Int,
+      nFrames: Int, usPerFrame: Long) {
+    def durationMs: Long = nFrames.toLong * usPerFrame / 1000L
+  }
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Real AVI metadata parse: walk the RIFF chunk tree (public
+    * format — 'RIFF'/'AVI ' magic, LIST 'hdrl', 'avih' main header)
+    * and read dwWidth / dwHeight / dwTotalFrames / dwMicroSecPerFrame
+    * as little-endian u32s. Pure JDK byte parsing, no codec. Null for
+    * anything that is not a well-formed AVI.
+    */
+  private[multimodal] def readAvi(bytes: Array[Byte]): VideoInfo = {
+    if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+      fourcc(bytes, 8) != "AVI ") return null
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val id = fourcc(bytes, off)
+      val sz = u32(bytes, off + 4).toInt
+      if (sz < 0) return null // u32 overflow: not a sane chunk
+      if (id == "LIST" && off + 12 <= bytes.length &&
+        fourcc(bytes, off + 8) == "hdrl") {
+        var in = off + 12
+        val end = math.min(off + 8L + sz, bytes.length.toLong).toInt
+        while (in + 8 <= end) {
+          val csz = u32(bytes, in + 4).toInt
+          if (csz < 0) return null
+          if (fourcc(bytes, in) == "avih" && csz >= 40 &&
+            in + 8 + 40 <= bytes.length) {
+            val base = in + 8
+            return VideoInfo(u32(bytes, base + 32).toInt,
+              u32(bytes, base + 36).toInt, u32(bytes, base + 16).toInt,
+              u32(bytes, base))
+          }
+          in += 8 + csz + (csz & 1)
+        }
+        return null // hdrl list without an avih header
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    null
+  }
+
   /** Decode pass: binary -> dimensions/validity. Batch-shaped
     * partition-wise transform; output drops `content`.
     *
     * Images decode for real (ImageIO: PNG/JPEG/GIF/BMP); audio decodes
     * for real (AudioSystem: WAV/AIFF/AU — sample rate, channels,
-    * duration). Only video has no JDK codec — deterministic fake
-    * below, clearly marked.
+    * duration); AVI video metadata parses for real ([[readAvi]]:
+    * width, height, duration from frame count x frame rate). Only
+    * per-frame pixel decode of non-AVI video bytes falls back to the
+    * deterministic fake below, clearly marked.
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
@@ -101,16 +155,21 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](2)
         val img = readImage(bytes)
         lazy val au = readAudio(bytes)
+        lazy val avi = readAvi(bytes)
         if (img != null)
           Row(id, typ, img.getWidth, img.getHeight,
             img.getColorModel.getNumComponents, null, null, true)
         else if (au != null)
           Row(id, typ, null, null, au.channels, au.sampleRate,
             au.durationMs, true)
+        else if (avi != null)
+          Row(id, typ, avi.width, avi.height, null, null,
+            avi.durationMs, true)
         else if (typ == "video" && bytes != null && bytes.length >= 4) {
-          // STUB: no video codec in the JDK; deterministic fake
-          // dimensions derived from the byte content so tests are
-          // stable. A real impl calls ffmpeg/javacv here.
+          // STUB: per-frame pixel decode of non-AVI video has no JDK
+          // codec; deterministic fake dimensions derived from the byte
+          // content so tests are stable. A real impl calls
+          // ffmpeg/javacv here.
           val h = java.util.Arrays.hashCode(bytes)
           Row(id, typ, 16 + math.abs(h % 64), 16 + math.abs((h >> 8) % 64),
             1 + math.abs((h >> 16) % 4), null, null, true)
@@ -255,11 +314,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic real AVI header bytes for a media id: a minimal
+    * RIFF/'AVI ' container with a LIST 'hdrl' / 'avih' main header
+    * whose width / height / frame count / frame rate are pure
+    * functions of the id (25 fps; n_frames = id % 50, matching the
+    * synthetic meta column) — actual parseable video metadata for
+    * tests/bench, byte-assembled to the public AVI layout.
+    */
+  def syntheticAvi(id: Long): Array[Byte] = {
+    val w = 32 + (id % 64).toInt
+    val h = 24 + (id % 48).toInt
+    val nf = (id % 50).toInt
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val bb = java.nio.ByteBuffer.allocate(88)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(80).put("AVI ".getBytes(ascii))
+    bb.put("LIST".getBytes(ascii)).putInt(68).put("hdrl".getBytes(ascii))
+    bb.put("avih".getBytes(ascii)).putInt(56)
+    bb.putInt(40000) // dwMicroSecPerFrame: 25 fps
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(nf) // dwTotalFrames
+      .putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.array()
+  }
+
   /** Synthesizes a deterministic media table from the documents table —
     * the test/bench corpus. Image rows carry REAL PNG bytes
-    * ([[syntheticPng]]), audio rows REAL WAV bytes ([[syntheticWav]]);
-    * only video rows carry the document's UTF-8 bytes (no video codec
-    * exists in the container).
+    * ([[syntheticPng]]), audio rows REAL WAV bytes ([[syntheticWav]]),
+    * video rows REAL AVI header bytes ([[syntheticAvi]] — metadata
+    * parseable, frames absent).
     */
   def syntheticMedia(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
@@ -271,12 +356,11 @@ object Multimodal {
           val content = typ match {
             case "image" => syntheticPng(id)
             case "audio" => syntheticWav(id)
-            case _ =>
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case _ => syntheticAvi(id)
           }
           val durMs =
             if (typ == "audio") (400 + (id % 50) * 40) * 1000L / 8000L
-            else r.getLong(2) * 10L
+            else (id % 50) * 40L // video: n_frames at 25 fps
           Row(id, typ, content,
             Row(null, null, null, 8000, durMs, (id % 50).toInt))
         }

@@ -88,6 +88,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decode reads real AVI header metadata via RIFF parsing") {
+    import scala.jdk.CollectionConverters._
+    // id 7: 39x31, 7 frames at 25 fps = 280 ms — values must come from
+    // the actual avih bytes, not from the id or a byte hash
+    val bytes = Multimodal.syntheticAvi(7L)
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(7L, "video", bytes)
+    ).asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, media_type STRING, content BINARY"))
+    val d = Multimodal.decode(df).collect().head
+    assert(d.getInt(2) == 39 && d.getInt(3) == 31, d)
+    assert(d.getLong(6) == 280L, "7 frames x 40 ms")
+    assert(d.getBoolean(7))
+    // a hand-built AVI with different header values decodes to THOSE
+    // values (proves the parser reads the bytes, not the generator)
+    val custom = Multimodal.syntheticAvi(7L).clone()
+    // dwWidth sits at offset 12+12+8+32 = 64 (little-endian)
+    custom(64) = 123.toByte; custom(65) = 0; custom(66) = 0; custom(67) = 0
+    val d2 = Multimodal.decode(spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(8L, "video", custom)
+    ).asJava, df.schema)).collect().head
+    assert(d2.getInt(2) == 123, d2)
+    // corpus video rows parse to the generator's formulas
+    val vids = Multimodal.decode(media.filter(col("media_type") === "video"))
+      .collect()
+    assert(vids.nonEmpty)
+    vids.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) == 32 + (id % 64).toInt)
+      assert(r.getInt(3) == 24 + (id % 48).toInt)
+      assert(r.getLong(6) == (id % 50) * 40L)
+    }
+    // truncated/garbage RIFF falls back to the codec-only stub, still ok
+    val junk = "RIFFxxxxAVI garbage".getBytes
+    val d3 = Multimodal.decode(spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(9L, "video", junk)
+    ).asJava, df.schema)).collect().head
+    assert(d3.getBoolean(7))
+  }
+
   test("decode flags undecodable content instead of failing") {
     import scala.jdk.CollectionConverters._
     val bad = spark.createDataFrame(Seq(
