@@ -257,6 +257,64 @@ object Dedup {
       .withColumn("contaminated", col("overlap_frac") >= maxOverlapFrac)
   }
 
+  /** [[decontaminate]] at HUGE eval-set scale: a Bloom-filter prefilter
+    * in front of the exact check. The broadcast-hash-set plan breaks
+    * when the eval corpus has ~10^9 distinct n-grams (an 8 GB
+    * broadcast); here the eval grams aggregate into a Spark Bloom
+    * filter (Catalyst `BloomFilterAggregate` — partial-aggregatable,
+    * distributed build), whose few-MB binary rides the probe side as a
+    * plan literal inside codegen (`BloomFilterMightContain`). Training
+    * docs with NO bloom hit — the overwhelming majority — are decided
+    * at scan speed with zero shuffle; only flagged candidates' shingles
+    * enter the exact join, which carries no broadcast hint so AQE picks
+    * shuffle vs broadcast by the (now tiny) candidate volume.
+    *
+    * Bloom false positives cost only wasted verification; false
+    * negatives are impossible — so the output is IDENTICAL to
+    * [[decontaminate]], row for row, and shares its SQL oracle.
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int, maxOverlapFrac: Double,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val evalGrams = shingles(eval, idCol, textCol, n)
+      .select(xxhash64(col("shingle")).as("sh")).distinct()
+    // size the filter from the (small-side) distinct-gram count; cap at
+    // Spark's default aggregate limits (4M items / 64Mbit = 8 MB)
+    val est = math.min(4000000L, math.max(1L, evalGrams.count()))
+    val bits = math.min(67108864L,
+      math.max(64L, math.ceil(-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong))
+    val bloomRow = evalGrams
+      .agg(column(new BloomFilterAggregate(expression(col("sh")),
+        Literal(est), Literal(bits)).toAggregateExpression()).as("bf"))
+      .head()
+    val bloom = if (bloomRow.isNullAt(0)) null else bloomRow.getAs[Array[Byte]](0)
+
+    val trainSh = shingles(train, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val candIds =
+      if (bloom == null) trainSh.select(col("id")).filter(lit(false))
+      else trainSh
+        .filter(column(BloomFilterMightContain(Literal(bloom, BinaryType),
+          expression(col("sh")))))
+        .select(col("id")).distinct()
+    // exact verify, candidates only; NO broadcast hint — AQE decides
+    val stats = trainSh.join(candIds, Seq("id"), "left_semi")
+      .join(evalGrams.withColumn("_hit", lit(1)), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_sz"), sum(col("_hit")).as("_hits"))
+      .select(col("id").as(idCol),
+        round(coalesce(col("_hits"), lit(0)).cast("double") / col("_sz"), 4)
+          .as("overlap_frac"))
+    train.join(stats, Seq(idCol), "left")
+      .withColumn("overlap_frac", coalesce(col("overlap_frac"), lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") >= maxOverlapFrac)
+  }
+
   /** Deterministic 64-bit non-cryptographic hash of a shingle, built from
     * xxhash64 with a per-function salt — the standard MinHash family
     * h_i(x) = xxhash64(i, x).

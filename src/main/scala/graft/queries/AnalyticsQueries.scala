@@ -338,6 +338,21 @@ object AnalyticsQueries {
       Bpe.tokenize(docs, "doc_id", "text", merges).orderBy("doc_id")
     }),
 
+    // q51's decontamination at huge-eval-set scale: Bloom-filter
+    // prefilter (distributed BloomFilterAggregate build, codegen
+    // might_contain probe) + exact verify on candidates only — result
+    // is row-identical to q51's plan, certified by the SAME SQL oracle
+    "q69_decontam_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      Dedup.decontaminateBloom(train, eval, "doc_id", "text",
+          n = 3, maxOverlapFrac = 0.3)
+        .select(col("doc_id"), col("overlap_frac"),
+          col("contaminated").cast("int").cast("bigint").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // incremental near-dup dedup: odd-id docs arrive as the NEW batch
     // and are deduped against the signature index of the even-id
     // corpus — the index side is (id, sig) only, the corpus text is
@@ -406,7 +421,7 @@ object AnalyticsQueries {
   private def golden(q: String, cols: String, order: String): String =
     s"SELECT $cols FROM read_parquet('/root/repo/golden/sf0.01/$q/*.parquet') ORDER BY $order"
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "q29_minhash" -> golden("q29_minhash", "a, b, est_jac", "a, b"),
     "q30_simhash" -> golden("q30_simhash", "id, simhash", "id"),
     "q48_simhash_pairs" -> golden("q48_simhash_pairs", "a, b, hamming", "a, b"),
@@ -674,4 +689,10 @@ object AnalyticsQueries {
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
        "SELECT p.event_id, c.click_id FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s ORDER BY p.event_id")
   )
+
+  /** q69 is q51's semantics behind a different physical plan (Bloom
+    * prefilter + exact verify): same rows, same oracle.
+    */
+  val oracles: Map[String, String] =
+    oracles0 + ("q69_decontam_bloom" -> oracles0("q51_decontaminate"))
 }

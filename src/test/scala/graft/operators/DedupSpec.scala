@@ -234,4 +234,33 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSet == Set((2L, 1L)), again.toSeq)
   }
+
+  test("bloom decontamination equals the exact broadcast plan row-for-row") {
+    import spark.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // fully contaminated
+      (2L, "alpha beta gamma then something else entirely"), // partial
+      (3L, "no overlap with the held out set at all"),
+      (4L, "xy") // too short to shingle: clean by definition
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"overlap_frac", $"contaminated")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val exact = rows(Dedup.decontaminate(train, eval, "doc_id", "text",
+      n = 3, maxOverlapFrac = 0.3))
+    val bloom = rows(Dedup.decontaminateBloom(train, eval, "doc_id", "text",
+      n = 3, maxOverlapFrac = 0.3))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    assert(bloom.find(_._1 == 1L).get._3, "planted dup must be flagged")
+    assert(!bloom.find(_._1 == 3L).get._3)
+    assert(bloom.find(_._1 == 4L).get._2 == 0.0)
+    // empty eval set: nothing flagged, no NPE from the null bloom
+    val none = rows(Dedup.decontaminateBloom(train,
+      eval.filter(lit(false)), "doc_id", "text", n = 3,
+      maxOverlapFrac = 0.3))
+    assert(none.forall(r => r._2 == 0.0 && !r._3))
+  }
 }

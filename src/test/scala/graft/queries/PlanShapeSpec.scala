@@ -60,7 +60,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("dedup joins are equi-joins, never cartesian") {
     Seq("q28_jaccard", "q29_minhash", "q26_vec_sim", "q41_interval",
-        "q48_simhash_pairs", "q49_embed_pairs_lsh", "q36_lsh_topk").foreach { name =>
+        "q48_simhash_pairs", "q49_embed_pairs_lsh", "q36_lsh_topk",
+        "q67_span_removal", "q68_incremental_minhash").foreach { name =>
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct"),
         s"$name degenerated to a cartesian product")
