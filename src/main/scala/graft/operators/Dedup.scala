@@ -508,7 +508,15 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val batchSig =
       minHashSignature(batch, idCol, textCol, n, bands * rowsPerBand).cache()
-    val idxSig = index.select(col("id"), col("sig"))
+    pairsAgainstSigs(index.select(col("id"), col("sig")), batchSig,
+      threshold, bands, rowsPerBand)
+  }
+
+  /** Signature-level core of [[minHashPairsAgainst]]: both sides are
+    * already (id, sig).
+    */
+  private def pairsAgainstSigs(idxSig: DataFrame, batchSig: DataFrame,
+      threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
     val candidates = bandBuckets(idxSig, bands, rowsPerBand).as("x")
       .join(bandBuckets(batchSig, bands, rowsPerBand).as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
@@ -516,6 +524,50 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     verifyEstJaccard(candidates, idxSig, batchSig, threshold)
+  }
+
+  /** The FULL production delta-dedup loop as a streaming sink: wire
+    * into `stream.writeStream.foreachBatch(...)`. Every micro-batch is
+    * (1) near-dup-checked against the persisted signature index — the
+    * union of every earlier batch, never re-read as text — with the
+    * detected (a = indexed id, b = batch id, est_jac) pairs appended to
+    * `pairsPath`, then (2) its own signatures are appended to
+    * `indexPath` so later batches dedup against it. The index grows by
+    * |batch| narrow (id, sig, batch_id) rows per batch; per-batch cost
+    * is the batch's shingling plus a bucket join against stored
+    * signature slices.
+    *
+    * Delivery: both outputs carry `batch_id`, so a replayed batch
+    * (restart between the two writes) appends duplicate rows rather
+    * than corrupting state — readers dedup on (id, batch_id) /
+    * (a, b, batch_id), the same read-side-idempotence contract the
+    * reference's at-least-once ack model implies; wiring the writes
+    * through `SqlSink.idempotentForeachBatch`'s marker pattern upgrades
+    * it to exactly-once.
+    */
+  def minHashDedupStream(idCol: String, textCol: String, n: Int,
+      threshold: Double, indexPath: String, pairsPath: String,
+      bands: Int = 16, rowsPerBand: Int = 4): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val sig =
+        minHashSignature(batch, idCol, textCol, n, bands * rowsPerBand)
+          .cache()
+      val existing =
+        try Some(spark.read.parquet(indexPath).select(col("id"), col("sig")))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      existing match {
+        case Some(idx) =>
+          pairsAgainstSigs(idx, sig, threshold, bands, rowsPerBand)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(pairsPath)
+        case None => () // first batch: nothing to dedup against
+      }
+      sig.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(indexPath)
+      sig.unpersist()
+      ()
+    }
   }
 
   /** 64-bit SimHash over word tokens: per bit, sum +1/-1 weighted by the
