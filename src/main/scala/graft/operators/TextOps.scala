@@ -101,6 +101,39 @@ object TextOps {
       .select(col("id").as(idCol), col("term"), col("tfidf"), col("rn"))
   }
 
+  /** Unigram language-model scoring: average per-token log-probability
+    * under a unigram LM trained on the corpus itself — the
+    * perplexity-filter shape (CCNet/Gopher-style "drop documents the
+    * LM finds surprising") with the simplest public model, trained and
+    * applied in ONE plan. Output: (idCol, n_words, avg_logprob);
+    * higher (closer to 0) = more typical text.
+    *
+    * Plan shape for 100 TB: per-doc term frequencies and corpus term
+    * counts are both map-side-combinable groupBys off a single
+    * tokenize pass (same shape as TF-IDF: nothing wider than
+    * (id, term, count) shuffles — the raw token stream is never
+    * joined); the corpus-total scalar rides the plan as a broadcast
+    * one-row cross join, no driver collect. The tf-to-counts join
+    * carries no hint, so AQE broadcasts the vocabulary when it fits
+    * and shuffle-joins when it does not.
+    */
+  def unigramLogProb(docs0: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val tf = docs
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("w")).agg(sum(col("tf")).as("c"))
+    val tot = counts.agg(sum(col("c")).cast("double").as("tot"))
+    tf.join(counts, "w")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_words"),
+        round(sum(col("tf") * log(col("c") / col("tot"))) / sum(col("tf")), 4)
+          .as("avg_logprob"))
+      .select(col("id").as(idCol), col("n_words"), col("avg_logprob"))
+  }
+
   /** Deterministic logistic quality classifier: a fixed-weight logistic
     * regression over the per-row quality features (mean word length,
     * stopword ratio, punctuation ratio, log document length). The

@@ -338,6 +338,13 @@ object AnalyticsQueries {
       Bpe.tokenize(docs, "doc_id", "text", merges).orderBy("doc_id")
     }),
 
+    // unigram-LM scoring (the perplexity-filter shape): average
+    // per-token log-probability under a corpus-trained unigram model,
+    // one plan for train + apply
+    "q70_unigram_logprob" -> ((s, d) =>
+      TextOps.unigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // q51's decontamination at huge-eval-set scale: Bloom-filter
     // prefilter (distributed BloomFilterAggregate build, codegen
     // might_contain probe) + exact verify on candidates only — result
@@ -662,6 +669,15 @@ object AnalyticsQueries {
        + "j AS (SELECT sp.doc_id, CASE WHEN dfc.c >= 2 THEN 1 ELSE 0 END AS dup FROM sp JOIN dfc USING (sh)) "
        + "SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(dup)::BIGINT AS n_dup_spans, "
        + "ROUND(SUM(dup)::DOUBLE / COUNT(*), 4) AS dup_frac FROM j GROUP BY 1 ORDER BY doc_id"),
+    "q70_unigram_logprob" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM (SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY 1, 2), "
+       + "counts AS (SELECT w, SUM(tf) AS c FROM tf GROUP BY 1), "
+       + "tot AS (SELECT SUM(c)::DOUBLE AS tot FROM counts) "
+       + "SELECT doc_id, SUM(tf)::BIGINT AS n_words, "
+       + "ROUND(SUM(tf * ln(c / tot)) / SUM(tf), 4) AS avg_logprob "
+       + "FROM tf JOIN counts USING (w) CROSS JOIN tot "
+       + "GROUP BY doc_id ORDER BY doc_id"),
     "q67_span_removal" ->
       ("WITH words AS (" + wordsCte + "), "
        + "sp AS (SELECT doc_id, i - 1 AS pos, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g "

@@ -151,6 +151,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r.forall(x => x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0))
   }
 
+  test("unigramLogProb matches the hand-computed model; rare text scores lower") {
+    import spark.implicits._
+    // corpus counts: a:3 (docs 1+2), b:1, z:2 -> total 6
+    val docs = Seq((1L, "a a b"), (2L, "a"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val r = TextOps.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2))))
+      .toMap
+    def lp(c: Long) = math.log(c / 6.0)
+    assert(r(1L)._1 == 3L)
+    assert(math.abs(r(1L)._2 - (2 * lp(3) + lp(1)) / 3) < 1e-3, r(1L))
+    assert(math.abs(r(2L)._2 - lp(3)) < 1e-3)
+    assert(math.abs(r(3L)._2 - lp(2)) < 1e-3)
+    // the common-word doc is "less surprising" than the rare-word one
+    assert(r(2L)._2 > r(1L)._2 && r(1L)._2 > r(3L)._2)
+  }
+
   test("normalizeText collapses case/punct/whitespace variants to one key") {
     val variants = docs(
       1L -> "The quick  brown fox!",
