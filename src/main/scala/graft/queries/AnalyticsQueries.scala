@@ -338,6 +338,21 @@ object AnalyticsQueries {
       Bpe.tokenize(docs, "doc_id", "text", merges).orderBy("doc_id")
     }),
 
+    // BPE tokens driving sequence packing end-to-end: the tokenizer's
+    // counts (not the regex stand-in) feed the two-pass distributed
+    // prefix sum; bin = floor(running offset / 512-token budget)
+    "q71_bpe_packing" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.train(docs, "text", numMerges = 48)
+        .map { case (l, r, _) => (l, r) }
+      val counted = Bpe.tokenize(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"))
+      Packing.byTokenOffset(counted, "doc_id", "n_tokens", budget = 512L)
+        .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+          col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // unigram-LM scoring (the perplexity-filter shape): average
     // per-token log-probability under a corpus-trained unigram model,
     // one plan for train + apply
@@ -669,6 +684,22 @@ object AnalyticsQueries {
        + "j AS (SELECT sp.doc_id, CASE WHEN dfc.c >= 2 THEN 1 ELSE 0 END AS dup FROM sp JOIN dfc USING (sh)) "
        + "SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(dup)::BIGINT AS n_dup_spans, "
        + "ROUND(SUM(dup)::DOUBLE / COUNT(*), 4) AS dup_frac FROM j GROUP BY 1 ORDER BY doc_id"),
+    // same recursive-CTE BPE apply as q34c, then an exclusive-prefix
+    // window over doc order reproduces the distributed prefix sum
+    "q71_bpe_packing" ->
+      ("WITH RECURSIVE m AS (SELECT mrank, l, r FROM read_parquet('/root/repo/golden/sf0.01/q34b_bpe_merges/*.parquet')), "
+       + "w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), "
+       + "base AS (SELECT doc_id, array_to_string(list_transform(ws, wd -> "
+       + "'|' || array_to_string(list_transform(generate_series(1, length(wd)), i -> substring(wd, i, 1)), '||') || '|'), ' ') AS s, "
+       + "1 AS k FROM w), "
+       + "rec AS (SELECT doc_id, s, k FROM base "
+       + "UNION ALL SELECT rec.doc_id, replace(rec.s, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|'), rec.k + 1 "
+       + "FROM rec JOIN m ON m.mrank = rec.k), "
+       + "nt AS (SELECT doc_id, CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT) AS n_tokens "
+       + "FROM rec WHERE k = (SELECT MAX(mrank) + 1 FROM m)), "
+       + "off AS (SELECT doc_id, n_tokens, COALESCE(CAST(SUM(n_tokens) OVER "
+       + "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS token_offset FROM nt) "
+       + "SELECT doc_id, n_tokens, token_offset, token_offset // 512 AS bin FROM off ORDER BY doc_id"),
     "q70_unigram_logprob" ->
       ("WITH words AS (" + wordsCte + "), "
        + "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM (SELECT doc_id, unnest(ws) AS w FROM words) GROUP BY 1, 2), "
