@@ -603,6 +603,25 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val fp = simHash(docs, idCol, textCol).cache()
+    val banded = simHashBands(fp, maxHamming)
+    // the Hamming verify is a per-row bit_count on the joined rows —
+    // apply it BEFORE the distinct so non-qualifying candidates never
+    // enter the pair shuffle
+    banded.select(col("id").as("a"), col("fp").as("fpa"), col("band"), col("bkt"))
+      .join(banded.select(col("id").as("b"), col("fp").as("fpb"),
+        col("band"), col("bkt")), Seq("band", "bkt"))
+      .filter(col("a") < col("b"))
+      .withColumn("hamming", hamming(col("fpa"), col("fpb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))
+      .distinct()
+  }
+
+  /** Pigeonhole banding of (id, simhash): maxHamming+1 bit-slice bands,
+    * (id, fp, band, bkt) per band — derived with bit ops only, so it is
+    * equally cheap over freshly computed or STORED fingerprints.
+    */
+  private def simHashBands(fp: DataFrame, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     val bands = (0 until nBands).map { b =>
@@ -611,16 +630,30 @@ object Dedup {
       val mask = if (w == 64) -1L else (1L << w) - 1
       shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
     }
-    val banded = fp
-      .select(col("id"), col("simhash"), posexplode(array(bands: _*)))
+    fp.select(col("id"), col("simhash"), posexplode(array(bands: _*)))
       .toDF("id", "fp", "band", "bkt")
-    // the Hamming verify is a per-row bit_count on the joined rows —
-    // apply it BEFORE the distinct so non-qualifying candidates never
-    // enter the pair shuffle
-    banded.select(col("id").as("a"), col("fp").as("fpa"), col("band"), col("bkt"))
-      .join(banded.select(col("id").as("b"), col("fp").as("fpb"),
+  }
+
+  /** Incremental SimHash near-dup: a NEW batch against the persisted
+    * fingerprint index ([[simHash]] output, one (id, simhash) long per
+    * doc — the cheapest possible dedup store) — same delta shape as
+    * [[minHashPairsAgainst]]: the corpus text is never re-read; the
+    * index side re-derives its pigeonhole bands from the stored 64-bit
+    * fingerprints with bit ops only. Full recall within `maxHamming`
+    * (pigeonhole blocking loses nothing); a == b self-matches excluded.
+    * Returns (a = index id, b = batch id, hamming).
+    */
+  def simHashPairsAgainst(index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val idxBands = simHashBands(index.select(col("id"), col("simhash")),
+      maxHamming)
+    val batchBands = simHashBands(simHash(batch, idCol, textCol), maxHamming)
+    idxBands.select(col("id").as("a"), col("fp").as("fpa"), col("band"),
+        col("bkt"))
+      .join(batchBands.select(col("id").as("b"), col("fp").as("fpb"),
         col("band"), col("bkt")), Seq("band", "bkt"))
-      .filter(col("a") < col("b"))
+      .filter(col("a") =!= col("b"))
       .withColumn("hamming", hamming(col("fpa"), col("fpb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("bigint").as("hamming"))

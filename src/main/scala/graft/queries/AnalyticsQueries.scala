@@ -388,6 +388,18 @@ object AnalyticsQueries {
         .orderBy("a", "b")
     }),
 
+    // incremental SimHash: odd-id batch vs the persisted even-id
+    // fingerprint index (one long per doc — the cheapest dedup store);
+    // full recall within the Hamming budget (golden oracle: xxhash64)
+    "q72_incremental_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = Dedup.simHash(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      Dedup.simHashPairsAgainst(idx, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
     // span REMOVAL (the transform q63 only reports stats for): cleaned
     // text with words covered by >= 2-doc 5-gram spans dropped,
     // keep-first-occurrence (smallest doc id keeps the span)
@@ -456,6 +468,8 @@ object AnalyticsQueries {
     "q34b_bpe_merges" -> golden("q34b_bpe_merges", "mrank, l, r, cnt", "mrank"),
     "q68_incremental_minhash" ->
       golden("q68_incremental_minhash", "a, b, est_jac", "a, b"),
+    "q72_incremental_simhash" ->
+      golden("q72_incremental_simhash", "a, b, hamming", "a, b"),
     // independent re-execution of BPE apply: tokens ride as
     // '|'-delimited strings ('|tok|' per token, so adjacent tokens meet
     // at '||' and pattern '|l||r|' matches exactly one greedy

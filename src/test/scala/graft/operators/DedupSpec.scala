@@ -235,6 +235,32 @@ class DedupSpec extends SparkSpec {
     assert(again.toSet == Set((2L, 1L)), again.toSeq)
   }
 
+  test("incremental simhash: batch vs stored fingerprints, cross-set recall") {
+    import spark.implicits._
+    // index holds docs 1 (dog) and 4 (disjoint); the batch re-sends the
+    // dog text verbatim and a near-variant; recall must equal the
+    // full-corpus pair join restricted to (index x batch)
+    val idx = Dedup.simHash(docs.filter($"doc_id".isin(1L, 4L)),
+      "doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy cat"),
+      (12L, "utterly different words in every position here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simHashPairsAgainst(idx, batch, "doc_id", "text",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: full pair join over index ∪ batch, keep cross-set pairs
+    val full = Dedup.simHashPairs(
+        docs.filter($"doc_id".isin(1L, 4L)).unionByName(batch),
+        "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => a <= 4L && b >= 10L }.toSet
+    assert(got == full, s"got=$got full=$full")
+    assert(got.contains((1L, 10L, 0L)), "verbatim resend at hamming 0")
+    assert(!got.exists(p => p._1 == 4L), "disjoint index doc matches nothing")
+  }
+
   test("bloom decontamination equals the exact broadcast plan row-for-row") {
     import spark.implicits._
     val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
