@@ -178,8 +178,79 @@ object Multimodal {
     }(enc)
   }
 
+  private def l2(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+    if (n > 0) { var j = 0; while (j < v.length) { v(j) /= n; j += 1 } }
+    v
+  }
+
+  /** Real image features: luminance histogram over the DECODED pixels
+    * (ITU-R 601 luma weights), `dim` buckets, L2-normalized — content
+    * features, invariant to the container encoding.
+    */
+  private def imageFeatures(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Float] = {
+    val v = new Array[Float](dim)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        v(lum * dim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    l2(v)
+  }
+
+  /** Real audio features: RMS energy envelope over the DECODED 16-bit
+    * PCM stream — `dim` equal-length temporal segments, L2-normalized.
+    * Null when the container decodes to something other than 16-bit PCM.
+    */
+  private def audioFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return null
+        val pcm = ais.readAllBytes()
+        val nSamples = pcm.length / 2
+        if (nSamples == 0) return null
+        val acc = new Array[Double](dim)
+        val cnt = new Array[Int](dim)
+        var i = 0
+        while (i < nSamples) {
+          val s =
+            if (fmt.isBigEndian) ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort
+            else ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+          val seg = (i.toLong * dim / nSamples).toInt
+          acc(seg) += s.toDouble * s; cnt(seg) += 1
+          i += 1
+        }
+        l2(Array.tabulate(dim)(j =>
+          if (cnt(j) > 0) math.sqrt(acc(j) / cnt(j)).toFloat else 0f))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+    }
+  }
+
   /** Feature extraction: binary -> fixed-dim Float embedding, ready for
     * [[graft.operators.Similarity]] / [[graft.operators.Dedup]] ops.
+    *
+    * Decodable media gets REAL content features — images: luminance
+    * histogram over decoded pixels; audio: per-segment RMS energy over
+    * decoded PCM — so the vectors depend on the content, not the
+    * container bytes. Only non-decodable media (video payloads and
+    * corrupt bytes) falls back to the byte histogram, marked below;
+    * a real deployment swaps that branch for a learned encoder.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val schema = StructType(Seq(
@@ -189,16 +260,24 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        // STUB: real impl runs a vision/audio encoder model here.
-        // Deterministic fake: byte histogram folded into `dim` buckets,
-        // L2-normalized — preserves "similar bytes => similar vectors".
-        val v = new Array[Float](dim)
-        if (bytes != null) {
-          var i = 0
-          while (i < bytes.length) { v((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-          val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
-          if (n > 0) { var j = 0; while (j < dim) { v(j) /= n; j += 1 } }
-        }
+        val img = readImage(bytes)
+        lazy val au =
+          if (bytes == null || bytes.length < 12) null
+          else audioFeatures(bytes, dim)
+        val v =
+          if (img != null) imageFeatures(img, dim)
+          else if (au != null) au
+          else {
+            // STUB: non-decodable media (no JDK codec) — deterministic
+            // byte histogram so the plumbing stays testable; a real
+            // impl runs a learned encoder here.
+            val h = new Array[Float](dim)
+            if (bytes != null) {
+              var i = 0
+              while (i < bytes.length) { h((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+            }
+            l2(h)
+          }
         Row(r.getLong(0), v.toSeq)
       }
     }(enc)

@@ -153,6 +153,45 @@ class MultimodalSpec extends SparkSpec {
     assert(top.count() == 6)
   }
 
+  test("extractFeatures: features come from decoded content, not bytes") {
+    import scala.jdk.CollectionConverters._
+    def png(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // silence for the first half, full-scale square wave for the second
+    val pcm = new Array[Byte](1600 * 2)
+    for (i <- 800 until 1600) {
+      val s = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1600L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "image", png(0x000000)),
+      org.apache.spark.sql.Row(2L, "image", png(0xffffff)),
+      org.apache.spark.sql.Row(3L, "audio", bos.toByteArray)
+    ).asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, media_type STRING, content BINARY"))
+    val f = Multimodal.extractFeatures(df, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // black image: all luminance mass in bucket 0; white: in bucket 15
+    assert(math.abs(f(1L)(0) - 1f) < 1e-5 && f(1L).drop(1).forall(_ == 0f), f(1L))
+    assert(math.abs(f(2L)(15) - 1f) < 1e-5 && f(2L).take(15).forall(_ == 0f), f(2L))
+    // audio: energy envelope silent in the first 8 segments, flat-high after
+    assert(f(3L).take(8).forall(_ < 1e-4), f(3L))
+    assert(f(3L).drop(8).forall(x => math.abs(x - 1f / math.sqrt(8).toFloat) < 1e-3),
+      f(3L))
+  }
+
   test("resize really scales images; non-images resample to w*h bytes") {
     val r = Multimodal.resize(media, 8, 4)
     assert(r.collect().forall(x => x.getInt(2) == 8 && x.getInt(3) == 4))
