@@ -421,6 +421,21 @@ object AnalyticsQueries {
             graft.engine.Par.widen(t(s, d, "documents"))))
         .orderBy("media_id")),
 
+    // multimodal content features (q66's sibling for extractFeatures):
+    // luminance-histogram / PCM-energy vectors over every 5th media
+    // row, exploded to scalar (id, dim, value) rows for the hash
+    // compare — golden-pinned (float kernels are engine-defined)
+    "q73_media_features" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.syntheticMedia(
+        graft.engine.Par.widen(
+          t(s, d, "documents").filter(col("doc_id") % 5 === 0)))
+      graft.multimodal.Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), posexplode(col("embedding")))
+        .select(col("media_id"), col("pos").cast("int").as("i"),
+          round(col("col"), 5).as("v"))
+        .orderBy("media_id", "i")
+    }),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -470,6 +485,8 @@ object AnalyticsQueries {
       golden("q68_incremental_minhash", "a, b, est_jac", "a, b"),
     "q72_incremental_simhash" ->
       golden("q72_incremental_simhash", "a, b, hamming", "a, b"),
+    "q73_media_features" ->
+      golden("q73_media_features", "media_id, i, v", "media_id, i"),
     // independent re-execution of BPE apply: tokens ride as
     // '|'-delimited strings ('|tok|' per token, so adjacent tokens meet
     // at '||' and pattern '|l||r|' matches exactly one greedy
