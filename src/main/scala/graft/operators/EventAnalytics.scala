@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event stream table — the OLAP
+  * counterpart of the curation suite: ordered-funnel conversion and
+  * cohort retention. Both are the canonical "sessionized user history"
+  * shapes a 100 TB event warehouse runs daily.
+  *
+  * Scale design: every stage is a map-side-combinable `groupBy(user)`
+  * or a join keyed on `user` — the event table shuffles by user once
+  * per stage and never wider than (user, ts). Nothing windows over a
+  * global order; nothing collects to the driver.
+  *
+  * Timestamps are truncated to seconds before comparison so results are
+  * identical across engines that read the parquet `ns` timestamps at
+  * different precisions (Spark µs vs DuckDB ns) — same convention as
+  * the as-of join (q37).
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered funnel: a user converts through step k when an
+    * event of type `steps(k)` happens strictly after their step-(k-1)
+    * conversion time and within `maxGapSeconds` of it. Per-user
+    * conversion time of step k = the EARLIEST qualifying event.
+    *
+    * Output: one row per step — (step, step_name, n_users), where
+    * n_users counts users who reached that step.
+    *
+    * Plan: step 0 is one groupBy(user); each later step is one
+    * join(user) + groupBy(user) over only the rows of that step's event
+    * type (filter pushed to the scan). The per-step frontier is
+    * (user, ts) — 16 bytes/user — regardless of corpus size.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val sec = unix_timestamp(date_trunc("second", col(tsCol)))
+    val byType = steps.map(st =>
+      events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u"), sec.as("t")))
+
+    // frontier(k): users who reached step k, with earliest conversion ts
+    val frontiers = byType.tail.scanLeft(
+      byType.head.groupBy(col("u")).agg(min(col("t")).as("t"))) {
+      (prev, stepEvents) =>
+        stepEvents.join(prev.select(col("u"), col("t").as("pt")), "u")
+          .filter(col("t") > col("pt") &&
+            col("t") <= col("pt") + lit(maxGapSeconds))
+          .groupBy(col("u")).agg(min(col("t")).as("t"))
+    }
+
+    frontiers.zipWithIndex.map { case (f, i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("step"), lit(steps(i)).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of a user's first
+    * event; a user is "retained at offset w" when they have any event
+    * in the week `cohort + w`. Output: (cohort_week DATE, week_offset,
+    * n_users), n_users = distinct retained users.
+    *
+    * Plan: first-event week is one groupBy(user) (map-side combinable
+    * min); activity is distinct (user, week); one join on user; final
+    * rollup is a groupBy on (cohort, offset) — at most
+    * |users| × |weeks| rows enter it, already deduped.
+    */
+  def retention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val week = date_trunc("week", col(tsCol)).cast("date")
+    val firstWeek = events
+      .select(col(userCol).as("u"), week.as("w"))
+      .groupBy(col("u")).agg(min(col("w")).as("cohort_week"))
+    val active = events
+      .select(col(userCol).as("u"), week.as("w")).distinct()
+    active.join(firstWeek, "u")
+      .withColumn("week_offset",
+        floor(datediff(col("w"), col("cohort_week")) / 7).cast("bigint"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

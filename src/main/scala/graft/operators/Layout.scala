@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for
+  * multi-dimensional data skipping. Sorting a table by the bit
+  * interleave of two key columns keeps rows close in BOTH dimensions
+  * physically close, so per-file (or per-row-group) min/max statistics
+  * prune scans filtered on EITHER key — the Delta/Iceberg OPTIMIZE
+  * ZORDER primitive, built here from pure Catalyst bit arithmetic.
+  *
+  * Scale design: the z-value is a per-row codegen expression (a fixed
+  * unrolled fold over `bits` bit positions — no UDF); the clustered
+  * write is one `repartitionByRange` (range exchange with sampled
+  * bounds) + in-partition sort. Nothing else shuffles.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `x` lands at position 2i, bit i of `y`
+    * at 2i+1. With bits=16 the result fits in 32 bits.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Cluster `df` by the z-order of (xCol, yCol) into `numFiles` range
+    * partitions, each sorted by z-value — write the result with any
+    * file sink and min/max stats prune on both keys.
+    */
+  def zOrdered(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16): DataFrame =
+    df.withColumn("zval", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+}

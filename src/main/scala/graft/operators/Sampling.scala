@@ -68,6 +68,46 @@ object Sampling {
       .drop("_thresh")
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor row draws `k` pseudo-random partners by probing hash
+    * buckets at fixed strides from its own bucket — a pure function of
+    * the row keys, reproducible on any engine/partitioning (unlike
+    * `rand()`-based sampling).
+    *
+    * Bucket b's representative = the row hashing to b with the
+    * smallest SALTED hash (a pseudo-random pick, not min-id — min-id
+    * would bias every negative toward early rows); anchor a probes
+    * buckets (bucket(a) + j * 40503) mod nBuckets for j = 1..k (40503
+    * is odd, hence coprime to any power-of-two ring). Probes into
+    * empty buckets or back onto the anchor yield no row, so size
+    * nBuckets well below the corpus (occupancy near 1) — each anchor
+    * then gets its full k. The pool of distinct negatives is capped at
+    * nBuckets, so pick nBuckets >> k for diversity.
+    *
+    * Plan shape for 100 TB: representatives are ONE map-side-combinable
+    * min_by groupBy over at most nBuckets rows, broadcast to the probe
+    * join; anchors fan out k id-only rows each. The corpus body never
+    * joins or shuffles.
+    */
+  def negativeSamples(df: DataFrame, idCol: String, keyCol: String,
+      k: Int, nBuckets: Int = 4096): DataFrame = {
+    val bucket = hashBucket(col(keyCol)) % nBuckets
+    val pool = df
+      .select(col(idCol).as("neg_id"), bucket.as("b"),
+        md5(concat(lit("rep|"), col(keyCol))).as("rh"))
+      .groupBy(col("b")).agg(min_by(col("neg_id"), col("rh")).as("neg_id"))
+    val probes = df
+      .select(col(idCol).as("anchor_id"), bucket.as("ab"))
+      .select(col("anchor_id"), explode(array((1 to k).map(j =>
+        struct(lit(j.toLong).as("neg_rank"),
+          ((col("ab") + lit(j * 40503)) % nBuckets).as("b"))): _*)).as("p"))
+      .select(col("anchor_id"), col("p.neg_rank").as("neg_rank"),
+        col("p.b").as("b"))
+    probes.join(broadcast(pool), "b")
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("neg_rank"), col("neg_id"))
+  }
+
   /** Per-stratum deterministic sampling: same fraction within every
     * value of `strataCol` (hash is salted with the stratum so strata
     * don't share bucket structure).

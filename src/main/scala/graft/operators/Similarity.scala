@@ -58,6 +58,49 @@ object Similarity {
     * + window argmin; centroid update = posexplode + per-dimension mean
     * (map-side combinable). No driver-side math, no randomness.
     */
+  /** Argmin centroid as a hash aggregation, NOT a window: min over
+    * struct(dist, ctr) is partial-aggregatable (map-side combine of
+    * the nCentroids-wide expansion), where a window would sort the
+    * whole expansion per id. Ties break on ctr via the struct order —
+    * identical result to ORDER BY (dist, ctr) LIMIT 1.
+    */
+  private[operators] def nearest1(df: DataFrame, centroids: DataFrame,
+      id: String, vec: String, carry: Seq[String], out: String): DataFrame = {
+    val payload = struct(
+      l2Dist(col(vec), col("cvec")).as("d") +: col("ctr").as("ctr") +:
+        carry.map(col): _*)
+    df.crossJoin(broadcast(centroids))
+      .groupBy(col(id))
+      .agg(min(payload).as("s"))
+      .select(col(id) +: carry.map(f => col(s"s.$f").as(f)) :+
+        col("s.ctr").as(out): _*)
+  }
+
+  /** Lloyd's k-means over `c` (columns cid, cv), deterministic init =
+    * the nCentroids lowest ids. Returns (ctr, cvec). Assignment is a
+    * broadcast-centroid join + partial-agg argmin; the centroid update
+    * is posexplode + per-dimension mean (map-side combinable). No
+    * driver-side math, no randomness.
+    */
+  private[operators] def kmeans(c: DataFrame, nCentroids: Int,
+      iters: Int): DataFrame = {
+    var centroids = c.orderBy("cid").limit(nCentroids)
+      .select(col("cid").as("ctr"), col("cv").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = nearest1(c, centroids, "cid", "cv", Seq("cv"), "actr")
+      // localCheckpoint: centroids are nCentroids tiny rows — truncate
+      // the lineage so iteration i doesn't recompute iterations 1..i-1
+      centroids = assigned
+        .select(col("actr").as("ctr"), posexplode(col("cv")))
+        .groupBy(col("ctr"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("ctr"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("cvec"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
@@ -65,27 +108,7 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         normSq(col(vecCol)).as("cn")).cache()
 
-    // deterministic seed centroids: the nCentroids lowest ids
-    var centroids = c.orderBy("cid").limit(nCentroids)
-      .select(col("cid").as("ctr"), col("cv").as("cvec"))
-
-    /** Argmin centroid as a hash aggregation, NOT a window: min over
-      * struct(dist, ctr) is partial-aggregatable (map-side combine of
-      * the nCentroids-wide expansion), where a window would sort the
-      * whole expansion per id. Ties break on ctr via the struct order —
-      * identical result to ORDER BY (dist, ctr) LIMIT 1.
-      */
-    def nearest1(df: DataFrame, id: String, vec: String,
-        carry: Seq[String], out: String): DataFrame = {
-      val payload = struct(
-        l2Dist(col(vec), col("cvec")).as("d") +: col("ctr").as("ctr") +:
-          carry.map(col): _*)
-      df.crossJoin(broadcast(centroids))
-        .groupBy(col(id))
-        .agg(min(payload).as("s"))
-        .select(col(id) +: carry.map(f => col(s"s.$f").as(f)) :+
-          col("s.ctr").as(out): _*)
-    }
+    val centroids = kmeans(c, nCentroids, iters)
 
     /** Top-nProbe centroids (query side only — tiny input, window ok). */
     def nearestN(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
@@ -99,20 +122,8 @@ object Similarity {
         .drop("cvec", "__d", "__rn")
     }
 
-    for (_ <- 1 to iters) {
-      val assigned = nearest1(c, "cid", "cv", Seq("cv"), "actr")
-      // localCheckpoint: centroids are nCentroids tiny rows — truncate
-      // the lineage so iteration i doesn't recompute iterations 1..i-1
-      centroids = assigned
-        .select(col("actr").as("ctr"), posexplode(col("cv")))
-        .groupBy(col("ctr"), col("pos")).agg(avg(col("col")).as("m"))
-        .groupBy(col("ctr"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("cvec"))
-        .localCheckpoint(true)
-    }
-
-    val corpusAssigned = nearest1(c, "cid", "cv", Seq("cv", "cn"), "bucket")
+    val corpusAssigned = nearest1(c, centroids, "cid", "cv",
+      Seq("cv", "cn"), "bucket")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
     val probes = nearestN(q, "qid", "qv", nProbe)
@@ -183,6 +194,46 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
         col("rn").cast("bigint").as("rn"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    * clustering the embedding space, then finding near-duplicate pairs
+    * ONLY within each cluster — the clustering bounds the otherwise
+    * quadratic pair space, which is the whole trick at 10^10 docs.
+    * A row is dropped when a same-cluster partner with a smaller id has
+    * cosine similarity >= threshold (keep-lowest-id, matching the
+    * exact-dedup convention).
+    *
+    * Output: (id, cluster, keep 0/1) for every input row.
+    *
+    * Plan shape for 100 TB: k-means assignment is a broadcast-centroid
+    * join + partial-agg argmin (corpus shuffled once, by cluster); the
+    * within-cluster self-join's worst case is bounded by the largest
+    * cluster, controlled by nClusters. Identical vectors always land in
+    * the same cluster (same distances, deterministic tie-break), so
+    * exact duplicates are never missed.
+    */
+  def semDedup(emb0: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int = 16, iters: Int = 2): DataFrame = {
+    val c = graft.engine.Par.widen(emb0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")).cache()
+    val centroids = kmeans(c, nClusters, iters)
+    val assigned = nearest1(c, centroids, "cid", "cv",
+      Seq("cv", "cn"), "cluster")
+    val a = assigned.select(col("cluster"), col("cid").as("a"),
+      col("cv").as("va"), col("cn").as("na"))
+    val b = assigned.select(col("cluster"), col("cid").as("b"),
+      col("cv").as("vb"), col("cn").as("nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(cosineFromNorms(dot(col("va"), col("vb")),
+        col("na"), col("nb")) >= threshold)
+      .select(col("b").as("cid")).distinct()
+    assigned.select(col("cid"), col("cluster"))
+      .join(dropped.withColumn("_drop", lit(1)), Seq("cid"), "left")
+      .select(col("cid").as(idCol), col("cluster"),
+        when(col("_drop").isNull, 1L).otherwise(0L).as("keep"))
   }
 
   /** Per-label centroid + distance-to-centroid outlier ranking — the

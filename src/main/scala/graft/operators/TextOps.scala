@@ -134,6 +134,80 @@ object TextOps {
       .select(col("id").as(idCol), col("n_words"), col("avg_logprob"))
   }
 
+  /** Interpolated bigram language-model scoring — the perplexity-filter
+    * ladder's next rung above [[unigramLogProb]] (Jelinek-Mercer
+    * smoothing: p(w2|w1) = lam * c(w1 w2)/c(w1 ·) + (1-lam) * c(w2)/T).
+    * Output per doc: n_bigrams and the mean bigram log-probability;
+    * docs with < 2 words have no bigrams and are excluded (identically
+    * in the SQL oracle).
+    *
+    * Plan shape for 100 TB: per-doc bigram tf, corpus bigram counts,
+    * left-context totals and unigram counts are ALL map-side-combinable
+    * groupBys off one tokenize pass — nothing wider than
+    * (id, w1, w2, count) ever shuffles, and the raw token stream is
+    * never joined. The corpus-total scalar rides the plan as a
+    * broadcast one-row cross join. The tf-to-model joins carry no
+    * hint: AQE broadcasts the vocabulary tables when they fit.
+    */
+  def bigramLogProb(docs0: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.8): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val ws = words(col(textCol))
+    // adjacent pairs via zip_with over the shifted sequence — per-row
+    // codegen, no posexplode of positions
+    val bigrams = zip_with(slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val bg = docs.filter(size(ws) >= 2)
+      .select(col(idCol).as("id"), explode(bigrams).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf2 = bg.groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uni = docs
+      .select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).cast("double").as("t"))
+    val p = lit(lambda) * col("c2") / col("c1") +
+      lit(1.0 - lambda) * col("cu") / col("t")
+    tf2.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * log(p)) / sum(col("tf")), 4).as("avg_logprob"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("avg_logprob"))
+  }
+
+  /** Corpus data card: the per-language summary table a dataset release
+    * ships (counts, source diversity, token mass, length distribution,
+    * exact-dup rate). One row per language.
+    *
+    * Plan shape for 100 TB: ONE groupBy(lang) computes everything; the
+    * two distinct aggregates count 128-bit md5 hashes, not raw strings,
+    * so the Expand-based distinct shuffle carries 32-byte keys instead
+    * of document bodies. The percentile buffers hold per-group numeric
+    * arrays — the declared scale path is approx_percentile, certified
+    * separately (SketchSpec), same as q50.
+    */
+  def dataCard(docs0: DataFrame, langCol: String, sourceCol: String,
+      textCol: String, charsCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    docs.groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(sourceCol))).as("n_sources"),
+        sum(nWordsCol(col(textCol))).as("total_words"),
+        round(avg(nWordsCol(col(textCol))), 4).as("avg_words"),
+        round(expr(s"percentile($charsCol, 0.5)"), 4).as("p50_chars"),
+        round(expr(s"percentile($charsCol, 0.9)"), 4).as("p90_chars"),
+        round(lit(1.0) -
+          countDistinct(md5(col(textCol))).cast("double") / count(lit(1)),
+          4).as("dup_rate"))
+  }
+
   /** Deterministic logistic quality classifier: a fixed-weight logistic
     * regression over the per-row quality features (mean word length,
     * stopword ratio, punctuation ratio, log document length). The

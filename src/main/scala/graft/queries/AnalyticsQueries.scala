@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.cosineSim
-import graft.operators.{AsOfJoin, Bpe, Dedup, IntervalJoin, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Bpe, Dedup, EventAnalytics, IntervalJoin, Layout, Packing, Sampling, Similarity, TextOps}
 
 /** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
   * training-data-pipeline operator suite): dedup, similarity search,
@@ -436,6 +436,64 @@ object AnalyticsQueries {
         .orderBy("media_id", "i")
     }),
 
+    // strictly-ordered conversion funnel view -> click -> purchase
+    // within a 7-day step gap: per-step reached-user counts
+    "q74_funnel" -> ((s, d) =>
+      EventAnalytics.funnel(t(s, d, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          maxGapSeconds = 7L * 86400)
+        .orderBy("step")),
+
+    // weekly cohort retention matrix over the event stream (cohort
+    // week as ISO string: DATE round-trips as different types through
+    // the two engines' parquet/pandas paths)
+    "q75_retention" -> ((s, d) =>
+      EventAnalytics.retention(t(s, d, "events"), "user_id", "ts")
+        .withColumn("cohort_week", col("cohort_week").cast("string"))
+        .orderBy("cohort_week", "week_offset")),
+
+    // interpolated (Jelinek-Mercer) bigram LM scoring — the rung above
+    // q70's unigram model on the perplexity-filter ladder
+    "q76_bigram_lm" -> ((s, d) =>
+      TextOps.bigramLogProb(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // per-language corpus data card (counts, source diversity, token
+    // mass, length percentiles, exact-dup rate)
+    "q77_datacard" -> ((s, d) =>
+      TextOps.dataCard(t(s, d, "documents"), "lang", "source",
+          "text", "n_chars")
+        .orderBy("lang")),
+
+    // Z-order (Morton) clustering key over (user_id, value-cents):
+    // the layout primitive behind two-dimensional data skipping
+    "q78_zorder" -> ((s, d) => {
+      val xy = t(s, d, "events")
+        .withColumn("x", col("user_id").bitwiseAND(lit(65535L)))
+        .withColumn("y",
+          floor(col("value") * 100).cast("long").bitwiseAND(lit(65535L)))
+      xy.select(col("event_id"), col("x"), col("y"),
+          Layout.zValue(col("x"), col("y")).as("zval"))
+        .orderBy("event_id")
+    }),
+
+    // SemDeDup: k-means-clustered semantic dedup over the embedding
+    // space — near-dup pairs found within clusters only (golden-parquet
+    // oracle: k-means assignment is engine-defined)
+    "q80_semdedup" -> ((s, d) =>
+      Similarity.semDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, nClusters = 8)
+        .orderBy("vec_id")),
+
+    // deterministic bucket-probe negative sampling (contrastive-pair
+    // mining): 3 hash-strided negatives per anchor document; the
+    // 64-bucket ring stays dense at every test sf (at production scale
+    // size it ~2^20 buckets, still one broadcast)
+    "q79_negatives" -> ((s, d) =>
+      Sampling.negativeSamples(t(s, d, "documents"), "doc_id", "text",
+          k = 3, nBuckets = 64)
+        .orderBy("anchor_id", "neg_rank")),
+
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
     // unique (user_id, ts) so both engines are deterministic)
@@ -487,6 +545,8 @@ object AnalyticsQueries {
       golden("q72_incremental_simhash", "a, b, hamming", "a, b"),
     "q73_media_features" ->
       golden("q73_media_features", "media_id, i, v", "media_id, i"),
+    "q80_semdedup" ->
+      golden("q80_semdedup", "vec_id, cluster, keep", "vec_id"),
     // independent re-execution of BPE apply: tokens ride as
     // '|'-delimited strings ('|tok|' per token, so adjacent tokens meet
     // at '||' and pattern '|l||r|' matches exactly one greedy
@@ -762,6 +822,59 @@ object AnalyticsQueries {
        + "sel AS (SELECT d.lang, CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER) < r.thresh THEN 1 ELSE 0 END::BIGINT AS keep "
        + "FROM documents d JOIN rates r USING (lang)) "
        + "SELECT lang, COUNT(*) AS total, SUM(keep)::BIGINT AS kept FROM sel GROUP BY 1 ORDER BY lang"),
+    "q74_funnel" ->
+      ("WITH e AS (SELECT user_id AS u, event_type AS et, epoch(date_trunc('second', ts))::BIGINT AS t FROM events), "
+       + "s0 AS (SELECT u, MIN(t) AS t FROM e WHERE et = 'view' GROUP BY u), "
+       + "s1 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s0 USING (u) "
+       + "WHERE e.et = 'click' AND e.t > s0.t AND e.t <= s0.t + 604800 GROUP BY e.u), "
+       + "s2 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s1 USING (u) "
+       + "WHERE e.et = 'purchase' AND e.t > s1.t AND e.t <= s1.t + 604800 GROUP BY e.u) "
+       + "SELECT 0::BIGINT AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s0 "
+       + "UNION ALL SELECT 1::BIGINT, 'click', COUNT(*) FROM s1 "
+       + "UNION ALL SELECT 2::BIGINT, 'purchase', COUNT(*) FROM s2 ORDER BY step"),
+    "q75_retention" ->
+      ("WITH wk AS (SELECT user_id AS u, date_trunc('week', ts)::DATE AS w FROM events), "
+       + "fw AS (SELECT u, MIN(w) AS cohort_week FROM wk GROUP BY u), "
+       + "act AS (SELECT DISTINCT u, w FROM wk) "
+       + "SELECT CAST(fw.cohort_week AS VARCHAR) AS cohort_week, ((act.w - fw.cohort_week) // 7)::BIGINT AS week_offset, "
+       + "COUNT(*) AS n_users FROM act JOIN fw USING (u) "
+       + "GROUP BY 1, 2 ORDER BY cohort_week, week_offset"),
+    "q76_bigram_lm" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + "bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 "
+       + "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g WHERE len(ws) >= 2), "
+       + "tf2 AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3), "
+       + "c2 AS (SELECT w1, w2, SUM(tf) AS c2 FROM tf2 GROUP BY 1, 2), "
+       + "c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1), "
+       + "uni AS (SELECT w, COUNT(*) AS cu FROM (SELECT unnest(ws) AS w FROM words) GROUP BY 1), "
+       + "tot AS (SELECT SUM(cu)::DOUBLE AS t FROM uni) "
+       + "SELECT tf2.doc_id, SUM(tf)::BIGINT AS n_bigrams, "
+       + "ROUND(SUM(tf * ln(0.8 * c2.c2 / c1.c1 + 0.2 * uni.cu / tot.t)) / SUM(tf), 4) AS avg_logprob "
+       + "FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1) "
+       + "JOIN uni ON uni.w = tf2.w2 CROSS JOIN tot "
+       + "GROUP BY 1 ORDER BY doc_id"),
+    "q77_datacard" ->
+      ("SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(source)) AS n_sources, "
+       + "SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT AS total_words, "
+       + "ROUND(AVG(len(list_filter(string_split(text, ' '), w -> w <> ''))), 4) AS avg_words, "
+       + "ROUND(quantile_cont(n_chars, 0.5), 4) AS p50_chars, "
+       + "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars, "
+       + "ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE / COUNT(*), 4) AS dup_rate "
+       + "FROM documents GROUP BY lang ORDER BY lang"),
+    "q78_zorder" ->
+      ("WITH xy AS (SELECT event_id, (user_id & 65535) AS x, "
+       + "(CAST(floor(value * 100) AS BIGINT) & 65535) AS y FROM events) "
+       + "SELECT event_id, x, y, "
+       + "CAST(list_sum(list_transform(generate_series(0, 15), "
+       + "i -> (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)))) AS BIGINT) AS zval "
+       + "FROM xy ORDER BY event_id"),
+    "q79_negatives" ->
+      ("WITH b AS (SELECT doc_id, text, CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 64 AS b FROM documents), "
+       + "pool AS (SELECT b, arg_min(doc_id, md5('rep|' || text)) AS neg_id FROM b GROUP BY 1), "
+       + "pr AS (SELECT doc_id AS anchor_id, j::BIGINT AS neg_rank, ((b + j * 40503) % 64) AS pb "
+       + "FROM b, LATERAL (SELECT unnest(generate_series(1, 3)) AS j) g) "
+       + "SELECT anchor_id, neg_rank, neg_id FROM pr JOIN pool ON pool.b = pr.pb "
+       + "WHERE neg_id <> anchor_id ORDER BY anchor_id, neg_rank"),
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +

@@ -359,7 +359,32 @@ object CoreQueries {
         .groupBy(col("user_id"))
         .agg(countDistinct(col("sid")).as("n_sessions"))
         .orderBy("user_id")
-    })
+    }),
+
+    // Bloom-pruned fact-to-dim join: the big side is runtime-filtered
+    // by a Bloom filter over the selective dim's keys before its
+    // shuffle — row-identical to the plain join (oracle IS the plain
+    // join), the plan is what changes
+    "q81_bloom_join" -> ((s, d) => {
+      val cust = t(s, d, "customer").filter(col("c_nationkey") === 1)
+        .select(col("c_custkey"))
+      graft.operators.BloomJoin.prunedInner(
+          t(s, d, "orders"), cust, "o_custkey", "c_custkey")
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    // sliding-window aggregation (1 h windows every 30 min): each event
+    // lands in exactly two overlapping windows — q23's overlapping
+    // sibling, same map-side-combinable groupBy after a 2x fan-out
+    "q82_sliding" -> ((s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("v"))
+      .select(col("window.start").cast("string").as("w_start"),
+        col("event_type"), col("c"), col("v"))
+      .orderBy("w_start", "event_type"))
   )
 
   /** DuckDB-dialect oracles, one per query above. */
@@ -465,6 +490,21 @@ object CoreQueries {
         "SELECT user_id, event_id, date_trunc('second', ts) AS ts_s, " +
         "CASE WHEN LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) IS NULL " +
         "OR date_trunc('second', ts) > LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) + INTERVAL 30 MINUTE " +
-        "THEN 1 ELSE 0 END AS new_s FROM events) a) b GROUP BY user_id ORDER BY user_id")
+        "THEN 1 ELSE 0 END AS new_s FROM events) a) b GROUP BY user_id ORDER BY user_id"),
+    // q81's semantics ARE the plain join — the Bloom prune only changes
+    // the physical plan, so the oracle is the unpruned SQL
+    "q81_bloom_join" ->
+      ("SELECT c.c_custkey, COUNT(*) AS n_orders, ROUND(SUM(o.o_totalprice), 4) AS total "
+       + "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+       + "WHERE c.c_nationkey = 1 GROUP BY 1 ORDER BY c_custkey"),
+    // floor(epoch), not epoch::BIGINT — DuckDB's double-to-int cast
+    // ROUNDS (03:59:59.9 would jump to the 04:00 window); ::TIMESTAMP
+    // strips the TIMESTAMPTZ '+00' rendering suffix
+    "q82_sliding" ->
+      ("WITH e AS (SELECT event_type, value, "
+       + "to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800)::TIMESTAMP AS w0 FROM events), "
+       + "w AS (SELECT event_type, value, unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws FROM e) "
+       + "SELECT CAST(ws AS VARCHAR) AS w_start, event_type, COUNT(*) AS c, "
+       + "ROUND(SUM(value), 4) AS v FROM w GROUP BY 1, 2 ORDER BY w_start, event_type")
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.engine.Tables
+
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // hand-checkable fixture: u1 completes the funnel, u2 stalls after
+  // click (purchase BEFORE click doesn't count), u3 views only, u4's
+  // click is outside the 1-hour gap
+  private lazy val fixture = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "view"),
+    (1L, ts("2024-01-01 10:05:00"), "click"),
+    (1L, ts("2024-01-01 10:10:00"), "purchase"),
+    (2L, ts("2024-01-01 09:00:00"), "purchase"),
+    (2L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, ts("2024-01-01 10:05:00"), "click"),
+    (3L, ts("2024-01-01 10:00:00"), "view"),
+    (4L, ts("2024-01-01 10:00:00"), "view"),
+    (4L, ts("2024-01-01 11:30:00"), "click")
+  ).toDF("user_id", "ts", "event_type")
+
+  test("funnel: ordered within-gap conversion, earliest event per step") {
+    val got = EventAnalytics.funnel(fixture, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = 3600)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, "view", 4L), (1L, "click", 2L),
+      (2L, "purchase", 1L)))
+  }
+
+  test("funnel: same-timestamp step does not convert (strictly after)") {
+    val df = Seq(
+      (9L, ts("2024-01-01 10:00:00"), "view"),
+      (9L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click"), maxGapSeconds = 3600)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(1L, 0L))
+  }
+
+  test("retention: cohort = first-event week, offsets count distinct users") {
+    val df = Seq(
+      // u1 active in weeks 0 and 1; u2 only week 0; u3 joins week 1
+      (1L, ts("2024-01-01 10:00:00")), // Mon, week of 2024-01-01
+      (1L, ts("2024-01-03 10:00:00")), // same week — one activity row
+      (1L, ts("2024-01-09 10:00:00")), // next week
+      (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00"))
+    ).toDF("user_id", "ts").withColumn("event_type", lit("view"))
+    val got = EventAnalytics.retention(df, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
+  test("funnel over the events table is monotone non-increasing") {
+    val ev = Tables(spark, sf, "events")
+    val counts = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = 7L * 86400)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(counts.length == 3)
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)), counts.mkString(","))
+    assert(counts(0) > 0)
+  }
+}
