@@ -236,6 +236,47 @@ object Similarity {
         when(col("_drop").isNull, 1L).otherwise(0L).as("keep"))
   }
 
+  /** Cluster labeling by class-based TF-IDF (the BERTopic c-TF-IDF
+    * shape): k-means over the embedding space, then each cluster is
+    * labeled by the terms most distinctive for the documents it
+    * contains — term frequency within the cluster weighted by SMOOTHED
+    * inverse cluster frequency ln(1 + nClusters/cf) (each CLUSTER, not
+    * each doc, is the "document" of the idf; the +1 keeps corpus-wide
+    * terms rankable by tf instead of hard-zeroing them). The
+    * human-readable face of [[semDedup]]'s clusters.
+    *
+    * Plan shape for 100 TB: assignment as in [[semDedup]]; term counts
+    * are one map-side-combinable groupBy on (cluster, term) — at most
+    * |vocab| × nClusters rows shuffle; cluster-frequency and the
+    * nClusters scalar are tiny broadcasts. Top-K windows over rows
+    * already reduced to (cluster, term, score).
+    */
+  def clusterTopTerms(docs: DataFrame, emb: DataFrame,
+      idCol: String, textCol: String, vecCol: String,
+      topK: Int, nClusters: Int = 8, iters: Int = 2): DataFrame = {
+    val c = graft.engine.Par.widen(emb)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val centroids = kmeans(c, nClusters, iters)
+    val assigned = nearest1(c, centroids, "cid", "cv", Nil, "cluster")
+    val toks = docs.select(col(idCol).as("cid"),
+        explode(TextOps.words(col(textCol))).as("term"))
+      .join(assigned, "cid")
+    val tf = toks.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val nc = assigned.select(col("cluster")).distinct()
+      .agg(count(lit(1)).cast("double").as("nc"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(cf), "term")
+      .crossJoin(broadcast(nc))
+      .withColumn("score",
+        round(col("tf") * log(lit(1.0) + col("nc") / col("cf")), 4))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= topK)
+      .select(col("cluster"), col("term"), col("score"), col("rn"))
+  }
+
   /** Per-label centroid + distance-to-centroid outlier ranking — the
     * embedding-quality primitive: vectors far from their label's
     * centroid are mislabeled/noisy candidates for curation review.

@@ -417,6 +417,28 @@ object TextOps {
       cnt("[0-9]{9,}").as("n_long_digits"))
   }
 
+  /** PII redaction transform — [[piiFeatures]]' acting sibling: emails,
+    * URLs and long digit runs replaced by typed placeholder tokens (the
+    * standard pre-training scrub). Email runs first so its addresses
+    * are gone before the URL pass; digit runs last so digits inside
+    * redacted spans don't double-fire. Pure per-row codegen
+    * (regexp_replace chain) — rides the same single projection as every
+    * other per-document signal; nothing shuffles.
+    */
+  def redactPii(docs0: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(textCol),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>"),
+      "[0-9]{9,}", "<NUM>")
+    docs.select(col(idCol), redacted.as("redacted"),
+      (length(col(textCol)) - length(redacted)).cast("bigint")
+        .as("chars_removed"))
+  }
+
   /** Content-defined fingerprints: md5 hex (exact), xxhash64 (cheap
     * exact), and a polynomial rolling hash over characters (order-
     * sensitive, oracle-reproducible: h = Σ (31^i · code_i) mod 2^31-1,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.VectorFunctions.cosineSim
-import graft.operators.{AsOfJoin, Bpe, Dedup, EventAnalytics, IntervalJoin, Layout, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{AsOfJoin, Bpe, Dedup, EventAnalytics, IntervalJoin, Layout, Packing, Sampling, Scd2, Similarity, TextOps}
 
 /** North-star analytics inventory (SURVEY.md §2.3 Q24–Q27 plus the
   * training-data-pipeline operator suite): dedup, similarity search,
@@ -477,6 +477,44 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // SCD2 dimension maintenance: a per-user "segment" dimension built
+    // from first-half events, merged with the second half as the
+    // update delta — changed keys close + reopen, unchanged no-op,
+    // unseen insert (epoch-second BIGINT validity bounds)
+    "q85_scd2" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        col("event_type").as("seg"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        col("event_id"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val firstHalf = ev.filter(col("sec") < unix_timestamp(cut))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val dim = firstHalf
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("seg"), col("sec").as("valid_from"),
+          lit(null).cast("long").as("valid_to"))
+      val updates = ev.filter(col("sec") >= unix_timestamp(cut))
+        .select(col("user_id"), col("seg"), col("sec"))
+      Scd2.merge(dim, updates, "user_id", "seg", "sec")
+        .orderBy("user_id", "valid_from", "seg")
+    }),
+
+    // PII redaction transform: emails/URLs/long-digit runs replaced by
+    // typed placeholders (piiFeatures' acting sibling)
+    "q83_redact" -> ((s, d) =>
+      TextOps.redactPii(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // cluster labeling via class-based TF-IDF over k-means clusters
+    // (golden-parquet oracle: k-means assignment is engine-defined)
+    "q84_cluster_terms" -> ((s, d) =>
+      Similarity.clusterTopTerms(
+          t(s, d, "documents"), t(s, d, "embeddings")
+            .withColumnRenamed("vec_id", "doc_id"),
+          "doc_id", "text", "embedding", topK = 5, nClusters = 8)
+        .orderBy("cluster", "rn")),
+
     // SemDeDup: k-means-clustered semantic dedup over the embedding
     // space — near-dup pairs found within clusters only (golden-parquet
     // oracle: k-means assignment is engine-defined)
@@ -547,6 +585,8 @@ object AnalyticsQueries {
       golden("q73_media_features", "media_id, i, v", "media_id, i"),
     "q80_semdedup" ->
       golden("q80_semdedup", "vec_id, cluster, keep", "vec_id"),
+    "q84_cluster_terms" ->
+      golden("q84_cluster_terms", "cluster, term, score, rn", "cluster, rn"),
     // independent re-execution of BPE apply: tokens ride as
     // '|'-delimited strings ('|tok|' per token, so adjacent tokens meet
     // at '||' and pattern '|l||r|' matches exactly one greedy
@@ -861,6 +901,32 @@ object AnalyticsQueries {
        + "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars, "
        + "ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE / COUNT(*), 4) AS dup_rate "
        + "FROM documents GROUP BY lang ORDER BY lang"),
+    "q85_scd2" ->
+      ("WITH e AS (SELECT user_id, event_type AS seg, epoch(date_trunc('second', ts))::BIGINT AS sec, event_id FROM events), "
+       + "cut AS (SELECT epoch(TIMESTAMP '2024-01-15 00:00:00')::BIGINT AS c), "
+       + "dim AS (SELECT user_id, seg, sec AS valid_from, NULL::BIGINT AS valid_to FROM ("
+       + "SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS rn "
+       + "FROM e CROSS JOIN cut WHERE sec < cut.c) t WHERE rn = 1), "
+       + "upd AS (SELECT user_id, seg AS useg, sec AS usec FROM ("
+       + "SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec DESC, seg DESC) AS rn "
+       + "FROM e CROSS JOIN cut WHERE sec >= cut.c) t WHERE rn = 1), "
+       + "kept AS (SELECT d.user_id, d.seg, d.valid_from, "
+       + "CASE WHEN u.useg IS NOT NULL AND u.useg <> d.seg THEN u.usec ELSE NULL END AS valid_to "
+       + "FROM dim d LEFT JOIN upd u USING (user_id)), "
+       + "opened AS (SELECT u.user_id, u.useg AS seg, u.usec AS valid_from, NULL::BIGINT AS valid_to "
+       + "FROM upd u LEFT JOIN dim d USING (user_id) WHERE d.seg IS NULL OR d.seg <> u.useg) "
+       + "SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM opened) "
+       + "ORDER BY user_id, valid_from, seg"),
+    "q83_redact" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, "
+       + "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+       + "'https?://[^ ]+', '<URL>', 'g'), "
+       + "'[0-9]{9,}', '<NUM>', 'g') AS redacted, "
+       + "(length(text) - length(regexp_replace(regexp_replace(regexp_replace(text, "
+       + "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+       + "'https?://[^ ]+', '<URL>', 'g'), "
+       + "'[0-9]{9,}', '<NUM>', 'g')))::BIGINT AS chars_removed "
+       + "FROM documents ORDER BY doc_id"),
     "q78_zorder" ->
       ("WITH xy AS (SELECT event_id, (user_id & 65535) AS x, "
        + "(CAST(floor(value * 100) AS BIGINT) & 65535) AS y FROM events) "

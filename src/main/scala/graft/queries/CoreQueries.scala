@@ -376,6 +376,14 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // equi-width histogram per event type: numeric binning is a pure
+    // projection, so this is ONE map-side-combinable groupBy
+    "q86_histogram" -> ((s, d) => t(s, d, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("v"))
+      .orderBy("event_type", "bin")),
+
     // sliding-window aggregation (1 h windows every 30 min): each event
     // lands in exactly two overlapping windows — q23's overlapping
     // sibling, same map-side-combinable groupBy after a 2x fan-out
@@ -491,6 +499,9 @@ object CoreQueries {
         "CASE WHEN LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) IS NULL " +
         "OR date_trunc('second', ts) > LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) + INTERVAL 30 MINUTE " +
         "THEN 1 ELSE 0 END AS new_s FROM events) a) b GROUP BY user_id ORDER BY user_id"),
+    "q86_histogram" ->
+      ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS c, "
+       + "ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY event_type, bin"),
     // q81's semantics ARE the plain join — the Bloom prune only changes
     // the physical plan, so the oracle is the unpruned SQL
     "q81_bloom_join" ->

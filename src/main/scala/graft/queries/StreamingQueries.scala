@@ -147,6 +147,44 @@ object StreamingQueries {
       .orderBy("h", "event_type")
   }
 
+  /** q82's streaming twin: SLIDING windows (1 h every 30 min) in APPEND
+    * mode — each event enters two overlapping state rows; every window
+    * still finalizes exactly once when the watermark passes its end.
+    * Same sentinel-flush drain as [[q23Stream]]; checked against the
+    * identical DuckDB oracle as the batch q82.
+    */
+  def q82Stream(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    val raw = eventsSchema(s, dir)
+    val name = s"q82_stream_${System.nanoTime()}"
+    val (_, flushDir) = sentinelFor(s, dir)
+    val events = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val flush = s.readStream.schema(raw).parquet(flushDir)
+    val stream = events.unionByName(flush)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
+    val ckpt = scratchCheckpoint("q82")
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ckpt)
+    s.table(name)
+      .filter(col("event_type") =!= "__flush__")
+      .select(
+        col("window.start").cast("string").as("w_start"),
+        col("event_type"),
+        col("c"),
+        round(col("v"), 4).as("v"))
+      .orderBy("w_start", "event_type")
+  }
+
   /** Sessionization through native session_window in a STREAMING query,
     * APPEND mode with watermark: a session is emitted exactly once when
     * the watermark passes its end (state evicted), driven over the top
@@ -246,13 +284,15 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "q23_stream" -> (q23Stream(_, _)),
     "q25_stream" -> (q25Stream(_, _)),
-    "q65_stream_join" -> (q65StreamJoin(_, _))
+    "q65_stream_join" -> (q65StreamJoin(_, _)),
+    "q82_stream" -> (q82Stream(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
     "q23_stream" -> CoreQueries.oracles("q23_hourly"),
     "q25_stream" -> CoreQueries.oracles("q25_sessionize"),
+    "q82_stream" -> CoreQueries.oracles("q82_sliding"),
     // the batch formulation of the same join IS the equivalence contract
     "q65_stream_join" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "

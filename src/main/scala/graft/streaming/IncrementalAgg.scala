@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Incremental materialized-view maintenance: a parquet-backed
+  * (key → count, sum) aggregate kept up to date from a micro-batch
+  * stream. Each batch contributes its map-side-combined partial
+  * aggregate; the store merge costs O(|distinct keys|) per batch — the
+  * history is never re-read, which is the whole point of maintaining a
+  * view incrementally instead of re-running the groupBy over 100 TB.
+  *
+  * Replay safety is by VERSIONED state, not mutation: the state after
+  * merging batches <= b lives at `state_b=<b>`; batch b always merges
+  * FROM the newest version strictly below b and OVERWRITES `state_b=<b>`.
+  * A batch replayed after a crash (checkpoint not yet committed)
+  * rebuilds exactly the same version from exactly the same inputs —
+  * idempotent by construction, no marker transactions needed. Old
+  * versions beyond the previous one are pruned after a successful merge.
+  */
+object IncrementalAgg {
+  private val Ver = "state_b=(\\d+)".r
+
+  private def versions(storeDir: String): Seq[Long] = {
+    val p = Paths.get(storeDir)
+    if (!Files.isDirectory(p)) Nil
+    else Files.list(p).iterator().asScala
+      .flatMap(f => f.getFileName.toString match {
+        case Ver(b) => Some(b.toLong)
+        case _ => None
+      }).toSeq.sorted
+  }
+
+  /** The current view: newest committed version, or an empty aggregate
+    * if no batch has merged yet.
+    */
+  def read(spark: SparkSession, storeDir: String,
+      keyCols: Seq[String]): DataFrame =
+    versions(storeDir).lastOption match {
+      case Some(v) => spark.read.parquet(s"$storeDir/state_b=$v")
+      case None =>
+        spark.emptyDataFrame // schema-less; callers merge via unionByName
+    }
+
+  /** foreachBatch body maintaining the (keyCols → cnt, total) view. */
+  def mergeCountSum(storeDir: String, keyCols: Seq[String],
+      valueCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+    // newest version strictly below this batch: versions >= batchId can
+    // only be orphans of a failed attempt at THIS batch — ignore them
+    val base = versions(storeDir).filter(_ < batchId).lastOption
+    val merged = base match {
+      case None => partial
+      case Some(v) =>
+        spark.read.parquet(s"$storeDir/state_b=$v")
+          .unionByName(partial)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+    }
+    merged.write.mode("overwrite").parquet(s"$storeDir/state_b=$batchId")
+    // prune everything below the merge base (keep base as the rollback
+    // target for a replay of THIS batch)
+    versions(storeDir).filter(v => base.exists(v < _)).foreach { v =>
+      val dir = Paths.get(s"$storeDir/state_b=$v")
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def store(): String =
+    java.nio.file.Files.createTempDirectory("graft-incagg-").toString
+
+  private def state(dir: String) =
+    IncrementalAgg.read(spark, dir, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+  test("batches merge incrementally; view equals the full-history groupBy") {
+    val dir = store()
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v")
+    val b1 = Seq(("a", 3L), ("c", 7L)).toDF("k", "v")
+    IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(b0, 0L)
+    IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(b1, 1L)
+    assert(state(dir) == Seq(("a", 3L, 6L), ("b", 1L, 10L), ("c", 1L, 7L)))
+  }
+
+  test("replaying a batch is idempotent (crash before checkpoint commit)") {
+    val dir = store()
+    val b0 = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val b1 = Seq(("a", 5L)).toDF("k", "v")
+    IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(b0, 0L)
+    IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(b1, 1L)
+    val once = state(dir)
+    // replay batch 1 (same data, same id) — e.g. sink wrote but the
+    // stream died before committing offset 1
+    IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(b1, 1L)
+    assert(state(dir) == once)
+    assert(once == Seq(("a", 2L, 6L), ("b", 1L, 2L)))
+  }
+
+  test("old versions are pruned; the merge base survives for replay") {
+    val dir = store()
+    (0L to 4L).foreach { i =>
+      IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(
+        Seq(("a", i)).toDF("k", "v"), i)
+    }
+    val vers = new java.io.File(dir).list().filter(_.startsWith("state_b="))
+    assert(vers.sorted.toSeq == Seq("state_b=3", "state_b=4"), vers.toSeq)
+    assert(state(dir) == Seq(("a", 5L, 10L)))
+  }
+
+  test("drives from a real micro-batch stream via foreachBatch") {
+    val dir = store()
+    val src = java.nio.file.Files.createTempDirectory("graft-incagg-src-").toString
+    Seq(("a", 1L), ("b", 2L), ("a", 4L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema("k STRING, v BIGINT")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch(IncrementalAgg.mergeCountSum(dir, Seq("k"), "v") _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-incagg-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(state(dir) == Seq(("a", 2L, 5L), ("b", 1L, 2L)))
+  }
+}
