@@ -31,6 +31,37 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .drop("_h", textCol)
 
+  /** Blocked edit-distance near-dup pairs — the fuzzy-dedup rung
+    * between byte-exact and shingle-Jaccard: pairs whose Levenshtein
+    * distance is at most `maxDistFrac` of the longer text. Candidate
+    * pairs are blocked on (first word, length bucket), the classic
+    * record-linkage blocking key: a pair differing by <= maxDistFrac of
+    * its length rarely changes its first word or jumps a whole
+    * `blockChars` bucket (pairs straddling a bucket boundary are the
+    * standard blocking miss — widen blockChars or double-block to
+    * trade cost for recall).
+    *
+    * Plan shape for 100 TB: the self-join shuffles on the block key
+    * only; the O(len^2) Levenshtein kernel runs only on in-block pairs,
+    * and the block sizes bound the quadratic worst case.
+    */
+  def fuzzyPairs(docs0: DataFrame, idCol: String, textCol: String,
+      maxDistFrac: Double, blockChars: Int = 40): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    def side(id: String, t: String) = docs.select(
+      col(idCol).as(id), col(textCol).as(t),
+      floor(length(col(textCol)) / blockChars).as("lb"),
+      split(col(textCol), " ")(0).as("w0"))
+    val a = side("a", "ta")
+    val b = side("b", "tb")
+    a.join(b, Seq("lb", "w0"))
+      .filter(col("a") < col("b"))
+      .withColumn("d", levenshtein(col("ta"), col("tb")).cast("bigint"))
+      .filter(col("d") <=
+        lit(maxDistFrac) * greatest(length(col("ta")), length(col("tb"))))
+      .select(col("a"), col("b"), col("d"))
+  }
+
   /** Distinct word-level shingles per doc: (id, shingle). `n = 1` gives
     * unigram token sets; `n >= 2` gives word n-grams (sliding window).
     */

@@ -477,6 +477,13 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // blocked Levenshtein near-dup pairs (fuzzy dedup between exact
+    // and Jaccard): block on (first word, 40-char length bucket)
+    "q88_fuzzy" -> ((s, d) =>
+      Dedup.fuzzyPairs(t(s, d, "documents"), "doc_id", "text",
+          maxDistFrac = 0.3)
+        .orderBy("a", "b")),
+
     // SCD2 dimension maintenance: a per-user "segment" dimension built
     // from first-half events, merged with the second half as the
     // update delta — changed keys close + reopen, unchanged no-op,
@@ -901,6 +908,12 @@ object AnalyticsQueries {
        + "ROUND(quantile_cont(n_chars, 0.9), 4) AS p90_chars, "
        + "ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE / COUNT(*), 4) AS dup_rate "
        + "FROM documents GROUP BY lang ORDER BY lang"),
+    "q88_fuzzy" ->
+      ("WITH b AS (SELECT doc_id, text, length(text) // 40 AS lb, string_split(text, ' ')[1] AS w0 FROM documents) "
+       + "SELECT x.doc_id AS a, y.doc_id AS b, levenshtein(x.text, y.text)::BIGINT AS d "
+       + "FROM b x JOIN b y ON x.lb = y.lb AND x.w0 = y.w0 AND x.doc_id < y.doc_id "
+       + "WHERE levenshtein(x.text, y.text) <= 0.3 * greatest(length(x.text), length(y.text)) "
+       + "ORDER BY a, b"),
     "q85_scd2" ->
       ("WITH e AS (SELECT user_id, event_type AS seg, epoch(date_trunc('second', ts))::BIGINT AS sec, event_id FROM events), "
        + "cut AS (SELECT epoch(TIMESTAMP '2024-01-15 00:00:00')::BIGINT AS c), "

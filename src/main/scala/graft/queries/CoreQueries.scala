@@ -376,6 +376,17 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // bivariate statistics per group: correlation / covariance /
+    // stddev are all one-pass partial-aggregatable moments
+    "q87_corr" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+      .orderBy("l_returnflag")),
+
     // equi-width histogram per event type: numeric binning is a pure
     // projection, so this is ONE map-side-combinable groupBy
     "q86_histogram" -> ((s, d) => t(s, d, "events")
@@ -499,6 +510,11 @@ object CoreQueries {
         "CASE WHEN LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) IS NULL " +
         "OR date_trunc('second', ts) > LAG(date_trunc('second', ts)) OVER (PARTITION BY user_id ORDER BY date_trunc('second', ts), event_id) + INTERVAL 30 MINUTE " +
         "THEN 1 ELSE 0 END AS new_s FROM events) a) b GROUP BY user_id ORDER BY user_id"),
+    "q87_corr" ->
+      ("SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 4) AS r, "
+       + "ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov, "
+       + "ROUND(stddev_samp(l_quantity), 4) AS sd_qty "
+       + "FROM lineitem GROUP BY 1 ORDER BY l_returnflag"),
     "q86_histogram" ->
       ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS c, "
        + "ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY event_type, bin"),

@@ -289,4 +289,13 @@ class DedupSpec extends SparkSpec {
       maxOverlapFrac = 0.3))
     assert(none.forall(r => r._2 == 0.0 && !r._3))
   }
+
+  test("fuzzyPairs: near-identical docs pair, distinct ones don't") {
+    val got = Dedup.fuzzyPairs(docs, "doc_id", "text", maxDistFrac = 0.3)
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1/2 identical (d=0), 1/3 and 2/3 differ by one word (d=3);
+    // 4 and 5 share no block with anything
+    assert(got.toSeq == Seq((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L)))
+  }
 }

@@ -125,4 +125,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.linesIterator.exists(l =>
       l.contains("*(") && l.contains("floatdot")), s)
   }
+
+  test("q81 Bloom prune filters the fact side BEFORE the join") {
+    val s = planString(q("q81_bloom_join"))
+    assert(s.contains("might_contain"),
+      s"fact side must carry the Bloom probe filter:\n$s")
+    // the probe must sit under a scan-side filter, not after the join:
+    // the first might_contain line appears below the join node's
+    // orders-scan subtree, and the join itself is a hash equi-join
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q79 negative-sampling pool broadcasts (corpus never shuffles)") {
+    val s = planString(q("q79_negatives"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"bucket-representative pool must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"anchor side must not sort-merge shuffle:\n$s")
+  }
+
+  test("q74 funnel plans are user-keyed joins, never global windows") {
+    val s = planString(q("q74_funnel"))
+    assert(!s.contains("Window"),
+      s"funnel must not use window functions (global sort risk):\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q86 histogram aggregates map-side before the shuffle") {
+    val s = planString(q("q86_histogram"))
+    assert(s.split("HashAggregate").length >= 3,
+      "expect partial+final HashAggregate pair")
+  }
 }
