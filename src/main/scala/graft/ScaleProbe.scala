@@ -28,6 +28,15 @@ object ScaleProbe {
       .select((col("vec_id") + col("id") * nEmb * 10).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    // events replicated with disjoint users per replica (funnel and
+    // retention shuffle by user, so user cardinality must scale too)
+    val ev0 = graft.engine.Tables(spark, base, "events")
+    val nEv = ev0.count()
+    spark.range(mult).crossJoin(ev0)
+      .select((col("event_id") + col("id") * nEv * 10).as("event_id"),
+        col("ts"), (col("user_id") + col("id") * 10000).as("user_id"),
+        col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
 
     def t(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -78,6 +87,26 @@ object ScaleProbe {
     })
     t("curation")(graft.operators.CurationPipeline
       .curate(d, "doc_id", "text").count())
+
+    val ev = spark.read.parquet(s"$tmp/events.parquet")
+    t("funnel")(graft.operators.EventAnalytics.funnel(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), 7L * 86400).count())
+    t("retention")(graft.operators.EventAnalytics
+      .retention(ev, "user_id", "ts").count())
+    t("bigram_lm")(graft.operators.TextOps
+      .bigramLogProb(d, "doc_id", "text").count())
+    t("negatives")(graft.operators.Sampling
+      .negativeSamples(d, "doc_id", "text", k = 3, nBuckets = 4096).count())
+    t("semdedup_t09")(graft.operators.Similarity.semDedup(
+      e, "vec_id", "embedding", threshold = 0.9,
+      nClusters = 16 * mult).count())
+    // NOTE deliberately absent: fuzzyPairs — (first word, length
+    // bucket) blocking holds candidate growth to ~replica^2 on this
+    // duplication-heavy corpus, so the banded O(len*K) kernel hits a
+    // quadratic wall at 20x. Edit-distance dedup at real scale runs
+    // AFTER a coarse filter (exact/minhash) has shrunk each block, or
+    // with a content-defined block key; the declared q88 stays a
+    // post-filter-scale operator by design.
     spark.stop()
   }
 }

@@ -42,12 +42,22 @@ object Dedup {
     * trade cost for recall).
     *
     * Plan shape for 100 TB: the self-join shuffles on the block key
-    * only; the O(len^2) Levenshtein kernel runs only on in-block pairs,
-    * and the block sizes bound the quadratic worst case.
+    * only; the Levenshtein kernel runs only on in-block pairs, BANDED
+    * to the corpus-wide distance budget K = ceil(maxDistFrac * max
+    * doc length) — Spark's thresholded levenshtein costs O(len * K)
+    * per pair instead of O(len^2), and since every pair's own budget
+    * maxDistFrac * max(len_a, len_b) <= K, the band never cuts a true
+    * match. The max-length lookup is one driver scalar (same pattern
+    * as the Bloom sizing in [[decontaminateBloom]]).
     */
   def fuzzyPairs(docs0: DataFrame, idCol: String, textCol: String,
       maxDistFrac: Double, blockChars: Int = 40): DataFrame = {
     val docs = graft.engine.Par.widen(docs0)
+    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getAs[Number](0).intValue()
+    }
+    val band = math.max(1, math.ceil(maxDistFrac * maxLen).toInt)
     def side(id: String, t: String) = docs.select(
       col(idCol).as(id), col(textCol).as(t),
       floor(length(col(textCol)) / blockChars).as("lb"),
@@ -56,8 +66,13 @@ object Dedup {
     val b = side("b", "tb")
     a.join(b, Seq("lb", "w0"))
       .filter(col("a") < col("b"))
-      .withColumn("d", levenshtein(col("ta"), col("tb")).cast("bigint"))
-      .filter(col("d") <=
+      // Levenshtein >= |length difference|: pairs already past the
+      // budget on length alone skip the kernel entirely
+      .filter(abs(length(col("ta")) - length(col("tb"))) <=
+        lit(maxDistFrac) * greatest(length(col("ta")), length(col("tb"))))
+      // thresholded kernel returns -1 above the band — never a valid d
+      .withColumn("d", levenshtein(col("ta"), col("tb"), band).cast("bigint"))
+      .filter(col("d") >= 0 && col("d") <=
         lit(maxDistFrac) * greatest(length(col("ta")), length(col("tb"))))
       .select(col("a"), col("b"), col("d"))
   }
