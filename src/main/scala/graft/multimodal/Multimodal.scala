@@ -247,10 +247,12 @@ object Multimodal {
     *
     * Decodable media gets REAL content features — images: luminance
     * histogram over decoded pixels; audio: per-segment RMS energy over
-    * decoded PCM — so the vectors depend on the content, not the
-    * container bytes. Only non-decodable media (video payloads and
-    * corrupt bytes) falls back to the byte histogram, marked below;
-    * a real deployment swaps that branch for a learned encoder.
+    * decoded PCM; uncompressed-AVI video: luminance histogram over the
+    * DECODED stored frames ([[readAviFrames]]) — so the vectors depend
+    * on the content, not the container bytes. Only media with no JDK-
+    * decodable codec (compressed video, corrupt bytes) falls back to
+    * the byte histogram, marked below; a real deployment swaps that
+    * branch for a learned encoder.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val schema = StructType(Seq(
@@ -264,9 +266,11 @@ object Multimodal {
         lazy val au =
           if (bytes == null || bytes.length < 12) null
           else audioFeatures(bytes, dim)
+        lazy val vid = videoFeatures(bytes, dim)
         val v =
           if (img != null) imageFeatures(img, dim)
           else if (au != null) au
+          else if (vid != null) vid
           else {
             // STUB: non-decodable media (no JDK codec) — deterministic
             // byte histogram so the plumbing stays testable; a real
@@ -393,22 +397,39 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Deterministic real AVI header bytes for a media id: a minimal
-    * RIFF/'AVI ' container with a LIST 'hdrl' / 'avih' main header
-    * whose width / height / frame count / frame rate are pure
-    * functions of the id (25 fps; n_frames = id % 50, matching the
-    * synthetic meta column) — actual parseable video metadata for
-    * tests/bench, byte-assembled to the public AVI layout.
+  /** How many frames [[syntheticAvi]] actually stores in its 'movi'
+    * list (a short clip: real files are often truncated relative to
+    * dwTotalFrames, and storing all 50 would bloat the fixture corpus).
+    */
+  val SyntheticAviStoredFrames = 6
+
+  /** Deterministic real AVI bytes for a media id: a RIFF/'AVI '
+    * container with a LIST 'hdrl' / 'avih' main header whose width /
+    * height / frame count / frame rate are pure functions of the id
+    * (25 fps; n_frames = id % 50, matching the synthetic meta column),
+    * PLUS a LIST 'movi' carrying min(n_frames, 6) REAL uncompressed
+    * 24-bit DIB frames ('00db' chunks, bottom-up BGR rows padded to
+    * 4-byte stride — the public uncompressed-AVI layout). Pixel values
+    * are a pure function of (x, y, frame, id), so frame content is
+    * deterministic and frame-varying for feature tests.
     */
   def syntheticAvi(id: Long): Array[Byte] = {
     val w = 32 + (id % 64).toInt
     val h = 24 + (id % 48).toInt
     val nf = (id % 50).toInt
+    val stored = math.min(nf, SyntheticAviStoredFrames)
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
     val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
-    val bb = java.nio.ByteBuffer.allocate(88)
+    val hdrlSize = 68 // 'hdrl' + ('avih' chunk header + 56-byte body)
+    val moviSize = 4 + stored * (8 + frameBytes) // stride%4==0 => even
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes(ascii)).putInt(80).put("AVI ".getBytes(ascii))
-    bb.put("LIST".getBytes(ascii)).putInt(68).put("hdrl".getBytes(ascii))
+    bb.put("RIFF".getBytes(ascii)).putInt(riffSize)
+      .put("AVI ".getBytes(ascii))
+    bb.put("LIST".getBytes(ascii)).putInt(hdrlSize)
+      .put("hdrl".getBytes(ascii))
     bb.put("avih".getBytes(ascii)).putInt(56)
     bb.putInt(40000) // dwMicroSecPerFrame: 25 fps
       .putInt(0).putInt(0).putInt(0)
@@ -416,7 +437,87 @@ object Multimodal {
       .putInt(0).putInt(1).putInt(0)
       .putInt(w).putInt(h)
       .putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes(ascii)).putInt(moviSize)
+      .put("movi".getBytes(ascii))
+    var f = 0
+    while (f < stored) {
+      bb.put("00db".getBytes(ascii)).putInt(frameBytes)
+      var row = h - 1 // DIB rows are bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = ((x + 2 * row + 11 * f + id) % 256).toByte
+          bb.put(v).put(v).put(v) // gray: B = G = R
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      f += 1
+    }
     bb.array()
+  }
+
+  /** REAL per-frame video decode for uncompressed AVI: walks the RIFF
+    * 'movi' list and returns each '00db'/'00dc' chunk's raw DIB
+    * payload (bottom-up BGR, 4-byte-aligned stride — interpret with
+    * [[readAvi]]'s width/height). Empty for AVIs without stored frames
+    * or non-AVI bytes. Pure JDK byte parsing of the public format.
+    */
+  def readAviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+      fourcc(bytes, 8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 12
+    while (off + 8 <= bytes.length) {
+      val sz = u32(bytes, off + 4).toInt
+      if (sz < 0) return out.toSeq
+      if (fourcc(bytes, off) == "LIST" && sz >= 4 &&
+        off + 12 <= bytes.length && fourcc(bytes, off + 8) == "movi") {
+        var in = off + 12
+        val end = math.min(off + 8 + sz, bytes.length)
+        while (in + 8 <= end) {
+          val csz = u32(bytes, in + 4).toInt
+          if (csz < 0 || in + 8 + csz > bytes.length) return out.toSeq
+          val cc = fourcc(bytes, in)
+          if (cc == "00db" || cc == "00dc")
+            out += java.util.Arrays.copyOfRange(bytes, in + 8, in + 8 + csz)
+          in += 8 + csz + (csz & 1)
+        }
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    out.toSeq
+  }
+
+  /** Real video features: luminance histogram over the DECODED frame
+    * pixels of an uncompressed AVI (same luma weights and bucketing as
+    * [[imageFeatures]], accumulated across every stored frame). Null
+    * when the bytes aren't an AVI with stored frames.
+    */
+  private def videoFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val avi = readAvi(bytes)
+    if (avi == null) return null
+    val frames = readAviFrames(bytes)
+    if (frames.isEmpty) return null
+    val stride = (avi.width * 3 + 3) & ~3
+    val v = new Array[Float](dim)
+    frames.foreach { fr =>
+      var row = 0
+      while (row < avi.height && (row + 1) * stride <= fr.length) {
+        var x = 0
+        while (x < avi.width) {
+          val base = row * stride + x * 3
+          val lum = ((fr(base + 2) & 0xff) * 299 + (fr(base + 1) & 0xff) * 587 +
+            (fr(base) & 0xff) * 114) / 1000
+          v(lum * dim / 256) += 1f
+          x += 1
+        }
+        row += 1
+      }
+    }
+    l2(v)
   }
 
   /** Synthesizes a deterministic media table from the documents table —

@@ -40,4 +40,26 @@ object Layout {
     df.withColumn("zval", zValue(col(xCol), col(yCol), bits))
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions(col("zval"))
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files (streaming sinks and incremental
+    * appends accumulate kilobyte files whose per-file open/footer cost
+    * eventually dominates scans — the OPTIMIZE/compact maintenance op).
+    * File count is derived from on-disk bytes, floored at 1; the
+    * rewrite goes to a fresh directory so a crash mid-compaction never
+    * corrupts the source.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val bytes = Files.walk(Paths.get(srcDir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(dstDir)
+  }
 }

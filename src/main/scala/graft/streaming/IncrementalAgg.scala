@@ -46,6 +46,16 @@ object IncrementalAgg {
         spark.emptyDataFrame // schema-less; callers merge via unionByName
     }
 
+  /** Time travel: the view as of batch `asOfBatch` — the newest
+    * retained version at or below it. Retention is bounded by pruning
+    * (only the merge base survives), so this serves the
+    * reprocess-last-batch debugging case, not arbitrary history.
+    */
+  def readAt(spark: SparkSession, storeDir: String,
+      asOfBatch: Long): Option[DataFrame] =
+    versions(storeDir).filter(_ <= asOfBatch).lastOption
+      .map(v => spark.read.parquet(s"$storeDir/state_b=$v"))
+
   /** foreachBatch body maintaining the (keyCols → cnt, total) view. */
   def mergeCountSum(storeDir: String, keyCols: Seq[String],
       valueCol: String)(batch: DataFrame, batchId: Long): Unit = {

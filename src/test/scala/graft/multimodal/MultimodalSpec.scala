@@ -221,4 +221,44 @@ class MultimodalSpec extends SparkSpec {
     val nf = (id % 50).toInt
     assert(byId(id)._1 == (nf - 1) / 10 + 1) // frames 0,10,20...
   }
+
+  test("readAviFrames decodes the stored DIB frames with real pixels") {
+    val id = 8L // video id (8 % 3 == 2), nf = 8 > stored cap 6
+    val bytes = Multimodal.syntheticAvi(id)
+    val frames = Multimodal.readAviFrames(bytes)
+    assert(frames.length == Multimodal.SyntheticAviStoredFrames)
+    val w = 32 + (id % 64).toInt
+    val h = 24 + (id % 48).toInt
+    val stride = (w * 3 + 3) & ~3
+    assert(frames.forall(_.length == stride * h))
+    // pixel (x=0, y=h-1, frame 0) sits at the START of the bottom-up
+    // DIB payload; value = (x + 2*row + 11*f + id) % 256
+    val want = ((2 * (h - 1) + id) % 256).toByte
+    assert(frames.head(0) == want && frames.head(1) == want &&
+      frames.head(2) == want)
+    // frame content varies with the frame index
+    assert(!java.util.Arrays.equals(frames.head, frames(1)))
+    // non-AVI bytes decode to no frames, no exception
+    assert(Multimodal.readAviFrames("not avi".getBytes).isEmpty)
+    assert(Multimodal.readAviFrames(null).isEmpty)
+  }
+
+  test("video features come from decoded frame pixels, not container bytes") {
+    import spark.implicits._
+    // two videos with different ids => different frame content => the
+    // luminance histograms must differ; same id => identical features
+    val media = Seq(
+      (2L, "video", Multimodal.syntheticAvi(2L)),
+      (5L, "video", Multimodal.syntheticAvi(5L)),
+      (102L, "video", Multimodal.syntheticAvi(2L))
+    ).toDF("media_id", "media_type", "content")
+    val vecs = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(2L) == vecs(102L), "same bytes must embed identically")
+    assert(vecs(2L) != vecs(5L), "different frames must embed differently")
+    // gray ramp pixels spread across buckets: more than one bucket hit
+    assert(vecs(2L).count(_ > 0f) > 1)
+    // L2-normalized
+    assert(math.abs(vecs(2L).map(x => x * x.toDouble).sum - 1.0) < 1e-5)
+  }
 }

@@ -56,6 +56,21 @@ class LayoutSpec extends SparkSpec {
       s"typical box spans too much: ${maxSpans.mkString(",")}")
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-src-").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-compact-dst-").toString
+    spark.range(10000).selectExpr("id", "id * 2 AS v")
+      .repartition(64).write.mode("overwrite").parquet(src)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) == 64)
+    Layout.compact(spark, src, dst, targetBytes = 512L * 1024)
+    assert(parquetFiles(dst) < 8, s"still ${parquetFiles(dst)} files")
+    assert(spark.read.parquet(dst).agg(sum("v")).head().getLong(0) ==
+      spark.read.parquet(src).agg(sum("v")).head().getLong(0))
+    assert(spark.read.parquet(dst).count() == 10000)
+  }
+
   test("negativeSamples: deterministic, k-bounded, excludes the anchor") {
     val docs = Tables(spark, sf, "documents")
     val a = Sampling.negativeSamples(docs, "doc_id", "text",

@@ -47,6 +47,21 @@ class IncrementalAggSpec extends SparkSpec {
     assert(state(dir) == Seq(("a", 5L, 10L)))
   }
 
+  test("readAt time-travels to the retained version at or below a batch") {
+    val dir = store()
+    val b0 = Seq(("a", 1L)).toDF("k", "v")
+    val b1 = Seq(("a", 2L)).toDF("k", "v")
+    IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(b0, 0L)
+    IncrementalAgg.mergeCountSum(dir, Seq("k"), "v")(b1, 1L)
+    val at0 = IncrementalAgg.readAt(spark, dir, 0L).get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(at0 == Seq(("a", 1L, 1L)))
+    val at1 = IncrementalAgg.readAt(spark, dir, 5L).get.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(at1 == Seq(("a", 2L, 3L)))
+    assert(IncrementalAgg.readAt(spark, store(), 9L).isEmpty)
+  }
+
   test("drives from a real micro-batch stream via foreachBatch") {
     val dir = store()
     val src = java.nio.file.Files.createTempDirectory("graft-incagg-src-").toString
