@@ -226,6 +226,40 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * static customer dimension (the classic fact-stream-to-dim shape —
+    * at scale the dim is broadcast per micro-batch, so the stream never
+    * shuffles). Purchases per customer nation; oracle = the identical
+    * batch join, which IS the equivalence contract (stream-static inner
+    * joins are stateless, so batch equality is exact regardless of
+    * micro-batching).
+    */
+  def q89StreamStatic(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q89_stream_static_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q89")
+      val dim = graft.engine.Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val q = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey")) // static side broadcasts
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy("c_nationkey")
+    }
+
   /** Stream-stream inner join with event-time range: each purchase
     * matched to the same user's clicks in the preceding 10 minutes,
     * then counted per user. Both sides carry watermarks and the join
@@ -285,7 +319,8 @@ object StreamingQueries {
     "q23_stream" -> (q23Stream(_, _)),
     "q25_stream" -> (q25Stream(_, _)),
     "q65_stream_join" -> (q65StreamJoin(_, _)),
-    "q82_stream" -> (q82Stream(_, _))
+    "q82_stream" -> (q82Stream(_, _)),
+    "q89_stream_static" -> (q89StreamStatic(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
@@ -300,6 +335,10 @@ object StreamingQueries {
        + "c AS (SELECT event_id AS c_id, user_id, sec AS c_sec FROM e WHERE event_type = 'click') "
        + "SELECT p.user_id, COUNT(*) AS n_pairs FROM p JOIN c "
        + "ON p.user_id = c.user_id AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec "
-       + "GROUP BY 1 ORDER BY p.user_id")
+       + "GROUP BY 1 ORDER BY p.user_id"),
+    "q89_stream_static" ->
+      ("SELECT c.c_nationkey, COUNT(*) AS n_purchases, ROUND(SUM(e.value), 4) AS total_value "
+       + "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+       + "WHERE e.event_type = 'purchase' GROUP BY 1 ORDER BY c.c_nationkey")
   )
 }
