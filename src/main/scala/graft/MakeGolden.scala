@@ -23,7 +23,8 @@ object MakeGolden {
     Seq("q29_minhash", "q30_simhash", "q36_lsh_topk", "q38_ivf_topk",
       "q48_simhash_pairs", "q49_embed_pairs_lsh", "q66_multimodal",
       "q34b_bpe_merges", "q68_incremental_minhash", "q72_incremental_simhash",
-      "q73_media_features", "q80_semdedup", "q84_cluster_terms")
+      "q73_media_features", "q80_semdedup", "q84_cluster_terms",
+      "q91_ann_int8", "q93_survivors", "q96_hll")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

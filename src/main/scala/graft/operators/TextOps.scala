@@ -244,6 +244,59 @@ object TextOps {
       when(s >= 0.5, 1L).otherwise(0L).as("keep"))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, Appendix A — the
+    * hand-written quality gate that precedes any learned filter in a
+    * pre-training curation pipeline, adapted to this corpus's scale):
+    * a document passes iff ALL of
+    *   - `minWords <= n_words <= maxWords`
+    *   - `minMeanLen <= mean word length <= maxMeanLen`
+    *   - symbol fraction (chars outside `[a-z0-9 ]` after lowercasing)
+    *     `<= maxSymbolFrac`
+    *   - fraction of words containing an alphabetic char
+    *     `>= minAlphaFrac`
+    *   - at least `minStopHits` stopword occurrences.
+    *
+    * Output: idCol, n_words, mean_word_len, symbol_frac,
+    * alpha_word_frac (fractions rounded to 4), stop_hits, pass (0/1).
+    * The pass decision uses the UNROUNDED values.
+    *
+    * Plan shape for 100 TB: every rule is per-row codegen expression
+    * work in ONE projection — no shuffle, no UDF; the filter rides the
+    * scan like [[qualityScore]].
+    */
+  def gopherFilter(docs0: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 80,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolFrac: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws).cast("bigint")
+    val meanLen = aggregate(ws, lit(0.0), (acc, w) => acc + length(w)) /
+      nWords.cast("double")
+    val symbolFrac =
+      length(regexp_replace(lower(t), "[a-z0-9 ]", ""))
+        .cast("double") / length(t)
+    val alphaFrac = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords.cast("double")
+    val stopHits = size(filter(ws,
+      w => w.isin(stopwords.map(lit(_)): _*))).cast("bigint")
+    val pass =
+      nWords.between(minWords, maxWords) &&
+      meanLen.between(minMeanLen, maxMeanLen) &&
+      symbolFrac <= maxSymbolFrac &&
+      alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopHits
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolFrac, 4).as("symbol_frac"),
+      round(alphaFrac, 4).as("alpha_word_frac"),
+      stopHits.as("stop_hits"),
+      when(pass, 1L).otherwise(0L).as("pass"))
+  }
+
   /** Context-window chunking: split each document's word sequence into
     * windows of `size` words advancing by `stride` (overlap = size -
     * stride), the standard long-document transform ahead of

@@ -544,6 +544,60 @@ object AnalyticsQueries {
           threshold = 0.35, nClusters = 8)
         .orderBy("vec_id")),
 
+    // target-domain mixture resampling: downsampling-only rates that
+    // hit explicit per-language target weights (the "data mixture" knob
+    // of an LLM recipe — q64's temperature rebalance with the target
+    // distribution given, not derived); md5-bucket keep decision, fully
+    // SQL-reproducible
+    "q90_mixture" -> ((s, d) =>
+      Sampling.mixtureSample(t(s, d, "documents"), "lang", "text",
+          Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1,
+            "zh" -> 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
+        .orderBy("lang")),
+
+    // int8 scalar-quantized ANN: integer-dot candidate ranking + exact
+    // float re-rank (golden oracle; recall vs the exact q35 baseline
+    // certified in SimilaritySpec)
+    "q91_ann_int8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.int8TopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 3, dim = 64)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // Gopher-style hand-rule quality gate: word-count window, mean word
+    // length, symbol fraction, alpha-word fraction, stopword hits — the
+    // rule filter that precedes any learned quality score
+    "q92_gopher" -> ((s, d) =>
+      TextOps.gopherFilter(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // near-dup survivor selection: MinHash pair list -> connected
+    // clusters -> keep the longest member per cluster (golden oracle:
+    // the pair list is engine-hash-defined; the policy itself is
+    // certified against hand-built clusters in DedupSpec)
+    "q93_survivors" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minHashPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      Dedup.nearDupSurvivors(docs, "doc_id", "n_chars", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // mergeable-sketch distinct counting: HLL++ approximate distinct
+    // users per event type next to the exact count (golden pin — the
+    // sketch estimate is engine-defined; the relative-error contract is
+    // certified in SketchSpec). At 100 TB the sketch is THE distinct
+    // count: partials merge associatively, no exact distinct shuffle.
+    "q96_hll" -> ((s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")),
+
     // deterministic bucket-probe negative sampling (contrastive-pair
     // mining): 3 hash-strided negatives per anchor document; the
     // 64-bucket ring stays dense at every test sf (at production scale
@@ -552,6 +606,58 @@ object AnalyticsQueries {
       Sampling.negativeSamples(t(s, d, "documents"), "doc_id", "text",
           k = 3, nBuckets = 64)
         .orderBy("anchor_id", "neg_rank")),
+
+    // nearest as-of join: each purchase matched to the user's CLOSEST
+    // click in either direction (tie -> the past match) — q37's
+    // bidirectional sibling, the sensor-alignment semantics
+    "q97_asof_nearest" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_s"))
+        .agg(max(col("event_id")).as("click_id"))
+      AsOfJoin.nearest(purchases, clicks,
+          keys = Seq("user_id"), tsCol = "ts_s",
+          rightValues = Seq("click_id"), matchTsCol = "click_ts")
+        .filter(col("click_id").isNotNull)
+        .select(col("event_id"), col("click_id"),
+          abs(unix_timestamp(col("ts_s")) - unix_timestamp(col("click_ts")))
+            .as("gap_s"))
+        .orderBy("event_id")
+    }),
+
+    // CDC log application (SCD1 overwrite merge): a change log derived
+    // from orders (deletes for priority-1, upserts otherwise; latest
+    // entry per key wins by (ts, op, attr) total order) applied to the
+    // customer snapshot
+    "q98_cdc" -> ((s, d) => {
+      val snapshot = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val log = t(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_custkey").as("c_custkey"),
+          col("o_orderdate").as("ts"),
+          when(col("o_orderpriority").startsWith("1"), "D")
+            .otherwise("U").as("op"),
+          col("o_totalprice").as("c_acctbal"))
+      graft.operators.Cdc.applyLog(snapshot, log, "c_custkey", "ts", "op",
+          Seq("c_acctbal"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // mixture with upsampling (epoch repetition): equal per-language
+    // target weights at fixed output size — small languages repeat
+    // (n_copies > 1), large ones downsample; md5-bucket fractional epoch
+    "q99_upsample" -> ((s, d) =>
+      Sampling.mixtureEpochs(t(s, d, "documents"), "lang", "text",
+          Seq("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2,
+            "zh" -> 0.2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total"), sum(col("n_copies")).as("copies"))
+        .orderBy("lang")),
 
     // backward as-of join: each purchase matched to the user's latest
     // click at-or-before it (second resolution; right side deduped to
@@ -608,6 +714,10 @@ object AnalyticsQueries {
       golden("q80_semdedup", "vec_id, cluster, keep", "vec_id"),
     "q84_cluster_terms" ->
       golden("q84_cluster_terms", "cluster, term, score, rn", "cluster, rn"),
+    "q91_ann_int8" -> golden("q91_ann_int8", "qid, cid, rn", "qid, rn"),
+    "q93_survivors" -> golden("q93_survivors", "doc_id, cluster, keep", "doc_id"),
+    "q96_hll" ->
+      golden("q96_hll", "event_type, approx_users, exact_users", "event_type"),
     // independent re-execution of BPE apply: tokens ride as
     // '|'-delimited strings ('|tok|' per token, so adjacent tokens meet
     // at '||' and pattern '|l||r|' matches exactly one greedy
@@ -883,6 +993,28 @@ object AnalyticsQueries {
        + "sel AS (SELECT d.lang, CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER) < r.thresh THEN 1 ELSE 0 END::BIGINT AS keep "
        + "FROM documents d JOIN rates r USING (lang)) "
        + "SELECT lang, COUNT(*) AS total, SUM(keep)::BIGINT AS kept FROM sel GROUP BY 1 ORDER BY lang"),
+    "q90_mixture" ->
+      ("WITH w(lang, wt) AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2), ('fr', 0.1), ('zh', 0.1)) v(lang, wt)), "
+       + "counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), "
+       + "cw AS (SELECT c.lang, c.n, w.wt::DOUBLE AS wt FROM counts c JOIN w USING (lang)), "
+       + "tm AS (SELECT MIN(n::DOUBLE / wt) AS t FROM cw), "
+       + "rates AS (SELECT lang, CAST(floor(65536.0 * wt * tm.t / n) AS BIGINT) AS thresh FROM cw CROSS JOIN tm), "
+       + "sel AS (SELECT d.lang, CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER) < r.thresh THEN 1 ELSE 0 END::BIGINT AS keep "
+       + "FROM documents d JOIN rates r USING (lang)) "
+       + "SELECT lang, COUNT(*) AS total, SUM(keep)::BIGINT AS kept FROM sel GROUP BY 1 ORDER BY lang"),
+    "q92_gopher" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + "f AS (SELECT doc_id, len(ws)::BIGINT AS n_words, "
+       + "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS mean_len, "
+       + "length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS symbol_frac, "
+       + "len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(ws) AS alpha_frac, "
+       + "len(list_filter(ws, w -> list_contains(['the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'on', 'for'], w)))::BIGINT AS stop_hits "
+       + "FROM words) "
+       + "SELECT doc_id, n_words, ROUND(mean_len, 4) AS mean_word_len, "
+       + "ROUND(symbol_frac, 4) AS symbol_frac, ROUND(alpha_frac, 4) AS alpha_word_frac, stop_hits, "
+       + "CASE WHEN n_words BETWEEN 10 AND 80 AND mean_len BETWEEN 3.0 AND 10.0 "
+       + "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS pass "
+       + "FROM f ORDER BY doc_id"),
     "q74_funnel" ->
       ("WITH e AS (SELECT user_id AS u, event_type AS et, epoch(date_trunc('second', ts))::BIGINT AS t FROM events), "
        + "s0 AS (SELECT u, MIN(t) AS t FROM e WHERE et = 'view' GROUP BY u), "
@@ -971,7 +1103,38 @@ object AnalyticsQueries {
     "q37_asof" ->
       ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), " +
        "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2) " +
-       "SELECT p.event_id, c.click_id FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s ORDER BY p.event_id")
+       "SELECT p.event_id, c.click_id FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s ORDER BY p.event_id"),
+    "q97_asof_nearest" ->
+      ("WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s FROM events WHERE event_type = 'purchase'), "
+       + "c AS (SELECT user_id, date_trunc('second', ts) AS ts_s, MAX(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY 1, 2), "
+       + "b AS (SELECT p.event_id, p.ts_s, c.click_id AS b_id, c.ts_s AS b_ts FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s), "
+       + "f AS (SELECT p.event_id, c.click_id AS f_id, c.ts_s AS f_ts FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_s <= c.ts_s), "
+       + "x AS (SELECT b.event_id, b.ts_s, CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND epoch(b.ts_s) - epoch(b.b_ts) <= epoch(f.f_ts) - epoch(b.ts_s)) "
+       + "THEN b.b_id ELSE f.f_id END AS click_id, "
+       + "CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL AND epoch(b.ts_s) - epoch(b.b_ts) <= epoch(f.f_ts) - epoch(b.ts_s)) "
+       + "THEN b.b_ts ELSE f.f_ts END AS m_ts FROM b JOIN f USING (event_id)) "
+       + "SELECT event_id, click_id, CAST(abs(epoch(ts_s) - epoch(m_ts)) AS BIGINT) AS gap_s "
+       + "FROM x WHERE click_id IS NOT NULL ORDER BY event_id"),
+    "q98_cdc" ->
+      ("WITH log AS (SELECT o_custkey AS c_custkey, o_orderdate AS ts, "
+       + "CASE WHEN o_orderpriority LIKE '1%' THEN 'D' ELSE 'U' END AS op, o_totalprice AS nb "
+       + "FROM orders WHERE o_orderkey % 5 = 0), "
+       + "latest AS (SELECT c_custkey, op, nb FROM "
+       + "(SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY ts DESC, op DESC, nb DESC) AS rn FROM log) WHERE rn = 1), "
+       + "untouched AS (SELECT c.c_custkey, c.c_acctbal AS nb FROM customer c "
+       + "WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)) "
+       + "SELECT c_custkey, ROUND(nb, 4) AS acctbal FROM "
+       + "(SELECT c_custkey, nb FROM untouched UNION ALL SELECT c_custkey, nb FROM latest WHERE op <> 'D') "
+       + "ORDER BY c_custkey"),
+    "q99_upsample" ->
+      ("WITH w(lang, wt) AS (SELECT * FROM (VALUES ('en', 0.2), ('de', 0.2), ('es', 0.2), ('fr', 0.2), ('zh', 0.2)) v(lang, wt)), "
+       + "counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1), "
+       + "tot AS (SELECT SUM(n)::DOUBLE AS total FROM counts), "
+       + "rates AS (SELECT lang, CAST(floor(f) AS BIGINT) AS base, CAST(floor((f - floor(f)) * 65536) AS BIGINT) AS thresh FROM "
+       + "(SELECT c.lang, w.wt::DOUBLE * 1.0 * tot.total / c.n AS f FROM counts c JOIN w USING (lang) CROSS JOIN tot)), "
+       + "sel AS (SELECT d.lang, r.base + CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER) < r.thresh THEN 1 ELSE 0 END AS n_copies "
+       + "FROM documents d JOIN rates r USING (lang)) "
+       + "SELECT lang, COUNT(*) AS total, SUM(n_copies)::BIGINT AS copies FROM sel GROUP BY 1 ORDER BY lang")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

@@ -403,7 +403,43 @@ object CoreQueries {
       .agg(count(lit(1)).as("c"), round(sum(col("value")), 4).as("v"))
       .select(col("window.start").cast("string").as("w_start"),
         col("event_type"), col("c"), col("v"))
-      .orderBy("w_start", "event_type"))
+      .orderBy("w_start", "event_type")),
+
+    // distribution-position window functions: quartile bucket, percent
+    // rank and cumulative distribution per market segment (unique
+    // (acctbal, custkey) ordering key, so both engines agree on peers)
+    "q94_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // time-series gap fill: the dense (event_type x hour) grid with
+    // zero-filled gaps — sequence() spans the corpus hour range, the
+    // sparse hourly counts left-join onto it. The grid is |types| x
+    // |hours| rows (tiny next to the events body, which aggregates
+    // map-side before its one shuffle).
+    "q95_gapfill" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val hourly = e.groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val hours = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).as("h"))
+      val types = e.select(col("event_type")).distinct()
+      types.crossJoin(hours)
+        .join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h").cast("string").as("h"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .orderBy("event_type", "h")
+    })
   )
 
   /** DuckDB-dialect oracles, one per query above. */
@@ -532,6 +568,22 @@ object CoreQueries {
        + "to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800)::TIMESTAMP AS w0 FROM events), "
        + "w AS (SELECT event_type, value, unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws FROM e) "
        + "SELECT CAST(ws AS VARCHAR) AS w_start, event_type, COUNT(*) AS c, "
-       + "ROUND(SUM(value), 4) AS v FROM w GROUP BY 1, 2 ORDER BY w_start, event_type")
+       + "ROUND(SUM(value), 4) AS v FROM w GROUP BY 1, 2 ORDER BY w_start, event_type"),
+    "q94_ntile" ->
+      ("SELECT c_custkey, c_mktsegment, NTILE(4) OVER w AS quartile, "
+       + "ROUND(PERCENT_RANK() OVER w, 4) AS pr, "
+       + "ROUND(CUME_DIST() OVER w, 4) AS cd "
+       + "FROM customer "
+       + "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) "
+       + "ORDER BY c_mktsegment, c_custkey"),
+    "q95_gapfill" ->
+      ("WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c FROM events GROUP BY 1, 2), "
+       + "b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events), "
+       + "hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b), "
+       + "types AS (SELECT DISTINCT event_type FROM events) "
+       + "SELECT t.event_type, CAST(g.h AS VARCHAR) AS h, COALESCE(hourly.c, 0)::BIGINT AS c "
+       + "FROM types t CROSS JOIN hours g "
+       + "LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = g.h "
+       + "ORDER BY t.event_type, h")
   )
 }

@@ -46,4 +46,50 @@ class AsOfJoinSpec extends SparkSpec {
         Seq("k"), "t", Seq("trade_id"))
     }
   }
+
+  test("forward as-of picks earliest right row at-or-after left ts") {
+    val r = AsOfJoin.forward(trades, quotes, Seq("k"), "t", Seq("px"))
+      .orderBy("trade_id").collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r(1L) == Some(2.0))  // t=10: next quote@20
+    assert(r(2L) == Some(2.0))  // t=20: quote@20 inclusive
+    assert(r(3L) == None)       // t=25: nothing after
+    assert(r(4L) == Some(4.0))  // b t=10: quote@15
+    assert(r(5L) == None)       // c: no quotes
+  }
+
+  test("forward tolerance nulls out too-distant matches") {
+    val r = AsOfJoin.forward(trades, quotes, Seq("k"), "t", Seq("px"),
+        tolerance = Some(lit(5L)))
+      .orderBy("trade_id").collect()
+      .map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(r(1L) == None)       // quote@20 is 10 ahead, tolerance 5
+    assert(r(4L) == Some(4.0))  // quote@15 is 5 ahead, inclusive
+  }
+
+  test("nearest as-of picks the closer side, ties toward the past") {
+    val r = AsOfJoin.nearest(trades, quotes, Seq("k"), "t",
+        Seq("px"), matchTsCol = "qts")
+      .orderBy("trade_id").collect()
+      .map(x => (x.getLong(2),
+        (Option(x.get(3)).map(_.asInstanceOf[Double]),
+         Option(x.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(r(1L) == ((Some(1.0), Some(8L))))   // d=2 back vs 10 fwd
+    assert(r(2L) == ((Some(2.0), Some(20L))))  // exact
+    assert(r(3L) == ((Some(3.0), Some(21L))))  // only backward exists
+    assert(r(4L) == ((Some(4.0), Some(15L))))  // only forward exists
+    assert(r(5L) == ((None, None)))            // no quotes at all
+  }
+
+  test("nearest tie at equal distance picks the backward match") {
+    val l = df("k STRING, t BIGINT, id BIGINT", Row("a", 10L, 1L))
+    val q = df("k STRING, t BIGINT, px DOUBLE",
+      Row("a", 7L, 1.0), Row("a", 13L, 2.0))
+    val r = AsOfJoin.nearest(l, q, Seq("k"), "t", Seq("px"), "qts")
+      .collect().head
+    assert(r.getDouble(3) == 1.0 && r.getLong(4) == 7L)
+  }
 }

@@ -298,4 +298,21 @@ class DedupSpec extends SparkSpec {
     // 4 and 5 share no block with anything
     assert(got.toSeq == Seq((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L)))
   }
+
+  test("nearDupSurvivors: keep-longest per cluster, min-id tie-break, singletons survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L),  // cluster {1,2,3} via 1-2, 2-3
+      (4L, 15L), (5L, 15L),             // cluster {4,5}: equal length
+      (6L, 7L))                         // singleton, no incident pair
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val got = Dedup.nearDupSurvivors(docs, "doc_id", "n_chars", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L), // 2 is longest in {1,2,3}
+      (4L, 4L, 1L), (5L, 4L, 0L),               // tie -> smaller id wins
+      (6L, 6L, 1L)))                            // singleton survives
+  }
 }

@@ -69,4 +69,59 @@ class SamplingSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids(docs) == ids(docs.repartition(13)))
   }
+
+  test("mixtureSample: binding stratum keeps 100%; output tracks target weights") {
+    val weights = Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2,
+      "fr" -> 0.1, "zh" -> 0.1)
+    val kept = Sampling.mixtureSample(docs, "lang", "text", weights)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total"), sum(col("keep")).as("kept"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val w = weights.toMap
+    // the binding stratum (min n/w) keeps everything
+    val binding = kept.minBy { case (l, (n, _)) => n / w(l) }._1
+    assert(kept(binding)._2 == kept(binding)._1,
+      s"binding stratum $binding must keep 100%: $kept")
+    // kept counts follow the target mixture within binomial noise
+    val totalKept = kept.values.map(_._2).sum.toDouble
+    kept.foreach { case (lang, (_, k)) =>
+      assert(math.abs(k / totalKept - w(lang)) < 0.07,
+        s"$lang kept share ${k / totalKept}, want ${w(lang)}")
+    }
+  }
+
+  test("mixtureEpochs: per-stratum copies track target; small strata repeat") {
+    val weights = Seq("en" -> 0.2, "de" -> 0.2, "es" -> 0.2,
+      "fr" -> 0.2, "zh" -> 0.2)
+    val out = Sampling.mixtureEpochs(docs, "lang", "text", weights).cache()
+    val n = docs.count()
+    val per = out.groupBy("lang")
+      .agg(count(lit(1)).as("total"), sum(col("n_copies")).as("copies"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    per.foreach { case (lang, (total, copies)) =>
+      val target = 0.2 * n
+      assert(math.abs(copies - target) <= total * 0.2 + 1,
+        s"$lang copies=$copies target=$target")
+      // strata above target downsample (copies < total), below repeat
+      if (total > target) assert(copies < total, s"$lang should downsample")
+      else assert(copies >= total, s"$lang should repeat rows")
+    }
+    // grand total lands on sizeFactor * N within hash-selection noise
+    val copies = per.values.map(_._2).sum
+    assert(math.abs(copies - n) <= 0.05 * n, s"total copies $copies vs $n")
+  }
+
+  test("mixtureSample: unweighted strata drop; assignment partition-independent") {
+    val partial = Seq("en" -> 0.7, "de" -> 0.3)
+    val out = Sampling.mixtureSample(docs, "lang", "text", partial).cache()
+    assert(out.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet == Set("en", "de"))
+    def keptIds(d: org.apache.spark.sql.DataFrame) =
+      Sampling.mixtureSample(d, "lang", "text", partial)
+        .filter(col("keep") === 1)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds(docs) == keptIds(docs.repartition(11)))
+  }
 }

@@ -33,6 +33,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("int8TopK: high recall vs exact; rank order and self-exclusion hold") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.int8TopK(queries, emb, "vec_id", "embedding",
+      k = 3, dim = 64, overfetch = 4).collect()
+    val approx = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // int8 quantization of 64-dim floats loses very little: the top-3
+    // sets should nearly coincide with exact brute force
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low for scalar quantization")
+    quant.groupBy(_.getLong(0)).values.foreach { g =>
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p.head >= p.last)) // exact re-rank order
+      assert(g.forall(x => x.getLong(0) != x.getLong(1)))   // self excluded
+    }
+  }
+
+  test("int8TopK with full overfetch equals exact brute force") {
+    // overfetch covering the whole corpus makes the candidate stage a
+    // no-op: the exact re-rank must then reproduce bruteForceTopK
+    // exactly (quantization can only cost recall, never mis-order)
+    val queries = emb.filter(col("vec_id") < 5)
+    val n = emb.count().toInt
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val quant = Similarity.int8TopK(queries, emb, "vec_id", "embedding",
+        k = 2, dim = 64, overfetch = n / 2 + 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(quant == exact)
+  }
+
   test("hyperplane buckets are well-distributed, not degenerate") {
     // regression: the pre-fix sign hash collapsed every plane to one of
     // two alternating patterns, so 8-plane buckets took <= 4 distinct

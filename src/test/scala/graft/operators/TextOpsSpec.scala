@@ -179,4 +179,38 @@ class TextOpsSpec extends SparkSpec {
     assert(keys.take(3).toSet == Set("the quick brown fox"))
     assert(keys(3) == "a genuinely different document")
   }
+
+  test("gopherFilter: violating docs are rejected, clean doc passes") {
+    import spark.implicits._
+    val good = "the cat and the dog run fast to the park and play in sun"
+    val docs = Seq(
+      1L -> good,                                   // passes all rules
+      2L -> "too few words here",                   // n_words < 10
+      3L -> ("x " * 100).trim,                      // mean word len < 3
+      4L -> ("the quick brown fox jumps over lazy dogs " +
+             "#### $$$$ %%%% @@@@ &&&& !!!! ^^^^ ****"), // symbols > 10%
+      5L -> ("the " + ("12345 9876 " * 5) + "and end of it now"), // alpha < 0.8
+      6L -> "cats dogs birds fish mice run jump swim fly crawl quickly today")
+      .toDF("doc_id", "text")                       // 6: no stopword hits
+    val out = TextOps.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(out(1L) == 1L, "baseline doc must pass")
+    assert(out(2L) == 0L, "short doc must fail word-count rule")
+    assert(out(3L) == 0L, "1-char words must fail mean-length rule")
+    assert(out(4L) == 0L, "symbol-heavy doc must fail symbol rule")
+    assert(out(5L) == 0L, "digit-word doc must fail alpha-word rule")
+    assert(out(6L) == 0L, "stopword-free doc must fail stop-hits rule")
+  }
+
+  test("gopherFilter features match hand computation") {
+    import spark.implicits._
+    val docs = Seq(1L -> "the cat is on the mat").toDF("doc_id", "text")
+    val r = TextOps.gopherFilter(docs, "doc_id", "text").collect().head
+    assert(r.getLong(1) == 6L)                       // n_words
+    assert(r.getDouble(2) == 2.6667)                 // mean word len, round 4
+    assert(r.getDouble(3) == 0.0)                    // symbol_frac
+    assert(r.getDouble(4) == 1.0)                    // alpha_word_frac
+    assert(r.getLong(5) == 4L)                       // the, is, on, the
+    assert(r.getLong(6) == 0L)                       // fails min word count
+  }
 }

@@ -158,4 +158,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.split("HashAggregate").length >= 3,
       "expect partial+final HashAggregate pair")
   }
+
+  test("q90 mixture rates broadcast; the document body never sort-merges") {
+    val s = planString(q("q90_mixture"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"per-stratum rates must broadcast onto the body:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"document body must not shuffle for the rate join:\n$s")
+  }
+
+  test("q91 int8 re-rank joins broadcast the query side (corpus never shuffles)") {
+    val s = planString(q("q91_ann_int8"))
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus must never sort-merge shuffle:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"candidate join must be broadcast, not cartesian:\n$s")
+  }
+
+  test("q92 gopher gate is pure projection work — no join, no aggregate") {
+    // the only exchanges allowed are Par.widen's round-robin and the
+    // final orderBy; the rules themselves must never shuffle data
+    val s = planString(q("q92_gopher"))
+    assert(!s.contains("Join"), s"gopher rules must not join:\n$s")
+    assert(!s.contains("HashAggregate") && !s.contains("SortAggregate"),
+      s"gopher rules must not aggregate:\n$s")
+    assert(!s.contains("hashpartitioning"),
+      s"gopher rules must not hash-shuffle the corpus:\n$s")
+  }
 }
