@@ -100,6 +100,31 @@ object ScaleProbe {
     t("semdedup_t09")(graft.operators.Similarity.semDedup(
       e, "vec_id", "embedding", threshold = 0.9,
       nClusters = 16 * mult).count())
+    t("int8_topk")(graft.operators.Similarity.int8TopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+      k = 3, dim = 64).count())
+    t("survivors_over_simhash")({
+      val pairs = graft.operators.Dedup.simHashPairs(
+        d, "doc_id", "text", maxHamming = 3)
+      graft.operators.Dedup.nearDupSurvivors(
+        d.withColumn("n_chars", length(col("text"))),
+        "doc_id", "n_chars", pairs).count()
+    })
+    t("asof_nearest")({
+      val evs = ev.withColumn("ts_s", date_trunc("second", col("ts")))
+      val purchases = evs.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val clicks = evs.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_s"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsOfJoin.nearest(purchases, clicks,
+        Seq("user_id"), "ts_s", Seq("click_id"), "click_ts").count()
+    })
+    t("mixture_epochs")(graft.operators.Sampling.mixtureEpochs(
+      spark.read.parquet(s"$tmp/documents.parquet")
+        .withColumn("lang", pmod(col("doc_id"), lit(5)).cast("string")),
+      "lang", "text",
+      (0 until 5).map(i => i.toString -> 0.2)).count())
     // NOTE deliberately absent: fuzzyPairs — (first word, length
     // bucket) blocking holds candidate growth to ~replica^2 on this
     // duplication-heavy corpus, so the banded O(len*K) kernel hits a

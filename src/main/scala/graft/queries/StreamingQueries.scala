@@ -315,18 +315,116 @@ object StreamingQueries {
         .orderBy("user_id")
     }
 
+  /** Typed rows/state/output for [[q100SessionizeState]]. `ts_s`
+    * carries the watermark tag — the event-time column must reach the
+    * stateful operator or analysis rejects the event-time timeout.
+    */
+  private[queries] case class SessEv(user_id: Long, ts_sec: Long,
+    event_id: Long, ts_s: java.sql.Timestamp)
+  private[queries] case class SessState(lastTs: Long, n: Long)
+  private[queries] case class SessOut(user_id: Long, n_sessions: Long)
+
+  /** Per-user session fold: count a new session when the gap from the
+    * last seen event exceeds `gapSec` (strictly — an exact-gap tie
+    * stays in the session, matching session_window's merge-on-touch and
+    * the batch lag predicate). Emits the final count when the
+    * event-time timeout fires, i.e. once the watermark has passed the
+    * user's last-possible session extension.
+    */
+  private def sessFold(gapSec: Long)(
+      user: Long, rows: Iterator[SessEv],
+      state: org.apache.spark.sql.streaming.GroupState[SessState])
+      : Iterator[SessOut] = {
+    if (state.hasTimedOut) {
+      val out = SessOut(user, state.get.n)
+      state.remove()
+      Iterator(out)
+    } else {
+      // sort within (user, batch): groups arrive unordered; ties break
+      // by event_id exactly like the batch window's ORDER BY
+      val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+      var (last, n) = state.getOption
+        .map(st => (st.lastTs, st.n)).getOrElse((Long.MinValue, 0L))
+      sorted.foreach { e =>
+        if (last == Long.MinValue || e.ts_sec > last + gapSec) n += 1
+        if (e.ts_sec > last) last = e.ts_sec
+      }
+      state.update(SessState(last, n))
+      // must exceed the current watermark or Spark rejects the stamp;
+      // the sentinel's +4h push guarantees every timeout eventually fires
+      state.setTimeoutTimestamp(math.max(
+        last * 1000 + gapSec * 1000, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** q25's CUSTOM-STATE twin: sessionization via typed
+    * `flatMapGroupsWithState` + event-time timeout instead of the
+    * built-in session_window — the escape hatch for session semantics
+    * session_window cannot express (per-session payloads, dynamic gaps,
+    * custom merge rules). State = 16 bytes/user, evicted by its own
+    * timeout; events sort only within (user, micro-batch) — no global
+    * sort, state bounded on unbounded input. Same single-batch arrival
+    * assumption as q65 (single events.parquet + AvailableNow): the
+    * per-batch fold appends to the LAST session, so cross-batch
+    * disorder beyond the watermark would miscount; production inputs
+    * size the watermark to the max disorder exactly as documented
+    * there. Oracle = the identical batch q25_sessionize SQL — THE
+    * equivalence contract.
+    */
+  def q100SessionizeState(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val raw = eventsSchema(s, dir)
+      val name = s"q100_sess_state_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q100")
+      val (_, flushDir) = sentinelFor(s, dir)
+      val events = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val flush = s.readStream.schema(raw).parquet(flushDir)
+      // NOTE the sentinel is NOT filtered inside the stream: a
+      // `user_id =!= -1` here gets PUSHED INTO the parquet scan, whose
+      // row-group stats (min=max=-1) then skip the sentinel file
+      // entirely — the row never reaches the EventTimeWatermark node
+      // and the final timeouts never fire. It flows through as its own
+      // group instead (its timeout stamp stays past the final
+      // watermark, so it never emits) and is filtered from the OUTPUT,
+      // the same pattern as q25Stream.
+      val evs = events.unionByName(flush)
+        .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+        .withWatermark("ts_s", "2 hours")
+        .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+          col("event_id"), col("ts_s"))
+        .as[SessEv]
+      val sessions = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(sessFold(1800L))
+      val q = sessions.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name).filter(col("user_id") =!= -1L).orderBy("user_id")
+    }
+
   val queries: Map[String, Q] = Map(
     "q23_stream" -> (q23Stream(_, _)),
     "q25_stream" -> (q25Stream(_, _)),
     "q65_stream_join" -> (q65StreamJoin(_, _)),
     "q82_stream" -> (q82Stream(_, _)),
-    "q89_stream_static" -> (q89StreamStatic(_, _))
+    "q89_stream_static" -> (q89StreamStatic(_, _)),
+    "q100_sessionize_state" -> (q100SessionizeState(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
     "q23_stream" -> CoreQueries.oracles("q23_hourly"),
     "q25_stream" -> CoreQueries.oracles("q25_sessionize"),
+    "q100_sessionize_state" -> CoreQueries.oracles("q25_sessionize"),
     "q82_stream" -> CoreQueries.oracles("q82_sliding"),
     // the batch formulation of the same join IS the equivalence contract
     "q65_stream_join" ->

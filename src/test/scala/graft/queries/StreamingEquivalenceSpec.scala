@@ -32,4 +32,11 @@ class StreamingEquivalenceSpec extends SparkSpec {
     val stream = StreamingQueries.q65StreamJoin(spark, sf).collect()
     assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
+
+  test("q100 flatMapGroupsWithState sessionize == batch q25_sessionize") {
+    val batch = CoreQueries.queries("q25_sessionize")(spark, sf).collect()
+    val stream = StreamingQueries.q100SessionizeState(spark, sf).collect()
+    assert(stream.length == batch.length)
+    assert(stream.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
 }
