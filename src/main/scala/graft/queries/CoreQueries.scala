@@ -439,6 +439,39 @@ object CoreQueries {
         .select(col("event_type"), col("h").cast("string").as("h"),
           coalesce(col("c"), lit(0L)).as("c"))
         .orderBy("event_type", "h")
+    }),
+
+    // RANGE-interval window frame: 7-day trailing moving average over
+    // daily revenue (q18's ROWS-frame sibling — the frame is bounded by
+    // VALUE distance, so gaps in the day sequence shrink it). The
+    // window runs over rows already reduced to |types| x |days|.
+    "q101_moving_avg" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(round(sum(col("value")), 4).as("rev"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_timestamp(col("d")))
+        .rangeBetween(-6L * 86400, 0)
+      daily.select(col("event_type"),
+          col("d").cast("date").cast("string").as("d"),
+          col("rev"), round(avg(col("rev")).over(w), 4).as("ma7"))
+        .orderBy("event_type", "d")
+    }),
+
+    // cumulative distinct users by day: first-seen day per user (one
+    // map-side-combinable min groupBy), daily new-user counts, running
+    // total — the growth-curve query; the window runs over |days| rows
+    "q102_cum_users" -> ((s, d) => {
+      val firstDay = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("d"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstDay.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+        .select(col("d").cast("date").cast("string").as("d"),
+          col("new_users"),
+          sum(col("new_users")).over(w).as("cum_users"))
+        .orderBy("d")
     })
   )
 
@@ -584,6 +617,17 @@ object CoreQueries {
        + "SELECT t.event_type, CAST(g.h AS VARCHAR) AS h, COALESCE(hourly.c, 0)::BIGINT AS c "
        + "FROM types t CROSS JOIN hours g "
        + "LEFT JOIN hourly ON hourly.event_type = t.event_type AND hourly.h = g.h "
-       + "ORDER BY t.event_type, h")
+       + "ORDER BY t.event_type, h"),
+    "q101_moving_avg" ->
+      ("WITH daily AS (SELECT event_type, date_trunc('day', ts) AS d, ROUND(SUM(value), 4) AS rev FROM events GROUP BY 1, 2) "
+       + "SELECT event_type, CAST(d AS VARCHAR) AS d, rev, "
+       + "ROUND(AVG(rev) OVER (PARTITION BY event_type ORDER BY epoch(d)::BIGINT RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW), 4) AS ma7 "
+       + "FROM daily ORDER BY event_type, d"),
+    "q102_cum_users" ->
+      ("WITH fd AS (SELECT user_id, MIN(date_trunc('day', ts)) AS d FROM events GROUP BY 1), "
+       + "daily AS (SELECT d, COUNT(*) AS new_users FROM fd GROUP BY 1) "
+       + "SELECT CAST(d AS VARCHAR) AS d, new_users, "
+       + "SUM(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_users "
+       + "FROM daily ORDER BY d")
   )
 }
