@@ -163,10 +163,15 @@ object Sampling {
   def negativeSamples(df: DataFrame, idCol: String, keyCol: String,
       k: Int, nBuckets: Int = 4096): DataFrame = {
     val bucket = hashBucket(col(keyCol)) % nBuckets
+    // min over struct(rh, neg_id): duplicate keys share the salted hash,
+    // so a bare min_by(neg_id, rh) tie-breaks engine-dependently — the
+    // id in the struct makes the representative a total order
     val pool = df
       .select(col(idCol).as("neg_id"), bucket.as("b"),
         md5(concat(lit("rep|"), col(keyCol))).as("rh"))
-      .groupBy(col("b")).agg(min_by(col("neg_id"), col("rh")).as("neg_id"))
+      .groupBy(col("b"))
+      .agg(min(struct(col("rh"), col("neg_id"))).as("_r"))
+      .select(col("b"), col("_r.neg_id").as("neg_id"))
     val probes = df
       .select(col(idCol).as("anchor_id"), bucket.as("ab"))
       .select(col("anchor_id"), explode(array((1 to k).map(j =>

@@ -1095,7 +1095,7 @@ object AnalyticsQueries {
        + "FROM xy ORDER BY event_id"),
     "q79_negatives" ->
       ("WITH b AS (SELECT doc_id, text, CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 64 AS b FROM documents), "
-       + "pool AS (SELECT b, arg_min(doc_id, md5('rep|' || text)) AS neg_id FROM b GROUP BY 1), "
+       + "pool AS (SELECT b, MIN({'rh': md5('rep|' || text), 'neg_id': doc_id}).neg_id AS neg_id FROM b GROUP BY 1), "
        + "pr AS (SELECT doc_id AS anchor_id, j::BIGINT AS neg_rank, ((b + j * 40503) % 64) AS pb "
        + "FROM b, LATERAL (SELECT unnest(generate_series(1, 3)) AS j) g) "
        + "SELECT anchor_id, neg_rank, neg_id FROM pr JOIN pool ON pool.b = pr.pb "
