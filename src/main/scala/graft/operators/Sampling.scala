@@ -156,9 +156,11 @@ object Sampling {
     * nBuckets, so pick nBuckets >> k for diversity.
     *
     * Plan shape for 100 TB: representatives are ONE map-side-combinable
-    * min_by groupBy over at most nBuckets rows, broadcast to the probe
-    * join; anchors fan out k id-only rows each. The corpus body never
-    * joins or shuffles.
+    * min(struct(hash, id)) groupBy over at most nBuckets rows (the id
+    * in the struct totalizes the order — duplicate keys share the
+    * salted hash, and a bare min_by would tie-break engine-dependently),
+    * broadcast to the probe join; anchors fan out k id-only rows each.
+    * The corpus body never joins or shuffles.
     */
   def negativeSamples(df: DataFrame, idCol: String, keyCol: String,
       k: Int, nBuckets: Int = 4096): DataFrame = {
