@@ -120,39 +120,65 @@ object AsOfJoin {
     * by |right.ts - left.ts|, ties toward the backward (past) match —
     * the sensor-alignment semantics. Carries `matchTsCol` (the matched
     * right row's ts) alongside the value columns so callers can audit
-    * the distance. Two window passes over the same shuffle layout —
-    * Catalyst reuses the exchange, so cost stays one shuffle + sorts.
+    * the distance.
+    *
+    * Plan shape: ONE union of both sides, then both directions as
+    * RANGE-frame window passes over the SAME (key, ts) sort — the range
+    * boundaries make equal-ts right rows visible to both directions
+    * regardless of peer order, and Catalyst reuses the single exchange
+    * and sort across the two frames. Cost = one shuffle, linear in
+    * |left| + |right| (the naive backward ⋈ forward rewrite pays three
+    * shuffles). Right rows should be unique per (keys, ts) — dedupe
+    * first, as ties between right peers at the same ts are otherwise
+    * positional.
     */
   def nearest(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], tsCol: String,
       rightValues: Seq[String], matchTsCol: String): DataFrame = {
-    val leftKey = left.columns.toSeq // natural key of a left row
-    val b = backward(
-      left, right.withColumn(matchTsCol, col(tsCol)),
-      keys, tsCol, rightValues :+ matchTsCol)
-      .withColumnRenamed(matchTsCol, "_bts")
-    val bRenamed = rightValues.foldLeft(b) { (df, v) =>
-      df.withColumnRenamed(v, s"_b_$v")
-    }
-    val f = forward(
-      left, right.withColumn(matchTsCol, col(tsCol)),
-      keys, tsCol, rightValues :+ matchTsCol)
-      .withColumnRenamed(matchTsCol, "_fts")
-    val fRenamed = rightValues.foldLeft(f) { (df, v) =>
-      df.withColumnRenamed(v, s"_f_$v")
-    }
-    val joined = bRenamed.join(fRenamed, leftKey)
-    // cast-to-double works for both numeric and timestamp ts columns
+    val leftCols = left.columns.toSeq
+    require(leftCols.intersect(rightValues :+ matchTsCol).isEmpty,
+      "right value / match-ts columns collide with left")
+
+    val l = left
+      .withColumn("_side", lit(1))
+      .select(
+        (keys.map(col) :+ col(tsCol) :+ col("_side")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col) ++
+        rightValues.map(c => lit(null).as(c)): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .select(
+        (keys.map(col) :+ col(tsCol) :+ col("_side")) ++
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+          .map(c => lit(null).as(c)) ++
+        rightValues.map(col): _*)
+
+    // cast-to-double orders both numeric and timestamp ts columns
     // (timestamps become epoch seconds, exactly representable)
-    val dB = col(tsCol).cast("double") - col("_bts").cast("double")
-    val dF = col("_fts").cast("double") - col(tsCol).cast("double")
+    val u = l.unionByName(r).withColumn("_tsn", col(tsCol).cast("double"))
+    val wB = Window.partitionBy(keys.map(col): _*).orderBy(col("_tsn"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*).orderBy(col("_tsn"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    def rightOnly(c: Column): Column = when(col("_side") === 0, c)
+
+    val both = rightValues.foldLeft(
+      u.withColumn("_bts", last(rightOnly(col(tsCol)), ignoreNulls = true).over(wB))
+        .withColumn("_fts", first(rightOnly(col(tsCol)), ignoreNulls = true).over(wF))) {
+      (df, v) =>
+        df.withColumn(s"_b_$v", last(rightOnly(col(v)), ignoreNulls = true).over(wB))
+          .withColumn(s"_f_$v", first(rightOnly(col(v)), ignoreNulls = true).over(wF))
+    }
+    val dB = col("_tsn") - col("_bts").cast("double")
+    val dF = col("_fts").cast("double") - col("_tsn")
     val useB = col("_fts").isNull || (col("_bts").isNotNull && dB <= dF)
-    val picked = rightValues.foldLeft(joined) { (df, v) =>
+    val picked = rightValues.foldLeft(both) { (df, v) =>
       df.withColumn(v, when(useB, col(s"_b_$v")).otherwise(col(s"_f_$v")))
     }
     picked
+      .filter(col("_side") === 1)
       .withColumn(matchTsCol, when(useB, col("_bts")).otherwise(col("_fts")))
-      .select(leftKey.map(col) ++ rightValues.map(col) :+ col(matchTsCol): _*)
+      .select(leftCols.map(col) ++ rightValues.map(col) :+ col(matchTsCol): _*)
   }
 }
