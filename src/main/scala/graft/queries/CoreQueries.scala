@@ -29,7 +29,53 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Bucketed twin tables per sf dir, written once per JVM: the
+    * bucketBy write is the one-time exchange a warehouse pays at ingest
+    * so that every later join on the bucket key plans shuffle-free —
+    * q103 times the JOIN, not the ingest (same caching rationale as the
+    * media fixture in AnalyticsQueries).
+    */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketedCache.computeIfAbsent(d, { dir =>
+      val tag = math.abs(dir.hashCode).toString
+      val ct = s"graft_bkt_customer_$tag"
+      val ot = s"graft_bkt_orders_$tag"
+      // a previous JVM may have left the managed location behind with
+      // no catalog entry — saveAsTable then fails LOCATION_ALREADY_EXISTS
+      Seq(ct, ot).foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new java.io.File(s"spark-warehouse/$tbl")
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      graft.sinks.BucketedTables.write(
+        t(s, dir, "customer"), ct, "c_custkey", 8, Seq("c_custkey"))
+      graft.sinks.BucketedTables.write(
+        t(s, dir, "orders"), ot, "o_custkey", 8, Seq("o_custkey"))
+      (ct, ot)
+    })
+
   val queries: Map[String, Q] = Map(
+    // co-located (bucketed) join: both sides bucketBy(8, custkey) at
+    // write time, so the fact-dim join plans with NO exchange on either
+    // side (merge hint keeps AQE from demoting to broadcast at this
+    // test scale — at warehouse scale the sides wouldn't broadcast
+    // anyway); the sortBy in the buckets also feeds the merge join
+    // without a full sort. Plan pinned in PlanShapeSpec.
+    "q103_bucketed_join" -> ((s, d) => {
+      val (ct, ot) = bucketedTables(s, d)
+      val c = s.table(ct); val o = s.table(ot)
+      o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Q1 — scan + projection (reference R9/R10)
     "q01_scan" -> ((s, d) => t(s, d, "events")
       .select("event_id", "user_id", "event_type")
@@ -477,6 +523,12 @@ object CoreQueries {
 
   /** DuckDB-dialect oracles, one per query above. */
   val oracles: Map[String, String] = Map(
+    // the bucketed layout only changes the physical plan — the oracle
+    // is the plain join
+    "q103_bucketed_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total "
+       + "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+       + "GROUP BY 1 ORDER BY 1"),
     "q01_scan" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "q02_filter" ->

@@ -159,6 +159,27 @@ class PlanShapeSpec extends SparkSpec {
       "expect partial+final HashAggregate pair")
   }
 
+  test("q103 bucketed join plans with no exchange on either side") {
+    // inspect only the AQE final plan (the printout appends the initial
+    // plan afterwards, whose aggregate exchange would false-positive)
+    val s = planString(q("q103_bucketed_join"))
+      .split("== Initial Plan ==").head
+    assert(s.contains("SortMergeJoin"), s)
+    assert(s.contains("Bucketed: true"), s)
+    // the only exchange allowed is the aggregation's, after the join;
+    // the join inputs themselves read pre-bucketed files
+    val joinPart = s.substring(s.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange hashpartitioning"),
+      s"bucketed join inputs must not re-shuffle:\n$s")
+  }
+
+  test("q97 nearest as-of is join-free: one union, dual range-frame windows") {
+    val s = planString(q("q97_asof_nearest"))
+    assert(!s.contains("Join"),
+      s"nearest as-of must not join — both directions ride the union's window sort:\n$s")
+    assert(s.contains("Window"), s)
+  }
+
   test("q90 mixture rates broadcast; the document body never sort-merges") {
     val s = planString(q("q90_mixture"))
     assert(s.contains("BroadcastHashJoin"),
