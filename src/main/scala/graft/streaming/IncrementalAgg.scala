@@ -56,6 +56,37 @@ object IncrementalAgg {
     versions(storeDir).filter(_ <= asOfBatch).lastOption
       .map(v => spark.read.parquet(s"$storeDir/state_b=$v"))
 
+  /** foreachBatch body maintaining an SCD1 SNAPSHOT from a CDC change
+    * stream (the Debezium-style lakehouse merge loop): each micro-batch
+    * of (key, ts, op I/U/D, attrs) rows merges into the versioned
+    * snapshot via [[graft.operators.Cdc.applyLog]] — latest entry per
+    * key wins within the batch, upserts overwrite, deletes remove,
+    * untouched keys carry over. Same versioned-state replay safety as
+    * [[mergeCountSum]]: a replayed batch rebuilds the same version from
+    * the same base. Cost per batch = one delta-sized groupBy + one key
+    * join against the snapshot; the snapshot body is never re-sorted.
+    */
+  def mergeCdc(storeDir: String, keyCol: String, tsCol: String,
+      opCol: String, attrCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val base = versions(storeDir).filter(_ < batchId).lastOption
+    val snapshot = base match {
+      case Some(v) => spark.read.parquet(s"$storeDir/state_b=$v")
+      case None =>
+        // empty snapshot with the output schema (key + attrs)
+        batch.select(col(keyCol) +: attrCols.map(col): _*).limit(0)
+    }
+    val merged = graft.operators.Cdc.applyLog(
+      snapshot, batch, keyCol, tsCol, opCol, attrCols)
+    merged.write.mode("overwrite").parquet(s"$storeDir/state_b=$batchId")
+    versions(storeDir).filter(v => base.exists(v < _)).foreach { v =>
+      val dir = Paths.get(s"$storeDir/state_b=$v")
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+  }
+
   /** foreachBatch body maintaining the (keyCols → cnt, total) view. */
   def mergeCountSum(storeDir: String, keyCols: Seq[String],
       valueCol: String)(batch: DataFrame, batchId: Long): Unit = {

@@ -79,4 +79,43 @@ class IncrementalAggSpec extends SparkSpec {
     q.awaitTermination()
     assert(state(dir) == Seq(("a", 2L, 5L), ("b", 1L, 2L)))
   }
+
+  private def snap(dir: String) =
+    IncrementalAgg.read(spark, dir, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+
+  test("mergeCdc: upserts, deletes and carry-over across batches; replay idempotent") {
+    val dir = store()
+    val b0 = Seq((1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0), (3L, 1L, "I", 30.0))
+      .toDF("k", "ts", "op", "v")
+    val b1 = Seq((1L, 2L, "U", 11.0), (2L, 2L, "D", 0.0), (9L, 2L, "I", 90.0))
+      .toDF("k", "ts", "op", "v")
+    IncrementalAgg.mergeCdc(dir, "k", "ts", "op", Seq("v"))(b0, 0L)
+    IncrementalAgg.mergeCdc(dir, "k", "ts", "op", Seq("v"))(b1, 1L)
+    val want = Seq((1L, 11.0), (3L, 30.0), (9L, 90.0))
+    assert(snap(dir) == want)
+    // replay batch 1 (crash before checkpoint commit) — same snapshot
+    IncrementalAgg.mergeCdc(dir, "k", "ts", "op", Seq("v"))(b1, 1L)
+    assert(snap(dir) == want)
+  }
+
+  test("mergeCdc drives from a real change stream via foreachBatch") {
+    val dir = store()
+    val src = java.nio.file.Files.createTempDirectory("graft-cdc-src-").toString
+    Seq((1L, 1L, "I", 10.0), (2L, 1L, "I", 20.0), (1L, 2L, "U", 15.0),
+        (2L, 3L, "D", 0.0))
+      .toDF("k", "ts", "op", "v")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema("k BIGINT, ts BIGINT, op STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream
+      .foreachBatch(IncrementalAgg.mergeCdc(dir, "k", "ts", "op", Seq("v")) _)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdc-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(snap(dir) == Seq((1L, 15.0)))
+  }
 }
