@@ -38,7 +38,9 @@ object ScaleProbe {
         col("event_type"), col("value"))
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
 
-    def t(name: String)(f: => Long): Unit = {
+    // optional probe filter: SPARK_GRAFT_PROBE_ONLY=asof_nearest,int8_topk
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    def t(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       val n = f
       println(f"[scale] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")

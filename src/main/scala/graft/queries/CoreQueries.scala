@@ -276,6 +276,35 @@ object CoreQueries {
         .groupBy("k").agg(count(lit(1)).as("c"))
         .orderBy("k")),
 
+    // Q21b — multiset (ALL) set operations: bag semantics keep
+    // duplicate multiplicities (EXCEPT ALL subtracts per-copy, the
+    // "remove one occurrence per match" the distinct forms lose);
+    // grouped output so the row hash pins the multiplicities
+    "q104_except_all" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .orderBy("k")),
+    "q104_intersect_all" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .orderBy("k")),
+
+    // Q105 — correlated scalar subquery: Catalyst decorrelates it into
+    // ONE aggregate + left outer join (never a per-row re-execution),
+    // which is why the construct survives at fact-table scale
+    "q105_scalar_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_sq")
+      t(s, d, "orders").createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT COUNT(*) FROM orders_sq o
+          |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM customer_sq c ORDER BY c_custkey
+          |""".stripMargin)
+    }),
+
     // Q22 — string / date / math scalars
     "q22_scalars" -> ((s, d) => t(s, d, "orders")
       .select(
@@ -579,6 +608,13 @@ object CoreQueries {
       "SELECT k FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier) t ORDER BY k",
     "q21_union_agg" ->
       "SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier) t GROUP BY k ORDER BY k",
+    "q104_except_all" ->
+      "SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier) t GROUP BY k ORDER BY k",
+    "q104_intersect_all" ->
+      "SELECT k, COUNT(*) AS c FROM (SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier) t GROUP BY k ORDER BY k",
+    "q105_scalar_subquery" ->
+      ("SELECT c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders "
+       + "FROM customer c ORDER BY c_custkey"),
     "q22_scalars" ->
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->
