@@ -411,7 +411,39 @@ object StreamingQueries {
       s.table(name).filter(col("user_id") =!= -1L).orderBy("user_id")
     }
 
+  /** The incremental materialized view driven end-to-end as a query:
+    * the events stream maintains a parquet-backed (event_type → cnt,
+    * total) view via foreachBatch ([[graft.streaming.IncrementalAgg
+    * .mergeCountSum]]), and the result is the FINAL VIEW read back —
+    * which must equal the plain batch groupBy over the same data (the
+    * DuckDB oracle). Certifies the maintenance loop's arithmetic, not
+    * just its mechanics (the multi-batch/replay behavior is pinned in
+    * IncrementalAggSpec).
+    */
+  def q106IncrementalView(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val store = scratchCheckpoint("q106-store")
+      val ckpt = scratchCheckpoint("q106")
+      val events = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = events.writeStream
+        .foreachBatch(graft.streaming.IncrementalAgg
+          .mergeCountSum(store, Seq("event_type"), "value") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      graft.streaming.IncrementalAgg.read(s, store, Seq("event_type"))
+        .select(col("event_type"), col("cnt"),
+          round(col("total"), 4).as("total"))
+        .orderBy("event_type")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q106_incremental_view" -> (q106IncrementalView(_, _)),
     "q23_stream" -> (q23Stream(_, _)),
     "q25_stream" -> (q25Stream(_, _)),
     "q65_stream_join" -> (q65StreamJoin(_, _)),
@@ -422,6 +454,9 @@ object StreamingQueries {
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
+    "q106_incremental_view" ->
+      ("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total "
+       + "FROM events GROUP BY 1 ORDER BY 1"),
     "q23_stream" -> CoreQueries.oracles("q23_hourly"),
     "q25_stream" -> CoreQueries.oracles("q25_sessionize"),
     "q100_sessionize_state" -> CoreQueries.oracles("q25_sessionize"),
