@@ -291,6 +291,21 @@ object CoreQueries {
         .groupBy("k").agg(count(lit(1)).as("c"))
         .orderBy("k")),
 
+    // Q107 — salted skew join: the manual hot-key fallback (small side
+    // exploded saltFactor×, each large row one deterministic salt) —
+    // the salt only changes the physical key distribution, so the
+    // oracle is the plain join
+    "q107_skew_join" -> ((s, d) => {
+      val o = t(s, d, "orders").withColumnRenamed("o_custkey", "k")
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.operators.SkewJoin.salted(o, c, "k", saltFactor = 4)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Q105 — correlated scalar subquery: Catalyst decorrelates it into
     // ONE aggregate + left outer join (never a per-row re-execution),
     // which is why the construct survives at fact-table scale
@@ -615,6 +630,11 @@ object CoreQueries {
     "q105_scalar_subquery" ->
       ("SELECT c_custkey, (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders "
        + "FROM customer c ORDER BY c_custkey"),
+    // salting is physical-only: the oracle is the plain join
+    "q107_skew_join" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 4) AS avg_price "
+       + "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+       + "GROUP BY 1 ORDER BY 1"),
     "q22_scalars" ->
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->
