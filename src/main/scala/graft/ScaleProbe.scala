@@ -39,7 +39,10 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$tmp/events.parquet")
 
     // optional probe filter: SPARK_GRAFT_PROBE_ONLY=asof_nearest,int8_topk
-    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    // (names trimmed; a blank value means no filter, not "skip all")
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     def t(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
       val t0 = System.nanoTime()
       val n = f

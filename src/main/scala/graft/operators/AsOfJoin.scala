@@ -51,19 +51,30 @@ object AsOfJoin {
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matched = rightValues.foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    val withTol = tolerance match {
-      case None => matched
+    val u = l.unionByName(r)
+    val matched = tolerance match {
+      case None =>
+        rightValues.foldLeft(u) { (df, v) =>
+          df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+        }
       case Some(tol) =>
-        val wTs = last(when(col("_side") === 0, col(tsCol)), ignoreNulls = true).over(w)
-        val fresh = wTs >= col(tsCol) - tol
-        rightValues.foldLeft(matched.withColumn("_mts", wTs)) { (df, v) =>
-          df.withColumn(v, when(col("_mts").isNotNull && fresh, col(v)))
-        }.drop("_mts")
+        // freshness must gate on the ts of the row that SUPPLIED the
+        // value: a null v on the nearest right row must not let a
+        // farther row's value pass the staleness check — so each value
+        // column carries its own (ts, v) pair through the window
+        rightValues.foldLeft(u) { (df, v) =>
+          val pair = last(
+            when(col("_side") === 0 && col(v).isNotNull,
+              struct(col(tsCol).as("_t"), col(v).as("_v"))),
+            ignoreNulls = true).over(w)
+          df.withColumn("_p", pair)
+            .withColumn(v,
+              when(col("_p").isNotNull &&
+                col("_p._t") >= col(tsCol) - tol, col("_p._v")))
+            .drop("_p")
+        }
     }
-    withTol.filter(col("_side") === 1).drop("_side")
+    matched.filter(col("_side") === 1).drop("_side")
   }
 
   /** Forward as-of join: for each left row, the EARLIEST right row with
@@ -101,19 +112,28 @@ object AsOfJoin {
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val matched = rightValues.foldLeft(l.unionByName(r)) { (df, v) =>
-      df.withColumn(v, first(col(v), ignoreNulls = true).over(w))
-    }
-    val withTol = tolerance match {
-      case None => matched
+    val u = l.unionByName(r)
+    val matched = tolerance match {
+      case None =>
+        rightValues.foldLeft(u) { (df, v) =>
+          df.withColumn(v, first(col(v), ignoreNulls = true).over(w))
+        }
       case Some(tol) =>
-        val wTs = first(when(col("_side") === 1, col(tsCol)), ignoreNulls = true).over(w)
-        val fresh = wTs <= col(tsCol) + tol
-        rightValues.foldLeft(matched.withColumn("_mts", wTs)) { (df, v) =>
-          df.withColumn(v, when(col("_mts").isNotNull && fresh, col(v)))
-        }.drop("_mts")
+        // per-value (ts, v) pair — see backward(): the staleness gate
+        // must use the supplying row's ts, not the nearest row's
+        rightValues.foldLeft(u) { (df, v) =>
+          val pair = first(
+            when(col("_side") === 1 && col(v).isNotNull,
+              struct(col(tsCol).as("_t"), col(v).as("_v"))),
+            ignoreNulls = true).over(w)
+          df.withColumn("_p", pair)
+            .withColumn(v,
+              when(col("_p").isNotNull &&
+                col("_p._t") <= col(tsCol) + tol, col("_p._v")))
+            .drop("_p")
+        }
     }
-    withTol.filter(col("_side") === 0).drop("_side")
+    matched.filter(col("_side") === 0).drop("_side")
   }
 
   /** Nearest as-of join: the CLOSER of the backward and forward matches
@@ -154,9 +174,15 @@ object AsOfJoin {
           .map(c => lit(null).as(c)) ++
         rightValues.map(col): _*)
 
-    // cast-to-double orders both numeric and timestamp ts columns
-    // (timestamps become epoch seconds, exactly representable)
-    val u = l.unionByName(r).withColumn("_tsn", col(tsCol).cast("double"))
+    // exact numeric ordering key: timestamps via unix_micros (a long —
+    // a double cast would collapse distinct values past 2^53, e.g. raw
+    // nanosecond-epoch BIGINT columns), numeric columns used as-is
+    val tsNum: Column = left.schema(tsCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(tsCol))
+      case _ => col(tsCol)
+    }
+    val u = l.unionByName(r).withColumn("_tsn", tsNum)
     val wB = Window.partitionBy(keys.map(col): _*).orderBy(col("_tsn"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = Window.partitionBy(keys.map(col): _*).orderBy(col("_tsn"))
@@ -165,13 +191,17 @@ object AsOfJoin {
 
     val both = rightValues.foldLeft(
       u.withColumn("_bts", last(rightOnly(col(tsCol)), ignoreNulls = true).over(wB))
-        .withColumn("_fts", first(rightOnly(col(tsCol)), ignoreNulls = true).over(wF))) {
+        .withColumn("_btsn", last(rightOnly(col("_tsn")), ignoreNulls = true).over(wB))
+        .withColumn("_fts", first(rightOnly(col(tsCol)), ignoreNulls = true).over(wF))
+        .withColumn("_ftsn", first(rightOnly(col("_tsn")), ignoreNulls = true).over(wF))) {
       (df, v) =>
         df.withColumn(s"_b_$v", last(rightOnly(col(v)), ignoreNulls = true).over(wB))
           .withColumn(s"_f_$v", first(rightOnly(col(v)), ignoreNulls = true).over(wF))
     }
-    val dB = col("_tsn") - col("_bts").cast("double")
-    val dF = col("_fts").cast("double") - col("_tsn")
+    // exact integer distances (the _tsn twins of _bts/_fts pick the
+    // same positional rows, so the pairs are consistent)
+    val dB = col("_tsn") - col("_btsn")
+    val dF = col("_ftsn") - col("_tsn")
     val useB = col("_fts").isNull || (col("_bts").isNotNull && dB <= dF)
     val picked = rightValues.foldLeft(both) { (df, v) =>
       df.withColumn(v, when(useB, col(s"_b_$v")).otherwise(col(s"_f_$v")))

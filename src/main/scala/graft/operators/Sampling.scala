@@ -122,9 +122,12 @@ object Sampling {
     val s = df.sparkSession
     import s.implicits._
     val wdf = weights.toDF(strataCol, "_w")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
-      .join(wdf, strataCol)
-    val total = counts.agg(sum(col("_n")).cast("double").as("_total"))
+    val counts0 = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_n"))
+    // N = the WHOLE input (the documented contract: output lands on
+    // sizeFactor × |input|), computed BEFORE the weight join — joining
+    // first would silently shrink N when a stratum has no weight
+    val total = counts0.agg(sum(col("_n")).cast("double").as("_total"))
+    val counts = counts0.join(wdf, strataCol)
     val rates = counts.crossJoin(broadcast(total))
       .withColumn("_f",
         col("_w") * lit(sizeFactor) * col("_total") / col("_n"))

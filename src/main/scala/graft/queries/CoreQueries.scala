@@ -39,7 +39,11 @@ object CoreQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
     bucketedCache.computeIfAbsent(d, { dir =>
-      val tag = math.abs(dir.hashCode).toString
+      // md5 prefix, not hashCode: collision-negligible across dirs (a
+      // collision would clobber the other dir's tables with wrong-scale
+      // data) and never negative
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val ct = s"graft_bkt_customer_$tag"
       val ot = s"graft_bkt_orders_$tag"
       // a previous JVM may have left the managed location behind with

@@ -427,7 +427,6 @@ object StreamingQueries {
       val ckpt = scratchCheckpoint("q106")
       val events = s.readStream.schema(raw)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val q = events.writeStream
         .foreachBatch(graft.streaming.IncrementalAgg
           .mergeCountSum(store, Seq("event_type"), "value") _)

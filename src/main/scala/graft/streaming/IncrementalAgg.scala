@@ -56,6 +56,22 @@ object IncrementalAgg {
     versions(storeDir).filter(_ <= asOfBatch).lastOption
       .map(v => spark.read.parquet(s"$storeDir/state_b=$v"))
 
+  /** Newest version strictly below this batch: versions >= batchId can
+    * only be orphans of a failed attempt at THIS batch — ignore them.
+    */
+  private def baseBelow(storeDir: String, batchId: Long): Option[Long] =
+    versions(storeDir).filter(_ < batchId).lastOption
+
+  /** Prune everything below the merge base (keep the base as the
+    * rollback target for a replay of the batch that just merged).
+    */
+  private def pruneBelow(storeDir: String, base: Option[Long]): Unit =
+    versions(storeDir).filter(v => base.exists(v < _)).foreach { v =>
+      val dir = Paths.get(s"$storeDir/state_b=$v")
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(f => Files.deleteIfExists(f))
+    }
+
   /** foreachBatch body maintaining an SCD1 SNAPSHOT from a CDC change
     * stream (the Debezium-style lakehouse merge loop): each micro-batch
     * of (key, ts, op I/U/D, attrs) rows merges into the versioned
@@ -70,7 +86,7 @@ object IncrementalAgg {
       opCol: String, attrCols: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val base = versions(storeDir).filter(_ < batchId).lastOption
+    val base = baseBelow(storeDir, batchId)
     val snapshot = base match {
       case Some(v) => spark.read.parquet(s"$storeDir/state_b=$v")
       case None =>
@@ -80,11 +96,7 @@ object IncrementalAgg {
     val merged = graft.operators.Cdc.applyLog(
       snapshot, batch, keyCol, tsCol, opCol, attrCols)
     merged.write.mode("overwrite").parquet(s"$storeDir/state_b=$batchId")
-    versions(storeDir).filter(v => base.exists(v < _)).foreach { v =>
-      val dir = Paths.get(s"$storeDir/state_b=$v")
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    }
+    pruneBelow(storeDir, base)
   }
 
   /** foreachBatch body maintaining the (keyCols → cnt, total) view. */
@@ -93,9 +105,7 @@ object IncrementalAgg {
     val spark = batch.sparkSession
     val partial = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
-    // newest version strictly below this batch: versions >= batchId can
-    // only be orphans of a failed attempt at THIS batch — ignore them
-    val base = versions(storeDir).filter(_ < batchId).lastOption
+    val base = baseBelow(storeDir, batchId)
     val merged = base match {
       case None => partial
       case Some(v) =>
@@ -105,12 +115,6 @@ object IncrementalAgg {
           .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
     }
     merged.write.mode("overwrite").parquet(s"$storeDir/state_b=$batchId")
-    // prune everything below the merge base (keep base as the rollback
-    // target for a replay of THIS batch)
-    versions(storeDir).filter(v => base.exists(v < _)).foreach { v =>
-      val dir = Paths.get(s"$storeDir/state_b=$v")
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(f => Files.deleteIfExists(f))
-    }
+    pruneBelow(storeDir, base)
   }
 }

@@ -84,6 +84,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r(5L) == ((None, None)))            // no quotes at all
   }
 
+  test("tolerance gates on the ts of the row that supplied the value") {
+    // nearest right row carries a NULL value: its ts must not validate
+    // the farther row's value against the staleness budget
+    val l = df("k STRING, t BIGINT, id BIGINT", Row("a", 10L, 1L))
+    val qB = df("k STRING, t BIGINT, px DOUBLE",
+      Row("a", 9L, null), Row("a", 1L, 7.0))
+    val rB = AsOfJoin.backward(l, qB, Seq("k"), "t", Seq("px"),
+      tolerance = Some(lit(3L))).collect().head
+    assert(rB.isNullAt(3), "stale 7.0@t=1 must not pass via null@t=9's ts")
+    val qF = df("k STRING, t BIGINT, px DOUBLE",
+      Row("a", 12L, null), Row("a", 100L, 9.0))
+    val rF = AsOfJoin.forward(l, qF, Seq("k"), "t", Seq("px"),
+      tolerance = Some(lit(5L))).collect().head
+    assert(rF.isNullAt(3), "far 9.0@t=100 must not pass via null@t=12's ts")
+  }
+
+  test("nearest keeps exact distances for epoch-nanosecond longs") {
+    // doubles collapse past 2^53: 300 ns back vs 100 ns forward at
+    // ~1.7e18 must still pick the forward match
+    val base = 1700000000000000000L
+    val l = df("k STRING, t BIGINT, id BIGINT", Row("a", base, 1L))
+    val q = df("k STRING, t BIGINT, px DOUBLE",
+      Row("a", base - 300L, 1.0), Row("a", base + 100L, 2.0))
+    val r = AsOfJoin.nearest(l, q, Seq("k"), "t", Seq("px"), "qts")
+      .collect().head
+    assert(r.getDouble(3) == 2.0 && r.getLong(4) == base + 100L)
+  }
+
   test("nearest tie at equal distance picks the backward match") {
     val l = df("k STRING, t BIGINT, id BIGINT", Row("a", 10L, 1L))
     val q = df("k STRING, t BIGINT, px DOUBLE",

@@ -113,6 +113,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(copies - n) <= 0.05 * n, s"total copies $copies vs $n")
   }
 
+  test("mixtureEpochs: N is the WHOLE input even when a stratum is unweighted") {
+    // weights omit every lang but en/de: the copy target must still be
+    // w * |all docs|, not w * |weighted docs| — the unweighted strata
+    // drop from the OUTPUT but not from the denominator
+    val out = Sampling.mixtureEpochs(docs, "lang", "text",
+      Seq("en" -> 0.5, "de" -> 0.5)).cache()
+    assert(out.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet == Set("en", "de"))
+    val n = docs.count().toDouble
+    val copies = out.groupBy("lang").agg(sum(col("n_copies")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    copies.foreach { case (lang, c) =>
+      assert(math.abs(c - 0.5 * n) < 0.1 * n,
+        s"$lang copies $c must target 0.5 * $n (whole input)")
+    }
+  }
+
   test("mixtureSample: unweighted strata drop; assignment partition-independent") {
     val partial = Seq("en" -> 0.7, "de" -> 0.3)
     val out = Sampling.mixtureSample(docs, "lang", "text", partial).cache()
