@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CoreQueries, StreamingQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, StreamingQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ AnalyticsQueries.queries ++ StreamingQueries.queries
+    CoreQueries.queries ++ AnalyticsQueries.queries ++
+      StreamingQueries.queries ++ TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ AnalyticsQueries.oracles ++ StreamingQueries.oracles
+    CoreQueries.oracles ++ AnalyticsQueries.oracles ++
+      StreamingQueries.oracles ++ TpchQueries.oracles
 }
