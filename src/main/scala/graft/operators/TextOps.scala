@@ -325,6 +325,32 @@ object TextOps {
           .cast("bigint"))
   }
 
+  /** Positional phrase search: count occurrences of an n-word phrase
+    * per document in ONE window pass — tokens get 0-based positions
+    * from posexplode, and phrase word k must equal `lead(w, k)` over
+    * the document's position order. No token self-joins: the corpus
+    * shuffles once on the doc id for the window sort (at warehouse
+    * scale, none at all if the corpus is already laid out by doc), and
+    * only phrase-first-word matches survive to the aggregation.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withLeads = phrase.indices.tail.foldLeft(tok) { (d, k) =>
+      d.withColumn(s"w$k", lead(col("w"), k).over(w))
+    }
+    val cond = phrase.indices.tail.foldLeft(col("w") === phrase.head) {
+      (c, k) => c && col(s"w$k") === phrase(k)
+    }
+    withLeads.filter(cond)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, collapse
     * every non-alphanumeric run to a single space, trim. Case/
     * punctuation/whitespace variants of the same content normalize to

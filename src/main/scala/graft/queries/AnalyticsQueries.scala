@@ -259,6 +259,26 @@ object AnalyticsQueries {
         .orderBy("id")
     }),
 
+    // PageRank over the customer↔supplier trade graph (symmetrized so
+    // every node has out-edges): 5 fixed-point power iterations — all
+    // arithmetic is BIGINT micro-units, so the ranks are bit-identical
+    // under any partitioning AND expressible as an unrolled 5-CTE SQL
+    // oracle in DuckDB (no golden pin needed for an iterative graph op)
+    "q125_pagerank" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.run(edges, iterations = 5)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("r").as("rank"))
+    }),
+
     // per-group top-k through the partial-aggregatable UDAF: the shuffle
     // carries |groups|*k buffered rows, not every scored row — the
     // bounded-buffer alternative to the window row_number formulation
@@ -291,6 +311,14 @@ object AnalyticsQueries {
     "q56_centroid_outliers" -> ((s, d) =>
       Similarity.centroidOutliers(t(s, d, "embeddings"),
         "vec_id", "embedding", "label", dim = 64, topK = 3)),
+
+    // positional phrase search ("hash join" as an exact 2-word phrase):
+    // window leads over token positions, no token self-join — the
+    // retrieval shape BM25's bag-of-words ranking can't express
+    "q127_phrase_search" -> ((s, d) =>
+      TextOps.phraseSearch(t(s, d, "documents"), "doc_id", "text",
+          phrase = Seq("hash", "join"))
+        .orderBy("doc_id")),
 
     // BM25 ranked retrieval for a fixed query bag — the corpus is never
     // shuffled by token (tf filtered to query terms pre-shuffle; N/avgdl
@@ -693,7 +721,36 @@ object AnalyticsQueries {
   private def golden(q: String, cols: String, order: String): String =
     s"SELECT $cols FROM read_parquet('/root/repo/golden/sf0.01/$q/*.parquet') ORDER BY $order"
 
+  /** q125's oracle: the 5 fixed-point power iterations unrolled as a
+    * CTE chain — expressible in plain SQL precisely because the engine
+    * keeps all PageRank arithmetic in truncating BIGINT ops (`div` in
+    * Spark, `//` in DuckDB), so the ranks match bit-for-bit with no
+    * float-order tolerance and no golden pin.
+    */
+  private def pagerankOracle: String = {
+    val base =
+      "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "edges AS (SELECT c AS src, su AS dst FROM pairs UNION ALL SELECT su, c FROM pairs), " +
+      "outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), " +
+      "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM outdeg)"
+    val iters = (1 to 5).map { i =>
+      s"r$i AS (SELECT e.dst AS node, CAST(150000 + (85 * SUM(p.r // o.d)) // 100 AS BIGINT) AS r " +
+      s"FROM r${i - 1} p JOIN outdeg o ON p.node = o.src JOIN edges e ON o.src = e.src GROUP BY e.dst)"
+    }.mkString(", ", ", ", " ")
+    base + iters + "SELECT node, r AS rank FROM r5 ORDER BY r DESC, node LIMIT 20"
+  }
+
   private val oracles0: Map[String, String] = Map(
+    "q125_pagerank" -> pagerankOracle,
+    // dual-unnest zips the token with its 0-based position (DuckDB has
+    // no posexplode; zipped unnests are its equivalent)
+    "q127_phrase_search" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+       "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), " +
+       "led AS (SELECT doc_id, w, LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1 FROM tok) " +
+       "SELECT doc_id, COUNT(*) AS n_hits FROM led WHERE w = 'hash' AND w1 = 'join' " +
+       "GROUP BY 1 ORDER BY 1"),
     "q29_minhash" -> golden("q29_minhash", "a, b, est_jac", "a, b"),
     "q30_simhash" -> golden("q30_simhash", "id, simhash", "id"),
     "q48_simhash_pairs" -> golden("q48_simhash_pairs", "a, b, hamming", "a, b"),

@@ -324,6 +324,52 @@ object CoreQueries {
           |""".stripMargin)
     }),
 
+    // Q128 — winsorized aggregates: per-group p05/p95 clip before the
+    // sum/avg (the outlier-robust feature-prep transform). The percentile
+    // table is |groups| rows broadcast back onto the stream; exact
+    // percentile is the declared test-scale semantics, approx_percentile
+    // the certified ≤5% scale path (SketchSpec, as with q50)
+    "q128_winsorize" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val pct = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      val cv = least(greatest(col("value"), col("lo")), col("hi"))
+      e.join(broadcast(pct), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(cv), 4).as("avg_clipped"),
+          round(sum(cv), 4).as("sum_clipped"))
+        .orderBy("event_type")
+    }),
+
+    // Q123 — ordered string aggregation (group_concat / string_agg):
+    // collect_list is order-nondeterministic under shuffle, so the
+    // deterministic form is array_sort before join — the buffered list
+    // is bounded by group cardinality (suppliers per nation); for
+    // unbounded groups cap with slice() first
+    "q123_string_agg" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      t(s, d, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(array_sort(collect_list(col("s_name"))), ",").as("members"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    }),
+
+    // Q124 — relative-rank window functions: percent_rank/cume_dist are
+    // pure rank arithmetic over a total order, so the doubles agree
+    // bit-for-bit across engines (no sum-order sensitivity)
+    "q124_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("c_custkey")
+    }),
+
     // Q22 — string / date / math scalars
     "q22_scalars" -> ((s, d) => t(s, d, "orders")
       .select(
@@ -639,6 +685,23 @@ object CoreQueries {
       ("SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(AVG(o_totalprice), 4) AS avg_price "
        + "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
        + "GROUP BY 1 ORDER BY 1"),
+    "q128_winsorize" ->
+      ("WITH p AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi " +
+       "FROM events GROUP BY 1) " +
+       "SELECT e.event_type, COUNT(*) AS n, " +
+       "ROUND(AVG(LEAST(GREATEST(e.value, p.lo), p.hi)), 4) AS avg_clipped, " +
+       "ROUND(SUM(LEAST(GREATEST(e.value, p.lo), p.hi)), 4) AS sum_clipped " +
+       "FROM events e JOIN p ON e.event_type = p.event_type " +
+       "GROUP BY 1 ORDER BY 1"),
+    "q123_string_agg" ->
+      ("SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS members, COUNT(*) AS n " +
+       "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+       "GROUP BY 1 ORDER BY 1"),
+    "q124_percent_rank" ->
+      ("SELECT c_custkey, c_nationkey, " +
+       "ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS pr, " +
+       "ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS cd " +
+       "FROM customer ORDER BY c_custkey"),
     "q22_scalars" ->
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->

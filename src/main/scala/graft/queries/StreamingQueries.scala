@@ -315,6 +315,57 @@ object StreamingQueries {
         .orderBy("user_id")
     }
 
+  /** Stream-stream LEFT OUTER join with event-time bounds: q65's shape,
+    * but unmatched purchases must ALSO emit (with NULL click id) — and
+    * in Structured Streaming that emission is a state-eviction side
+    * effect: a purchase is declared unmatched only when the watermark
+    * passes the end of its join window. The sentinel flush therefore
+    * rides BOTH sides, so every pending purchase's window closes and
+    * the final no-data batch drains the outer state (without it, the
+    * trailing ~10 minutes of purchases would simply never appear —
+    * correct streaming semantics, silently unequal to the batch left
+    * join). Sentinel rows (user_id −1) join only each other and are
+    * dropped in the sink-side aggregation.
+    */
+  def q126StreamOuter(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q126_stream_outer_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q126")
+      val (_, flushDir) = sentinelFor(s, dir)
+      def side(kind: String, idAs: String, userAs: String, tsAs: String) = {
+        val events = s.readStream.schema(raw)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val flush = s.readStream.schema(raw).parquet(flushDir)
+        events.unionByName(flush)
+          .filter(col("event_type") === kind || col("event_type") === "__flush__")
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            timestamp_seconds(expr("ts div 1000000000")).as(tsAs))
+          .withWatermark(tsAs, "10 minutes")
+      }
+      val purchases = side("purchase", "p_id", "user_id", "p_ts")
+      val clicks = side("click", "c_id", "c_user_id", "c_ts")
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("user_id"), col("p_id"), col("c_id"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("c_id")).as("n_matched"))
+        .orderBy("user_id")
+    }
+
   /** Typed rows/state/output for [[q100SessionizeState]]. `ts_s`
     * carries the watermark tag — the event-time column must reach the
     * stateful operator or analysis rejects the event-time timeout.
@@ -446,6 +497,7 @@ object StreamingQueries {
     "q23_stream" -> (q23Stream(_, _)),
     "q25_stream" -> (q25Stream(_, _)),
     "q65_stream_join" -> (q65StreamJoin(_, _)),
+    "q126_stream_outer" -> (q126StreamOuter(_, _)),
     "q82_stream" -> (q82Stream(_, _)),
     "q89_stream_static" -> (q89StreamStatic(_, _)),
     "q100_sessionize_state" -> (q100SessionizeState(_, _))
@@ -467,6 +519,13 @@ object StreamingQueries {
        + "c AS (SELECT event_id AS c_id, user_id, sec AS c_sec FROM e WHERE event_type = 'click') "
        + "SELECT p.user_id, COUNT(*) AS n_pairs FROM p JOIN c "
        + "ON p.user_id = c.user_id AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec "
+       + "GROUP BY 1 ORDER BY p.user_id"),
+    "q126_stream_outer" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
+       + "p AS (SELECT event_id AS p_id, user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'), "
+       + "c AS (SELECT event_id AS c_id, user_id AS c_user_id, sec AS c_sec FROM e WHERE event_type = 'click') "
+       + "SELECT p.user_id, COUNT(*) AS n_rows, COUNT(c.c_id) AS n_matched "
+       + "FROM p LEFT JOIN c ON p.user_id = c.c_user_id AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec "
        + "GROUP BY 1 ORDER BY p.user_id"),
     "q89_stream_static" ->
       ("SELECT c.c_nationkey, COUNT(*) AS n_purchases, ROUND(SUM(e.value), 4) AS total_value "

@@ -202,6 +202,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out(6L) == 0L, "stopword-free doc must fail stop-hits rule")
   }
 
+  test("phraseSearch counts overlapping and repeated n-word matches") {
+    val d = docs(
+      1L -> "big hash join and hash join again",   // 2 hits
+      2L -> "hash only join here",                 // adjacency broken: 0
+      3L -> "a a a")                               // overlap probe below
+    val r = TextOps.phraseSearch(d, "doc_id", "text", Seq("hash", "join"))
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 2L)))
+    // overlapping occurrences each count: "a a a" has two "a a" starts
+    val o = TextOps.phraseSearch(d, "doc_id", "text", Seq("a", "a"))
+      .collect().head
+    assert((o.getLong(0), o.getLong(1)) == (3L, 2L))
+    // 3-word phrase uses two leads
+    val t3 = TextOps.phraseSearch(d, "doc_id", "text",
+      Seq("hash", "join", "again")).collect()
+    assert(t3.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L)))
+  }
+
   test("gopherFilter features match hand computation") {
     import spark.implicits._
     val docs = Seq(1L -> "the cat is on the mat").toDF("doc_id", "text")

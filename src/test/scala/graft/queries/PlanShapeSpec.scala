@@ -196,6 +196,36 @@ class PlanShapeSpec extends SparkSpec {
       s"candidate join must be broadcast, not cartesian:\n$s")
   }
 
+  test("TPC-H pack never degenerates to cartesian/BNLJ; dims broadcast") {
+    // the non-equi residuals (q109's lateness, q119's OR bands) must
+    // ride an equi join, and every dim side must broadcast — at fact
+    // scale a single BNLJ here is a job-killer. Exception: the global-
+    // scalar queries (Q11/Q15/Q22) compare against a ONE-ROW aggregate
+    // via crossJoin(broadcast(...)), which Spark plans as a BNLJ with a
+    // single-row build side — that is the intended scalar-broadcast
+    // pattern, not a degenerate join.
+    val scalarBroadcast = Set("q113_tpch11", "q116_tpch15", "q122_tpch22")
+    Seq("q108_tpch2", "q109_tpch4", "q110_tpch7", "q111_tpch8",
+        "q112_tpch9", "q113_tpch11", "q114_tpch12", "q115_tpch14",
+        "q116_tpch15", "q117_tpch16", "q118_tpch17", "q119_tpch19",
+        "q120_tpch20", "q121_tpch21", "q122_tpch22").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct"), s"$name went cartesian:\n$s")
+      if (!scalarBroadcast(name))
+        assert(!s.contains("BroadcastNestedLoopJoin"), s"$name went BNLJ:\n$s")
+    }
+    val s110 = planString(q("q110_tpch7"))
+    assert(s110.contains("BroadcastHashJoin"),
+      s"q110 nation-filtered dims must broadcast:\n$s110")
+  }
+
+  test("q125 pagerank iterations stay equi-join + partial aggregation") {
+    val s = planString(q("q125_pagerank"))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"pagerank contribution join degenerated:\n$s")
+  }
+
   test("q92 gopher gate is pure projection work — no join, no aggregate") {
     // the only exchanges allowed are Par.widen's round-robin and the
     // final orderBy; the rules themselves must never shuffle data
