@@ -59,4 +59,41 @@ object Outliers {
       .filter(col("z") > threshold)
       .select(col(idCol), col(groupCol), col("z"))
   }
+
+  /** Robust (MAD-based) outliers: |value - median| / (1.4826 · MAD)
+    * exceeds `threshold`, where MAD is the median absolute deviation
+    * within `groupCol`. Immune to the masking problem z-scores have
+    * (one huge outlier inflates the stddev and hides the rest) — the
+    * robust scale estimate a curation pipeline actually wants for
+    * heavy-tailed telemetry.
+    *
+    * Determinism: both medians are EXACT interpolated percentiles —
+    * pure functions of the sorted data, no summation-order sensitivity
+    * at all (cross-engine interpolation equivalence is certified by
+    * q128's winsorize oracle). Degenerate groups (MAD = 0, i.e. >half
+    * the group shares one value) are excluded explicitly on both
+    * engines, same contract as [[zscoreOutliers]]'s sd > 0 guard.
+    *
+    * Plan shape: two map-side-disjoint aggregations over |groups|-row
+    * outputs, each broadcast back onto the stream; the event stream
+    * itself never shuffles. Exact percentile buffers each group's
+    * values once — the declared test-scale semantics; at warehouse
+    * scale substitute approx_percentile (≤5% path certified in
+    * SketchSpec, as with q50/q128).
+    */
+  def madOutliers(df0: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    val df = graft.engine.Par.widen(df0)
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("ad", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+      .filter(col("mad") > 0)
+    dev.join(broadcast(mad), groupCol)
+      .withColumn("rz", round(col("ad") / (col("mad") * 1.4826), 4))
+      .filter(col("rz") > threshold)
+      .select(col(idCol), col(groupCol), col("rz"))
+  }
 }

@@ -347,6 +347,13 @@ object AnalyticsQueries {
           "event_id", "event_type", "value", threshold = 3.0)
         .orderBy("event_id")),
 
+    // robust (median/MAD) outliers — the heavy-tail-safe twin of q62:
+    // one huge value can't inflate the scale estimate and mask the rest
+    "q129_mad_outliers" -> ((s, d) =>
+      graft.operators.Outliers.madOutliers(t(s, d, "events"),
+          "event_id", "event_type", "value", threshold = 3.5)
+        .orderBy("event_id")),
+
     // substring-level duplication: fraction of each doc's 5-gram spans
     // that occur in >= 2 distinct documents (Lee et al. 2022-style
     // exact-substring signal; spans shuffle as 8-byte hashes)
@@ -987,6 +994,13 @@ object AnalyticsQueries {
        + "SELECT doc_id, ROUND(1.0/(1.0+exp(-(-1.0 + 0.35*awl + 2.2*sw - 6.0*pr + 0.15*ln(1+n_words)))), 4) AS score, "
        + "CASE WHEN 1.0/(1.0+exp(-(-1.0 + 0.35*awl + 2.2*sw - 6.0*pr + 0.15*ln(1+n_words)))) >= 0.5 THEN 1 ELSE 0 END::BIGINT AS keep "
        + "FROM f ORDER BY doc_id"),
+    "q129_mad_outliers" ->
+      ("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1), "
+       + "dev AS (SELECT e.event_id, e.event_type, ABS(e.value - med.med) AS ad FROM events e JOIN med USING (event_type)), "
+       + "mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY 1 HAVING quantile_cont(ad, 0.5) > 0) "
+       + "SELECT d.event_id, d.event_type, ROUND(d.ad / (mad.mad * 1.4826), 4) AS rz "
+       + "FROM dev d JOIN mad USING (event_type) "
+       + "WHERE ROUND(d.ad / (mad.mad * 1.4826), 4) > 3.5 ORDER BY event_id"),
     "q62_value_outliers" ->
       ("WITH iv AS (SELECT event_id, event_type, value, CAST(floor(value*100) AS BIGINT) AS iv FROM events), "
        + "st AS (SELECT event_type, SUM(iv)::DOUBLE AS s, SUM(iv*iv)::DOUBLE AS ss, COUNT(*)::DOUBLE AS n FROM iv GROUP BY 1), "

@@ -370,6 +370,28 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
+    // Q130 — Pareto / percent-of-total contribution analysis: revenue
+    // share and cumulative share by priority. The grand total rides the
+    // plan as a one-row broadcast cross join (the q113/q116 scalar
+    // pattern — never a global window over the fact table); the ordered
+    // cumulative window runs over the |groups|-row AGGREGATED relation
+    // only, so the single-partition window sort is O(|groups|), not
+    // O(rows)
+    "q130_pareto" -> ((s, d) => {
+      val g = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("rev0"))
+      val tot = g.agg(sum(col("rev0")).as("tot"))
+      val w = Window.orderBy(col("rev0").desc, col("o_orderpriority"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"),
+          round(col("rev0"), 4).as("rev"),
+          round(col("rev0") / col("tot") * 100, 4).as("pct"),
+          round(sum(col("rev0")).over(w) / col("tot") * 100, 4).as("cum_pct"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Q22 — string / date / math scalars
     "q22_scalars" -> ((s, d) => t(s, d, "orders")
       .select(
@@ -702,6 +724,13 @@ object CoreQueries {
        "ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS pr, " +
        "ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS cd " +
        "FROM customer ORDER BY c_custkey"),
+    "q130_pareto" ->
+      ("WITH g AS (SELECT o_orderpriority, SUM(o_totalprice) AS rev0 FROM orders GROUP BY 1), "
+       + "t AS (SELECT SUM(rev0) AS tot FROM g) "
+       + "SELECT o_orderpriority, ROUND(rev0, 4) AS rev, "
+       + "ROUND(rev0 / tot * 100, 4) AS pct, "
+       + "ROUND(SUM(rev0) OVER (ORDER BY rev0 DESC, o_orderpriority ROWS UNBOUNDED PRECEDING) / tot * 100, 4) AS cum_pct "
+       + "FROM g, t ORDER BY o_orderpriority"),
     "q22_scalars" ->
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->

@@ -43,6 +43,45 @@ class OutliersSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(299L), out.mkString(","))
   }
 
+  test("MAD flags the spike a masking pair hides from z-scores") {
+    import spark.implicits._
+    // two extreme spikes inflate the stddev enough that z-scores at 3.0
+    // miss the moderate outlier 50.0; the MAD scale is immune
+    val bulk = (1 to 100).map(i => (i.toLong, "a", 10.0 + (i % 7) * 0.01))
+    val rows = bulk ++ Seq((901L, "a", 5000.0), (902L, "a", -5000.0),
+      (903L, "a", 50.0))
+    val df = rows.toDF("id", "grp", "v")
+    val z = Outliers.zscoreOutliers(df, "id", "grp", "v", threshold = 3.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(!z.contains(903L), s"z-scores should mask 903: $z")
+    val mad = Outliers.madOutliers(df, "id", "grp", "v", threshold = 3.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(mad == Set(901L, 902L, 903L), mad.toString)
+  }
+
+  test("MAD degenerate group (majority-constant => mad=0) emits nothing") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (i.toLong, "c", 7.0)) :+ (99L, "c", 1e6)
+    val out = Outliers.madOutliers(
+      rows.toDF("id", "grp", "v"), "id", "grp", "v", threshold = 3.5)
+      .collect()
+    assert(out.isEmpty, out.mkString(","))
+  }
+
+  test("MAD robust z matches a direct computation") {
+    import spark.implicits._
+    val vs = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+    val df = vs.zipWithIndex.map { case (v, i) => (i + 1L, "g", v) }
+      .toDF("id", "grp", "v")
+    val med = 3.0                       // median of the 5 values
+    val madv = 1.0                      // |dev| = 4,1,0,1,97 -> median 1
+    val got = Outliers.madOutliers(df, "id", "grp", "v", threshold = 3.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(5L), got.toString)
+    val want = math.abs(100.0 - med) / (madv * 1.4826)
+    assert(math.abs(got(5L) - want) < 1e-3, s"got=${got(5L)} want=$want")
+  }
+
   test("z matches a direct two-pass computation") {
     import spark.implicits._
     val rows = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
