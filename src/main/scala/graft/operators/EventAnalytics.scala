@@ -59,6 +59,38 @@ object EventAnalytics {
     }.reduce(_.unionAll(_))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: (from_type, to_type, cnt, p) where p is the row-
+    * normalized transition probability. The "what do users do next"
+    * query, and the input to next-event prediction baselines.
+    *
+    * Determinism: consecutive-pair extraction needs a TOTAL per-user
+    * order, so ties in `tsCol` break by `idCol` — without it, equal
+    * timestamps make the pair sequence engine-dependent. cnt and the
+    * row totals are exact longs; p is one deterministic division,
+    * rounded.
+    *
+    * Plan: ONE shuffle of (user, ts, id, type) for the per-user window
+    * sort; the transition rollup is a map-side-combinable groupBy onto
+    * |types|² rows, and the row-normalizing window runs over that tiny
+    * aggregated relation, never the event stream.
+    */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowTotal = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+        round(col("cnt") / sum(col("cnt")).over(rowTotal), 4))
+      .select(col("from_type"), col("to_type"), col("cnt"), col("p"))
+  }
+
   /** Weekly cohort retention: cohort = ISO week of a user's first
     * event; a user is "retained at offset w" when they have any event
     * in the week `cohort + w`. Output: (cohort_week DATE, week_offset,

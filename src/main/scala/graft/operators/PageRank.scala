@@ -41,12 +41,19 @@ object PageRank {
       col("dst").cast("long").as("e_dst"))
     val outdeg = e.groupBy(col("e_src")).agg(count(lit(1)).as("d"))
       .select(col("e_src").as("o_src"), col("d"))
+    // attach each edge's source outdegree ONCE, hash-partition the
+    // result on the join key, and pin it: the big relation of the loop
+    // is now shuffled a single time — every iteration's join re-uses
+    // the layout, so only the |V|-row ranks side moves per round
+    val ew = e.join(outdeg, col("e_src") === col("o_src"))
+      .select(col("e_src"), col("e_dst"), col("d"))
+      .repartition(col("e_src"))
+      .persist()
     // every node appears as a src in a symmetrized edge list
     var ranks = outdeg.select(col("o_src").as("node"), lit(Scale).as("r"))
     for (_ <- 1 to iterations) {
       val contribs = ranks
-        .join(outdeg, col("node") === col("o_src"))
-        .join(e, col("o_src") === col("e_src"))
+        .join(ew, col("node") === col("e_src"))
         .select(col("e_dst").as("node2"), expr("r div d").as("c"))
       ranks = contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
@@ -54,6 +61,7 @@ object PageRank {
           (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r"))
         .localCheckpoint()
     }
+    ew.unpersist() // ranks is materialized by the final localCheckpoint
     ranks
   }
 }

@@ -78,6 +78,19 @@ object AnalyticsQueries {
       TextOps.wordCounts(t(s, d, "documents"), "text")
         .orderBy(col("c").desc, col("word")).limit(20)),
 
+    // exact heavy hitters WITHOUT shuffling the distinct token domain:
+    // Misra-Gries candidates (bounded map-side summaries, merge-order-
+    // proof guarantee) + exact recount of the ≤199 broadcast candidates.
+    // The oracle is the plain HAVING query — approximation assists the
+    // PLAN, never the answer
+    "q131_heavy_hitters" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      graft.operators.HeavyHitters.exactOverThreshold(tok, "w", 0.005)
+        .orderBy("key")
+    }),
+
     // n-gram (trigram) Jaccard near-dup pairs — exact inverted-index
     // plan WITH the production posting-list cut (maxDocFreq=5): a
     // stopword-like shingle can otherwise explode candidate pairs at
@@ -277,6 +290,18 @@ object AnalyticsQueries {
         .orderBy(col("r").desc, col("node"))
         .limit(20)
         .select(col("node"), col("r").as("rank"))
+    }),
+
+    // triangle count over the part co-purchase graph (parts sharing an
+    // order) — degree-ordered orientation caps wedge volume at O(m^1.5)
+    // regardless of hub skew; the count is exact and engine-independent
+    "q132_triangles" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Triangles.count(edges)
     }),
 
     // per-group top-k through the partial-aggregatable UDAF: the shuffle
@@ -492,6 +517,14 @@ object AnalyticsQueries {
           "event_type", Seq("view", "click", "purchase"),
           maxGapSeconds = 7L * 86400)
         .orderBy("step")),
+
+    // first-order Markov transition matrix over per-user event
+    // sequences (ts ties broken by event_id for a total order); the
+    // row-normalizing window runs over the |types|²-row aggregate only
+    "q133_transitions" -> ((s, d) =>
+      EventAnalytics.transitions(t(s, d, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
 
     // weekly cohort retention matrix over the event stream (cohort
     // week as ISO string: DATE round-trips as different types through
@@ -806,6 +839,17 @@ object AnalyticsQueries {
       "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY keep_id",
     "q26_vec_sim" ->
       "SELECT a.vec_id, b.vec_id AS nn FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35 ORDER BY a.vec_id, nn",
+    "q132_triangles" ->
+      ("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+       + "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+       + "SELECT COUNT(*) AS n_triangles FROM e e1 "
+       + "JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v "
+       + "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"),
+    "q131_heavy_hitters" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), "
+       + "tk AS (SELECT w FROM tok WHERE w <> '') "
+       + "SELECT w AS key, COUNT(*) AS cnt FROM tk GROUP BY 1 "
+       + "HAVING COUNT(*) > (SELECT COUNT(*) FROM tk) * 0.005 ORDER BY key"),
     "q27_wordcount" ->
       "SELECT w AS word, COUNT(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20",
     "q28_jaccard" ->
@@ -1086,6 +1130,12 @@ object AnalyticsQueries {
        + "CASE WHEN n_words BETWEEN 10 AND 80 AND mean_len BETWEEN 3.0 AND 10.0 "
        + "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS pass "
        + "FROM f ORDER BY doc_id"),
+    "q133_transitions" ->
+      ("WITH s AS (SELECT user_id, event_type, event_id, ts, "
+       + "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
+       + "SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS cnt, "
+       + "ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 4) AS p "
+       + "FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"),
     "q74_funnel" ->
       ("WITH e AS (SELECT user_id AS u, event_type AS et, epoch(date_trunc('second', ts))::BIGINT AS t FROM events), "
        + "s0 AS (SELECT u, MIN(t) AS t FROM e WHERE et = 'view' GROUP BY u), "

@@ -46,6 +46,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 0L))
   }
 
+  test("transitions: counts per consecutive pair, ties broken by id") {
+    // u1: view->click->purchase; u2: view->view (same ts — id order
+    // decides which is first) ->click. Pairs: (v,c)x2, (c,p), (v,v)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:10:00"), "purchase"),
+      (2L, 20L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, 21L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, 22L, ts("2024-01-01 09:30:00"), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.transitions(df, "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("click", "purchase", 1L, 1.0),
+      ("view", "click", 2L, 0.6667),
+      ("view", "view", 1L, 0.3333)),
+      got.mkString(","))
+  }
+
   test("retention: cohort = first-event week, offsets count distinct users") {
     val df = Seq(
       // u1 active in weeks 0 and 1; u2 only week 0; u3 joins week 1

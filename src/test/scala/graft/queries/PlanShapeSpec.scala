@@ -219,6 +219,27 @@ class PlanShapeSpec extends SparkSpec {
       s"q110 nation-filtered dims must broadcast:\n$s110")
   }
 
+  test("q131 heavy hitters: MG summary partial-aggregates; recount join broadcasts") {
+    val s = planString(q("q131_heavy_hitters"))
+    // pass 1 must partial-aggregate the typed MG buffer map-side
+    // (ObjectHashAggregate partial_misragries) — otherwise every raw
+    // token row crosses the wire and the summary bought nothing
+    assert(s.contains("ObjectHashAggregate") && s.contains("partial_"),
+      s"MG pass must partial-aggregate map-side:\n$s")
+    // pass 2: the ≤cap candidate set must broadcast onto the stream
+    assert(s.contains("BroadcastHashJoin"),
+      s"candidate recount join must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q132 triangles: every join equi, no cartesian at any stage") {
+    val s = planString(q("q132_triangles"))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins degenerated:\n$s")
+  }
+
   test("q125 pagerank iterations stay equi-join + partial aggregation") {
     val s = planString(q("q125_pagerank"))
     assert(!s.contains("CartesianProduct") &&
