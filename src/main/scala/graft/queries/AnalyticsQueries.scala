@@ -518,6 +518,49 @@ object AnalyticsQueries {
           maxGapSeconds = 7L * 86400)
         .orderBy("step")),
 
+    // top navigation paths: 30-min-gap sessionization (q25's exact
+    // convention), then each session's first 5 event types as an
+    // ordered ">" path. The ordered-path extraction is collect_list +
+    // array_sort on (ts, id, type) structs — shuffle-order-proof the
+    // same way q123's string_agg is; the path rollup touches
+    // |sessions| rows, not events
+    "q134_paths" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val base = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val sid = base
+        .withColumn("prev_ts", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            col("ts_s") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(w))
+      sid.groupBy(col("user_id"), col("sid"))
+        .agg(array_join(slice(transform(
+            array_sort(collect_list(struct(col("ts_s"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), 1, 5), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
+    // per-document token entropy (unigram diversity — the quality
+    // signal that separates natural prose from boilerplate/keyword
+    // stuffing): H = ln(n) - Σ c·ln(c)/n from one token-count groupBy
+    "q135_entropy" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          round(log(sum(col("c"))) -
+            sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // first-order Markov transition matrix over per-user event
     // sequences (ts ties broken by event_id for a total order); the
     // row-normalizing window runs over the |types|²-row aggregate only
@@ -1130,6 +1173,21 @@ object AnalyticsQueries {
        + "CASE WHEN n_words BETWEEN 10 AND 80 AND mean_len BETWEEN 3.0 AND 10.0 "
        + "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS pass "
        + "FROM f ORDER BY doc_id"),
+    "q134_paths" ->
+      ("WITH a AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_s FROM events), "
+       + "b AS (SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL OR ts_s > LAG(ts_s) OVER w + INTERVAL 30 MINUTE "
+       + "THEN 1 ELSE 0 END AS new_s FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)), "
+       + "c AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS sid FROM b), "
+       + "p AS (SELECT user_id, sid, array_to_string(list_slice(list(event_type ORDER BY ts_s, event_id), 1, 5), '>') AS path "
+       + "FROM c GROUP BY 1, 2) "
+       + "SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1 "
+       + "ORDER BY n_sessions DESC, path LIMIT 20"),
+    "q135_entropy" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+       + "tc AS (SELECT doc_id, w, COUNT(*) AS c FROM tok WHERE w <> '' GROUP BY 1, 2) "
+       + "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, "
+       + "ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 4) AS entropy "
+       + "FROM tc GROUP BY 1 ORDER BY 1"),
     "q133_transitions" ->
       ("WITH s AS (SELECT user_id, event_type, event_id, ts, "
        + "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events) "
