@@ -518,6 +518,26 @@ object AnalyticsQueries {
           maxGapSeconds = 7L * 86400)
         .orderBy("step")),
 
+    // rolling 7-day distinct users (trailing WAU per day): the window-
+    // DISTINCT a plain frame can't partial-aggregate. Scalable form:
+    // dedup to (day, user) FIRST (the only pass over the event stream),
+    // then explode each pair to the ≤7 target days it serves — a pure
+    // equi plan (no range join), 7× fan-out of the already-tiny pair
+    // relation, filtered to observed days by a broadcast semi join
+    "q136_rolling_distinct" -> ((s, d) => {
+      val p = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = p.select(col("day")).distinct()
+        .select(col("day").as("day2"))
+      p.withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(date_add(col("day"), col("o")).as("day2"), col("user_id"))
+        .join(broadcast(days), "day2")
+        .groupBy(col("day2"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(date_format(col("day2"), "yyyy-MM-dd").as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
     // top navigation paths: 30-min-gap sessionization (q25's exact
     // convention), then each session's first 5 event types as an
     // ordered ">" path. The ordered-path extraction is collect_list +
@@ -1173,6 +1193,12 @@ object AnalyticsQueries {
        + "CASE WHEN n_words BETWEEN 10 AND 80 AND mean_len BETWEEN 3.0 AND 10.0 "
        + "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS pass "
        + "FROM f ORDER BY doc_id"),
+    "q136_rolling_distinct" ->
+      ("WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
+       + "days AS (SELECT DISTINCT day FROM p) "
+       + "SELECT CAST(d.day AS VARCHAR) AS day, COUNT(DISTINCT p.user_id) AS wau "
+       + "FROM days d JOIN p ON p.day BETWEEN d.day - 6 AND d.day "
+       + "GROUP BY 1 ORDER BY 1"),
     "q134_paths" ->
       ("WITH a AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_s FROM events), "
        + "b AS (SELECT *, CASE WHEN LAG(ts_s) OVER w IS NULL OR ts_s > LAG(ts_s) OVER w + INTERVAL 30 MINUTE "
