@@ -518,6 +518,35 @@ object AnalyticsQueries {
           maxGapSeconds = 7L * 86400)
         .orderBy("step")),
 
+    // per-group OLS fit (price ~ quantity) through the regr_* aggregate
+    // family — single-pass sufficient statistics (map-side combinable),
+    // the distributed form of "fit a line per segment"
+    "q137_regression" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
+        .orderBy("l_returnflag")),
+
+    // gaps-and-islands: contiguous active-day streaks per user via the
+    // day - row_number anchor trick — one distinct + one per-user
+    // window, entirely exact integer/date arithmetic (no float anywhere)
+    "q138_islands" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      val p = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      p.withColumn("anchor", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+        .orderBy("user_id")
+    }),
+
     // rolling 7-day distinct users (trailing WAU per day): the window-
     // DISTINCT a plain frame can't partial-aggregate. Scalable form:
     // dedup to (day, user) FIRST (the only pass over the event stream),
@@ -1193,6 +1222,18 @@ object AnalyticsQueries {
        + "CASE WHEN n_words BETWEEN 10 AND 80 AND mean_len BETWEEN 3.0 AND 10.0 "
        + "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS pass "
        + "FROM f ORDER BY doc_id"),
+    "q137_regression" ->
+      ("SELECT l_returnflag, regr_count(l_extendedprice, l_quantity) AS n, "
+       + "ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+       + "ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, "
+       + "ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2 "
+       + "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q138_islands" ->
+      ("WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+       + "r AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor FROM p), "
+       + "i AS (SELECT user_id, anchor, COUNT(*) AS len FROM r GROUP BY 1, 2) "
+       + "SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS max_streak "
+       + "FROM i GROUP BY 1 ORDER BY 1"),
     "q136_rolling_distinct" ->
       ("WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
        + "days AS (SELECT DISTINCT day FROM p) "
