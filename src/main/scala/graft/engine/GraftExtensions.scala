@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_norm_sq"),
       info("vec_norm_sq", "vec_norm_sq(a) - squared L2 norm of a FLOAT array"),
       (cs: Seq[Expression]) => FloatNormSq(cs(0))))
+    // fuse the SQL-idiom aggregate/zip_with dot product into the
+    // codegen'd kernel — SQL-only users get the native loop for free
+    ext.injectOptimizerRule(_ => graft.plans.VecFusion)
   }
 }

@@ -1,0 +1,72 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VecFusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dotSql =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x)"
+
+  // repartition keeps ConvertToLocalRelation from eagerly evaluating
+  // the projection — the optimized plan must still CONTAIN expressions
+  // for the rewrite asserts to inspect
+  private def vecs =
+    Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+        (Array(0.5f, -1f, 2f), Array(1f, 1f, 1f)))
+      .toDF("a", "b").repartition(2)
+
+  test("SQL dot product is rewritten to the native kernel") {
+    val q = vecs.selectExpr(s"$dotSql as dot")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("FloatDot") || opt.contains("floatdot"),
+      s"fusion did not fire:\n$opt")
+    assert(!opt.contains("aggregate(zip_with"), s"original survived:\n$opt")
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(32.0, 1.5))
+  }
+
+  test("commuted operands and swapped fold order still fuse") {
+    val q = vecs.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> y * x), 0D, (s, x) -> x + s) as dot")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("FloatDot") || opt.contains("floatdot"),
+      s"fusion did not fire:\n$opt")
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(32.0, 1.5))
+  }
+
+  test("non-dot folds are left alone") {
+    // max-fold is not a dot product — must NOT rewrite
+    val q = vecs.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as double), (s, x) -> greatest(s, x)) as m")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("FloatDot"), s"unsound fusion:\n$opt")
+    assert(q.collect().map(_.getDouble(0)).toSeq == Seq(18.0, 2.0))
+    // non-zero seed changes the result — must NOT rewrite
+    val q2 = vecs.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(1 as double), (s, x) -> s + x) as d")
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("FloatDot"))
+    assert(q2.collect().map(_.getDouble(0)).toSeq == Seq(33.0, 2.5))
+  }
+
+  test("unequal lengths keep zip_with's null semantics after fusion") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 1f))).toDF("a", "b").repartition(2)
+    val q = df.selectExpr(s"$dotSql as dot")
+    assert(q.queryExecution.optimizedPlan.toString.toLowerCase.contains("floatdot"))
+    assert(q.collect().head.isNullAt(0),
+      "null-padding must null-poison the fused result too")
+  }
+
+  test("fused SQL equals vec_dot on the embeddings table") {
+    val e = graft.engine.Tables(spark,
+      "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding").as("a"))
+    val pairs = e.join(e.select(col("vec_id").as("v2"), col("a").as("b")),
+      col("vec_id") < col("v2"))
+      .limit(200)
+    val got = pairs.selectExpr("vec_id", "v2", s"$dotSql as d1",
+        "vec_dot(a, b) as d2")
+      .filter("abs(d1 - d2) > 1e-6").count()
+    assert(got == 0L)
+  }
+}
