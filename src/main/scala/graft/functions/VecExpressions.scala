@@ -19,6 +19,7 @@ abstract class FloatVecBinary extends BinaryExpression {
 
   override def nullSafeEval(a: Any, b: Any): Any = kernel match {
     case "dot"    => VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    case "dotF32" => VecKernels.dotF32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     case "cosine" => VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     case "l2"     => VecKernels.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   }
@@ -30,6 +31,16 @@ abstract class FloatVecBinary extends BinaryExpression {
 
 case class FloatDot(left: Expression, right: Expression) extends FloatVecBinary {
   override protected def kernel: String = "dot"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** [[VecFusion]]'s rewrite target: float-rounded products, double
+  * accumulation — bit-identical to the `aggregate(zip_with(...))` SQL
+  * idiom it replaces (see [[VecKernels.dotF32]]).
+  */
+case class FloatDotF32(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "dotF32"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

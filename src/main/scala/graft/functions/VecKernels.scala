@@ -15,6 +15,22 @@ object VecKernels {
     s
   }
 
+  /** Bit-exact twin of the SQL idiom `aggregate(zip_with(a, b,
+    * (x, y) -> x * y), 0D, (s, x) -> s + x)`: each product is computed
+    * in FLOAT (rounded, exactly as zip_with's float×float multiply
+    * evaluates) and only the accumulation widens to double. [[dot]]'s
+    * all-double products are ~1 ulp more accurate — which is precisely
+    * why an optimizer rewrite of user SQL must use THIS kernel: the
+    * rewrite may never change a query's observable result.
+    */
+  def dotF32(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += (a.getFloat(i) * b.getFloat(i)).toDouble; i += 1 }
+    s
+  }
+
   def normSq(a: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0

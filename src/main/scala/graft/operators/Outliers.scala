@@ -74,12 +74,15 @@ object Outliers {
     * the group shares one value) are excluded explicitly on both
     * engines, same contract as [[zscoreOutliers]]'s sd > 0 guard.
     *
-    * Plan shape: two map-side-disjoint aggregations over |groups|-row
-    * outputs, each broadcast back onto the stream; the event stream
-    * itself never shuffles. Exact percentile buffers each group's
-    * values once — the declared test-scale semantics; at warehouse
-    * scale substitute approx_percentile (≤5% path certified in
-    * SketchSpec, as with q50/q128).
+    * Plan shape: TWO PASSES over the stream (median, then deviation
+    * median) — the stream itself never enters an exchange, but it is
+    * scanned twice, which is the correct trade at warehouse scale
+    * (persisting a 100 TB deviation projection to save a re-scan is
+    * not). Each pass is a |groups|-row aggregate broadcast back. Exact
+    * percentile buffers each group's values once — the declared
+    * test-scale semantics; at warehouse scale substitute
+    * approx_percentile (≤5% path certified in SketchSpec, as with
+    * q50/q128).
     */
   def madOutliers(df0: DataFrame, idCol: String, groupCol: String,
       valueCol: String, threshold: Double): DataFrame = {

@@ -5,28 +5,33 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
-import graft.functions.FloatDot
+import graft.functions.FloatDotF32
 
 /** Optimizer rule: fuse the idiomatic SQL dot product
   *
   * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x) }}}
   *
-  * into the native codegen'd [[FloatDot]] kernel. The higher-order
+  * into the native codegen'd [[FloatDotF32]] kernel. The higher-order
   * formulation is the one a SQL-only user writes — and it falls out of
   * whole-stage codegen, boxes every element, and allocates an
   * intermediate array per row (~10x on brute-force similarity scans,
-  * SURVEY §4.2). The rewrite gives that user the same fused primitive
-  * loop the Column API's `vec_dot` gets, without changing a line of
-  * their query.
+  * SURVEY §4.2). The rewrite gives that user a fused primitive loop
+  * without changing a line of their query — and without changing a BIT
+  * of their result: the kernel reproduces the idiom's float-rounded
+  * products exactly (double products would be ~1 ulp more accurate,
+  * i.e. observably different — see [[graft.functions.VecKernels.dotF32]]).
   *
   * Soundness guards (all must hold or the expression is left alone):
+  *  - the aggregate's own type is DOUBLE (a float seed makes the whole
+  *    fold FLOAT-typed — rewriting that to a double kernel would
+  *    corrupt the column);
   *  - both arrays are `array<float>` with non-null elements, and are
   *    plain attribute references (no double evaluation of computed
   *    children in the length guard);
   *  - the zip lambda is exactly `x * y` and the fold lambda exactly
   *    `s + x` (commuted operands accepted; inserted numeric upcasts
   *    stripped), with the finish lambda the identity;
-  *  - the fold seed is a foldable zero.
+  *  - the fold seed is a foldable DOUBLE zero.
   *
   * Unequal-length semantics are preserved: `zip_with` null-pads the
   * shorter array, which null-poisons the sum — so the fused form is
@@ -53,31 +58,32 @@ object VecFusion extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  // DOUBLE zero only: a float/int seed types the whole fold differently
+  // (and the whole match is additionally gated on the aggregate's own
+  // dataType being DoubleType)
   private def isZero(e: Expression): Boolean =
-    e.foldable && (e.eval() match {
-      case d: java.lang.Double  => d == 0.0
-      case f: java.lang.Float   => f == 0.0f
-      case i: java.lang.Integer => i == 0
-      case l: java.lang.Long    => l == 0L
+    e.dataType == DoubleType && e.foldable && (e.eval() match {
+      case d: java.lang.Double => d == 0.0
       case _ => false
     })
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case ArrayAggregate(
+      case agg @ ArrayAggregate(
             ZipWith(la, ra, LambdaFunction(mul: Multiply,
               Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
             zero,
             LambdaFunction(add: Add,
               Seq(s: NamedLambdaVariable, e: NamedLambdaVariable), _),
             LambdaFunction(fin, Seq(f: NamedLambdaVariable), _))
-          if isFloatArrayAttr(la) && isFloatArrayAttr(ra) && isZero(zero) &&
+          if agg.dataType == DoubleType &&
+            isFloatArrayAttr(la) && isFloatArrayAttr(ra) && isZero(zero) &&
             ((isVar(mul.left, x) && isVar(mul.right, y)) ||
               (isVar(mul.left, y) && isVar(mul.right, x))) &&
             ((isVar(add.left, s) && isVar(add.right, e)) ||
               (isVar(add.left, e) && isVar(add.right, s))) &&
             isVar(fin, f) =>
         If(EqualTo(Size(la), Size(ra)),
-          FloatDot(la, ra), Literal(null, DoubleType))
+          FloatDotF32(la, ra), Literal(null, DoubleType))
     }
 }

@@ -518,18 +518,37 @@ object AnalyticsQueries {
           maxGapSeconds = 7L * 86400)
         .orderBy("step")),
 
-    // per-group OLS fit (price ~ quantity) through the regr_* aggregate
-    // family — single-pass sufficient statistics (map-side combinable),
-    // the distributed form of "fit a line per segment"
-    "q137_regression" -> ((s, d) =>
+    // per-group OLS fit (price ~ quantity): single-pass sufficient
+    // statistics, map-side combinable — the distributed "fit a line per
+    // segment". Determinism by design: quantity is integral and price
+    // cents-valued, so all five moments are EXACT decimal sums
+    // (order-proof, q62's fixed-point convention); the closed-form
+    // slope/intercept/r2 arithmetic below is written as the IDENTICAL
+    // double expression on both engines, so even its floating point
+    // agrees bit-for-bit. (regr_slope & co exist in both engines but
+    // accumulate raw double co-moments — summation-order-dependent,
+    // exactly what this formulation avoids.)
+    "q137_regression" -> ((s, d) => {
+      val qx = "CAST(round(l_quantity) AS DECIMAL(18,0))"
+      val cy = "CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))"
+      // shared sub-expressions, spelled IDENTICALLY in the oracle SQL
+      // (same parse, same IEEE op order => bit-equal doubles)
+      val covExpr = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val varxExpr = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val slopeExpr = s"$covExpr / $varxExpr"
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
-          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
-          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
-          round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"))
-        .orderBy("l_returnflag")),
+        .agg(count(lit(1)).as("n"),
+          sum(expr(qx)).as("sx"), sum(expr(cy)).as("sy"),
+          sum(expr(s"$qx * $qx")).as("sxx"),
+          sum(expr(s"$qx * $cy")).as("sxy"),
+          sum(expr(s"$cy * $cy")).as("syy"))
+        .selectExpr("l_returnflag", "n",
+          s"ROUND($slopeExpr / 100, 4) AS slope",
+          s"ROUND((CAST(sy AS DOUBLE) - $slopeExpr * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100, 4) AS intercept",
+          s"ROUND($covExpr * $covExpr / ($varxExpr * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2")
+        .orderBy("l_returnflag")
+    }),
 
     // gaps-and-islands: contiguous active-day streaks per user via the
     // day - row_number anchor trick — one distinct + one per-user
@@ -597,7 +616,12 @@ object AnalyticsQueries {
 
     // per-document token entropy (unigram diversity — the quality
     // signal that separates natural prose from boilerplate/keyword
-    // stuffing): H = ln(n) - Σ c·ln(c)/n from one token-count groupBy
+    // stuffing): H = ln(n) - Σ c·ln(c)/n from one token-count groupBy.
+    // Determinism contract: ln runs over small positive INTEGERS only
+    // (token counts), where both engines' libm agree (q70/q76
+    // precedent); the Σ c·ln(c) double sum is per-document over few
+    // distinct counts, then rounded — same exposure class as the
+    // suite's ROUND(SUM(double)) TPC-H aggregates
     "q135_entropy" -> ((s, d) => {
       val tok = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -871,6 +895,25 @@ object AnalyticsQueries {
       s"FROM r${i - 1} p JOIN outdeg o ON p.node = o.src JOIN edges e ON o.src = e.src GROUP BY e.dst)"
     }.mkString(", ", ", ", " ")
     base + iters + "SELECT node, r AS rank FROM r5 ORDER BY r DESC, node LIMIT 20"
+  }
+
+  /** q137's oracle: the exact-decimal moments and the CHARACTER-
+    * IDENTICAL closed-form double arithmetic the Spark side runs —
+    * same parse, same IEEE op order, bit-equal results.
+    */
+  private def regressionOracle: String = {
+    val qx = "CAST(round(l_quantity) AS DECIMAL(18,0))"
+    val cy = "CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))"
+    val cov = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val slope = s"$cov / $varx"
+    s"WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM($qx) AS sx, SUM($cy) AS sy, " +
+      s"SUM($qx * $qx) AS sxx, SUM($qx * $cy) AS sxy, SUM($cy * $cy) AS syy " +
+      "FROM lineitem GROUP BY 1) " +
+      s"SELECT l_returnflag, n, ROUND($slope / 100, 4) AS slope, " +
+      s"ROUND((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100, 4) AS intercept, " +
+      s"ROUND($cov * $cov / ($varx * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS r2 " +
+      "FROM m ORDER BY 1"
   }
 
   private val oracles0: Map[String, String] = Map(
@@ -1222,12 +1265,7 @@ object AnalyticsQueries {
        + "CASE WHEN n_words BETWEEN 10 AND 80 AND mean_len BETWEEN 3.0 AND 10.0 "
        + "AND symbol_frac <= 0.1 AND alpha_frac >= 0.8 AND stop_hits >= 2 THEN 1 ELSE 0 END::BIGINT AS pass "
        + "FROM f ORDER BY doc_id"),
-    "q137_regression" ->
-      ("SELECT l_returnflag, regr_count(l_extendedprice, l_quantity) AS n, "
-       + "ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
-       + "ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept, "
-       + "ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2 "
-       + "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "q137_regression" -> regressionOracle,
     "q138_islands" ->
       ("WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
        + "r AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor FROM p), "

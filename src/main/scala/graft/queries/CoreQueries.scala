@@ -334,12 +334,18 @@ object CoreQueries {
       val pct = e.groupBy(col("event_type"))
         .agg(expr("percentile(value, 0.05)").as("lo"),
           expr("percentile(value, 0.95)").as("hi"))
-      val cv = least(greatest(col("value"), col("lo")), col("hi"))
+      // clipped values quantized to 1e-4 and summed as EXACT decimals:
+      // a raw double SUM differs in the last ulps between aggregation
+      // orders/engines, which round(...,4) can't always hide — the
+      // declared semantics is clip-then-quantize (q62's fixed-point
+      // convention); only the final display ratios touch doubles
+      val q = expr("CAST(round(LEAST(GREATEST(value, lo), hi) * 10000) AS DECIMAL(38,0))")
       e.join(broadcast(pct), "event_type")
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          round(avg(cv), 4).as("avg_clipped"),
-          round(sum(cv), 4).as("sum_clipped"))
+        .agg(count(lit(1)).as("n"), sum(q).as("sq"))
+        .selectExpr("event_type", "n",
+          "ROUND(CAST(sq AS DOUBLE) / 10000 / CAST(n AS DOUBLE), 4) AS avg_clipped",
+          "ROUND(CAST(sq AS DOUBLE) / 10000, 4) AS sum_clipped")
         .orderBy("event_type")
     }),
 
@@ -378,17 +384,22 @@ object CoreQueries {
     // only, so the single-partition window sort is O(|groups|), not
     // O(rows)
     "q130_pareto" -> ((s, d) => {
+      // prices are cents-valued: sum EXACT decimal cents (order-proof
+      // under any partitioning, same convention as q62's fixed-point
+      // moments), convert to double only for the final ratios
       val g = t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(sum(col("o_totalprice")).as("rev0"))
-      val tot = g.agg(sum(col("rev0")).as("tot"))
-      val w = Window.orderBy(col("rev0").desc, col("o_orderpriority"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"))
+          .as("cents"))
+      val tot = g.agg(sum(col("cents")).as("tot"))
+      val w = Window.orderBy(col("cents").desc, col("o_orderpriority"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.crossJoin(broadcast(tot))
-        .select(col("o_orderpriority"),
-          round(col("rev0"), 4).as("rev"),
-          round(col("rev0") / col("tot") * 100, 4).as("pct"),
-          round(sum(col("rev0")).over(w) / col("tot") * 100, 4).as("cum_pct"))
+        .withColumn("cum", sum(col("cents")).over(w))
+        .selectExpr("o_orderpriority",
+          "ROUND(CAST(cents AS DOUBLE) / 100, 4) AS rev",
+          "ROUND(CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE) * 100, 4) AS pct",
+          "ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 100, 4) AS cum_pct")
         .orderBy("o_orderpriority")
     }),
 
@@ -709,12 +720,14 @@ object CoreQueries {
        + "GROUP BY 1 ORDER BY 1"),
     "q128_winsorize" ->
       ("WITH p AS (SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi " +
-       "FROM events GROUP BY 1) " +
-       "SELECT e.event_type, COUNT(*) AS n, " +
-       "ROUND(AVG(LEAST(GREATEST(e.value, p.lo), p.hi)), 4) AS avg_clipped, " +
-       "ROUND(SUM(LEAST(GREATEST(e.value, p.lo), p.hi)), 4) AS sum_clipped " +
-       "FROM events e JOIN p ON e.event_type = p.event_type " +
-       "GROUP BY 1 ORDER BY 1"),
+       "FROM events GROUP BY 1), " +
+       "m AS (SELECT e.event_type, COUNT(*) AS n, " +
+       "SUM(CAST(round(LEAST(GREATEST(e.value, p.lo), p.hi) * 10000) AS DECIMAL(38,0))) AS sq " +
+       "FROM events e JOIN p ON e.event_type = p.event_type GROUP BY 1) " +
+       "SELECT event_type, n, " +
+       "ROUND(CAST(sq AS DOUBLE) / 10000 / CAST(n AS DOUBLE), 4) AS avg_clipped, " +
+       "ROUND(CAST(sq AS DOUBLE) / 10000, 4) AS sum_clipped " +
+       "FROM m ORDER BY 1"),
     "q123_string_agg" ->
       ("SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS members, COUNT(*) AS n " +
        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
@@ -725,12 +738,13 @@ object CoreQueries {
        "ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS cd " +
        "FROM customer ORDER BY c_custkey"),
     "q130_pareto" ->
-      ("WITH g AS (SELECT o_orderpriority, SUM(o_totalprice) AS rev0 FROM orders GROUP BY 1), "
-       + "t AS (SELECT SUM(rev0) AS tot FROM g) "
-       + "SELECT o_orderpriority, ROUND(rev0, 4) AS rev, "
-       + "ROUND(rev0 / tot * 100, 4) AS pct, "
-       + "ROUND(SUM(rev0) OVER (ORDER BY rev0 DESC, o_orderpriority ROWS UNBOUNDED PRECEDING) / tot * 100, 4) AS cum_pct "
-       + "FROM g, t ORDER BY o_orderpriority"),
+      ("WITH g AS (SELECT o_orderpriority, SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS cents FROM orders GROUP BY 1), "
+       + "t AS (SELECT SUM(cents) AS tot FROM g), "
+       + "c AS (SELECT g.*, tot, SUM(cents) OVER (ORDER BY cents DESC, o_orderpriority ROWS UNBOUNDED PRECEDING) AS cum FROM g, t) "
+       + "SELECT o_orderpriority, ROUND(CAST(cents AS DOUBLE) / 100, 4) AS rev, "
+       + "ROUND(CAST(cents AS DOUBLE) / CAST(tot AS DOUBLE) * 100, 4) AS pct, "
+       + "ROUND(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * 100, 4) AS cum_pct "
+       + "FROM c ORDER BY o_orderpriority"),
     "q22_scalars" ->
       "SELECT o_orderkey, SUBSTRING(o_orderpriority, 1, 1) AS pri, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mon, ROUND(o_totalprice * 0.1, 4) AS tithe FROM orders ORDER BY o_orderkey",
     "q23_hourly" ->

@@ -49,6 +49,34 @@ class VecFusionSpec extends SparkSpec {
     assert(q2.collect().map(_.getDouble(0)).toSeq == Seq(33.0, 2.5))
   }
 
+  test("float seed (FLOAT-typed fold) is NOT rewritten") {
+    // cast(0 as float) types the whole aggregate FLOAT; rewriting that
+    // to the double kernel would read garbage (caught in review —
+    // reproduced returning 0.0 for every row before the dataType guard)
+    val q = vecs.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0 as float), (s, x) -> s + x) as d")
+    val opt = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!opt.contains("floatdot"), s"unsound float-typed fusion:\n$opt")
+    assert(q.collect().map(_.getFloat(0)).toSeq == Seq(32f, 1.5f))
+  }
+
+  test("fusion is bit-exact vs the unfused idiom, not just close") {
+    // products like 0.1f*0.3f round differently in float vs double;
+    // the fused kernel must reproduce the idiom's float products
+    // exactly. The unfused baseline evades the attribute guard with
+    // transform(a, z -> z) so the SAME session evaluates both forms.
+    val df = Seq((Array(0.1f, 0.3f, 0.7f), Array(0.3f, 0.7f, 0.9f)))
+      .toDF("a", "b").repartition(2)
+    val r = df.selectExpr(
+      s"$dotSql as fused",
+      "aggregate(zip_with(transform(a, z -> z), b, (x, y) -> x * y), cast(0 as double), (s, x) -> s + x) as unfused")
+    val opt = r.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("floatdot"), s"fused column did not fuse:\n$opt")
+    val row = r.collect().head
+    assert(row.getDouble(0) == row.getDouble(1),
+      s"fused=${row.getDouble(0)} unfused=${row.getDouble(1)} — rewrite changed the result")
+  }
+
   test("unequal lengths keep zip_with's null semantics after fusion") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 1f))).toDF("a", "b").repartition(2)
     val q = df.selectExpr(s"$dotSql as dot")
