@@ -529,8 +529,10 @@ object AnalyticsQueries {
     // accumulate raw double co-moments — summation-order-dependent,
     // exactly what this formulation avoids.)
     "q137_regression" -> ((s, d) => {
-      val qx = "CAST(round(l_quantity) AS DECIMAL(18,0))"
-      val cy = "CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))"
+      // per-row arithmetic stays in BIGINT (cheap); only the sum input
+      // widens to decimal so the aggregate is exact beyond 2^63
+      val qx = "CAST(round(l_quantity) AS BIGINT)"
+      val cy = "CAST(round(l_extendedprice * 100) AS BIGINT)"
       // shared sub-expressions, spelled IDENTICALLY in the oracle SQL
       // (same parse, same IEEE op order => bit-equal doubles)
       val covExpr = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
@@ -539,10 +541,11 @@ object AnalyticsQueries {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(expr(qx)).as("sx"), sum(expr(cy)).as("sy"),
-          sum(expr(s"$qx * $qx")).as("sxx"),
-          sum(expr(s"$qx * $cy")).as("sxy"),
-          sum(expr(s"$cy * $cy")).as("syy"))
+          sum(expr(s"CAST($qx AS DECIMAL(18,0))")).as("sx"),
+          sum(expr(s"CAST($cy AS DECIMAL(18,0))")).as("sy"),
+          sum(expr(s"CAST($qx * $qx AS DECIMAL(18,0))")).as("sxx"),
+          sum(expr(s"CAST($qx * $cy AS DECIMAL(18,0))")).as("sxy"),
+          sum(expr(s"CAST($cy * $cy AS DECIMAL(18,0))")).as("syy"))
         .selectExpr("l_returnflag", "n",
           s"ROUND($slopeExpr / 100, 4) AS slope",
           s"ROUND((CAST(sy AS DOUBLE) - $slopeExpr * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100, 4) AS intercept",
@@ -902,13 +905,13 @@ object AnalyticsQueries {
     * same parse, same IEEE op order, bit-equal results.
     */
   private def regressionOracle: String = {
-    val qx = "CAST(round(l_quantity) AS DECIMAL(18,0))"
-    val cy = "CAST(round(l_extendedprice * 100) AS DECIMAL(18,0))"
+    val qx = "CAST(round(l_quantity) AS BIGINT)"
+    val cy = "CAST(round(l_extendedprice * 100) AS BIGINT)"
     val cov = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
     val varx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
     val slope = s"$cov / $varx"
-    s"WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM($qx) AS sx, SUM($cy) AS sy, " +
-      s"SUM($qx * $qx) AS sxx, SUM($qx * $cy) AS sxy, SUM($cy * $cy) AS syy " +
+    s"WITH m AS (SELECT l_returnflag, COUNT(*) AS n, SUM(CAST($qx AS DECIMAL(18,0))) AS sx, SUM(CAST($cy AS DECIMAL(18,0))) AS sy, " +
+      s"SUM(CAST($qx * $qx AS DECIMAL(18,0))) AS sxx, SUM(CAST($qx * $cy AS DECIMAL(18,0))) AS sxy, SUM(CAST($cy * $cy AS DECIMAL(18,0))) AS syy " +
       "FROM lineitem GROUP BY 1) " +
       s"SELECT l_returnflag, n, ROUND($slope / 100, 4) AS slope, " +
       s"ROUND((CAST(sy AS DOUBLE) - $slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100, 4) AS intercept, " +
