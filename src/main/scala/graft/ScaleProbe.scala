@@ -130,6 +130,36 @@ object ScaleProbe {
         .withColumn("lang", pmod(col("doc_id"), lit(5)).cast("string")),
       "lang", "text",
       (0 until 5).map(i => i.toString -> 0.2)).count())
+    // graph + heavy-hitter probes over a replicated lineitem
+    // co-purchase graph (disjoint part-id spaces per replica, so
+    // correct scaling here is LINEAR in the multiplier — a
+    // super-linear reading means a blowup inside one replica's plan)
+    val li0 = graft.engine.Tables(spark, base, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val maxOrd = 10000000L
+    val maxPart = 10000000L
+    val li = spark.range(mult).crossJoin(li0)
+      .select((col("l_orderkey") + col("id") * maxOrd).as("k"),
+        (col("l_partkey") + col("id") * maxPart).as("p"))
+    val coEdges = li.select(col("k"), col("p").as("u"))
+      .join(li.select(col("k"), col("p").as("v")), Seq("k"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint() // probe the operators, not the edge build
+    t("triangles")(graft.operators.Triangles.count(coEdges)
+      .collect().head.getLong(0))
+    t("pagerank_5iter")({
+      val sym = coEdges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.PageRank.run(sym, iterations = 5).count()
+    })
+    t("heavy_hitters")({
+      val tok = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      graft.operators.HeavyHitters.exactOverThreshold(tok, "w", 0.005)
+        .count()
+    })
+
     // NOTE deliberately absent: fuzzyPairs — (first word, length
     // bucket) blocking holds candidate growth to ~replica^2 on this
     // duplication-heavy corpus, so the banded O(len*K) kernel hits a
