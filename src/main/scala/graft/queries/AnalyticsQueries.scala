@@ -569,6 +569,61 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // PMI collocation mining (phrase discovery): adjacent-token bigrams
+    // via ONE per-doc window pass (q127's lead idiom — no token
+    // self-join), exact long counts for unigrams/bigrams/N, PMI =
+    // ln(c_ab·N / (c_a·c_b)) computed with the IDENTICAL expression on
+    // both engines. min-count floor keeps the rare-pair noise (and the
+    // PMI low-count bias) out; ordering on the rounded score is the
+    // deterministic cut
+    "q139_pmi" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
+        .filter(col("wd") =!= "")
+      val pairs = tok.withColumn("nxt", lead(col("wd"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+      val big = pairs.groupBy(col("wd"), col("nxt"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = tok.groupBy(col("wd")).agg(count(lit(1)).as("c"))
+      val n = tok.agg(count(lit(1)).as("n_tok"))
+      big.join(uni.select(col("wd"), col("c").as("c_a")), "wd")
+        .join(uni.select(col("wd").as("nxt"), col("c").as("c_b")), "nxt")
+        .crossJoin(broadcast(n))
+        .selectExpr("wd AS a", "nxt AS b", "c_ab",
+          "ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 4) AS pmi")
+        .orderBy(col("pmi").desc, col("a"), col("b")).limit(20)
+    }),
+
+    // bounded BFS (4 hops) from hub part 1 over the co-purchase graph:
+    // frontier expansion as min-distance propagation — one equi-join +
+    // one min-groupBy per hop, all-integer state, which is what makes
+    // an ITERATIVE traversal CTE-oracle-checkable (q125's design)
+    "q140_bfs" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val e0 = a.join(b, Seq("k")).filter(col("u") =!= col("v"))
+        .select(col("u"), col("v")).distinct()
+      var dist = e0.select(col("u")).distinct()
+        .select(col("u").as("node"),
+          when(col("u") === 1L, 0L).otherwise(lit(Long.MaxValue)).as("dd"))
+      for (_ <- 1 to 4) {
+        val relaxed = dist.join(e0, col("node") === col("u"))
+          .filter(col("dd") =!= Long.MaxValue)
+          .select(col("v").as("node"), (col("dd") + 1L).as("dd"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dd")).as("dd"))
+          .localCheckpoint()
+      }
+      dist.filter(col("dd") =!= Long.MaxValue)
+        .groupBy(col("dd")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dd")
+    }),
+
     // rolling 7-day distinct users (trailing WAU per day): the window-
     // DISTINCT a plain frame can't partial-aggregate. Scalable form:
     // dedup to (day, user) FIRST (the only pass over the event stream),
@@ -919,7 +974,40 @@ object AnalyticsQueries {
       "FROM m ORDER BY 1"
   }
 
+  /** q140's oracle: the 4 BFS relaxations unrolled — NULL plays the
+    * unreached sentinel (MIN ignores NULLs), mirroring the engine's
+    * Long.MaxValue; all-integer distances make the traversal exactly
+    * comparable.
+    */
+  private def bfsOracle: String = {
+    val base =
+      "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey), " +
+      "d0 AS (SELECT u AS node, CASE WHEN u = 1 THEN 0 ELSE NULL END AS dd FROM (SELECT DISTINCT u FROM e))"
+    val iters = (1 to 4).map { i =>
+      s"d$i AS (SELECT node, MIN(dd) AS dd FROM (" +
+      s"SELECT node, dd FROM d${i - 1} UNION ALL " +
+      s"SELECT e.v AS node, p.dd + 1 AS dd FROM d${i - 1} p JOIN e ON p.node = e.u WHERE p.dd IS NOT NULL" +
+      ") GROUP BY 1)"
+    }.mkString(", ", ", ", " ")
+    base + iters +
+      "SELECT dd, COUNT(*) AS n_nodes FROM d4 WHERE dd IS NOT NULL GROUP BY 1 ORDER BY 1"
+  }
+
   private val oracles0: Map[String, String] = Map(
+    "q139_pmi" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+       + "tok AS (SELECT doc_id, unnest(ws) AS wd, unnest(range(len(ws))) AS i FROM t), "
+       + "tk AS (SELECT doc_id, wd, i FROM tok WHERE wd <> ''), "
+       + "led AS (SELECT doc_id, wd, LEAD(wd) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM tk), "
+       + "p AS (SELECT wd, nxt, COUNT(*) AS c_ab FROM led WHERE nxt IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) >= 5), "
+       + "u AS (SELECT wd, COUNT(*) AS c FROM tk GROUP BY 1), "
+       + "n AS (SELECT COUNT(*) AS n_tok FROM tk) "
+       + "SELECT p.wd AS a, p.nxt AS b, c_ab, "
+       + "ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4) AS pmi "
+       + "FROM p JOIN u ua ON p.wd = ua.wd JOIN u ub ON p.nxt = ub.wd, n "
+       + "ORDER BY pmi DESC, a, b LIMIT 20"),
+    "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
     // dual-unnest zips the token with its 0-based position (DuckDB has
     // no posexplode; zipped unnests are its equivalent)
