@@ -606,8 +606,13 @@ object AnalyticsQueries {
       val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
       val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      // the expensive self-join + distinct is pinned ONCE, partitioned
+      // on the per-hop join key — otherwise every relaxation (and the
+      // seed) replays the edge build (q125's edge-pinning pattern;
+      // 10 s -> ~2 s at sf0.1)
       val e0 = a.join(b, Seq("k")).filter(col("u") =!= col("v"))
         .select(col("u"), col("v")).distinct()
+        .repartition(col("u")).persist()
       var dist = e0.select(col("u")).distinct()
         .select(col("u").as("node"),
           when(col("u") === 1L, 0L).otherwise(lit(Long.MaxValue)).as("dd"))
@@ -619,6 +624,7 @@ object AnalyticsQueries {
           .groupBy(col("node")).agg(min(col("dd")).as("dd"))
           .localCheckpoint()
       }
+      e0.unpersist() // dist is materialized by the final localCheckpoint
       dist.filter(col("dd") =!= Long.MaxValue)
         .groupBy(col("dd")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("dd")
