@@ -19,6 +19,34 @@ class SketchSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("rolling distinct via mergeable HLL sketches tracks q136's exact WAU") {
+    // the 100 TB path for q136: ONE Datasketches HLL per (day) —
+    // map-side combinable, |days| rows of state — then each trailing
+    // window is a UNION of 7 already-built sketches (hll_union_agg).
+    // The event stream is aggregated once; windows never re-scan it.
+    // Contract: ≤5% of the exact explode-based answer on every day.
+    val exact = graft.SparkEntry.queries("q136_rolling_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val days = daily.select(col("day").as("day2"))
+    val approx = daily
+      .withColumn("o", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("day"), col("o")).as("day2"), col("sk"))
+      .join(days.distinct(), "day2")
+      .groupBy(col("day2"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau"))
+      .select(date_format(col("day2"), "yyyy-MM-dd").as("day"), col("wau"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, ex) =>
+      val ap = approx(day).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.05, s"$day exact=$ex approx=$ap")
+    }
+  }
+
   test("approx_percentile brackets the exact median") {
     val r = events.agg(
       expr("percentile(value, 0.5)").as("exact"),
