@@ -247,6 +247,28 @@ class PlanShapeSpec extends SparkSpec {
       s"pagerank contribution join degenerated:\n$s")
   }
 
+  test("round-5-late queries never degenerate to cartesian/BNLJ") {
+    // q136's explode-to-target-days MUST stay a pure equi plan (the
+    // naive formulation is a range join -> BNLJ); q139's two unigram
+    // joins and q134/q133's window plans must stay equi/shuffle-free
+    // of nested loops; q140's per-hop relaxation join must stay equi.
+    // q139's corpus-size N rides the plan as a ONE-ROW broadcast cross
+    // join — the intended scalar pattern (q113/q116/q122 exemption),
+    // not a degenerate join.
+    val scalarBroadcast5 = Set("q139_pmi")
+    Seq("q133_transitions", "q134_paths", "q136_rolling_distinct",
+        "q139_pmi", "q140_bfs").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct"), s"$name went cartesian:\n$s")
+      if (!scalarBroadcast5(name))
+        assert(!s.contains("BroadcastNestedLoopJoin"), s"$name went BNLJ:\n$s")
+    }
+    // the observed-days filter in q136 must be a broadcast join
+    val s136 = planString(q("q136_rolling_distinct"))
+    assert(s136.contains("BroadcastHashJoin"),
+      s"q136 day filter must broadcast:\n$s136")
+  }
+
   test("q92 gopher gate is pure projection work — no join, no aggregate") {
     // the only exchanges allowed are Par.widen's round-robin and the
     // final orderBy; the rules themselves must never shuffle data
