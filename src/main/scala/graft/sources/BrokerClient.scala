@@ -82,18 +82,30 @@ final class BrokerClient(host: String, port: Int, exchange: String)
 
 /** Resolves the transport for an exchange from the source's `broker`
   * option: unset -> in-JVM [[MemoryBroker]]; `tcp://host:port` -> a
-  * [[BrokerClient]] to that server.
+  * [[BrokerClient]] to that server; `amqp://host:port` -> a persistent
+  * AMQP 0-9-1 subscription ([[graft.sources.amqp.AmqpConsumerLog]]) to
+  * any broker speaking the real protocol — the reference's deployment
+  * shape (docs/usage.rst:8-11: the input side IS an amqp server).
   */
 object Broker {
   private val TcpUrl = "tcp://([^:/]+):([0-9]+)".r
+  private val AmqpUrl = "amqp://([^:/]+):([0-9]+)".r
+
+  /** AMQP offsets are client-side, so slices can't be re-fetched from
+    * another process: the source must plan inline partitions.
+    */
+  def isInlineOnly(brokerUrl: Option[String]): Boolean =
+    brokerUrl.exists(_.startsWith("amqp://"))
 
   def log(exchange: String, brokerUrl: Option[String]): BrokerLog =
     brokerUrl match {
       case None                  => MemoryBroker.exchange(exchange)
       case Some(TcpUrl(h, p))    => new BrokerClient(h, p.toInt, exchange)
+      case Some(AmqpUrl(h, p))   => amqp.AmqpBroker.log(h, p.toInt, exchange)
       case Some(other)           =>
         throw new IllegalArgumentException(
-          s"unsupported broker url '$other' (expected tcp://host:port)")
+          s"unsupported broker url '$other' (expected tcp://host:port " +
+            "or amqp://host:port)")
     }
 
   /** Declare-with-kwargs against whichever transport serves the
@@ -105,8 +117,11 @@ object Broker {
       case None => MemoryBroker.declare(exchange, kwargs)
       case Some(TcpUrl(h, p)) =>
         new BrokerClient(h, p.toInt, exchange).declare(kwargs)
+      case Some(AmqpUrl(h, p)) =>
+        amqp.AmqpBroker.declare(h, p.toInt, exchange, kwargs)
       case Some(other) =>
         throw new IllegalArgumentException(
-          s"unsupported broker url '$other' (expected tcp://host:port)")
+          s"unsupported broker url '$other' (expected tcp://host:port " +
+            "or amqp://host:port)")
     }
 }

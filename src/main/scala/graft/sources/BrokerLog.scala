@@ -32,6 +32,14 @@ trait BrokerLog {
   def ack(until: Long): Unit
   def nack(): Unit
   def nackCount: Long
+  /** Offset-axis realignment hint for transports whose offsets are
+    * client-manufactured (AMQP: deliveries have per-session tags, no
+    * broker-side positions). The source calls this with checkpointed
+    * offsets after a Spark restart so a fresh consumer renumbers its
+    * redeliveries to the checkpoint's axis. No-op for transports with
+    * real log positions (memory, tcp).
+    */
+  def alignBase(off: Long): Unit = ()
 }
 
 /** The broker-side log: an in-memory buffer with an optional file WAL.

@@ -93,7 +93,15 @@ class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long],
     availableTarget = Some(log.latest)
 
   override def initialOffset(): Offset = MqOffset(log.committed)
-  override def deserializeOffset(json: String): Offset = MqOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val pos = json.toLong
+    // restart: offsets read back from the checkpoint realign a fresh
+    // AMQP consumer's client-side offset axis (no-op for other
+    // transports). min-wins across calls, so the replayed batch's
+    // start — the smallest deserialized offset — anchors the axis.
+    log.alignBase(pos)
+    MqOffset(pos)
+  }
 
   /** Size-axis admission control (reference size_limit): the admitted
     * end offset — not the planned partitions — is capped, so the
@@ -104,11 +112,20 @@ class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[MqOffset].pos
-    val avail = availableTarget.fold(log.latest)(math.min(log.latest, _))
-    limit match {
-      case mr: ReadMaxRows => MqOffset(math.min(avail, from + mr.maxRows))
-      case _               => MqOffset(avail)
+    log.alignBase(from)
+    // an AvailableNow target pinned before a restart's offset
+    // realignment (AMQP transport) can sit below the checkpointed
+    // start; such a stale pin is ignored rather than clamping the
+    // stream backwards
+    val avail = availableTarget match {
+      case Some(t) if t >= from => math.min(log.latest, t)
+      case _                    => log.latest
     }
+    val end = limit match {
+      case mr: ReadMaxRows => math.min(avail, from + mr.maxRows)
+      case _               => avail
+    }
+    MqOffset(math.max(from, end))
   }
 
   override def latestOffset(): Offset =
@@ -126,16 +143,20 @@ class MqMicroBatchStream(exchangeName: String, maxPerTrigger: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[MqOffset].pos
     val until = end.asInstanceOf[MqOffset].pos
+    log.alignBase(from)
     val rpp = rowsPerPartition.toLong
     val n = math.max(1L, (until - from + rpp - 1) / rpp).toInt
     val bounds = (0 until n).map(i =>
       (from + i * rpp, math.min(until, from + (i + 1) * rpp)))
     brokerUrl match {
-      case Some(url) =>
+      // AMQP offsets exist only in this process's consumer, so rows are
+      // inlined into the partitions (Broker.isInlineOnly); the tcp://
+      // log-server transport lets each EXECUTOR fetch its own slice
+      case Some(url) if !Broker.isInlineOnly(brokerUrl) =>
         bounds.map { case (lo, hi) =>
           MqRemotePartition(url, exchangeName, lo, hi): InputPartition
         }.toArray
-      case None =>
+      case _ =>
         bounds.map { case (lo, hi) =>
           MqInlinePartition(exchangeName, log.slice(lo, hi)): InputPartition
         }.toArray
