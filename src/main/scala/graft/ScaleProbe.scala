@@ -92,6 +92,11 @@ object ScaleProbe {
     })
     t("curation")(graft.operators.CurationPipeline
       .curate(d, "doc_id", "text").count())
+    // OR-blocked (prefix/suffix two-token signature) + capped fuzzy
+    // dedup: linear-ish here means the Zipfian first-word hot block is
+    // gone and the cap bounds the residual hot signatures
+    t("fuzzy_pairs")(graft.operators.Dedup.fuzzyPairs(
+      d, "doc_id", "text", maxDistFrac = 0.3).count())
 
     val ev = spark.read.parquet(s"$tmp/events.parquet")
     t("funnel")(graft.operators.EventAnalytics.funnel(ev, "user_id", "ts",
@@ -136,8 +141,13 @@ object ScaleProbe {
     // super-linear reading means a blowup inside one replica's plan)
     val li0 = graft.engine.Tables(spark, base, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    val maxOrd = 10000000L
-    val maxPart = 10000000L
+    // replica id spaces must be disjoint for the linear-scaling premise
+    // to hold, so derive the offsets from the observed maxima rather
+    // than assuming a constant bound on key values
+    val (maxOrd, maxPart) = {
+      val r = li0.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+      (r.getLong(0) + 1, r.getLong(1) + 1)
+    }
     val li = spark.range(mult).crossJoin(li0)
       .select((col("l_orderkey") + col("id") * maxOrd).as("k"),
         (col("l_partkey") + col("id") * maxPart).as("p"))
@@ -160,13 +170,6 @@ object ScaleProbe {
         .count()
     })
 
-    // NOTE deliberately absent: fuzzyPairs — (first word, length
-    // bucket) blocking holds candidate growth to ~replica^2 on this
-    // duplication-heavy corpus, so the banded O(len*K) kernel hits a
-    // quadratic wall at 20x. Edit-distance dedup at real scale runs
-    // AFTER a coarse filter (exact/minhash) has shrunk each block, or
-    // with a content-defined block key; the declared q88 stays a
-    // post-filter-scale operator by design.
     spark.stop()
   }
 }

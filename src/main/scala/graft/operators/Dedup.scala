@@ -33,39 +33,59 @@ object Dedup {
 
   /** Blocked edit-distance near-dup pairs — the fuzzy-dedup rung
     * between byte-exact and shingle-Jaccard: pairs whose Levenshtein
-    * distance is at most `maxDistFrac` of the longer text. Candidate
-    * pairs are blocked on (first word, length bucket), the classic
-    * record-linkage blocking key: a pair differing by <= maxDistFrac of
-    * its length rarely changes its first word or jumps a whole
-    * `blockChars` bucket (pairs straddling a bucket boundary are the
-    * standard blocking miss — widen blockChars or double-block to
-    * trade cost for recall).
+    * distance is at most `maxDistFrac` of the longer text.
     *
-    * Plan shape for 100 TB: the self-join shuffles on the block key
-    * only; the Levenshtein kernel runs only on in-block pairs, BANDED
-    * to the corpus-wide distance budget K = ceil(maxDistFrac * max
-    * doc length) — Spark's thresholded levenshtein costs O(len * K)
-    * per pair instead of O(len^2), and since every pair's own budget
+    * Blocking (the 100 TB-critical part): OR-blocking on TWO
+    * two-token signatures per doc within a `blockChars` length bucket —
+    * (first two tokens) and (last two tokens). A candidate survives if
+    * it shares EITHER signature, so a near-dup pair is missed only when
+    * the edit touches both the prefix and the suffix (pigeonhole-style
+    * recall, same trick as the SimHash band blocking in
+    * [[simhashPairs]]). Two-token signatures break the Zipfian
+    * single-first-word hot block ("the ..." holding a constant corpus
+    * fraction) that made single-key blocking revert toward all-pairs on
+    * natural text; the residual hot signatures ("of the ...") are
+    * bounded by `maxBlock`: any block larger than that is EXCLUDED
+    * from its axis (the other signature may still pair its members) —
+    * a hard ceiling of maxBlock² on any block's pair count. Dropped
+    * blocks are observable via [[fuzzyOverflowBlocks]]; at real scale
+    * run edit-distance dedup after a coarse pass (exact/minhash) has
+    * thinned the corpus, and treat overflow counts as the signal that
+    * the cap is biting.
+    *
+    * Kernel: the self-joins shuffle on (length bucket, signature)
+    * only; Levenshtein runs only on in-block pairs, BANDED to the
+    * corpus-wide distance budget K = ceil(maxDistFrac * max doc
+    * length) — Spark's thresholded levenshtein costs O(len * K) per
+    * pair instead of O(len^2), and since every pair's own budget
     * maxDistFrac * max(len_a, len_b) <= K, the band never cuts a true
     * match. The max-length lookup is one driver scalar (same pattern
     * as the Bloom sizing in [[decontaminateBloom]]).
     */
   def fuzzyPairs(docs0: DataFrame, idCol: String, textCol: String,
-      maxDistFrac: Double, blockChars: Int = 40): DataFrame = {
+      maxDistFrac: Double, blockChars: Int = 40,
+      maxBlock: Int = 5000): DataFrame = {
     val docs = graft.engine.Par.widen(docs0)
     val maxLen = docs.agg(max(length(col(textCol)))).head() match {
       case r if r.isNullAt(0) => 0
       case r => r.getAs[Number](0).intValue()
     }
     val band = math.max(1, math.ceil(maxDistFrac * maxLen).toInt)
-    def side(id: String, t: String) = docs.select(
-      col(idCol).as(id), col(textCol).as(t),
-      floor(length(col(textCol)) / blockChars).as("lb"),
-      split(col(textCol), " ")(0).as("w0"))
-    val a = side("a", "ta")
-    val b = side("b", "tb")
-    a.join(b, Seq("lb", "w0"))
-      .filter(col("a") < col("b"))
+    val sized = fuzzyBlocked(docs, idCol, textCol, blockChars)
+    def arm(k: String, c: String) = {
+      val x = sized.filter(col(c) <= maxBlock)
+        .select(col("id").as("a"), col("t").as("ta"), col("lb"), col(k))
+      val y = sized.filter(col(c) <= maxBlock)
+        .select(col("id").as("b"), col("t").as("tb"), col("lb"), col(k))
+      x.join(y, Seq("lb", k)).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("ta"), col("tb"))
+    }
+    // distinct de-dups pairs caught by both signatures; ta/tb are
+    // functionally determined by (a, b) so the pair key suffices
+    val cand = arm("k1", "c1").unionAll(arm("k2", "c2"))
+      .groupBy("a", "b")
+      .agg(first(col("ta")).as("ta"), first(col("tb")).as("tb"))
+    cand
       // Levenshtein >= |length difference|: pairs already past the
       // budget on length alone skip the kernel entirely
       .filter(abs(length(col("ta")) - length(col("tb"))) <=
@@ -75,6 +95,45 @@ object Dedup {
       .filter(col("d") >= 0 && col("d") <=
         lit(maxDistFrac) * greatest(length(col("ta")), length(col("tb"))))
       .select(col("a"), col("b"), col("d"))
+  }
+
+  /** Docs keyed for fuzzy blocking: length bucket `lb`, prefix/suffix
+    * two-token signatures `k1`/`k2`, and each signature's block size
+    * `c1`/`c2` (window counts — the shuffle is on the same key the
+    * join needs anyway).
+    */
+  private def fuzzyBlocked(docs: DataFrame, idCol: String,
+      textCol: String, blockChars: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    def tok(i: Int) = coalesce(try_element_at(ws, lit(i)), lit(""))
+    val keyed = docs.select(
+      col(idCol).as("id"), col(textCol).as("t"),
+      floor(length(col(textCol)) / blockChars).as("lb"),
+      concat(tok(1), lit(" "), tok(2)).as("k1"),
+      concat(tok(-2), lit(" "), tok(-1)).as("k2"))
+    keyed
+      .withColumn("c1", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lb"), col("k1"))))
+      .withColumn("c2", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lb"), col("k2"))))
+  }
+
+  /** Blocks [[fuzzyPairs]] dropped under its `maxBlock` cap:
+    * (axis, lb, signature, size). Empty means the cap never bit — the
+    * scale-health check a pipeline should alert on.
+    */
+  def fuzzyOverflowBlocks(docs0: DataFrame, idCol: String,
+      textCol: String, blockChars: Int = 40,
+      maxBlock: Int = 5000): DataFrame = {
+    val docs = graft.engine.Par.widen(docs0)
+    val sized = fuzzyBlocked(docs, idCol, textCol, blockChars)
+    val o1 = sized.filter(col("c1") > maxBlock)
+      .select(lit("k1").as("axis"), col("lb"),
+        col("k1").as("signature"), col("c1").as("block_size"))
+    val o2 = sized.filter(col("c2") > maxBlock)
+      .select(lit("k2").as("axis"), col("lb"),
+        col("k2").as("signature"), col("c2").as("block_size"))
+    o1.unionAll(o2).distinct()
   }
 
   /** Distinct word-level shingles per doc: (id, shingle). `n = 1` gives

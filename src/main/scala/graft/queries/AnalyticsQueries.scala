@@ -740,7 +740,8 @@ object AnalyticsQueries {
     }),
 
     // blocked Levenshtein near-dup pairs (fuzzy dedup between exact
-    // and Jaccard): block on (first word, 40-char length bucket)
+    // and Jaccard): OR-blocked on prefix/suffix two-token signatures
+    // within a 40-char length bucket, capped at 5000 docs per block
     "q88_fuzzy" -> ((s, d) =>
       Dedup.fuzzyPairs(t(s, d, "documents"), "doc_id", "text",
           maxDistFrac = 0.3)
@@ -1436,10 +1437,22 @@ object AnalyticsQueries {
        + "ROUND(1.0 - COUNT(DISTINCT md5(text))::DOUBLE / COUNT(*), 4) AS dup_rate "
        + "FROM documents GROUP BY lang ORDER BY lang"),
     "q88_fuzzy" ->
-      ("WITH b AS (SELECT doc_id, text, length(text) // 40 AS lb, string_split(text, ' ')[1] AS w0 FROM documents) "
-       + "SELECT x.doc_id AS a, y.doc_id AS b, levenshtein(x.text, y.text)::BIGINT AS d "
-       + "FROM b x JOIN b y ON x.lb = y.lb AND x.w0 = y.w0 AND x.doc_id < y.doc_id "
-       + "WHERE levenshtein(x.text, y.text) <= 0.3 * greatest(length(x.text), length(y.text)) "
+      ("WITH s AS (SELECT doc_id, text, length(text) // 40 AS lb, string_split(text, ' ') AS ws FROM documents), "
+       + "k AS (SELECT doc_id, text, lb, "
+       + "coalesce(ws[1], '') || ' ' || coalesce(ws[2], '') AS k1, "
+       + "coalesce(ws[-2], '') || ' ' || coalesce(ws[-1], '') AS k2 FROM s), "
+       + "b AS (SELECT *, count(*) OVER (PARTITION BY lb, k1) AS c1, "
+       + "count(*) OVER (PARTITION BY lb, k2) AS c2 FROM k), "
+       + "cand AS ("
+       + "SELECT x.doc_id AS a, y.doc_id AS b, x.text AS tx, y.text AS ty "
+       + "FROM b x JOIN b y ON x.lb = y.lb AND x.k1 = y.k1 AND x.doc_id < y.doc_id "
+       + "WHERE x.c1 <= 5000 AND y.c1 <= 5000 "
+       + "UNION "
+       + "SELECT x.doc_id, y.doc_id, x.text, y.text "
+       + "FROM b x JOIN b y ON x.lb = y.lb AND x.k2 = y.k2 AND x.doc_id < y.doc_id "
+       + "WHERE x.c2 <= 5000 AND y.c2 <= 5000) "
+       + "SELECT a, b, levenshtein(tx, ty)::BIGINT AS d FROM cand "
+       + "WHERE levenshtein(tx, ty) <= 0.3 * greatest(length(tx), length(ty)) "
        + "ORDER BY a, b"),
     "q85_scd2" ->
       ("WITH e AS (SELECT user_id, event_type AS seg, epoch(date_trunc('second', ts))::BIGINT AS sec, event_id FROM events), "

@@ -299,6 +299,38 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 0L), (1L, 3L, 3L), (2L, 3L, 3L)))
   }
 
+  test("fuzzyPairs: suffix signature recovers pairs whose prefix differs") {
+    import spark.implicits._
+    // prefix edit ("An" vs "The") breaks k1; the shared last-two-token
+    // signature still blocks them together — OR-blocking recall
+    val d2 = Seq(
+      (1L, "The brown fox naps by the quiet river bank"),
+      (2L, "Own brown fox naps by the quiet river bank"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(d2, "doc_id", "text", maxDistFrac = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 3L)))
+  }
+
+  test("fuzzyPairs: maxBlock cap drops oversized blocks, observable via overflow") {
+    import spark.implicits._
+    // five identical docs: every signature block has size 5
+    val many = (1L to 5L).map(i => (i, "aaa bbb ccc ddd")).toDF("doc_id", "text")
+    // cap below the block size: no candidate survives either axis
+    assert(Dedup.fuzzyPairs(many, "doc_id", "text", maxDistFrac = 0.3,
+      maxBlock = 4).count() == 0)
+    val over = Dedup.fuzzyOverflowBlocks(many, "doc_id", "text", maxBlock = 4)
+      .orderBy("axis").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(over.toSeq == Seq(
+      ("k1", "aaa bbb", 5L), ("k2", "ccc ddd", 5L)))
+    // cap at the block size: all 10 pairs, nothing dropped
+    assert(Dedup.fuzzyPairs(many, "doc_id", "text", maxDistFrac = 0.3,
+      maxBlock = 5).count() == 10)
+    assert(Dedup.fuzzyOverflowBlocks(many, "doc_id", "text", maxBlock = 5)
+      .count() == 0)
+  }
+
   test("nearDupSurvivors: keep-longest per cluster, min-id tie-break, singletons survive") {
     import spark.implicits._
     val docs = Seq(
