@@ -52,18 +52,35 @@ object VecFusion extends Rule[LogicalPlan] {
     case _ => e
   }
 
+  // Exact lambda-variable reference, NO cast stripping: used for the
+  // zip lambda, where `CAST(x AS DOUBLE) * CAST(y AS DOUBLE)` is a
+  // genuinely different (double-product) computation the float kernel
+  // must not replace — each product differs by up to 1 ulp.
+  private def isVarStrict(e: Expression, v: NamedLambdaVariable): Boolean =
+    e match {
+      case n: NamedLambdaVariable => n.exprId == v.exprId
+      case _ => false
+    }
+
+  // Cast-stripping variant for the FOLD lambda only: with a float
+  // element and a double accumulator, analysis inserts `s +
+  // CAST(e AS DOUBLE)` — that upcast is exactly what the kernel's
+  // double accumulation reproduces, so it is safe to see through.
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean =
     strip(e) match {
       case n: NamedLambdaVariable => n.exprId == v.exprId
       case _ => false
     }
 
-  // DOUBLE zero only: a float/int seed types the whole fold differently
-  // (and the whole match is additionally gated on the aggregate's own
-  // dataType being DoubleType)
+  // Positive DOUBLE zero only: a float/int seed types the whole fold
+  // differently (and the whole match is additionally gated on the
+  // aggregate's own dataType being DoubleType); -0.0 is rejected by
+  // raw-bits comparison because the kernel's accumulator starts at
+  // +0.0, and an empty array would observably return the seed.
   private def isZero(e: Expression): Boolean =
     e.dataType == DoubleType && e.foldable && (e.eval() match {
-      case d: java.lang.Double => d == 0.0
+      case d: java.lang.Double =>
+        java.lang.Double.doubleToRawLongBits(d) == 0L
       case _ => false
     })
 
@@ -78,8 +95,12 @@ object VecFusion extends Rule[LogicalPlan] {
             LambdaFunction(fin, Seq(f: NamedLambdaVariable), _))
           if agg.dataType == DoubleType &&
             isFloatArrayAttr(la) && isFloatArrayAttr(ra) && isZero(zero) &&
-            ((isVar(mul.left, x) && isVar(mul.right, y)) ||
-              (isVar(mul.left, y) && isVar(mul.right, x))) &&
+            // FLOAT-typed multiply of the bare lambda variables: an
+            // explicit double-product idiom (casts inside the zip
+            // lambda) computes different values and must not fuse
+            mul.dataType == FloatType &&
+            ((isVarStrict(mul.left, x) && isVarStrict(mul.right, y)) ||
+              (isVarStrict(mul.left, y) && isVarStrict(mul.right, x))) &&
             ((isVar(add.left, s) && isVar(add.right, e)) ||
               (isVar(add.left, e) && isVar(add.right, s))) &&
             isVar(fin, f) =>

@@ -60,6 +60,36 @@ class VecFusionSpec extends SparkSpec {
     assert(q.collect().map(_.getFloat(0)).toSeq == Seq(32f, 1.5f))
   }
 
+  test("explicit double-product idiom is NOT rewritten (casts in zip lambda)") {
+    // a user asking for double products gets ~1 ulp/element more
+    // accuracy than float products — the float kernel must not replace
+    // that computation (ADVICE round 5: isVar stripped these casts)
+    val df = Seq((Array(0.1f, 0.3f, 0.7f), Array(0.3f, 0.7f, 0.9f)))
+      .toDF("a", "b").repartition(2)
+    val q = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (s, x) -> s + x) as d")
+    val opt = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!opt.contains("floatdot"), s"double-product idiom fused:\n$opt")
+    val expected = 0.1f.toDouble * 0.3f.toDouble +
+      0.3f.toDouble * 0.7f.toDouble + 0.7f.toDouble * 0.9f.toDouble
+    assert(q.collect().head.getDouble(0) == expected,
+      "result must be the double-product sum, not the float-product one")
+  }
+
+  test("-0.0 seed is NOT rewritten (kernel accumulator starts at +0.0)") {
+    // observable on an empty array: the fold returns the seed verbatim,
+    // so -0.0 in, -0.0 out — the kernel would return +0.0
+    val df = Seq((Array.empty[Float], Array.empty[Float]))
+      .toDF("a", "b").repartition(2)
+    val q = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), cast('-0.0' as double), (s, x) -> s + x) as d")
+    val opt = q.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!opt.contains("floatdot"), s"-0.0 seed fused:\n$opt")
+    val bits = java.lang.Double.doubleToRawLongBits(q.collect().head.getDouble(0))
+    assert(bits == java.lang.Double.doubleToRawLongBits(-0.0),
+      "empty-array fold must return the -0.0 seed bit-for-bit")
+  }
+
   test("fusion is bit-exact vs the unfused idiom, not just close") {
     // products like 0.1f*0.3f round differently in float vs double;
     // the fused kernel must reproduce the idiom's float products
