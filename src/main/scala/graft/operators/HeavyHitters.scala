@@ -39,7 +39,15 @@ object HeavyHitters {
     private def shrink(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= cap) m
       else {
-        val cut = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)(cap)
+        // The reduce path overflows by exactly one key, so the
+        // (cap+1)-th largest of the cap+1 values IS the minimum — one
+        // O(cap) scan, no per-row array sort (on a distinct-heavy tail
+        // every row overflows, so the sort was O(cap log cap)/row).
+        // The general selection remains for merge, which can be up to
+        // 2*cap wide but runs once per merged summary pair, not per row.
+        val cut =
+          if (m.size == cap + 1) m.valuesIterator.min
+          else m.valuesIterator.toArray.sorted(Ordering[Long].reverse)(cap)
         m.collect { case (k, v) if v > cut => k -> (v - cut) }
       }
 
