@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
   * driver-side graph state. The convergence check rides the SAME job
   * as the round's materialization via `observe()` (an accumulator-
   * backed count of changed labels) — no extra per-round action.
-  * `localCheckpoint` per round truncates lineage so round i does not
+  * a per-round lineage cut ([[graft.engine.Checkpoints]]) truncates the plan so round i does not
   * recompute rounds 1..i-1. Non-convergence within `maxIters` (only
   * possible for diameter > 2^maxIters) logs a WARNING rather than
   * returning silently-split components.
@@ -44,10 +44,10 @@ object Components extends org.apache.spark.internal.Logging {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.engine.Checkpoints.cut)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+      .transform(graft.engine.Checkpoints.cut)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -73,7 +73,7 @@ object Components extends org.apache.spark.internal.Logging {
         .observe(obs, sum(when(col("comp") =!= col("_old"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("comp"))
-        .localCheckpoint(true) // the round's single action
+        .transform(graft.engine.Checkpoints.cut) // the round's single action
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1

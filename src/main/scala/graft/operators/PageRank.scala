@@ -19,18 +19,24 @@ import org.apache.spark.sql.functions._
   * relation; each iteration is one equi-join (ranks ⋈ edges on src —
   * both sides hash-partitioned on the same key, so AQE reuses the
   * exchange) plus one map-side-combinable groupBy on dst. Lineage is
-  * cut every iteration with localCheckpoint — the local-mode analog of
-  * the reliable HDFS checkpoint an iterative job needs on a cluster
-  * (same pattern as the IVF k-means loop in [[Similarity]]).
+  * cut every iteration through [[graft.engine.Checkpoints]] —
+  * `localCheckpoint` by default, or a reliable `checkpoint()` when
+  * `graft.checkpoint.dir` is set (the form a long iterative job on a
+  * real cluster needs to survive executor loss).
   *
-  * Callers must ensure every node has outdegree ≥ 1 (e.g. symmetrize
-  * the edge list) — dangling-mass redistribution is deliberately out
-  * of scope for the fixed-point contract.
+  * [[run]] requires every node to have outdegree ≥ 1 (e.g. symmetrize
+  * the edge list) — the classic simplification when the graph is known
+  * sink-free. [[runDangling]] lifts that precondition with the standard
+  * dangling-mass redistribution: each iteration the summed rank of
+  * out-degree-0 nodes is shared uniformly (an integer `div N` each) by
+  * all nodes, still entirely in BIGINT fixed point, so it remains
+  * oracle-checkable.
   */
 object PageRank {
   val Scale: Long = 1000000L
 
   /** @param edges (src: long, dst: long) directed edges, deduplicated.
+    *              Every node must appear as a source (no sinks).
     * @return (node, rank) with rank in micro-units (BIGINT).
     */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
@@ -55,13 +61,70 @@ object PageRank {
       val contribs = ranks
         .join(ew, col("node") === col("e_src"))
         .select(col("e_dst").as("node2"), expr("r div d").as("c"))
-      ranks = contribs.groupBy(col("node2"))
+      ranks = graft.engine.Checkpoints.cut(contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
         .select(col("node2").as("node"),
-          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r"))
-        .localCheckpoint()
+          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r")))
     }
-    ew.unpersist() // ranks is materialized by the final localCheckpoint
+    ew.unpersist() // ranks is materialized by the final lineage cut
+    ranks
+  }
+
+  /** PageRank over a graph that MAY contain sinks (dangling nodes —
+    * no out-edges). Standard redistribution: each iteration, the total
+    * rank held by dangling nodes is divided `div N` (truncating — the
+    * remainder is dropped deterministically, like every other
+    * fixed-point op here) and added to every node's incoming sum. The
+    * node set is src ∪ dst; nodes nobody links to still receive the
+    * base 0.15 term plus the dangling share.
+    *
+    * Scale shape per iteration: the same single edge-join + groupBy as
+    * [[run]], plus one |V|-row anti-join and a one-row broadcast
+    * cross-join for the dangling sum (the scalar-broadcast pattern used
+    * throughout — never a driver collect), plus a left join of the
+    * |V|-row node list against the contribution sums.
+    */
+  def runDangling(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("e_src"),
+      col("dst").cast("long").as("e_dst"))
+    val outdeg = e.groupBy(col("e_src")).agg(count(lit(1)).as("d"))
+      .select(col("e_src").as("o_src"), col("d"))
+    val ew = e.join(outdeg, col("e_src") === col("o_src"))
+      .select(col("e_src"), col("e_dst"), col("d"))
+      .repartition(col("e_src"))
+      .persist()
+    // node universe = src ∪ dst; pinned — reused |iterations| times as
+    // the left side of the rank refresh AND the dangling anti-join
+    val nodes = e.select(col("e_src").as("node"))
+      .union(e.select(col("e_dst").as("node")))
+      .distinct()
+      .repartition(col("node"))
+      .persist()
+    // |V| as a one-row broadcast scalar (BIGINT, engine-independent)
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(ew, col("node") === col("e_src"))
+        .select(col("e_dst").as("node2"), expr("r div d").as("c"))
+      val sums = contribs.groupBy(col("node2"))
+        .agg(sum(col("c")).as("s"))
+      // rank parked on sinks this round, as a one-row relation
+      // (coalesce: a sink-free graph has an empty sum, not a null share)
+      val dangling = ranks
+        .join(outdeg, col("node") === col("o_src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = graft.engine.Checkpoints.cut(nodes
+        .join(sums, col("node") === col("node2"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          (lit(15L * Scale / 100) +
+            expr("(85 * (coalesce(s, 0L) + dang div n_nodes)) div 100")
+          ).as("r")))
+    }
+    ew.unpersist()
+    nodes.unpersist()
     ranks
   }
 }

@@ -88,7 +88,7 @@ object Similarity {
       .select(col("cid").as("ctr"), col("cv").as("cvec"))
     for (_ <- 1 to iters) {
       val assigned = nearest1(c, centroids, "cid", "cv", Seq("cv"), "actr")
-      // localCheckpoint: centroids are nCentroids tiny rows — truncate
+      // lineage cut (Checkpoints.cut): centroids are nCentroids tiny rows — truncate
       // the lineage so iteration i doesn't recompute iterations 1..i-1
       centroids = assigned
         .select(col("actr").as("ctr"), posexplode(col("cv")))
@@ -96,7 +96,7 @@ object Similarity {
         .groupBy(col("ctr"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("cvec"))
-        .localCheckpoint(true)
+        .transform(graft.engine.Checkpoints.cut)
     }
     centroids
   }

@@ -292,6 +292,26 @@ object AnalyticsQueries {
         .select(col("node"), col("r").as("rank"))
     }),
 
+    // PageRank WITH dangling-mass redistribution, over the DIRECTED
+    // customer→supplier trade graph: every supplier is a sink, so about
+    // half the graph's rank parks on dangling nodes each round — the
+    // redistribution term (sink mass div N to every node) runs in the
+    // same BIGINT fixed point as q125, so the 5 iterations remain
+    // expressible as an unrolled CTE oracle with one extra scalar
+    // subquery per round
+    "q141_pagerank_dangling" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000000L)).as("dst"))
+        .distinct()
+      graft.operators.PageRank.runDangling(edges, iterations = 5)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("r").as("rank"))
+    }),
+
     // triangle count over the part co-purchase graph (parts sharing an
     // order) — degree-ordered orientation caps wedge volume at O(m^1.5)
     // regardless of hub skew; the count is exact and engine-independent
@@ -620,11 +640,10 @@ object AnalyticsQueries {
         val relaxed = dist.join(e0, col("node") === col("u"))
           .filter(col("dd") =!= Long.MaxValue)
           .select(col("v").as("node"), (col("dd") + 1L).as("dd"))
-        dist = dist.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dd")).as("dd"))
-          .localCheckpoint()
+        dist = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
       }
-      e0.unpersist() // dist is materialized by the final localCheckpoint
+      e0.unpersist() // dist is materialized by the final lineage cut
       dist.filter(col("dd") =!= Long.MaxValue)
         .groupBy(col("dd")).agg(count(lit(1)).as("n_nodes"))
         .orderBy("dd")
@@ -962,6 +981,32 @@ object AnalyticsQueries {
     base + iters + "SELECT node, r AS rank FROM r5 ORDER BY r DESC, node LIMIT 20"
   }
 
+  /** q141's oracle: q125's unrolled fixed-point chain plus, per round,
+    * a scalar subquery for the rank parked on sinks (anti-join against
+    * outdeg) and its `// N` uniform share — the node universe is
+    * src ∪ dst, and every node (even one nobody links to) gets the
+    * 0.15 base plus the dangling share.
+    */
+  private def pagerankDanglingOracle: String = {
+    val base =
+      "WITH edges AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), " +
+      "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), " +
+      "nn AS (SELECT COUNT(*) AS n FROM nodes), " +
+      "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    val iters = (1 to 5).map { i =>
+      s"r$i AS (SELECT nd.node, CAST(150000 + (85 * (COALESCE(c.s, 0) + " +
+      s"(SELECT COALESCE(SUM(p.r), 0) FROM r${i - 1} p LEFT JOIN outdeg o ON p.node = o.src WHERE o.src IS NULL) " +
+      "// (SELECT n FROM nn))) // 100 AS BIGINT) AS r " +
+      "FROM nodes nd LEFT JOIN (" +
+      s"SELECT e.dst AS node, SUM(p.r // o.d) AS s FROM r${i - 1} p " +
+      "JOIN outdeg o ON p.node = o.src JOIN edges e ON o.src = e.src GROUP BY e.dst" +
+      ") c ON nd.node = c.node)"
+    }.mkString(", ", ", ", " ")
+    base + iters + "SELECT node, r AS rank FROM r5 ORDER BY r DESC, node LIMIT 20"
+  }
+
   /** q137's oracle: the exact-decimal moments and the CHARACTER-
     * IDENTICAL closed-form double arithmetic the Spark side runs —
     * same parse, same IEEE op order, bit-equal results.
@@ -1016,6 +1061,7 @@ object AnalyticsQueries {
        + "ORDER BY pmi DESC, a, b LIMIT 20"),
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
+    "q141_pagerank_dangling" -> pagerankDanglingOracle,
     // dual-unnest zips the token with its 0-based position (DuckDB has
     // no posexplode; zipped unnests are its equivalent)
     "q127_phrase_search" ->
