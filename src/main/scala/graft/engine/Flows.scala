@@ -70,8 +70,17 @@ object Flows extends org.apache.spark.internal.Logging {
         kin.get("exchange_declare_kwargs").foreach {
           case m: java.util.Map[_, _] =>
             import scala.jdk.CollectionConverters._
-            graft.sources.Broker.declare(exchangeName, brokerUrl,
-              m.asScala.map { case (k, v) => k.toString -> v.toString }.toMap)
+            // a nested `arguments:` map (pika's arguments dict) is
+            // flattened to `arguments.<key>` entries; Broker.declare
+            // validates the key set (pika parity — unknown kwargs fail
+            // the flow at bind time, like the reference's TypeError)
+            val flat = m.asScala.iterator.flatMap {
+              case (k, vm: java.util.Map[_, _]) if k.toString == "arguments" =>
+                vm.asScala.map { case (ak, av) =>
+                  s"arguments.$ak" -> String.valueOf(av) }
+              case (k, v) => Iterator.single(k.toString -> String.valueOf(v))
+            }.toMap
+            graft.sources.Broker.declare(exchangeName, brokerUrl, flat)
           case other => throw new IllegalArgumentException(
             s"exchange_declare_kwargs must be a map, got ${other.getClass.getSimpleName}")
         }

@@ -108,11 +108,34 @@ object Broker {
             "or amqp://host:port)")
     }
 
+  /** Kwargs pika's `exchange_declare` accepts by name. The reference
+    * forwards YAML kwargs to pika verbatim (amqp.py:55-78), so any
+    * OTHER key — `exclusive` (a queue_declare kwarg), a typo — raises
+    * TypeError there at bind time; [[declare]] rejects the same set
+    * with the same timing. `arguments.<k>` entries (the flattened form
+    * of pika's `arguments` dict) and bare `x-*` keys are AMQP
+    * arguments-table entries, which every transport records.
+    */
+  private val DeclareKwargs =
+    Set("exchange_type", "passive", "durable", "auto_delete", "internal")
+
+  private[sources] def validateDeclareKwargs(kwargs: Map[String, String]): Unit = {
+    val unknown = kwargs.keys.filterNot(k =>
+      DeclareKwargs(k) || k.startsWith("arguments.") || k.startsWith("x-"))
+    require(unknown.isEmpty,
+      s"unknown exchange_declare kwargs: ${unknown.toSeq.sorted.mkString(", ")} " +
+        "(accepted: exchange_type, passive, durable, auto_delete, internal, " +
+        "arguments.<key> / x-* table entries — the set pika's " +
+        "exchange_declare takes; the reference would raise TypeError on " +
+        "these too)")
+  }
+
   /** Declare-with-kwargs against whichever transport serves the
     * exchange (the reference declares on bind, amqp.py:70).
     */
   def declare(exchange: String, brokerUrl: Option[String],
-      kwargs: Map[String, String]): Unit =
+      kwargs: Map[String, String]): Unit = {
+    validateDeclareKwargs(kwargs)
     brokerUrl match {
       case None => MemoryBroker.declare(exchange, kwargs)
       case Some(TcpUrl(h, p)) =>
@@ -124,4 +147,5 @@ object Broker {
           s"unsupported broker url '$other' (expected tcp://host:port " +
             "or amqp://host:port)")
     }
+  }
 }

@@ -168,4 +168,14 @@ final class ExchangeLog(name: String, walDir: Option[Path],
 
   override def nack(): Unit = synchronized { nacked += 1 }
   override def nackCount: Long = synchronized { nacked }
+
+  /** Remove the log's on-disk state (WAL + commit marker) — the
+    * destruction path of an `auto_delete` exchange: once deleted, a
+    * re-declare must start EMPTY, not recover the old suffix.
+    */
+  def purge(): Unit = synchronized {
+    buf.clear(); base = 0L; walBase = 0L
+    walFile.foreach(Files.deleteIfExists(_))
+    commitFile.foreach(Files.deleteIfExists(_))
+  }
 }

@@ -99,6 +99,10 @@ final class AmqpConnection(host: String, port: Int) {
                 s"broker closed connection: ${c.replyCode} ${c.replyText}")
             case c: ChannelClose =>
               sendFrames(methodFrame(f.channel, ChannelCloseOk()))
+              // surface the error to the in-flight rpc() FIRST: the
+              // caller gets the broker's reply code immediately instead
+              // of a 15 s reply timeout (e.g. passive-declare 404)
+              replies.put(c)
               throw new java.io.IOException(
                 s"broker closed channel: ${c.replyCode} ${c.replyText}")
             case m => replies.put(m)
@@ -131,6 +135,8 @@ final class AmqpConnection(host: String, port: Int) {
     }
     r match {
       case ok: M => ok
+      case c: ChannelClose => throw new java.io.IOException(
+        s"broker closed channel: ${c.replyCode} ${c.replyText}")
       case other => throw new java.io.IOException(
         s"expected ${ct.runtimeClass.getSimpleName}, got $other")
     }
@@ -141,8 +147,17 @@ final class AmqpConnection(host: String, port: Int) {
   // ---- channel operations ------------------------------------------
   def declareExchange(name: String, tpe: String, durable: Boolean,
       arguments: Map[String, Any]): Unit =
-    rpc[ExchangeDeclareOk](ExchangeDeclare(name, tpe, passive = false,
-      durable = durable, autoDelete = false, internal = false,
+    declareExchange(name, tpe, passive = false, durable = durable,
+      autoDelete = false, internal = false, arguments)
+
+  /** Full-bit exchange.declare — every flag pika's `exchange_declare`
+    * exposes (reference amqp.py:55-78 forwards them verbatim).
+    */
+  def declareExchange(name: String, tpe: String, passive: Boolean,
+      durable: Boolean, autoDelete: Boolean, internal: Boolean,
+      arguments: Map[String, Any]): Unit =
+    rpc[ExchangeDeclareOk](ExchangeDeclare(name, tpe, passive = passive,
+      durable = durable, autoDelete = autoDelete, internal = internal,
       noWait = false, arguments)): Unit
 
   def declareQueue(queue: String): Unit =
@@ -362,18 +377,28 @@ object AmqpBroker {
       _ => new AmqpConsumerLog(host, port, exchange))
 
   /** Declare-with-kwargs over a short-lived AMQP connection (the
-    * reference declares on bind, amqp.py:55-78). `durable` maps to the
-    * protocol's durable bit; `exchange_type` to the exchange type;
-    * everything else passes through the arguments table.
+    * reference declares on bind, amqp.py:55-78). Every kwarg pika's
+    * `exchange_declare` accepts maps to its protocol field: `durable`,
+    * `passive`, `auto_delete`, `internal` to their method bits,
+    * `exchange_type` to the type field; `arguments.<k>` entries (the
+    * flattening of pika's `arguments` dict) and bare `x-*` keys ride
+    * the AMQP arguments table. Validation of unknown keys happens in
+    * [[graft.sources.Broker.declare]], shared by every transport.
     */
   def declare(host: String, port: Int, exchange: String,
       kwargs: Map[String, String]): Unit = {
+    def bit(k: String) = kwargs.get(k).exists(_.equalsIgnoreCase("true"))
     val durable = !kwargs.get("durable").exists(_.equalsIgnoreCase("false"))
     val tpe = kwargs.getOrElse("exchange_type", "fanout")
-    val args: Map[String, Any] =
-      (kwargs - "durable" - "exchange_type").map { case (k, v) => k -> (v: Any) }
+    val args: Map[String, Any] = kwargs.collect {
+      case (k, v) if k.startsWith("arguments.") =>
+        k.stripPrefix("arguments.") -> (v: Any)
+      case (k, v) if k.startsWith("x-") => k -> (v: Any)
+    }
     val c = new AmqpConnection(host, port)
-    try c.declareExchange(exchange, tpe, durable, args)
+    try c.declareExchange(exchange, tpe, passive = bit("passive"),
+      durable = durable, autoDelete = bit("auto_delete"),
+      internal = bit("internal"), args)
     finally c.close()
   }
 

@@ -47,6 +47,11 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
   private val exchanges = new ConcurrentHashMap[String, ExchangeLog]()
   private val declaredKwargs = new ConcurrentHashMap[String, Map[String, String]]()
   private val bindings = new ConcurrentHashMap[String, String]() // queue -> exchange
+  // live consumer count per exchange — the lifecycle signal for
+  // auto_delete (this broker's queues are 1:1 shadows of exchanges, so
+  // "last queue unbound" and "last consumer gone" coincide)
+  private val consumerCounts =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
   // reuseAddress: a restarted broker must rebind its port even while
   // the dead process's connections sit in TIME_WAIT
   private val server = new ServerSocket()
@@ -68,6 +73,25 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
     val dir = if (kwargs.get("durable").exists(_.equalsIgnoreCase("false")))
       None else walDir
     exchanges.computeIfAbsent(name, n => new ExchangeLog(n, dir)): Unit
+  }
+
+  private def declaredBit(exchange: String, bit: String): Boolean =
+    declaredKwargs.getOrDefault(exchange, Map.empty)
+      .get(bit).exists(_.equalsIgnoreCase("true"))
+
+  /** auto_delete teardown: when the LAST consumer of an auto_delete
+    * exchange goes away, the exchange is destroyed — in-memory log,
+    * recorded kwargs AND on-disk WAL (a later re-declare starts empty,
+    * exactly like RabbitMQ re-creating a deleted auto-delete exchange).
+    */
+  private def releaseConsumer(exchange: String): Unit = {
+    val counter = consumerCounts.get(exchange)
+    if (counter != null && counter.decrementAndGet() <= 0 &&
+        declaredBit(exchange, "auto_delete")) {
+      consumerCounts.remove(exchange)
+      declaredKwargs.remove(exchange)
+      Option(exchanges.remove(exchange)).foreach(_.purge())
+    }
   }
 
   private def exchangeFor(queue: String): String =
@@ -168,6 +192,8 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
       } finally {
         alive = false
         channels.forEach((_, st) => st.open = false)
+        consumedExchanges.forEach(ex => releaseConsumer(ex))
+        consumedExchanges.clear()
         sock.close()
       }
 
@@ -237,11 +263,26 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
       case _: ChannelCloseOk => ()
 
       case d: ExchangeDeclare =>
-        val kwargs =
-          Map("durable" -> d.durable.toString, "exchange_type" -> d.tpe) ++
-            d.arguments.map { case (k, v) => k -> String.valueOf(v) }
-        declare(d.exchange, kwargs)
-        if (!d.noWait) send(methodFrame(channel, ExchangeDeclareOk()))
+        if (d.passive) {
+          // passive declare asserts existence without creating: the
+          // spec answer for a missing exchange is a 404 channel close
+          if (exchanges.containsKey(d.exchange) ||
+              declaredKwargs.containsKey(d.exchange)) {
+            if (!d.noWait) send(methodFrame(channel, ExchangeDeclareOk()))
+          } else closeChannel(channel,
+            404, s"NOT_FOUND - no exchange '${d.exchange}' in vhost '/'",
+            failClass = 40, failMethod = 10)
+        } else {
+          // record non-default bits only, first-wins (the reference's
+          // signal cache ignores a re-declare's kwargs too)
+          val bits = Seq("auto_delete" -> d.autoDelete,
+            "internal" -> d.internal).collect { case (k, true) => k -> "true" }
+          val kwargs =
+            Map("durable" -> d.durable.toString, "exchange_type" -> d.tpe) ++
+              bits ++ d.arguments.map { case (k, v) => k -> String.valueOf(v) }
+          declare(d.exchange, kwargs)
+          if (!d.noWait) send(methodFrame(channel, ExchangeDeclareOk()))
+        }
 
       case q: QueueDeclare =>
         val lg = log(exchangeFor(q.queue))
@@ -271,7 +312,13 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
       case p: BasicPublish =>
         val st = channels.get(channel)
         require(st != null, s"basic.publish on unopened channel $channel")
-        st.pendingPublish = Some(p)
+        // internal exchanges accept no direct publishes — only
+        // exchange-to-exchange traffic, which this broker has none of
+        if (declaredBit(p.exchange, "internal"))
+          closeChannel(channel, 403,
+            s"ACCESS_REFUSED - exchange '${p.exchange}' is internal",
+            failClass = 60, failMethod = 40)
+        else st.pendingPublish = Some(p)
 
       case a: BasicAck =>
         val st = channels.get(channel)
@@ -286,6 +333,21 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
 
       case other =>
         throw new IllegalArgumentException(s"unhandled method $other")
+    }
+
+    // exchanges this connection consumes from (auto_delete lifecycle)
+    private val consumedExchanges =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+    /** Channel-level error: close ONLY the channel (the connection and
+      * its other channels live on), carrying the failing method's
+      * class/method ids as the spec requires.
+      */
+    private def closeChannel(channel: Int, replyCode: Int, replyText: String,
+        failClass: Int, failMethod: Int): Unit = {
+      Option(channels.remove(channel)).foreach(_.open = false)
+      send(methodFrame(channel,
+        ChannelClose(replyCode, replyText, failClass, failMethod)))
     }
 
     // the channel's consumer determines which exchange acks apply to
@@ -305,6 +367,9 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
       require(!st.consuming, s"channel $channel already has a consumer")
       st.consuming = true
       consumerExchange.put(channel, exchange)
+      if (consumedExchanges.add(exchange))
+        consumerCounts.computeIfAbsent(exchange,
+          _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
       val lg = log(exchange)
       val pump = new Thread(() => {
         var nextOff = lg.committed

@@ -173,6 +173,84 @@ class FlowsSpec extends SparkSpec {
     finally q.stop()
   }
 
+  test("exchange_declare_kwargs: nested arguments map is flattened (R2)") {
+    val url = "jdbc:derby:memory:declargdb;create=true"
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute("CREATE TABLE dummy2 (v VARCHAR(10))")
+    catch { case _: java.sql.SQLException => () }
+    finally c.close()
+    val cfg = Config.parseString(
+      s"""size_limit: 4
+         |time_limit: 1
+         |blocks:
+         |  - name: in
+         |    type: amqp
+         |    kwargs: {}
+         |  - name: out
+         |    type: sql
+         |    kwargs:
+         |      url: '$url'
+         |flows:
+         |  - - name: in
+         |      kwargs:
+         |        exchange: decl_args_ex
+         |        exchange_declare_kwargs:
+         |          auto_delete: 'true'
+         |          arguments:
+         |            x-message-ttl: 60000
+         |    - name: out
+         |      kwargs:
+         |        query: "INSERT INTO dummy2 (v) VALUES (:v)"
+         |        parameters:
+         |          v: v
+         |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("declarg-ckpt").toString
+    val q = Flows.startFlow(spark, cfg, cfg.flows.head, ckpt, "decl_args_flow")
+    try assert(MemoryBroker.declared("decl_args_ex") ==
+      Map("auto_delete" -> "true", "arguments.x-message-ttl" -> "60000"))
+    finally q.stop()
+  }
+
+  test("exchange_declare_kwargs: unknown kwarg fails the flow at bind time (R17 parity)") {
+    // the reference forwards kwargs to pika verbatim, so a typo or a
+    // queue-level kwarg (exclusive) crashes it at bind time with
+    // TypeError; the engine must fail the same config at the same
+    // moment, not silently accept an inert key
+    val url = "jdbc:derby:memory:declbaddb;create=true"
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute("CREATE TABLE dummy3 (v VARCHAR(10))")
+    catch { case _: java.sql.SQLException => () }
+    finally c.close()
+    val cfg = Config.parseString(
+      s"""size_limit: 4
+         |time_limit: 1
+         |blocks:
+         |  - name: in
+         |    type: amqp
+         |    kwargs: {}
+         |  - name: out
+         |    type: sql
+         |    kwargs:
+         |      url: '$url'
+         |flows:
+         |  - - name: in
+         |      kwargs:
+         |        exchange: decl_bad_ex
+         |        exchange_declare_kwargs:
+         |          exclusive: 'true'
+         |    - name: out
+         |      kwargs:
+         |        query: "INSERT INTO dummy3 (v) VALUES (:v)"
+         |        parameters:
+         |          v: v
+         |""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("declbad-ckpt").toString
+    val e = intercept[IllegalArgumentException] {
+      Flows.startFlow(spark, cfg, cfg.flows.head, ckpt, "decl_bad_flow")
+    }
+    assert(e.getMessage.contains("exclusive"))
+  }
+
   test("non-JSON content type is warned about but forwarded (R3 first half)") {
     val url = "jdbc:derby:memory:ctdb;create=true"
     val c = DriverManager.getConnection(url)

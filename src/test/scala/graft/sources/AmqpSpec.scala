@@ -152,6 +152,102 @@ class AmqpSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  private def eventually[T](what: String)(f: => Option[T]): T = {
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    var r = f
+    while (r.isEmpty && System.nanoTime() < deadline) { Thread.sleep(20); r = f }
+    r.getOrElse(fail(s"timed out waiting for $what"))
+  }
+
+  test("exchange.declare kwargs: passive checks existence, 404s when missing") {
+    val port = freePort()
+    val srv = new AmqpServer(port, None)
+    try {
+      val url = Some(s"amqp://localhost:$port")
+      // passive declare of an unknown exchange: broker answers a 404
+      // channel close, surfaced promptly as the rpc error
+      val e = intercept[java.io.IOException] {
+        Broker.declare("kw_missing", url, Map("passive" -> "true"))
+      }
+      assert(e.getMessage.contains("404"), e.getMessage)
+      assert(srv.declared("kw_missing").isEmpty,
+        "passive declare must not create the exchange")
+      // declare (with an arguments-table entry), then passive re-check
+      Broker.declare("kw_ex", url,
+        Map("exchange_type" -> "fanout", "durable" -> "false",
+          "arguments.x-message-ttl" -> "60000"))
+      Broker.declare("kw_ex", url, Map("passive" -> "true"))
+      assert(srv.declared("kw_ex")("x-message-ttl") == "60000")
+    } finally srv.stop()
+  }
+
+  test("exchange.declare kwargs: internal exchanges refuse direct publishes") {
+    val port = freePort()
+    val srv = new AmqpServer(port, None)
+    try {
+      val url = Some(s"amqp://localhost:$port")
+      Broker.declare("kw_internal", url,
+        Map("internal" -> "true", "durable" -> "false"))
+      assert(srv.declared("kw_internal")("internal") == "true")
+      val raw = new AmqpConnection("localhost", port)
+      raw.publish("kw_internal", """{"refused":1}""", "application/json")
+      // the broker answers basic.publish with a 403 channel close
+      eventually("publisher channel death") {
+        if (raw.isDead) Some(()) else None
+      }
+      // and the message never landed: passive queue introspection via a
+      // fresh connection reports an empty backlog
+      val check = new AmqpConnection("localhost", port)
+      try {
+        check.declareQueue("kw_internal")
+        check.bind("kw_internal", "kw_internal")
+        assert(check.queueBacklog("kw_internal") == 0)
+      } finally check.close()
+    } finally srv.stop()
+  }
+
+  test("exchange.declare kwargs: auto_delete destroys on last consumer exit") {
+    val wal = tmp("amqp-autodel-wal")
+    val port = freePort()
+    val srv = new AmqpServer(port, Some(wal))
+    try {
+      val url = Some(s"amqp://localhost:$port")
+      Broker.declare("kw_auto", url, Map("auto_delete" -> "true"))
+      assert(srv.declared("kw_auto")("auto_delete") == "true")
+      val c1 = new AmqpConsumerLog("localhost", port, "kw_auto")
+      c1.publish("""{"a":1}""")
+      assert(c1.latest == 1L)
+      c1.closeConnection() // the exchange's LAST consumer goes away
+      eventually("auto_delete teardown") {
+        if (srv.declared("kw_auto").isEmpty) Some(()) else None
+      }
+      // destroyed means destroyed: a passive declare now 404s, and a
+      // fresh consumer starts from an EMPTY log (the WAL is gone too,
+      // despite the exchange having defaulted to durable)
+      val e = intercept[java.io.IOException] {
+        Broker.declare("kw_auto", url, Map("passive" -> "true"))
+      }
+      assert(e.getMessage.contains("404"), e.getMessage)
+      val c2 = new AmqpConsumerLog("localhost", port, "kw_auto")
+      try assert(c2.latest == 0L) finally c2.closeConnection()
+    } finally srv.stop()
+  }
+
+  test("exchange.declare kwargs: unknown names are rejected, pika-parity") {
+    // `exclusive` belongs to queue_declare; pika's exchange_declare
+    // raises TypeError on it — the engine refuses the same set at the
+    // same moment (bind time), on EVERY transport
+    val e = intercept[IllegalArgumentException] {
+      Broker.declare("kw_bad", None, Map("exclusive" -> "true"))
+    }
+    assert(e.getMessage.contains("exclusive"))
+    val e2 = intercept[IllegalArgumentException] {
+      Broker.declare("kw_bad2", Some("tcp://localhost:1"),
+        Map("durrable" -> "true")) // typo must not silently no-op
+    }
+    assert(e2.getMessage.contains("durrable"))
+  }
+
   test("broker restart: un-acked suffix is redelivered on the new session") {
     val wal = tmp("amqp-redeliver-wal")
     val port = freePort()
