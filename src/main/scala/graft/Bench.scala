@@ -46,7 +46,10 @@ object Bench {
     val qjson = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    // `iters`/`agg` make the artifact self-describing: a cross-round
+    // comparison can tell a median-of-3 line from an iters=1 one
+    // without forensic reconstruction
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"agg":"median","queries":$qjson,"sf":"$sfDir"}""")
     Console.out.flush()
     spark.stop()
   }
