@@ -163,6 +163,12 @@ object ScaleProbe {
         .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst")))
       graft.operators.PageRank.run(sym, iterations = 5).count()
     })
+    // the directed (u -> v only) edge list leaves every pure-dst node a
+    // sink: probes the dangling path's extra per-round anti-join +
+    // node-list left join at scale
+    t("pagerank_dangling_5iter")(graft.operators.PageRank.runDangling(
+      coEdges.select(col("u").as("src"), col("v").as("dst")),
+      iterations = 5).count())
     t("heavy_hitters")({
       val tok = d.select(explode(split(col("text"), " ")).as("w"))
         .filter(col("w") =!= "")

@@ -70,6 +70,52 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart): the teleport
+    * mass lands entirely on `source` instead of uniformly — the
+    * resulting ranks ARE proximity-to-source scores, the standard
+    * graph-similarity primitive (related-item ranking, cluster seeds).
+    * Same fixed-point BIGINT design as [[run]]: rank is conserved in
+    * micro-units, `r div d` per edge, `(85·Σ) div 100` damping, so the
+    * iterations unroll to an exact CTE oracle with one CASE term.
+    *
+    * Requires outdegree ≥ 1 for every node (symmetrize first), like
+    * [[run]]. The node universe is the out-degree node set, kept stable
+    * across iterations by a left join (a rank-0 node must not drop out
+    * of the relation — it may be `source`'s only path in).
+    */
+  def personalized(edges: DataFrame, source: Long,
+      iterations: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("e_src"),
+      col("dst").cast("long").as("e_dst"))
+    val outdeg = e.groupBy(col("e_src")).agg(count(lit(1)).as("d"))
+      .select(col("e_src").as("o_src"), col("d"))
+    val ew = e.join(outdeg, col("e_src") === col("o_src"))
+      .select(col("e_src"), col("e_dst"), col("d"))
+      .repartition(col("e_src"))
+      .persist()
+    val nodes = outdeg.select(col("o_src").as("node"))
+      .repartition(col("node"))
+      .persist()
+    val base = when(col("node") === source, lit(15L * Scale / 100))
+      .otherwise(lit(0L))
+    var ranks = nodes.select(col("node"),
+      when(col("node") === source, lit(Scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks
+        .join(ew, col("node") === col("e_src"))
+        .select(col("e_dst").as("node2"), expr("r div d").as("c"))
+      val sums = contribs.groupBy(col("node2"))
+        .agg(sum(col("c")).as("s"))
+      ranks = graft.engine.Checkpoints.cut(nodes
+        .join(sums, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (base + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+    }
+    ew.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
   /** PageRank over a graph that MAY contain sinks (dangling nodes —
     * no out-edges). Standard redistribution: each iteration, the total
     * rank held by dangling nodes is divided `div N` (truncating — the

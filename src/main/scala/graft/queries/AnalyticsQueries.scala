@@ -312,6 +312,29 @@ object AnalyticsQueries {
         .select(col("node"), col("r").as("rank"))
     }),
 
+    // personalized PageRank (random walk with restart) from the lowest
+    // customer node on the symmetrized trade graph: all teleport mass
+    // returns to the source, so ranks are proximity-to-source scores —
+    // the related-item / graph-similarity primitive. Same fixed-point
+    // BIGINT contract as q125: the CTE oracle adds one CASE term.
+    // The source id is one bounded scalar lookup (the maxLen/Bloom-
+    // sizing driver-scalar pattern), not a data collect.
+    "q142_ppr" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val src = pairs.agg(min(col("c"))).head().getLong(0)
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.personalized(edges, src, iterations = 5)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("r").as("rank"))
+    }),
+
     // triangle count over the part co-purchase graph (parts sharing an
     // order) — degree-ordered orientation caps wedge volume at O(m^1.5)
     // regardless of hub skew; the count is exact and engine-independent
@@ -1046,6 +1069,30 @@ object AnalyticsQueries {
       "SELECT dd, COUNT(*) AS n_nodes FROM d4 WHERE dd IS NOT NULL GROUP BY 1 ORDER BY 1"
   }
 
+  /** q142's oracle: q125's unrolled chain with the teleport CASE — all
+    * 0.15 mass lands on the source node (a scalar-subquery MIN, the
+    * same value the engine reads as its one bounded driver scalar).
+    */
+  private def pprOracle: String = {
+    val base =
+      "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "srcn AS (SELECT MIN(c) AS s FROM pairs), " +
+      "edges AS (SELECT c AS src, su AS dst FROM pairs UNION ALL SELECT su, c FROM pairs), " +
+      "outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), " +
+      "nodes AS (SELECT src AS node FROM outdeg), " +
+      "r0 AS (SELECT node, CAST(CASE WHEN node = (SELECT s FROM srcn) THEN 1000000 ELSE 0 END AS BIGINT) AS r FROM nodes)"
+    val iters = (1 to 5).map { i =>
+      s"r$i AS (SELECT nd.node, CAST((CASE WHEN nd.node = (SELECT s FROM srcn) THEN 150000 ELSE 0 END) + " +
+      "(85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r " +
+      "FROM nodes nd LEFT JOIN (" +
+      s"SELECT e.dst AS node, SUM(p.r // o.d) AS s FROM r${i - 1} p " +
+      "JOIN outdeg o ON p.node = o.src JOIN edges e ON o.src = e.src GROUP BY e.dst" +
+      ") c ON nd.node = c.node)"
+    }.mkString(", ", ", ", " ")
+    base + iters + "SELECT node, r AS rank FROM r5 ORDER BY r DESC, node LIMIT 20"
+  }
+
   private val oracles0: Map[String, String] = Map(
     "q139_pmi" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
@@ -1062,6 +1109,7 @@ object AnalyticsQueries {
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
     "q141_pagerank_dangling" -> pagerankDanglingOracle,
+    "q142_ppr" -> pprOracle,
     // dual-unnest zips the token with its 0-based position (DuckDB has
     // no posexplode; zipped unnests are its equivalent)
     "q127_phrase_search" ->

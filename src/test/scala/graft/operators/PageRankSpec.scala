@@ -34,6 +34,19 @@ class PageRankSpec extends SparkSpec {
     assert(a == b, "zero dangling mass must reduce to the plain recurrence")
   }
 
+  test("personalized matches hand-computed fixed point; rank-0 nodes persist") {
+    // symmetrized path 1-2-3, restart at 1
+    val und = Seq((1L, 2L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = ranksOf(PageRank.personalized(edges, source = 1L, iterations = 2))
+    // iter 1: 1 -> 150000 (base only), 2 -> (85*1000000) div 100,
+    //         3 -> 0 (must stay in the relation — it feeds 2 next round)
+    // iter 2: 1: 150000 + (85*425000) div 100 = 511250
+    //         2: (85*150000) div 100 = 127500
+    //         3: (85*425000) div 100 = 361250
+    assert(got == Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
+  }
+
   test("reliable checkpoint path (graft.checkpoint.dir) gives identical ranks") {
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
