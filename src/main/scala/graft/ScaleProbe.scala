@@ -175,6 +175,14 @@ object ScaleProbe {
       graft.operators.HeavyHitters.exactOverThreshold(tok, "w", 0.005)
         .count()
     })
+    // 4 peeling rounds over the same co-purchase graph: per-replica
+    // subgraphs are disjoint, so linear scaling is the pass bar; the
+    // per-round cost is one degree agg + two shrinking semi-joins
+    t("kcore_4rounds")({
+      val sym = coEdges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.KCore.peel(sym, k = 60, rounds = 4).count()
+    })
 
     spark.stop()
   }

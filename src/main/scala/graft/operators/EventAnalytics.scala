@@ -91,6 +91,64 @@ object EventAnalytics {
       .select(col("from_type"), col("to_type"), col("cnt"), col("p"))
   }
 
+  /** Peak concurrency per calendar day: the maximum number of user
+    * sessions simultaneously active at any instant of each day — the
+    * capacity-planning question ("how many live sessions must the
+    * fleet hold?") asked of every event warehouse.
+    *
+    * Sessions are the same `gapSeconds`-inactivity sessions as q25;
+    * a session is active over the CLOSED interval [first event,
+    * last event] at second granularity. Sessions spanning midnight are
+    * split into per-day segments first, which is what makes the sweep
+    * day-partitionable: the classic sweep-line needs one global order,
+    * but after the split each day's segments are independent, so the
+    * running sum is a per-day window — shuffle by day, never a single
+    * global sort. (At 100 TB the day key is the natural partition; a
+    * hotter key could split by hour the same way.)
+    *
+    * Sweep encoding: +1 at segment start, −1 at segment end + 1 s
+    * (closed interval), ties processed −1-first so the running count
+    * never transiently overcounts an end-then-start second. The max of
+    * the running count per day is exact and engine-independent.
+    */
+  def peakConcurrency(events: DataFrame, userCol: String, tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Window.partitionBy(col("u")).orderBy(col("t"))
+    val sessions = events
+      .select(col(userCol).as("u"),
+        date_trunc("second", col(tsCol)).as("t"))
+      .withColumn("prev_t", lag(col("t"), 1).over(uw))
+      .withColumn("new_s",
+        when(col("prev_t").isNull ||
+          col("t") > col("prev_t") + expr(s"INTERVAL $gapSeconds SECONDS"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("u"), col("sid"))
+      .agg(min(col("t")).as("s"), max(col("t")).as("e"))
+    val segments = sessions
+      .select(col("s"), col("e"),
+        explode(sequence(date_trunc("day", col("s")),
+          date_trunc("day", col("e")),
+          expr("INTERVAL 1 DAY"))).as("day_ts"))
+      .select(col("day_ts").cast("date").as("day"),
+        greatest(col("s"), col("day_ts")).as("seg_s"),
+        least(col("e"), col("day_ts") + expr("INTERVAL 86399 SECONDS"))
+          .as("seg_e"))
+    val deltas = segments
+      .select(col("day"), col("seg_s").as("t"), lit(1L).as("delta"))
+      .unionAll(segments.select(col("day"),
+        (col("seg_e") + expr("INTERVAL 1 SECOND")).as("t"),
+        lit(-1L).as("delta")))
+    val sweep = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("running", sum(col("delta")).over(sweep))
+      .groupBy(col("day"))
+      .agg(max(col("running")).as("peak"))
+  }
+
   /** Weekly cohort retention: cohort = ISO week of a user's first
     * event; a user is "retained at offset w" when they have any event
     * in the week `cohort + w`. Output: (cohort_week DATE, week_offset,

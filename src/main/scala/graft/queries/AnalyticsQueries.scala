@@ -335,6 +335,88 @@ object AnalyticsQueries {
         .select(col("node"), col("r").as("rank"))
     }),
 
+    // k-core peeling (k=3, 4 fixed rounds) over the REPEAT-co-purchase
+    // graph (parts sharing >= 2 distinct orders): the standard graph-
+    // density filter for community cores. The fixed round count keeps
+    // the iterative peel a pure function of the input — the same
+    // declared-iteration contract as q125/q140 — so it unrolls to a
+    // CTE oracle; survivors carry their residual in-core degree
+    "q143_kcore" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val und = a.join(b, Seq("k")).filter(col("u") < col("v"))
+        .distinct()
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.KCore.peel(edges, k = 3, rounds = 4)
+        .orderBy("node")
+    }),
+
+    // peak concurrent sessions per calendar day (capacity planning):
+    // q25's 30-min sessions, split at midnight so the sweep-line runs
+    // per-day-partitioned instead of one global sort
+    "q145_concurrency" -> ((s, d) =>
+      graft.operators.EventAnalytics.peakConcurrency(
+          t(s, d, "events"), "user_id", "ts", gapSeconds = 1800)
+        .withColumn("day", col("day").cast("string"))
+        .orderBy("day")),
+
+    // per-event trailing EWMA (alpha = 1/2, 16-event horizon) of the
+    // user's value stream: weights are powers of two over micro-unit
+    // BIGINTs, so numerator and denominator are exact integers and the
+    // result is their truncating integer division, still in micro-
+    // units — smoothing with NO float hazard anywhere (a ROUND of the
+    // double quotient was observed to disagree between engines by 1
+    // ulp-of-round exactly once in 100k rows at sf0.1 — fixed point is
+    // the contract for a reason). One shuffle (the per-user window
+    // sort); the 16 lags run in one window pass
+    "q146_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val base = t(s, d, "events").select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        expr("CAST(round(value * 1000000, 0) AS BIGINT)").as("vm"))
+      val lagCols = (0 until 16).map { j =>
+        (if (j == 0) col("vm") else lag(col("vm"), j).over(w)).as(s"l$j")
+      }
+      val lagged = base.select(col("event_id") +: lagCols: _*)
+      val num = (0 until 16)
+        .map(j => coalesce(col(s"l$j"), lit(0L)) * lit(1L << (15 - j)))
+        .reduce(_ + _)
+      val den = (0 until 16)
+        .map(j => when(col(s"l$j").isNotNull, lit(1L << (15 - j)))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      lagged.withColumn("num", num).withColumn("den", den)
+        .select(col("event_id"), expr("num div den").as("ewma_micro"))
+        .orderBy("event_id")
+    }),
+
+    // Count-Min sketch frequency estimates beside the exact counts for
+    // the exact top-20 words: the mergeable-summary answer to per-key
+    // frequency over an unbounded key domain — the counter table is
+    // depth x width rows no matter how many distinct keys exist, and
+    // the probe side broadcasts it. Golden pin (bucket layout is
+    // xxhash64-defined); overestimate-only + merge==rebuild contracts
+    // certified in SketchSpec
+    "q147_cms" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val cm = graft.operators.CountMin.table(tok, "w", depth = 4, width = 256)
+      val top = TextOps.wordCounts(t(s, d, "documents"), "text")
+        .orderBy(col("c").desc, col("word")).limit(20)
+      graft.operators.CountMin
+        .estimate(cm, top, "word", depth = 4, width = 256)
+        .join(top, "word")
+        .select(col("word"), col("c").as("exact"), col("est"))
+        .orderBy(col("exact").desc, col("word"))
+    }),
+
     // triangle count over the part co-purchase graph (parts sharing an
     // order) — degree-ordered orientation caps wedge volume at O(m^1.5)
     // regardless of hub skew; the count is exact and engine-independent
@@ -1093,7 +1175,66 @@ object AnalyticsQueries {
     base + iters + "SELECT node, r AS rank FROM r5 ORDER BY r DESC, node LIMIT 20"
   }
 
+  /** q143's oracle: the 4 peeling rounds unrolled — each round keeps
+    * sources with degree ≥ 3 and the edges whose BOTH endpoints
+    * survive. Pure integer set logic, so no tolerance anywhere.
+    */
+  private def kcoreOracle: String = {
+    val base =
+      "WITH und AS (SELECT u, v FROM (SELECT DISTINCT a.l_orderkey AS k, a.l_partkey AS u, b.l_partkey AS v " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) " +
+      "GROUP BY u, v HAVING COUNT(*) >= 2), " +
+      "e0 AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)"
+    val iters = (1 to 4).map { i =>
+      s"k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= 3), " +
+      s"e$i AS (SELECT e.src, e.dst FROM e${i - 1} e JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"
+    }.mkString(", ", ", ", " ")
+    base + iters + "SELECT src AS node, COUNT(*) AS deg FROM e4 GROUP BY src ORDER BY node"
+  }
+
+  /** q145's oracle: the same sessionize → midnight-split → sweep-line
+    * pipeline. The −1 delta sits at segment end + 1 s (closed
+    * interval) and ties order −1 before +1, so the running count never
+    * transiently overcounts; MAX per day is then exact.
+    */
+  private def concurrencyOracle: String =
+    "WITH ev AS (SELECT user_id AS u, date_trunc('second', ts) AS t FROM events), " +
+    "fl AS (SELECT u, t, CASE WHEN LAG(t) OVER (PARTITION BY u ORDER BY t) IS NULL " +
+    "OR t > LAG(t) OVER (PARTITION BY u ORDER BY t) + INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_s FROM ev), " +
+    "sd AS (SELECT u, t, SUM(new_s) OVER (PARTITION BY u ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM fl), " +
+    "sess AS (SELECT u, sid, MIN(t) AS s, MAX(t) AS e FROM sd GROUP BY 1, 2), " +
+    "seg AS (SELECT CAST(day_ts AS DATE) AS day, GREATEST(s, day_ts) AS seg_s, " +
+    "LEAST(e, day_ts + INTERVAL 86399 SECOND) AS seg_e FROM " +
+    "(SELECT s, e, UNNEST(generate_series(date_trunc('day', s), date_trunc('day', e), INTERVAL 1 DAY)) AS day_ts FROM sess)), " +
+    "del AS (SELECT day, seg_s AS t, 1 AS delta FROM seg UNION ALL SELECT day, seg_e + INTERVAL 1 SECOND, -1 FROM seg), " +
+    "run AS (SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS running FROM del) " +
+    "SELECT CAST(day AS VARCHAR) AS day, CAST(MAX(running) AS BIGINT) AS peak FROM run GROUP BY day ORDER BY day"
+
+  /** q146's oracle: the identical 16-lag power-of-two weighted sum in
+    * BIGINT micro-units; the truncating integer division (`div` /
+    * `//`) keeps the whole computation float-free and bit-identical.
+    */
+  private def ewmaOracle: String = {
+    val lags = (1 until 16)
+      .map(j => s"LAG(vm, $j) OVER w AS l$j").mkString(", ")
+    val num = (0 until 16)
+      .map(j => s"COALESCE(l$j, 0) * ${1L << (15 - j)}").mkString(" + ")
+    val den = (0 until 16)
+      .map(j => s"CASE WHEN l$j IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+      .mkString(" + ")
+    "WITH ev AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, " +
+    "CAST(round(value * 1000000, 0) AS BIGINT) AS vm FROM events), " +
+    s"l AS (SELECT event_id, vm AS l0, $lags FROM ev " +
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)) " +
+    s"SELECT event_id, CAST(($num) // ($den) AS BIGINT) AS ewma_micro " +
+    "FROM l ORDER BY event_id"
+  }
+
   private val oracles0: Map[String, String] = Map(
+    "q143_kcore" -> kcoreOracle,
+    "q145_concurrency" -> concurrencyOracle,
+    "q146_ewma" -> ewmaOracle,
+    "q147_cms" -> golden("q147_cms", "word, exact, est", "exact DESC, word"),
     "q139_pmi" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
        + "tok AS (SELECT doc_id, unnest(ws) AS wd, unnest(range(len(ws))) AS i FROM t), "

@@ -560,6 +560,27 @@ object CoreQueries {
         round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
       .orderBy("l_returnflag")),
 
+    // exact per-group order statistics: interpolated median plus the
+    // DETERMINISTIC mode (smallest value among the most frequent — a
+    // declared tie-break, not engine luck). The mode's window max runs
+    // over the tiny (group, value) rollup, never the fact table; the
+    // median is the one genuinely sort-based agg, bounded per group
+    "q144_median_mode" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          count(lit(1)).as("n_rows"))
+      val byVal = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val mode = byVal
+        .withColumn("mx",
+          max(col("n")).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("n") === col("mx"), col("l_quantity")))
+          .as("mode_qty"))
+      med.join(mode, "l_returnflag").orderBy("l_returnflag")
+    }),
+
     // equi-width histogram per event type: numeric binning is a pure
     // projection, so this is ONE map-side-combinable groupBy
     "q86_histogram" -> ((s, d) => t(s, d, "events")
@@ -805,6 +826,13 @@ object CoreQueries {
     "q86_histogram" ->
       ("SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bin, COUNT(*) AS c, "
        + "ROUND(SUM(value), 4) AS v FROM events GROUP BY 1, 2 ORDER BY event_type, bin"),
+    "q144_median_mode" ->
+      ("WITH med AS (SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty, COUNT(*) AS n_rows FROM lineitem GROUP BY 1), "
+       + "c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n FROM lineitem GROUP BY 1, 2), "
+       + "m AS (SELECT l_returnflag, l_quantity, n, MAX(n) OVER (PARTITION BY l_returnflag) AS mx FROM c), "
+       + "mo AS (SELECT l_returnflag, MIN(CASE WHEN n = mx THEN l_quantity END) AS mode_qty FROM m GROUP BY 1) "
+       + "SELECT med.l_returnflag, med.median_qty, med.n_rows, mo.mode_qty "
+       + "FROM med JOIN mo ON med.l_returnflag = mo.l_returnflag ORDER BY 1"),
     // q81's semantics ARE the plain join — the Bloom prune only changes
     // the physical plan, so the oracle is the unpruned SQL
     "q81_bloom_join" ->

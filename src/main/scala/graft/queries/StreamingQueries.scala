@@ -185,6 +185,49 @@ object StreamingQueries {
       .orderBy("w_start", "event_type")
   }
 
+  /** At-least-once delivery repaired in-stream: the event stream is
+    * unioned with a SECOND delivery of itself (every record arrives
+    * twice), then `dropDuplicatesWithinWatermark` on the event id
+    * restores exactly-once within the watermark horizon — the standard
+    * streaming-ingest dedup. State is one id per event inside the
+    * horizon and is evicted as the watermark passes, so state stays
+    * bounded on unbounded duplicated input. The downstream hourly
+    * rollup must then match q23's BATCH oracle row-for-row:
+    * dedup ∘ agg == exactly-once agg.
+    */
+  def q148StreamDedup(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    val raw = eventsSchema(s, dir)
+    val name = s"q148_stream_dedup_${System.nanoTime()}"
+    val (_, flushDir) = sentinelFor(s, dir)
+    def delivery() = s.readStream.schema(raw)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val flush = s.readStream.schema(raw).parquet(flushDir)
+    val stream = delivery().unionByName(delivery()).unionByName(flush)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
+    val ckpt = scratchCheckpoint("q148")
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    deleteRecursively(ckpt)
+    s.table(name)
+      .filter(col("event_type") =!= "__flush__")
+      .select(
+        col("window.start").cast("string").as("h"),
+        col("event_type"),
+        col("c"),
+        round(col("v"), 4).as("v"))
+      .orderBy("h", "event_type")
+  }
+
   /** Sessionization through native session_window in a STREAMING query,
     * APPEND mode with watermark: a session is emitted exactly once when
     * the watermark passes its end (state evicted), driven over the top
@@ -500,7 +543,8 @@ object StreamingQueries {
     "q126_stream_outer" -> (q126StreamOuter(_, _)),
     "q82_stream" -> (q82Stream(_, _)),
     "q89_stream_static" -> (q89StreamStatic(_, _)),
-    "q100_sessionize_state" -> (q100SessionizeState(_, _))
+    "q100_sessionize_state" -> (q100SessionizeState(_, _)),
+    "q148_stream_dedup" -> (q148StreamDedup(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
@@ -509,6 +553,9 @@ object StreamingQueries {
       ("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total "
        + "FROM events GROUP BY 1 ORDER BY 1"),
     "q23_stream" -> CoreQueries.oracles("q23_hourly"),
+    // dedup restores exactly-once, so the DOUBLED stream must hit the
+    // single-delivery batch oracle exactly
+    "q148_stream_dedup" -> CoreQueries.oracles("q23_hourly"),
     "q25_stream" -> CoreQueries.oracles("q25_sessionize"),
     "q100_sessionize_state" -> CoreQueries.oracles("q25_sessionize"),
     "q82_stream" -> CoreQueries.oracles("q82_sliding"),

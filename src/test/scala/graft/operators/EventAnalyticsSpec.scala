@@ -85,6 +85,37 @@ class EventAnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L)))
   }
 
+  test("peak concurrency: closed intervals, midnight split, no transient overcount") {
+    // u1 09:00–10:00, u2 09:30–09:45 (overlap => 2), u3 a point
+    // session at 10:00 — u1 is still active AT 10:00 (closed
+    // interval), so 10:00 also holds 2 concurrent; the day's peak is 2
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 09:30:00")), (2L, ts("2024-01-01 09:45:00")),
+      (3L, ts("2024-01-01 10:00:00")),
+      // session crossing midnight: active on BOTH days
+      (4L, ts("2024-01-02 23:50:00")), (4L, ts("2024-01-03 00:10:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.peakConcurrency(df, "user_id", "ts", 3600L)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L), ("2024-01-02", 1L), ("2024-01-03", 1L)))
+  }
+
+  test("peak concurrency: end-then-start at the same second counts both") {
+    // closed intervals: a session ending at t and one starting at t
+    // are simultaneously active at t — peak must be 2, and the sweep's
+    // -1-first tie order must not make it 3 via transient overcount
+    val df = Seq(
+      (1L, ts("2024-01-01 09:00:00")), (1L, ts("2024-01-01 09:30:00")),
+      (2L, ts("2024-01-01 09:30:00")), (2L, ts("2024-01-01 09:50:00"))
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.peakConcurrency(df, "user_id", "ts", 1800L)
+      .collect().map(r => r.getLong(1))
+    assert(got.toSeq == Seq(2L))
+  }
+
   test("funnel over the events table is monotone non-increasing") {
     val ev = Tables(spark, sf, "events")
     val counts = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
