@@ -417,6 +417,59 @@ object AnalyticsQueries {
         .orderBy(col("exact").desc, col("word"))
     }),
 
+    // chi-square independence components for event_type x ISO weekday:
+    // the cross-tab drift test every pipeline monitor runs. Observed/
+    // expected cells are computed over the 35-row AGGREGATED rollup
+    // (row/col/grand totals are broadcast scalars — the fact table
+    // shuffles once for the count); each cell's (o-e)^2/e is rounded
+    // to micro-units BEFORE summing, so the per-type partial sums are
+    // exact BIGINTs — no float-accumulation-order hazard
+    "q149_chisq" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("weekday(ts) + 1").as("dow"))
+      val o = ev.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("o"))
+      val rt = o.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+      val ct = o.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+      val n = o.agg(sum(col("o")).as("n"))
+      o.join(rt, "event_type").join(ct, "dow").crossJoin(broadcast(n))
+        .withColumn("e",
+          expr("CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("cell_micro",
+          expr("CAST(round((o - e) * (o - e) / e * 1000000, 0) AS BIGINT)"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("cell_micro")).as("chi2_part_micro"),
+          sum(col("o")).as("n_type"))
+        .orderBy("event_type")
+    }),
+
+    // distribution drift between the first and second half-month of
+    // events: per-type KL-divergence terms p*ln(p/q) — the monitoring
+    // primitive for "did the mix shift". Terms are emitted per type
+    // (5 rows), not summed, so every float op is a per-row closed-form
+    // expression with LN+ROUND — the q139 PMI determinism precedent
+    "q150_drift" -> ((s, d) => {
+      val cnt = t(s, d, "events")
+        .select(col("event_type"), (dayofmonth(col("ts")) <= 15).as("early"))
+        .groupBy(col("event_type"), col("early"))
+        .agg(count(lit(1)).as("c"))
+      val a = cnt.filter(col("early"))
+        .select(col("event_type"), col("c").as("ca"))
+      val b = cnt.filter(!col("early"))
+        .select(col("event_type"), col("c").as("cb"))
+      val na = a.agg(sum(col("ca")).as("na"))
+      val nb = b.agg(sum(col("cb")).as("nb"))
+      val p = "CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+      val q = "CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)"
+      a.join(b, "event_type")
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(col("event_type"),
+          expr(s"round($p, 4)").as("p_early"),
+          expr(s"round($q, 4)").as("p_late"),
+          expr(s"round(($p) * ln(($p) / ($q)), 4)").as("kl_term"))
+        .orderBy("event_type")
+    }),
+
     // triangle count over the part co-purchase graph (parts sharing an
     // order) — degree-ordered orientation caps wedge volume at O(m^1.5)
     // regardless of hub skew; the count is exact and engine-independent
@@ -1231,6 +1284,25 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q149_chisq" ->
+      ("WITH o AS (SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o FROM events GROUP BY 1, 2), "
+       + "rt AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1), "
+       + "ct AS (SELECT dow, SUM(o) AS c FROM o GROUP BY 1), "
+       + "n AS (SELECT SUM(o) AS n FROM o), "
+       + "cells AS (SELECT o.event_type, o.o, "
+       + "CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS e "
+       + "FROM o JOIN rt USING (event_type) JOIN ct USING (dow), n) "
+       + "SELECT event_type, CAST(SUM(CAST(round((o - e) * (o - e) / e * 1000000, 0) AS BIGINT)) AS BIGINT) AS chi2_part_micro, "
+       + "CAST(SUM(o) AS BIGINT) AS n_type FROM cells GROUP BY 1 ORDER BY 1"),
+    "q150_drift" ->
+      ("WITH cnt AS (SELECT event_type, day(ts) <= 15 AS early, COUNT(*) AS c FROM events GROUP BY 1, 2), "
+       + "a AS (SELECT event_type, c AS ca FROM cnt WHERE early), "
+       + "b AS (SELECT event_type, c AS cb FROM cnt WHERE NOT early), "
+       + "na AS (SELECT SUM(ca) AS na FROM a), nb AS (SELECT SUM(cb) AS nb FROM b) "
+       + "SELECT event_type, round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 4) AS p_early, "
+       + "round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 4) AS p_late, "
+       + "round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 4) AS kl_term "
+       + "FROM a JOIN b USING (event_type), na, nb ORDER BY 1"),
     "q143_kcore" -> kcoreOracle,
     "q145_concurrency" -> concurrencyOracle,
     "q146_ewma" -> ewmaOracle,

@@ -269,6 +269,33 @@ class PlanShapeSpec extends SparkSpec {
       s"q136 day filter must broadcast:\n$s136")
   }
 
+  test("round-6 queries never degenerate to cartesian/BNLJ") {
+    // q143's peel rounds are degree-agg + semi-joins; q145's sweep is
+    // window work after one session agg; q146 is ONE window pass;
+    // q144's mode/median join 6 rows
+    Seq("q143_kcore", "q144_median_mode", "q145_concurrency",
+        "q146_ewma").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct"), s"$name went cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$name went BNLJ:\n$s")
+    }
+  }
+
+  test("q147 CMS probe broadcasts the counter table, never the corpus") {
+    val s = planString(q("q147_cms"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"counter-table probe must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q146 EWMA runs its 16 lags in a single window pass") {
+    val s = planString(q("q146_ewma"))
+    // one Window operator evaluates all 16 lag expressions — 16
+    // separate passes would be 16 sorts of the event stream
+    assert(s.split("\\bWindow\\b").length - 1 <= 2,
+      s"expected a single lag Window (plus none extra):\n$s")
+  }
+
   test("q92 gopher gate is pure projection work — no join, no aggregate") {
     // the only exchanges allowed are Par.widen's round-robin and the
     // final orderBy; the rules themselves must never shuffle data
