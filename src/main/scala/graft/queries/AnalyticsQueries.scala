@@ -417,6 +417,43 @@ object AnalyticsQueries {
         .orderBy(col("exact").desc, col("word"))
     }),
 
+    // market-basket association rules over part co-purchases: for part
+    // pairs sharing >= 3 orders, confidence = sup(a,b)/sup(a) and
+    // lift = conf / (sup(b)/N_orders). The pair support is the q132
+    // edge build (order-key join, never all-pairs); the support-
+    // filtered pair relation is the SMALL side of the item-support
+    // joins (the |parts|-row support dim must not broadcast at real
+    // scale — AQE picks the build side), and the order count rides as
+    // a one-row scalar. Confidence and lift are RATIOS OF INTEGERS, so
+    // they are emitted as truncating micro-unit divisions — exact
+    // BIGINTs, immune to the cross-engine ROUND-of-double ulp that a
+    // float formulation was observed to hit at sf0.01
+    "q151_assoc_rules" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb"))
+      val pairSup = a.join(b, Seq("k")).filter(col("pa") =!= col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 3)
+      val itemSup = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("sup"))
+      val nOrders = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      pairSup
+        .join(itemSup.select(col("l_partkey").as("pa"),
+          col("sup").as("sup_a")), "pa")
+        .join(itemSup.select(col("l_partkey").as("pb"),
+          col("sup").as("sup_b")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("sup_ab"),
+          expr("(sup_ab * 1000000) div sup_a").as("conf_micro"),
+          expr("(sup_ab * n_orders * 1000000) div (sup_a * sup_b)")
+            .as("lift_micro"))
+        .orderBy(col("sup_ab").desc, col("pa"), col("pb"))
+        .limit(50)
+    }),
+
     // chi-square independence components for event_type x ISO weekday:
     // the cross-tab drift test every pipeline monitor runs. Observed/
     // expected cells are computed over the 35-row AGGREGATED rollup
@@ -1284,6 +1321,18 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q151_assoc_rules" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+       + "ps AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sup_ab "
+       + "FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey "
+       + "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+       + "isup AS (SELECT l_partkey, COUNT(*) AS sup FROM li GROUP BY 1), "
+       + "n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li) "
+       + "SELECT pa, pb, sup_ab, "
+       + "CAST((sup_ab * 1000000) // sa.sup AS BIGINT) AS conf_micro, "
+       + "CAST((sup_ab * n_orders * 1000000) // (sa.sup * sb.sup) AS BIGINT) AS lift_micro "
+       + "FROM ps JOIN isup sa ON ps.pa = sa.l_partkey JOIN isup sb ON ps.pb = sb.l_partkey, n "
+       + "ORDER BY sup_ab DESC, pa, pb LIMIT 50"),
     "q149_chisq" ->
       ("WITH o AS (SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o FROM events GROUP BY 1, 2), "
        + "rt AS (SELECT event_type, SUM(o) AS r FROM o GROUP BY 1), "
