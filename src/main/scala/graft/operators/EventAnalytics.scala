@@ -59,6 +59,42 @@ object EventAnalytics {
     }.reduce(_.unionAll(_))
   }
 
+  /** Per-user time-to-convert for each funnel transition: one row
+    * (step, step_name, u, delta_s) per user who converted step k, with
+    * delta_s = conversion time of step k minus conversion time of
+    * step k−1 in whole seconds — [[funnel]]'s semantics (strictly
+    * after, within `maxGapSeconds`, earliest qualifying event), but
+    * keeping WHEN instead of only how many. Feed it a groupBy(step)
+    * percentile for the "how long does conversion take" question.
+    *
+    * Same plan shape as [[funnel]] (per-step filter → join(u) →
+    * groupBy(u)), plus one join of adjacent ≤|users|-row frontiers per
+    * transition to recover the previous step's timestamp.
+    */
+  def funnelTransitions(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGapSeconds: Long): DataFrame = {
+    require(steps.size >= 2, "need at least two steps for a transition")
+    val sec = unix_timestamp(date_trunc("second", col(tsCol)))
+    val byType = steps.map(st =>
+      events.filter(col(typeCol) === st)
+        .select(col(userCol).as("u"), sec.as("t")))
+    val frontiers = byType.tail.scanLeft(
+      byType.head.groupBy(col("u")).agg(min(col("t")).as("t"))) {
+      (prev, stepEvents) =>
+        stepEvents.join(prev.select(col("u"), col("t").as("pt")), "u")
+          .filter(col("t") > col("pt") &&
+            col("t") <= col("pt") + lit(maxGapSeconds))
+          .groupBy(col("u")).agg(min(col("t")).as("t"))
+    }
+    (1 until steps.size).map { k =>
+      frontiers(k)
+        .join(frontiers(k - 1).select(col("u"), col("t").as("pt")), "u")
+        .select(lit(k.toLong).as("step"), lit(steps(k)).as("step_name"),
+          col("u"), (col("t") - col("pt")).as("delta_s"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: (from_type, to_type, cnt, p) where p is the row-
     * normalized transition probability. The "what do users do next"

@@ -417,6 +417,19 @@ object AnalyticsQueries {
         .orderBy(col("exact").desc, col("word"))
     }),
 
+    // funnel time-to-convert: per-transition user counts and MEDIAN
+    // seconds between conversions (q74's funnel, keeping WHEN instead
+    // of only how many). Deltas are whole seconds, so the interpolated
+    // median is k or k+0.5 — binary-exact doubles, engine-identical
+    "q152_funnel_time" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnelTransitions(
+          t(s, d, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), maxGapSeconds = 7L * 86400)
+        .groupBy(col("step"), col("step_name"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(delta_s, 0.5)"), 4).as("median_s"))
+        .orderBy("step")),
+
     // market-basket association rules over part co-purchases: for part
     // pairs sharing >= 3 orders, confidence = sup(a,b)/sup(a) and
     // lift = conf / (sup(b)/N_orders). The pair support is the q132
@@ -1321,6 +1334,17 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q152_funnel_time" ->
+      ("WITH e AS (SELECT user_id AS u, event_type AS et, epoch(date_trunc('second', ts))::BIGINT AS t FROM events), "
+       + "s0 AS (SELECT u, MIN(t) AS t FROM e WHERE et = 'view' GROUP BY u), "
+       + "s1 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s0 USING (u) "
+       + "WHERE e.et = 'click' AND e.t > s0.t AND e.t <= s0.t + 604800 GROUP BY e.u), "
+       + "s2 AS (SELECT e.u, MIN(e.t) AS t FROM e JOIN s1 USING (u) "
+       + "WHERE e.et = 'purchase' AND e.t > s1.t AND e.t <= s1.t + 604800 GROUP BY e.u) "
+       + "SELECT 1::BIGINT AS step, 'click' AS step_name, COUNT(*) AS n_users, "
+       + "ROUND(quantile_cont(s1.t - s0.t, 0.5), 4) AS median_s FROM s1 JOIN s0 USING (u) "
+       + "UNION ALL SELECT 2::BIGINT, 'purchase', COUNT(*), "
+       + "ROUND(quantile_cont(s2.t - s1.t, 0.5), 4) FROM s2 JOIN s1 USING (u) ORDER BY step"),
     "q151_assoc_rules" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
        + "ps AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sup_ab "
