@@ -13,14 +13,20 @@ import org.apache.spark.sql.functions._
   * unroll to an exact SQL oracle — the same declared-iteration
   * determinism contract as [[PageRank]] and BFS.
   *
-  * Scale shape per round: one map-side-combinable `groupBy(src)` for
-  * degrees, then two semi-joins against the ≤|V|-row survivor set. The
-  * edge list is hash-partitioned on `src` once; the degree aggregation
-  * and the src-side semi-join reuse that layout every round, so only
-  * the dst-side semi-join shuffles — and it shuffles a relation that
-  * only ever SHRINKS (peeling never adds edges back). Lineage is cut
-  * per round through [[graft.engine.Checkpoints]] (localCheckpoint, or
-  * reliable `checkpoint()` under `graft.checkpoint.dir` on a cluster).
+  * Scale shape: the edge list is hash-partitioned on `src` ONCE and
+  * never re-shuffled — each round's degree count is a co-partitioned
+  * `groupBy(src)` (checkpointing preserves the partitioning), and the
+  * peel is expressed as two BROADCAST anti-joins against the REMOVED
+  * node set, not semi-joins against the survivor set: `removed` is the
+  * small side by construction (≤ the nodes that die this round, empty
+  * at convergence), while survivors are O(|V|). A first version
+  * semi-joined survivors and re-shuffled the full edge list every
+  * round — 2.2x over linear at the 20x probe; this formulation moves
+  * only the dying nodes per round. If `k` is chosen so that MOST of
+  * the graph dies in round 1, that round's broadcast is large — run a
+  * coarse pre-filter first in that regime. Lineage is cut per round
+  * through [[graft.engine.Checkpoints]] (localCheckpoint, or reliable
+  * `checkpoint()` under `graft.checkpoint.dir` on a cluster).
   */
 object KCore {
 
@@ -41,13 +47,21 @@ object KCore {
       .select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .repartition(col("src"))
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("src").as("kn"))
-      e = graft.engine.Checkpoints.cut(
-        e.join(keep, col("src") === col("kn"), "left_semi")
-          .join(keep, col("dst") === col("kn"), "left_semi"))
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val removed = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k)
+        .select(col("src").as("rn"))
+        .persist()
+      // an empty removed set makes this and every later round the
+      // identity — stop materializing 0-row peels (the result is BY
+      // DEFINITION what running the remaining rounds would produce,
+      // so the fixed-round determinism contract is untouched)
+      if (removed.isEmpty) converged = true
+      else e = graft.engine.Checkpoints.cut(
+        e.join(broadcast(removed), col("src") === col("rn"), "left_anti")
+          .join(broadcast(removed), col("dst") === col("rn"), "left_anti"))
+      removed.unpersist()
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

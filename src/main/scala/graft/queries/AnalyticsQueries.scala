@@ -417,6 +417,48 @@ object AnalyticsQueries {
         .orderBy(col("exact").desc, col("word"))
     }),
 
+    // absence-pattern CEP ("purchase with no recent view" — the fraud/
+    // attribution primitive): each purchase is as-of joined BACKWARD to
+    // the user's latest view at-or-before it (one shuffle + one window
+    // pass, no range explosion), then flagged orphan when there is no
+    // view within 30 min. Absence tests need no anti-join here — the
+    // as-of null IS the absence signal
+    "q153_orphan_purchases" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"),
+        col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("t")).distinct()
+        .withColumn("vt", col("t"))
+      AsOfJoin.backward(purchases, views, keys = Seq("user_id"),
+          tsCol = "t", rightValues = Seq("vt"))
+        .select(col("event_id"), col("user_id"),
+          (col("t") - col("vt")).as("gap_s"),
+          (col("vt").isNull || col("t") - col("vt") > 1800)
+            .cast("int").cast("bigint").as("orphan"))
+        .orderBy("event_id")
+    }),
+
+    // deterministic stratified sampling: 20 docs per language by a
+    // Knuth multiplicative hash of the id — pseudo-random selection
+    // that is a pure function of the data, reproducible across
+    // engines/runs/partitionings (the property a training-subset
+    // sampler must have for lineage). The per-stratum top-20 is a
+    // bounded window over each partition, never a global sort
+    "q154_stratified_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("(doc_id * 2654435761) % 2147483647").as("h"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+        .orderBy("lang", "rn")
+    }),
+
     // funnel time-to-convert: per-transition user counts and MEDIAN
     // seconds between conversions (q74's funnel, keeping WHEN instead
     // of only how many). Deltas are whole seconds, so the interpolated
@@ -1334,6 +1376,19 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q153_orphan_purchases" ->
+      ("WITH e AS (SELECT event_id, user_id AS u, epoch(date_trunc('second', ts))::BIGINT AS t, event_type AS et FROM events), "
+       + "p AS (SELECT event_id, u, t FROM e WHERE et = 'purchase'), "
+       + "v AS (SELECT DISTINCT u, t FROM e WHERE et = 'view'), "
+       + "pv AS (SELECT p.event_id, p.u, p.t, (SELECT MAX(v.t) FROM v WHERE v.u = p.u AND v.t <= p.t) AS vt FROM p) "
+       + "SELECT event_id, u AS user_id, t - vt AS gap_s, "
+       + "CAST(CAST((vt IS NULL OR t - vt > 1800) AS INT) AS BIGINT) AS orphan "
+       + "FROM pv ORDER BY event_id"),
+    "q154_stratified_sample" ->
+      ("SELECT lang, rn, doc_id, h FROM ("
+       + "SELECT lang, doc_id, (doc_id * 2654435761) % 2147483647 AS h, "
+       + "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY (doc_id * 2654435761) % 2147483647, doc_id) AS rn "
+       + "FROM documents) t WHERE rn <= 20 ORDER BY lang, rn"),
     "q152_funnel_time" ->
       ("WITH e AS (SELECT user_id AS u, event_type AS et, epoch(date_trunc('second', ts))::BIGINT AS t FROM events), "
        + "s0 AS (SELECT u, MIN(t) AS t FROM e WHERE et = 'view' GROUP BY u), "
