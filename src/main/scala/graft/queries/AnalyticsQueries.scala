@@ -417,6 +417,65 @@ object AnalyticsQueries {
         .orderBy(col("exact").desc, col("word"))
     }),
 
+    // daily trending: top-5 event types per day with their rank delta
+    // vs the previous day — the "what moved" dashboard query. Ranking
+    // and the self-join run over the |days|x|types| AGGREGATED rollup;
+    // the fact table contributes one map-side-combinable groupBy
+    "q155_trending" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("c").desc, col("event_type"))
+      val ranked = daily.withColumn("rnk", rank().over(w).cast("bigint"))
+      val prev = ranked.select((col("day") + expr("INTERVAL 1 DAY"))
+          .cast("date").as("day"),
+        col("event_type"), col("rnk").as("prev_rnk"))
+      ranked.filter(col("rnk") <= 5)
+        .join(prev, Seq("day", "event_type"), "left")
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("c"), col("rnk"), col("prev_rnk"),
+          (col("prev_rnk") - col("rnk")).as("moved"))
+        .orderBy("day", "rnk", "event_type")
+    }),
+
+    // link prediction over the repeat-co-purchase graph: common-
+    // neighbor counts and Jaccard neighborhood overlap for non-adjacent
+    // part pairs — the wedge join is the triangles shape (bounded here
+    // by a middle-node degree cap: hubs contribute no signal and are
+    // where wedge volume explodes, so suppressing them is both the
+    // statistics and the scale play). Jaccard is a ratio of integers,
+    // emitted in exact micro-units
+    "q156_link_prediction" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val und = a.join(b, Seq("k")).filter(col("u") < col("v"))
+        .distinct()
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("u"), col("v"))
+      val sym = und.select(col("u").as("src"), col("v").as("dst2"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst2")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val mid = sym.join(deg.filter(col("dg") <= 50), "src")
+      val wedges = mid.select(col("src"), col("dst2").as("na"))
+        .join(mid.select(col("src"), col("dst2").as("nb")), Seq("src"))
+        .filter(col("na") < col("nb"))
+        .groupBy(col("na"), col("nb")).agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      val nonEdges = wedges.join(und,
+          col("na") === col("u") && col("nb") === col("v"), "left_anti")
+      nonEdges
+        .join(deg.select(col("src").as("na"), col("dg").as("da")), "na")
+        .join(deg.select(col("src").as("nb"), col("dg").as("db")), "nb")
+        .select(col("na"), col("nb"), col("cn"),
+          expr("(cn * 1000000) div (da + db - cn)").as("jaccard_micro"))
+        .orderBy(col("cn").desc, col("na"), col("nb"))
+        .limit(50)
+    }),
+
     // absence-pattern CEP ("purchase with no recent view" — the fraud/
     // attribution primitive): each purchase is as-of joined BACKWARD to
     // the user's latest view at-or-before it (one shuffle + one window
@@ -1376,6 +1435,26 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q155_trending" ->
+      ("WITH daily AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2), "
+       + "ranked AS (SELECT day, event_type, c, CAST(RANK() OVER (PARTITION BY day ORDER BY c DESC, event_type) AS BIGINT) AS rnk FROM daily), "
+       + "prev AS (SELECT (day + INTERVAL 1 DAY)::DATE AS day, event_type, rnk AS prev_rnk FROM ranked) "
+       + "SELECT CAST(r.day AS VARCHAR) AS day, r.event_type AS event_type, r.c, r.rnk, p.prev_rnk, p.prev_rnk - r.rnk AS moved "
+       + "FROM ranked r LEFT JOIN prev p ON r.day = p.day AND r.event_type = p.event_type "
+       + "WHERE r.rnk <= 5 ORDER BY r.day, r.rnk, r.event_type"),
+    "q156_link_prediction" ->
+      ("WITH und AS (SELECT u, v FROM (SELECT DISTINCT a.l_orderkey AS k, a.l_partkey AS u, b.l_partkey AS v "
+       + "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) "
+       + "GROUP BY u, v HAVING COUNT(*) >= 2), "
+       + "sym AS (SELECT u AS src, v AS dst2 FROM und UNION ALL SELECT v, u FROM und), "
+       + "deg AS (SELECT src, COUNT(*) AS dg FROM sym GROUP BY src), "
+       + "mid AS (SELECT s.src, s.dst2 FROM sym s JOIN deg ON s.src = deg.src AND deg.dg <= 50), "
+       + "wedges AS (SELECT x.dst2 AS na, y.dst2 AS nb, COUNT(*) AS cn "
+       + "FROM mid x JOIN mid y ON x.src = y.src AND x.dst2 < y.dst2 GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+       + "ne AS (SELECT w.* FROM wedges w LEFT JOIN und ON w.na = und.u AND w.nb = und.v WHERE und.u IS NULL) "
+       + "SELECT na, nb, cn, CAST((cn * 1000000) // (da.dg + db.dg - cn) AS BIGINT) AS jaccard_micro "
+       + "FROM ne JOIN deg da ON ne.na = da.src JOIN deg db ON ne.nb = db.src "
+       + "ORDER BY cn DESC, na, nb LIMIT 50"),
     "q153_orphan_purchases" ->
       ("WITH e AS (SELECT event_id, user_id AS u, epoch(date_trunc('second', ts))::BIGINT AS t, event_type AS et FROM events), "
        + "p AS (SELECT event_id, u, t FROM e WHERE et = 'purchase'), "
