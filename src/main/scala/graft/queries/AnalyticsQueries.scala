@@ -476,6 +476,57 @@ object AnalyticsQueries {
         .limit(50)
     }),
 
+    // equi-depth histogram boundaries (the range-partitioner planning
+    // primitive: pick 31 split keys giving 32 ~equal-count ranges).
+    // Runs over the key-count ROLLUP, whose prefix sums come from the
+    // distributed two-pass pattern (Packing.byTokenOffset) — no global
+    // window, no single-partition sort, so the rollup itself can be
+    // billions of keys. Boundary membership is pure integer arithmetic
+    // (i*N <= k*cum bounds), exploded per key — each key emits only
+    // the split indices it crosses, almost always zero
+    "q157_equidepth" -> ((s, d) => {
+      val k = 32
+      val rc = t(s, d, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val pre = Packing.byTokenOffset(rc, "l_partkey", "cnt", Long.MaxValue)
+        .select(col("l_partkey"), col("cnt"),
+          col("token_offset").as("cum_prev"),
+          (col("token_offset") + col("cnt")).as("cum"))
+      val n = rc.agg(sum(col("cnt")).as("n"))
+      pre.crossJoin(broadcast(n))
+        .select(col("l_partkey"),
+          (expr(s"($k * cum_prev) div n") + lit(1)).as("i_lo"),
+          least(expr(s"($k * cum) div n"), lit(k - 1L)).as("i_hi"))
+        .filter(col("i_lo") <= col("i_hi"))
+        .select(col("l_partkey"),
+          explode(expr("sequence(i_lo, i_hi)")).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(min(col("l_partkey")).as("boundary"))
+        .orderBy("bucket")
+    }),
+
+    // exponentially time-decayed leaderboard (half-life = 1 day):
+    // each event contributes 2^-age_days, computed in micro-units with
+    // integer shifts so per-partition partial sums are exact BIGINTs —
+    // the decay weight lives on the (type, age) ROLLUP (|types| x 31
+    // rows), never per event. The trending counterpart of q155 that
+    // doesn't forget yesterday entirely
+    "q158_decayed_topk" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      val maxd = ev.agg(max(col("day")).as("maxd"))
+      ev.crossJoin(broadcast(maxd))
+        .select(col("event_type"),
+          least(datediff(col("maxd"), col("day")), lit(30)).as("age"))
+        .groupBy(col("event_type"), col("age"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("c * (1000000 div shiftleft(cast(1 as bigint), age))"))
+            .as("decayed_micro"),
+          sum(col("c")).as("total"))
+        .orderBy(col("decayed_micro").desc, col("event_type"))
+    }),
+
     // absence-pattern CEP ("purchase with no recent view" — the fraud/
     // attribution primitive): each purchase is as-of joined BACKWARD to
     // the user's latest view at-or-before it (one shuffle + one window
@@ -1435,6 +1486,20 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q157_equidepth" ->
+      ("WITH rc AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1), "
+       + "c AS (SELECT l_partkey, cnt, SUM(cnt) OVER (ORDER BY l_partkey)::BIGINT AS cum FROM rc), "
+       + "n AS (SELECT SUM(cnt)::BIGINT AS n FROM rc) "
+       + "SELECT i::BIGINT AS bucket, MIN(c.l_partkey) AS boundary "
+       + "FROM generate_series(1, 31) AS g(i), n JOIN c ON i * n.n <= 32 * c.cum "
+       + "GROUP BY 1 ORDER BY bucket"),
+    "q158_decayed_topk" ->
+      ("WITH ev AS (SELECT event_type, date_trunc('day', ts) AS day FROM events), "
+       + "m AS (SELECT MAX(day) AS maxd FROM ev), "
+       + "ra AS (SELECT event_type, LEAST(datediff('day', day, maxd), 30) AS age, COUNT(*) AS c "
+       + "FROM ev, m GROUP BY 1, 2) "
+       + "SELECT event_type, SUM(c * (1000000 // (1::BIGINT << age)))::BIGINT AS decayed_micro, "
+       + "SUM(c)::BIGINT AS total FROM ra GROUP BY 1 ORDER BY decayed_micro DESC, event_type"),
     "q155_trending" ->
       ("WITH daily AS (SELECT date_trunc('day', ts)::DATE AS day, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2), "
        + "ranked AS (SELECT day, event_type, c, CAST(RANK() OVER (PARTITION BY day ORDER BY c DESC, event_type) AS BIGINT) AS rnk FROM daily), "

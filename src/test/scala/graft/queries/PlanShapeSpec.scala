@@ -296,6 +296,36 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single lag Window (plus none extra):\n$s")
   }
 
+  test("q149-q156 never degenerate to cartesian/BNLJ") {
+    // q149/q150/q151 carry their corpus totals as ONE-ROW broadcast
+    // cross joins (the q113/q116/q122 scalar exemption); everything
+    // else must stay pure equi. q156's wedge join is the shape that
+    // explodes if the degree cap stops filtering BEFORE the self-join
+    // — a cartesian there means the cap got optimized out.
+    val scalarBroadcast = Set("q149_chisq", "q150_drift", "q151_assoc_rules")
+    Seq("q149_chisq", "q150_drift", "q151_assoc_rules", "q152_funnel_time",
+        "q153_orphan_purchases", "q154_stratified_sample", "q155_trending",
+        "q156_link_prediction").foreach { name =>
+      val s = planString(q(name))
+      assert(!s.contains("CartesianProduct"), s"$name went cartesian:\n$s")
+      if (!scalarBroadcast(name))
+        assert(!s.contains("BroadcastNestedLoopJoin"), s"$name went BNLJ:\n$s")
+    }
+  }
+
+  test("q155 windows run over the daily rollup; prev-day join is equi") {
+    val s = planString(q("q155_trending"))
+    // the rank-vs-prev-day self-join duplicates the ranked subtree
+    // (Spark inlines derived views), so the rank Window appears once
+    // per branch — two logical windows, each over the |days|x|types|
+    // ROLLUP, never the fact table. More than that means a refactor
+    // pushed window work onto raw events
+    assert(s.split("\\bWindow\\b").length - 1 <= 4,
+      s"expected at most the two per-branch rank Windows:\n$s")
+    assert(s.contains("SortMergeJoin") || s.contains("BroadcastHashJoin") ||
+      s.contains("ShuffledHashJoin"), s"prev-day join must be equi:\n$s")
+  }
+
   test("q92 gopher gate is pure projection work — no join, no aggregate") {
     // the only exchanges allowed are Par.widen's round-robin and the
     // final orderBy; the rules themselves must never shuffle data
