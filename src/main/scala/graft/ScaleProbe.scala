@@ -183,6 +183,35 @@ object ScaleProbe {
         .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst")))
       graft.operators.KCore.peel(sym, k = 60, rounds = 4).count()
     })
+    // q151's shape: per-basket pair join — bounded by basket size
+    // (lineitems per order <= 7 in this schema), so pair volume is
+    // linear in orders; a super-linear reading means the join stopped
+    // being per-basket
+    t("assoc_pairs")({
+      val liD = li.distinct()
+      liD.select(col("k"), col("p").as("pa"))
+        .join(liD.select(col("k"), col("p").as("pb")), Seq("k"))
+        .filter(col("pa") =!= col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup_ab"))
+        .filter(col("sup_ab") >= 3).count()
+    })
+    // q156's shape: degree-capped wedge join — each mid node with
+    // dg <= 50 contributes <= C(50,2) wedges, so wedge volume is
+    // O(nodes * cap^2) = linear in the multiplier here; without the
+    // cap the hub nodes would make this the classic quadratic cliff
+    t("link_wedges")({
+      val sym = coEdges.select(col("u").as("src"), col("v").as("dst2"))
+        .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst2")))
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val mid = sym.join(deg.filter(col("dg") <= 50), "src")
+      val wedges = mid.select(col("src"), col("dst2").as("na"))
+        .join(mid.select(col("src"), col("dst2").as("nb")), Seq("src"))
+        .filter(col("na") < col("nb"))
+        .groupBy(col("na"), col("nb")).agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      wedges.join(coEdges,
+        col("na") === col("u") && col("nb") === col("v"), "left_anti").count()
+    })
 
     spark.stop()
   }
