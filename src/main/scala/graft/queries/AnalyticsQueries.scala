@@ -527,6 +527,40 @@ object AnalyticsQueries {
         .orderBy(col("decayed_micro").desc, col("event_type"))
     }),
 
+    // position-based multi-touch attribution: every view in the 7 days
+    // before a purchase shares that purchase's 1,000,000 micro-credits
+    // (40/20/40 first/middles/last; 100% or 50/50 for 1-2 touches).
+    // The purchase-x-view pairing is an equi-join ON USER with the time
+    // window as residual predicate — per-user touch volume is bounded,
+    // so this never BNLJs; per-purchase windows run over the touch set,
+    // not raw events. All credits are integer micro-units: partial sums
+    // are exact under any partitioning
+    "q159_attribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("t"),
+        col("event_type"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("t").as("pt"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("vid"), col("t").as("vt"))
+      val touches = p.join(v, Seq("user_id"))
+        .filter(col("vt") <= col("pt") &&
+          col("vt") > col("pt") - lit(7L * 86400))
+      val wn = Window.partitionBy(col("pid"))
+      val wr = Window.partitionBy(col("pid")).orderBy(col("vt"), col("vid"))
+      touches
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("credit", when(col("n") === 1, lit(1000000L))
+          .when(col("n") === 2, lit(500000L))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(400000L))
+          .otherwise(expr("200000 div (n - 2)")))
+        .groupBy(expr("vt div 86400").as("day_idx"))
+        .agg(count(lit(1)).as("touches"), sum(col("credit")).as("credit_micro"))
+        .orderBy("day_idx")
+    }),
+
     // absence-pattern CEP ("purchase with no recent view" — the fraud/
     // attribution primitive): each purchase is as-of joined BACKWARD to
     // the user's latest view at-or-before it (one shuffle + one window
@@ -1486,6 +1520,17 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q159_attribution" ->
+      ("WITH e AS (SELECT event_id, user_id AS u, epoch(date_trunc('second', ts))::BIGINT AS t, event_type AS et FROM events), "
+       + "p AS (SELECT event_id AS pid, u, t AS pt FROM e WHERE et = 'purchase'), "
+       + "v AS (SELECT event_id AS vid, u, t AS vt FROM e WHERE et = 'view'), "
+       + "tch AS (SELECT pid, vid, vt FROM p JOIN v USING (u) WHERE vt <= pt AND vt > pt - 604800), "
+       + "cr AS (SELECT vt, COUNT(*) OVER (PARTITION BY pid) AS n, "
+       + "ROW_NUMBER() OVER (PARTITION BY pid ORDER BY vt, vid) AS rn FROM tch) "
+       + "SELECT vt // 86400 AS day_idx, COUNT(*)::BIGINT AS touches, "
+       + "SUM(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000 "
+       + "WHEN rn = 1 OR rn = n THEN 400000 ELSE 200000 // (n - 2) END)::BIGINT AS credit_micro "
+       + "FROM cr GROUP BY 1 ORDER BY day_idx"),
     "q157_equidepth" ->
       ("WITH rc AS (SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1), "
        + "c AS (SELECT l_partkey, cnt, SUM(cnt) OVER (ORDER BY l_partkey)::BIGINT AS cum FROM rc), "
