@@ -125,10 +125,12 @@ object PageRank {
     * base 0.15 term plus the dangling share.
     *
     * Scale shape per iteration: the same single edge-join + groupBy as
-    * [[run]], plus one |V|-row anti-join and a one-row broadcast
-    * cross-join for the dangling sum (the scalar-broadcast pattern used
-    * throughout — never a driver collect), plus a left join of the
-    * |V|-row node list against the contribution sums.
+    * [[run]], plus a semi-join of ranks against the PINNED dangling-node
+    * set (computed once — it depends on outdegree, not rank) feeding a
+    * one-row broadcast cross-join for the dangling sum (the
+    * scalar-broadcast pattern used throughout — never a driver collect),
+    * plus a left join of the |V|-row node list against the contribution
+    * sums.
     */
   def runDangling(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("e_src"),
@@ -148,6 +150,14 @@ object PageRank {
       .persist()
     // |V| as a one-row broadcast scalar (BIGINT, engine-independent)
     val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    // the dangling-node SET is static across iterations (it depends on
+    // outdegree, not rank) — derive it once and pin it; each round then
+    // semi-joins ranks against this usually-tiny set instead of
+    // anti-joining against the |V|-row outdeg table
+    val dangNodes = nodes
+      .join(outdeg, col("node") === col("o_src"), "left_anti")
+      .select(col("node").as("dn"))
+      .persist()
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))
     for (_ <- 1 to iterations) {
       val contribs = ranks
@@ -158,7 +168,7 @@ object PageRank {
       // rank parked on sinks this round, as a one-row relation
       // (coalesce: a sink-free graph has an empty sum, not a null share)
       val dangling = ranks
-        .join(outdeg, col("node") === col("o_src"), "left_anti")
+        .join(dangNodes, col("node") === col("dn"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       ranks = graft.engine.Checkpoints.cut(nodes
         .join(sums, col("node") === col("node2"), "left")
@@ -171,6 +181,7 @@ object PageRank {
     }
     ew.unpersist()
     nodes.unpersist()
+    dangNodes.unpersist()
     ranks
   }
 }
