@@ -527,6 +527,62 @@ object AnalyticsQueries {
         .orderBy(col("decayed_micro").desc, col("event_type"))
     }),
 
+    // RFM customer scoring (recency / frequency / monetary quintiles).
+    // The textbook formulation is ntile(5) OVER (ORDER BY metric) —
+    // a GLOBAL single-partition sort, the classic scale cliff. Here
+    // each metric's quintile boundaries come from the q157 machinery
+    // (value rollup -> distributed prefix sum -> integer boundary
+    // arithmetic), collapse to ONE broadcast row, and scores are pure
+    // per-row comparisons — no global window anywhere. Ties share a
+    // bucket by construction (value-defined boundaries), which is
+    // engine-independent where ntile's tie-splitting is not.
+    // Monetary is summed in BIGINT cents
+    "q160_rfm" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val maxd = o.agg(max(col("od")).as("maxd"))
+      val cust = o.crossJoin(broadcast(maxd))
+        .groupBy(col("o_custkey"))
+        .agg(min(datediff(col("maxd"), col("od"))).cast("bigint").as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("cents")).as("monetary"))
+      val nRow = cust.agg(count(lit(1)).as("n"))
+      // quintile boundaries of one metric as a single broadcastable row
+      // (b1..b4): min value whose cumulative count reaches i*N/5
+      def bounds(metric: String, p: String): DataFrame = {
+        val rc = cust.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        val pre = Packing.byTokenOffset(rc, "v", "cnt", Long.MaxValue)
+          .select(col("v"), col("token_offset").as("cp"),
+            (col("token_offset") + col("cnt")).as("cum"))
+        pre.crossJoin(broadcast(nRow))
+          .select(col("v"), (expr("(5 * cp) div n") + lit(1)).as("ilo"),
+            least(expr("(5 * cum) div n"), lit(4L)).as("ihi"))
+          .filter(col("ilo") <= col("ihi"))
+          .select(col("v"), explode(expr("sequence(ilo, ihi)")).as("i"))
+          .groupBy().agg(
+            max(when(col("i") === 1, col("v"))).as(p + "1"),
+            max(when(col("i") === 2, col("v"))).as(p + "2"),
+            max(when(col("i") === 3, col("v"))).as(p + "3"),
+            max(when(col("i") === 4, col("v"))).as(p + "4"))
+      }
+      def asc(m: String, p: String) =
+        expr(s"1 + cast($m >= ${p}1 as bigint) + cast($m >= ${p}2 as bigint)" +
+          s" + cast($m >= ${p}3 as bigint) + cast($m >= ${p}4 as bigint)")
+      cust
+        .crossJoin(broadcast(bounds("recency", "rb")))
+        .crossJoin(broadcast(bounds("frequency", "fb")))
+        .crossJoin(broadcast(bounds("monetary", "mb")))
+        .select(col("o_custkey"), col("recency"), col("frequency"),
+          col("monetary"),
+          (lit(6L) - asc("recency", "rb")).as("r_score"),
+          asc("frequency", "fb").as("f_score"),
+          asc("monetary", "mb").as("m_score"))
+        .withColumn("rfm",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy("o_custkey")
+    }),
+
     // position-based multi-touch attribution: every view in the 7 days
     // before a purchase shares that purchase's 1,000,000 micro-credits
     // (40/20/40 first/middles/last; 100% or 50/50 for 1-2 touches).
@@ -1520,6 +1576,23 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q160_rfm" ->
+      ("WITH o AS (SELECT o_custkey, o_orderdate::DATE AS od, ROUND(o_totalprice*100)::BIGINT AS cents FROM orders), "
+       + "mx AS (SELECT MAX(od) AS maxd FROM o), "
+       + "cust AS (SELECT o_custkey, MIN(datediff('day', od, maxd))::BIGINT AS recency, COUNT(*)::BIGINT AS frequency, SUM(cents)::BIGINT AS monetary FROM o, mx GROUP BY 1), "
+       + "n AS (SELECT COUNT(*)::BIGINT AS n FROM cust), "
+       + "rcum AS (SELECT v, SUM(cnt) OVER (ORDER BY v)::BIGINT AS cum FROM (SELECT recency AS v, COUNT(*) AS cnt FROM cust GROUP BY 1)), "
+       + "rb AS (SELECT MAX(CASE WHEN i=1 THEN b END) AS rb1, MAX(CASE WHEN i=2 THEN b END) AS rb2, MAX(CASE WHEN i=3 THEN b END) AS rb3, MAX(CASE WHEN i=4 THEN b END) AS rb4 FROM (SELECT i, MIN(v) AS b FROM generate_series(1,4) g(i), n, rcum c WHERE i*n.n <= 5*c.cum GROUP BY 1)), "
+       + "fcum AS (SELECT v, SUM(cnt) OVER (ORDER BY v)::BIGINT AS cum FROM (SELECT frequency AS v, COUNT(*) AS cnt FROM cust GROUP BY 1)), "
+       + "fb AS (SELECT MAX(CASE WHEN i=1 THEN b END) AS fb1, MAX(CASE WHEN i=2 THEN b END) AS fb2, MAX(CASE WHEN i=3 THEN b END) AS fb3, MAX(CASE WHEN i=4 THEN b END) AS fb4 FROM (SELECT i, MIN(v) AS b FROM generate_series(1,4) g(i), n, fcum c WHERE i*n.n <= 5*c.cum GROUP BY 1)), "
+       + "mcum AS (SELECT v, SUM(cnt) OVER (ORDER BY v)::BIGINT AS cum FROM (SELECT monetary AS v, COUNT(*) AS cnt FROM cust GROUP BY 1)), "
+       + "mb AS (SELECT MAX(CASE WHEN i=1 THEN b END) AS mb1, MAX(CASE WHEN i=2 THEN b END) AS mb2, MAX(CASE WHEN i=3 THEN b END) AS mb3, MAX(CASE WHEN i=4 THEN b END) AS mb4 FROM (SELECT i, MIN(v) AS b FROM generate_series(1,4) g(i), n, mcum c WHERE i*n.n <= 5*c.cum GROUP BY 1)) "
+       + "SELECT o_custkey, recency, frequency, monetary, "
+       + "(6 - (1 + (recency>=rb1)::BIGINT + (recency>=rb2)::BIGINT + (recency>=rb3)::BIGINT + (recency>=rb4)::BIGINT))::BIGINT AS r_score, "
+       + "(1 + (frequency>=fb1)::BIGINT + (frequency>=fb2)::BIGINT + (frequency>=fb3)::BIGINT + (frequency>=fb4)::BIGINT)::BIGINT AS f_score, "
+       + "(1 + (monetary>=mb1)::BIGINT + (monetary>=mb2)::BIGINT + (monetary>=mb3)::BIGINT + (monetary>=mb4)::BIGINT)::BIGINT AS m_score, "
+       + "(r_score*100 + f_score*10 + m_score)::BIGINT AS rfm "
+       + "FROM cust, rb, fb, mb ORDER BY o_custkey"),
     "q159_attribution" ->
       ("WITH e AS (SELECT event_id, user_id AS u, epoch(date_trunc('second', ts))::BIGINT AS t, event_type AS et FROM events), "
        + "p AS (SELECT event_id AS pid, u, t AS pt FROM e WHERE et = 'purchase'), "

@@ -296,18 +296,18 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single lag Window (plus none extra):\n$s")
   }
 
-  test("q149-q159 never degenerate to cartesian/BNLJ") {
+  test("q149-q160 never degenerate to cartesian/BNLJ") {
     // q149/q150/q151 carry their corpus totals as ONE-ROW broadcast
     // cross joins (the q113/q116/q122 scalar exemption); everything
     // else must stay pure equi. q156's wedge join is the shape that
     // explodes if the degree cap stops filtering BEFORE the self-join
     // — a cartesian there means the cap got optimized out.
     val scalarBroadcast = Set("q149_chisq", "q150_drift", "q151_assoc_rules",
-      "q157_equidepth", "q158_decayed_topk")
+      "q157_equidepth", "q158_decayed_topk", "q160_rfm")
     Seq("q149_chisq", "q150_drift", "q151_assoc_rules", "q152_funnel_time",
         "q153_orphan_purchases", "q154_stratified_sample", "q155_trending",
         "q156_link_prediction", "q157_equidepth", "q158_decayed_topk",
-        "q159_attribution").foreach { name =>
+        "q159_attribution", "q160_rfm").foreach { name =>
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name went cartesian:\n$s")
       if (!scalarBroadcast(name))
