@@ -527,6 +527,25 @@ object AnalyticsQueries {
         .orderBy(col("decayed_micro").desc, col("event_type"))
     }),
 
+    // k-anonymity / l-diversity audit over quasi-identifiers — the
+    // privacy gate a dataset passes before release. Each (nation,
+    // segment) equivalence class reports its size k (re-identification
+    // risk = 1/k, in exact micro-units), the diversity l of a sensitive
+    // attribute (distinct values of the in-debt bit), and a risk flag
+    // for k < 5. One map-side-combinable groupBy over the rollup —
+    // the audit costs one shuffle of |classes| rows at any scale
+    "q161_kanon" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey").cast("bigint").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("c_acctbal") < 0).as("l_div"))
+        .select(col("nation"), col("segment"), col("k"), col("l_div"),
+          expr("1000000 div k").as("risk_micro"),
+          (col("k") < 5).cast("int").cast("bigint").as("risky"))
+        .orderBy("nation", "segment")
+    }),
+
     // RFM customer scoring (recency / frequency / monetary quintiles).
     // The textbook formulation is ntile(5) OVER (ORDER BY metric) —
     // a GLOBAL single-partition sort, the classic scale cliff. Here
@@ -1576,6 +1595,12 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q161_kanon" ->
+      ("SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment, COUNT(*)::BIGINT AS k, "
+       + "COUNT(DISTINCT c_acctbal < 0)::BIGINT AS l_div, "
+       + "(1000000 // COUNT(*))::BIGINT AS risk_micro, "
+       + "(COUNT(*) < 5)::BIGINT AS risky "
+       + "FROM customer GROUP BY 1, 2 ORDER BY nation, segment"),
     "q160_rfm" ->
       ("WITH o AS (SELECT o_custkey, o_orderdate::DATE AS od, ROUND(o_totalprice*100)::BIGINT AS cents FROM orders), "
        + "mx AS (SELECT MAX(od) AS maxd FROM o), "

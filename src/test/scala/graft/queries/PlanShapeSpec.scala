@@ -328,6 +328,31 @@ class PlanShapeSpec extends SparkSpec {
       s.contains("ShuffledHashJoin"), s"prev-day join must be equi:\n$s")
   }
 
+  test("partitioned-layout joins get dynamic partition pruning") {
+    // the 100 TB read path: a fact table laid out by a partition column
+    // must be pruned AT RUNTIME by a selective dim-side filter — the
+    // scan reads only the partitions the join can match, instead of
+    // the full table. Pinned on a date-partitioned write of events:
+    // the executed plan must carry a dynamicpruning subquery on the
+    // fact scan, and the scan's partition count must reflect it.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{col, count, dayofweek, lit, to_date}
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val ev = graft.engine.Tables(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim carries a SELECTIVE literal filter (DPP's trigger condition —
+    // an aggregate or limit alone does not qualify as one)
+    val dim = ev.select(col("day").as("d_day")).distinct()
+      .filter(dayofweek(col("d_day")) === 2)
+    val joined = fact.join(dim, col("day") === col("d_day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val s = planString(joined)
+    assert(s.contains("dynamicpruning") || s.contains("DynamicPruning"),
+      s"fact scan must be dynamically pruned by the dim filter:\n$s")
+  }
+
   test("q92 gopher gate is pure projection work — no join, no aggregate") {
     // the only exchanges allowed are Par.widen's round-robin and the
     // final orderBy; the rules themselves must never shuffle data
