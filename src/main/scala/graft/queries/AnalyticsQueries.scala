@@ -527,6 +527,41 @@ object AnalyticsQueries {
         .orderBy(col("decayed_micro").desc, col("event_type"))
     }),
 
+    // weekday seasonality profile: each (event_type, ISO weekday)'s
+    // traffic index vs the type's flat-week expectation, in exact
+    // micro-units (observed*7*1e6 div total — integer throughout).
+    // Index 1e6 = flat; the capacity-planning rhythm read. All work
+    // happens on the |types|x7 rollup after one map-side-combinable
+    // groupBy
+    "q162_seasonality" -> ((s, d) => {
+      val o = t(s, d, "events")
+        .groupBy(col("event_type"), expr("weekday(ts) + 1").as("dow"))
+        .agg(count(lit(1)).as("c"))
+      val tot = o.groupBy(col("event_type")).agg(sum(col("c")).as("tc"))
+      o.join(tot, "event_type")
+        .select(col("event_type"), col("dow").cast("bigint").as("dow"),
+          col("c"), expr("(c * 7 * 1000000) div tc").as("index_micro"))
+        .orderBy("event_type", "dow")
+    }),
+
+    // new vs returning users per day: each user's first-seen day comes
+    // from one groupBy-min (never a window over raw events); the daily
+    // split is then a broadcast-joined comparison. The growth-
+    // accounting counterpart of q102's cumulative curve
+    "q163_new_vs_returning" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      ev.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(sum((col("day") === col("fd")).cast("long")).as("new_users"),
+          sum((col("day") > col("fd")).cast("long")).as("returning_users"))
+        .select(col("day").cast("date").cast("string").as("day"),
+          col("new_users"), col("returning_users"))
+        .orderBy("day")
+    }),
+
     // k-anonymity / l-diversity audit over quasi-identifiers — the
     // privacy gate a dataset passes before release. Each (nation,
     // segment) equivalence class reports its size k (re-identification
@@ -1595,6 +1630,19 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q162_seasonality" ->
+      ("WITH o AS (SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*) AS c FROM events GROUP BY 1, 2), "
+       + "t AS (SELECT event_type, SUM(c)::BIGINT AS tc FROM o GROUP BY 1) "
+       + "SELECT o.event_type AS event_type, dow, c::BIGINT AS c, "
+       + "((c * 7 * 1000000) // tc)::BIGINT AS index_micro "
+       + "FROM o JOIN t ON o.event_type = t.event_type ORDER BY event_type, dow"),
+    "q163_new_vs_returning" ->
+      ("WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events), "
+       + "f AS (SELECT user_id, MIN(day) AS fd FROM ev GROUP BY 1) "
+       + "SELECT CAST(ev.day::DATE AS VARCHAR) AS day, "
+       + "SUM(CASE WHEN ev.day = fd THEN 1 ELSE 0 END)::BIGINT AS new_users, "
+       + "SUM(CASE WHEN ev.day > fd THEN 1 ELSE 0 END)::BIGINT AS returning_users "
+       + "FROM ev JOIN f ON ev.user_id = f.user_id GROUP BY 1 ORDER BY day"),
     "q161_kanon" ->
       ("SELECT c_nationkey::BIGINT AS nation, c_mktsegment AS segment, COUNT(*)::BIGINT AS k, "
        + "COUNT(DISTINCT c_acctbal < 0)::BIGINT AS l_div, "

@@ -296,7 +296,7 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a single lag Window (plus none extra):\n$s")
   }
 
-  test("q149-q160 never degenerate to cartesian/BNLJ") {
+  test("q149-q163 never degenerate to cartesian/BNLJ") {
     // q149/q150/q151 carry their corpus totals as ONE-ROW broadcast
     // cross joins (the q113/q116/q122 scalar exemption); everything
     // else must stay pure equi. q156's wedge join is the shape that
@@ -307,7 +307,8 @@ class PlanShapeSpec extends SparkSpec {
     Seq("q149_chisq", "q150_drift", "q151_assoc_rules", "q152_funnel_time",
         "q153_orphan_purchases", "q154_stratified_sample", "q155_trending",
         "q156_link_prediction", "q157_equidepth", "q158_decayed_topk",
-        "q159_attribution", "q160_rfm").foreach { name =>
+        "q159_attribution", "q160_rfm", "q161_kanon", "q162_seasonality",
+        "q163_new_vs_returning").foreach { name =>
       val s = planString(q(name))
       assert(!s.contains("CartesianProduct"), s"$name went cartesian:\n$s")
       if (!scalarBroadcast(name))
