@@ -505,6 +505,94 @@ object StreamingQueries {
       s.table(name).filter(col("user_id") =!= -1L).orderBy("user_id")
     }
 
+  /** Typed rows/state/output for [[q164StreamFirstSeen]]. State per
+    * user = the distinct active days inside the backfill window
+    * (bounded by the data's day span; the event-time timeout evicts it
+    * once the watermark passes the user's last activity).
+    */
+  private[queries] case class FsEv(user_id: Long, day_sec: Long,
+    ts_s: java.sql.Timestamp)
+  private[queries] case class FsState(days: Seq[Long])
+  private[queries] case class FsOut(user_id: Long, day_sec: Long,
+    is_new: Long)
+
+  /** Per-user first-seen fold: BUFFER distinct active days until the
+    * event-time timeout — "is this the user's first day?" is an
+    * event-TIME question, and micro-batches arrive in file order, so
+    * emitting at arrival would mislabel a user whose earlier day shows
+    * up in a later batch. On timeout every buffered day is emitted
+    * with is_new = (day == min); nothing is emitted early, so the
+    * answer is arrival-order-independent.
+    */
+  private def firstSeenFold(
+      user: Long, rows: Iterator[FsEv],
+      state: org.apache.spark.sql.streaming.GroupState[FsState])
+      : Iterator[FsOut] = {
+    if (state.hasTimedOut) {
+      val days = state.get.days
+      val mn = days.min
+      state.remove()
+      days.sorted.iterator
+        .map(d => FsOut(user, d, if (d == mn) 1L else 0L))
+    } else {
+      val merged = (state.getOption.map(_.days).getOrElse(Seq.empty)
+        ++ rows.map(_.day_sec)).distinct
+      state.update(FsState(merged))
+      state.setTimeoutTimestamp(math.max(
+        merged.max * 1000 + 1, state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** q163's STREAMING twin: new-vs-returning users per day through
+    * custom per-user state (`flatMapGroupsWithState` + event-time
+    * timeout). The growth-accounting split computed incrementally —
+    * per-user state is a handful of longs, evicted by its own timeout;
+    * the daily rollup then aggregates the emitted (day, is_new) pairs.
+    * Oracle = the identical batch q163 SQL — the equivalence contract.
+    */
+  def q164StreamFirstSeen(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val raw = eventsSchema(s, dir)
+      val name = s"q164_first_seen_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q164")
+      val (_, flushDir) = sentinelFor(s, dir)
+      val events = s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val flush = s.readStream.schema(raw).parquet(flushDir)
+      // sentinel NOT filtered inside the stream (see q100's note on
+      // pushdown skipping the watermark); it rides as user -1 whose
+      // timeout never fires and is dropped from the OUTPUT
+      val evs = events.unionByName(flush)
+        .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+        .withWatermark("ts_s", "2 hours")
+        .select(col("user_id"),
+          expr("(ts div 1000000000) - ((ts div 1000000000) % 86400)")
+            .as("day_sec"),
+          col("ts_s"))
+        .as[FsEv]
+      val marks = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(firstSeenFold)
+      val q = marks.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(timestamp_seconds(col("day_sec")).cast("date")
+          .cast("string").as("day"))
+        .agg(sum(col("is_new")).as("new_users"),
+          sum(lit(1L) - col("is_new")).as("returning_users"))
+        .orderBy("day")
+    }
+
   /** The incremental materialized view driven end-to-end as a query:
     * the events stream maintains a parquet-backed (event_type → cnt,
     * total) view via foreachBatch ([[graft.streaming.IncrementalAgg
@@ -544,7 +632,8 @@ object StreamingQueries {
     "q82_stream" -> (q82Stream(_, _)),
     "q89_stream_static" -> (q89StreamStatic(_, _)),
     "q100_sessionize_state" -> (q100SessionizeState(_, _)),
-    "q148_stream_dedup" -> (q148StreamDedup(_, _))
+    "q148_stream_dedup" -> (q148StreamDedup(_, _)),
+    "q164_stream_first_seen" -> (q164StreamFirstSeen(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
@@ -558,6 +647,8 @@ object StreamingQueries {
     "q148_stream_dedup" -> CoreQueries.oracles("q23_hourly"),
     "q25_stream" -> CoreQueries.oracles("q25_sessionize"),
     "q100_sessionize_state" -> CoreQueries.oracles("q25_sessionize"),
+    "q164_stream_first_seen" ->
+      AnalyticsQueries.oracles("q163_new_vs_returning"),
     "q82_stream" -> CoreQueries.oracles("q82_sliding"),
     // the batch formulation of the same join IS the equivalence contract
     "q65_stream_join" ->
