@@ -527,6 +527,51 @@ object AnalyticsQueries {
         .orderBy(col("decayed_micro").desc, col("event_type"))
     }),
 
+    // per-source corpus profile: the ingest-observability rollup a
+    // crawl pipeline watches per feed — volume, exact-duplicate rate,
+    // char-mass share of corpus — all exact integers over one
+    // map-side-combinable groupBy (countDistinct adds the second
+    // aggregate pass Spark plans via expand, still rollup-sized)
+    "q165_source_profile" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prof = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(col("text")).as("uniq"),
+          sum(col("n_chars")).as("chars"))
+      val tot = prof.agg(sum(col("chars")).as("tchars"))
+      prof.crossJoin(broadcast(tot))
+        .select(col("source"), col("docs"), col("uniq"), col("chars"),
+          expr("chars div docs").as("mean_chars"),
+          expr("((docs - uniq) * 1000000) div docs").as("dup_micro"),
+          expr("(chars * 1000000) div tchars").as("share_micro"))
+        .orderBy("source")
+    }),
+
+    // supplier lateness ranking under small-n honesty: raw late-rates
+    // rank a 2-shipment supplier with one miss (50%) above a 100-
+    // shipment one with 40 misses — Laplace smoothing (late+1)/(n+2)
+    // pulls thin evidence toward 50% so volume earns rank. Exact
+    // integer micro-units; the lineitem->orders attach is the only
+    // fact-scale join and it's on the order key
+    "q166_supplier_reliability" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val lateRates = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"))
+            .cast("long").as("late"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), sum(col("late")).as("late"))
+      lateRates.join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_suppkey").as("suppkey"), col("s_name"), col("n"),
+          col("late"),
+          expr("((late + 1) * 1000000) div (n + 2)").as("smoothed_micro"))
+        .orderBy(col("smoothed_micro").desc, col("suppkey"))
+        .limit(25)
+    }),
+
     // weekday seasonality profile: each (event_type, ISO weekday)'s
     // traffic index vs the type's flat-week expectation, in exact
     // micro-units (observed*7*1e6 div total — integer throughout).
@@ -1630,6 +1675,21 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    "q165_source_profile" ->
+      ("WITH p AS (SELECT source, COUNT(*)::BIGINT AS docs, COUNT(DISTINCT text)::BIGINT AS uniq, SUM(n_chars)::BIGINT AS chars "
+       + "FROM documents GROUP BY 1), t AS (SELECT SUM(chars)::BIGINT AS tchars FROM p) "
+       + "SELECT source, docs, uniq, chars, (chars // docs)::BIGINT AS mean_chars, "
+       + "(((docs - uniq) * 1000000) // docs)::BIGINT AS dup_micro, "
+       + "((chars * 1000000) // tchars)::BIGINT AS share_micro "
+       + "FROM p, t ORDER BY source"),
+    "q166_supplier_reliability" ->
+      ("WITH lr AS (SELECT l_suppkey, COUNT(*)::BIGINT AS n, "
+       + "SUM((l_shipdate > o_orderdate + INTERVAL 30 DAY)::BIGINT)::BIGINT AS late "
+       + "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1) "
+       + "SELECT l_suppkey AS suppkey, s_name, n, late, "
+       + "(((late + 1) * 1000000) // (n + 2))::BIGINT AS smoothed_micro "
+       + "FROM lr JOIN supplier ON l_suppkey = s_suppkey "
+       + "ORDER BY smoothed_micro DESC, suppkey LIMIT 25"),
     "q162_seasonality" ->
       ("WITH o AS (SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*) AS c FROM events GROUP BY 1, 2), "
        + "t AS (SELECT event_type, SUM(c)::BIGINT AS tc FROM o GROUP BY 1) "
