@@ -49,8 +49,16 @@ object Bench {
     // `iters`/`agg` make the artifact self-describing: a cross-round
     // comparison can tell a median-of-3 line from an iters=1 one
     // without forensic reconstruction
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"agg":"median","queries":$qjson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"agg":"median","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
     Console.out.flush()
+    // The driver captures only a tail of stdout, which has truncated the
+    // per-query map in past rounds; an explicit artifact file keeps every
+    // number regardless of console buffering.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -87,23 +87,30 @@ object Bpe {
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val counts = new java.util.HashMap[String, Long]()
-      val sep = "\u0000" // words are space-free; NUL never appears
+      // Count over (l, r) tuples directly — no joined string key, so
+      // tokens containing ANY character (including control chars) keep
+      // unambiguous pair identity and the documented tuple-lexicographic
+      // (count desc, l asc, r asc) tie-break.
+      val counts = new java.util.HashMap[(String, String), Long]()
       vocab.foreach { case (toks, c) =>
         var i = 0
         while (i + 1 < toks.length) {
-          counts.merge(toks(i) + sep + toks(i + 1), c, _ + _)
+          counts.merge((toks(i), toks(i + 1)), c, _ + _)
           i += 1
         }
       }
       if (counts.isEmpty) done = true
       else {
-        var bestK: String = null
+        var bestL: String = null
+        var bestR: String = null
         var bestC = -1L
         counts.forEach { (k, c) =>
-          if (c > bestC || (c == bestC && k < bestK)) { bestK = k; bestC = c }
+          if (c > bestC || (c == bestC &&
+              (k._1 < bestL || (k._1 == bestL && k._2 < bestR)))) {
+            bestL = k._1; bestR = k._2; bestC = c
+          }
         }
-        val Array(l, r) = bestK.split(sep, 2)
+        val (l, r) = (bestL, bestR)
         merges += ((l, r, bestC))
         vocab = vocab.map { case (toks, c) => (mergePair(toks, l, r), c) }
         rank += 1

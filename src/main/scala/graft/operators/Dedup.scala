@@ -54,23 +54,19 @@ object Dedup {
     * the cap is biting.
     *
     * Kernel: the self-joins shuffle on (length bucket, signature)
-    * only; Levenshtein runs only on in-block pairs, BANDED to the
-    * corpus-wide distance budget K = ceil(maxDistFrac * max doc
-    * length) — Spark's thresholded levenshtein costs O(len * K) per
-    * pair instead of O(len^2), and since every pair's own budget
-    * maxDistFrac * max(len_a, len_b) <= K, the band never cuts a true
-    * match. The max-length lookup is one driver scalar (same pattern
-    * as the Bloom sizing in [[decontaminateBloom]]).
+    * only; Levenshtein runs only on in-block pairs, BANDED to each
+    * pair's OWN distance budget ceil(maxDistFrac * max(len_a, len_b))
+    * — Spark's thresholded levenshtein (the third argument is a
+    * per-row expression, not a constant) costs O(len * K_pair) per
+    * pair instead of O(len^2), the band by construction never cuts a
+    * true match, and no corpus-wide max-length pre-scan is needed
+    * (the global-K variant cost one extra full-corpus driver action
+    * per call).
     */
   def fuzzyPairs(docs0: DataFrame, idCol: String, textCol: String,
       maxDistFrac: Double, blockChars: Int = 40,
       maxBlock: Int = 5000): DataFrame = {
     val docs = graft.engine.Par.widen(docs0)
-    val maxLen = docs.agg(max(length(col(textCol)))).head() match {
-      case r if r.isNullAt(0) => 0
-      case r => r.getAs[Number](0).intValue()
-    }
-    val band = math.max(1, math.ceil(maxDistFrac * maxLen).toInt)
     val sized = fuzzyBlocked(docs, idCol, textCol, blockChars)
     def arm(k: String, c: String) = {
       val x = sized.filter(col(c) <= maxBlock)
@@ -90,8 +86,14 @@ object Dedup {
       // budget on length alone skip the kernel entirely
       .filter(abs(length(col("ta")) - length(col("tb"))) <=
         lit(maxDistFrac) * greatest(length(col("ta")), length(col("tb"))))
-      // thresholded kernel returns -1 above the band — never a valid d
-      .withColumn("d", levenshtein(col("ta"), col("tb"), band).cast("bigint"))
+      // per-pair band: ceil of the pair's own budget (>= 1 so empty
+      // strings still evaluate); thresholded kernel returns -1 above
+      // the band — never a valid d
+      .withColumn("band", greatest(
+        ceil(lit(maxDistFrac) *
+          greatest(length(col("ta")), length(col("tb")))), lit(1))
+        .cast("int"))
+      .withColumn("d", expr("levenshtein(ta, tb, band)").cast("bigint"))
       .filter(col("d") >= 0 && col("d") <=
         lit(maxDistFrac) * greatest(length(col("ta")), length(col("tb"))))
       .select(col("a"), col("b"), col("d"))

@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType, TimestampNTZType}
 
 /** Streaming twins of the batch inventory (SURVEY §2.3 Q23 / §5.3 item 4):
   * the same aggregation executed through Structured Streaming from a file
@@ -34,6 +35,35 @@ object StreamingQueries {
   private def eventsSchema(s: SparkSession, dir: String) =
     schemaCache.computeIfAbsent(dir,
       d => s.read.parquet(s"$d/events.parquet").schema)
+
+  /** events.ts has shipped in two physical layouts: parquet
+    * TIMESTAMP(NANOS), which Spark reads as a BIGINT of nanos under
+    * nanosAsLong (Sessions sets it), and TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which reads as TIMESTAMP_NTZ. These
+    * helpers normalize either to the same event-time columns — the
+    * session timezone is UTC, so the NTZ→timestamp cast is a pure
+    * reinterpretation, no wall-clock shift.
+    */
+  private def tsTimestamp(raw: StructType): Column =
+    raw("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts").cast("timestamp")
+    }
+
+  /** Whole seconds since epoch (floor), matching the former
+    * `ts div 1000000000` truncation exactly.
+    */
+  private def tsSeconds(raw: StructType): Column =
+    raw("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case _        => unix_seconds(col("ts").cast("timestamp"))
+    }
+
+  private def tsMicros(raw: StructType): Column =
+    raw("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts").cast("timestamp"))
+    }
 
   /** Checkpoint for a bounded local backfill: the offset/commit logs
     * and state-store files fsync per micro-batch, so put them on tmpfs
@@ -72,27 +102,42 @@ object StreamingQueries {
     * deliberately out-of-band key, filtered from the result) advances
     * the watermark past every real window so the final no-data batch
     * both EMITS and EVICTS them — the same punctuation pattern a
-    * production backfill uses to drain state. `tsNanos` rides the
-    * nanosAsLong LongType column.
+    * production backfill uses to drain state. The sentinel row is
+    * written under the SAME schema the events dir carries (see
+    * [[tsTimestamp]] on the two ts layouts), so the flush stream and
+    * the events stream union cleanly.
     */
-  private def sentinelDir(s: SparkSession, tsNanos: Long): String = {
+  private def sentinelDir(s: SparkSession, raw: StructType,
+      tsMicrosVal: Long): String = {
     val dir = scratchCheckpoint("sentinel")
     import scala.jdk.CollectionConverters._
-    val row = org.apache.spark.sql.Row(-1L, tsNanos, -1L, "__flush__", 0.0,
-      null.asInstanceOf[String])
-    s.createDataFrame(Seq(row).asJava,
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
-          "value DOUBLE, props STRING"))
+    val tsVal: Any = raw("ts").dataType match {
+      case LongType => tsMicrosVal * 1000L // nanosAsLong layout
+      case _: TimestampNTZType => java.time.LocalDateTime.ofEpochSecond(
+        tsMicrosVal / 1000000L, ((tsMicrosVal % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      case _ => java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        tsMicrosVal / 1000000L, (tsMicrosVal % 1000000L) * 1000L))
+    }
+    val row = Row.fromSeq(raw.fields.toSeq.map { f =>
+      (f.name, f.dataType) match {
+        case ("ts", _)         => tsVal
+        case ("event_type", _) => "__flush__"
+        case (_, LongType)     => -1L
+        case (_, DoubleType)   => 0.0
+        case _                 => null
+      }
+    })
+    s.createDataFrame(Seq(row).asJava, raw)
       .coalesce(1).write.mode("overwrite").parquet(dir)
     dir
   }
 
-  private val FourHoursNanos = 4L * 3600 * 1000 * 1000 * 1000
+  private val FourHoursMicros = 4L * 3600 * 1000 * 1000
 
-  /** (max event ts, sentinel dir) per events dir, computed once per JVM:
-    * the max-ts scan and the one-row sentinel write are fixed costs of
-    * the flush pattern, not of an individual query run.
+  /** (max event ts in µs, sentinel dir) per events dir, computed once
+    * per JVM: the max-ts scan and the one-row sentinel write are fixed
+    * costs of the flush pattern, not of an individual query run.
     */
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
@@ -100,8 +145,9 @@ object StreamingQueries {
     sentinelCache.computeIfAbsent(dir, { d =>
       val raw = eventsSchema(s, d)
       val maxTs = s.read.schema(raw)
-        .parquet(s"$d/events.parquet").agg(max(col("ts"))).head.getLong(0)
-      (maxTs, sentinelDir(s, maxTs + FourHoursNanos))
+        .parquet(s"$d/events.parquet").agg(max(tsMicros(raw)))
+        .head.getLong(0)
+      (maxTs, sentinelDir(s, raw, maxTs + FourHoursMicros))
     })
 
   /** Q23 via readStream → watermark → window(ts, 1 hour) → memory sink
@@ -112,8 +158,8 @@ object StreamingQueries {
     * eviction; the oracle pins the answer.
     */
   def q23Stream(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
-    // schema as parquet stores it: ts is TIMESTAMP(NANOS) => LongType
-    // under nanosAsLong (Sessions sets it)
+    // raw = the schema exactly as parquet stores it (ts layout
+    // normalized by tsTimestamp/tsSeconds)
     val raw = eventsSchema(s, dir)
     val name = s"q23_stream_${System.nanoTime()}" // unique memory sink
     val (_, flushDir) = sentinelFor(s, dir)
@@ -121,7 +167,7 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val stream = events.unionByName(flush)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsTimestamp(raw))
       // 2h tolerance for cross-file disorder; the +4h sentinel still
       // pushes the watermark an hour past the last real window's end
       .withWatermark("ts", "2 hours")
@@ -161,7 +207,7 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val stream = events.unionByName(flush)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsTimestamp(raw))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("c"), sum(col("value")).as("v"))
@@ -203,7 +249,7 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val stream = delivery().unionByName(delivery()).unionByName(flush)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", tsTimestamp(raw))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -244,7 +290,7 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val q = events.unionByName(flush)
-      .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+      .withColumn("ts_s", timestamp_seconds(tsSeconds(raw)))
       .withWatermark("ts_s", "2 hours")
       // Boundary semantics verified empirically (sf0.01 has exact-gap
       // ties): session_window MERGES sessions whose ranges touch — an
@@ -334,7 +380,7 @@ object StreamingQueries {
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .filter(col("event_type") === kind)
           .select(col("event_id").as(idAs), col("user_id"),
-            timestamp_seconds(expr("ts div 1000000000")).as(tsAs))
+            timestamp_seconds(tsSeconds(raw)).as(tsAs))
           .withWatermark(tsAs, "10 minutes")
       val purchases = side("purchase", "p_id", "p_ts")
       val clicks = side("click", "c_id", "c_ts")
@@ -383,7 +429,7 @@ object StreamingQueries {
         events.unionByName(flush)
           .filter(col("event_type") === kind || col("event_type") === "__flush__")
           .select(col("event_id").as(idAs), col("user_id").as(userAs),
-            timestamp_seconds(expr("ts div 1000000000")).as(tsAs))
+            timestamp_seconds(tsSeconds(raw)).as(tsAs))
           .withWatermark(tsAs, "10 minutes")
       }
       val purchases = side("purchase", "p_id", "user_id", "p_ts")
@@ -486,9 +532,9 @@ object StreamingQueries {
       // watermark, so it never emits) and is filtered from the OUTPUT,
       // the same pattern as q25Stream.
       val evs = events.unionByName(flush)
-        .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("ts_s", timestamp_seconds(tsSeconds(raw)))
         .withWatermark("ts_s", "2 hours")
-        .select(col("user_id"), expr("ts div 1000000000").as("ts_sec"),
+        .select(col("user_id"), tsSeconds(raw).as("ts_sec"),
           col("event_id"), col("ts_s"))
         .as[SessEv]
       val sessions = evs.groupByKey(_.user_id)
@@ -566,10 +612,10 @@ object StreamingQueries {
       // pushdown skipping the watermark); it rides as user -1 whose
       // timeout never fires and is dropped from the OUTPUT
       val evs = events.unionByName(flush)
-        .withColumn("ts_s", timestamp_seconds(expr("ts div 1000000000")))
+        .withColumn("ts_s", timestamp_seconds(tsSeconds(raw)))
         .withWatermark("ts_s", "2 hours")
         .select(col("user_id"),
-          expr("(ts div 1000000000) - ((ts div 1000000000) % 86400)")
+          (tsSeconds(raw) - (tsSeconds(raw) % lit(86400L)))
             .as("day_sec"),
           col("ts_s"))
         .as[FsEv]
