@@ -89,23 +89,25 @@ final class BrokerClient(host: String, port: Int, exchange: String)
   */
 object Broker {
   private val TcpUrl = "tcp://([^:/]+):([0-9]+)".r
-  private val AmqpUrl = "amqp://([^:/]+):([0-9]+)".r
 
   /** AMQP offsets are client-side, so slices can't be re-fetched from
     * another process: the source must plan inline partitions.
     */
   def isInlineOnly(brokerUrl: Option[String]): Boolean =
-    brokerUrl.exists(_.startsWith("amqp://"))
+    brokerUrl.exists(u =>
+      u.startsWith("amqp://") || u.startsWith("amqps://"))
 
   def log(exchange: String, brokerUrl: Option[String]): BrokerLog =
     brokerUrl match {
       case None                  => MemoryBroker.exchange(exchange)
       case Some(TcpUrl(h, p))    => new BrokerClient(h, p.toInt, exchange)
-      case Some(AmqpUrl(h, p))   => amqp.AmqpBroker.log(h, p.toInt, exchange)
+      case Some(u) if isInlineOnly(Some(u)) =>
+        // full pika URLParameters shape: credentials, vhost, amqps
+        amqp.AmqpBroker.log(amqp.AmqpUrl.parse(u), exchange)
       case Some(other)           =>
         throw new IllegalArgumentException(
           s"unsupported broker url '$other' (expected tcp://host:port " +
-            "or amqp://host:port)")
+            "or amqp[s]://[user:pass@]host[:port][/vhost])")
     }
 
   /** Kwargs pika's `exchange_declare` accepts by name. The reference
@@ -140,12 +142,12 @@ object Broker {
       case None => MemoryBroker.declare(exchange, kwargs)
       case Some(TcpUrl(h, p)) =>
         new BrokerClient(h, p.toInt, exchange).declare(kwargs)
-      case Some(AmqpUrl(h, p)) =>
-        amqp.AmqpBroker.declare(h, p.toInt, exchange, kwargs)
+      case Some(u) if isInlineOnly(Some(u)) =>
+        amqp.AmqpBroker.declare(amqp.AmqpUrl.parse(u), exchange, kwargs)
       case Some(other) =>
         throw new IllegalArgumentException(
           s"unsupported broker url '$other' (expected tcp://host:port " +
-            "or amqp://host:port)")
+            "or amqp[s]://[user:pass@]host[:port][/vhost])")
     }
   }
 }

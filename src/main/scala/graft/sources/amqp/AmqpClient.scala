@@ -19,7 +19,12 @@ import Amqp._
   * speaking AMQP 0-9-1 — the protocol of the reference's input side
   * (reference amqp.py:36-53 connects pika to a RabbitMQ).
   */
-final class AmqpConnection(host: String, port: Int) {
+final class AmqpConnection(host: String, port: Int,
+    user: String = "guest", password: String = "guest",
+    vhost: String = "/", tls: Boolean = false) {
+  def this(u: AmqpUrl) =
+    this(u.host, u.port, u.user, u.password, u.vhost, u.tls)
+
   @volatile private var deadFlag = false
   def isDead: Boolean = deadFlag
 
@@ -31,8 +36,17 @@ final class AmqpConnection(host: String, port: Int) {
   /** Called once when the connection dies (reader IOException). */
   @volatile var onDead: () => Unit = () => ()
 
-  private val sock = new Socket()
-  sock.connect(new java.net.InetSocketAddress(host, port), 10000)
+  private val sock = {
+    val plain = new Socket()
+    plain.connect(new java.net.InetSocketAddress(host, port), 10000)
+    if (tls)
+      // amqps: wrap the connected socket in the JVM's default TLS
+      // context (the python equivalent of pika's amqps:// handling)
+      javax.net.ssl.SSLSocketFactory.getDefault
+        .asInstanceOf[javax.net.ssl.SSLSocketFactory]
+        .createSocket(plain, host, port, true)
+    else plain
+  }
   sock.setSoTimeout(0) // reader blocks on deliveries indefinitely
   sock.setTcpNoDelay(true)
   private val in = new DataInputStream(
@@ -45,14 +59,16 @@ final class AmqpConnection(host: String, port: Int) {
   // ---- handshake (synchronous, before the reader thread owns `in`) --
   out.write(ProtocolHeader); out.flush()
   expectSync[ConnectionStart]()
+  // SASL PLAIN response: NUL authcid NUL passwd (RFC 4616), from the
+  // connection URL exactly as pika builds it from URLParameters
   sendFrames(methodFrame(0, ConnectionStartOk(
     Map("product" -> "graft-spark", "version" -> "0-9-1"),
-    "PLAIN", "\u0000guest\u0000guest".getBytes(UTF_8), "en_US")))
+    "PLAIN", ("\u0000" + user + "\u0000" + password).getBytes(UTF_8), "en_US")))
   private val tune = expectSync[ConnectionTune]()
   if (tune.frameMax > 0) frameMax = math.min(frameMax, tune.frameMax)
   sendFrames(methodFrame(0,
     ConnectionTuneOk(tune.channelMax, frameMax, 0)))
-  sendFrames(methodFrame(0, ConnectionOpen("/")))
+  sendFrames(methodFrame(0, ConnectionOpen(vhost)))
   expectSync[ConnectionOpenOk]()
 
   private def expectSync[M <: Method]()(implicit ct: ClassTag[M]): M = {
@@ -60,6 +76,14 @@ final class AmqpConnection(host: String, port: Int) {
     while (f.tpe == FrameHeartbeat) f = readFrame(in)
     parseMethod(f.payload) match {
       case m: M => m
+      // a handshake-time connection.close carries the broker's refusal
+      // (403 ACCESS_REFUSED bad credentials, 530 NOT_ALLOWED bad vhost)
+      // — surface it verbatim instead of a generic mismatch
+      case c: ConnectionClose =>
+        try sendFrames(methodFrame(0, ConnectionCloseOk()))
+        catch { case _: Exception => () }
+        throw new java.io.IOException(
+          s"broker refused connection: ${c.replyCode} ${c.replyText}")
       case other => throw new java.io.IOException(
         s"AMQP handshake: expected ${ct.runtimeClass.getSimpleName}, got $other")
     }
@@ -237,8 +261,10 @@ final class AmqpConnection(host: String, port: Int) {
   * pins a target that includes the broker's pushed backlog — AMQP has
   * no "end of queue" marker to ask for.
   */
-final class AmqpConsumerLog(host: String, port: Int, exchange: String,
+final class AmqpConsumerLog(url: AmqpUrl, exchange: String,
     settleMs: Long = 250, settleCapMs: Long = 3000) extends BrokerLog {
+  def this(host: String, port: Int, exchange: String) =
+    this(AmqpUrl(host, port, "guest", "guest", "/", tls = false), exchange)
 
   private val lock = new Object
   private var conn: AmqpConnection = null
@@ -258,7 +284,7 @@ final class AmqpConsumerLog(host: String, port: Int, exchange: String,
       // the old session's un-acked deliveries are void: the broker will
       // redeliver them on the new session, renumbering from `base`
       buf.clear()
-      val c = new AmqpConnection(host, port)
+      val c = new AmqpConnection(url)
       c.onDeliver = (tag, ct, body, _) => lock.synchronized {
         buf += ((tag, ct, body))
         lastEventNanos = System.nanoTime()
@@ -373,8 +399,12 @@ object AmqpBroker {
   private val logs = new ConcurrentHashMap[String, AmqpConsumerLog]()
 
   def log(host: String, port: Int, exchange: String): AmqpConsumerLog =
-    logs.computeIfAbsent(s"$host:$port/$exchange",
-      _ => new AmqpConsumerLog(host, port, exchange))
+    log(AmqpUrl(host, port, "guest", "guest", "/", tls = false), exchange)
+
+  def log(url: AmqpUrl, exchange: String): AmqpConsumerLog =
+    logs.computeIfAbsent(
+      s"${url.user}@${url.host}:${url.port}/${url.vhost}/$exchange",
+      _ => new AmqpConsumerLog(url, exchange))
 
   /** Declare-with-kwargs over a short-lived AMQP connection (the
     * reference declares on bind, amqp.py:55-78). Every kwarg pika's
@@ -386,6 +416,11 @@ object AmqpBroker {
     * [[graft.sources.Broker.declare]], shared by every transport.
     */
   def declare(host: String, port: Int, exchange: String,
+      kwargs: Map[String, String]): Unit =
+    declare(AmqpUrl(host, port, "guest", "guest", "/", tls = false),
+      exchange, kwargs)
+
+  def declare(url: AmqpUrl, exchange: String,
       kwargs: Map[String, String]): Unit = {
     def bit(k: String) = kwargs.get(k).exists(_.equalsIgnoreCase("true"))
     val durable = !kwargs.get("durable").exists(_.equalsIgnoreCase("false"))
@@ -395,7 +430,7 @@ object AmqpBroker {
         k.stripPrefix("arguments.") -> (v: Any)
       case (k, v) if k.startsWith("x-") => k -> (v: Any)
     }
-    val c = new AmqpConnection(host, port)
+    val c = new AmqpConnection(url)
     try c.declareExchange(exchange, tpe, passive = bit("passive"),
       durable = durable, autoDelete = bit("auto_delete"),
       internal = bit("internal"), args)

@@ -28,7 +28,11 @@ import Amqp._
   *   - one active consumer per queue (the reference runs exactly one
   *     consumer per exchange); competing consumers would each see the
   *     full un-acked log.
-  *   - auth is accepted but not checked (any PLAIN credentials pass).
+  *   - PLAIN credentials are checked against `users` (guest/guest by
+  *     default); a failed login gets connection.close 403
+  *     ACCESS_REFUSED and an unknown vhost connection.close 530
+  *     NOT_ALLOWED — the replies RabbitMQ sends and pika surfaces as
+  *     ProbableAuthenticationError / ConnectionClosedByBroker.
   *
   * Delivery tags are the exchange-log offset + 1 — stable across broker
   * restarts, monotonically increasing per channel as the spec requires.
@@ -43,7 +47,9 @@ import Amqp._
   * `exchange_declare(**kwargs)` passthrough + signal cache
   * (amqp.py:55-78).
   */
-final class AmqpServer(port: Int, walDir: Option[Path]) {
+final class AmqpServer(port: Int, walDir: Option[Path],
+    users: Map[String, String] = Map("guest" -> "guest"),
+    vhosts: Set[String] = Set("/")) {
   private val exchanges = new ConcurrentHashMap[String, ExchangeLog]()
   private val declaredKwargs = new ConcurrentHashMap[String, Map[String, String]]()
   private val bindings = new ConcurrentHashMap[String, String]() // queue -> exchange
@@ -179,11 +185,27 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
         send(methodFrame(0, ConnectionStart(
           Map("product" -> "graft-amqp", "version" -> "0-9-1"),
           "PLAIN", "en_US")))
-        expect[ConnectionStartOk](0)
+        val startOk = expect[ConnectionStartOk](0)
+        // SASL PLAIN: NUL authcid NUL passwd → split gives ["", user, pw]
+        val cred = new String(startOk.response,
+          java.nio.charset.StandardCharsets.UTF_8).split("\u0000", -1)
+        val authed = startOk.mechanism == "PLAIN" && cred.length == 3 &&
+          users.get(cred(1)).contains(cred(2))
+        if (!authed) {
+          refuse(403, "ACCESS_REFUSED - Login was refused using " +
+            "authentication mechanism PLAIN. For details see the broker " +
+            "logfile.")
+          return
+        }
         send(methodFrame(0, ConnectionTune(2047, DefaultFrameMax, 0)))
         val tuneOk = expect[ConnectionTuneOk](0)
         if (tuneOk.frameMax > 0) frameMax = math.min(frameMax, tuneOk.frameMax)
-        expect[ConnectionOpen](0)
+        val open = expect[ConnectionOpen](0)
+        if (!vhosts.contains(open.vhost)) {
+          refuse(530, s"NOT_ALLOWED - vhost '${open.vhost}' not found")
+          return
+        }
+        connVhost = open.vhost
         send(methodFrame(0, ConnectionOpenOk()))
         loop()
       } catch {
@@ -196,6 +218,21 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
         consumedExchanges.clear()
         sock.close()
       }
+
+    @volatile private var connVhost = "/"
+
+    /** Handshake-time refusal: connection.close with the reply code,
+      * a short grace for the client's close-ok, then drop the socket —
+      * the sequence RabbitMQ uses for bad credentials / bad vhost.
+      */
+    private def refuse(replyCode: Int, replyText: String): Unit = {
+      send(methodFrame(0, ConnectionClose(replyCode, replyText, 0, 0)))
+      try {
+        sock.setSoTimeout(2000)
+        expect[ConnectionCloseOk](0)
+      } catch { case _: Exception => () }
+      sock.close()
+    }
 
     /** Synchronous read of one expected method during the handshake. */
     private def expect[M <: Method](channel: Int)(
@@ -270,7 +307,7 @@ final class AmqpServer(port: Int, walDir: Option[Path]) {
               declaredKwargs.containsKey(d.exchange)) {
             if (!d.noWait) send(methodFrame(channel, ExchangeDeclareOk()))
           } else closeChannel(channel,
-            404, s"NOT_FOUND - no exchange '${d.exchange}' in vhost '/'",
+            404, s"NOT_FOUND - no exchange '${d.exchange}' in vhost '$connVhost'",
             failClass = 40, failMethod = 10)
         } else {
           // record non-default bits only, first-wins (the reference's
