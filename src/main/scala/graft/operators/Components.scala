@@ -74,6 +74,7 @@ object Components extends org.apache.spark.internal.Logging {
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("comp"))
         .transform(graft.engine.Checkpoints.cut) // the round's single action
+      graft.engine.Checkpoints.release(labels) // round N-1 label blocks
       labels = next
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1

@@ -58,9 +58,13 @@ object KCore {
       // DEFINITION what running the remaining rounds would produce,
       // so the fixed-round determinism contract is untouched)
       if (removed.isEmpty) converged = true
-      else e = graft.engine.Checkpoints.cut(
-        e.join(broadcast(removed), col("src") === col("rn"), "left_anti")
-          .join(broadcast(removed), col("dst") === col("rn"), "left_anti"))
+      else {
+        val next = graft.engine.Checkpoints.cut(
+          e.join(broadcast(removed), col("src") === col("rn"), "left_anti")
+            .join(broadcast(removed), col("dst") === col("rn"), "left_anti"))
+        graft.engine.Checkpoints.release(e) // round N-1 edge blocks
+        e = next
+      }
       removed.unpersist()
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -61,10 +61,12 @@ object PageRank {
       val contribs = ranks
         .join(ew, col("node") === col("e_src"))
         .select(col("e_dst").as("node2"), expr("r div d").as("c"))
-      ranks = graft.engine.Checkpoints.cut(contribs.groupBy(col("node2"))
+      val next = graft.engine.Checkpoints.cut(contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
         .select(col("node2").as("node"),
           (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r")))
+      graft.engine.Checkpoints.release(ranks) // round N-1 blocks
+      ranks = next
     }
     ew.unpersist() // ranks is materialized by the final lineage cut
     ranks
@@ -106,10 +108,12 @@ object PageRank {
         .select(col("e_dst").as("node2"), expr("r div d").as("c"))
       val sums = contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
-      ranks = graft.engine.Checkpoints.cut(nodes
+      val next = graft.engine.Checkpoints.cut(nodes
         .join(sums, col("node") === col("node2"), "left")
         .select(col("node"),
           (base + expr("(85 * coalesce(s, 0L)) div 100")).as("r")))
+      graft.engine.Checkpoints.release(ranks)
+      ranks = next
     }
     ew.unpersist()
     nodes.unpersist()
@@ -170,7 +174,7 @@ object PageRank {
       val dangling = ranks
         .join(dangNodes, col("node") === col("dn"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      ranks = graft.engine.Checkpoints.cut(nodes
+      val next = graft.engine.Checkpoints.cut(nodes
         .join(sums, col("node") === col("node2"), "left")
         .crossJoin(broadcast(dangling))
         .crossJoin(broadcast(nRow))
@@ -178,6 +182,8 @@ object PageRank {
           (lit(15L * Scale / 100) +
             expr("(85 * (coalesce(s, 0L) + dang div n_nodes)) div 100")
           ).as("r")))
+      graft.engine.Checkpoints.release(ranks)
+      ranks = next
     }
     ew.unpersist()
     nodes.unpersist()

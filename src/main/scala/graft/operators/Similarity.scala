@@ -96,7 +96,11 @@ object Similarity {
         .groupBy(col("ctr"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("cvec"))
-        .transform(graft.engine.Checkpoints.cut)
+        .transform { d =>
+          val cut = graft.engine.Checkpoints.cut(d)
+          graft.engine.Checkpoints.release(centroids)
+          cut
+        }
     }
     centroids
   }

@@ -1189,8 +1189,10 @@ object AnalyticsQueries {
         val relaxed = dist.join(e0, col("node") === col("u"))
           .filter(col("dd") =!= Long.MaxValue)
           .select(col("v").as("node"), (col("dd") + 1L).as("dd"))
-        dist = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
+        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
           .groupBy(col("node")).agg(min(col("dd")).as("dd")))
+        graft.engine.Checkpoints.release(dist)
+        dist = next
       }
       e0.unpersist() // dist is materialized by the final lineage cut
       dist.filter(col("dd") =!= Long.MaxValue)
