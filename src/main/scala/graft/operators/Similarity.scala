@@ -105,14 +105,48 @@ object Similarity {
     centroids
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+  /** A trained, persistable IVF index: `centroids` (ctr, cvec) and
+    * `postings` (cid, cv, cn, bucket) — the corpus bucketed by nearest
+    * centroid with its norm precomputed. Training (k-means) is the
+    * expensive part of IVF; a production ANN service trains ONCE,
+    * writes the index, and serves every query batch from it (the same
+    * persisted-artifact shape as [[Dedup.minHashIndex]]). Both tables
+    * round-trip parquet exactly (float arrays, longs), so a search
+    * over a written-and-reread index is bit-identical to an in-memory
+    * one.
+    */
+  final case class IvfIndex(centroids: DataFrame, postings: DataFrame) {
+    def write(dir: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      postings.write.mode("overwrite").parquet(s"$dir/postings")
+    }
+  }
+
+  /** Train an IVF index over the corpus (see [[IvfIndex]]). */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, iters: Int = 2): IvfIndex = {
     val c = graft.engine.Par.widen(corpus)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         normSq(col(vecCol)).as("cn")).cache()
-
     val centroids = kmeans(c, nCentroids, iters)
+    IvfIndex(centroids,
+      nearest1(c, centroids, "cid", "cv", Seq("cv", "cn"), "bucket"))
+  }
+
+  def ivfIndexRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/postings"))
+
+  /** Approximate top-k against a trained [[IvfIndex]]: queries probe
+    * their `nProbe` nearest centroid lists only. The centroid table
+    * broadcasts for the probe argmin; the postings join is an equi-join
+    * on bucket with the (tiny) probe side broadcast — the corpus-sized
+    * postings never shuffle.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = index.centroids
 
     /** Top-nProbe centroids (query side only — tiny input, window ok). */
     def nearestN(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
@@ -126,8 +160,6 @@ object Similarity {
         .drop("cvec", "__d", "__rn")
     }
 
-    val corpusAssigned = nearest1(c, centroids, "cid", "cv",
-      Seq("cv", "cn"), "bucket")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
     val probes = nearestN(q, "qid", "qv", nProbe)
@@ -135,7 +167,7 @@ object Similarity {
 
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("cid"))
-    corpusAssigned.join(broadcast(probes), Seq("bucket"))
+    index.postings.join(broadcast(probes), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("sim",
         cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
@@ -144,6 +176,15 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
         col("rn").cast("bigint").as("rn"))
   }
+
+  /** One-shot IVF top-k: train + search inline (see [[ivfIndex]] /
+    * [[ivfSearch]] for the train-once/search-many split).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfSearch(ivfIndex(corpus, idCol, vecCol, nCentroids, iters),
+      queries, idCol, vecCol, k, nProbe)
 
   /** LSH-bucketed approximate top-k: `tables` independent hyperplane
     * hashes; candidates = bucket collisions in any table; exact cosine

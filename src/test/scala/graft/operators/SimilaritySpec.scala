@@ -33,6 +33,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("persisted IVF index: write + read-back search equals inline ivfTopK") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val inline = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+        k = 3, nCentroids = 8, nProbe = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf-spec-").toString
+    Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2).write(dir)
+    val idx = Similarity.ivfIndexRead(spark, dir)
+    // two batches against the SAME read-back artifact — no retrain
+    val fromDisk = Similarity.ivfSearch(idx, queries,
+        "vec_id", "embedding", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(fromDisk == inline,
+      "search over the persisted index diverged from inline train+search")
+    val batch2 = Similarity.ivfSearch(idx,
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 25),
+        "vec_id", "embedding", k = 2, nProbe = 4)
+    assert(batch2.count() == 10) // 5 queries x 2 — index reuse works
+  }
+
   test("int8TopK: high recall vs exact; rank order and self-exclusion hold") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
