@@ -54,11 +54,14 @@ object Bench {
     Console.out.flush()
     // The driver captures only a tail of stdout, which has truncated the
     // per-query map in past rounds; an explicit artifact file keeps every
-    // number regardless of console buffering.
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes("UTF-8"))
-    }
+    // number regardless of console buffering. Default: BENCH_LAST.json in
+    // the working dir (the repo when run via sbt), overridable via
+    // SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -7,9 +7,14 @@ import duckdb, pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+import os
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver scales are single files; MakeScale output is a Spark
+    # directory-of-part-files — glob accordingly
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 # golden-parquet oracles hardcode the driver's sf0.01 path; when
 # checking another scale locally, point them at that scale's pins
