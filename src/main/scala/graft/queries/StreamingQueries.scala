@@ -65,6 +65,21 @@ object StreamingQueries {
       case _        => unix_micros(col("ts").cast("timestamp"))
     }
 
+  /** Streaming reader for the events table, tolerant of both physical
+    * layouts: the driver's single `events.parquet` FILE (streaming
+    * sources must be handed its parent dir + a glob) and the standard
+    * directory-of-part-files layout (handed the subdir itself — a bare
+    * file path is rejected by the streaming source's basePath check).
+    */
+  private def eventsStream(s: SparkSession, dir: String,
+      raw: StructType): DataFrame =
+    if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "events.parquet")))
+      s.readStream.schema(raw).parquet(dir + "/events.parquet")
+    else
+      s.readStream.schema(raw)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+
   /** Checkpoint for a bounded local backfill: the offset/commit logs
     * and state-store files fsync per micro-batch, so put them on tmpfs
     * (/dev/shm) when available instead of a disk-backed /tmp — the
@@ -163,8 +178,7 @@ object StreamingQueries {
     val raw = eventsSchema(s, dir)
     val name = s"q23_stream_${System.nanoTime()}" // unique memory sink
     val (_, flushDir) = sentinelFor(s, dir)
-    val events = s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = eventsStream(s, dir, raw)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val stream = events.unionByName(flush)
       .withColumn("ts", tsTimestamp(raw))
@@ -203,8 +217,7 @@ object StreamingQueries {
     val raw = eventsSchema(s, dir)
     val name = s"q82_stream_${System.nanoTime()}"
     val (_, flushDir) = sentinelFor(s, dir)
-    val events = s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = eventsStream(s, dir, raw)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val stream = events.unionByName(flush)
       .withColumn("ts", tsTimestamp(raw))
@@ -245,8 +258,7 @@ object StreamingQueries {
     val raw = eventsSchema(s, dir)
     val name = s"q148_stream_dedup_${System.nanoTime()}"
     val (_, flushDir) = sentinelFor(s, dir)
-    def delivery() = s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    def delivery() = eventsStream(s, dir, raw)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val stream = delivery().unionByName(delivery()).unionByName(flush)
       .withColumn("ts", tsTimestamp(raw))
@@ -286,8 +298,7 @@ object StreamingQueries {
     val name = s"q25_stream_${System.nanoTime()}"
     val ckpt = scratchCheckpoint("q25")
     val (_, flushDir) = sentinelFor(s, dir)
-    val events = s.readStream.schema(raw)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events = eventsStream(s, dir, raw)
     val flush = s.readStream.schema(raw).parquet(flushDir)
     val q = events.unionByName(flush)
       .withColumn("ts_s", timestamp_seconds(tsSeconds(raw)))
@@ -330,8 +341,7 @@ object StreamingQueries {
       val ckpt = scratchCheckpoint("q89")
       val dim = graft.engine.Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))
-      val q = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val q = eventsStream(s, dir, raw)
         .filter(col("event_type") === "purchase")
         .join(dim, col("user_id") === col("c_custkey")) // static side broadcasts
         .writeStream
@@ -376,8 +386,7 @@ object StreamingQueries {
       val name = s"q65_stream_join_${System.nanoTime()}"
       val ckpt = scratchCheckpoint("q65")
       def side(kind: String, idAs: String, tsAs: String) =
-        s.readStream.schema(raw)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        eventsStream(s, dir, raw)
           .filter(col("event_type") === kind)
           .select(col("event_id").as(idAs), col("user_id"),
             timestamp_seconds(tsSeconds(raw)).as(tsAs))
@@ -423,8 +432,7 @@ object StreamingQueries {
       val ckpt = scratchCheckpoint("q126")
       val (_, flushDir) = sentinelFor(s, dir)
       def side(kind: String, idAs: String, userAs: String, tsAs: String) = {
-        val events = s.readStream.schema(raw)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val events = eventsStream(s, dir, raw)
         val flush = s.readStream.schema(raw).parquet(flushDir)
         events.unionByName(flush)
           .filter(col("event_type") === kind || col("event_type") === "__flush__")
@@ -520,8 +528,7 @@ object StreamingQueries {
       val name = s"q100_sess_state_${System.nanoTime()}"
       val ckpt = scratchCheckpoint("q100")
       val (_, flushDir) = sentinelFor(s, dir)
-      val events = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events = eventsStream(s, dir, raw)
       val flush = s.readStream.schema(raw).parquet(flushDir)
       // NOTE the sentinel is NOT filtered inside the stream: a
       // `user_id =!= -1` here gets PUSHED INTO the parquet scan, whose
@@ -605,8 +612,7 @@ object StreamingQueries {
       val name = s"q164_first_seen_${System.nanoTime()}"
       val ckpt = scratchCheckpoint("q164")
       val (_, flushDir) = sentinelFor(s, dir)
-      val events = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events = eventsStream(s, dir, raw)
       val flush = s.readStream.schema(raw).parquet(flushDir)
       // sentinel NOT filtered inside the stream (see q100's note on
       // pushdown skipping the watermark); it rides as user -1 whose
@@ -653,8 +659,7 @@ object StreamingQueries {
       val raw = eventsSchema(s, dir)
       val store = scratchCheckpoint("q106-store")
       val ckpt = scratchCheckpoint("q106")
-      val events = s.readStream.schema(raw)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val events = eventsStream(s, dir, raw)
       val q = events.writeStream
         .foreachBatch(graft.streaming.IncrementalAgg
           .mergeCountSum(store, Seq("event_type"), "value") _)
