@@ -389,6 +389,154 @@ object Similarity {
       .select(col("cluster"), col("term"), col("score"), col("rn"))
   }
 
+  /** A trained, persistable product-quantization index (Jégou et al.
+    * 2011, the FAISS IVF-PQ building block — public algorithm):
+    *   - `codebooks`: (sub, code, cvec) — per-subspace k-means
+    *     centroids (m · ksub rows, a few KB; always broadcastable)
+    *   - `codes`: (cid, sub, code, cn) — each corpus vector as m small
+    *     integers plus its float norm. THIS is the relation a 100 TB
+    *     scan reads: m codes ≈ m·(8–16) bytes of payload per vector
+    *     versus 4·dim bytes of float32 (16–32× less scan bandwidth at
+    *     dim 64–256 — ANN at scale is bandwidth-bound, which is the
+    *     whole point of PQ). cn rides along (8 bytes × m redundancy)
+    *     so the ADC scan never joins the corpus-sized vector table.
+    *   - `vectors`: (cid, cv, cn) — full vectors, touched ONLY by the
+    *     final exact re-rank of k·overfetch candidates per query.
+    * All three round-trip parquet exactly, so searches over a
+    * written-and-reread index are bit-identical to in-memory ones
+    * (same persisted-artifact contract as [[IvfIndex]]).
+    */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+      vectors: DataFrame) {
+    def write(dir: String): Unit = {
+      codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+  }
+
+  def pqIndexRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex =
+    PqIndex(spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"))
+
+  /** Explode (id, vec) into its m subvectors: (id, sub, out). */
+  private def subVectors(df: DataFrame, id: String, vec: String,
+      m: Int, dsub: Int, out: String): DataFrame =
+    df.select(col(id), posexplode(array((0 until m).map(s =>
+        slice(col(vec), s * dsub + 1, dsub)): _*)))
+      .toDF(id, "sub", out)
+
+  /** Train a PQ index: the corpus splits into `m` subspaces of
+    * dim/m dimensions; each subspace gets its own ksub-centroid
+    * k-means codebook. All m k-means runs execute as ONE fused
+    * iteration loop — the exploded (cid, sub, subvector) relation
+    * clusters per `sub` in a single broadcast-join + partial-agg
+    * argmin + combinable groupBy per round, so training cost does not
+    * multiply by m. Deterministic init (the ksub lowest ids'
+    * subvectors per subspace), no RNG.
+    */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): PqIndex = {
+    val c = graft.engine.Par.widen(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")).cache()
+    val dim = c.select(size(col("cv"))).head().getInt(0)
+    require(dim % m == 0, s"pqIndex: dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val sub = subVectors(c, "cid", "cv", m, dsub, "sv")
+    var cb = subVectors(c.orderBy("cid").limit(ksub), "cid", "cv", m, dsub, "sv")
+      .select(col("sub"), col("cid").as("code"), col("sv").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = sub.join(broadcast(cb), Seq("sub"))
+        .groupBy(col("cid"), col("sub"))
+        .agg(min(struct(l2Dist(col("sv"), col("cvec")).as("d"),
+          col("code").as("code"), col("sv").as("sv"))).as("s"))
+        .select(col("sub"), col("s.code").as("code"), col("s.sv").as("sv"))
+      val next = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mval"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+          s => s.getField("mval").cast("float")).as("cvec"))
+      val cut = graft.engine.Checkpoints.cut(next)
+      graft.engine.Checkpoints.release(cb)
+      cb = cut
+    }
+    val codes = sub.join(broadcast(cb), Seq("sub"))
+      .groupBy(col("cid"), col("sub"))
+      .agg(min(struct(l2Dist(col("sv"), col("cvec")).as("d"),
+        col("code").as("code"))).as("s"))
+      .join(c.select(col("cid"), col("cn")), Seq("cid"))
+      .select(col("cid"), col("sub"), col("s.code").as("code"), col("cn"))
+    PqIndex(cb, codes, c.select(col("cid"), col("cv"), col("cn")))
+  }
+
+  /** Asymmetric-distance (ADC) search against a trained [[PqIndex]]:
+    * each query precomputes a lookup table of partial dot products
+    * against every (sub, code) centroid — m·ksub floats per query,
+    * broadcast — and every corpus vector's approximate dot is the sum
+    * of m table lookups over its codes. Partial dots are quantized to
+    * micro-units so the per-(query, vector) sum is an exact BIGINT —
+    * aggregation-order-independent, hence run-to-run deterministic.
+    * The top k·overfetch ADC candidates per query re-rank by EXACT
+    * float cosine (refinement), so quantization error can only cost
+    * recall beyond rank k·overfetch, never mis-order the final k.
+    *
+    * Plan shape: codebooks and the LUT broadcast; the ADC pass is one
+    * map-side-combinable groupBy over the m-exploded codes relation
+    * (the corpus-sized side never shuffles wider than its 16–32
+    * bytes/row of codes); only k·overfetch ids per query touch the
+    * full-vector table, with the candidate side broadcast.
+    */
+  def pqSearch(index: PqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, overfetch: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val dims = index.codebooks
+      .agg(max(col("sub")).as("ms"), min(size(col("cvec"))).as("dsub")).head()
+    val (m, dsub) = (dims.getInt(0) + 1, dims.getInt(1))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn")).cache()
+    val lut = subVectors(q, "qid", "qv", m, dsub, "qsv")
+      .join(broadcast(index.codebooks), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        round(dot(col("qsv"), col("cvec")) * 1000000).cast("long").as("pdot"))
+    val adc = index.codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("pdot")).as("adot"), min(col("cn")).as("cn"))
+    val scored0 = if (excludeSelf) adc.filter(col("qid") =!= col("cid")) else adc
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("cid"))
+    val cands = scored0
+      .join(broadcast(q.select(col("qid"), col("qn"))), Seq("qid"))
+      .withColumn("asim",
+        col("adot") / (lit(1000000.0) * sqrt(col("qn") * col("cn"))))
+      .withColumn("_crn", row_number().over(wq))
+      .filter(col("_crn") <= k * overfetch)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    index.vectors.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), Seq("qid"))
+      .withColumn("sim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
+  /** One-shot PQ top-k: train + search inline (see [[pqIndex]] /
+    * [[pqSearch]] for the train-once/search-many split).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      overfetch: Int = 4, iters: Int = 2): DataFrame =
+    pqSearch(pqIndex(corpus, idCol, vecCol, m, ksub, iters),
+      queries, idCol, vecCol, k, overfetch)
+
   /** Per-label centroid + distance-to-centroid outlier ranking — the
     * embedding-quality primitive: vectors far from their label's
     * centroid are mislabeled/noisy candidates for curation review.

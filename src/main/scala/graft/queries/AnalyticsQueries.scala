@@ -60,6 +60,37 @@ object AnalyticsQueries {
     Similarity.ivfIndexRead(s, out)
   }
 
+  /** PQ index per sf dir — trained and WRITTEN once per JVM, searches
+    * served from the read-back parquet artifact (the same
+    * train-once/search-many contract as q38's IVF index; k-means over
+    * m subspaces is the expensive part of PQ).
+    */
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pqIndexFor(s: SparkSession, dir: String): Similarity.PqIndex = {
+    val out = pqIndexCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pq-").toString
+      Similarity.pqIndex(t(s, d, "embeddings"), "vec_id", "embedding")
+        .write(tmp)
+      tmp
+    })
+    Similarity.pqIndexRead(s, out)
+  }
+
+  /** PCA components per sf dir — trained once per JVM. The artifact is
+    * a pure deterministic function of the data (exact integer Gram,
+    * fixed-order Jacobi), so q169's golden pin and q170's projection
+    * always see the same table.
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def pcaComponentsFor(s: SparkSession, dir: String): DataFrame =
+    pcaCache.computeIfAbsent(dir, { d =>
+      graft.operators.Projection
+        .pcaComponents(t(s, d, "embeddings"), "embedding", r = 8)
+        .cache()
+    })
+
   private val stop = Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
 
   val queries: Map[String, Q] = Map(
@@ -593,6 +624,50 @@ object AnalyticsQueries {
         .orderBy(col("smoothed_micro").desc, col("suppkey"))
         .limit(25)
     }),
+
+    // Johnson–Lindenstrauss sign random projection (64 -> 16 dims):
+    // the ±1 matrix is a pure integer formula of (i, j) — no stored
+    // matrix, no RNG, no shuffle (one narrow codegen pass) — and every
+    // output is an exact BIGINT the DuckDB oracle recomputes
+    // independently, bit-for-bit (full cross-engine certification)
+    "q167_jl_project" -> ((s, d) =>
+      graft.operators.Projection.jlProject(
+          t(s, d, "embeddings"), "vec_id", "embedding", outDim = 16)
+        .orderBy("vec_id", "j")),
+
+    // product-quantization ANN: ADC search over the PERSISTED codebook
+    // + codes artifact (train-once/search-many, like q38's IVF) with
+    // exact float re-rank of the overfetched candidates. Codes are
+    // m·8 bytes per vector vs 256 bytes of float32 — the bandwidth
+    // path at 100 TB. Golden-pinned (k-means); recall vs brute force
+    // certified in PqSpec
+    "q168_pq_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.pqSearch(pqIndexFor(s, d),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // PCA training artifact: top-8 principal components of the
+    // embedding covariance as the fixed-point (comp, i, w, mu, eigval)
+    // table — one distributed integer-Gram pass + a deterministic
+    // driver-side Jacobi eigensolve on the d×d matrix. Golden-pinned
+    // (the eigensolve is not SQL-expressible); orthonormality and
+    // eigen-residual certified in ProjectionSpec
+    "q169_pca_components" -> ((s, d) =>
+      pcaComponentsFor(s, d).orderBy("comp", "i")),
+
+    // PCA apply under the frozen components: exact-BIGINT centered
+    // projection that the DuckDB oracle RE-EXECUTES independently from
+    // the pinned artifact — true cross-engine certification of the
+    // projection path (the Bpe merge-table pattern), not a pin
+    // read-back
+    "q170_pca_project" -> ((s, d) =>
+      graft.operators.Projection.pcaProject(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          pcaComponentsFor(s, d))
+        .orderBy("vec_id", "comp")),
 
     // weekday seasonality profile: each (event_type, ISO weekday)'s
     // traffic index vs the type's flat-week expectation, in exact
@@ -1699,6 +1774,25 @@ object AnalyticsQueries {
   }
 
   private val oracles0: Map[String, String] = Map(
+    // full recomputation: the ±1 matrix is an integer formula of
+    // (i, j), so DuckDB rebuilds the entire projection from raw floats
+    "q167_jl_project" ->
+      ("WITH v AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings), "
+       + "q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS vq FROM v), "
+       + "s AS (SELECT vec_id, i, vq, j FROM q CROSS JOIN (SELECT unnest(range(16)) AS j) jj) "
+       + "SELECT vec_id, j, CAST(SUM((1 - 2 * (((i * 73856093 + j * 19349663 + i * j * 83492791) % 1000000007) % 2)) * vq) AS BIGINT) AS p "
+       + "FROM s GROUP BY 1, 2 ORDER BY vec_id, j"),
+    "q168_pq_topk" -> golden("q168_pq_topk", "qid, cid, rn", "qid, rn"),
+    "q169_pca_components" ->
+      golden("q169_pca_components", "comp, i, w, mu, eigval", "comp, i"),
+    // independent re-execution of the centered fixed-point projection
+    // from the pinned component artifact (not a pin read-back)
+    "q170_pca_project" ->
+      ("WITH w AS (SELECT comp, i, w, mu FROM read_parquet('/root/repo/golden/sf0.01/q169_pca_components/*.parquet')), "
+       + "v AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings), "
+       + "q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS vq FROM v) "
+       + "SELECT q.vec_id AS vec_id, CAST(w.comp AS BIGINT) AS comp, CAST(SUM((q.vq - w.mu) * w.w) AS BIGINT) AS p "
+       + "FROM q JOIN w ON q.i = w.i GROUP BY 1, 2 ORDER BY vec_id, comp"),
     "q165_source_profile" ->
       ("WITH p AS (SELECT source, COUNT(*)::BIGINT AS docs, COUNT(DISTINCT text)::BIGINT AS uniq, SUM(n_chars)::BIGINT AS chars "
        + "FROM documents GROUP BY 1), t AS (SELECT SUM(chars)::BIGINT AS tchars FROM p) "

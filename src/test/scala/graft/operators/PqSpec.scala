@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.engine.Tables
+
+class PqSpec extends SparkSpec {
+  private lazy val emb = Tables(spark, sf, "embeddings").cache()
+  private def triples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+
+  test("pqTopK: k neighbors per query, self excluded, rank-ordered") {
+    val r = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 3)
+    val rows = r.collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p.head >= p.last))
+      assert(g.forall(x => x.getLong(0) != x.getLong(1)))
+    }
+  }
+
+  test("pqTopK: recall@3 vs brute force is reasonable") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding",
+      k = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(queries, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("pqTopK: full overfetch equals brute force exactly (re-rank is exact)") {
+    val corpusN = emb.count().toInt
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = triples(Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", k = 3))
+    val full = triples(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 3, overfetch = corpusN))
+    assert(full == exact)
+  }
+
+  test("persisted PQ index: write + read-back search equals inline pqTopK") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val inline = triples(Similarity.pqTopK(queries, emb, "vec_id", "embedding",
+      k = 3))
+    val dir = java.nio.file.Files.createTempDirectory("pq-spec-").toString
+    Similarity.pqIndex(emb, "vec_id", "embedding").write(dir)
+    val reread = triples(Similarity.pqSearch(
+      Similarity.pqIndexRead(spark, dir), queries, "vec_id", "embedding", k = 3))
+    assert(reread == inline)
+  }
+
+  test("pqSearch is run-to-run deterministic (integer ADC)") {
+    val idx = Similarity.pqIndex(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val a = triples(Similarity.pqSearch(idx, queries, "vec_id", "embedding", k = 3))
+    val b = triples(Similarity.pqSearch(idx, queries, "vec_id", "embedding", k = 3))
+    assert(a == b)
+  }
+}
