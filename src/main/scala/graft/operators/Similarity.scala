@@ -392,14 +392,18 @@ object Similarity {
   /** A trained, persistable product-quantization index (Jégou et al.
     * 2011, the FAISS IVF-PQ building block — public algorithm):
     *   - `codebooks`: (sub, code, cvec) — per-subspace k-means
-    *     centroids (m · ksub rows, a few KB; always broadcastable)
-    *   - `codes`: (cid, sub, code, cn) — each corpus vector as m small
-    *     integers plus its float norm. THIS is the relation a 100 TB
-    *     scan reads: m codes ≈ m·(8–16) bytes of payload per vector
-    *     versus 4·dim bytes of float32 (16–32× less scan bandwidth at
-    *     dim 64–256 — ANN at scale is bandwidth-bound, which is the
-    *     whole point of PQ). cn rides along (8 bytes × m redundancy)
-    *     so the ADC scan never joins the corpus-sized vector table.
+    *     centroids (m · ksub rows, a few KB; always broadcastable).
+    *     `code` values are DENSE per subspace (0..ksub-1, assigned in
+    *     training-id order) so a (sub, code) pair packs into one
+    *     integer map key at search time.
+    *   - `codes`: (cid, cn, codes array<long>) — ONE row per corpus
+    *     vector: its m codebook codes (codes[sub]) plus its float
+    *     norm. THIS is the relation a 100 TB scan reads: m codes ≈
+    *     m·8 bytes of payload per vector versus 4·dim bytes of
+    *     float32 (16–32× less scan bandwidth at dim 64–256 — ANN at
+    *     scale is bandwidth-bound, which is the whole point of PQ).
+    *     cn rides along so the ADC scan never joins the corpus-sized
+    *     vector table.
     *   - `vectors`: (cid, cv, cn) — full vectors, touched ONLY by the
     *     final exact re-rank of k·overfetch candidates per query.
     * All three round-trip parquet exactly, so searches over a
@@ -465,31 +469,48 @@ object Similarity {
       graft.engine.Checkpoints.release(cb)
       cb = cut
     }
-    val codes = sub.join(broadcast(cb), Seq("sub"))
+    // densify code labels per subspace (order-preserving: rank by the
+    // training id, so assignment tie-breaks — min over (dist, code) —
+    // are unchanged by the relabeling)
+    val dense = cb
+      .withColumn("dcode", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("code"))).cast("long") - 1)
+    val cbDense = dense.select(col("sub"), col("dcode").as("code"), col("cvec"))
+    val codes = sub.join(broadcast(dense), Seq("sub"))
       .groupBy(col("cid"), col("sub"))
       .agg(min(struct(l2Dist(col("sv"), col("cvec")).as("d"),
-        col("code").as("code"))).as("s"))
+        col("dcode").as("dcode"))).as("s"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("s.dcode").as("c")))),
+        x => x.getField("c")).as("codes"))
       .join(c.select(col("cid"), col("cn")), Seq("cid"))
-      .select(col("cid"), col("sub"), col("s.code").as("code"), col("cn"))
-    PqIndex(cb, codes, c.select(col("cid"), col("cv"), col("cn")))
+      .select(col("cid"), col("cn"), col("codes"))
+    PqIndex(cbDense, codes, c.select(col("cid"), col("cv"), col("cn")))
   }
+
+  /** Packed (sub, code) map key stride — codebook codes are dense per
+    * subspace, so any ksub < 2^20 packs collision-free.
+    */
+  private val PqKeyStride = 1L << 20
 
   /** Asymmetric-distance (ADC) search against a trained [[PqIndex]]:
     * each query precomputes a lookup table of partial dot products
-    * against every (sub, code) centroid — m·ksub floats per query,
-    * broadcast — and every corpus vector's approximate dot is the sum
-    * of m table lookups over its codes. Partial dots are quantized to
-    * micro-units so the per-(query, vector) sum is an exact BIGINT —
-    * aggregation-order-independent, hence run-to-run deterministic.
-    * The top k·overfetch ADC candidates per query re-rank by EXACT
-    * float cosine (refinement), so quantization error can only cost
-    * recall beyond rank k·overfetch, never mis-order the final k.
+    * against every (sub, code) centroid — m·ksub entries per query,
+    * packed into one broadcast map — and every corpus vector's
+    * approximate dot is the sum of m table lookups over its codes
+    * array, computed PER ROW inside whole-stage codegen. Partial dots
+    * are quantized to micro-units so the sum is an exact BIGINT —
+    * run-to-run deterministic. The top k·overfetch ADC candidates per
+    * query re-rank by EXACT float cosine (refinement), so quantization
+    * error can only cost recall beyond rank k·overfetch, never
+    * mis-order the final k.
     *
-    * Plan shape: codebooks and the LUT broadcast; the ADC pass is one
-    * map-side-combinable groupBy over the m-exploded codes relation
-    * (the corpus-sized side never shuffles wider than its 16–32
-    * bytes/row of codes); only k·overfetch ids per query touch the
-    * full-vector table, with the candidate side broadcast.
+    * Plan shape: the corpus-sized codes relation is scanned ONCE with
+    * zero shuffle and zero row expansion (queries broadcast against
+    * it, the m-lookup sum is a codegen fold) — the first exchange in
+    * the plan is the per-query top-k over already-scored rows, the
+    * same shape as [[int8TopK]]; only k·overfetch ids per query touch
+    * the full-vector table, with the candidate side broadcast.
     */
   def pqSearch(index: PqIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, overfetch: Int = 4,
@@ -499,20 +520,25 @@ object Similarity {
     val (m, dsub) = (dims.getInt(0) + 1, dims.getInt(1))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn")).cache()
-    val lut = subVectors(q, "qid", "qv", m, dsub, "qsv")
+    val qlut = subVectors(q, "qid", "qv", m, dsub, "qsv")
       .join(broadcast(index.codebooks), Seq("sub"))
-      .select(col("qid"), col("sub"), col("code"),
+      .select(col("qid"),
+        (col("sub").cast("long") * PqKeyStride + col("code")).as("key"),
         round(dot(col("qsv"), col("cvec")) * 1000000).cast("long").as("pdot"))
-    val adc = index.codes.join(broadcast(lut), Seq("sub", "code"))
-      .groupBy(col("qid"), col("cid"))
-      .agg(sum(col("pdot")).as("adot"), min(col("cn")).as("cn"))
-    val scored0 = if (excludeSelf) adc.filter(col("qid") =!= col("cid")) else adc
+      .groupBy(col("qid"))
+      .agg(map_from_arrays(collect_list(col("key")),
+        collect_list(col("pdot"))).as("lut"))
+      .join(q.select(col("qid"), col("qn")), Seq("qid"))
+    val adot = aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0L),
+      (acc, sb) => acc + element_at(col("lut"),
+        sb.cast("long") * PqKeyStride + element_at(col("codes"), sb + 1)))
+    val joined = index.codes.crossJoin(broadcast(qlut))
+    val scored0 = if (excludeSelf) joined.filter(col("qid") =!= col("cid")) else joined
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("asim").desc, col("cid"))
     val cands = scored0
-      .join(broadcast(q.select(col("qid"), col("qn"))), Seq("qid"))
       .withColumn("asim",
-        col("adot") / (lit(1000000.0) * sqrt(col("qn") * col("cn"))))
+        adot / (lit(1000000.0) * sqrt(col("qn") * col("cn"))))
       .withColumn("_crn", row_number().over(wq))
       .filter(col("_crn") <= k * overfetch)
       .select(col("qid"), col("cid"))

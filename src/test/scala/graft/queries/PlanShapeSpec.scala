@@ -364,4 +364,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("hashpartitioning"),
       s"gopher rules must not hash-shuffle the corpus:\n$s")
   }
+
+  test("jlProject is one narrow codegen pass — zero shuffle, zero join") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables(spark, sf, "embeddings")
+    val s = planString(graft.operators.Projection
+      .jlProject(emb, "vec_id", "embedding", 16))
+    assert(!s.contains("hashpartitioning") && !s.contains("rangepartitioning"),
+      s"the projection itself must not shuffle:\n$s")
+    assert(!s.contains("Join"), s"no stored matrix, hence no join:\n$s")
+  }
+
+  test("q168 PQ ADC scan: the corpus codes relation never hash-shuffles") {
+    // every hash-partition exchange in the search plan must be keyed by
+    // the QUERY id (top-k windows / the tiny per-query LUT rollup) —
+    // a corpus-keyed exchange would mean the codes scan is being
+    // shuffled, which defeats the PQ bandwidth story at 100 TB
+    val s = planString(q("q168_pq_topk"))
+    val corpusKeyed = s.linesIterator
+      .filter(_.contains("hashpartitioning"))
+      .filter(l => !l.contains("qid"))
+    assert(corpusKeyed.isEmpty,
+      s"corpus-keyed exchange in ADC plan: ${corpusKeyed.mkString("; ")}")
+  }
+
+  test("q170 PCA projection: corpus side is broadcast-joined, never shuffled") {
+    val s = planString(q("q170_pca_project"))
+    // the only hash exchange is the r-row component rollup (keyed by
+    // comp); the final orderBy range-partitions — the embeddings scan
+    // itself must reach the projection without a key shuffle
+    val bad = s.linesIterator
+      .filter(_.contains("hashpartitioning"))
+      .filter(l => !l.contains("comp"))
+    assert(bad.isEmpty, s"corpus-keyed exchange: ${bad.mkString("; ")}")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"components must broadcast:\n$s")
+  }
 }
