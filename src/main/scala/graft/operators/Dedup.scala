@@ -208,6 +208,47 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Exact n-gram CONTAINMENT pairs: cont = |A∩B| / min(|A|,|B|) ≥ t.
+    * Containment is the asymmetric cousin of Jaccard and the right
+    * measure for quote/subset duplication — a paragraph fully embedded
+    * in a larger page scores cont ≈ 1.0 while its symmetric Jaccard
+    * (÷ union) can sit far below any dedup threshold. LLM curation
+    * pipelines use exactly this to catch boilerplate-wrapped copies
+    * (the SlimPajama/RefinedWeb-style "low-length-ratio duplicate"
+    * case) that [[jaccardPairs]] structurally misses.
+    *
+    * Same inverted-index plan shape as [[jaccardPairs]] (8-byte shingle
+    * hashes through every shuffle, anti-join posting cut against the
+    * hot set, pair counting partial-aggregated map-side); only the
+    * final score divides by the SMALLER set.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val hashed = shingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("sh")).cache()
+    val posting =
+      if (maxDocFreq == Long.MaxValue) hashed
+      else {
+        val hot = hashed.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDocFreq).select(col("sh"))
+        hashed.join(hot, Seq("sh"), "left_anti")
+      }
+    val sizes = posting.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = posting.select(col("id").as("a"), col("sh"))
+    val b = posting.select(col("id").as("b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("cont",
+        col("inter").cast("double") / least(col("sza"), col("szb")))
+      .filter(col("cont") >= threshold)
+      .select(col("a"), col("b"), round(col("cont"), 4).as("cont"))
+  }
+
   /** Exact Jaccard with PREFIX FILTERING (PPJoin-style): for threshold
     * t, any pair with jac >= t must share a shingle within each side's
     * first `|d| - ceil(t*|d|) + 1` shingles under a global total order

@@ -198,4 +198,36 @@ object Sampling {
     df.filter(
       conv(substring(md5(concat_ws("|", col(strataCol), col(keyCol))), 1, 4),
         16, 10).cast("int") < math.floor(fraction * Buckets).toInt)
+
+  /** Weighted sampling WITHOUT replacement, n per stratum (Efraimidis–
+    * Spirakis 2006 "Weighted random sampling with a reservoir" — the
+    * public A-Res scheme): each row draws u ∈ (0,1] and ranks by
+    * ln(u)/w descending; the top n per stratum are a bona-fide weighted
+    * sample without replacement. Here u is the 60-bit md5 of the row
+    * key mapped to (0,1] — the same pure-function-of-the-key
+    * determinism contract as [[deterministicSplit]]: the sample is
+    * reproducible on any cluster, any partitioning, any engine (the
+    * oracle recomputes it in SQL).
+    *
+    * Plan shape for 100 TB: rank + u are per-row codegen; the top-n cut
+    * is a per-stratum selection over rank keys, i.e. the shuffle
+    * carries (stratum, key-rank) pairs and the window sorts within
+    * strata only — never a global sort. (For huge strata swap the
+    * window for [[TopKAggregator]]; at n·|strata| output scale both
+    * shapes hold.) Weights must be strictly positive.
+    */
+  def weightedSample(df: DataFrame, strataCol: String, keyCol: String,
+      weight: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // u in (0,1]: (h+1)/2^60 over the 60-bit md5 hash — never 0, so
+    // ln(u) is finite; ties impossible while keys are distinct
+    val u = (Kmv.hash60(col(keyCol)) + 1).cast("double") / lit(Kmv.SpaceSize)
+    val esKey = log(u) / weight.cast("double")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("_es").desc, col(keyCol))
+    df.withColumn("_es", esKey)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= n)
+      .drop("_es")
+  }
 }

@@ -563,6 +563,155 @@ object Similarity {
     pqSearch(pqIndex(corpus, idCol, vecCol, m, ksub, iters),
       queries, idCol, vecCol, k, overfetch)
 
+  /** A trained, persistable IVF-PQ index (Jégou et al. 2011 §IV — the
+    * composition FAISS ships as `IndexIVFPQ`, the workhorse of
+    * billion-vector ANN): a coarse k-means partitions the corpus into
+    * `nCells` inverted lists, and a product quantizer trained on the
+    * RESIDUALS (vector − its cell centroid) compresses every vector to
+    * m codes. The two approximations multiply: IVF cuts the SCAN to
+    * the probed cells' fraction of the corpus, PQ cuts the BYTES per
+    * scanned vector 16–32×, so a query touches
+    * (nProbe/nCells) · (m·8 / 4·dim) of the raw corpus bandwidth —
+    * at 100 TB that is the difference between an interactive query
+    * and a full-corpus read. Residual encoding (not raw-vector PQ) is
+    * what makes the shared codebook accurate across cells: residuals
+    * from every cell live in one small ball around the origin.
+    *
+    *   - `centroids`: (ctr, cvec) — the coarse quantizer (tiny).
+    *   - `codebooks`: (sub, code, cvec) — residual-space PQ codebooks.
+    *   - `codes`: (bucket, cid, cn, codes) — ONE row per corpus
+    *     vector: its cell, TRUE norm, and m residual codes. The only
+    *     corpus-sized relation a search scans.
+    *   - `vectors`: (cid, cv, cn) — full vectors for the exact re-rank.
+    * All four round-trip parquet exactly (same persisted-artifact
+    * contract as [[IvfIndex]]/[[PqIndex]]).
+    */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, vectors: DataFrame) {
+    def write(dir: String): Unit = {
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      vectors.write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+  }
+
+  def ivfPqIndexRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex =
+    IvfPqIndex(spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"),
+      spark.read.parquet(s"$dir/vectors"))
+
+  /** Train an IVF-PQ index: coarse k-means → per-vector residuals →
+    * PQ codebooks on the residual relation (reusing [[pqIndex]]'s
+    * fused m-subspace training loop) → codes re-keyed by cell with
+    * the TRUE vector norm. Deterministic end to end (lowest-id inits,
+    * no RNG).
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 8, ksub: Int = 32,
+      iters: Int = 2): IvfPqIndex = {
+    val c = graft.engine.Par.widen(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")).cache()
+    val centroids = kmeans(c, nCells, iters)
+    val posting = nearest1(c, centroids, "cid", "cv", Seq("cv", "cn"), "bucket")
+    val residuals = posting
+      .join(broadcast(centroids.withColumnRenamed("ctr", "bucket")
+        .withColumnRenamed("cvec", "_ctrv")), Seq("bucket"))
+      .select(col("cid"),
+        zip_with(col("cv"), col("_ctrv"),
+          (a, b) => (a - b).cast("float")).as("rv"))
+    val pq = pqIndex(residuals, "cid", "rv", m, ksub, iters)
+    val codes = pq.codes.select(col("cid"), col("codes"))
+      .join(posting.select(col("cid"), col("cn"), col("bucket")), Seq("cid"))
+      .select(col("bucket"), col("cid"), col("cn"), col("codes"))
+    IvfPqIndex(centroids, pq.codebooks, codes,
+      c.select(col("cid"), col("cv"), col("cn")))
+  }
+
+  /** ADC search against a trained [[IvfPqIndex]]: each query probes
+    * its `nProbe` nearest cells; within a probed cell the approximate
+    * dot is dot(q, centroid) — one scalar per (query, cell), computed
+    * on the broadcast probe side — plus the m-lookup residual ADC sum
+    * (per-row codegen fold, as [[pqSearch]]). Both terms quantize to
+    * micro-units so the sum is an exact BIGINT — run-to-run
+    * deterministic. Top k·overfetch ADC candidates re-rank by exact
+    * float cosine against the full-vector table.
+    *
+    * Plan shape: the codes relation is hit through an equi-join on
+    * `bucket` with the (tiny) probe side broadcast — the corpus never
+    * shuffles AND never fully scans (AQE/DPP skip unprobed cells'
+    * partitions when the index is written bucket-partitioned); the
+    * first exchange is the per-query top-k over already-scored rows.
+    */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+      overfetch: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    val dims = index.codebooks
+      .agg(max(col("sub")).as("ms"), min(size(col("cvec"))).as("dsub")).head()
+    val (m, dsub) = (dims.getInt(0) + 1, dims.getInt(1))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn")).cache()
+    // per-query LUT over the residual codebooks (m·ksub partial dots,
+    // micro-unit longs, one packed map per query)
+    val qlut = subVectors(q, "qid", "qv", m, dsub, "qsv")
+      .join(broadcast(index.codebooks), Seq("sub"))
+      .select(col("qid"),
+        (col("sub").cast("long") * PqKeyStride + col("code")).as("key"),
+        round(dot(col("qsv"), col("cvec")) * 1000000).cast("long").as("pdot"))
+      .groupBy(col("qid"))
+      .agg(map_from_arrays(collect_list(col("key")),
+        collect_list(col("pdot"))).as("lut"))
+    // nProbe nearest cells per query, each carrying the dot(q, centroid)
+    // bias term (micro-units)
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("__d").asc, col("ctr"))
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("__d", l2Dist(col("qv"), col("cvec")))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nProbe)
+      .withColumn("bias",
+        round(dot(col("qv"), col("cvec")) * 1000000).cast("long"))
+      .select(col("qid"), col("qn"), col("ctr").as("bucket"), col("bias"))
+      .join(qlut, Seq("qid"))
+    val adot = aggregate(sequence(lit(0), size(col("codes")) - 1),
+      col("bias"),
+      (acc, sb) => acc + element_at(col("lut"),
+        sb.cast("long") * PqKeyStride + element_at(col("codes"), sb + 1)))
+    val joined = index.codes.join(broadcast(probes), Seq("bucket"))
+    val scored0 = if (excludeSelf) joined.filter(col("qid") =!= col("cid")) else joined
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("cid"))
+    val cands = scored0
+      .withColumn("asim",
+        adot / (lit(1000000.0) * sqrt(col("qn") * col("cn"))))
+      .withColumn("_crn", row_number().over(wq))
+      .filter(col("_crn") <= k * overfetch)
+      .select(col("qid"), col("cid"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    index.vectors.join(broadcast(cands), Seq("cid"))
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), Seq("qid"))
+      .withColumn("sim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
+        col("rn").cast("bigint").as("rn"))
+  }
+
+  /** One-shot IVF-PQ top-k: train + search inline (see [[ivfPqIndex]] /
+    * [[ivfPqSearch]] for the train-once/search-many split).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nCells: Int = 16,
+      m: Int = 8, ksub: Int = 32, nProbe: Int = 4,
+      overfetch: Int = 8, iters: Int = 2): DataFrame =
+    ivfPqSearch(ivfPqIndex(corpus, idCol, vecCol, nCells, m, ksub, iters),
+      queries, idCol, vecCol, k, nProbe, overfetch)
+
   /** Per-label centroid + distance-to-centroid outlier ranking — the
     * embedding-quality primitive: vectors far from their label's
     * centroid are mislabeled/noisy candidates for curation review.

@@ -77,6 +77,22 @@ object AnalyticsQueries {
     Similarity.pqIndexRead(s, out)
   }
 
+  /** IVF-PQ index per sf dir — trained and WRITTEN once per JVM
+    * (coarse k-means + residual PQ are the expensive part; a
+    * production service trains once and serves every batch).
+    */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfPqIndexFor(s: SparkSession, dir: String): Similarity.IvfPqIndex = {
+    val out = ivfPqIndexCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString
+      Similarity.ivfPqIndex(t(s, d, "embeddings"), "vec_id", "embedding")
+        .write(tmp)
+      tmp
+    })
+    Similarity.ivfPqIndexRead(s, out)
+  }
+
   /** PCA components per sf dir — trained once per JVM. The artifact is
     * a pure deterministic function of the data (exact integer Gram,
     * fixed-order Jacobi), so q169's golden pin and q170's projection
@@ -668,6 +684,99 @@ object AnalyticsQueries {
           t(s, d, "embeddings"), "vec_id", "embedding",
           pcaComponentsFor(s, d))
         .orderBy("vec_id", "comp")),
+
+    // KMV (bottom-k) distinct sketch per language: bounded mergeable
+    // Aggregator state (≤ 64 longs/group through every shuffle), md5-
+    // based hashing so the DuckDB oracle recomputes every retained
+    // value, the saturation threshold, and the (k-1)/u_k estimate
+    // bit-for-bit — a fully SQL-certified approximate sketch
+    "q171_kmv_distinct" -> ((s, d) =>
+      graft.operators.Kmv.distinctEstimate(
+          t(s, d, "documents"), "lang", "text", k = 64)
+        .orderBy("lang")),
+
+    // KMV theta-style SET INTERSECTION — the operation HLL cannot do:
+    // per week, the overlap between the click and purchase user-day
+    // sets, estimated from two 64-value sketches only (the event
+    // corpora never join). At 100 TB this answers "how many users do
+    // these two sources share" from kilobytes of rolled-up state
+    "q172_kmv_overlap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+            .as("grp"),
+          col("event_type"),
+          concat_ws("|", col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd")).as("k"))
+      graft.operators.Kmv.intersectEstimate(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          "grp", "k", k = 64)
+        .orderBy("grp")
+    }),
+
+    // n-gram CONTAINMENT near-dup pairs (|A∩B| / min size): catches a
+    // paragraph embedded verbatim in a larger page — the asymmetric
+    // duplication mode symmetric Jaccard (q28) structurally misses.
+    // Same bounded inverted-index plan, production posting cut
+    "q173_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.6, maxDocFreq = 5)
+        .orderBy("a", "b")),
+
+    // Efraimidis–Spirakis weighted sampling without replacement, 10
+    // docs per language weighted by length: the deterministic
+    // md5-keyed u makes the drawn sample a pure function of the data
+    // — reproducible on any cluster AND recomputable by the SQL oracle
+    "q174_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(t(s, d, "documents"), "lang", "doc_id",
+          length(col("text")), n = 10)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "rn")),
+
+    // IVF-PQ ANN (FAISS IndexIVFPQ shape): coarse cells cut the scan
+    // to nProbe/nCells of the corpus, residual PQ codes cut bytes per
+    // scanned vector ~16x, exact re-rank restores top-k precision.
+    // Served from the persisted read-back index (train-once contract).
+    // Golden-pinned (k-means); recall certified in IvfPqSpec
+    "q175_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfPqSearch(ivfPqIndexFor(s, d),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // per-source novelty audit — the data-valuation read: what share
+    // of each feed's distinct shingles exists NOWHERE else in the mix?
+    // (A feed that mostly restates other feeds earns its storage cost
+    // back as dedup fodder, not signal.) Exact integer micro-units;
+    // shingles shuffle as 8-byte hashes; both aggregates map-side
+    // combinable
+    "q177_source_novelty" -> ((s, d) => {
+      val sh = Dedup.shingles(t(s, d, "documents"), "source", "text", n = 3)
+        .select(col("id").as("source"), xxhash64(col("shingle")).as("sh"))
+        .distinct()
+      val cnt = sh.groupBy(col("sh")).agg(count(lit(1)).as("_c"))
+      sh.join(cnt, Seq("sh"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("_c") === 1).cast("long")).as("n_novel"))
+        .select(col("source"), col("n_shingles"), col("n_novel"),
+          expr("(n_novel * 1000000) div n_shingles").as("novelty_micro"))
+        .orderBy("source")
+    }),
+
+    // full source-overlap matrix from KMV sketches: every (a, b) feed
+    // pair's shingle-set intersection/Jaccard estimated from one
+    // linear sketch pass — never |sources|² corpus joins. The "which
+    // feeds duplicate each other" triage that decides what enters a
+    // 100 TB mix; certified against the full SQL re-execution
+    "q178_source_overlap" -> ((s, d) => {
+      val sh = Dedup.shingles(t(s, d, "documents"), "source", "text", n = 3)
+        .select(col("id").as("source"), col("shingle"))
+      graft.operators.Kmv.pairwiseOverlap(sh, "source", "shingle", k = 64)
+        .orderBy("a", "b")
+    }),
 
     // weekday seasonality profile: each (event_type, ISO weekday)'s
     // traffic index vs the type's flat-week expectation, in exact
@@ -1793,6 +1902,89 @@ object AnalyticsQueries {
        + "q AS (SELECT vec_id, i, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS vq FROM v) "
        + "SELECT q.vec_id AS vec_id, CAST(w.comp AS BIGINT) AS comp, CAST(SUM((q.vq - w.mu) * w.w) AS BIGINT) AS p "
        + "FROM q JOIN w ON q.i = w.i GROUP BY 1, 2 ORDER BY vec_id, comp"),
+    "q171_kmv_distinct" ->
+      ("WITH h AS (SELECT DISTINCT lang, CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS hv FROM documents), "
+       + "r AS (SELECT lang, hv, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h) "
+       + "SELECT lang, COUNT(*)::BIGINT AS n_kept, "
+       + "MAX(CASE WHEN rn = 64 THEN hv END) AS kth_hash, "
+       + "CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE "
+       + "ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE), 4) END AS est "
+       + "FROM r WHERE rn <= 64 GROUP BY lang ORDER BY lang"),
+    "q172_kmv_overlap" ->
+      ("WITH ev AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS grp, event_type, "
+       + "user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d') AS k FROM events), "
+       + "ha AS (SELECT DISTINCT grp, CAST(('0x' || substring(md5(k), 1, 15)) AS BIGINT) AS hv FROM ev WHERE event_type = 'click'), "
+       + "hb AS (SELECT DISTINCT grp, CAST(('0x' || substring(md5(k), 1, 15)) AS BIGINT) AS hv FROM ev WHERE event_type = 'purchase'), "
+       + "ra AS (SELECT grp, hv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM ha), "
+       + "rb AS (SELECT grp, hv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM hb), "
+       + "agga AS (SELECT grp, COUNT(*) AS na, MAX(CASE WHEN rn = 64 THEN hv END) AS ka FROM ra WHERE rn <= 64 GROUP BY grp), "
+       + "aggb AS (SELECT grp, COUNT(*) AS nb, MAX(CASE WHEN rn = 64 THEN hv END) AS kb FROM rb WHERE rn <= 64 GROUP BY grp), "
+       + "th AS (SELECT grp, na, nb, ka, kb, "
+       + "LEAST(CASE WHEN na < 64 THEN CAST(1152921504606846976 AS DOUBLE) ELSE CAST(ka AS DOUBLE) END, "
+       + "CASE WHEN nb < 64 THEN CAST(1152921504606846976 AS DOUBLE) ELSE CAST(kb AS DOUBLE) END) AS theta "
+       + "FROM agga JOIN aggb USING (grp)), "
+       + "sh AS (SELECT ra.grp, COUNT(*) AS s FROM ra JOIN rb ON ra.grp = rb.grp AND ra.hv = rb.hv "
+       + "JOIN th ON th.grp = ra.grp "
+       + "WHERE ra.rn <= 64 AND rb.rn <= 64 AND CAST(ra.hv AS DOUBLE) < th.theta GROUP BY ra.grp), "
+       + "est AS (SELECT th.grp, "
+       + "CASE WHEN na < 64 THEN na::DOUBLE ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(ka AS DOUBLE), 4) END AS est_a, "
+       + "CASE WHEN nb < 64 THEN nb::DOUBLE ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(kb AS DOUBLE), 4) END AS est_b, "
+       + "ROUND(COALESCE(sh.s, 0)::DOUBLE * CAST(1152921504606846976 AS DOUBLE) / th.theta, 4) AS est_inter "
+       + "FROM th LEFT JOIN sh ON sh.grp = th.grp) "
+       + "SELECT grp, est_a, est_b, est_inter, "
+       + "ROUND(est_inter / (est_a + est_b - est_inter), 4) AS est_jaccard "
+       + "FROM est ORDER BY grp"),
+    "q173_containment" ->
+      ("WITH words AS (" + wordsCte + "), " +
+       "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle " +
+       "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), " +
+       "df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1), " +
+       "cut AS (SELECT sh.id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.c <= 5), " +
+       "sz AS (SELECT id, COUNT(*) AS sz FROM cut GROUP BY id), " +
+       "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM cut x JOIN cut y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2) " +
+       "SELECT a, b, ROUND(i::DOUBLE / LEAST(sa.sz, sb.sz), 4) AS cont " +
+       "FROM inter JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id " +
+       "WHERE i::DOUBLE / LEAST(sa.sz, sb.sz) >= 0.6 ORDER BY a, b"),
+    "q174_weighted_sample" ->
+      ("WITH t AS (SELECT lang, doc_id, "
+       + "ln((CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) + 1)::DOUBLE / CAST(1152921504606846976 AS DOUBLE)) "
+       + "/ length(text)::DOUBLE AS es FROM documents), "
+       + "r AS (SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS rn FROM t) "
+       + "SELECT lang, doc_id, rn FROM r WHERE rn <= 10 ORDER BY lang, rn"),
+    "q175_ivfpq" -> golden("q175_ivfpq", "qid, cid, rn", "qid, rn"),
+    "q177_source_novelty" ->
+      ("WITH words AS (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents), "
+       + "sh AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle "
+       + "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), "
+       + "cnt AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1) "
+       + "SELECT source, COUNT(*)::BIGINT AS n_shingles, "
+       + "SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel, "
+       + "((SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*))::BIGINT AS novelty_micro "
+       + "FROM sh JOIN cnt USING (shingle) GROUP BY source ORDER BY source"),
+    "q178_source_overlap" ->
+      ("WITH words AS (SELECT source, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents), "
+       + "shg AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle "
+       + "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), "
+       + "h AS (SELECT DISTINCT source, CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS hv FROM shg), "
+       + "r AS (SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h), "
+       + "kk AS (SELECT source, hv, rn FROM r WHERE rn <= 64), "
+       + "agg AS (SELECT source, COUNT(*) AS n, MAX(CASE WHEN rn = 64 THEN hv END) AS kth FROM kk GROUP BY source), "
+       + "pr AS (SELECT x.source AS a, y.source AS b, x.n AS na, y.n AS nb, x.kth AS ka, y.kth AS kb "
+       + "FROM agg x JOIN agg y ON x.source < y.source), "
+       + "th AS (SELECT *, LEAST("
+       + "CASE WHEN na < 64 THEN CAST(1152921504606846976 AS DOUBLE) ELSE CAST(ka AS DOUBLE) END, "
+       + "CASE WHEN nb < 64 THEN CAST(1152921504606846976 AS DOUBLE) ELSE CAST(kb AS DOUBLE) END) AS theta FROM pr), "
+       + "shj AS (SELECT th.a, th.b, COUNT(*) AS s FROM kk x JOIN kk y ON x.hv = y.hv AND x.source < y.source "
+       + "JOIN th ON th.a = x.source AND th.b = y.source "
+       + "WHERE CAST(x.hv AS DOUBLE) < th.theta GROUP BY th.a, th.b), "
+       + "est AS (SELECT th.a, th.b, "
+       + "CASE WHEN na < 64 THEN na::DOUBLE ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(ka AS DOUBLE), 4) END AS est_a, "
+       + "CASE WHEN nb < 64 THEN nb::DOUBLE ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(kb AS DOUBLE), 4) END AS est_b, "
+       + "ROUND(COALESCE(shj.s, 0)::DOUBLE * CAST(1152921504606846976 AS DOUBLE) / th.theta, 4) AS est_inter "
+       + "FROM th LEFT JOIN shj ON shj.a = th.a AND shj.b = th.b) "
+       + "SELECT a, b, est_a, est_b, est_inter, "
+       + "ROUND(est_inter / (est_a + est_b - est_inter), 4) AS est_jaccard "
+       + "FROM est ORDER BY a, b"),
     "q165_source_profile" ->
       ("WITH p AS (SELECT source, COUNT(*)::BIGINT AS docs, COUNT(DISTINCT text)::BIGINT AS uniq, SUM(n_chars)::BIGINT AS chars "
        + "FROM documents GROUP BY 1), t AS (SELECT SUM(chars)::BIGINT AS tchars FROM p) "

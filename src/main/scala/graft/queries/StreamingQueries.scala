@@ -674,6 +674,51 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** Streaming KMV distinct sketch: the bounded bottom-k `Aggregator`
+    * (q171) maintained INCREMENTALLY by the streaming state store —
+    * per event_type, the sketch of user-day keys absorbs each
+    * micro-batch via the same merge the batch shuffle uses (the
+    * mergeability that makes a sketch a sketch is exactly what makes
+    * it streamable). Complete-mode output; state is ≤ 64 longs per
+    * type, constant over an unbounded stream. The final drained sketch
+    * must equal the batch sketch bit-for-bit — same md5 hash space, so
+    * the DuckDB oracle recomputes estimate AND threshold exactly.
+    */
+  def q176StreamKmv(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q176_stream_kmv_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q176")
+      val agg = udaf(new graft.operators.Kmv.KmvAgg(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val events = eventsStream(s, dir, raw)
+      val q = events
+        .withColumn("ts_t", tsTimestamp(raw))
+        .select(col("event_type"),
+          graft.operators.Kmv.hash60(concat_ws("|", col("user_id"),
+            date_format(col("ts_t"), "yyyy-MM-dd"))).as("h"))
+        .groupBy(col("event_type"))
+        .agg(agg(col("h")).as("mins"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      val k = 64
+      s.table(name).select(col("event_type"),
+          size(col("mins")).cast("bigint").as("n_kept"),
+          when(size(col("mins")) >= k, element_at(col("mins"), k))
+            .otherwise(lit(null).cast("bigint")).as("kth_hash"),
+          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(round(lit((k - 1).toDouble) *
+              lit(graft.operators.Kmv.SpaceSize) /
+              element_at(col("mins"), k).cast("double"), 4)).as("est"))
+        .orderBy("event_type")
+    }
+
   val queries: Map[String, Q] = Map(
     "q106_incremental_view" -> (q106IncrementalView(_, _)),
     "q23_stream" -> (q23Stream(_, _)),
@@ -684,7 +729,8 @@ object StreamingQueries {
     "q89_stream_static" -> (q89StreamStatic(_, _)),
     "q100_sessionize_state" -> (q100SessionizeState(_, _)),
     "q148_stream_dedup" -> (q148StreamDedup(_, _)),
-    "q164_stream_first_seen" -> (q164StreamFirstSeen(_, _))
+    "q164_stream_first_seen" -> (q164StreamFirstSeen(_, _)),
+    "q176_stream_kmv" -> (q176StreamKmv(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
@@ -700,6 +746,17 @@ object StreamingQueries {
     "q100_sessionize_state" -> CoreQueries.oracles("q25_sessionize"),
     "q164_stream_first_seen" ->
       AnalyticsQueries.oracles("q163_new_vs_returning"),
+    // the incrementally-maintained sketch must equal the batch sketch
+    // bit-for-bit — the oracle re-executes the full KMV in SQL
+    "q176_stream_kmv" ->
+      ("WITH h AS (SELECT DISTINCT event_type, "
+       + "CAST(('0x' || substring(md5(user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d')), 1, 15)) AS BIGINT) AS hv FROM events), "
+       + "r AS (SELECT event_type, hv, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h) "
+       + "SELECT event_type, COUNT(*)::BIGINT AS n_kept, "
+       + "MAX(CASE WHEN rn = 64 THEN hv END) AS kth_hash, "
+       + "CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE "
+       + "ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE), 4) END AS est "
+       + "FROM r WHERE rn <= 64 GROUP BY event_type ORDER BY event_type"),
     "q82_stream" -> CoreQueries.oracles("q82_sliding"),
     // the batch formulation of the same join IS the equivalence contract
     "q65_stream_join" ->
