@@ -230,4 +230,38 @@ object Sampling {
       .filter(col("rn") <= n)
       .drop("_es")
   }
+
+  /** Per-group frequency cap — the web-corpus curation step that stops
+    * one over-crawled domain/feed from dominating a training mix (the
+    * CCNet/RefinedWeb "cap documents per domain" rule): keep at most
+    * `cap` rows per group, chosen by the deterministic 60-bit md5 rank
+    * of (group, key) — a pure function of the data, reproducible on
+    * any cluster/partitioning and recomputable by the SQL oracle.
+    * Since the rank key is a uniform hash, the kept set is an unbiased
+    * fixed-size subsample of the group.
+    *
+    * Skew-aware plan: one map-side-combinable count pass finds the
+    * over-cap groups — typically FEW (the heavy hitters are the reason
+    * the cap exists) and tiny (one row per group), so they broadcast.
+    * The under-cap mass passes through via a broadcast ANTI join —
+    * narrow, never shuffled — and only rows of over-cap groups pay the
+    * per-group rank window. For a pathological single group holding a
+    * whole partition's worth of rows, pre-thin with a hash threshold
+    * (`hash60 < 2^60 * cap * slack / count`) before the exact window;
+    * the uniform hash makes the survivor count sharply concentrated.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = Kmv.hash60(concat_ws("|", col(groupCol), col(keyCol)))
+    val overGroups = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_gc")).filter(col("_gc") > cap)
+      .select(col(groupCol))
+    val under = df.join(broadcast(overGroups), Seq(groupCol), "left_anti")
+    val w = Window.partitionBy(col(groupCol)).orderBy(rank, col(keyCol))
+    val over = df.join(broadcast(overGroups), Seq(groupCol), "left_semi")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap).drop("_rn")
+    under.unionByName(over)
+  }
 }

@@ -1700,7 +1700,68 @@ object AnalyticsQueries {
         .filter(col("click_id").isNotNull) // inner as-of semantics
         .select(col("event_id"), col("click_id"))
         .orderBy("event_id")
-    })
+    }),
+
+    // weighted single-source shortest paths (4 Bellman–Ford relaxation
+    // rounds) over the co-purchase graph, deterministic integer edge
+    // cost w = (u+v)%97+1: q140's frontier shape with a per-edge cost —
+    // one equi-join + one min-groupBy per round, the edge list pinned
+    // once on the join key, all-integer state so the unrolled CTE
+    // oracle re-executes the relaxation exactly
+    "q179_sssp" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val e0 = a.join(b, Seq("k")).filter(col("u") =!= col("v"))
+        .select(col("u"), col("v")).distinct()
+        .withColumn("w", pmod(col("u") + col("v"), lit(97L)) + lit(1L))
+        .repartition(col("u")).persist()
+      var dist = e0.select(col("u")).distinct()
+        .select(col("u").as("node"),
+          when(col("u") === 1L, 0L).otherwise(lit(Long.MaxValue)).as("dd"))
+      for (_ <- 1 to 4) {
+        val relaxed = dist.join(e0, col("node") === col("u"))
+          .filter(col("dd") =!= Long.MaxValue)
+          .select(col("v").as("node"), (col("dd") + col("w")).as("dd"))
+        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
+        graft.engine.Checkpoints.release(dist)
+        dist = next
+      }
+      e0.unpersist() // dist is materialized by the final lineage cut
+      dist.filter(col("dd") =!= Long.MaxValue)
+        .orderBy(col("dd"), col("node")).limit(25)
+    }),
+
+    // per-source frequency cap (the domain-cap curation rule): keep at
+    // most 15 docs per feed by deterministic md5 rank — under-cap feeds
+    // never shuffle (broadcast anti join), only over-cap rows pay the
+    // rank window. Output pins the exact kept SET per feed (id sum),
+    // not just counts
+    "q180_source_cap" -> ((s, d) =>
+      Sampling.capPerGroup(t(s, d, "documents"), "source", "doc_id",
+          cap = 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")),
+
+    // order-invariant dataset fingerprint per feed — the dataset-
+    // versioning primitive: XOR-fold of 60-bit md5 content hashes
+    // (commutative + mergeable, so the checksum is independent of
+    // partitioning and row order and rolls up across shards) plus row
+    // and char mass. Two snapshot runs compare equal iff their
+    // (id, text) multisets match (XOR's even-multiplicity blind spot
+    // is covered by n_docs)
+    "q181_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"),
+          graft.operators.Kmv.hash60(
+            concat_ws("|", col("doc_id"), col("text"))).as("h"),
+          col("n_chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("fp"),
+          sum(col("n_chars")).as("char_sum"))
+        .orderBy("source"))
   )
 
   private def inList(xs: Seq[String]): String =
@@ -1801,6 +1862,25 @@ object AnalyticsQueries {
     }.mkString(", ", ", ", " ")
     base + iters +
       "SELECT dd, COUNT(*) AS n_nodes FROM d4 WHERE dd IS NOT NULL GROUP BY 1 ORDER BY 1"
+  }
+
+  /** q179's oracle: q140's unrolled relaxation chain with the per-edge
+    * integer cost (u+v)%97+1 — Bellman–Ford rounds re-executed exactly.
+    */
+  private def ssspOracle: String = {
+    val base =
+      "WITH e AS (SELECT u, v, (u + v) % 97 + 1 AS w FROM " +
+      "(SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)), " +
+      "d0 AS (SELECT u AS node, CASE WHEN u = 1 THEN 0 ELSE NULL END AS dd FROM (SELECT DISTINCT u FROM e))"
+    val iters = (1 to 4).map { i =>
+      s"d$i AS (SELECT node, MIN(dd) AS dd FROM (" +
+      s"SELECT node, dd FROM d${i - 1} UNION ALL " +
+      s"SELECT e.v AS node, p.dd + e.w AS dd FROM d${i - 1} p JOIN e ON p.node = e.u WHERE p.dd IS NOT NULL" +
+      ") GROUP BY 1)"
+    }.mkString(", ", ", ", " ")
+    base + iters +
+      "SELECT node, dd FROM d4 WHERE dd IS NOT NULL ORDER BY dd, node LIMIT 25"
   }
 
   /** q142's oracle: q125's unrolled chain with the teleport CASE — all
@@ -2000,6 +2080,19 @@ object AnalyticsQueries {
        + "(((late + 1) * 1000000) // (n + 2))::BIGINT AS smoothed_micro "
        + "FROM lr JOIN supplier ON l_suppkey = s_suppkey "
        + "ORDER BY smoothed_micro DESC, suppkey LIMIT 25"),
+    "q179_sssp" -> ssspOracle,
+    "q180_source_cap" ->
+      ("WITH r AS (SELECT source, doc_id, "
+       + "ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
+       + "CAST(('0x' || substring(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn, "
+       + "COUNT(*) OVER (PARTITION BY source) AS gc FROM documents) "
+       + "SELECT source, COUNT(*)::BIGINT AS n_kept, SUM(doc_id)::BIGINT AS id_sum "
+       + "FROM r WHERE gc <= 15 OR rn <= 15 GROUP BY 1 ORDER BY 1"),
+    "q181_fingerprint" ->
+      ("SELECT source, COUNT(*)::BIGINT AS n_docs, "
+       + "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS fp, "
+       + "SUM(n_chars)::BIGINT AS char_sum "
+       + "FROM documents GROUP BY 1 ORDER BY 1"),
     "q162_seasonality" ->
       ("WITH o AS (SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*) AS c FROM events GROUP BY 1, 2), "
        + "t AS (SELECT event_type, SUM(c)::BIGINT AS tc FROM o GROUP BY 1) "

@@ -141,4 +141,25 @@ class SamplingSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(keptIds(docs) == keptIds(docs.repartition(11)))
   }
+
+  test("capPerGroup: exact cap on over-cap groups, under-cap untouched, deterministic") {
+    // lang groups are ~100 docs each at sf0.01; source groups 25 each.
+    // Cap langs at 30: every lang is over-cap -> exactly 30 kept. Cap
+    // sources at 40: every source under-cap -> identity (same rows).
+    val capped = Sampling.capPerGroup(docs, "lang", "doc_id", 30).cache()
+    val per = capped.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    base.foreach { case (lang, total) =>
+      assert(per(lang) == math.min(total, 30L), s"$lang kept ${per(lang)}")
+    }
+    val ident = Sampling.capPerGroup(docs, "source", "doc_id", 40)
+    assert(ident.count() == docs.count())
+    // kept set is a pure function of the data: partitioning-invariant
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      Sampling.capPerGroup(d, "lang", "doc_id", 30)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept(docs) == kept(docs.repartition(13)))
+  }
 }
