@@ -743,4 +743,89 @@ object Similarity {
       .filter(col("rn") <= topK)
       .orderBy("label", "rn")
   }
+
+  /** Maximal-marginal-relevance diversified top-k (MMR, Carbonell &
+    * Goldstein 1998): overfetch `k * overfetch` candidates per query
+    * with the exact scorer, then greedily pick k maximizing
+    * `λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)` — relevance traded against
+    * redundancy with what's already selected. λ=1 degenerates to plain
+    * top-k; lower λ spreads the answer across clusters (the retrieval
+    * read that stops one near-duplicate blob from filling the page).
+    *
+    * Plan shape: the DISTRIBUTED cost is the candidate overfetch (any
+    * of this family's scorers can feed it — exact here; swap in
+    * [[ivfSearch]] at corpus scale). The greedy phase is sequential in
+    * k by definition, but runs per query over its own O(k·overfetch)
+    * candidate slice — a bounded in-group computation (flatMapGroups),
+    * never a driver loop, never all-pairs over the corpus. Candidate
+    * vectors re-attach via one equi-join of the tiny candidate
+    * relation; candidate-candidate sims are computed inside the group
+    * in a fixed sorted order, so the output is a pure function of the
+    * data (partitioning-invariant).
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double,
+      overfetch: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // candidate ids from the exact scorer; relevance is RECOMPUTED at
+    // full precision in-group (the scorer's output sim is rounded for
+    // its own oracle — ranking on it would tie-break differently)
+    val cand = bruteForceTopK(queries, corpus, idCol, vecCol, k * overfetch)
+      .select(col("qid"), col("cid"))
+    val rows = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .join(broadcast(cand), "cid")
+      .join(broadcast(queries.select(col(idCol).as("qid"),
+        col(vecCol).as("qv"))), "qid")
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("cv"), col("qv"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+    rows.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      def dotd(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }; s
+      }
+      val raw = it.toArray
+      val qv = raw.head._4
+      val qn = math.sqrt(dotd(qv, qv))
+      // (cid, cv, norm, relevance), sorted (rel desc, cid) — the fixed
+      // iteration order that makes ties and float sums deterministic
+      val cands = raw.map { case (_, cid, cv, _) =>
+        val cn = math.sqrt(dotd(cv, cv))
+        (cid, cv, cn, dotd(qv, cv) / (qn * cn + 1e-12))
+      }.sortBy(t => (-t._4, t._1))
+      val n = cands.length
+      val maxSim = Array.fill(n)(0.0) // max sim to the selected set
+      val chosen = Array.fill(n)(false)
+      val out = Seq.newBuilder[(Long, Long, Long, Double)]
+      var r = 0
+      while (r < math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) { // ties keep the first in sorted order
+          if (!chosen(i)) {
+            val sc = lambda * cands(i)._4 - (1 - lambda) * maxSim(i)
+            if (sc > bestScore) { best = i; bestScore = sc }
+          }
+          i += 1
+        }
+        chosen(best) = true
+        out += ((qid, cands(best)._1, r + 1L, bestScore))
+        i = 0
+        while (i < n) {
+          if (!chosen(i)) {
+            val s = dotd(cands(i)._2, cands(best)._2) /
+              (cands(i)._3 * cands(best)._3 + 1e-12)
+            if (s > maxSim(i)) maxSim(i) = s
+          }
+          i += 1
+        }
+        r += 1
+      }
+      out.result().iterator
+    }.toDF("qid", "cid", "rn", "mmr")
+      .select(col("qid"), col("cid"), col("rn"),
+        round(col("mmr"), 4).as("mmr"))
+  }
 }

@@ -1761,7 +1761,21 @@ object AnalyticsQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("fp"),
           sum(col("n_chars")).as("char_sum"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // MMR-diversified top-k retrieval: relevance traded against
+    // redundancy with the already-selected set (λ=0.7) — stops one
+    // near-duplicate cluster from filling the whole result page. The
+    // distributed cost is the candidate overfetch; the greedy phase is
+    // a bounded per-query in-group computation. Golden-pinned (greedy
+    // selection is not relationally expressible); semantics certified
+    // in MmrSpec (λ=1 ≡ plain top-k, diversity, partition invariance)
+    "q182_mmr" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.mmrTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", k = 8, lambda = 0.7)
+        .orderBy("qid", "rn")
+    })
   )
 
   private def inList(xs: Seq[String]): String =
@@ -2093,6 +2107,7 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS fp, "
        + "SUM(n_chars)::BIGINT AS char_sum "
        + "FROM documents GROUP BY 1 ORDER BY 1"),
+    "q182_mmr" -> golden("q182_mmr", "qid, cid, rn, mmr", "qid, rn"),
     "q162_seasonality" ->
       ("WITH o AS (SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*) AS c FROM events GROUP BY 1, 2), "
        + "t AS (SELECT event_type, SUM(c)::BIGINT AS tc FROM o GROUP BY 1) "
