@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 
-/** TPC-H completion pack (q108–q122): the remaining canonical TPC-H
-  * query shapes, adapted to the synthetic star schema (no `partsupp`,
-  * no commit/receipt dates, no shipmode/container/comment columns):
+/** TPC-H completion pack (q108–q122, q183–q184): the remaining
+  * canonical TPC-H query shapes, adapted to the synthetic star schema
+  * (no `partsupp`, no commit/receipt dates, no
+  * shipmode/container/comment columns):
   *
   *   - part↔supplier relations derive from `lineitem` (distinct pairs);
   *   - "late" = `l_shipdate > o_orderdate + N days` stands in for the
@@ -20,7 +21,8 @@ import graft.engine.Tables
   * NOT-EXISTS (Q4/Q21/Q22), multi-way dimension chains with aliased
   * dims (Q7/Q8/Q9), global-scalar HAVING (Q11/Q15), conditional
   * aggregation ratios (Q8/Q12/Q14), NOT-IN anti joins (Q16/Q22),
-  * disjunctive pushdown (Q19), and nested semi joins (Q20).
+  * disjunctive pushdown (Q19), nested semi joins (Q20), the pure
+  * pushdown scan (Q6), and outer-join count distributions (Q13).
   *
   * Conventions follow CoreQueries: total ORDER BY, ROUND(·,4) on float
   * aggregates, identical column aliases in Spark and oracle, counts
@@ -372,6 +374,37 @@ object TpchQueries {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 4).as("totacctbal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // Q6 shape — the forecasting-revenue-change scan: pure
+    // filter + global sum, zero joins. The point at scale is the PLAN:
+    // every predicate pushes to the parquet scan (PushedFilters on
+    // shipdate/discount/quantity), the projection reads two columns,
+    // and the aggregate is one map-side-combinable partial per split.
+    "q183_tpch6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1997-01-01'") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"))),
+
+    // Q13 shape — customer distribution by order count (non-urgent
+    // stand-in for the comment-pattern exclusion): orders pre-aggregate
+    // to customer grain FIRST (map-side combinable), then the left join
+    // fills in zero-order customers — the fact table never carries
+    // through the join, only the |customers|-sized rollup does.
+    "q184_tpch13" -> ((s, d) => {
+      val oc = t(s, d, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c_count0"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count0"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     })
   )
 
@@ -497,6 +530,17 @@ object TpchQueries {
        "WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0) " +
        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
        "AND o.o_orderdate >= TIMESTAMP '1999-01-01') " +
-       "GROUP BY 1 ORDER BY 1")
+       "GROUP BY 1 ORDER BY 1"),
+    "q183_tpch6" ->
+      ("SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue " +
+       "FROM lineitem " +
+       "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+       "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    "q184_tpch13" ->
+      ("WITH oc AS (SELECT o_custkey, COUNT(*) AS c_count0 FROM orders " +
+       "WHERE o_orderpriority <> '1-URGENT' GROUP BY 1) " +
+       "SELECT COALESCE(c_count0, 0)::BIGINT AS c_count, COUNT(*)::BIGINT AS custdist " +
+       "FROM customer LEFT JOIN oc ON c_custkey = o_custkey " +
+       "GROUP BY 1 ORDER BY custdist DESC, c_count DESC")
   )
 }

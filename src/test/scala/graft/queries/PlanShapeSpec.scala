@@ -400,4 +400,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
       s"components must broadcast:\n$s")
   }
+
+  test("q183 TPC-H Q6: every predicate reaches the scan; columns pruned") {
+    // Q6 is the pushdown-scan benchmark: at 100 TB the whole query is
+    // the scan, so the date/discount/quantity filters must appear in
+    // PushedFilters and the read schema must carry only the 4 columns
+    // the query touches — never the full 11-column lineitem row.
+    val s = planString(q("q183_tpch6"))
+    // the PushedFilters list is elided in toString past ~100 chars, so
+    // pin the leading predicates only — pruned ReadSchema is the
+    // stronger signal anyway
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("GreaterThanOrEqual(l_shipda"),
+      s"date predicate must push:\n$s")
+    val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_extendedprice") && read.contains("l_discount") &&
+      !read.contains("l_partkey") && !read.contains("l_returnflag"),
+      s"scan must prune to the touched columns: $read")
+  }
+
+  test("q184 TPC-H Q13: orders pre-aggregate to customer grain before the join") {
+    // the fact table must never carry through the outer join — only
+    // the |customers|-sized rollup does (partial+final HashAggregate
+    // below the join), and nothing degenerates to a cross product
+    val s = planString(q("q184_tpch13"))
+    assert(s.split("HashAggregate").length >= 3,
+      "expect partial+final HashAggregate for the orders rollup")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q180 frequency cap: over-cap group list broadcasts to both arms") {
+    // the under-cap mass passes via broadcast ANTI join (never a body
+    // shuffle keyed on the fact table); the over-cap slice is the only
+    // part that windows
+    val s = planString(q("q180_source_cap"))
+    assert(s.contains("BroadcastHashJoin"), s"arms must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
 }
