@@ -212,6 +212,45 @@ object ScaleProbe {
       wedges.join(coEdges,
         col("na") === col("u") && col("nb") === col("v"), "left_anti").count()
     })
+    // q179's shape: 4 Bellman–Ford rounds. The source lives in replica
+    // 0 only, but the per-round relax join streams the WHOLE edge list
+    // against the frontier — that join is the scale axis, so linear in
+    // the multiplier is the pass bar
+    t("sssp_4rounds")({
+      val sym = coEdges.select(col("u"), col("v"))
+        .unionAll(coEdges.select(col("v").as("u"), col("u").as("v")))
+        .withColumn("w", pmod(col("u") + col("v"), lit(97L)) + lit(1L))
+        .repartition(col("u")).persist()
+      var dist = sym.select(col("u")).distinct()
+        .select(col("u").as("node"),
+          when(col("u") === sym.agg(min("u")).head().getLong(0), 0L)
+            .otherwise(lit(Long.MaxValue)).as("dd"))
+      for (_ <- 1 to 4) {
+        val relaxed = dist.join(sym, col("node") === col("u"))
+          .filter(col("dd") =!= Long.MaxValue)
+          .select(col("v").as("node"), (col("dd") + col("w")).as("dd"))
+        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
+        graft.engine.Checkpoints.release(dist)
+        dist = next
+      }
+      val n = dist.filter(col("dd") =!= Long.MaxValue).count()
+      sym.unpersist(); n
+    })
+    // q180's shape with the window arm forced: 50 synthetic domains
+    // whose size GROWS with the multiplier, so the over-cap rank
+    // window carries the whole corpus — n log n per group is the
+    // worst case this op can hit (real domain distributions hit the
+    // broadcast-anti fast path for most of the mass)
+    t("source_cap_windowed")(graft.operators.Sampling.capPerGroup(
+      d.withColumn("dom", pmod(col("doc_id"), lit(50L))),
+      "dom", "doc_id", cap = 100).count())
+    // q182's shape: the distributed cost is the brute-force overfetch
+    // (linear in corpus, corpus never shuffles); the greedy phase is
+    // per-query constant work
+    t("mmr_topk")(graft.operators.Similarity.mmrTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+      k = 8, lambda = 0.7).count())
 
     spark.stop()
   }
