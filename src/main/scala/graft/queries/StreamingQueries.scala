@@ -719,7 +719,40 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** Streaming dataset fingerprint: q181's order-invariant XOR
+    * checksum maintained INCREMENTALLY per event_type — XOR is
+    * commutative/associative with itself as inverse-free merge, so the
+    * state store absorbs each micro-batch with the exact merge the
+    * batch shuffle uses, and the drained stream must equal the batch
+    * checksum bit-for-bit (the oracle re-executes it in SQL). State is
+    * one BIGINT + one count per type, constant over an unbounded
+    * stream — the cheapest possible "did the replay produce the same
+    * dataset" monitor on an ingest pipeline.
+    */
+  def q185StreamFingerprint(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q185_fp_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q185")
+      val q = eventsStream(s, dir, raw)
+        .select(col("event_type"),
+          graft.operators.Kmv.hash60(
+            concat_ws("|", col("event_id"), col("user_id"))).as("h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), expr("bit_xor(h)").as("fp"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name).orderBy("event_type")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q185_stream_fingerprint" -> (q185StreamFingerprint(_, _)),
     "q106_incremental_view" -> (q106IncrementalView(_, _)),
     "q23_stream" -> (q23Stream(_, _)),
     "q25_stream" -> (q25Stream(_, _)),
@@ -735,6 +768,12 @@ object StreamingQueries {
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
+    // the incrementally-maintained checksum must equal the batch
+    // checksum bit-for-bit — the oracle re-executes the XOR fold
+    "q185_stream_fingerprint" ->
+      ("SELECT event_type, COUNT(*)::BIGINT AS n_events, "
+       + "bit_xor(CAST(('0x' || substring(md5(event_id::VARCHAR || '|' || user_id::VARCHAR), 1, 15)) AS BIGINT)) AS fp "
+       + "FROM events GROUP BY 1 ORDER BY 1"),
     "q106_incremental_view" ->
       ("SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total "
        + "FROM events GROUP BY 1 ORDER BY 1"),
