@@ -38,4 +38,31 @@ object Cdc {
     val upserts = latest.filter(col(opCol) =!= "D").drop(opCol)
     untouched.unionByName(upserts)
   }
+
+  /** Merkle-style snapshot diff: LOCATE what changed between two
+    * versions of a table without comparing rows — each side rolls up
+    * to per-bucket (key div bucketSize) XOR digests of the row content
+    * hash plus a count, and only buckets whose (digest, count) differ
+    * survive the join. Two snapshots of N rows compare via 2·N/bucket
+    * digest rows; the changed buckets then bound any row-level
+    * re-read to changed ranges only — the "which shards moved"
+    * question a 100 TB versioned corpus answers before re-reading
+    * anything. Content hash = 60-bit md5 of (key, content), the same
+    * determinism contract as the dataset fingerprint, so the oracle
+    * re-executes both sides in SQL.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
+      contentCol: String, bucketSize: Int): DataFrame = {
+    def digest(df: DataFrame, n: String, f: String) = df
+      .select(expr(s"$keyCol div $bucketSize").as("bucket"),
+        Kmv.hash60(concat_ws("|", col(keyCol), col(contentCol))).as("h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as(n), expr("bit_xor(h)").as(f))
+    digest(v1, "n1", "fp1")
+      .join(digest(v2, "n2", "fp2"), Seq("bucket"), "full_outer")
+      .filter(not(col("fp1") <=> col("fp2")) ||
+        not(col("n1") <=> col("n2")))
+      .select(col("bucket"), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+  }
 }

@@ -1775,6 +1775,22 @@ object AnalyticsQueries {
       Similarity.mmrTopK(e.filter(col("vec_id") < 5), e,
           "vec_id", "embedding", k = 8, lambda = 0.7)
         .orderBy("qid", "rn")
+    }),
+
+    // Merkle-style snapshot diff (q181's fingerprint put to work):
+    // locate WHICH id-ranges changed between two corpus versions from
+    // per-bucket XOR digests alone — never a row-level compare. v2 is
+    // a deterministic synthetic next snapshot (every 97th doc deleted,
+    // every 89th edited), so the changed-bucket set is a pure function
+    // of the data the oracle re-derives
+    "q186_snapshot_diff" -> ((s, d) => {
+      val v1 = t(s, d, "documents")
+      val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 89 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Cdc.snapshotDiff(v1, v2, "doc_id", "text",
+          bucketSize = 64)
+        .orderBy("bucket")
     })
   )
 
@@ -2108,6 +2124,20 @@ object AnalyticsQueries {
        + "SUM(n_chars)::BIGINT AS char_sum "
        + "FROM documents GROUP BY 1 ORDER BY 1"),
     "q182_mmr" -> golden("q182_mmr", "qid, cid, rn, mmr", "qid, rn"),
+    "q186_snapshot_diff" ->
+      ("WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text "
+       + "FROM documents WHERE doc_id % 97 <> 0), "
+       + "d1 AS (SELECT doc_id // 64 AS bucket, COUNT(*) AS n1, "
+       + "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS fp1 "
+       + "FROM documents GROUP BY 1), "
+       + "d2 AS (SELECT doc_id // 64 AS bucket, COUNT(*) AS n2, "
+       + "bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)) AS fp2 "
+       + "FROM v2 GROUP BY 1) "
+       + "SELECT COALESCE(d1.bucket, d2.bucket) AS bucket, "
+       + "COALESCE(n1, 0)::BIGINT AS n1, COALESCE(n2, 0)::BIGINT AS n2 "
+       + "FROM d1 FULL OUTER JOIN d2 ON d1.bucket = d2.bucket "
+       + "WHERE fp1 IS DISTINCT FROM fp2 OR n1 IS DISTINCT FROM n2 "
+       + "ORDER BY bucket"),
     "q162_seasonality" ->
       ("WITH o AS (SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*) AS c FROM events GROUP BY 1, 2), "
        + "t AS (SELECT event_type, SUM(c)::BIGINT AS tc FROM o GROUP BY 1) "

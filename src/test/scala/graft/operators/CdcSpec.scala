@@ -48,4 +48,23 @@ class CdcSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.head == ((1L, 50.0)))
   }
+
+  test("snapshotDiff: identical snapshots diff empty; edits localize to their bucket") {
+    val docs = graft.engine.Tables(spark, sf, "documents")
+    assert(Cdc.snapshotDiff(docs, docs, "doc_id", "text", 64).count() == 0)
+    // one edited row -> exactly its bucket, counts equal
+    val edited = docs.withColumn("text",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("doc_id") === 130,
+        "changed").otherwise(org.apache.spark.sql.functions.col("text")))
+    val e = Cdc.snapshotDiff(docs, edited, "doc_id", "text", 64).collect()
+    assert(e.length == 1 && e.head.getLong(0) == 130 / 64)
+    assert(e.head.getLong(1) == e.head.getLong(2)) // edit, not add/drop
+    // one dropped row -> its bucket with n2 = n1 - 1
+    val dropped = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") =!= 130)
+    val dr = Cdc.snapshotDiff(docs, dropped, "doc_id", "text", 64).collect()
+    assert(dr.length == 1 && dr.head.getLong(0) == 130 / 64)
+    assert(dr.head.getLong(2) == dr.head.getLong(1) - 1)
+  }
 }
