@@ -430,6 +430,27 @@ class PlanShapeSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q181 fingerprint: one map-side-combinable pass, no joins") {
+    val s = planString(q("q181_fingerprint"))
+    assert(s.split("HashAggregate").length >= 3,
+      "expect partial+final HashAggregate for the XOR/count rollup")
+    assert(!s.contains("Join"), s"the checksum must be join-free:\n$s")
+  }
+
+  test("q186 snapshot diff: digests roll up BEFORE the bucket join") {
+    // the full-outer join must carry only |buckets| digest rows per
+    // side — a row-level compare would show the documents scan feeding
+    // the join without an aggregate in between
+    val s = planString(q("q186_snapshot_diff"))
+    assert(s.contains("SortMergeJoin FullOuter") ||
+      s.contains("ShuffledHashJoin FullOuter") ||
+      s.contains("FullOuter"), s"diff is a full-outer digest join:\n$s")
+    assert(s.split("HashAggregate").length >= 5,
+      "both sides must pre-aggregate (2 x partial+final)")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("q180 frequency cap: over-cap group list broadcasts to both arms") {
     // the under-cap mass passes via broadcast ANTI join (never a body
     // shuffle keyed on the fact table); the over-cap slice is the only
