@@ -57,16 +57,25 @@ object PageRank {
       .persist()
     // every node appears as a src in a symmetrized edge list
     var ranks = outdeg.select(col("o_src").as("node"), lit(Scale).as("r"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ranks
         .join(ew, col("node") === col("e_src"))
         .select(col("e_dst").as("node2"), expr("r div d").as("c"))
-      val next = graft.engine.Checkpoints.cut(contribs.groupBy(col("node2"))
+      val plan = contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
         .select(col("node2").as("node"),
-          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r")))
-      graft.engine.Checkpoints.release(ranks) // round N-1 blocks
-      ranks = next
+          (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r"))
+      // stride-2 lineage cut: materializing every round pays a full
+      // block write per iteration, but lineage only needs truncating
+      // before it compounds — letting TWO rounds fuse into one job
+      // halves the materializations (and the per-round job floor)
+      // with identical integer math. release() on an uncut frame is
+      // a structural no-op, so the pairing stays 1:1 with cuts.
+      if (i % 2 == 0 || i == iterations) {
+        val next = graft.engine.Checkpoints.cut(plan)
+        graft.engine.Checkpoints.release(ranks) // last cut's blocks
+        ranks = next
+      } else ranks = plan
     }
     ew.unpersist() // ranks is materialized by the final lineage cut
     ranks
