@@ -99,6 +99,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** JL sign projection FLOAT[] → BIGINT[outDim] as a single codegen
+  * kernel call — see [[VecKernels.jlProject]] for the exact-arithmetic
+  * contract (replaces the interpreted nested-HOF formulation that
+  * evaluated outDim·dim lambdas per row).
+  */
+case class JlProjectVec(child: Expression, outDim: Int, scale: Long)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.jlProject(a.asInstanceOf[ArrayData], outDim, scale)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecKernels.jlProject($a, $outDim, ${scale}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class FloatHyperplaneBucket(child: Expression, nPlanes: Int, seed: Int)
     extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType

@@ -49,4 +49,10 @@ object VectorFunctions {
     */
   def hyperplaneBucket(v: Column, nPlanes: Int, seed: Int = 42): Column =
     column(FloatHyperplaneBucket(expression(v), nPlanes, seed))
+
+  /** Exact-BIGINT JL sign projection to `outDim` values — one codegen
+    * loop per row (see [[VecKernels.jlProject]]).
+    */
+  def jlProjectVec(v: Column, outDim: Int, scale: Long): Column =
+    column(JlProjectVec(expression(v), outDim, scale))
 }

@@ -53,34 +53,29 @@ object Projection {
   /** Component quantization scale (unit eigenvectors, |w| ≤ 1). */
   val CompScale = 1000000L
 
-  /** Deterministic ±1 from (i, j): parity of an integer spatial-hash
-    * mix reduced mod a large prime (the mod breaks the parity
-    * structure of the linear terms — measured balance 49.7% over
-    * 64×16, column dot products ≤ 4/64). Pure BIGINT arithmetic:
-    * any SQL engine reproduces it exactly.
-    */
-  private def jlSign(i: Column, j: Column): Column =
-    lit(1L) - lit(2L) * pmod(
-      pmod(i * lit(73856093L) + j * lit(19349663L) + i * j * lit(83492791L),
-        lit(1000000007L)),
-      lit(2L))
-
   /** Project `vecCol` (array<float>) to `outDim` dimensions with the
     * deterministic sign matrix: out (idCol, j, p) where
-    * p = Σᵢ sign(i,j) · round(v[i]·1e6), an exact BIGINT.
+    * p = Σᵢ sign(i,j) · round(v[i]·1e6), an exact BIGINT, and
+    * sign(i,j) = 1 − 2·((i·73856093 + j·19349663 + i·j·83492791) mod
+    * 1000000007 mod 2) — parity of an integer spatial-hash mix reduced
+    * mod a large prime (the mod breaks the parity structure of the
+    * linear terms — measured balance 49.7% over 64×16, column dot
+    * products ≤ 4/64). Pure BIGINT arithmetic: any SQL engine
+    * reproduces it exactly, and the DuckDB oracle does.
     *
-    * Plan: one narrow per-row pass (nested higher-order aggregate —
-    * whole-stage codegen, zero shuffle, zero broadcast); the explode to
-    * (id, j) rows is output formatting, not a join.
+    * Plan: one narrow per-row pass through the
+    * [[graft.functions.VecKernels.jlProject]] codegen kernel (all
+    * outDim outputs in one primitive loop, zero shuffle, zero
+    * broadcast); the posexplode to (id, j) rows is output formatting,
+    * not a join. The previous nested `transform(sequence, aggregate)`
+    * formulation was result-identical but evaluated outDim·dim
+    * INTERPRETED Catalyst lambdas per row (~1024 for 64→16) — 79 s at
+    * sf0.1 vs sub-second for this kernel.
     */
   def jlProject(df: DataFrame, idCol: String, vecCol: String,
       outDim: Int): DataFrame = {
-    val vq = transform(col(vecCol),
-      x => round(x.cast("double") * JlScale).cast("long"))
-    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
-      aggregate(sequence(lit(0), size(col(vecCol)) - 1), lit(0L),
-        (acc, i) => acc + jlSign(i.cast("long"), j.cast("long")) *
-          element_at(vq, i + 1)))
+    val proj = graft.functions.VectorFunctions.jlProjectVec(
+      col(vecCol), outDim, JlScale)
     df.select(col(idCol), posexplode(proj))
       .select(col(idCol), col("pos").cast("long").as("j"),
         col("col").as("p"))
