@@ -55,8 +55,17 @@ object PageRank {
       .select(col("e_src"), col("e_dst"), col("d"))
       .repartition(col("e_src"))
       .persist()
-    // every node appears as a src in a symmetrized edge list
+    // every node appears as a src in a symmetrized edge list.
+    // Lineage is cut EVERY round: a stride-2 variant (fuse two rounds
+    // per cut to halve materializations) was tried in round 8 and
+    // measured ~10% SLOWER at sf0.1 (4.62 vs 4.19 s — the fused
+    // two-shuffle job loses more to reduced pipelining than the saved
+    // block write gains), and its release pairing silently leaked
+    // every cut (release() on the intervening round's uncut composite
+    // plan is a structural no-op). Per-round cut + release of the
+    // previous round keeps resident blocks at ~2× the working set.
     var ranks = outdeg.select(col("o_src").as("node"), lit(Scale).as("r"))
+    var lastCut: DataFrame = null
     for (i <- 1 to iterations) {
       val contribs = ranks
         .join(ew, col("node") === col("e_src"))
@@ -65,17 +74,10 @@ object PageRank {
         .agg(sum(col("c")).as("s"))
         .select(col("node2").as("node"),
           (lit(15L * Scale / 100) + expr("(85 * s) div 100")).as("r"))
-      // stride-2 lineage cut: materializing every round pays a full
-      // block write per iteration, but lineage only needs truncating
-      // before it compounds — letting TWO rounds fuse into one job
-      // halves the materializations (and the per-round job floor)
-      // with identical integer math. release() on an uncut frame is
-      // a structural no-op, so the pairing stays 1:1 with cuts.
-      if (i % 2 == 0 || i == iterations) {
-        val next = graft.engine.Checkpoints.cut(plan)
-        graft.engine.Checkpoints.release(ranks) // last cut's blocks
-        ranks = next
-      } else ranks = plan
+      val next = graft.engine.Checkpoints.cut(plan)
+      if (lastCut != null) graft.engine.Checkpoints.release(lastCut)
+      lastCut = next
+      ranks = next
     }
     ew.unpersist() // ranks is materialized by the final lineage cut
     ranks
