@@ -518,8 +518,12 @@ object Similarity {
     val dims = index.codebooks
       .agg(max(col("sub")).as("ms"), min(size(col("cvec"))).as("dsub")).head()
     val (m, dsub) = (dims.getInt(0) + 1, dims.getInt(1))
+    // query side deliberately NOT cached: it is tiny (it broadcasts),
+    // and a .cache() here with a lazy result leaks one set of blocks
+    // per search call in a long-lived serving session (there is no
+    // sound place to unpersist before the caller materializes)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      normSq(col(vecCol)).as("qn")).cache()
+      normSq(col(vecCol)).as("qn"))
     val qlut = subVectors(q, "qid", "qv", m, dsub, "qsv")
       .join(broadcast(index.codebooks), Seq("sub"))
       .select(col("qid"),
@@ -652,8 +656,10 @@ object Similarity {
     val dims = index.codebooks
       .agg(max(col("sub")).as("ms"), min(size(col("cvec"))).as("dsub")).head()
     val (m, dsub) = (dims.getInt(0) + 1, dims.getInt(1))
+    // query side not cached — same per-call block-leak reasoning as
+    // [[pqSearch]]; the recompute is a re-scan of the tiny probe set
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      normSq(col(vecCol)).as("qn")).cache()
+      normSq(col(vecCol)).as("qn"))
     // per-query LUT over the residual codebooks (m·ksub partial dots,
     // micro-unit longs, one packed map per query)
     val qlut = subVectors(q, "qid", "qv", m, dsub, "qsv")
