@@ -82,9 +82,14 @@ object Projection {
   }
 
   /** One distributed pass: per-partition exact integer (count, column
-    * sums, upper-triangular Gram) over quantized vectors, reduced on
-    * the driver from O(partitions) rows. Returns (n, s[d], g[d*(d+1)/2])
-    * with g in row-major upper-triangle order.
+    * sums, upper-triangular Gram) over quantized vectors, merged with a
+    * depth-2 `treeReduce` — executors combine √partitions-sized groups
+    * first, so the driver receives O(√partitions) ~d²·8-byte tuples
+    * instead of one per partition (a 100k-partition 100 TB scan would
+    * otherwise land ~1.6 GB on the driver). Integer addition is
+    * associative/commutative, so the merge order is irrelevant to the
+    * exact result. Returns (n, s[d], g[d*(d+1)/2]) with g in row-major
+    * upper-triangle order.
     */
   private[operators] def gramStats(df: DataFrame, vecCol: String)
       : (Long, Array[Long], Array[Long]) = {
@@ -116,20 +121,19 @@ object Projection {
         if (n == 0L) Iterator.empty
         else Iterator.single((n, s, g))
       }
-      .collect() // O(partitions) rows of ~d²·8 bytes — bounded, like Packing's totals
-    require(parts.nonEmpty, "gramStats: empty input")
-    val d = parts.head._2.length
-    val s = new Array[Long](d)
-    val g = new Array[Long](d * (d + 1) / 2)
-    var n = 0L
-    parts.foreach { case (pn, ps, pg) =>
-      n += pn
-      var i = 0
-      while (i < d) { s(i) += ps(i); i += 1 }
-      i = 0
-      while (i < g.length) { g(i) += pg(i); i += 1 }
-    }
-    (n, s, g)
+      .rdd
+    val merged =
+      try parts.treeReduce({ case ((n1, s1, g1), (n2, s2, g2)) =>
+        var i = 0
+        while (i < s1.length) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < g1.length) { g1(i) += g2(i); i += 1 }
+        (n1 + n2, s1, g1)
+      }, depth = 2)
+      catch { case _: UnsupportedOperationException =>
+        throw new IllegalArgumentException("gramStats: empty input")
+      }
+    merged
   }
 
   /** Deterministic cyclic Jacobi eigensolver for a symmetric d×d
