@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   * sample rate / channels / frame count. Video METADATA is REAL for
   * AVI: a pure-JDK RIFF walk ([[readAvi]]) reads width / height /
   * frame count / frame rate from the `avih` header (public format,
-  * no codec needed). Only per-frame pixel decode has no JDK codec —
-  * non-AVI video bytes fall back to a deterministic fake, marked
-  * `// STUB:`, so the plumbing (schema, batch shape, partitioning,
-  * downstream joins) stays real and testable; swapping in
-  * ffmpeg/javacv changes only that body.
+  * no codec needed), and per-frame pixel decode is REAL for
+  * uncompressed-DIB AVI ([[readAviFrames]]). Media outside those
+  * codecs (compressed video, corrupt bytes) yields NULL output plus a
+  * typed `decode_error` column — never fabricated values — so the
+  * plumbing (schema, batch shape, partitioning, downstream joins,
+  * dead-letter routing) is real end to end; swapping in ffmpeg/javacv
+  * turns error rows into decoded rows without any schema change.
   *
   * Scale notes: each transform is narrow (no shuffle); media bytes
   * never leave their partition, and decoded outputs drop the `content`
@@ -53,7 +55,11 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("duration_ms", LongType),
-    StructField("ok", BooleanType)))
+    StructField("ok", BooleanType),
+    // typed decode failure: NULL on success, "no_codec" when the
+    // container is recognized but no JDK codec can decode it
+    // (compressed video), "unrecognized" for bytes no reader claims
+    StructField("decode_error", StringType)))
 
   /** Real image parse: null for bytes no installed ImageIO reader
     * understands (also null input / truncated streams).
@@ -142,9 +148,11 @@ object Multimodal {
     * Images decode for real (ImageIO: PNG/JPEG/GIF/BMP); audio decodes
     * for real (AudioSystem: WAV/AIFF/AU — sample rate, channels,
     * duration); AVI video metadata parses for real ([[readAvi]]:
-    * width, height, duration from frame count x frame rate). Only
-    * per-frame pixel decode of non-AVI video bytes falls back to the
-    * deterministic fake below, clearly marked.
+    * width, height, duration from frame count x frame rate). Media no
+    * JDK codec can decode (compressed video containers, truncated or
+    * corrupt bytes) comes back `ok = false` with a TYPED
+    * `decode_error` — never fabricated metadata — so a pipeline can
+    * route failures to a dead-letter path and audit them by reason.
     */
   def decode(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
@@ -158,22 +166,19 @@ object Multimodal {
         lazy val avi = readAvi(bytes)
         if (img != null)
           Row(id, typ, img.getWidth, img.getHeight,
-            img.getColorModel.getNumComponents, null, null, true)
+            img.getColorModel.getNumComponents, null, null, true, null)
         else if (au != null)
           Row(id, typ, null, null, au.channels, au.sampleRate,
-            au.durationMs, true)
+            au.durationMs, true, null)
         else if (avi != null)
           Row(id, typ, avi.width, avi.height, null, null,
-            avi.durationMs, true)
-        else if (typ == "video" && bytes != null && bytes.length >= 4) {
-          // STUB: per-frame pixel decode of non-AVI video has no JDK
-          // codec; deterministic fake dimensions derived from the byte
-          // content so tests are stable. A real impl calls
-          // ffmpeg/javacv here.
-          val h = java.util.Arrays.hashCode(bytes)
-          Row(id, typ, 16 + math.abs(h % 64), 16 + math.abs((h >> 8) % 64),
-            1 + math.abs((h >> 16) % 4), null, null, true)
-        } else Row(id, typ, null, null, null, null, null, false)
+            avi.durationMs, true, null)
+        else if (typ == "video" && bytes != null && bytes.length >= 4)
+          // a recognized video row whose container isn't JDK-decodable
+          // (e.g. MP4/H.264): typed no_codec error, no fabricated dims
+          Row(id, typ, null, null, null, null, null, false, "no_codec")
+        else Row(id, typ, null, null, null, null, null, false,
+          "unrecognized")
       }
     }(enc)
   }
@@ -249,15 +254,19 @@ object Multimodal {
     * histogram over decoded pixels; audio: per-segment RMS energy over
     * decoded PCM; uncompressed-AVI video: luminance histogram over the
     * DECODED stored frames ([[readAviFrames]]) — so the vectors depend
-    * on the content, not the container bytes. Only media with no JDK-
-    * decodable codec (compressed video, corrupt bytes) falls back to
-    * the byte histogram, marked below; a real deployment swaps that
-    * branch for a learned encoder.
+    * on the content, not the container bytes. Media with no
+    * JDK-decodable codec (compressed video, corrupt bytes) gets a NULL
+    * embedding and a typed `decode_error` instead of a fabricated
+    * byte-histogram vector: a fake vector would silently pollute every
+    * downstream ANN/dedup index, while a typed error filters in one
+    * `WHERE decode_error IS NULL`. A real deployment routes the error
+    * rows to a learned encoder or a dead-letter table.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("embedding", ArrayType(FloatType))))
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("decode_error", StringType)))
     val enc = RowEncoder.encoderFor(schema)
     media.select("media_id", "content").mapPartitions { it =>
       it.map { r =>
@@ -267,37 +276,32 @@ object Multimodal {
           if (bytes == null || bytes.length < 12) null
           else audioFeatures(bytes, dim)
         lazy val vid = videoFeatures(bytes, dim)
-        val v =
-          if (img != null) imageFeatures(img, dim)
-          else if (au != null) au
-          else if (vid != null) vid
-          else {
-            // STUB: non-decodable media (no JDK codec) — deterministic
-            // byte histogram so the plumbing stays testable; a real
-            // impl runs a learned encoder here.
-            val h = new Array[Float](dim)
-            if (bytes != null) {
-              var i = 0
-              while (i < bytes.length) { h((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-            }
-            l2(h)
-          }
-        Row(r.getLong(0), v.toSeq)
+        if (img != null) Row(r.getLong(0), imageFeatures(img, dim).toSeq, null)
+        else if (au != null) Row(r.getLong(0), au.toSeq, null)
+        else if (vid != null) Row(r.getLong(0), vid.toSeq, null)
+        else if (readAvi(bytes) != null)
+          // container decoded but holds zero stored frames — content
+          // is absent, not undecodable
+          Row(r.getLong(0), null, "no_frames")
+        else Row(r.getLong(0), null, "no_codec")
       }
     }(enc)
   }
 
   /** Image resize: partition-wise binary->binary transform; metadata
     * updated in lockstep. Decodable images are really scaled
-    * (Graphics2D bilinear) and re-encoded as PNG; non-image bytes fall
-    * back to a deterministic byte resample of exactly w*h bytes.
+    * (Graphics2D bilinear) and re-encoded as PNG; non-decodable bytes
+    * come back with NULL content and a typed `decode_error` (same
+    * contract as [[decode]]/[[extractFeatures]] — no fabricated
+    * output), so a resize stage can route failures without guessing.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("content", BinaryType),
       StructField("width", IntegerType),
-      StructField("height", IntegerType)))
+      StructField("height", IntegerType),
+      StructField("decode_error", StringType)))
     val enc = RowEncoder.encoderFor(schema)
     media.select("media_id", "content").mapPartitions { it =>
       it.map { r =>
@@ -313,19 +317,8 @@ object Multimodal {
           g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(scaled, "png", bos)
-          Row(r.getLong(0), bos.toByteArray, w, h)
-        } else {
-          // STUB: non-image media has no JDK codec; deterministic byte
-          // resample to w*h bytes keeps the contract testable.
-          val out = new Array[Byte](w * h)
-          if (bytes != null && bytes.nonEmpty) {
-            var i = 0
-            while (i < out.length) {
-              out(i) = bytes((i.toLong * bytes.length / out.length).toInt); i += 1
-            }
-          }
-          Row(r.getLong(0), out, w, h)
-        }
+          Row(r.getLong(0), bos.toByteArray, w, h, null)
+        } else Row(r.getLong(0), null, null, null, "no_codec")
       }
     }(enc)
   }

@@ -2309,7 +2309,8 @@ object AnalyticsQueries {
     "q36_lsh_topk" -> golden("q36_lsh_topk", "qid, cid, rn", "qid, rn"),
     "q38_ivf_topk" -> golden("q38_ivf_topk", "qid, cid, rn", "qid, rn"),
     "q66_multimodal" -> golden("q66_multimodal",
-      "media_id, media_type, width, height, channels, sample_rate, duration_ms, ok",
+      "media_id, media_type, width, height, channels, sample_rate, " +
+        "duration_ms, ok, decode_error",
       "media_id"),
     "q34b_bpe_merges" -> golden("q34b_bpe_merges", "mrank, l, r, cnt", "mrank"),
     "q68_incremental_minhash" ->

@@ -20,7 +20,7 @@ class MultimodalSpec extends SparkSpec {
     val d = Multimodal.decode(media)
     assert(d.schema.fieldNames.toSeq ==
       Seq("media_id", "media_type", "width", "height", "channels",
-        "sample_rate", "duration_ms", "ok"))
+        "sample_rate", "duration_ms", "ok", "decode_error"))
     val rows = d.orderBy("media_id").collect()
     assert(rows.length == media.count())
     assert(rows.forall(_.getBoolean(7)))
@@ -120,12 +120,13 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(3) == 24 + (id % 48).toInt)
       assert(r.getLong(6) == (id % 50) * 40L)
     }
-    // truncated/garbage RIFF falls back to the codec-only stub, still ok
+    // truncated/garbage RIFF: typed no_codec error, no fabricated dims
     val junk = "RIFFxxxxAVI garbage".getBytes
     val d3 = Multimodal.decode(spark.createDataFrame(Seq(
       org.apache.spark.sql.Row(9L, "video", junk)
     ).asJava, df.schema)).collect().head
-    assert(d3.getBoolean(7))
+    assert(!d3.getBoolean(7) && d3.getString(8) == "no_codec")
+    assert(d3.isNullAt(2) && d3.isNullAt(3))
   }
 
   test("decode flags undecodable content instead of failing") {
@@ -140,8 +141,15 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("extractFeatures: fixed-dim L2-normalized vectors compose with ANN ops") {
-    val f = Multimodal.extractFeatures(media, dim = 16)
+    val all = Multimodal.extractFeatures(media, dim = 16)
+    // content-less media (0-frame AVI, media_id % 50 == 0) is a typed
+    // error row, never a fabricated vector
+    val errs = all.filter(col("decode_error").isNotNull).collect()
+    assert(errs.forall(r =>
+      r.isNullAt(1) && r.getString(2) == "no_frames" && r.getLong(0) % 50 == 0))
+    val f = all.filter(col("decode_error").isNull)
     val rows = f.collect()
+    assert(rows.nonEmpty)
     assert(rows.forall(_.getSeq[Float](1).length == 16))
     val norms = f.select(
       graft.functions.VectorFunctions.normSq(col("embedding")).as("n"))
@@ -192,9 +200,8 @@ class MultimodalSpec extends SparkSpec {
       f(3L))
   }
 
-  test("resize really scales images; non-images resample to w*h bytes") {
+  test("resize really scales images; non-images get a typed decode_error") {
     val r = Multimodal.resize(media, 8, 4)
-    assert(r.collect().forall(x => x.getInt(2) == 8 && x.getInt(3) == 4))
     // image rows: output is a real PNG that decodes to the new size
     val scaledImgs = Multimodal.decode(
       r.join(media.select(col("media_id"), col("media_type")), "media_id")
@@ -204,10 +211,46 @@ class MultimodalSpec extends SparkSpec {
     assert(scaledImgs.nonEmpty)
     assert(scaledImgs.forall(x =>
       x.getBoolean(7) && x.getInt(2) == 8 && x.getInt(3) == 4))
-    // non-image rows: deterministic byte resample, exactly w*h bytes
+    // non-image rows: NULL content + typed error, never fabricated bytes
     val other = r.join(media.select(col("media_id"), col("media_type")), "media_id")
       .filter(col("media_type") =!= "image").collect()
-    assert(other.forall(_.getAs[Array[Byte]](1).length == 32))
+    assert(other.nonEmpty)
+    assert(other.forall(x => x.isNullAt(1) && x.getString(4) == "no_codec"))
+  }
+
+  test("no-codec media: typed decode_error, never fabricated output") {
+    import scala.jdk.CollectionConverters._
+    // a compressed-video container (MP4 ftyp box — recognized shape,
+    // no JDK codec) and a truncated PNG (header cut mid-IHDR)
+    val mp4 = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'i', 's', 'o',
+      'm', 0, 0, 2, 0, 'i', 's', 'o', 'm', 'm', 'p', '4', '1')
+    val png = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray.take(16)
+    }
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "video", mp4),
+      org.apache.spark.sql.Row(2L, "image", png)
+    ).asJava, org.apache.spark.sql.types.StructType.fromDDL(
+      "media_id BIGINT, media_type STRING, content BINARY"))
+    val dec = Multimodal.decode(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // decode: ok=false, typed reason, NO fabricated dimensions
+    assert(!dec(1L).getBoolean(7) && dec(1L).getString(8) == "no_codec")
+    assert(dec(1L).isNullAt(2) && dec(1L).isNullAt(3))
+    assert(!dec(2L).getBoolean(7) && dec(2L).getString(8) == "unrecognized")
+    // features: NULL embedding + error, never a byte-histogram vector
+    val feats = Multimodal.extractFeatures(df, dim = 16).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).isNullAt(1) && feats(1L).getString(2) == "no_codec")
+    assert(feats(2L).isNullAt(1) && feats(2L).getString(2) == "no_codec")
+    // resize: NULL content + error
+    val rs = Multimodal.resize(df, 8, 4).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rs(1L).isNullAt(1) && rs(1L).getString(4) == "no_codec")
   }
 
   test("sampleFrames explodes every Nth frame for videos only") {
