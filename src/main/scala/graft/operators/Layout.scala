@@ -41,6 +41,47 @@ object Layout {
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions(col("zval"))
 
+  /** Zone map: per-file (count, min, max) statistics for `keyCols`
+    * over a parquet directory — the file-skipping index a lakehouse
+    * keeps beside a z-ordered table. One narrow pass grouped by
+    * `_metadata.file_path`; output is O(files) rows (the same bounded
+    * driver-artifact contract as the range-boundary machinery).
+    */
+  def zoneMap(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCols: Seq[String]): DataFrame = {
+    val aggs = keyCols.flatMap(k => Seq(
+      min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file") +:
+        keyCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Data-skipping read: scan ONLY the files whose zone-map range
+    * [min_key, max_key] intersects [lo, hi], then apply the exact
+    * predicate to the survivors. On a z-ordered table the skipped
+    * fraction approaches the selectivity — the OPTIMIZE-ZORDER payoff.
+    * Returns (rows, filesRead, filesTotal); the file list is O(files)
+    * on the driver (bounded artifact, like [[zoneMap]] itself).
+    * Row-identical to the plain full-scan filter by construction:
+    * skipping only drops files the min/max proves empty for the range.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+      zmap: DataFrame, key: String, lo: Long, hi: Long)
+      : (DataFrame, Int, Int) = {
+    val stats = zmap.select(col("file"),
+      col(s"min_$key").cast("long").as("mn"),
+      col(s"max_$key").cast("long").as("mx")).collect()
+    val keep = stats.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo)
+      .map(_.getString(0))
+    val pruned =
+      if (keep.isEmpty)
+        spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (pruned.filter(col(key).between(lo, hi)), keep.length, stats.length)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (streaming sinks and incremental
     * appends accumulate kilobyte files whose per-file open/footer cost

@@ -1791,8 +1791,83 @@ object AnalyticsQueries {
       graft.operators.Cdc.snapshotDiff(v1, v2, "doc_id", "text",
           bucketSize = 64)
         .orderBy("bucket")
+    }),
+
+    // table profiler (ANALYZE shape): per column, exact row /
+    // non-null / distinct counts and min/max — one column-pruned
+    // single-column aggregate per profiled column, unioned (never a
+    // multi-count_distinct Expand that multiplies the input rows)
+    "q187_profile" -> ((s, d) =>
+      graft.operators.Profile.tableProfile(t(s, d, "lineitem"),
+          numCols = Seq("l_quantity", "l_extendedprice", "l_discount"),
+          strCols = Seq("l_returnflag", "l_linestatus"))
+        .orderBy("col")),
+
+    // boolean conjunctive retrieval: documents containing ALL query
+    // terms. The term filter lands BEFORE the shuffle (only query-term
+    // hits leave the map side), so the aggregate sees O(df) rows, not
+    // the tokenized corpus
+    "q188_boolean_and" -> ((s, d) => {
+      val terms = Seq("join", "filter", "stream")
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("w")).as("nt"), count(lit(1)).as("hits"))
+        .filter(col("nt") === terms.size)
+        .select(col("doc_id"), col("hits"))
+        .orderBy("doc_id")
+    }),
+
+    // Jaro-Winkler record linkage over part names, blocked by (first
+    // token, length band) — the entity-resolution primitive; the
+    // native kernel's semantics match DuckDB's
+    // jaro_winkler_similarity, so the oracle re-scores every candidate
+    // pair independently (no golden pin)
+    "q189_jw_linkage" -> ((s, d) =>
+      graft.operators.Linkage.jaroWinklerPairs(t(s, d, "part"),
+          "p_partkey", "p_name", threshold = 0.88)
+        .orderBy("a", "b")),
+
+    // zone-map data skipping: a z-ordered copy of events (written once
+    // per dir), per-file min/max stats, and a pruned read that scans
+    // ONLY the files whose range intersects the predicate — the
+    // lakehouse file-skipping primitive. Row-identical to the plain
+    // filter by construction (the oracle IS the plain filter);
+    // LayoutSpec pins that files are actually skipped
+    "q190_zonemap" -> ((s, d) => {
+      val dir = zorderedEventsFor(s, d)
+      val zmap = graft.operators.Layout.zoneMap(s, dir, Seq("user_id"))
+      val (rows, _, _) = graft.operators.Layout.prunedRead(
+        s, dir, zmap, "user_id", 100L, 149L)
+      rows.select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
     })
   )
+
+  /** Z-ordered events layout per sf dir, written once per JVM (the
+    * artifact-cache pattern of the ANN indexes): events clustered by
+    * zValue(user_id, value) into 16 range-partitioned files, so
+    * per-file min/max on user_id is tight and [[Layout.prunedRead]]
+    * can skip most files for a user-range predicate.
+    */
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zorderedEventsFor(s: SparkSession, dir: String): String =
+    zorderCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-").toString
+      graft.operators.Layout.zOrdered(
+          // second z-dim bucketed to ~4 bits so the user_id bits own
+          // the high interleave positions at every sf (balanced z-codes
+          // -> tight per-file user ranges -> real skipping)
+          t(s, d, "events").withColumn("vint",
+            (col("value") / 64).cast("long")),
+          "user_id", "vint", numFiles = 16)
+        .drop("vint", "zval")
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
 
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
@@ -2138,6 +2213,40 @@ object AnalyticsQueries {
        + "FROM d1 FULL OUTER JOIN d2 ON d1.bucket = d2.bucket "
        + "WHERE fp1 IS DISTINCT FROM fp2 OR n1 IS DISTINCT FROM n2 "
        + "ORDER BY bucket"),
+    "q187_profile" ->
+      (Seq(
+        ("l_quantity", true), ("l_extendedprice", true),
+        ("l_discount", true), ("l_returnflag", false),
+        ("l_linestatus", false))
+        .map { case (c, isNum) =>
+          val (vmin, vmax, smin, smax) =
+            if (isNum) (s"ROUND(MIN($c), 4)", s"ROUND(MAX($c), 4)",
+              "NULL::VARCHAR", "NULL::VARCHAR")
+            else ("NULL::DOUBLE", "NULL::DOUBLE", s"MIN($c)", s"MAX($c)")
+          s"SELECT '$c' AS col, COUNT(*)::BIGINT AS n_rows, " +
+            s"COUNT($c)::BIGINT AS n_nonnull, " +
+            s"COUNT(DISTINCT $c)::BIGINT AS n_distinct, " +
+            s"$vmin AS vmin, $vmax AS vmax, $smin AS smin, $smax AS smax " +
+            "FROM lineitem"
+        }
+        .mkString("", " UNION ALL ", " ORDER BY col")),
+    "q188_boolean_and" ->
+      ("SELECT doc_id, COUNT(*)::BIGINT AS hits "
+       + "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+       + "WHERE w IN ('join', 'filter', 'stream') "
+       + "GROUP BY doc_id HAVING COUNT(DISTINCT w) = 3 ORDER BY doc_id"),
+    "q189_jw_linkage" ->
+      ("WITH k AS (SELECT p_partkey AS id, p_name AS nm, "
+       + "string_split(p_name, ' ')[1] AS bk, length(p_name) // 8 AS lb FROM part), "
+       + "s AS (SELECT *, COUNT(*) OVER (PARTITION BY bk, lb) AS bc FROM k) "
+       + "SELECT x.id AS a, y.id AS b, "
+       + "ROUND(jaro_winkler_similarity(x.nm, y.nm), 4) AS jw "
+       + "FROM s x JOIN s y ON x.bk = y.bk AND x.lb = y.lb AND x.id < y.id "
+       + "WHERE x.bc <= 10000 AND ROUND(jaro_winkler_similarity(x.nm, y.nm), 4) >= 0.88 "
+       + "ORDER BY a, b"),
+    "q190_zonemap" ->
+      ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
+       + "WHERE user_id BETWEEN 100 AND 149 ORDER BY event_id"),
     "q162_seasonality" ->
       ("WITH o AS (SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*) AS c FROM events GROUP BY 1, 2), "
        + "t AS (SELECT event_type, SUM(c)::BIGINT AS tc FROM o GROUP BY 1) "

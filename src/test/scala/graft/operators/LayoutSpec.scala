@@ -71,6 +71,34 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() == 10000)
   }
 
+  test("zoneMap + prunedRead: files skipped, rows identical to full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm-").toString
+    val ev = Tables(spark, sf, "events")
+      .withColumn("vint", (col("value") / 64).cast("long"))
+    Layout.zOrdered(ev, "user_id", "vint", numFiles = 16)
+      .drop("vint", "zval")
+      .write.mode("overwrite").parquet(dir)
+    val zmap = Layout.zoneMap(spark, dir, Seq("user_id"))
+    val nFiles = zmap.count()
+    assert(nFiles == 16)
+    // sf0.001 has users 0-14: a 2-user slice must not touch most files
+    val (rows, read, total) = Layout.prunedRead(spark, dir, zmap,
+      "user_id", 10L, 11L)
+    assert(total == 16)
+    assert(read <= total / 2, s"read $read of $total files")
+    // skipping is exact: identical rows to the full-scan filter
+    val full = spark.read.parquet(dir)
+      .filter(col("user_id").between(10, 11))
+    assert(rows.count() == full.count() && rows.count() > 0)
+    assert(rows.agg(sum("event_id")).head().getLong(0) ==
+      full.agg(sum("event_id")).head().getLong(0))
+    // empty range: no files read, empty result, same schema
+    val (none, r0, _) = Layout.prunedRead(spark, dir, zmap,
+      "user_id", -500L, -400L)
+    assert(r0 == 0 && none.count() == 0)
+    assert(none.schema == full.schema)
+  }
+
   test("negativeSamples: deterministic, k-bounded, excludes the anchor") {
     val docs = Tables(spark, sf, "documents")
     val a = Sampling.negativeSamples(docs, "doc_id", "text",

@@ -73,7 +73,9 @@ class PqSpec extends SparkSpec {
       Similarity.pqSearch(idx, emb.filter(col("vec_id") < 5 + i),
         "vec_id", "embedding", k = 3).count()
     }
-    assert(nCached == before,
+    // <= not ==: unrelated earlier blocks may release asynchronously
+    // while the loop runs — only GROWTH indicates a per-call leak
+    assert(nCached <= before,
       s"serving loop grew persistent RDDs: $before -> $nCached")
   }
 }
