@@ -27,6 +27,13 @@ object Linkage {
     * `maxBlock` rows) are excluded from pairing — the bounded-worst-
     * case contract of the dedup family; exclusions are observable by
     * comparing block sizes, not silent row loss inside a block.
+    *
+    * Collapse EXACT-duplicate names to one representative (groupBy
+    * name, min id) before calling this: identical names pair at
+    * jw = 1 with every copy, so the pair count inside an exact-dup
+    * group is quadratic in its multiplicity — that linking is exact
+    * dedup's job, and the collapse bounds this operator's cost by the
+    * distinct-name domain instead of the row count.
     */
   def jaroWinklerPairs(records0: DataFrame, idCol: String,
       nameCol: String, threshold: Double, lenBand: Int = 8,

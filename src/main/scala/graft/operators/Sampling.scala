@@ -37,6 +37,30 @@ object Sampling {
       fraction: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < math.floor(fraction * Buckets).toInt)
 
+  /** Leakage-safe train/val/test split: every row sharing `groupCol`
+    * (a near-dup cluster key, a normalized-text key, a user id) lands
+    * in the SAME split, because the assignment hashes the group
+    * REPRESENTATIVE — min(idCol) within the group — not the row. A
+    * row-keyed split leaks: near-identical documents straddle the
+    * train/test boundary and evaluation scores inflate (the
+    * contamination failure q51/q69 decontamination exists to catch;
+    * this is the split-time prevention).
+    *
+    * Plan shape: one window min over the group key (a single exchange
+    * on `groupCol`); the split decision is then the same md5-bucket
+    * pure row function as [[deterministicSplit]] — reproducible on any
+    * engine or partitioning.
+    */
+  def groupAwareSplit(df: DataFrame, idCol: String, groupCol: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    deterministicSplit(
+      df.withColumn("_rep", min(col(idCol)).over(w))
+        .withColumn("_repkey", col("_rep").cast("string")),
+      "_repkey", fractions)
+      .drop("_repkey")
+  }
+
   /** Temperature-balanced resampling across strata (the multilingual
     * rebalancing step of an LLM data mix, as in the GPT-3 / mT5 data
     * recipes): the target distribution is p^alpha renormalized, reached

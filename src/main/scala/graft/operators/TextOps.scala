@@ -351,6 +351,32 @@ object TextOps {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Proximity search: documents where `termA` and `termB` occur
+    * within `window` token positions of each other, with the number of
+    * such (posA, posB) co-occurrences — the retrieval shape between
+    * bag-of-words (q55 BM25) and exact phrases ([[phraseSearch]]):
+    * "near each other, either order".
+    *
+    * Scale shape: one tokenize + posexplode pass; the per-term filter
+    * lands BEFORE the shuffle, so only the two terms' postings (O(df)
+    * rows of (id, pos)) reach the doc-keyed equi-join — the residual
+    * |posA − posB| ≤ window predicate rides the join, never a BNLJ,
+    * and the corpus token stream itself is never shuffled.
+    */
+  def proximitySearch(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    val tok = graft.engine.Par.widen(df).select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val ta = tok.filter(col("w") === termA)
+      .select(col(idCol), col("pos").as("pa"))
+    val tb = tok.filter(col("w") === termB)
+      .select(col(idCol), col("pos").as("pb"))
+    ta.join(tb, Seq(idCol))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_prox"))
+  }
+
   /** Canonical text normalization for dedup keys: lowercase, collapse
     * every non-alphanumeric run to a single space, trim. Case/
     * punctuation/whitespace variants of the same content normalize to

@@ -1823,9 +1823,15 @@ object AnalyticsQueries {
     // token, length band) — the entity-resolution primitive; the
     // native kernel's semantics match DuckDB's
     // jaro_winkler_similarity, so the oracle re-scores every candidate
-    // pair independently (no golden pin)
+    // pair independently (no golden pin). Exact-duplicate names
+    // collapse to one representative (min id) BEFORE the fuzzy stage:
+    // jw=1 pairs inside an exact-dup group are exact dedup's job, and
+    // skipping the collapse makes the pair count quadratic in the
+    // duplicate multiplicity (measured 31.8 s -> sub-second at sf0.1)
     "q189_jw_linkage" -> ((s, d) =>
-      graft.operators.Linkage.jaroWinklerPairs(t(s, d, "part"),
+      graft.operators.Linkage.jaroWinklerPairs(
+          t(s, d, "part").groupBy(col("p_name"))
+            .agg(min(col("p_partkey")).as("p_partkey")),
           "p_partkey", "p_name", threshold = 0.88)
         .orderBy("a", "b")),
 
@@ -1843,7 +1849,35 @@ object AnalyticsQueries {
       rows.select(col("event_id"), col("user_id"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")
-    })
+    }),
+
+    // leakage-safe split: normalized-text duplicate groups are the
+    // leak unit — every copy of a document lands in the SAME split
+    // because the md5 assignment hashes the group representative
+    // (min id), not the row. Output pins per-split doc/group counts
+    // and the exact kept id-mass
+    "q191_group_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Sampling.groupAwareSplit(
+          docs.select(col("doc_id"),
+            TextOps.normalizeText(col("text")).as("nkey")),
+          "doc_id", col("nkey"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("_rep")).as("n_groups"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("split")
+    }),
+
+    // proximity retrieval: docs where two terms co-occur within 5
+    // token positions (either order) — the middle rung between
+    // bag-of-words BM25 and exact phrase search; per-term postings
+    // filter BEFORE the shuffle, doc-keyed equi-join after
+    "q192_proximity" -> ((s, d) =>
+      TextOps.proximitySearch(t(s, d, "documents"), "doc_id", "text",
+          "hash", "join", window = 5)
+        .orderBy("doc_id"))
   )
 
   /** Z-ordered events layout per sf dir, written once per JVM (the
@@ -2236,8 +2270,9 @@ object AnalyticsQueries {
        + "WHERE w IN ('join', 'filter', 'stream') "
        + "GROUP BY doc_id HAVING COUNT(DISTINCT w) = 3 ORDER BY doc_id"),
     "q189_jw_linkage" ->
-      ("WITH k AS (SELECT p_partkey AS id, p_name AS nm, "
-       + "string_split(p_name, ' ')[1] AS bk, length(p_name) // 8 AS lb FROM part), "
+      ("WITH u AS (SELECT MIN(p_partkey) AS p_partkey, p_name FROM part GROUP BY p_name), "
+       + "k AS (SELECT p_partkey AS id, p_name AS nm, "
+       + "string_split(p_name, ' ')[1] AS bk, length(p_name) // 8 AS lb FROM u), "
        + "s AS (SELECT *, COUNT(*) OVER (PARTITION BY bk, lb) AS bc FROM k) "
        + "SELECT x.id AS a, y.id AS b, "
        + "ROUND(jaro_winkler_similarity(x.nm, y.nm), 4) AS jw "
@@ -2247,6 +2282,21 @@ object AnalyticsQueries {
     "q190_zonemap" ->
       ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
        + "WHERE user_id BETWEEN 100 AND 149 ORDER BY event_id"),
+    "q191_group_split" ->
+      ("WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nkey FROM documents), "
+       + "r AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY nkey) AS rep FROM n), "
+       + "b AS (SELECT doc_id, rep, CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 4)) AS INTEGER) AS b FROM r) "
+       + "SELECT CASE WHEN b < 52428 THEN 'train' WHEN b < 58982 THEN 'val' ELSE 'test' END AS split, "
+       + "COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT rep)::BIGINT AS n_groups, SUM(doc_id)::BIGINT AS id_sum "
+       + "FROM b GROUP BY 1 ORDER BY split"),
+    "q192_proximity" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+       + "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), "
+       + "a AS (SELECT doc_id, i AS pa FROM tok WHERE w = 'hash'), "
+       + "b AS (SELECT doc_id, i AS pb FROM tok WHERE w = 'join') "
+       + "SELECT a.doc_id, COUNT(*)::BIGINT AS n_prox "
+       + "FROM a JOIN b ON a.doc_id = b.doc_id AND abs(pa - pb) <= 5 "
+       + "GROUP BY 1 ORDER BY 1"),
     "q162_seasonality" ->
       ("WITH o AS (SELECT event_type, isodow(ts)::BIGINT AS dow, COUNT(*) AS c FROM events GROUP BY 1, 2), "
        + "t AS (SELECT event_type, SUM(c)::BIGINT AS tc FROM o GROUP BY 1) "

@@ -22,6 +22,32 @@ class SamplingSpec extends SparkSpec {
       s2.select("doc_id", "split").collect().map(_.toString).sorted.toSeq)
   }
 
+  test("groupAwareSplit: a group never straddles splits; row split leaks") {
+    // add case-variant copies so multi-doc groups certainly exist
+    // (same normalized key, different doc_id)
+    val dupes = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        upper(col("text")).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(dupes)
+    val grouped = corpus.select(col("doc_id"),
+      TextOps.normalizeText(col("text")).as("nkey"))
+    val s = Sampling.groupAwareSplit(grouped, "doc_id", col("nkey"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+    assert(s.count() == corpus.count())
+    // leakage-safety: every normalized-text group maps to ONE split
+    val maxSplitsPerGroup = s.groupBy("nkey")
+      .agg(count_distinct(col("split")).as("ns"))
+      .agg(max("ns")).head().getLong(0)
+    assert(maxSplitsPerGroup == 1L)
+    // the corpus HAS multi-doc groups (otherwise this test proves nothing)
+    assert(s.groupBy("nkey").count().filter(col("count") > 1).count() > 0)
+    // partitioning must not change any assignment
+    val s2 = Sampling.groupAwareSplit(grouped.repartition(7), "doc_id",
+      col("nkey"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(s.select("doc_id", "split").collect().map(_.toString).sorted.toSeq ==
+      s2.select("doc_id", "split").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("deterministicSample keeps a stable subset of the right size") {
     val a = Sampling.deterministicSample(docs, "text", 0.25)
     val frac = a.count().toDouble / docs.count()

@@ -220,6 +220,20 @@ class TextOpsSpec extends SparkSpec {
     assert(t3.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((1L, 1L)))
   }
 
+  test("proximitySearch counts in-window co-occurrences, either order") {
+    val d = docs(
+      1L -> "hash x x x x join",        // distance 5: 1 hit
+      2L -> "hash x x x x x join",      // distance 6: 0 hits
+      3L -> "join then the hash",       // reversed order, distance 3: 1
+      4L -> "hash join hash",           // pairs (0,1) and (2,1): 2 hits
+      5L -> "no terms here")
+    val r = TextOps.proximitySearch(d, "doc_id", "text", "hash", "join",
+        window = 5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((1L, 1L), (3L, 1L), (4L, 2L)))
+  }
+
   test("gopherFilter features match hand computation") {
     import spark.implicits._
     val docs = Seq(1L -> "the cat is on the mat").toDF("doc_id", "text")
