@@ -592,10 +592,17 @@ object Similarity {
     */
   final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
       codes: DataFrame, vectors: DataFrame) {
+    /** Codes land HIVE-PARTITIONED by cell (`bucket=<ctr>/`): a search
+      * probing nProbe of nCells then touches only the probed cells'
+      * directories — partition pruning does at the FILE level what the
+      * bucket equi-join does at the row level, so at 100 TB an
+      * unprobed cell costs zero I/O, not a scan-and-discard.
+      */
     def write(dir: String): Unit = {
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
-      codes.write.mode("overwrite").parquet(s"$dir/codes")
+      codes.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/codes")
       vectors.write.mode("overwrite").parquet(s"$dir/vectors")
     }
   }

@@ -751,7 +751,54 @@ object StreamingQueries {
       s.table(name).orderBy("event_type")
     }
 
+  /** Streaming heavy hitters — q131's two-pass design with the
+    * candidate pass run INCREMENTALLY: the Misra-Gries summary is a
+    * mergeable typed Aggregator, so the streaming state store absorbs
+    * each micro-batch with the same merge the batch shuffle uses, and
+    * the drained candidate set carries the identical superset
+    * guarantee (any key over n/(cap+1) survives ANY merge order —
+    * including the arrival order of micro-batches). Pass 2 then
+    * recounts the ≤cap broadcast candidates EXACTLY against the
+    * archived corpus (here: the same parquet dir the AvailableNow
+    * stream drained), so the output is a pure function of the data
+    * and hits q131's plain-SQL oracle shape. State is one bounded
+    * map, constant over an unbounded stream — the streaming "which
+    * keys exceed x% of all traffic" monitor.
+    */
+  def q193StreamTopk(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q193_topk_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q193")
+      val fraction = 0.028
+      val cap = math.ceil(1.0 / fraction).toInt - 1 // 35 < the 37-key domain
+      val mg = udaf(new graft.operators.HeavyHitters.MisraGries(cap),
+        org.apache.spark.sql.Encoders.STRING)
+      val q = eventsStream(s, dir, raw)
+        .select((col("user_id") % 37).cast("string").as("k"))
+        .agg(mg(col("k")).as("cand"), count(lit(1)).as("n"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      val cand = s.table(name)
+        .select(explode(col("cand")).as("k"), col("n"))
+      graft.engine.Tables(s, dir, "events")
+        .select((col("user_id") % 37).cast("string").as("k"))
+        .join(broadcast(cand), "k")
+        .groupBy(col("k"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > col("n") * fraction)
+        .select(col("k").as("key"), col("cnt"))
+        .orderBy("key")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q193_stream_topk" -> (q193StreamTopk(_, _)),
     "q185_stream_fingerprint" -> (q185StreamFingerprint(_, _)),
     "q106_incremental_view" -> (q106IncrementalView(_, _)),
     "q23_stream" -> (q23Stream(_, _)),
@@ -768,6 +815,13 @@ object StreamingQueries {
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
+    // streaming MG candidates + exact recount == the plain HAVING
+    // query (approximation assists the plan, never the answer — the
+    // q131 contract, maintained incrementally)
+    "q193_stream_topk" ->
+      ("WITH tk AS (SELECT CAST(user_id % 37 AS VARCHAR) AS k FROM events) "
+       + "SELECT k AS key, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY 1 "
+       + "HAVING COUNT(*) > (SELECT COUNT(*) FROM tk) * 0.028 ORDER BY key"),
     // the incrementally-maintained checksum must equal the batch
     // checksum bit-for-bit — the oracle re-executes the XOR fold
     "q185_stream_fingerprint" ->

@@ -42,6 +42,27 @@ class IvfPqSpec extends SparkSpec {
     assert(batch2.count() == 10)
   }
 
+  test("persisted codes are hive-partitioned by cell; probes prune partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-dpp-").toString
+    Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      nCells = 8, m = 8, ksub = 16, iters = 2).write(dir)
+    // layout: one bucket=<ctr>/ directory per cell
+    val bucketDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.length == 8, s"got ${bucketDirs.map(_.getName).toSeq}")
+    // a probe-limited search must prune the codes scan to the probed
+    // cells — dynamic partition pruning from the broadcast probe side
+    // (file-level skipping: an unprobed cell costs zero I/O at 100 TB)
+    val idx = Similarity.ivfPqIndexRead(spark, dir)
+    val res = Similarity.ivfPqSearch(idx,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3,
+      nProbe = 2)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the codes scan:\n$plan")
+  }
+
   test("index shape: one codes row per vector, m codes each, true norms") {
     val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
       nCells = 4, m = 8, ksub = 16, iters = 1)
