@@ -65,6 +65,33 @@ object HeavyHitters {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
   }
 
+  /** Per-GROUP exact heavy hitters: keys of `keyCol` whose exact count
+    * exceeds `fraction` of their group's rows — "top tokens per
+    * language", "hot URLs per tenant". Same two-pass contract as
+    * [[exactOverThreshold]], with one MG summary per group riding a
+    * single map-side-combinable aggregation (state: |groups| bounded
+    * maps), and the recount join keyed on (group, key). The candidate
+    * side stays ≤ |groups|·cap rows — broadcastable for any realistic
+    * group count; at extreme |groups| the exact join degrades to a
+    * shuffle join on the same bounded relation, never the raw domain.
+    */
+  def exactOverThresholdByGroup(df0: DataFrame, groupCol: String,
+      keyCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction < 1, s"bad fraction $fraction")
+    val cap = math.ceil(1.0 / fraction).toInt - 1
+    val df = graft.engine.Par.widen(df0)
+      .select(col(groupCol).as("g"), col(keyCol).as("k"))
+    val mg = udaf(new MisraGries(cap), Encoders.STRING)
+    val pass1 = df.groupBy(col("g"))
+      .agg(mg(col("k")).as("cand"), count(lit(1)).as("n"))
+    val cand = pass1.select(col("g"), explode(col("cand")).as("k"), col("n"))
+    df.join(broadcast(cand), Seq("g", "k"))
+      .groupBy(col("g"), col("k"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > col("n") * fraction)
+      .select(col("g").as(groupCol), col("k").as("key"), col("cnt"))
+  }
+
   /** Keys of `keyCol` whose exact count exceeds `fraction` of all rows,
     * with their exact counts: (key, cnt). `fraction` must be ≥ some
     * sane floor (cap = ceil(1/fraction) - 1 candidates are buffered

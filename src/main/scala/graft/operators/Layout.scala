@@ -58,6 +58,30 @@ object Layout {
       .agg(count(lit(1)).as("n"), aggs: _*)
   }
 
+  /** Incremental zone-map maintenance for an append-only streamed
+    * table: the micro-batch lands in its own `batch=<id>` subdirectory
+    * and its per-file stats land in the matching `statsDir` partition
+    * — both `overwrite`, so a replayed batch (checkpoint recovery)
+    * rewrites its own partition instead of duplicating rows:
+    * replay-idempotent by construction, the [[graft.streaming]]
+    * versioned-state convention. The union of batch stats IS the
+    * table's zone map; maintenance cost is O(batch), never a global
+    * recompute over the table.
+    */
+  def zoneMapAppend(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dataDir: String, statsDir: String,
+      batchId: Long, keyCols: Seq[String]): Unit = {
+    val sub = s"$dataDir/batch=$batchId"
+    batch.write.mode("overwrite").parquet(sub)
+    zoneMap(spark, sub, keyCols)
+      .write.mode("overwrite").parquet(s"$statsDir/batch=$batchId")
+  }
+
+  /** The maintained zone map: union of every batch's stats. */
+  def zoneMapRead(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String): DataFrame =
+    spark.read.parquet(statsDir).drop("batch")
+
   /** Data-skipping read: scan ONLY the files whose zone-map range
     * [min_key, max_key] intersects [lo, hi], then apply the exact
     * predicate to the survivors. On a z-ordered table the skipped

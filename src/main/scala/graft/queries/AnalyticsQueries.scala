@@ -1877,7 +1877,48 @@ object AnalyticsQueries {
     "q192_proximity" -> ((s, d) =>
       TextOps.proximitySearch(t(s, d, "documents"), "doc_id", "text",
           "hash", "join", window = 5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // per-GROUP exact heavy hitters: tokens over 1% of their
+    // language's token mass — q131's two-pass MG design with one
+    // bounded summary per group; the distinct token domain never
+    // shuffles, and the recount join carries ≤ |groups|·cap rows
+    "q194_group_hitters" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      graft.operators.HeavyHitters.exactOverThresholdByGroup(
+          tok, "lang", "w", 0.01)
+        .orderBy("lang", "key")
+    }),
+
+    // referential/consistency audit — the pre-trust data-quality gate
+    // over a new drop: orphan lineitems (no parent order), childless
+    // orders (no lineitems), and order-total drift vs the recomputed
+    // lineitem sum in EXACT cents (>`$`1 tolerance). Anti-joins +
+    // decimal-exact comparisons; one row per check
+    "q195_consistency" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("ocents"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"),
+        expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)")
+          .as("lcents"))
+      def row(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(name).as("chk"), col("n"), col("cents"))
+      val orphans = row("orphan_lineitems",
+        l.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("cents", lit(0L)))
+      val childless = row("childless_orders",
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("cents", lit(0L)))
+      val drift = row("total_drift",
+        o.join(l.groupBy(col("l_orderkey")).agg(sum(col("lcents")).as("sumcents")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(abs(col("ocents") - col("sumcents")).as("d"))
+          .agg(sum(when(col("d") > 100, 1L).otherwise(0L)).as("n"),
+            sum(col("d")).as("cents")))
+      orphans.unionAll(childless).unionAll(drift).orderBy("chk")
+    })
   )
 
   /** Z-ordered events layout per sf dir, written once per JVM (the
@@ -2289,6 +2330,25 @@ object AnalyticsQueries {
        + "SELECT CASE WHEN b < 52428 THEN 'train' WHEN b < 58982 THEN 'val' ELSE 'test' END AS split, "
        + "COUNT(*)::BIGINT AS n_docs, COUNT(DISTINCT rep)::BIGINT AS n_groups, SUM(doc_id)::BIGINT AS id_sum "
        + "FROM b GROUP BY 1 ORDER BY split"),
+    "q194_group_hitters" ->
+      ("WITH tk AS (SELECT lang AS g, unnest(string_split(text, ' ')) AS k FROM documents), "
+       + "tk2 AS (SELECT * FROM tk WHERE k <> ''), "
+       + "n AS (SELECT g, COUNT(*) AS gn FROM tk2 GROUP BY g) "
+       + "SELECT tk2.g AS lang, k AS key, COUNT(*)::BIGINT AS cnt "
+       + "FROM tk2 JOIN n ON tk2.g = n.g "
+       + "GROUP BY tk2.g, k, n.gn HAVING COUNT(*) > n.gn * 0.01 "
+       + "ORDER BY lang, key"),
+    "q195_consistency" ->
+      ("WITH o AS (SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS ocents FROM orders), "
+       + "l AS (SELECT l_orderkey, CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS lcents FROM lineitem), "
+       + "ls AS (SELECT l_orderkey, SUM(lcents)::BIGINT AS sumcents FROM l GROUP BY 1), "
+       + "dr AS (SELECT abs(ocents - sumcents) AS d FROM o JOIN ls ON o_orderkey = l_orderkey) "
+       + "SELECT 'childless_orders' AS chk, COUNT(*)::BIGINT AS n, 0::BIGINT AS cents "
+       + "FROM o WHERE o_orderkey NOT IN (SELECT l_orderkey FROM l) "
+       + "UNION ALL SELECT 'orphan_lineitems', COUNT(*)::BIGINT, 0::BIGINT "
+       + "FROM l WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o) "
+       + "UNION ALL SELECT 'total_drift', SUM(CASE WHEN d > 100 THEN 1 ELSE 0 END)::BIGINT, SUM(d)::BIGINT FROM dr "
+       + "ORDER BY chk"),
     "q192_proximity" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
        + "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), "

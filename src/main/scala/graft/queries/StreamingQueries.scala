@@ -797,7 +797,45 @@ object StreamingQueries {
         .orderBy("key")
     }
 
+  /** Streaming-maintained zone map: the ingest loop lands each
+    * micro-batch in its own `batch=<id>` partition AND upserts that
+    * batch's per-file min/max stats ([[graft.operators.Layout
+    * .zoneMapAppend]] — overwrite per batch id, so checkpoint replay
+    * rewrites instead of duplicating). The final data-skipping read
+    * over the union of batch stats must equal the plain filter — the
+    * lakehouse pattern where streaming ingestion keeps the skipping
+    * index current without ever recomputing it over the table.
+    */
+  def q196StreamZonemap(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val ckpt = scratchCheckpoint("q196")
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-szm-data-").toString
+      val statsDir = java.nio.file.Files
+        .createTempDirectory("graft-szm-stats-").toString
+      val q = eventsStream(s, dir, raw)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          graft.operators.Layout.zoneMapAppend(
+            s, df, dataDir, statsDir, id, Seq("user_id"))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      val zmap = graft.operators.Layout.zoneMapRead(s, statsDir)
+      val (rows, _, _) = graft.operators.Layout.prunedRead(
+        s, dataDir, zmap, "user_id", 3L, 7L)
+      rows.select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q196_stream_zonemap" -> (q196StreamZonemap(_, _)),
     "q193_stream_topk" -> (q193StreamTopk(_, _)),
     "q185_stream_fingerprint" -> (q185StreamFingerprint(_, _)),
     "q106_incremental_view" -> (q106IncrementalView(_, _)),
@@ -822,6 +860,11 @@ object StreamingQueries {
       ("WITH tk AS (SELECT CAST(user_id % 37 AS VARCHAR) AS k FROM events) "
        + "SELECT k AS key, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY 1 "
        + "HAVING COUNT(*) > (SELECT COUNT(*) FROM tk) * 0.028 ORDER BY key"),
+    // the streaming-maintained skipping index must serve a read
+    // row-identical to the plain filter (skipping is physical-only)
+    "q196_stream_zonemap" ->
+      ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
+       + "WHERE user_id BETWEEN 3 AND 7 ORDER BY event_id"),
     // the incrementally-maintained checksum must equal the batch
     // checksum bit-for-bit — the oracle re-executes the XOR fold
     "q185_stream_fingerprint" ->

@@ -33,6 +33,29 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(1) == run(23))
   }
 
+  test("grouped hitters equal the per-group exact HAVING query") {
+    import spark.implicits._
+    // group A: zipf-ish; group B: uniform (no hitters above 5%)
+    val rows = (1 to 60).flatMap(i => Seq.fill(300 / i)("A" -> s"k$i")) ++
+      (1 to 50).flatMap(i => Seq.fill(10)("B" -> s"k$i"))
+    val df = rows.toDF("g", "k")
+    val got = HeavyHitters.exactOverThresholdByGroup(df, "g", "k", 0.05)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = {
+      val totals = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      rows.groupBy(identity).view.mapValues(_.size)
+        .filter { case ((g, _), c) => c > totals(g) * 0.05 }
+        .map { case ((g, k), c) => (g, k) -> c.toLong }.toMap
+    }
+    assert(got == want)
+    assert(got.keys.forall(_._1 == "A")) // uniform group has no hitters
+    // partitioning invariance (candidate sets may differ; answer may not)
+    val got2 = HeavyHitters.exactOverThresholdByGroup(
+        df.repartition(13), "g", "k", 0.05)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got2 == got)
+  }
+
   test("adversarial: huge distinct tail cannot evict a true hitter") {
     import spark.implicits._
     // one key at 6% of the stream buried in 19k near-distinct keys;

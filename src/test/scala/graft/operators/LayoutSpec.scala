@@ -99,6 +99,34 @@ class LayoutSpec extends SparkSpec {
     assert(none.schema == full.schema)
   }
 
+  test("zoneMapAppend: incremental stats, replay-idempotent, pruning exact") {
+    val dataDir = java.nio.file.Files.createTempDirectory("graft-zma-d-").toString
+    val statsDir = java.nio.file.Files.createTempDirectory("graft-zma-s-").toString
+    def batch(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("event_id"),
+        (col("id") % 20).as("user_id"), (col("id") * 2).as("value"))
+    // three appends, disjoint id ranges
+    Layout.zoneMapAppend(spark, batch(0, 100), dataDir, statsDir, 0, Seq("user_id"))
+    Layout.zoneMapAppend(spark, batch(100, 200), dataDir, statsDir, 1, Seq("user_id"))
+    Layout.zoneMapAppend(spark, batch(200, 300), dataDir, statsDir, 2, Seq("user_id"))
+    val zmap = Layout.zoneMapRead(spark, statsDir)
+    assert(spark.read.parquet(dataDir).count() == 300)
+    assert(zmap.agg(sum("n")).head().getLong(0) == 300)
+    // checkpoint replay of batch 1 rewrites its partition — no dupes
+    Layout.zoneMapAppend(spark, batch(100, 200), dataDir, statsDir, 1, Seq("user_id"))
+    assert(spark.read.parquet(dataDir).count() == 300)
+    assert(Layout.zoneMapRead(spark, statsDir).agg(sum("n")).head().getLong(0) == 300)
+    // pruned read over the maintained stats equals the plain filter
+    val (rows, read, total) = Layout.prunedRead(spark, dataDir,
+      Layout.zoneMapRead(spark, statsDir), "user_id", 5L, 6L)
+    val full = spark.read.parquet(dataDir)
+      .filter(col("user_id").between(5, 6))
+    assert(rows.count() == full.count() && rows.count() > 0)
+    assert(rows.agg(sum("event_id")).head().getLong(0) ==
+      full.agg(sum("event_id")).head().getLong(0))
+    assert(read <= total)
+  }
+
   test("negativeSamples: deterministic, k-bounded, excludes the anchor") {
     val docs = Tables(spark, sf, "documents")
     val a = Sampling.negativeSamples(docs, "doc_id", "text",
