@@ -233,6 +233,35 @@ class PlanShapeSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("round-9 queries: term filters pre-shuffle; grouped MG partial; no BNLJ") {
+    // q188/q192: the query-term filter must run BEFORE any exchange —
+    // only O(df) term hits may leave the map side, never the tokenized
+    // corpus (the 100 TB retrieval contract)
+    for (name <- Seq("q188_boolean_and", "q192_proximity")) {
+      val s = planString(q(name))
+      val firstExchange = s.linesIterator.indexWhere(_.contains("Exchange"))
+      val lastFilter = s.linesIterator.zipWithIndex
+        .filter(_._1.contains("Filter")).map(_._2).maxOption.getOrElse(-1)
+      // plan strings print top-down: a Filter BELOW (after) the last
+      // exchange line means the filter runs before the shuffle
+      assert(lastFilter > firstExchange && firstExchange >= 0,
+        s"$name: term filter not below the exchange:\n$s")
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"), s)
+    }
+    // q194: the grouped MG summary must partial-aggregate map-side and
+    // broadcast its candidate set, like q131
+    val s194 = planString(q("q194_group_hitters"))
+    assert(s194.contains("ObjectHashAggregate") && s194.contains("partial_"),
+      s"grouped MG must partial-aggregate:\n$s194")
+    assert(s194.contains("BroadcastHashJoin"),
+      s"grouped recount join must broadcast:\n$s194")
+    // q189: the blocked linkage self-join stays equi (block-keyed)
+    val s189 = planString(q("q189_jw_linkage"))
+    assert(!s189.contains("CartesianProduct") &&
+      !s189.contains("BroadcastNestedLoopJoin"), s189)
+  }
+
   test("q132 triangles: every join equi, no cartesian at any stage") {
     val s = planString(q("q132_triangles"))
     assert(!s.contains("CartesianProduct") &&
