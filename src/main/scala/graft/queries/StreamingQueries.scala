@@ -558,6 +558,103 @@ object StreamingQueries {
       s.table(name).filter(col("user_id") =!= -1L).orderBy("user_id")
     }
 
+  /** [[q197SessionizeTws]]'s processor: q100's sessionize fold ported
+    * to Spark 4's `transformWithState` API — ValueState replaces the
+    * GroupState blob, and the session-close edge is an explicit
+    * event-time TIMER (registerTimer / handleExpiredTimer) instead of
+    * GroupStateTimeout. Timers are re-armed per batch: the previous
+    * timer is deleted first, else a stale earlier deadline would fire
+    * mid-session and emit a premature count.
+    */
+  private class SessTwsProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessEv, SessOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig,
+      ExpiredTimerInfo, TimerValues, ValueState}
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessEv],
+        tv: TimerValues): Iterator[SessOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_sec, e.event_id))
+      var (last, n) =
+        if (st.exists()) (st.get().lastTs, st.get().n)
+        else (Long.MinValue, 0L)
+      sorted.foreach { e =>
+        if (last == Long.MinValue || e.ts_sec > last + gapSec) n += 1
+        if (e.ts_sec > last) last = e.ts_sec
+      }
+      st.update(SessState(last, n))
+      val old = getHandle.listTimers().toSeq
+      old.foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(math.max(last * 1000 + gapSec * 1000,
+        tv.getCurrentWatermarkInMs() + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessOut] =
+      if (st.exists()) {
+        val out = SessOut(user, st.get().n)
+        st.clear()
+        Iterator(out)
+      } else Iterator.empty
+  }
+
+  /** q100's semantics on Spark 4's `transformWithState` — the
+    * replacement arbitrary-state API (SPARK-40434 / state-v2): typed
+    * composite state (ValueState/ListState/MapState), explicit timers,
+    * and the RocksDB state store it requires. Certifying BOTH APIs
+    * matters because fMGWS is the legacy surface; new session
+    * semantics land on this one. Same oracle as batch q25 — the
+    * equivalence contract, same sentinel/watermark conventions as
+    * [[q100SessionizeState]].
+    */
+  def q197SessionizeTws(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prior = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val raw = eventsSchema(s, dir)
+        val name = s"q197_sess_tws_${System.nanoTime()}"
+        val ckpt = scratchCheckpoint("q197")
+        val (_, flushDir) = sentinelFor(s, dir)
+        val events = eventsStream(s, dir, raw)
+        val flush = s.readStream.schema(raw).parquet(flushDir)
+        // sentinel NOT filtered inside the stream — q100's pushdown trap
+        val evs = events.unionByName(flush)
+          .withColumn("ts_s", timestamp_seconds(tsSeconds(raw)))
+          .withWatermark("ts_s", "2 hours")
+          .select(col("user_id"), tsSeconds(raw).as("ts_sec"),
+            col("event_id"), col("ts_s"))
+          .as[SessEv]
+        val sessions = evs.groupByKey(_.user_id)
+          .transformWithState(new SessTwsProcessor(1800L),
+            TimeMode.EventTime(), OutputMode.Append())
+        val q = sessions.writeStream
+          .format("memory").queryName(name)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        deleteRecursively(ckpt)
+        s.table(name).filter(col("user_id") =!= -1L).orderBy("user_id")
+      } finally {
+        prior match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    }
+
   /** Typed rows/state/output for [[q164StreamFirstSeen]]. State per
     * user = the distinct active days inside the backfill window
     * (bounded by the data's day span; the event-time timeout evicts it
@@ -835,6 +932,7 @@ object StreamingQueries {
     }
 
   val queries: Map[String, Q] = Map(
+    "q197_sessionize_tws" -> (q197SessionizeTws(_, _)),
     "q196_stream_zonemap" -> (q196StreamZonemap(_, _)),
     "q193_stream_topk" -> (q193StreamTopk(_, _)),
     "q185_stream_fingerprint" -> (q185StreamFingerprint(_, _)),
@@ -880,6 +978,8 @@ object StreamingQueries {
     "q148_stream_dedup" -> CoreQueries.oracles("q23_hourly"),
     "q25_stream" -> CoreQueries.oracles("q25_sessionize"),
     "q100_sessionize_state" -> CoreQueries.oracles("q25_sessionize"),
+    // the transformWithState twin must hit the same batch oracle
+    "q197_sessionize_tws" -> CoreQueries.oracles("q25_sessionize"),
     "q164_stream_first_seen" ->
       AnalyticsQueries.oracles("q163_new_vs_returning"),
     // the incrementally-maintained sketch must equal the batch sketch
