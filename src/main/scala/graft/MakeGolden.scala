@@ -25,7 +25,8 @@ object MakeGolden {
       "q34b_bpe_merges", "q68_incremental_minhash", "q72_incremental_simhash",
       "q73_media_features", "q80_semdedup", "q84_cluster_terms",
       "q91_ann_int8", "q93_survivors", "q96_hll", "q147_cms",
-      "q168_pq_topk", "q169_pca_components", "q175_ivfpq", "q182_mmr")
+      "q168_pq_topk", "q169_pca_components", "q175_ivfpq", "q182_mmr",
+      "q198_ivf_append")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -138,6 +138,27 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/postings"))
 
+  /** Append a delta corpus to a PERSISTED IVF index without
+    * retraining: centroids stay FROZEN — retraining would move cell
+    * boundaries and silently invalidate every existing posting — and
+    * the delta assigns to its nearest frozen centroid in one
+    * broadcast pass, its postings rows appending to the store. By
+    * construction the result equals bulk assignment of the union
+    * under the same centroids (assignment is a pure per-row function
+    * of (vector, centroids)), so a production ingest loop can grow
+    * the index forever at O(delta) cost; periodic retrains are a
+    * separate, full-rebuild decision. Returns the updated index view.
+    */
+  def ivfAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+      delta: DataFrame, idCol: String, vecCol: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val d = delta.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      normSq(col(vecCol)).as("cn"))
+    nearest1(d, centroids, "cid", "cv", Seq("cv", "cn"), "bucket")
+      .write.mode("append").parquet(s"$dir/postings")
+    ivfIndexRead(spark, dir)
+  }
+
   /** Approximate top-k against a trained [[IvfIndex]]: queries probe
     * their `nProbe` nearest centroid lists only. The centroid table
     * broadcasts for the probe argmin; the postings join is an equi-join

@@ -60,6 +60,26 @@ object AnalyticsQueries {
     Similarity.ivfIndexRead(s, out)
   }
 
+  /** Incrementally-grown IVF index per sf dir: trained on the even
+    * vec_ids, the odd half APPENDED under the frozen centroids — the
+    * q198 living-index artifact, built once per JVM.
+    */
+  private val ivfAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfAppendIndexFor(s: SparkSession,
+      dir: String): Similarity.IvfIndex = {
+    val out = ivfAppendCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ivfapp-").toString
+      val e = t(s, d, "embeddings")
+      Similarity.ivfIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding").write(tmp)
+      Similarity.ivfAppend(s, tmp, e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding")
+      tmp
+    })
+    Similarity.ivfIndexRead(s, out)
+  }
+
   /** PQ index per sf dir — trained and WRITTEN once per JVM, searches
     * served from the read-back parquet artifact (the same
     * train-once/search-many contract as q38's IVF index; k-means over
@@ -302,6 +322,18 @@ object AnalyticsQueries {
     "q38_ivf_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfSearch(ivfIndexFor(s, d),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // incremental IVF maintenance: train on the even half, APPEND the
+    // odd half under the frozen centroids (one broadcast pass, O(delta)
+    // — never a retrain), then serve searches from the grown artifact.
+    // The production ingest loop for a living ANN index
+    "q198_ivf_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfSearch(ivfAppendIndexFor(s, d),
           e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
         .select(col("qid"), col("cid"), col("rn"))
         .orderBy("qid", "rn")
@@ -2527,6 +2559,7 @@ object AnalyticsQueries {
     "q49_embed_pairs_lsh" -> golden("q49_embed_pairs_lsh", "a, b, sim", "a, b"),
     "q36_lsh_topk" -> golden("q36_lsh_topk", "qid, cid, rn", "qid, rn"),
     "q38_ivf_topk" -> golden("q38_ivf_topk", "qid, cid, rn", "qid, rn"),
+    "q198_ivf_append" -> golden("q198_ivf_append", "qid, cid, rn", "qid, rn"),
     "q66_multimodal" -> golden("q66_multimodal",
       "media_id, media_type, width, height, channels, sample_rate, " +
         "duration_ms, ok, decode_error",

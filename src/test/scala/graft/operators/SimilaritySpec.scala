@@ -54,6 +54,38 @@ class SimilaritySpec extends SparkSpec {
     assert(batch2.count() == 10) // 5 queries x 2 — index reuse works
   }
 
+  test("ivfAppend: frozen-centroid append equals bulk assignment of the union") {
+    val a = emb.filter(col("vec_id") < 250)
+    val b = emb.filter(col("vec_id") >= 250)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append-").toString
+    Similarity.ivfIndex(a, "vec_id", "embedding",
+      nCentroids = 8, iters = 2).write(dir)
+    val baseCount = spark.read.parquet(s"$dir/postings").count()
+    val idx = Similarity.ivfAppend(spark, dir, b, "vec_id", "embedding")
+    // every corpus row present exactly once after the append
+    assert(idx.postings.count() == emb.count())
+    assert(idx.postings.select("cid").distinct().count() == emb.count())
+    assert(baseCount == a.count())
+    // reference: bulk assignment of the UNION under the SAME frozen
+    // centroids — append must be indistinguishable
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val bulk = Similarity.IvfIndex(centroids,
+      Similarity.nearest1(
+        emb.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          graft.functions.VectorFunctions.normSq(col("embedding")).as("cn")),
+        centroids, "cid", "cv", Seq("cv", "cn"), "bucket"))
+    val q = emb.filter(col("vec_id") < 10)
+    def run(i: Similarity.IvfIndex) =
+      Similarity.ivfSearch(i, q, "vec_id", "embedding", k = 3, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(run(idx) == run(bulk))
+    // appended rows landed in their nearest frozen cell
+    val assignedB = idx.postings.join(bulk.postings
+        .select(col("cid"), col("bucket").as("want")), "cid")
+      .filter(col("bucket") =!= col("want")).count()
+    assert(assignedB == 0)
+  }
+
   test("int8TopK: high recall vs exact; rank order and self-exclusion hold") {
     val queries = emb.filter(col("vec_id") < 20)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 3)
