@@ -262,6 +262,31 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // FILTERED vector search: top-k among candidates satisfying a
+    // metadata predicate (same label) — the retrieval+filter shape a
+    // production vector store serves ("nearest docs in MY tenant").
+    // The filter IS the join key, so the corpus shuffles by label once
+    // and scoring runs per label partition — at 100 TB the corpus
+    // would be stored label-partitioned and the scan prunes to the
+    // query's labels (the q190 zone-map / q175 DPP machinery)
+    "q199_filtered_ann" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("label").as("lbl"))
+      val c = e.select(col("vec_id").as("cid"),
+        col("embedding").as("cv"), col("label").as("lbl"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      q.join(c, Seq("lbl")).filter(col("qid") =!= col("cid"))
+        .withColumn("sim", graft.functions.VectorFunctions.cosineSim(
+          col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // LSH-bucketed approximate top-k (golden-parquet oracle; recall
     // certified in ScalaTest vs q35)
     "q36_lsh_topk" -> ((s, d) => {
@@ -2676,6 +2701,12 @@ object AnalyticsQueries {
        "SELECT a.vec_id AS qid, b.vec_id AS cid, " +
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
+       "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q199_filtered_ann" ->
+      ("SELECT qid, cid, rn FROM (" +
+       "SELECT a.vec_id AS qid, b.vec_id AS cid, " +
+       "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
+       "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
        "WHERE rn <= 3 ORDER BY qid, rn"),
     "q44_packing" ->
       ("WITH toks AS (SELECT doc_id, len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM documents), " +
