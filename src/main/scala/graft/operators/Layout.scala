@@ -77,6 +77,57 @@ object Layout {
       .write.mode("overwrite").parquet(s"$statsDir/batch=$batchId")
   }
 
+  /** Per-file BLOOM skipping index for point lookups — [[zoneMap]]'s
+    * sibling: a min/max range answers "could this file hold this
+    * span?", a bloom answers "does this file definitely NOT hold this
+    * key?" — which is what prunes point lookups on a column the file
+    * layout is NOT sorted by. One pass grouped by file; each file's
+    * filter is a distributed `bloom_filter_agg` over xxhash64(key),
+    * so the index is O(files · bloomBytes) — the bounded
+    * driver-artifact contract again.
+    */
+  def bloomIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCol: String, expectedPerFile: Long = 100000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.column
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bits = math.min(8388608L, math.max(64L,
+      math.ceil(-expectedPerFile * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong))
+    spark.read.parquet(dir)
+      .select(col("_metadata.file_path").as("file"),
+        xxhash64(col(keyCol)).as("kh"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n"),
+        column(new BloomFilterAggregate(
+          org.apache.spark.sql.GraftBridge.expression(col("kh")),
+          Literal(expectedPerFile), Literal(bits)).toAggregateExpression())
+          .as("bloom"))
+  }
+
+  /** Point-lookup read through a [[bloomIndex]]: scan ONLY the files
+    * whose bloom might contain the key (no false negatives ⇒
+    * row-identical to the full-scan filter; false positives only cost
+    * extra file reads at rate `fpp`). Returns (rows, filesRead,
+    * filesTotal).
+    */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bidx: DataFrame, keyCol: String, key: Long)
+      : (DataFrame, Int, Int) = {
+    val stats = bidx.select(col("file"), col("bloom")).collect()
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(key, 42L) // spark xxhash64's fixed seed
+    val keep = stats.filter { r =>
+      !r.isNullAt(1) && org.apache.spark.util.sketch.BloomFilter
+        .readFrom(r.getAs[Array[Byte]](1)).mightContainLong(h)
+    }.map(_.getString(0))
+    val pruned =
+      if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (pruned.filter(col(keyCol) === key), keep.length, stats.length)
+  }
+
   /** The maintained zone map: union of every batch's stats. */
   def zoneMapRead(spark: org.apache.spark.sql.SparkSession,
       statsDir: String): DataFrame =

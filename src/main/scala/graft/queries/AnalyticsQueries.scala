@@ -1902,8 +1902,34 @@ object AnalyticsQueries {
       val dir = zorderedEventsFor(s, d)
       val zmap = graft.operators.Layout.zoneMap(s, dir, Seq("user_id"))
       val (rows, _, _) = graft.operators.Layout.prunedRead(
-        s, dir, zmap, "user_id", 100L, 149L)
+        s, dir, zmap, "user_id", 5L, 9L)
       rows.select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
+
+    // per-file BLOOM skipping index: point lookup on event_id over the
+    // z-ordered-by-user layout — a column the files are NOT sorted by,
+    // so min/max ranges can't prune but per-file blooms can ("this
+    // file definitely does not hold this key"). No false negatives ⇒
+    // row-identical to the plain filter; LayoutSpec pins the skipping
+    "q200_bloom_skip" -> ((s, d) => {
+      val dir = zorderedEventsFor(s, d)
+      val bidx = graft.operators.Layout.bloomIndex(s, dir, "event_id")
+      val (rows, _, _) = graft.operators.Layout.bloomPrunedRead(
+        s, dir, bidx, "event_id", 777L)
+      rows.select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
+
+    // ORC format coverage: the same events relation written and read
+    // back through the second columnar format Spark ships — the
+    // engine's source surface is not parquet-monogamous
+    "q201_orc_roundtrip" -> ((s, d) => {
+      val dir = orcEventsFor(s, d)
+      s.read.orc(dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
         .orderBy("event_id")
     }),
@@ -1977,6 +2003,19 @@ object AnalyticsQueries {
       orphans.unionAll(childless).unionAll(drift).orderBy("chk")
     })
   )
+
+  /** ORC copy of events per sf dir, written once per JVM. */
+  private val orcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcEventsFor(s: SparkSession, dir: String): String =
+    orcCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc-").toString
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").orc(tmp)
+      tmp
+    })
 
   /** Z-ordered events layout per sf dir, written once per JVM (the
     * artifact-cache pattern of the ANN indexes): events clustered by
@@ -2379,7 +2418,13 @@ object AnalyticsQueries {
        + "ORDER BY a, b"),
     "q190_zonemap" ->
       ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
-       + "WHERE user_id BETWEEN 100 AND 149 ORDER BY event_id"),
+       + "WHERE user_id BETWEEN 5 AND 9 ORDER BY event_id"),
+    "q200_bloom_skip" ->
+      ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
+       + "WHERE event_id = 777 ORDER BY event_id"),
+    "q201_orc_roundtrip" ->
+      ("SELECT event_id, user_id, event_type, ROUND(value, 4) AS value "
+       + "FROM events ORDER BY event_id"),
     "q191_group_split" ->
       ("WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nkey FROM documents), "
        + "r AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY nkey) AS rep FROM n), "

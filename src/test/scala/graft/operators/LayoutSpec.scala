@@ -99,6 +99,28 @@ class LayoutSpec extends SparkSpec {
     assert(none.schema == full.schema)
   }
 
+  test("bloomIndex + bloomPrunedRead: point lookups skip files, no false negatives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bl-").toString
+    // 32k ids hash-scattered over 16 files: NOT sorted by id, so
+    // min/max ranges cannot prune — the bloom's home turf
+    spark.range(32768)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartition(16, expr("hash(k)"))
+      .write.mode("overwrite").parquet(dir)
+    val bidx = Layout.bloomIndex(spark, dir, "k", expectedPerFile = 4096)
+    assert(bidx.count() == 16)
+    // present key: found exactly, and most files skipped (1 true file
+    // + ~fpp false positives)
+    val (rows, read, total) = Layout.bloomPrunedRead(spark, dir, bidx, "k", 12345L)
+    assert(total == 16)
+    assert(read <= 4, s"bloom read $read of $total files")
+    val got = rows.collect()
+    assert(got.length == 1 && got.head.getLong(1) == 12345L * 3)
+    // absent key: empty result, near-zero files touched
+    val (none, readA, _) = Layout.bloomPrunedRead(spark, dir, bidx, "k", -99L)
+    assert(none.count() == 0 && readA <= 4)
+  }
+
   test("zoneMapAppend: incremental stats, replay-idempotent, pruning exact") {
     val dataDir = java.nio.file.Files.createTempDirectory("graft-zma-d-").toString
     val statsDir = java.nio.file.Files.createTempDirectory("graft-zma-s-").toString
