@@ -287,6 +287,37 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // matryoshka / prefix-dimension search: candidates ranked on the
+    // FIRST 16 of 64 dims (4× less vector bandwidth on the corpus
+    // scan — the MRL-embedding trick, same bandwidth family as
+    // int8/PQ), exact full-dim re-rank of k·overfetch. Both stages are
+    // plain float arithmetic, so the DuckDB oracle re-executes the
+    // whole two-stage plan — no golden pin
+    "q202_mrl_prefix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val pre = (c: org.apache.spark.sql.Column) => slice(c, 1, 16)
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"),
+        col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val wc = Window.partitionBy(col("qid"))
+        .orderBy(col("psim").desc, col("cid"))
+      val cands = q.join(c, col("qid") =!= col("cid"))
+        .withColumn("psim", graft.functions.VectorFunctions.cosineSim(
+          pre(col("qv")), pre(col("cv"))))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") <= 12) // k=3 · overfetch=4
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))
+      cands
+        .withColumn("sim", graft.functions.VectorFunctions.cosineSim(
+          col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // LSH-bucketed approximate top-k (golden-parquet oracle; recall
     // certified in ScalaTest vs q35)
     "q36_lsh_topk" -> ((s, d) => {
@@ -2747,6 +2778,16 @@ object AnalyticsQueries {
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
        "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q202_mrl_prefix" ->
+      ("WITH cand AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
+       + "a.embedding AS qv, b.embedding AS cv, "
+       + "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+       + "list_cosine_similarity(a.embedding[1:16], b.embedding[1:16]) DESC, b.vec_id) AS crn "
+       + "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) "
+       + "SELECT qid, cid, rn FROM ("
+       + "SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY "
+       + "list_cosine_similarity(qv, cv) DESC, cid) AS rn "
+       + "FROM cand WHERE crn <= 12) t WHERE rn <= 3 ORDER BY qid, rn"),
     "q199_filtered_ann" ->
       ("SELECT qid, cid, rn FROM (" +
        "SELECT a.vec_id AS qid, b.vec_id AS cid, " +
