@@ -1954,6 +1954,20 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // schema evolution: a dir whose later files added a column reads
+    // as ONE relation under mergeSchema — old-generation rows surface
+    // the new column as NULL (never a read failure, never silent
+    // truncation to the old schema); per-type counts prove both
+    // generations contribute
+    "q203_schema_evolution" -> ((s, d) => {
+      val dir = evolvedEventsFor(s, d)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(coalesce(col("event_type"), lit("__pre_schema__"))
+          .as("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy("event_type")
+    }),
+
     // ORC format coverage: the same events relation written and read
     // back through the second columnar format Spark ships — the
     // engine's source surface is not parquet-monogamous
@@ -2034,6 +2048,27 @@ object AnalyticsQueries {
       orphans.unionAll(childless).unionAll(drift).orderBy("chk")
     })
   )
+
+  /** Two-generation events layout per sf dir (schema evolution
+    * fixture): generation 1 (even event_ids) written WITHOUT
+    * event_type, generation 2 (odd) with it — the "a later drop added
+    * a column" reality of a long-lived ingest dir.
+    */
+  private val evoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def evolvedEventsFor(s: SparkSession, dir: String): String =
+    evoCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-evo-").toString
+      val e = t(s, d, "events")
+      e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.mode("append").parquet(tmp)
+      e.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("append").parquet(tmp)
+      tmp
+    })
 
   /** ORC copy of events per sf dir, written once per JVM. */
   private val orcCache =
@@ -2453,6 +2488,10 @@ object AnalyticsQueries {
     "q200_bloom_skip" ->
       ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
        + "WHERE event_id = 777 ORDER BY event_id"),
+    "q203_schema_evolution" ->
+      ("SELECT CASE WHEN event_id % 2 = 0 THEN '__pre_schema__' ELSE event_type END AS event_type, "
+       + "COUNT(*)::BIGINT AS n, SUM(event_id)::BIGINT AS id_sum "
+       + "FROM events GROUP BY 1 ORDER BY event_type"),
     "q201_orc_roundtrip" ->
       ("SELECT event_id, user_id, event_type, ROUND(value, 4) AS value "
        + "FROM events ORDER BY event_id"),
