@@ -1954,6 +1954,43 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // FULL OUTER reconciliation: daily purchase vs error activity —
+    // days present on either side survive with the other side's count
+    // coalesced to 0 (the two-feed reconciliation report; the one
+    // outer-join shape the declared inventory lacked as a dedicated
+    // entry — q10 covers left, q126 streaming left, q186 uses full
+    // outer internally)
+    "q204_full_outer" -> ((s, d) => {
+      val e = t(s, d, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+      def daily(tpe: String, out: String) =
+        e.filter(col("event_type") === tpe)
+          .groupBy(col("day")).agg(count(lit(1)).as(out))
+      daily("purchase", "n_purchase")
+        .join(daily("error", "n_error"), Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("n_error"), lit(0L)).as("n_error"))
+        .orderBy("day")
+    }),
+
+    // LATERAL correlated subquery: top-2 customers by balance PER
+    // nation, written as SQL LATERAL — Catalyst must decorrelate it
+    // into a ranked join, never per-row re-execution (the q105 scalar
+    // contract extended to table-valued correlation)
+    "q205_lateral" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("nation_v")
+      t(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 4) AS bal
+          |FROM nation_v n,
+          |LATERAL (SELECT c_custkey, c_acctbal FROM customer_v c
+          |         WHERE c.c_nationkey = n.n_nationkey
+          |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+          |ORDER BY n.n_name, bal DESC, t.c_custkey""".stripMargin)
+    }),
+
     // schema evolution: a dir whose later files added a column reads
     // as ONE relation under mergeSchema — old-generation rows surface
     // the new column as NULL (never a read failure, never silent
@@ -2492,6 +2529,20 @@ object AnalyticsQueries {
       ("SELECT CASE WHEN event_id % 2 = 0 THEN '__pre_schema__' ELSE event_type END AS event_type, "
        + "COUNT(*)::BIGINT AS n, SUM(event_id)::BIGINT AS id_sum "
        + "FROM events GROUP BY 1 ORDER BY event_type"),
+    "q204_full_outer" ->
+      ("WITH p AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n_purchase "
+       + "FROM events WHERE event_type = 'purchase' GROUP BY 1), "
+       + "e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n_error "
+       + "FROM events WHERE event_type = 'error' GROUP BY 1) "
+       + "SELECT COALESCE(p.day, e.day) AS day, COALESCE(n_purchase, 0)::BIGINT AS n_purchase, "
+       + "COALESCE(n_error, 0)::BIGINT AS n_error "
+       + "FROM p FULL OUTER JOIN e ON p.day = e.day ORDER BY day"),
+    "q205_lateral" ->
+      ("SELECT n.n_name, t.c_custkey, ROUND(t.c_acctbal, 4) AS bal "
+       + "FROM nation n, LATERAL (SELECT c_custkey, c_acctbal FROM customer c "
+       + "WHERE c.c_nationkey = n.n_nationkey "
+       + "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t "
+       + "ORDER BY n.n_name, bal DESC, t.c_custkey"),
     "q201_orc_roundtrip" ->
       ("SELECT event_id, user_id, event_type, ROUND(value, 4) AS value "
        + "FROM events ORDER BY event_id"),
