@@ -251,6 +251,29 @@ object ScaleProbe {
     t("mmr_topk")(graft.operators.Similarity.mmrTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
       k = 8, lambda = 0.7).count())
+    // q189's shape WITHOUT the exact-dup collapse (the replicated docs
+    // all get ' rN' suffixes, so first-token blocks grow linearly with
+    // the multiplier): in-block pairs are the quadratic axis, bounded
+    // by maxBlock — cost should track emitted pairs, like fuzzyPairs
+    t("jw_linkage")(graft.operators.Linkage.jaroWinklerPairs(
+      d.withColumn("nm", substring(col("text"), 1, 40)),
+      "doc_id", "nm", threshold = 0.95, maxBlock = 20000).count())
+    // q194's shape: per-group MG summaries — the summary count rides
+    // the group count (5 langs here), the token domain never shuffles
+    t("group_hitters")({
+      val tok = d.select(pmod(col("doc_id"), lit(5L)).cast("string").as("g"),
+        explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+      graft.operators.HeavyHitters.exactOverThresholdByGroup(
+        tok, "g", "w", 0.005).count()
+    })
+    // q191's shape: one window-min exchange on the group key, then a
+    // pure per-row hash — linear is the bar
+    t("group_split")(graft.operators.Sampling.groupAwareSplit(
+      d.select(col("doc_id"),
+        graft.operators.TextOps.normalizeText(col("text")).as("nk")),
+      "doc_id", col("nk"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count())
 
     spark.stop()
   }
