@@ -65,4 +65,32 @@ object Cdc {
       .select(col("bucket"), coalesce(col("n1"), lit(0L)).as("n1"),
         coalesce(col("n2"), lit(0L)).as("n2"))
   }
+
+  /** Row-level diff restricted to the buckets [[snapshotDiff]] flagged
+    * — the read that completes the Merkle story: only changed
+    * id-ranges are re-read and row-compared, so at 100 TB the
+    * row-level work is O(changed data), not O(corpus). Returns
+    * (key, change ∈ added | deleted | edited). Equal by construction
+    * to the global row diff: a changed row always changes its
+    * bucket's (count, XOR-digest) pair, so no changed row hides in an
+    * unflagged bucket (two in-bucket changes cancelling both the
+    * 60-bit XOR and the count has probability ~2⁻⁶⁰ per bucket — the
+    * digest-width contract snapshotDiff already documents).
+    */
+  def snapshotRowDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
+      contentCol: String, bucketSize: Int): DataFrame = {
+    val changed = snapshotDiff(v1, v2, keyCol, contentCol, bucketSize)
+      .select(col("bucket"))
+    def arm(df: DataFrame, k: String, c: String) = df
+      .withColumn("bucket", expr(s"$keyCol div $bucketSize"))
+      .join(broadcast(changed), Seq("bucket"))
+      .select(col(keyCol).as(k), col(contentCol).as(c))
+    arm(v1, "k1", "c1")
+      .join(arm(v2, "k2", "c2"), col("k1") === col("k2"), "full_outer")
+      .select(coalesce(col("k1"), col("k2")).as(keyCol),
+        when(col("k2").isNull, "deleted")
+          .when(col("k1").isNull, "added")
+          .when(col("c1") =!= col("c2"), "edited").as("change"))
+      .filter(col("change").isNotNull)
+  }
 }

@@ -1881,6 +1881,21 @@ object AnalyticsQueries {
         .orderBy("bucket")
     }),
 
+    // the Merkle diff's second act: row-level changes fetched from the
+    // FLAGGED buckets only (q186 locates, this reads) — row work is
+    // O(changed data), never O(corpus); the oracle computes the global
+    // row diff directly, so the bucket-pruned path must find exactly
+    // every changed row
+    "q206_snapshot_rows" -> ((s, d) => {
+      val v1 = t(s, d, "documents")
+      val v2 = v1.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 89 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.Cdc.snapshotRowDiff(v1, v2, "doc_id", "text",
+          bucketSize = 64)
+        .orderBy("doc_id")
+    }),
+
     // table profiler (ANALYZE shape): per column, exact row /
     // non-null / distinct counts and min/max — one column-pruned
     // single-column aggregate per profiled column, unioned (never a
@@ -2487,6 +2502,15 @@ object AnalyticsQueries {
        + "FROM d1 FULL OUTER JOIN d2 ON d1.bucket = d2.bucket "
        + "WHERE fp1 IS DISTINCT FROM fp2 OR n1 IS DISTINCT FROM n2 "
        + "ORDER BY bucket"),
+    "q206_snapshot_rows" ->
+      ("WITH v2 AS (SELECT doc_id, CASE WHEN doc_id % 89 = 0 THEN text || ' v2' ELSE text END AS text "
+       + "FROM documents WHERE doc_id % 97 <> 0), "
+       + "d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, "
+       + "CASE WHEN b.doc_id IS NULL THEN 'deleted' "
+       + "WHEN a.doc_id IS NULL THEN 'added' "
+       + "WHEN a.text <> b.text THEN 'edited' END AS change "
+       + "FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id) "
+       + "SELECT doc_id, change FROM d WHERE change IS NOT NULL ORDER BY doc_id"),
     "q187_profile" ->
       (Seq(
         ("l_quantity", true), ("l_extendedprice", true),

@@ -67,4 +67,22 @@ class CdcSpec extends SparkSpec {
     assert(dr.length == 1 && dr.head.getLong(0) == 130 / 64)
     assert(dr.head.getLong(2) == dr.head.getLong(1) - 1)
   }
+
+  test("snapshotRowDiff: bucket-pruned rows equal the global row diff") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // v2: drop 130, edit 131, add 900130
+    val v2 = docs.filter(col("doc_id") =!= 130)
+      .withColumn("text", when(col("doc_id") === 131,
+        concat(col("text"), lit(" edit"))).otherwise(col("text")))
+      .unionAll(docs.filter(col("doc_id") === 17)
+        .select((col("doc_id") + 900113).as("doc_id"), col("text")))
+    val got = Cdc.snapshotRowDiff(docs, v2, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(130L -> "deleted", 131L -> "edited",
+      900130L -> "added"))
+    // identity: no flagged buckets, no rows, no work
+    assert(Cdc.snapshotRowDiff(docs, docs, "doc_id", "text", 64).count() == 0)
+  }
 }
