@@ -318,6 +318,30 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // the retrieval EVAL harness as a distributed query: recall@3 and
+    // MRR of the prefix-dim search (q202) against exact brute force
+    // (q35's relation) — at production scale "how good is my ANN
+    // index" is itself a big-data join, and both sides here are
+    // SQL-expressible so the oracle re-executes the whole evaluation
+    "q207_retrieval_eval" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val exact = queries("q35_topk_sim")(s, d)
+        .select(col("qid"), col("cid"))
+      val approx = queries("q202_mrl_prefix")(s, d)
+      val hits = approx.join(exact, Seq("qid", "cid"), "left_semi")
+      val perQ = approx.select(col("qid")).distinct()
+        .join(hits.groupBy(col("qid"))
+            .agg(count(lit(1)).as("nhit"), min(col("rn")).as("first_rn")),
+          Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("nhit"), lit(0L)).as("nhit"),
+          coalesce(lit(1.0) / col("first_rn"), lit(0.0)).as("rr"))
+      perQ.agg(
+          round(avg(col("nhit") / lit(3.0)), 4).as("recall_at_3"),
+          round(avg(col("rr")), 4).as("mrr"),
+          count(lit(1)).as("n_queries"))
+    }),
+
     // LSH-bucketed approximate top-k (golden-parquet oracle; recall
     // certified in ScalaTest vs q35)
     "q36_lsh_topk" -> ((s, d) => {
@@ -2892,6 +2916,25 @@ object AnalyticsQueries {
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
        "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q207_retrieval_eval" ->
+      ("WITH ex AS (SELECT qid, cid FROM ("
+       + "SELECT a.vec_id AS qid, b.vec_id AS cid, "
+       + "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn "
+       + "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) WHERE rn <= 3), "
+       + "cand AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.embedding AS qv, b.embedding AS cv, "
+       + "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+       + "list_cosine_similarity(a.embedding[1:16], b.embedding[1:16]) DESC, b.vec_id) AS crn "
+       + "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10), "
+       + "ap AS (SELECT qid, cid, rn FROM ("
+       + "SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY "
+       + "list_cosine_similarity(qv, cv) DESC, cid) AS rn "
+       + "FROM cand WHERE crn <= 12) WHERE rn <= 3), "
+       + "hit AS (SELECT ap.qid, ap.rn FROM ap JOIN ex ON ap.qid = ex.qid AND ap.cid = ex.cid), "
+       + "pq AS (SELECT q.qid, COALESCE(h.nhit, 0) AS nhit, COALESCE(1.0 / h.first_rn, 0.0) AS rr "
+       + "FROM (SELECT DISTINCT qid FROM ap) q LEFT JOIN "
+       + "(SELECT qid, COUNT(*) AS nhit, MIN(rn) AS first_rn FROM hit GROUP BY 1) h ON q.qid = h.qid) "
+       + "SELECT ROUND(AVG(nhit / 3.0), 4) AS recall_at_3, ROUND(AVG(rr), 4) AS mrr, "
+       + "COUNT(*)::BIGINT AS n_queries FROM pq"),
     "q202_mrl_prefix" ->
       ("WITH cand AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
        + "a.embedding AS qv, b.embedding AS cv, "
