@@ -318,6 +318,23 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // entity resolution act 2 (q189's pairs put to work): JW match →
+    // connected components → canonical record per entity group (min
+    // id) with member count — the match-cluster-canonicalize pipeline
+    // of a master-data system; components run over pairs only, the
+    // record body never shuffles through the clustering
+    "q208_entity_groups" -> ((s, d) => {
+      val names = t(s, d, "part").groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("p_partkey"))
+      val pairs = graft.operators.Linkage.jaroWinklerPairs(
+        names, "p_partkey", "p_name", threshold = 0.88)
+      graft.operators.Components.connectedComponents(pairs, "a", "b")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("canonical"))
+        .select(col("comp"), col("n_members"), col("canonical"))
+        .orderBy("comp")
+    }),
+
     // the retrieval EVAL harness as a distributed query: recall@3 and
     // MRR of the prefix-dim search (q202) against exact brute force
     // (q35's relation) — at production scale "how good is my ANN
@@ -2916,6 +2933,20 @@ object AnalyticsQueries {
        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rn " +
        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) t " +
        "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q208_entity_groups" ->
+      ("WITH RECURSIVE u AS (SELECT MIN(p_partkey) AS p_partkey, p_name FROM part GROUP BY p_name), "
+       + "k AS (SELECT p_partkey AS id, p_name AS nm, "
+       + "string_split(p_name, ' ')[1] AS bk, length(p_name) // 8 AS lb FROM u), "
+       + "s AS (SELECT *, COUNT(*) OVER (PARTITION BY bk, lb) AS bc FROM k), "
+       + "pairs AS (SELECT x.id AS a, y.id AS b "
+       + "FROM s x JOIN s y ON x.bk = y.bk AND x.lb = y.lb AND x.id < y.id "
+       + "WHERE x.bc <= 10000 AND ROUND(jaro_winkler_similarity(x.nm, y.nm), 4) >= 0.88), "
+       + "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs), "
+       + "reach(id, comp) AS (SELECT src, src FROM edges "
+       + "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id), "
+       + "lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) "
+       + "SELECT comp, COUNT(*)::BIGINT AS n_members, MIN(id)::BIGINT AS canonical "
+       + "FROM lbl GROUP BY comp ORDER BY comp"),
     "q207_retrieval_eval" ->
       ("WITH ex AS (SELECT qid, cid FROM ("
        + "SELECT a.vec_id AS qid, b.vec_id AS cid, "
