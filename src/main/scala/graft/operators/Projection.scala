@@ -199,6 +199,25 @@ object Projection {
     (eig, vecs)
   }
 
+  /** Incremental PCA: train components from a BASE corpus's Gram
+    * statistics plus a DELTA's — the (n, Σv, Σvvᵀ) sufficient
+    * statistics are exact BIGINTs and addition is associative, so the
+    * merged model is BIT-IDENTICAL to a full retrain over base ∪
+    * delta, at O(delta) distributed cost (the base corpus is never
+    * re-read; its ~32 KB stats tuple is the persisted artifact). The
+    * incremental-training primitive the streaming ingest loop needs:
+    * each drop adds its stats, the driver re-runs the d×d eigensolve.
+    */
+  def pcaComponentsIncremental(base: DataFrame, delta: DataFrame,
+      vecCol: String, r: Int): DataFrame = {
+    val (n1, s1, g1) = gramStats(base, vecCol)
+    val (n2, s2, g2) = gramStats(delta, vecCol)
+    require(s1.length == s2.length, "dim mismatch between base and delta")
+    val s = Array.tabulate(s1.length)(i => s1(i) + s2(i))
+    val g = Array.tabulate(g1.length)(i => g1(i) + g2(i))
+    componentsFromStats(base.sparkSession, n1 + n2, s, g, r)
+  }
+
   /** Top-`r` principal components of `vecCol`, as an exactly-persistable
     * fixed-point artifact: one row per (comp, i) with
     *   - `w`: eigenvector entry, quantized ·1e6 (BIGINT)
@@ -209,8 +228,16 @@ object Projection {
     * index on ties) so the artifact is a pure function of the data.
     */
   def pcaComponents(df: DataFrame, vecCol: String, r: Int): DataFrame = {
-    val spark = df.sparkSession
     val (n, s, g) = gramStats(df, vecCol)
+    componentsFromStats(df.sparkSession, n, s, g, r)
+  }
+
+  /** Deterministic eigensolve + artifact build from exact integer
+    * sufficient statistics — shared by [[pcaComponents]] (one-shot)
+    * and [[pcaComponentsIncremental]] (merged base + delta stats).
+    */
+  private def componentsFromStats(spark: SparkSession, n: Long,
+      s: Array[Long], g: Array[Long], r: Int): DataFrame = {
     val d = s.length
     require(r <= d, s"pcaComponents: r=$r > dim=$d")
     // covariance from the exact integer stats (deterministic doubles):

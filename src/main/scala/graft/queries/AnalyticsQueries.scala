@@ -803,6 +803,20 @@ object AnalyticsQueries {
     "q169_pca_components" -> ((s, d) =>
       pcaComponentsFor(s, d).orderBy("comp", "i")),
 
+    // incremental PCA: the (n, Σv, Σvvᵀ) sufficient statistics are
+    // exact BIGINTs, so base-stats + delta-stats retrains to a model
+    // BIT-IDENTICAL to the full pass — certified by pinning against
+    // q169's OWN golden artifact (same rows or the compare fails);
+    // base corpus never re-read, O(delta) distributed cost
+    "q209_pca_incremental" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.Projection.pcaComponentsIncremental(
+          e.filter(col("vec_id") % 3 =!= 0),
+          e.filter(col("vec_id") % 3 === 0),
+          "embedding", r = 8)
+        .orderBy("comp", "i")
+    }),
+
     // PCA apply under the frozen components: exact-BIGINT centered
     // projection that the DuckDB oracle RE-EXECUTES independently from
     // the pinned artifact — true cross-engine certification of the
@@ -2408,6 +2422,11 @@ object AnalyticsQueries {
        + "FROM s GROUP BY 1, 2 ORDER BY vec_id, j"),
     "q168_pq_topk" -> golden("q168_pq_topk", "qid, cid, rn", "qid, rn"),
     "q169_pca_components" ->
+      golden("q169_pca_components", "comp, i, w, mu, eigval", "comp, i"),
+    // the incremental model must be BIT-IDENTICAL to the full retrain,
+    // so it pins against q169's OWN artifact — any divergence in the
+    // merged statistics fails the compare
+    "q209_pca_incremental" ->
       golden("q169_pca_components", "comp, i, w, mu, eigval", "comp, i"),
     // independent re-execution of the centered fixed-point projection
     // from the pinned component artifact (not a pin read-back)

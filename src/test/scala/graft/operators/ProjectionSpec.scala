@@ -70,6 +70,18 @@ class ProjectionSpec extends SparkSpec {
     }
     .toSeq.sortBy(_._1)
 
+  test("pcaComponentsIncremental: merged stats equal a full retrain exactly") {
+    val emb = graft.engine.Tables(spark, sf, "embeddings")
+    val base = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 300)
+    val delta = emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 300)
+    val full = Projection.pcaComponents(emb, "embedding", 4)
+      .collect().map(_.toString).sorted.toSeq
+    val inc = Projection.pcaComponentsIncremental(base, delta, "embedding", 4)
+      .collect().map(_.toString).sorted.toSeq
+    // exact integer sufficient statistics: bit-identical, not just close
+    assert(inc == full)
+  }
+
   test("pcaComponents: eigenvectors are orthonormal after dequantization") {
     for ((ci, wi, _) <- comps; (cj, wj, _) <- comps if ci <= cj) {
       val dot = wi.zip(wj).map { case (a, b) => a * b }.sum
