@@ -113,6 +113,28 @@ object ScaleProbe {
     t("int8_topk")(graft.operators.Similarity.int8TopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
       k = 3, dim = 64).count())
+    t("binary_topk")(graft.operators.Similarity.binaryTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+      k = 3).count())
+    // budget scales with the corpus so the admitted set (and the part
+    // of each group the cumsum window actually orders) scales too
+    t("budget_select")({
+      val docs = d.withColumn("source", pmod(col("doc_id"), lit(20L)))
+        .withColumn("n_tokens",
+          size(graft.operators.TextOps.regexTokens(col("text")))
+            .cast("bigint"))
+      val scored = graft.operators.TextOps
+        .qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+      graft.operators.Sampling.budgetSelect(docs.join(scored, "doc_id"),
+        "source", "doc_id", "score", "n_tokens",
+        budget = 2500L * mult).count()
+    })
+    t("throttle")(graft.operators.EventAnalytics.throttle(
+      ev.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec")),
+      "user_id", "event_type", "sec", "event_id", minGapSec = 300)
+      .filter(col("kept") === 1L).count())
     t("survivors_over_simhash")({
       val pairs = graft.operators.Dedup.simHashPairs(
         d, "doc_id", "text", maxHamming = 3)
@@ -162,6 +184,11 @@ object ScaleProbe {
       val sym = coEdges.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst")))
       graft.operators.PageRank.run(sym, iterations = 5).count()
+    })
+    t("assortativity")({
+      val sym = coEdges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.GraphStats.assortativity(sym, "src", "dst").count()
     })
     // the directed (u -> v only) edge list leaves every pure-dst node a
     // sink: probes the dangling path's extra per-round anti-join +

@@ -117,6 +117,19 @@ case class JlProjectVec(child: Expression, outDim: Int, scale: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** 1-bit sign pack FLOAT[] → BIGINT (bit i = v[i] >= 0) — see
+  * [[VecKernels.signPack]]. Pairs with `bit_count(a ^ b)` for the
+  * Hamming candidate stage of binary-quantized ANN.
+  */
+case class SignPack64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.signPack(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.signPack($a)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 case class FloatHyperplaneBucket(child: Expression, nPlanes: Int, seed: Int)
     extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType

@@ -174,6 +174,20 @@ object VecKernels {
       .fromPrimitiveArray(out)
   }
 
+  /** 1-bit sign quantization of a FLOAT[] vector: bit i of the result =
+    * (v[i] >= 0), for the first min(64, dim) dimensions. One Long per
+    * vector — a 32x bandwidth cut vs float32 at dim 64 — whose pairwise
+    * Hamming distance (bit_count of the XOR) is the standard binary-
+    * quantization ANN candidate metric (sign agreement ~ cosine angle).
+    */
+  def signPack(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), 64)
+    var bits = 0L
+    var i = 0
+    while (i < n) { if (v.getFloat(i) >= 0f) bits |= (1L << i); i += 1 }
+    bits
+  }
+
   def l2(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0

@@ -55,4 +55,10 @@ object VectorFunctions {
     */
   def jlProjectVec(v: Column, outDim: Int, scale: Long): Column =
     column(JlProjectVec(expression(v), outDim, scale))
+
+  /** 1-bit sign quantization to a single BIGINT (bit i = v[i] >= 0,
+    * first 64 dims) — the binary-quantization ANN code; Hamming distance
+    * between two codes is `bit_count(a ^ b)`.
+    */
+  def signBits(v: Column): Column = column(SignPack64(expression(v)))
 }

@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Repeat-throttle (telemetry debounce): flag each event `kept` = 1
+    * when it is the first of its (entity, kind) or at least
+    * `minGapSec` after the PREVIOUS event of that (entity, kind) —
+    * the rapid-repeat suppression a collection pipeline runs before
+    * sessionization. One lag over the (entity, kind)-keyed window;
+    * deterministic under the (`secCol`, `idCol`) order.
+    */
+  def throttle(df: DataFrame, entityCol: String, kindCol: String,
+      secCol: String, idCol: String, minGapSec: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol), col(kindCol))
+      .orderBy(col(secCol), col(idCol))
+    df.withColumn("_prev", lag(col(secCol), 1).over(w))
+      .withColumn("kept",
+        when(col("_prev").isNull ||
+          col(secCol) - col("_prev") >= minGapSec, 1L).otherwise(0L))
+      .drop("_prev")
+  }
+
   /** Strictly-ordered funnel: a user converts through step k when an
     * event of type `steps(k)` happens strictly after their step-(k-1)
     * conversion time and within `maxGapSeconds` of it. Per-user

@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
 object Sampling {
   val Buckets = 65536 // md5 first 4 hex chars
 
+  /** Per-group budget selection: within each `groupCol`, rank rows by
+    * (`scoreCol` desc, `idCol`) and keep them while the running
+    * `costCol` total stays within `budget` — the "best N tokens per
+    * domain" curation step of a training-mixture build.
+    *
+    * Plan shape for 100 TB: ONE window cumsum per group partition (no
+    * self-join, nothing quadratic); the sort is per-group, bounded by
+    * the largest group. Deterministic: the rank breaks score ties by
+    * id, and the admitted set is a pure function of the data.
+    */
+  def budgetSelect(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, costCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(costCol)).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
   /** 0..65535 bucket from the md5 of the key column. */
   def hashBucket(key: Column): Column =
     conv(substring(md5(key), 1, 4), 16, 10).cast("int")

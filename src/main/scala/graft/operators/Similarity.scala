@@ -329,6 +329,49 @@ object Similarity {
         col("rn").cast("bigint").as("rn"))
   }
 
+  /** Binary-quantized (1-bit) ANN: each vector's first 64 dims collapse
+    * to ONE Long of sign bits ([[graft.functions.VecKernels.signPack]]);
+    * candidates are cut by Hamming distance — `bit_count(qbits ^ cbits)`,
+    * a single codegen'd popcount per pair — then the survivors are
+    * re-ranked by exact cosine. Sign agreement tracks the cosine angle
+    * (the SimHash/hyperplane estimate with the identity basis), so a
+    * k·overfetch Hamming cut keeps most true neighbors.
+    *
+    * Plan shape for 100 TB: the corpus scan reads 8 bytes/vector in the
+    * candidate stage (32x less than float32·64d), queries are broadcast,
+    * the corpus never shuffles before the cut, and the per-query top-k
+    * windows run as rank-limit (WindowGroupLimit) stages. Ties on
+    * Hamming break by candidate id, so the result is deterministic and
+    * a cross-engine oracle can re-execute it.
+    */
+  def binaryTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      overfetch: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val c = graft.engine.Par.widen(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn"), signBits(col(vecCol)).as("cbits"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"), signBits(col(vecCol)).as("qbits"))
+    val joined = c.crossJoin(broadcast(q.select(col("qid"), col("qbits"))))
+    val cand0 = if (excludeSelf) joined.filter(col("qid") =!= col("cid")) else joined
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("cid"))
+    val candidates = cand0
+      .withColumn("ham", bit_count(col("qbits").bitwiseXOR(col("cbits"))))
+      .withColumn("_crn", row_number().over(wc))
+      .filter(col("_crn") <= k * overfetch)
+      .select(col("qid"), col("cid"), col("cv"), col("cn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    candidates
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))), "qid")
+      .withColumn("sim",
+        cosineFromNorms(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("rn").cast("bigint").as("rn"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
     * clustering the embedding space, then finding near-duplicate pairs
     * ONLY within each cluster — the clustering bounds the otherwise

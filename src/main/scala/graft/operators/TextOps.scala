@@ -68,6 +68,28 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    * rrf(id) = Σ_lists 1/(c + rank). Each input must carry (`idCol`,
+    * `rank`); ids absent from a list simply contribute nothing. The
+    * hybrid-retrieval combiner (lexical + dense, or any mix) — rank is
+    * the only thing fused, so incomparable scores never meet.
+    *
+    * Plan shape for 100 TB: inputs are already top-N cuts (bounded),
+    * the union + groupBy touches at most N·lists rows per query set —
+    * the expensive part is the upstream rankers, never the fusion.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, topN: Int,
+      c: Int = 60): DataFrame = {
+    val contribs = rankings.map(_.select(col(idCol),
+      (lit(1.0) / (lit(c) + col("rank"))).as("contrib")))
+    contribs.reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(round(sum(col("contrib")), 4).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Top-k TF-IDF terms per document (tf · ln(N/df), df = number of
     * documents containing the term) — the per-document keyword signal a
     * curation pipeline uses for topic tagging and near-topic retrieval.

@@ -318,6 +318,18 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // binary-quantization ANN: sign-bit codes (8 B/vector — 32x less
+    // candidate-stage bandwidth than float32·64d), Hamming popcount cut,
+    // exact cosine re-rank. Both stages are deterministic plain
+    // arithmetic (bit i = embedding[i] >= 0; ties break on cid), so the
+    // DuckDB oracle re-executes the whole two-stage plan — no golden pin
+    "q210_binary_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.binaryTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 3)
+        .orderBy("qid", "rn")
+    }),
+
     // entity resolution act 2 (q189's pairs put to work): JW match →
     // connected components → canonical record per entity group (min
     // id) with member count — the match-cluster-canonicalize pipeline
@@ -488,6 +500,40 @@ object AnalyticsQueries {
         .orderBy(col("r").desc, col("node"))
         .limit(20)
         .select(col("node"), col("r").as("rank"))
+    }),
+
+    // telemetry repeat-throttle: an event is KEPT when it's the first
+    // of its (user, type) or >= 300 s after the previous one — the
+    // rapid-repeat suppression a collection pipeline runs before
+    // sessionization; one lag over the (user, type)-keyed window,
+    // deterministic under the (sec, event_id) order
+    "q217_throttle" -> ((s, d) =>
+      EventAnalytics.throttle(
+          t(s, d, "events")
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              unix_timestamp(date_trunc("second", col("ts"))).as("sec")),
+          "user_id", "event_type", "sec", "event_id", minGapSec = 300)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .orderBy("event_type")),
+
+    // degree assortativity of the trade graph (Newman r): Pearson
+    // correlation of endpoint degrees over the symmetrized edge list —
+    // do high-degree customers trade with high-degree suppliers?
+    // All sufficient statistics are exact BIGINT sums (aggregation-order
+    // independent); only the final scalar formula runs in double, so the
+    // oracle re-executes bit-identically. Two broadcast-or-shuffle joins
+    // of (edge, degree) and one combinable agg — single pass at scale
+    "q214_assortativity" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      graft.operators.GraphStats.assortativity(edges, "src", "dst")
     }),
 
     // PageRank WITH dangling-mass redistribution, over the DIRECTED
@@ -1269,6 +1315,53 @@ object AnalyticsQueries {
     "q55_bm25" -> ((s, d) =>
       TextOps.bm25Search(t(s, d, "documents"), "doc_id", "text",
         terms = Seq("vector", "join", "data"), topN = 20)),
+
+    // hybrid-retrieval fusion: BM25 ranking + term-frequency-density
+    // ranking combined by reciprocal-rank fusion (1/(60+rank) summed
+    // across lists) — the standard lexical+second-signal combiner.
+    // Ranks come from ROUNDED scores with doc_id tiebreak, so the whole
+    // three-stage plan re-executes in the DuckDB oracle
+    "q211_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val terms = Seq("vector", "join", "data")
+      val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+      val r1 = TextOps.bm25Search(docs, "doc_id", "text", terms, topN = 20)
+        .withColumn("rank", row_number().over(wAll))
+        .select(col("doc_id"), col("rank"))
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dens = toks.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .select(col("doc_id"),
+          round(col("tf").cast("double") / col("dl"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      val r2 = dens.withColumn("rank", row_number().over(wAll))
+        .select(col("doc_id"), col("rank"))
+      TextOps.rrfFuse(Seq(r1, r2), "doc_id", topN = 10)
+    }),
+
+    // per-source token-budget curation: rank docs inside each source by
+    // the frozen-weights quality score (q61's classifier), admit greedily
+    // while the source's running token total stays within budget — the
+    // "best N tokens per domain" selection step of a mixture build.
+    // One window cumsum per source partition; nothing quadratic
+    "q215_budget_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextOps.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("score"))
+      val base = docs.select(col("doc_id"), col("source"),
+        size(TextOps.regexTokens(col("text"))).cast("bigint").as("n_tokens"))
+      Sampling.budgetSelect(base.join(scored, "doc_id"),
+          "source", "doc_id", "score", "n_tokens", budget = 2500)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_kept"),
+          round(min(col("score")), 4).as("min_score"))
+        .orderBy("source")
+    }),
 
     // top-3 TF-IDF terms per document (tf · ln(N/df)) — keyword/topic
     // signal; ranking on the ROUNDED score with term tiebreak
@@ -2818,6 +2911,22 @@ object AnalyticsQueries {
        + "ORDER BY pmi DESC, a, b LIMIT 20"),
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
+    "q217_throttle" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
+       + "l AS (SELECT event_type, CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w >= 300 THEN 1 ELSE 0 END AS kept "
+       + "FROM e WINDOW w AS (PARTITION BY user_id, event_type ORDER BY sec, event_id)) "
+       + "SELECT event_type, COUNT(*) AS n_total, SUM(kept)::BIGINT AS n_kept FROM l GROUP BY event_type ORDER BY event_type"),
+    "q214_assortativity" ->
+      ("WITH pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000000 AS su "
+       + "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+       + "edges AS (SELECT c AS src, su AS dst FROM pairs UNION ALL SELECT su, c FROM pairs), "
+       + "deg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src), "
+       + "xy AS (SELECT dx.deg AS x, dy.deg AS y FROM edges e "
+       + "JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node), "
+       + "s AS (SELECT COUNT(*)::BIGINT AS m, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy, "
+       + "SUM(x*y)::BIGINT AS sxy, SUM(x*x)::BIGINT AS sx2, SUM(y*y)::BIGINT AS sy2 FROM xy) "
+       + "SELECT m, ROUND((m*1.0*sxy - sx*1.0*sy) / "
+       + "(sqrt(m*1.0*sx2 - sx*1.0*sx) * sqrt(m*1.0*sy2 - sy*1.0*sy)), 4) AS assortativity FROM s"),
     "q141_pagerank_dangling" -> pagerankDanglingOracle,
     "q142_ppr" -> pprOracle,
     // dual-unnest zips the token with its 0-based position (DuckDB has
@@ -2995,6 +3104,16 @@ object AnalyticsQueries {
        + "SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY "
        + "list_cosine_similarity(qv, cv) DESC, cid) AS rn "
        + "FROM cand WHERE crn <= 12) t WHERE rn <= 3 ORDER BY qid, rn"),
+    "q210_binary_ann" ->
+      ("WITH cand AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
+       + "a.embedding AS qv, b.embedding AS cv, "
+       + "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+       + "len(list_filter(generate_series(1, 64), i -> (a.embedding[i] >= 0) <> (b.embedding[i] >= 0))) ASC, b.vec_id) AS crn "
+       + "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) "
+       + "SELECT qid, cid, rn FROM ("
+       + "SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY "
+       + "list_cosine_similarity(qv, cv) DESC, cid) AS rn "
+       + "FROM cand WHERE crn <= 12) t WHERE rn <= 3 ORDER BY qid, rn"),
     "q199_filtered_ann" ->
       ("SELECT qid, cid, rn FROM (" +
        "SELECT a.vec_id AS qid, b.vec_id AS cid, " +
@@ -3089,6 +3208,37 @@ object AnalyticsQueries {
        "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
        "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id) " +
        "SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"),
+    "q211_rrf_fusion" ->
+      ("WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
+       "dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id), " +
+       "stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), " +
+       "tf AS (SELECT id, w, COUNT(*) AS tf FROM tok2 WHERE w IN ('vector', 'join', 'data') GROUP BY id, w), " +
+       "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+       "bm AS (SELECT tf.id, ROUND(SUM(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) * " +
+       "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
+       "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id), " +
+       "bmr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM " +
+       "(SELECT * FROM bm ORDER BY score DESC, id LIMIT 20) t), " +
+       "dens AS (SELECT tf.id, ROUND(SUM(tf.tf)::DOUBLE / MIN(dl.dl), 4) AS score " +
+       "FROM tf JOIN dl USING (id) GROUP BY tf.id), " +
+       "der AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM " +
+       "(SELECT * FROM dens ORDER BY score DESC, id LIMIT 20) t), " +
+       "allr AS (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM der) " +
+       "SELECT id AS doc_id, ROUND(SUM(1.0 / (60 + rank)), 4) AS rrf, COUNT(*) AS n_lists " +
+       "FROM allr GROUP BY id ORDER BY rrf DESC, doc_id LIMIT 10"),
+    "q215_budget_select" ->
+      ("WITH ws AS (SELECT doc_id, source, list_filter(string_split(text, ' '), w -> w <> '') AS ws, text FROM documents), "
+       + "f AS (SELECT doc_id, source, len(ws)::BIGINT AS n_words, "
+       + "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS awl, "
+       + s"len(list_filter(ws, w -> list_contains(${inList(stop)}, w)))::DOUBLE / len(ws) AS sw, "
+       + "(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))::DOUBLE / length(text) AS pr, "
+       + "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n_tokens FROM ws), "
+       + "sc AS (SELECT doc_id, source, n_tokens, ROUND(1.0/(1.0+exp(-(-1.0 + 0.35*awl + 2.2*sw - 6.0*pr + 0.15*ln(1+n_words)))), 4) AS score FROM f), "
+       + "cum AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id "
+       + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sc) "
+       + "SELECT source, COUNT(*) AS n_kept, SUM(n_tokens)::BIGINT AS tokens_kept, ROUND(MIN(score), 4) AS min_score "
+       + "FROM cum WHERE cum <= 2500 GROUP BY source ORDER BY source"),
     "q56_centroid_outliers" ->
       ("WITH cd AS (SELECT label, i, AVG(embedding[i]::DOUBLE) AS m " +
        "FROM embeddings, generate_series(1, 64) t(i) GROUP BY label, i), " +

@@ -430,6 +430,70 @@ object CoreQueries {
       .na.fill(0L)
       .orderBy("ub")),
 
+    // Unpivot (wide → long): the inverse relational surface of q42's
+    // pivot — four measure columns melt into (measure, val) rows, then
+    // re-aggregate per measure. Narrow map-side op; the only shuffle is
+    // the 4-key final agg
+    "q212_unpivot" -> ((s, d) => t(s, d, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("c"), round(sum(col("val")), 4).as("total"))
+      .orderBy("measure")),
+
+    // Time-RANGE window frame (vs q18's ROWS frame): trailing 1-hour
+    // per-user count/sum keyed on the ORDER BY VALUE, not row position —
+    // tied timestamps share one frame, so the result is insensitive to
+    // intra-tie row order
+    "q213_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("sec", unix_timestamp(date_trunc("second", col("ts"))))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value")).over(w), 4).as("v_1h"))
+        .orderBy("event_id")
+    }),
+
+    // Ordered array aggregation: each user's first 5 event types in
+    // time order as one value — the list(x ORDER BY y) surface. The
+    // per-user top-5 cut runs BEFORE the collect (map-side
+    // WindowGroupLimit), so the agg never materializes a user's full
+    // history; the in-group order comes from array_sort over a
+    // (sec, event_id, type) struct — deterministic, event_id unique
+    "q216_ordered_collect" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("sec"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ",").as("first5"))
+        .orderBy("user_id")
+    }),
+
+    // Extract-all regex surface: every >=4-letter s-word occurrence
+    // melted to rows (regexp_extract_all + explode), then the term
+    // distribution — the log/text-mining scalar the single-match
+    // regexp_extract can't express
+    "q218_regex_extract" -> ((s, d) => t(s, d, "documents")
+      .select(explode(
+        regexp_extract_all(col("text"), lit("\\bs[a-z]{3,}\\b"), lit(0)))
+        .as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))),
+
     // TPC-H Q3 shape: shipping-priority top-10 (3-way join + agg + topK)
     "q39_tpch3" -> ((s, d) => {
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -783,6 +847,23 @@ object CoreQueries {
        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
        "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
        "FROM events GROUP BY 1 ORDER BY 1"),
+    "q216_ordered_collect" ->
+      ("SELECT user_id, array_to_string((list(event_type ORDER BY sec, event_id))[1:5], ',') AS first5 " +
+       "FROM (SELECT user_id, event_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events) t " +
+       "GROUP BY user_id ORDER BY user_id"),
+    "q218_regex_extract" ->
+      ("SELECT w, COUNT(*) AS c FROM (SELECT unnest(regexp_extract_all(text, '\\bs[a-z]{3,}\\b')) AS w FROM documents) t " +
+       "GROUP BY w ORDER BY c DESC, w"),
+    "q212_unpivot" ->
+      ("SELECT measure, COUNT(*) AS c, ROUND(SUM(val), 4) AS total " +
+       "FROM (UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem) " +
+       "ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME measure VALUE val) t " +
+       "GROUP BY measure ORDER BY measure"),
+    "q213_range_frame" ->
+      ("SELECT event_id, COUNT(*) OVER w AS n_1h, ROUND(SUM(value) OVER w, 4) AS v_1h " +
+       "FROM (SELECT event_id, user_id, value, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events) t " +
+       "WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) " +
+       "ORDER BY event_id"),
     "q39_tpch3" ->
       ("SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue, CAST(o_orderdate AS VARCHAR) AS od " +
        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey JOIN lineitem l ON l.l_orderkey = o.o_orderkey " +

@@ -234,6 +234,22 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Seq((1L, 1L), (3L, 1L), (4L, 2L)))
   }
 
+  test("rrfFuse matches hand computation and handles single-list ids") {
+    import spark.implicits._
+    val l1 = Seq(10L -> 1L, 20L -> 2L, 30L -> 3L).toDF("doc_id", "rank")
+    val l2 = Seq(20L -> 1L, 40L -> 2L).toDF("doc_id", "rank")
+    val r = TextOps.rrfFuse(Seq(l1, l2), "doc_id", topN = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getLong(2)))
+    val byId = r.map(x => x._1 -> x).toMap
+    // 20 appears in both lists: 1/62 + 1/61
+    assert(byId(20L)._2 == BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byId(20L)._3 == 2L)
+    assert(byId(40L)._3 == 1L)               // single-list id still scored
+    assert(r.head._1 == 20L)                 // both-lists id wins the fusion
+    assert(r.map(_._1).toSet == Set(10L, 20L, 30L, 40L))
+  }
+
   test("gopherFilter features match hand computation") {
     import spark.implicits._
     val docs = Seq(1L -> "the cat is on the mat").toDF("doc_id", "text")

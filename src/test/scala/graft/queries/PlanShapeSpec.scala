@@ -425,13 +425,29 @@ class PlanShapeSpec extends SparkSpec {
     // rows, not every scored corpus row. A silent regression to a
     // full scored-relation sort would be the next 100x scale-killer
     // (round-8 judge ask), hence this pin.
-    for (name <- Seq("q91_ann_int8", "q168_pq_topk", "q175_ivfpq")) {
+    for (name <- Seq("q91_ann_int8", "q168_pq_topk", "q175_ivfpq",
+        "q210_binary_ann")) {
       val s = planString(q(name))
       val partialCuts = s.linesIterator.filter(l =>
         l.contains("WindowGroupLimit") && l.contains("Partial"))
       assert(partialCuts.nonEmpty,
         s"$name: no map-side WindowGroupLimit in plan:\n$s")
     }
+  }
+
+  test("q210 binary ANN: Hamming stage broadcasts queries, corpus never shuffles") {
+    val s = planString(q("q210_binary_ann"))
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus must never sort-merge shuffle:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"candidate join must be broadcast, not cartesian:\n$s")
+    // every hash exchange must be query-keyed (top-k windows), never
+    // corpus-keyed — the 8-byte-code scan is the whole bandwidth story
+    val corpusKeyed = s.linesIterator
+      .filter(_.contains("hashpartitioning"))
+      .filter(l => !l.contains("qid"))
+    assert(corpusKeyed.isEmpty,
+      s"corpus-keyed exchange in binary ANN plan: ${corpusKeyed.mkString("; ")}")
   }
 
   test("q170 PCA projection: corpus side is broadcast-joined, never shuffled") {
