@@ -165,6 +165,22 @@ object Similarity {
     * on bucket with the (tiny) probe side broadcast — the corpus-sized
     * postings never shuffle.
     */
+  /** Tombstone mask: serve DELETES from a live IVF index WITHOUT a
+    * rebuild — the postings anti-join against the (broadcast) tombstone
+    * id set before any scoring, so a deleted vector can never surface
+    * and the next-best candidate takes its rank. The complement of
+    * [[ivfAppend]]: append grows the artifact in O(delta), the mask
+    * shrinks its visibility in O(postings) scan work with zero writes;
+    * a compaction that physically drops masked postings can run
+    * whenever convenient without changing any answer.
+    */
+  def withTombstones(index: IvfIndex, tombstones: DataFrame,
+      idCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.postings.join(
+        broadcast(tombstones.select(col(idCol).as("cid"))),
+        Seq("cid"), "left_anti"))
+
   def ivfSearch(index: IvfIndex, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
     val centroids = index.centroids

@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Skew advisor: the one-pass key-distribution profile run BEFORE
+    * committing a 100 TB join plan — per-key counts roll up to total
+    * rows, distinct keys, the hottest key (min-id tiebreak) and its
+    * count, the hot key's row share in exact ppm, and the salt factor
+    * [[salted]] would need to level it (ceil of max/avg, all integer
+    * arithmetic — aggregation-order independent, oracle-re-executable).
+    *
+    * Output: one row (n_rows, n_keys, hot_key, max_cnt, max_share_ppm,
+    * salt_factor). Cost: one map-side-combinable groupBy + a 1-row
+    * top-1 + one scalar agg; the table never shuffles wider than
+    * (key, count).
+    */
+  def skewAdvisor(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val hot = counts.orderBy(col("cnt").desc, col(keyCol)).limit(1)
+      .select(col(keyCol).as("hot_key"))
+    counts.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      .crossJoin(broadcast(hot))
+      .select(col("n_rows"), col("n_keys"), col("hot_key"), col("max_cnt"),
+        expr("max_cnt * 1000000 div n_rows").as("max_share_ppm"),
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+  }
+
   def salted(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")

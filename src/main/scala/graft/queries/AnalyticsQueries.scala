@@ -448,6 +448,23 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // ANN deletions without a rebuild: the persisted IVF index served
+    // through a tombstone mask (postings anti-join a broadcast delete
+    // set pre-scoring) — deleted vectors can never surface, next-best
+    // candidates take their ranks, zero index writes. Golden-pinned
+    // (k-means-defined), no-tombstone-leak + full-probe equality
+    // certified in SimilaritySpec
+    "q221_ann_tombstones" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val masked = Similarity.withTombstones(ivfIndexFor(s, d),
+        e.filter(col("vec_id") % 7 === 0), "vec_id")
+      Similarity.ivfSearch(masked,
+          e.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 0),
+          "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // end-to-end curation pipeline (quality gates -> exact dedup ->
     // MinHash near-dup removal -> langid): per-language survivor counts
     // and token totals — the whole composed path through one oracle
@@ -501,6 +518,14 @@ object AnalyticsQueries {
         .limit(20)
         .select(col("node"), col("r").as("rank"))
     }),
+
+    // skew advisor: the key-distribution profile run before committing
+    // a big join plan — total/distinct/hottest-key counts, hot-key row
+    // share in exact ppm, and the salt factor a salted join (q107's
+    // operator) would need; all integer arithmetic, one (key, count)
+    // rollup — the table never shuffles wider than that
+    "q220_skew_advisor" -> ((s, d) =>
+      graft.operators.SkewJoin.skewAdvisor(t(s, d, "events"), "user_id")),
 
     // telemetry repeat-throttle: an event is KEPT when it's the first
     // of its (user, type) or >= 300 s after the previous one — the
@@ -2911,6 +2936,14 @@ object AnalyticsQueries {
        + "ORDER BY pmi DESC, a, b LIMIT 20"),
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
+    "q220_skew_advisor" ->
+      ("WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id), "
+       + "s AS (SELECT SUM(cnt)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_keys, MAX(cnt)::BIGINT AS max_cnt FROM c), "
+       + "h AS (SELECT user_id AS hot_key FROM c ORDER BY cnt DESC, user_id LIMIT 1) "
+       + "SELECT n_rows, n_keys, hot_key, max_cnt, "
+       + "max_cnt * 1000000 // n_rows AS max_share_ppm, "
+       + "(max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor "
+       + "FROM s CROSS JOIN h"),
     "q217_throttle" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
        + "l AS (SELECT event_type, CASE WHEN LAG(sec) OVER w IS NULL OR sec - LAG(sec) OVER w >= 300 THEN 1 ELSE 0 END AS kept "
@@ -2944,6 +2977,7 @@ object AnalyticsQueries {
     "q36_lsh_topk" -> golden("q36_lsh_topk", "qid, cid, rn", "qid, rn"),
     "q38_ivf_topk" -> golden("q38_ivf_topk", "qid, cid, rn", "qid, rn"),
     "q198_ivf_append" -> golden("q198_ivf_append", "qid, cid, rn", "qid, rn"),
+    "q221_ann_tombstones" -> golden("q221_ann_tombstones", "qid, cid, rn", "qid, rn"),
     "q66_multimodal" -> golden("q66_multimodal",
       "media_id, media_type, width, height, channels, sample_rate, " +
         "duration_ms, ok, decode_error",

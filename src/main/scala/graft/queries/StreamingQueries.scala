@@ -742,6 +742,94 @@ object StreamingQueries {
         .orderBy("day")
     }
 
+  /** Typed rows/state/output for [[q219StreamThrottle]]. State per
+    * (user, type) = the buffered (sec, event_id) arrivals inside the
+    * backfill window; the event-time timeout evicts it once the
+    * watermark passes the group's last activity.
+    */
+  private[queries] case class ThEv(user_id: Long, event_type: String,
+    sec: Long, event_id: Long, ts_s: java.sql.Timestamp)
+  private[queries] case class ThState(evs: Seq[(Long, Long)])
+  private[queries] case class ThOut(user_id: Long, event_type: String,
+    kept: Long)
+
+  /** Per-(user, type) throttle fold: BUFFER arrivals until the
+    * event-time timeout — "is this event >= 300 s after the previous
+    * one" is an event-TIME question, and micro-batches arrive in file
+    * order, so flagging at arrival would misjudge an event whose
+    * predecessor shows up in a later batch. On timeout the buffered
+    * events are sorted by (sec, event_id) and flagged exactly as the
+    * batch lag does; nothing is emitted early, so the answer is
+    * arrival-order-independent.
+    */
+  private def throttleFold(
+      key: (Long, String), rows: Iterator[ThEv],
+      state: org.apache.spark.sql.streaming.GroupState[ThState])
+      : Iterator[ThOut] = {
+    if (state.hasTimedOut) {
+      val evs = state.get.evs.sorted
+      state.remove()
+      var prev = Long.MinValue
+      evs.iterator.map { case (sec, _) =>
+        val kept =
+          if (prev == Long.MinValue || sec - prev >= 300) 1L else 0L
+        prev = sec
+        ThOut(key._1, key._2, kept)
+      }
+    } else {
+      val merged = state.getOption.map(_.evs).getOrElse(Seq.empty) ++
+        rows.map(r => (r.sec, r.event_id))
+      state.update(ThState(merged))
+      state.setTimeoutTimestamp(math.max(
+        merged.map(_._1).max * 1000 + 1,
+        state.getCurrentWatermarkMs() + 1))
+      Iterator.empty
+    }
+  }
+
+  /** q217's STREAMING twin: telemetry repeat-throttle through custom
+    * per-(user, type) state (`flatMapGroupsWithState` + event-time
+    * timeout) — the suppression decision runs at the COLLECTOR, not in
+    * a nightly batch. State is the group's buffered arrivals, evicted
+    * by its own timeout; the rollup aggregates the emitted kept flags.
+    * Oracle = the identical batch q217 SQL — the equivalence contract.
+    */
+  def q219StreamThrottle(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val raw = eventsSchema(s, dir)
+      val name = s"q219_throttle_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q219")
+      val (_, flushDir) = sentinelFor(s, dir)
+      val events = eventsStream(s, dir, raw)
+      val flush = s.readStream.schema(raw).parquet(flushDir)
+      // sentinel rides as user -1 (timeout never fires — its event time
+      // stays ahead of the watermark) and is dropped from the OUTPUT
+      val evs = events.unionByName(flush)
+        .withColumn("ts_s", timestamp_seconds(tsSeconds(raw)))
+        .withWatermark("ts_s", "2 hours")
+        .select(col("user_id"), col("event_type"),
+          tsSeconds(raw).as("sec"), col("event_id"), col("ts_s"))
+        .as[ThEv]
+      val marks = evs.groupByKey(r => (r.user_id, r.event_type))
+        .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.EventTimeTimeout)(throttleFold)
+      val q = marks.writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+        .orderBy("event_type")
+    }
+
   /** The incremental materialized view driven end-to-end as a query:
     * the events stream maintains a parquet-backed (event_type → cnt,
     * total) view via foreachBatch ([[graft.streaming.IncrementalAgg
@@ -946,7 +1034,8 @@ object StreamingQueries {
     "q100_sessionize_state" -> (q100SessionizeState(_, _)),
     "q148_stream_dedup" -> (q148StreamDedup(_, _)),
     "q164_stream_first_seen" -> (q164StreamFirstSeen(_, _)),
-    "q176_stream_kmv" -> (q176StreamKmv(_, _))
+    "q176_stream_kmv" -> (q176StreamKmv(_, _)),
+    "q219_stream_throttle" -> (q219StreamThrottle(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
@@ -954,6 +1043,9 @@ object StreamingQueries {
     // streaming MG candidates + exact recount == the plain HAVING
     // query (approximation assists the plan, never the answer — the
     // q131 contract, maintained incrementally)
+    // the streamed throttle decision must equal the batch lag — the
+    // event-time-buffered fold makes it arrival-order-independent
+    "q219_stream_throttle" -> AnalyticsQueries.oracles("q217_throttle"),
     "q193_stream_topk" ->
       ("WITH tk AS (SELECT CAST(user_id % 37 AS VARCHAR) AS k FROM events) "
        + "SELECT k AS key, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY 1 "

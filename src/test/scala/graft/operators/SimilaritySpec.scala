@@ -54,6 +54,28 @@ class SimilaritySpec extends SparkSpec {
     assert(batch2.count() == 10) // 5 queries x 2 — index reuse works
   }
 
+  test("withTombstones: deletes never surface; full-probe search == brute force over survivors") {
+    val tomb = emb.filter(col("vec_id") % 7 === 0)
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2)
+    val masked = Similarity.withTombstones(idx, tomb, "vec_id")
+    val q = emb.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 0)
+    val got = Similarity.ivfSearch(masked, q, "vec_id", "embedding",
+        k = 3, nProbe = 8) // nProbe = nCentroids: every cell scanned
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.forall { case (_, cid, _) => !tombIds.contains(cid) },
+      "a tombstoned vector surfaced in the results")
+    // full-probe masked search must equal exact brute force over the
+    // surviving corpus — the mask is a visibility cut, not an
+    // approximation knob
+    val exact = Similarity.bruteForceTopK(q,
+        emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSet == exact.toSet,
+      "masked full-probe search diverged from brute force over survivors")
+  }
+
   test("ivfAppend: frozen-centroid append equals bulk assignment of the union") {
     val a = emb.filter(col("vec_id") < 250)
     val b = emb.filter(col("vec_id") >= 250)
