@@ -2204,6 +2204,49 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // CSV coverage: the row-format leg of the source matrix (q201 is
+    // the second columnar leg) — written with a header, read back under
+    // an EXPLICIT schema so the round-trip proves TYPE fidelity
+    // (bigint/double through text), not just byte shuttling
+    "q222_csv_roundtrip" -> ((s, d) =>
+      s.read.option("header", "true")
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .csv(csvEventsFor(s, d))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")),
+
+    // JSON-lines coverage: the semi-structured leg — the nested props
+    // payload (itself a JSON string) must survive the escape/unescape
+    // round-trip intact, proven by extracting the same dotted path the
+    // q03 contract checks
+    "q223_json_roundtrip" -> ((s, d) =>
+      s.read.schema("event_id BIGINT, props STRING")
+        .json(jsonEventsFor(s, d))
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .orderBy("event_id")),
+
+    // dedup-quality evaluation as a distributed query (q207's harness
+    // idea turned on the dedup stack): precision/recall of the SimHash
+    // band-blocked candidate pairs (q48) against exact n-gram
+    // Jaccard >= 0.8 ground truth (q28b's relation) — at production
+    // scale "how good is my near-dup detector" is itself a big join
+    "q226_dedup_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val truth = Dedup.jaccardAuto(docs, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a"), col("b"))
+      val approx = Dedup.simHashPairs(docs, "doc_id", "text",
+        maxHamming = 3).select(col("a"), col("b"))
+      val hit = approx.join(truth, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_approx"), col("n_hit"),
+          round(col("n_hit") / col("n_approx"), 4).as("prec"),
+          round(col("n_hit") / col("n_truth"), 4).as("rec"))
+    }),
+
     // leakage-safe split: normalized-text duplicate groups are the
     // leak unit — every copy of a document lands in the SAME split
     // because the md5 assignment hashes the group representative
@@ -2305,6 +2348,31 @@ object AnalyticsQueries {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("value"))
         .write.mode("overwrite").orc(tmp)
+      tmp
+    })
+
+  /** CSV / JSON-lines copies of events per sf dir, written once per
+    * JVM — the row-format legs of the source matrix.
+    */
+  private val csvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def csvEventsFor(s: SparkSession, dir: String): String =
+    csvCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv-").toString
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      tmp
+    })
+  private val jsonCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonEventsFor(s: SparkSession, dir: String): String =
+    jsonCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-json-").toString
+      t(s, d, "events")
+        .select(col("event_id"), col("props"))
+        .write.mode("overwrite").json(tmp)
       tmp
     })
 
@@ -2748,6 +2816,25 @@ object AnalyticsQueries {
     "q201_orc_roundtrip" ->
       ("SELECT event_id, user_id, event_type, ROUND(value, 4) AS value "
        + "FROM events ORDER BY event_id"),
+    "q222_csv_roundtrip" ->
+      ("SELECT event_id, user_id, event_type, ROUND(value, 4) AS value "
+       + "FROM events ORDER BY event_id"),
+    "q223_json_roundtrip" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id",
+    "q226_dedup_eval" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle "
+       + "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), "
+       + "sz AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id), "
+       + "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM sh x JOIN sh y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2), "
+       + "truth AS (SELECT a, b FROM inter JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id "
+       + "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8), "
+       + "approx AS (SELECT a, b FROM read_parquet('/root/repo/golden/sf0.01/q48_simhash_pairs/*.parquet')), "
+       + "hit AS (SELECT approx.a FROM approx JOIN truth USING (a, b)), "
+       + "s AS (SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_truth, "
+       + "(SELECT COUNT(*) FROM approx)::BIGINT AS n_approx, (SELECT COUNT(*) FROM hit)::BIGINT AS n_hit) "
+       + "SELECT n_truth, n_approx, n_hit, ROUND(n_hit::DOUBLE / n_approx, 4) AS prec, "
+       + "ROUND(n_hit::DOUBLE / n_truth, 4) AS rec FROM s"),
     "q191_group_split" ->
       ("WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nkey FROM documents), "
        + "r AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY nkey) AS rep FROM n), "

@@ -430,6 +430,23 @@ object CoreQueries {
       .na.fill(0L)
       .orderBy("ub")),
 
+    // Null-safe equality join (<=>): NULL keys MATCH each other —
+    // the join form plain = silently drops; per-k click vs purchase
+    // counts where every 10th event's extracted key is NULL, so the
+    // NULL group must survive the inner join
+    "q225_nullsafe_join" -> ((s, d) => {
+      val e = t(s, d, "events").withColumn("k",
+        when(col("event_id") % 10 =!= 0,
+          get_json_object(col("props"), "$.k").cast("bigint")))
+      val c = e.filter(col("event_type") === "click")
+        .groupBy(col("k")).agg(count(lit(1)).as("clicks"))
+      val p = e.filter(col("event_type") === "purchase")
+        .groupBy(col("k").as("pk")).agg(count(lit(1)).as("purchases"))
+      c.join(p, col("k") <=> col("pk"))
+        .select(col("k"), col("clicks"), col("purchases"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // Unpivot (wide → long): the inverse relational surface of q42's
     // pivot — four measure columns melt into (measure, val) rows, then
     // re-aggregate per measure. Narrow map-side op; the only shuffle is
@@ -847,6 +864,12 @@ object CoreQueries {
        "COUNT(*) FILTER (WHERE event_type = 'signup') AS signup, " +
        "COUNT(*) FILTER (WHERE event_type = 'view') AS view " +
        "FROM events GROUP BY 1 ORDER BY 1"),
+    "q225_nullsafe_join" ->
+      ("WITH e AS (SELECT event_type, CASE WHEN event_id % 10 <> 0 THEN CAST(props->>'$.k' AS BIGINT) END AS k FROM events), "
+       + "c AS (SELECT k, COUNT(*) AS clicks FROM e WHERE event_type = 'click' GROUP BY k), "
+       + "p AS (SELECT k AS pk, COUNT(*) AS purchases FROM e WHERE event_type = 'purchase' GROUP BY k) "
+       + "SELECT c.k, clicks, purchases FROM c JOIN p ON c.k IS NOT DISTINCT FROM p.pk "
+       + "ORDER BY k NULLS FIRST"),
     "q216_ordered_collect" ->
       ("SELECT user_id, array_to_string((list(event_type ORDER BY sec, event_id))[1:5], ',') AS first5 " +
        "FROM (SELECT user_id, event_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events) t " +
