@@ -519,6 +519,48 @@ object AnalyticsQueries {
         .select(col("node"), col("r").as("rank"))
     }),
 
+    // vocabulary coverage / OOV audit: top-20 corpus vocabulary (count
+    // desc, token tiebreak — a TakeOrdered, never a full sort), then
+    // each language's out-of-vocabulary token rate in exact ppm — the
+    // "will my tokenizer cover this corpus" gate before a training run
+    "q228_vocab_coverage" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("lang"),
+        explode(TextOps.regexTokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), lit(1L).as("_in"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+        .orderBy("lang")
+    }),
+
+    // inference length-bucketing: docs assigned to a fixed power-of-two
+    // token-length ladder (the batching shape that bounds padding
+    // waste); per bucket — docs, real tokens, padding, waste in exact
+    // ppm. Pure per-row arithmetic + one combinable agg
+    "q229_length_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(
+        size(TextOps.regexTokens(col("text"))).cast("bigint").as("n"))
+      val b = when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+        .when(col("n") <= 64, 64L).when(col("n") <= 128, 128L)
+        .when(col("n") <= 256, 256L).when(col("n") <= 512, 512L)
+        .when(col("n") <= 1024, 1024L).when(col("n") <= 2048, 2048L)
+        .when(col("n") <= 4096, 4096L).otherwise(col("n"))
+      docs.withColumn("bucket", b)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          sum(col("bucket") - col("n")).as("n_padding"))
+        .select(col("bucket"), col("n_docs"), col("n_tokens"),
+          col("n_padding"),
+          expr("n_padding * 1000000 div (n_tokens + n_padding)")
+            .as("waste_ppm"))
+        .orderBy("bucket")
+    }),
+
     // skew advisor: the key-distribution profile run before committing
     // a big join plan — total/distinct/hottest-key counts, hot-key row
     // share in exact ppm, and the salt factor a salted join (q107's
@@ -3023,6 +3065,21 @@ object AnalyticsQueries {
        + "ORDER BY pmi DESC, a, b LIMIT 20"),
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
+    "q228_vocab_coverage" ->
+      ("WITH toks AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w FROM documents), "
+       + "v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT 20) t), "
+       + "f AS (SELECT lang, CASE WHEN w IN (SELECT w FROM v) THEN 0 ELSE 1 END AS oov FROM toks) "
+       + "SELECT lang, COUNT(*)::BIGINT AS n_tokens, SUM(oov)::BIGINT AS n_oov, "
+       + "(SUM(oov)::BIGINT * 1000000) // COUNT(*)::BIGINT AS oov_ppm "
+       + "FROM f GROUP BY lang ORDER BY lang"),
+    "q229_length_buckets" ->
+      ("WITH n AS (SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS n FROM documents), "
+       + "b AS (SELECT n, (CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64 "
+       + "WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024 "
+       + "WHEN n <= 2048 THEN 2048 WHEN n <= 4096 THEN 4096 ELSE n END)::BIGINT AS bucket FROM n) "
+       + "SELECT bucket, COUNT(*) AS n_docs, SUM(n)::BIGINT AS n_tokens, SUM(bucket - n)::BIGINT AS n_padding, "
+       + "(SUM(bucket - n)::BIGINT * 1000000) // (SUM(n)::BIGINT + SUM(bucket - n)::BIGINT) AS waste_ppm "
+       + "FROM b GROUP BY bucket ORDER BY bucket"),
     "q220_skew_advisor" ->
       ("WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS cnt FROM events GROUP BY user_id), "
        + "s AS (SELECT SUM(cnt)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_keys, MAX(cnt)::BIGINT AS max_cnt FROM c), "

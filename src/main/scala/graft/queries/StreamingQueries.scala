@@ -830,6 +830,36 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** Stream-maintained UPSERT view (SCD1 from an append stream): the
+    * events stream keeps a parquet-backed latest-event-per-user
+    * snapshot current via foreachBatch
+    * ([[graft.streaming.IncrementalAgg.mergeLatest]] — struct-max
+    * merge, idempotent under replay), and the result is the final
+    * snapshot rolled up by last event type. The oracle recomputes
+    * "last event per user" from scratch — the view must agree with
+    * the full-history window.
+    */
+  def q227StreamUpsert(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val store = scratchCheckpoint("q227-store")
+      val ckpt = scratchCheckpoint("q227")
+      val events = eventsStream(s, dir, raw)
+        .withColumn("sec", tsSeconds(raw))
+      val q = events.writeStream
+        .foreachBatch(graft.streaming.IncrementalAgg.mergeLatest(
+          store, "user_id", Seq("sec", "event_id"), Seq("event_type")) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      graft.streaming.IncrementalAgg.read(s, store, Seq("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }
+
   /** The incremental materialized view driven end-to-end as a query:
     * the events stream maintains a parquet-backed (event_type → cnt,
     * total) view via foreachBatch ([[graft.streaming.IncrementalAgg
@@ -1035,7 +1065,8 @@ object StreamingQueries {
     "q148_stream_dedup" -> (q148StreamDedup(_, _)),
     "q164_stream_first_seen" -> (q164StreamFirstSeen(_, _)),
     "q176_stream_kmv" -> (q176StreamKmv(_, _)),
-    "q219_stream_throttle" -> (q219StreamThrottle(_, _))
+    "q219_stream_throttle" -> (q219StreamThrottle(_, _)),
+    "q227_stream_upsert" -> (q227StreamUpsert(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
@@ -1046,6 +1077,13 @@ object StreamingQueries {
     // the streamed throttle decision must equal the batch lag — the
     // event-time-buffered fold makes it arrival-order-independent
     "q219_stream_throttle" -> AnalyticsQueries.oracles("q217_throttle"),
+    // the incrementally-maintained latest-per-user snapshot must equal
+    // the from-scratch full-history window
+    "q227_stream_upsert" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec, event_id FROM events), "
+       + "r AS (SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sec DESC, event_id DESC) AS rn FROM e) "
+       + "SELECT event_type, COUNT(*)::BIGINT AS n_users FROM r WHERE rn = 1 "
+       + "GROUP BY event_type ORDER BY event_type"),
     "q193_stream_topk" ->
       ("WITH tk AS (SELECT CAST(user_id % 37 AS VARCHAR) AS k FROM events) "
        + "SELECT k AS key, COUNT(*)::BIGINT AS cnt FROM tk GROUP BY 1 "

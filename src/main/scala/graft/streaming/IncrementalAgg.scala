@@ -99,6 +99,44 @@ object IncrementalAgg {
     pruneBelow(storeDir, base)
   }
 
+  /** Latest row per key by the lexicographic (ordCols, attrCols) max —
+    * one map-side-combinable struct-max aggregate, never a window sort.
+    */
+  private def latestPerKey(df: DataFrame, keyCol: String,
+      ordCols: Seq[String], attrCols: Seq[String]): DataFrame = {
+    val packed = (ordCols ++ attrCols).map(col)
+    df.groupBy(col(keyCol))
+      .agg(max(struct(packed: _*)).as("_m"))
+      .select(col(keyCol) +:
+        (ordCols ++ attrCols).map(c => col(s"_m.$c").as(c)): _*)
+  }
+
+  /** foreachBatch body maintaining a LATEST-ROW-PER-KEY view from a
+    * plain APPEND stream — no CDC op column: every arrival is an upsert
+    * candidate and "latest" = the max of `ordCols` (lexicographic,
+    * e.g. (sec, event_id)). The SCD1 sibling of [[mergeCdc]] for
+    * sources that only ever emit new facts. Cost per batch = one
+    * delta-sized struct-max groupBy + one key-merge against the
+    * snapshot; the max-merge is idempotent and associative, so the
+    * versioned-state replay contract holds with no marker writes.
+    */
+  def mergeLatest(storeDir: String, keyCol: String, ordCols: Seq[String],
+      attrCols: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partial = latestPerKey(
+      batch.select(col(keyCol) +: (ordCols ++ attrCols).map(col): _*),
+      keyCol, ordCols, attrCols)
+    val base = baseBelow(storeDir, batchId)
+    val merged = base match {
+      case None => partial
+      case Some(v) => latestPerKey(
+        spark.read.parquet(s"$storeDir/state_b=$v").unionByName(partial),
+        keyCol, ordCols, attrCols)
+    }
+    merged.write.mode("overwrite").parquet(s"$storeDir/state_b=$batchId")
+    pruneBelow(storeDir, base)
+  }
+
   /** foreachBatch body maintaining the (keyCols → cnt, total) view. */
   def mergeCountSum(storeDir: String, keyCols: Seq[String],
       valueCol: String)(batch: DataFrame, batchId: Long): Unit = {

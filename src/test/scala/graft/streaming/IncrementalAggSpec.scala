@@ -36,6 +36,26 @@ class IncrementalAggSpec extends SparkSpec {
     assert(once == Seq(("a", 2L, 6L), ("b", 1L, 2L)))
   }
 
+  test("mergeLatest keeps the max-(ord) row per key and replays idempotently") {
+    val dir = store()
+    def snap() = IncrementalAgg.read(spark, dir, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val b0 = Seq(("u1", 10L, 1L, "view"), ("u1", 20L, 2L, "click"),
+      ("u2", 5L, 3L, "view")).toDF("k", "sec", "id", "t")
+    val b1 = Seq(("u1", 15L, 4L, "error"), // OLDER than u1's current
+      ("u2", 5L, 9L, "purchase")) // same sec, higher id -> wins
+      .toDF("k", "sec", "id", "t")
+    IncrementalAgg.mergeLatest(dir, "k", Seq("sec", "id"), Seq("t"))(b0, 0L)
+    IncrementalAgg.mergeLatest(dir, "k", Seq("sec", "id"), Seq("t"))(b1, 1L)
+    val once = snap()
+    // a late-arriving older fact must NOT regress the snapshot, and the
+    // (sec, id) tiebreak must be lexicographic
+    assert(once == Seq(("u1", 20L, 2L, "click"), ("u2", 5L, 9L, "purchase")))
+    IncrementalAgg.mergeLatest(dir, "k", Seq("sec", "id"), Seq("t"))(b1, 1L)
+    assert(snap() == once) // replay idempotent
+  }
+
   test("old versions are pruned; the merge base survives for replay") {
     val dir = store()
     (0L to 4L).foreach { i =>
