@@ -519,6 +519,43 @@ object AnalyticsQueries {
         .select(col("node"), col("r").as("rank"))
     }),
 
+    // top behavioral trigrams: each user's consecutive 3-step event
+    // chains (two lags over the user-keyed window) ranked by frequency
+    // — the path-mining read behind "what do users do next"; extends
+    // q133's bigram transitions one step deeper
+    "q230_trigram_paths" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("path"))
+        .limit(20)
+    }),
+
+    // quality-score calibration: the q61 classifier's score bucketed
+    // into fixed deciles, per bucket the doc count and keep rate in
+    // exact ppm — the reliability read that says whether the 0.5 keep
+    // threshold sits where the mass is; value-defined buckets, so ties
+    // are engine-independent
+    "q231_score_calibration" -> ((s, d) =>
+      TextOps.qualityScore(t(s, d, "documents"), "doc_id", "text")
+        .select(floor(least(col("score"), lit(0.9999)) * 10)
+          .cast("bigint").as("decile"), col("keep"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_keep"))
+        .select(col("decile"), col("n_docs"), col("n_keep"),
+          expr("n_keep * 1000000 div n_docs").as("keep_ppm"))
+        .orderBy("decile")),
+
     // vocabulary coverage / OOV audit: top-20 corpus vocabulary (count
     // desc, token tiebreak — a TakeOrdered, never a full sort), then
     // each language's out-of-vocabulary token rate in exact ppm — the
@@ -3065,6 +3102,24 @@ object AnalyticsQueries {
        + "ORDER BY pmi DESC, a, b LIMIT 20"),
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
+    "q230_trigram_paths" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
+       + "l AS (SELECT event_type, LEAD(event_type, 1) OVER w AS t2, LEAD(event_type, 2) OVER w AS t3 FROM e "
+       + "WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)), "
+       + "p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path FROM l WHERE t3 IS NOT NULL) "
+       + "SELECT path, COUNT(*) AS c FROM p GROUP BY path ORDER BY c DESC, path LIMIT 20"),
+    "q231_score_calibration" ->
+      ("WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws, text FROM documents), "
+       + "f AS (SELECT doc_id, len(ws)::BIGINT AS n_words, "
+       + "list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS awl, "
+       + s"len(list_filter(ws, w -> list_contains(${inList(stop)}, w)))::DOUBLE / len(ws) AS sw, "
+       + "(length(text) - length(regexp_replace(text, '[.,!?;]', '', 'g')))::DOUBLE / length(text) AS pr FROM ws), "
+       + "sc AS (SELECT ROUND(1.0/(1.0+exp(-(-1.0 + 0.35*awl + 2.2*sw - 6.0*pr + 0.15*ln(1+n_words)))), 4) AS score, "
+       + "CASE WHEN 1.0/(1.0+exp(-(-1.0 + 0.35*awl + 2.2*sw - 6.0*pr + 0.15*ln(1+n_words)))) >= 0.5 THEN 1 ELSE 0 END AS keep FROM f), "
+       + "b AS (SELECT FLOOR(LEAST(score, 0.9999) * 10)::BIGINT AS decile, keep FROM sc) "
+       + "SELECT decile, COUNT(*)::BIGINT AS n_docs, SUM(keep)::BIGINT AS n_keep, "
+       + "(SUM(keep)::BIGINT * 1000000) // COUNT(*)::BIGINT AS keep_ppm "
+       + "FROM b GROUP BY decile ORDER BY decile"),
     "q228_vocab_coverage" ->
       ("WITH toks AS (SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS w FROM documents), "
        + "v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM toks GROUP BY w ORDER BY c DESC, w LIMIT 20) t), "

@@ -435,6 +435,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q216 ordered collect: the top-5 cut runs map-side before the collect") {
+    // the claim in the query comment — the agg must never see a user's
+    // full history, so row_number() <= 5 has to rewrite into a Partial
+    // WindowGroupLimit below the exchange
+    val s = planString(q("q216_ordered_collect"))
+    val partialCuts = s.linesIterator.filter(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partialCuts.nonEmpty,
+      s"q216: no map-side WindowGroupLimit in plan:\n$s")
+  }
+
+  test("q228 vocab coverage: the vocab joins broadcast, tokens never sort-merge") {
+    val s = planString(q("q228_vocab_coverage"))
+    assert(s.contains("BroadcastHashJoin"),
+      s"vocab must broadcast onto the token stream:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the vocab join:\n$s")
+  }
+
   test("q210 binary ANN: Hamming stage broadcasts queries, corpus never shuffles") {
     val s = planString(q("q210_binary_ann"))
     assert(!s.contains("SortMergeJoin"),
