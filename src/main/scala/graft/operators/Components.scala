@@ -38,6 +38,22 @@ object Components extends org.apache.spark.internal.Logging {
   /** (id, comp) for every node incident to an edge; comp = min node id
     * reachable in the undirected closure.
     */
+  /** Incremental connected components: fold DELTA edges into a prior
+    * (id, comp) labeling without re-exploring the base graph's
+    * structure — each prior component collapses to one (id — comp)
+    * star, so the fixed point only walks the delta's connectivity plus
+    * |V| collapsed edges, never the original |E|. Labels stay min-id
+    * (prior comp ids are member ids), so the result is IDENTICAL to a
+    * full recompute over base ∪ delta — the living-graph maintenance
+    * loop for a continuously-ingested dedup clustering.
+    */
+  def incremental(prior: DataFrame, deltaEdges: DataFrame,
+      aCol: String, bCol: String, maxIters: Int = 20): DataFrame =
+    connectedComponents(
+      prior.select(col("id").as(aCol), col("comp").as(bCol))
+        .unionByName(deltaEdges.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIters)
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
     val sym = edges

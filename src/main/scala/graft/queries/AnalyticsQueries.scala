@@ -499,6 +499,24 @@ object AnalyticsQueries {
         .orderBy("id")
     }),
 
+    // incremental components: the q52 clustering MAINTAINED as edges
+    // arrive — prior labels collapse each known component to a star,
+    // delta edges fold in, and the result must be IDENTICAL to the
+    // full recompute (the oracle recomputes from scratch over all
+    // pairs). Completes the incremental family (minhash/simhash/IVF/
+    // PCA/fingerprint) for the graph side
+    "q234_components_incremental" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding",
+        blockCol = "label", threshold = 0.35)
+      val base = pairs.filter(col("b") % 5 =!= 0)
+      val delta = pairs.filter(col("b") % 5 === 0)
+      val prior = graft.operators.Components
+        .connectedComponents(base, "a", "b")
+      graft.operators.Components.incremental(prior, delta, "a", "b")
+        .orderBy("id")
+    }),
+
     // PageRank over the customer↔supplier trade graph (symmetrized so
     // every node has out-edges): 5 fixed-point power iterations — all
     // arithmetic is BIGINT micro-units, so the ranks are bit-identical
@@ -518,6 +536,49 @@ object AnalyticsQueries {
         .limit(20)
         .select(col("node"), col("r").as("rank"))
     }),
+
+    // metadata-only aggregate: COUNT/MIN/MAX answered from parquet
+    // FOOTER statistics under aggregatePushdown (PushedAggregation in
+    // the scan, plan-pinned) — at 100 TB this is the difference between
+    // reading row-group stats and reading the table. Executed eagerly
+    // under the conf toggle (the conf must hold at planning time), then
+    // surfaced as a one-row relation — the bounded driver-scalar
+    // pattern of Packing's totals
+    "q232_meta_agg" -> ((s, d) => {
+      import s.implicits._
+      // aggregate pushdown is a DataSource V2 feature: parquet must
+      // leave the default useV1SourceList for PushedAggregation to plan
+      val keys = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+        "spark.sql.sources.useV1SourceList" -> "")
+      val olds = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val r =
+        try s.read.parquet(s"$d/orders.parquet")
+          .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+          .collect().head
+        finally olds.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("n_rows", "min_key", "max_key")
+    }),
+
+    // tokenizer fertility per language: tokens-per-word and
+    // chars-per-token in exact ppm — the cross-language cost read that
+    // says which corpora inflate a token budget; one combinable rollup
+    "q233_fertility" -> ((s, d) =>
+      t(s, d, "documents").select(col("lang"),
+          size(TextOps.words(col("text"))).cast("bigint").as("w"),
+          size(TextOps.regexTokens(col("text"))).cast("bigint").as("tk"),
+          length(col("text")).cast("bigint").as("ch"))
+        .groupBy(col("lang"))
+        .agg(sum(col("w")).as("n_words"), sum(col("tk")).as("n_tokens"),
+          sum(col("ch")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          expr("n_tokens * 1000000 div n_words").as("fertility_ppm"),
+          expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+        .orderBy("lang")),
 
     // top behavioral trigrams: each user's consecutive 3-step event
     // chains (two lags over the user-keyed window) ranked by frequency
@@ -3102,6 +3163,18 @@ object AnalyticsQueries {
        + "ORDER BY pmi DESC, a, b LIMIT 20"),
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
+    "q232_meta_agg" ->
+      ("SELECT COUNT(*)::BIGINT AS n_rows, MIN(o_orderkey)::BIGINT AS min_key, "
+       + "MAX(o_orderkey)::BIGINT AS max_key FROM orders"),
+    "q233_fertility" ->
+      ("WITH f AS (SELECT lang, len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS w, "
+       + "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))::BIGINT AS tk, "
+       + "length(text)::BIGINT AS ch FROM documents), "
+       + "s AS (SELECT lang, SUM(w)::BIGINT AS n_words, SUM(tk)::BIGINT AS n_tokens, SUM(ch)::BIGINT AS n_chars FROM f GROUP BY lang) "
+       + "SELECT lang, n_words, n_tokens, n_chars, "
+       + "n_tokens * 1000000 // n_words AS fertility_ppm, "
+       + "n_chars * 1000000 // n_tokens AS chars_per_token_ppm "
+       + "FROM s ORDER BY lang"),
     "q230_trigram_paths" ->
       ("WITH e AS (SELECT user_id, event_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
        + "l AS (SELECT event_type, LEAD(event_type, 1) OVER w AS t2, LEAD(event_type, 2) OVER w AS t3 FROM e "
@@ -3411,6 +3484,18 @@ object AnalyticsQueries {
        "CASE WHEN COALESCE(ROUND(s.hits::DOUBLE / s.sz, 4), 0.0) >= 0.3 THEN 1 ELSE 0 END::BIGINT AS contaminated " +
        "FROM documents d LEFT JOIN stats s ON d.doc_id = s.id " +
        "WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"),
+    // the incrementally-maintained labeling must equal the full
+    // recompute — same oracle family as q52
+    "q234_components_incremental" ->
+      ("WITH RECURSIVE pairs AS (" +
+       "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b " +
+       "ON a.label = b.label AND a.vec_id < b.vec_id " +
+       "WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35), " +
+       "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs), " +
+       "reach(id, comp) AS (" +
+       "SELECT src, src FROM edges " +
+       "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id) " +
+       "SELECT id, MIN(comp) AS comp FROM reach GROUP BY id ORDER BY id"),
     "q52_components" ->
       ("WITH RECURSIVE pairs AS (" +
        "SELECT a.vec_id AS a, b.vec_id AS b FROM embeddings a JOIN embeddings b " +

@@ -24,6 +24,21 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(20L, 21L).forall(c(_) == 20L))
   }
 
+  test("incremental fold-in equals full recompute; delta edges merge prior components") {
+    // prior graph: {1,2,3} and {10,11}; delta connects them (3-10) and
+    // adds a brand-new pair (20-21)
+    val base = edges(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val delta = edges(3L -> 10L, 20L -> 21L)
+    val prior = Components.connectedComponents(base, "a", "b")
+    val inc = Components.incremental(prior, delta, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = comps(edges(1L -> 2L, 2L -> 3L, 10L -> 11L,
+      3L -> 10L, 20L -> 21L))
+    assert(inc == full, "incremental labeling diverged from full recompute")
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(inc(_) == 1L)) // merged
+    assert(Seq(20L, 21L).forall(inc(_) == 20L))            // new island
+  }
+
   test("matches a brute-force union-find on a random graph") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

@@ -435,6 +435,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q232 metadata aggregate: COUNT/MIN/MAX answered from parquet footers") {
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "") // pushdown is V2-only
+    val olds = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = spark.read.parquet(s"$sf/orders.parquet")
+        .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+      val s = planString(df)
+      assert(s.contains("PushedAggregation"),
+        s"aggregate not pushed to the parquet scan:\n$s")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q216 ordered collect: the top-5 cut runs map-side before the collect") {
     // the claim in the query comment — the agg must never see a user's
     // full history, so row_number() <= 5 has to rewrite into a Partial
