@@ -84,7 +84,7 @@ object Kmv {
     * value and the estimate is the exact count; a saturated one uses
     * the classic (k-1)/u_k with u_k = kth/2^60.
     */
-  private def estimate(mins: Column, k: Int): Column =
+  def estimate(mins: Column, k: Int): Column =
     when(size(mins) < k, size(mins).cast("double"))
       .otherwise(round(
         lit((k - 1).toDouble) * lit(SpaceSize) /

@@ -1049,6 +1049,34 @@ object AnalyticsQueries {
           t(s, d, "documents"), "lang", "text", k = 64)
         .orderBy("lang")),
 
+    // the SKETCH-COLUMN re-aggregation pattern: per-(type, day) KMV
+    // sketches — what a warehouse persists as a sketch column — are
+    // merged to per-type estimates from the STORED sketches only (the
+    // raw keys are never revisited). Bottom-k of merged bottom-ks IS
+    // bottom-k of the union, so the rollup is bit-identical to the
+    // direct per-type sketch and the oracle recomputes it exactly
+    "q235_sketch_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val K = 64
+      val agg = udaf(new graft.operators.Kmv.KmvAgg(K), Encoders.scalaLong)
+      val ev = t(s, d, "events").select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        graft.operators.Kmv.hash60(concat_ws("|", col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd"))).as("h"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(agg(col("h")).as("mins"))
+      val merged = daily
+        .select(col("event_type"), explode(col("mins")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(agg(col("h")).as("mins"))
+      merged.select(col("event_type"),
+        size(col("mins")).cast("bigint").as("n_kept"),
+        when(size(col("mins")) >= K, element_at(col("mins"), K))
+          .otherwise(lit(null).cast("bigint")).as("kth_hash"),
+        graft.operators.Kmv.estimate(col("mins"), K).as("est"))
+        .orderBy("event_type")
+    }),
+
     // KMV theta-style SET INTERSECTION — the operation HLL cannot do:
     // per week, the overlap between the click and purchase user-day
     // sets, estimated from two 64-value sketches only (the event
@@ -2770,6 +2798,15 @@ object AnalyticsQueries {
        + "CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE "
        + "ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE), 4) END AS est "
        + "FROM r WHERE rn <= 64 GROUP BY lang ORDER BY lang"),
+    "q235_sketch_rollup" ->
+      ("WITH ev AS (SELECT event_type, user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d') AS k FROM events), "
+       + "h AS (SELECT DISTINCT event_type, CAST(('0x' || substring(md5(k), 1, 15)) AS BIGINT) AS hv FROM ev), "
+       + "r AS (SELECT event_type, hv, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h) "
+       + "SELECT event_type, COUNT(*)::BIGINT AS n_kept, "
+       + "MAX(CASE WHEN rn = 64 THEN hv END) AS kth_hash, "
+       + "CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE "
+       + "ELSE ROUND(63.0 * CAST(1152921504606846976 AS DOUBLE) / CAST(MAX(CASE WHEN rn = 64 THEN hv END) AS DOUBLE), 4) END AS est "
+       + "FROM r WHERE rn <= 64 GROUP BY event_type ORDER BY event_type"),
     "q172_kmv_overlap" ->
       ("WITH ev AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS grp, event_type, "
        + "user_id::VARCHAR || '|' || strftime(ts, '%Y-%m-%d') AS k FROM events), "

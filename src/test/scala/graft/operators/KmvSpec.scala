@@ -5,6 +5,22 @@ import graft.SparkSpec
 import graft.engine.Tables
 
 class KmvSpec extends SparkSpec {
+
+  test("sketch rollup: merging stored sub-sketches equals the direct sketch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Encoders
+    val agg = udaf(new Kmv.KmvAgg(8), Encoders.scalaLong)
+    import spark.implicits._
+    // 40 keys split over 4 shards; k=8 so every shard sketch saturates
+    val rows = (0 until 40).map(i => (i % 4, s"key-$i")).toDF("shard", "k")
+      .select(col("shard"), Kmv.hash60(col("k")).as("h"))
+    val direct = rows.agg(agg(col("h"))).collect().head.getSeq[Long](0)
+    val rolled = rows.groupBy(col("shard")).agg(agg(col("h")).as("mins"))
+      .select(explode(col("mins")).as("h"))
+      .agg(agg(col("h"))).collect().head.getSeq[Long](0)
+    // bottom-k of merged bottom-ks IS bottom-k of the union — exact
+    assert(rolled == direct)
+  }
   import spark.implicits._
 
   test("unsaturated sketch is exact: n_kept = distinct count, no threshold") {
