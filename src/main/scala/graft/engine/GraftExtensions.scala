@@ -30,6 +30,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_norm_sq"),
       info("vec_norm_sq", "vec_norm_sq(a) - squared L2 norm of a FLOAT array"),
       (cs: Seq[Expression]) => FloatNormSq(cs(0))))
+    ext.injectFunction((FunctionIdentifier("sign_bits"),
+      info("sign_bits",
+        "sign_bits(v) - 1-bit sign code of a FLOAT array (bit i = v[i] >= 0, first 64 dims); pair with bit_count(a ^ b) for Hamming"),
+      (cs: Seq[Expression]) => SignPack64(cs(0))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(words) - 64-bit SimHash of a STRING array"),
+      (cs: Seq[Expression]) => SimHash64(cs(0))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect"),
+      info("sorted_intersect",
+        "sorted_intersect(a, b) - count of common elements of two SORTED BIGINT arrays (merge scan)"),
+      (cs: Seq[Expression]) => SortedLongIntersect(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("agree_frac"),
+      info("agree_frac",
+        "agree_frac(a, b) - fraction of agreeing positions of two BIGINT arrays (MinHash estimator)"),
+      (cs: Seq[Expression]) => LongArrayAgreeFrac(cs(0), cs(1))))
     // fuse the SQL-idiom aggregate/zip_with dot product into the
     // codegen'd kernel — SQL-only users get the native loop for free
     ext.injectOptimizerRule(_ => graft.plans.VecFusion)

@@ -330,6 +330,29 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // the binary-quantization ANN expressed in PURE SQL through the
+    // registered extension functions (sign_bits + built-in bit_count +
+    // cos_sim) — the proof that a SQL-only user runs the exact q210
+    // plan, codegen kernels included, with no Column API
+    "q236_sql_ann" -> ((s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("q236_emb")
+      s.sql("""
+        WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+                     sign_bits(embedding) AS cb FROM q236_emb),
+        q AS (SELECT vec_id AS qid, embedding AS qv,
+                sign_bits(embedding) AS qb FROM q236_emb WHERE vec_id < 10),
+        cand AS (SELECT qid, cid, qv, cv,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY bit_count(qb ^ cb) ASC, cid) AS crn
+                 FROM q JOIN c ON qid <> cid)
+        SELECT qid, cid, rn FROM (
+          SELECT qid, cid,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cos_sim(qv, cv) DESC, cid) AS rn
+          FROM cand WHERE crn <= 12) t
+        WHERE rn <= 3 ORDER BY qid, rn""")
+    }),
+
     // entity resolution act 2 (q189's pairs put to work): JW match →
     // connected components → canonical record per entity group (min
     // id) with member count — the match-cluster-canonicalize pipeline
@@ -3442,6 +3465,18 @@ object AnalyticsQueries {
        + "a.embedding AS qv, b.embedding AS cv, "
        + "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
        + "list_cosine_similarity(a.embedding[1:16], b.embedding[1:16]) DESC, b.vec_id) AS crn "
+       + "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) "
+       + "SELECT qid, cid, rn FROM ("
+       + "SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY "
+       + "list_cosine_similarity(qv, cv) DESC, cid) AS rn "
+       + "FROM cand WHERE crn <= 12) t WHERE rn <= 3 ORDER BY qid, rn"),
+    // identical semantics to q210 — the SQL-surface twin shares the
+    // re-executed two-stage oracle
+    "q236_sql_ann" ->
+      ("WITH cand AS (SELECT a.vec_id AS qid, b.vec_id AS cid, "
+       + "a.embedding AS qv, b.embedding AS cv, "
+       + "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+       + "len(list_filter(generate_series(1, 64), i -> (a.embedding[i] >= 0) <> (b.embedding[i] >= 0))) ASC, b.vec_id) AS crn "
        + "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id WHERE a.vec_id < 10) "
        + "SELECT qid, cid, rn FROM ("
        + "SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY "

@@ -35,6 +35,32 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(one(3L, cosineSim(col("a"), col("b"))) - 1.0) < 1e-12)
   }
 
+  test("SQL extension functions match the Column API (sign_bits, simhash64, sorted_intersect, agree_frac)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, -2.0f, 0.5f), Seq("alpha", "beta"),
+      Seq(1L, 3L, 7L), Seq(2L, 3L, 9L))).toDF("v", "ws", "sa", "sb")
+    df.createOrReplaceTempView("vf_sql_parity")
+    val viaSql = spark.sql(
+      """SELECT sign_bits(v) AS sb64, simhash64(ws) AS sh,
+        |sorted_intersect(sa, sb) AS si, agree_frac(sa, sb) AS af
+        |FROM vf_sql_parity""".stripMargin).collect().head
+    val viaCol = df.select(
+        signBits(col("v")),
+        org.apache.spark.sql.GraftBridge.column(SimHash64(
+          org.apache.spark.sql.GraftBridge.expression(col("ws")))),
+        org.apache.spark.sql.GraftBridge.column(SortedLongIntersect(
+          org.apache.spark.sql.GraftBridge.expression(col("sa")),
+          org.apache.spark.sql.GraftBridge.expression(col("sb")))),
+        org.apache.spark.sql.GraftBridge.column(LongArrayAgreeFrac(
+          org.apache.spark.sql.GraftBridge.expression(col("sa")),
+          org.apache.spark.sql.GraftBridge.expression(col("sb")))))
+      .collect().head
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    assert(viaSql.getLong(2) == viaCol.getLong(2) && viaSql.getLong(2) == 1L)
+    assert(viaSql.getDouble(3) == viaCol.getDouble(3))
+  }
+
   test("hyperplane bucket is deterministic and groups parallel vectors") {
     val b1 = one(3L, hyperplaneBucket(col("a"), 8).cast("double"))
     val b2 = one(3L, hyperplaneBucket(col("b"), 8).cast("double"))
