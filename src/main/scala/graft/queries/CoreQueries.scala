@@ -450,7 +450,9 @@ object CoreQueries {
     // Unpivot (wide → long): the inverse relational surface of q42's
     // pivot — four measure columns melt into (measure, val) rows, then
     // re-aggregate per measure. Narrow map-side op; the only shuffle is
-    // the 4-key final agg
+    // the 4-key final agg. The per-measure total sums EXACT integer
+    // centi-units: a raw double SUM is aggregation-order dependent and
+    // crossed the ROUND(.,4) boundary at the sf1 confidence scale
     "q212_unpivot" -> ((s, d) => t(s, d, "lineitem")
       .unpivot(
         Array(col("l_orderkey")),
@@ -458,7 +460,8 @@ object CoreQueries {
           col("l_discount"), col("l_tax")),
         "measure", "val")
       .groupBy(col("measure"))
-      .agg(count(lit(1)).as("c"), round(sum(col("val")), 4).as("total"))
+      .agg(count(lit(1)).as("c"),
+        sum(round(col("val") * 100, 0).cast("bigint")).as("total_c100"))
       .orderBy("measure")),
 
     // Time-RANGE window frame (vs q18's ROWS frame): trailing 1-hour
@@ -878,7 +881,7 @@ object CoreQueries {
       ("SELECT w, COUNT(*) AS c FROM (SELECT unnest(regexp_extract_all(text, '\\bs[a-z]{3,}\\b')) AS w FROM documents) t " +
        "GROUP BY w ORDER BY c DESC, w"),
     "q212_unpivot" ->
-      ("SELECT measure, COUNT(*) AS c, ROUND(SUM(val), 4) AS total " +
+      ("SELECT measure, COUNT(*) AS c, SUM(CAST(ROUND(val * 100, 0) AS BIGINT))::BIGINT AS total_c100 " +
        "FROM (UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem) " +
        "ON l_quantity, l_extendedprice, l_discount, l_tax INTO NAME measure VALUE val) t " +
        "GROUP BY measure ORDER BY measure"),
