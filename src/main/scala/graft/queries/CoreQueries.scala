@@ -430,6 +430,48 @@ object CoreQueries {
       .na.fill(0L)
       .orderBy("ub")),
 
+    // Null-AWARE anti join (NOT IN with a nullable probe key): rows
+    // whose key is NULL compare UNKNOWN against the in-list and are
+    // FILTERED — the three-valued-logic trap a plain left-anti join
+    // gets wrong. Catalyst plans the single-column NOT IN as a
+    // null-aware broadcast anti join (NAAJ)
+    "q237_null_aware_anti" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k",
+          when(col("event_id") % 10 =!= 0,
+            get_json_object(col("props"), "$.k").cast("bigint")))
+        .createOrReplaceTempView("q237_ev")
+      s.sql("""
+        SELECT event_type, COUNT(*) AS c FROM q237_ev
+        WHERE k NOT IN (SELECT DISTINCT k FROM q237_ev
+                        WHERE event_type = 'signup' AND k IS NOT NULL)
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // GROUPING() surface: rollup subtotal rows distinguished from
+    // genuine NULL data — the reporting disambiguator ROLLUP output is
+    // unusable without
+    "q238_grouping_id" -> ((s, d) => t(s, d, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"),
+        grouping(col("o_orderstatus")).cast("bigint").as("g_status"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_prio"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("c"))),
+
+    // Percent-of-total (ratio_to_report): each (hour, type) cell's
+    // share of its hour in exact ppm — a window over an AGGREGATE
+    // (runs on the |hours|x|types| rollup, never the raw events)
+    "q239_share_of_total" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH").as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("h"), col("event_type"), col("c"),
+          expr("c * 1000000 div SUM(c) OVER (PARTITION BY h)")
+            .as("share_ppm"))
+        .orderBy("h", "event_type")),
+
     // Null-safe equality join (<=>): NULL keys MATCH each other —
     // the join form plain = silently drops; per-k click vs purchase
     // counts where every 10th event's extracted key is NULL, so the
@@ -873,6 +915,20 @@ object CoreQueries {
        + "p AS (SELECT k AS pk, COUNT(*) AS purchases FROM e WHERE event_type = 'purchase' GROUP BY k) "
        + "SELECT c.k, clicks, purchases FROM c JOIN p ON c.k IS NOT DISTINCT FROM p.pk "
        + "ORDER BY k NULLS FIRST"),
+    "q237_null_aware_anti" ->
+      ("WITH e AS (SELECT event_type, CASE WHEN event_id % 10 <> 0 THEN CAST(props->>'$.k' AS BIGINT) END AS k FROM events) "
+       + "SELECT event_type, COUNT(*) AS c FROM e "
+       + "WHERE k NOT IN (SELECT DISTINCT k FROM e WHERE event_type = 'signup' AND k IS NOT NULL) "
+       + "GROUP BY event_type ORDER BY event_type"),
+    "q238_grouping_id" ->
+      ("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c, "
+       + "GROUPING(o_orderstatus)::BIGINT AS g_status, GROUPING(o_orderpriority)::BIGINT AS g_prio "
+       + "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+       + "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c"),
+    "q239_share_of_total" ->
+      ("SELECT h, event_type, c, c * 1000000 // SUM(c) OVER (PARTITION BY h) AS share_ppm FROM ("
+       + "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS h, event_type, COUNT(*)::BIGINT AS c "
+       + "FROM events GROUP BY 1, 2) t ORDER BY h, event_type"),
     "q216_ordered_collect" ->
       ("SELECT user_id, array_to_string((list(event_type ORDER BY sec, event_id))[1:5], ',') AS first5 " +
        "FROM (SELECT user_id, event_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events) t " +

@@ -453,6 +453,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q237 NOT IN plans as a null-aware broadcast anti join") {
+    val s = planString(q("q237_null_aware_anti"))
+    assert(s.contains("LeftAnti"),
+      s"NOT IN did not plan as an anti join:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"anti join must broadcast the in-list:\n$s")
+  }
+
   test("q216 ordered collect: the top-5 cut runs map-side before the collect") {
     // the claim in the query comment — the agg must never see a user's
     // full history, so row_number() <= 5 has to rewrite into a Partial
