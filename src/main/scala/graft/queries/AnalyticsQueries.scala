@@ -1511,6 +1511,23 @@ object AnalyticsQueries {
           size = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    // chunk-level retrieval (the RAG indexing shape): q57's sliding
+    // chunks become the retrieval units, q55's BM25 ranks THEM — the
+    // passage, not the page, is what a retrieval-augmented pipeline
+    // actually indexes; composite chunk ids (doc*1000+idx) keep the
+    // ranking one narrow column
+    "q240_chunk_retrieval" -> ((s, d) => {
+      val chunks = TextOps.chunk(t(s, d, "documents"), "doc_id", "text",
+          size = 32, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      TextOps.bm25Search(chunks, "cid", "chunk_text",
+          terms = Seq("vector", "join", "data"), topN = 10)
+        .select(expr("cid div 1000").as("doc_id"),
+          pmod(col("cid"), lit(1000L)).as("chunk_idx"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"), col("chunk_idx"))
+    }),
+
     // embedding outliers: distance to the per-label centroid, top-3
     // farthest per label (mislabeled/noisy-vector review queue)
     "q56_centroid_outliers" -> ((s, d) =>
@@ -3587,6 +3604,25 @@ object AnalyticsQueries {
       ("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM " +
        "(SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS ntext FROM documents) " +
        "GROUP BY ntext ORDER BY keep_id"),
+    "q240_chunk_retrieval" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents), " +
+       "nc AS (SELECT doc_id, ws, CASE WHEN len(ws) <= 32 THEN 1 " +
+       "ELSE CAST(ceil((len(ws) - 32) / 24.0) AS BIGINT) + 1 END AS n FROM w), " +
+       "ch AS (SELECT doc_id * 1000 + i AS cid, " +
+       "array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ') AS chunk_text " +
+       "FROM nc, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) g), " +
+       "toks AS (SELECT cid AS id, unnest(string_split(chunk_text, ' ')) AS w FROM ch), " +
+       "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
+       "dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id), " +
+       "stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), " +
+       "tf AS (SELECT id, w, COUNT(*) AS tf FROM tok2 WHERE w IN ('vector', 'join', 'data') GROUP BY id, w), " +
+       "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+       "sc AS (SELECT tf.id, ROUND(SUM(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) * " +
+       "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
+       "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id), " +
+       "top AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10) " +
+       "SELECT id // 1000 AS doc_id, id % 1000 AS chunk_idx, score FROM top " +
+       "ORDER BY score DESC, doc_id, chunk_idx"),
     "q55_bm25" ->
       ("WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), " +
        "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
