@@ -27,15 +27,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-query cache isolation: many operators .cache() intermediates
+    // they cannot soundly unpersist before the caller materializes, so a
+    // 250-query run otherwise accumulates thousands of cached plans in an
+    // 8 GB heap — CacheManager's registry is scanned at every plan
+    // compile and the storage churn taxes every query (measured: cheap
+    // window queries ran up to 5x slower late in the suite than in a
+    // fresh JVM). Clearing between queries (never between a query's own
+    // iterations) keeps each measurement independent; the disk-backed
+    // artifacts (IVF/PQ index dirs) are untouched.
+    def clearState(): Unit = spark.catalog.clearCache()
+
     // warm-up (also surfaces failures before any timing)
     val ok = qs.filter { case (name, fn) =>
-      try { time(fn); true }
+      try { time(fn); clearState(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
     }
 
     val results = ok.map { case (name, fn) =>
       val ts = (1 to iters).map(_ => time(fn)).sorted
+      clearState()
       name -> ts(ts.length / 2)
     }
 

@@ -302,6 +302,40 @@ object ScaleProbe {
       "doc_id", col("nk"),
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count())
 
+    // q226's shape: detector evaluation IS two pair-joins — truth
+    // (prefix-filtered Jaccard) + candidates (SimHash bands) + a
+    // pair-keyed semi join; each side is already probed linear above,
+    // the eval adds only the id-pair join, so linear is the bar
+    t("dedup_eval")({
+      val truth = graft.operators.Dedup.jaccardAuto(
+        d, "doc_id", "text", 3, 0.8).select(col("a"), col("b"))
+      val approx = graft.operators.Dedup.simHashPairs(
+        d, "doc_id", "text", maxHamming = 3).select(col("a"), col("b"))
+      approx.join(truth, Seq("a", "b"), "left_semi").count()
+    })
+    // q234's shape: base components + delta edges folded in — the
+    // incremental path must track the DELTA's component sizes, not
+    // re-pay the full recompute
+    t("components_incremental")({
+      val pairs = graft.operators.Dedup.simHashPairs(
+        d, "doc_id", "text", maxHamming = 3)
+      val base = pairs.filter(col("b") % 5 =!= 0)
+      val delta = pairs.filter(col("b") % 5 === 0)
+      val prior = graft.operators.Components
+        .connectedComponents(base, "a", "b")
+      graft.operators.Components.incremental(prior, delta, "a", "b").count()
+    })
+    // q240's shape: chunking multiplies the corpus ~4x, then BM25 over
+    // chunk ids — both narrow passes; linear in chunk count is the bar
+    t("chunk_retrieval")({
+      val chunks = graft.operators.TextOps.chunk(
+        d, "doc_id", "text", size = 32, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      graft.operators.TextOps.bm25Search(chunks, "cid", "chunk_text",
+        terms = Seq("vector", "join", "data"), topN = 10).count()
+    })
+
     spark.stop()
   }
 }

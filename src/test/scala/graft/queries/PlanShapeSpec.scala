@@ -567,4 +567,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"), s)
   }
+
+  test("q242 SCD2 lookup joins on the user key (range is residual only)") {
+    // the validity-range predicate must ride an equality-keyed join as
+    // a residual filter; a planner that only sees the range would emit
+    // a nested-loop cross product — fatal at fact-table scale
+    val s = planString(q("q242_scd2_lookup"))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"point-in-time lookup must stay an equality join:\n$s")
+  }
+
+  test("q247 embed drift never shuffles vectors (scalar exchanges only)") {
+    // posexplode happens scan-side; everything crossing an exchange is
+    // (label, dim, partial-avg) scalars — assert no exchange carries
+    // the embedding array column
+    val df = q("q247_embed_drift")
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val exchanges = s.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"no exchange may carry the raw vector column:\n${exchanges.mkString("\n")}")
+  }
 }
