@@ -67,6 +67,37 @@ object Kmv {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** (hash, value) pair for the value-carrying sample sketch. */
+  case class HV(h: Long, v: Double)
+
+  /** Bottom-k-BY-HASH uniform value sample — KMV's value-carrying
+    * sibling: per group keep the rows whose `hash60` is among the k
+    * smallest, with their measure values. Because membership is a pure
+    * function of the hash order, the bottom-k of a UNION is the
+    * bottom-k of the merged bottom-ks — a mergeable, bounded
+    * (k · 16 B), deterministic sample any quantile can be estimated
+    * from, re-executable in plain SQL (rank by the same md5 hash).
+    * This is the quantile-sketch column to q235's distinct-count
+    * sketch column: partial aggregation bounds every map task's
+    * output at k rows, so the shuffle carries |groups| · k pairs.
+    */
+  class SampleAgg(k: Int) extends Aggregator[HV, Seq[HV], Seq[HV]] {
+    override def zero: Seq[HV] = Vector.empty
+    private def insert(buf: Seq[HV], x: HV): Seq[HV] =
+      if (buf.size >= k && x.h > buf.last.h) buf
+      else if (buf.exists(_.h == x.h)) buf
+      else if (buf.size < k) (buf :+ x).sortBy(_.h)
+      else (buf.init :+ x).sortBy(_.h)
+    override def reduce(buf: Seq[HV], x: HV): Seq[HV] = insert(buf, x)
+    override def merge(a: Seq[HV], b: Seq[HV]): Seq[HV] =
+      b.foldLeft(a)(insert)
+    override def finish(r: Seq[HV]): Seq[HV] = r
+    override def bufferEncoder: Encoder[Seq[HV]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HV]]()
+    override def outputEncoder: Encoder[Seq[HV]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[HV]]()
+  }
+
   /** Per-group KMV sketch of `hash60(keyCol)`: (groupCol, mins) with
     * `mins` the ≤ k smallest distinct hash values, ascending.
     */

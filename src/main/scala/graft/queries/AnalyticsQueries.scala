@@ -2090,6 +2090,72 @@ object AnalyticsQueries {
       .withColumn("suppress", (col("l_div") < 3).cast("int").cast("bigint"))
       .orderBy("event_type", "hod")),
 
+    // time travel over the CDC log: reconstruct the customer-balance
+    // table AS OF a cut timestamp by replaying only log entries at or
+    // before it (latest-per-key wins — q98's merge), next to the
+    // current state from the full log; per-segment rollups of both.
+    // Each reconstruction is one bounded delta aggregate + one key
+    // join — the snapshot body is never re-sorted, so "query the table
+    // as of last Tuesday" costs the same as querying it now
+    "q251_time_travel" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val snapshot = cust.select(col("c_custkey"), col("c_acctbal"))
+      def changeLog(cut: Option[java.sql.Timestamp]): DataFrame = {
+        val b = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        cut.fold(b)(c => b.filter(col("o_orderdate") <= lit(c)))
+          .select(col("o_custkey").as("c_custkey"),
+            col("o_orderdate").as("ts"),
+            when(col("o_orderpriority").startsWith("1"), "D")
+              .otherwise("U").as("op"),
+            col("o_totalprice").as("c_acctbal"))
+      }
+      val seg = cust.select(col("c_custkey"), col("c_mktsegment"))
+      def aggState(st: DataFrame, pfx: String): DataFrame =
+        st.join(seg, Seq("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as(s"n_$pfx"),
+            sum(expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)"))
+              .as(s"bal_${pfx}_cents"))
+      val cut = java.sql.Timestamp.valueOf("1998-06-01 00:00:00")
+      val asof = graft.operators.Cdc.applyLog(snapshot,
+        changeLog(Some(cut)), "c_custkey", "ts", "op", Seq("c_acctbal"))
+      val now = graft.operators.Cdc.applyLog(snapshot,
+        changeLog(None), "c_custkey", "ts", "op", Seq("c_acctbal"))
+      aggState(asof, "asof").join(aggState(now, "now"), Seq("c_mktsegment"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // quantile-sketch column (q235/q246's pattern for the quantile
+    // axis): per event type keep the k rows whose md5 hash is among
+    // the k smallest — a mergeable, deterministic, bounded uniform
+    // sample (bottom-k of a union IS bottom-k of merged bottom-ks) —
+    // and estimate p50/p90 from it next to the exact quantiles. Map
+    // tasks each emit <= k pairs, so the shuffle carries the sketch,
+    // never the measure column
+    "q252_sample_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.Encoders
+      val K = 512
+      val agg = udaf(new graft.operators.Kmv.SampleAgg(K),
+        Encoders.product[graft.operators.Kmv.HV])
+      val ev = t(s, d, "events")
+      val sk = graft.engine.Par.widen(ev)
+        .select(col("event_type"),
+          graft.operators.Kmv.hash60(col("event_id")).as("h"),
+          col("value").as("v"))
+        .groupBy(col("event_type"))
+        .agg(agg(col("h"), col("v")).as("sample"))
+      val est = sk
+        .select(col("event_type"), explode(col("sample")).as("s"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sample"),
+          round(expr("percentile(s.v, 0.5)"), 4).as("est_p50"),
+          round(expr("percentile(s.v, 0.9)"), 4).as("est_p90"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("exact_p90"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
+    }),
+
     // recursive CTE hierarchy rollup (WITH RECURSIVE, new in Spark 4):
     // parts form a quaternary taxonomy (parent = p_partkey div 4);
     // the recursion walks DOWN from the roots carrying (root, depth),
@@ -4159,6 +4225,37 @@ object AnalyticsQueries {
        + "COUNT(DISTINCT user_id % 10)::BIGINT AS l_div, "
        + "(COUNT(DISTINCT user_id % 10) < 3)::INT::BIGINT AS suppress "
        + "FROM events GROUP BY event_type, hour(ts) ORDER BY event_type, hod"),
+    "q251_time_travel" ->
+      ("WITH log AS (SELECT o_custkey AS k, o_orderdate AS ts, "
+       + "CASE WHEN o_orderpriority LIKE '1%' THEN 'D' ELSE 'U' END AS op, o_totalprice AS nb "
+       + "FROM orders WHERE o_orderkey % 5 = 0), "
+       + "la AS (SELECT k, op, nb FROM (SELECT *, ROW_NUMBER() OVER "
+       + "(PARTITION BY k ORDER BY ts DESC, op DESC, nb DESC) AS rn FROM log "
+       + "WHERE ts <= TIMESTAMP '1998-06-01 00:00:00') t WHERE rn = 1), "
+       + "ln AS (SELECT k, op, nb FROM (SELECT *, ROW_NUMBER() OVER "
+       + "(PARTITION BY k ORDER BY ts DESC, op DESC, nb DESC) AS rn FROM log) t WHERE rn = 1), "
+       + "sa AS (SELECT c.c_custkey, COALESCE(la.nb, c.c_acctbal) AS bal FROM customer c "
+       + "LEFT JOIN la ON c.c_custkey = la.k WHERE la.op IS NULL OR la.op <> 'D'), "
+       + "sn AS (SELECT c.c_custkey, COALESCE(ln.nb, c.c_acctbal) AS bal FROM customer c "
+       + "LEFT JOIN ln ON c.c_custkey = ln.k WHERE ln.op IS NULL OR ln.op <> 'D'), "
+       + "ga AS (SELECT c_mktsegment, COUNT(*)::BIGINT AS n_asof, "
+       + "SUM(ROUND(bal * 100, 0)::BIGINT)::BIGINT AS bal_asof_cents "
+       + "FROM sa JOIN customer USING (c_custkey) GROUP BY c_mktsegment), "
+       + "gn AS (SELECT c_mktsegment, COUNT(*)::BIGINT AS n_now, "
+       + "SUM(ROUND(bal * 100, 0)::BIGINT)::BIGINT AS bal_now_cents "
+       + "FROM sn JOIN customer USING (c_custkey) GROUP BY c_mktsegment) "
+       + "SELECT c_mktsegment, n_asof, bal_asof_cents, n_now, bal_now_cents "
+       + "FROM ga JOIN gn USING (c_mktsegment) ORDER BY c_mktsegment"),
+    "q252_sample_quantiles" ->
+      ("WITH h AS (SELECT event_type, CAST(('0x' || substring(md5(event_id::VARCHAR), 1, 15)) AS BIGINT) AS hv, value AS v FROM events), "
+       + "r AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
+       + "samp AS (SELECT event_type, COUNT(*)::BIGINT AS n_sample, "
+       + "ROUND(quantile_cont(v, 0.5), 4) AS est_p50, ROUND(quantile_cont(v, 0.9), 4) AS est_p90 "
+       + "FROM r WHERE rn <= 512 GROUP BY event_type), "
+       + "ex AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS exact_p50, "
+       + "ROUND(quantile_cont(value, 0.9), 4) AS exact_p90 FROM events GROUP BY event_type) "
+       + "SELECT event_type, n_sample, est_p50, est_p90, exact_p50, exact_p90 "
+       + "FROM samp JOIN ex USING (event_type) ORDER BY event_type"),
     "q241_recursive_cte" ->
       ("WITH RECURSIVE r(key, root, depth) AS ("
        + "SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 4 "

@@ -934,6 +934,43 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** Streaming twin of q243's A/B readout: the md5 arm assignment is a
+    * stateless per-row transform (pure function of user_id), so the
+    * rollup streams as one complete-mode aggregate keyed (arm, user) —
+    * state is a counts row per active user, the floor for any
+    * per-user metric — and the drained table collapses to per-arm
+    * users/clicks/purchases. Must equal the batch q243 row-for-row
+    * (same oracle), which certifies the experiment readout can move
+    * from nightly batch to live without changing a number.
+    */
+  def q253StreamAb(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q253_stream_ab_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q253")
+      val events = eventsStream(s, dir, raw)
+      val arm = when(substring(md5(col("user_id").cast("string")
+          .cast("binary")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B")
+      val q = events
+        .withColumn("arm", arm)
+        .groupBy(col("arm"), col("user_id"))
+        .agg(sum((col("event_type") === "click").cast("long")).as("clicks"),
+          sum((col("event_type") === "purchase").cast("long"))
+            .as("purchases"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name).groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"), sum(col("clicks")).as("clicks"),
+          sum(col("purchases")).as("purchases"))
+        .withColumn("purchases_per_kuser",
+          expr("purchases * 1000 div n_users"))
+        .orderBy("arm")
+    }
+
   /** Streaming dataset fingerprint: q181's order-invariant XOR
     * checksum maintained INCREMENTALLY per event_type — XOR is
     * commutative/associative with itself as inverse-free merge, so the
@@ -1066,11 +1103,14 @@ object StreamingQueries {
     "q164_stream_first_seen" -> (q164StreamFirstSeen(_, _)),
     "q176_stream_kmv" -> (q176StreamKmv(_, _)),
     "q219_stream_throttle" -> (q219StreamThrottle(_, _)),
-    "q227_stream_upsert" -> (q227StreamUpsert(_, _))
+    "q227_stream_upsert" -> (q227StreamUpsert(_, _)),
+    "q253_stream_ab" -> (q253StreamAb(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
+    // the streamed A/B readout must equal the batch assignment + rollup
+    "q253_stream_ab" -> AnalyticsQueries.oracles("q243_ab_assign"),
     // streaming MG candidates + exact recount == the plain HAVING
     // query (approximation assists the plan, never the answer — the
     // q131 contract, maintained incrementally)
