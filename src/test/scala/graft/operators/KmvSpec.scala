@@ -98,4 +98,37 @@ class KmvSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0)
     assert(r.getDouble(4) == 0.0)
   }
+
+  test("sample sketch: merged shard samples equal the direct sample") {
+    import org.apache.spark.sql.Encoders
+    val agg = udaf(new Kmv.SampleAgg(8), Encoders.product[Kmv.HV])
+    val rows = (0 until 100).map(i => (i % 5, s"id-$i", i * 1.5))
+      .toDF("shard", "k", "v")
+      .select(col("shard"), Kmv.hash60(col("k")).as("h"), col("v"))
+    val direct = rows.agg(agg(col("h"), col("v")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    val rolled = rows.groupBy(col("shard"))
+      .agg(agg(col("h"), col("v")).as("s"))
+      .select(explode(col("s")).as("s"))
+      .select(col("s.h").as("h"), col("s.v").as("v"))
+      .agg(agg(col("h"), col("v")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    // bottom-k-by-hash of merged bottom-ks IS bottom-k of the union,
+    // values riding along — the mergeability that makes it a sketch
+    assert(rolled == direct)
+    assert(direct.size == 8)
+  }
+
+  test("sample sketch keeps exactly the k globally-smallest hashes") {
+    import org.apache.spark.sql.Encoders
+    val agg = udaf(new Kmv.SampleAgg(4), Encoders.product[Kmv.HV])
+    val rows = (0 until 50).map(i => (s"id-$i", i.toDouble)).toDF("k", "v")
+      .select(Kmv.hash60(col("k")).as("h"), col("v"))
+    val kept = rows.agg(agg(col("h"), col("v")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val expected = rows.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(_._1).take(4).toSeq
+    assert(kept == expected)
+  }
 }
