@@ -37,8 +37,13 @@ object Checkpoints {
         // (re)point it when the configured root actually changed
         if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
           sc.setCheckpointDir(dir)
-        df.checkpoint()
-      case None => df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.sql.GraftBridge.clampCheckpointStats(df.checkpoint())
+      case None =>
+        // clampCheckpointStats: without it, a loop that joins a cut
+        // result with itself (pointer doubling) squares the inherited
+        // size estimate every round — see the bridge scaladoc
+        org.apache.spark.sql.GraftBridge.clampCheckpointStats(
+          df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER))
     }
 
   /** Eagerly drop the block storage behind a previous [[cut]] result.

@@ -2156,6 +2156,120 @@ object AnalyticsQueries {
       est.join(exact, Seq("event_type")).orderBy("event_type")
     }),
 
+    // pattern-with-EXCLUSION detection: views never followed by a
+    // click from the same user within the hour (browse abandonment).
+    // The negative condition is a user-keyed LEFT join + null filter —
+    // equality shuffle key, the range residual — never a sequence scan
+    // with backtracking; per-day rates in exact ppm
+    "q257_abandonment" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"),
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("vu"), col("sec").as("vsec"),
+          col("event_id").as("vid"), col("day"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("sec").as("csec"))
+      val matched = views.join(clicks,
+          col("vu") === col("cu") && col("csec") > col("vsec") &&
+            col("csec") <= col("vsec") + 3600, "left")
+        .groupBy(col("day"), col("vid"))
+        .agg(max(col("csec").isNotNull.cast("int")).as("converted"))
+      matched.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum((col("converted") === 0).cast("long")).as("n_abandoned"))
+        .withColumn("abandoned_ppm",
+          expr("n_abandoned * 1000000 div n_views"))
+        .orderBy("day")
+    }),
+
+    // rank-biased overlap between the two q211 rankers (BM25 vs term
+    // density): the top-weighted "how much do two rankings agree"
+    // metric retrieval A/B tests report. Both rankings are bounded
+    // top-20 cuts, so RBO is a 20-term fold — evaluated over a SORTED
+    // depth array (deterministic summation order on any engine)
+    "q258_rbo" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val terms = Seq("vector", "join", "data")
+      val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+      val r1 = TextOps.bm25Search(docs, "doc_id", "text", terms, topN = 20)
+        .withColumn("ra", row_number().over(wAll))
+        .select(col("doc_id"), col("ra"))
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val r2 = toks.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .select(col("doc_id"),
+          round(col("tf").cast("double") / col("dl"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .withColumn("rb", row_number().over(wAll))
+        .select(col("doc_id"), col("rb"))
+      val depths = s.range(1, 21).select(col("id").cast("int").as("dpt"))
+      val overlaps = depths.crossJoin(
+          r1.join(r2, Seq("doc_id")).select(
+            greatest(col("ra"), col("rb")).as("mx")))
+        .groupBy(col("dpt"))
+        .agg(sum((col("mx") <= col("dpt")).cast("long")).as("ov"))
+      overlaps
+        .agg(array_sort(collect_list(struct(col("dpt"), col("ov"))))
+          .as("terms"))
+        .select(round(expr(
+          """aggregate(terms, CAST(0.0 AS DOUBLE),
+             (acc, x) -> acc + power(0.9, x.dpt - 1) * x.ov / x.dpt,
+             acc -> acc * 0.1)"""), 4).as("rbo"))
+    }),
+
+    // CMS sketch-column re-aggregation (the last of the sketch-rollup
+    // family: KMV q235, HLL q246, sample q252): per-shard count-min
+    // cell tables — depth x width counter rows, the stored sketch —
+    // merged by PLAIN ADDITION per cell, then point-queried. The
+    // merged estimates must equal q147's direct-table estimates
+    // exactly (cells are additive), so the oracle IS q147's golden pin
+    "q255_cms_rollup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tok = docs.select(pmod(col("doc_id"), lit(7L)).as("shard"),
+          explode(split(col("text"), " ")).as("cm_key"))
+        .filter(col("cm_key") =!= "")
+      val daily = tok
+        .select(col("shard"), col("cm_key"),
+          explode(array((0 until 4).map(lit(_)): _*)).as("r"))
+        .groupBy(col("shard"), col("r"),
+          pmod(xxhash64(col("r"), col("cm_key")), lit(256)).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val merged = daily.groupBy(col("r"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val top = TextOps.wordCounts(docs, "text")
+        .orderBy(col("c").desc, col("word")).limit(20)
+      graft.operators.CountMin.estimate(merged, top, "word", 4, 256)
+        .join(top, "word")
+        .select(col("word"), col("c").as("exact"), col("est"))
+        .orderBy(col("exact").desc, col("word"))
+    }),
+
+    // A/B x funnel: the q243 deterministic arms crossed with the q74
+    // ordered funnel — per arm, users reaching view -> click ->
+    // purchase within the gap. The composition every experiment
+    // readout actually is; arm is a pure row function so the per-step
+    // frontier plan (16 B/user) is unchanged
+    "q256_funnel_ab" -> ((s, d) => {
+      val arm = when(substring(md5(col("user_id").cast("string")
+          .cast("binary")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"), "A").otherwise("B")
+      val ev = t(s, d, "events").withColumn("arm", arm)
+      Seq("A", "B").map { a =>
+        EventAnalytics.funnel(ev.filter(col("arm") === a), "user_id", "ts",
+            "event_type", Seq("view", "click", "purchase"),
+            maxGapSeconds = 7L * 86400)
+          .select(lit(a).as("arm"), col("step"), col("step_name"),
+            col("n_users"))
+      }.reduce(_.unionAll(_)).orderBy("arm", "step")
+    }),
+
     // recursive CTE hierarchy rollup (WITH RECURSIVE, new in Spark 4):
     // parts form a quaternary taxonomy (parent = p_partkey div 4);
     // the recursion walks DOWN from the roots carrying (root, depth),
@@ -4225,6 +4339,56 @@ object AnalyticsQueries {
        + "COUNT(DISTINCT user_id % 10)::BIGINT AS l_div, "
        + "(COUNT(DISTINCT user_id % 10) < 3)::INT::BIGINT AS suppress "
        + "FROM events GROUP BY event_type, hour(ts) ORDER BY event_type, hod"),
+    // the rollup from stored cells must equal the direct table —
+    // additive cells make rollup==rebuild, so q147's pin IS the oracle
+    "q255_cms_rollup" -> golden("q147_cms", "word, exact, est", "exact DESC, word"),
+    "q257_abandonment" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec, "
+       + "event_id, strftime(ts, '%Y-%m-%d') AS day FROM events), "
+       + "v AS (SELECT user_id AS vu, sec AS vsec, event_id AS vid, day FROM e WHERE event_type = 'view'), "
+       + "c AS (SELECT user_id AS cu, sec AS csec FROM e WHERE event_type = 'click'), "
+       + "m AS (SELECT day, vid, MAX(CASE WHEN csec IS NOT NULL THEN 1 ELSE 0 END) AS converted "
+       + "FROM v LEFT JOIN c ON vu = cu AND csec > vsec AND csec <= vsec + 3600 GROUP BY day, vid), "
+       + "g AS (SELECT day, COUNT(*)::BIGINT AS n_views, "
+       + "SUM(CASE WHEN converted = 0 THEN 1 ELSE 0 END)::BIGINT AS n_abandoned FROM m GROUP BY day) "
+       + "SELECT day, n_views, n_abandoned, n_abandoned * 1000000 // n_views AS abandoned_ppm "
+       + "FROM g ORDER BY day"),
+    "q258_rbo" ->
+      ("WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
+       "dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id), " +
+       "stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), " +
+       "tf AS (SELECT id, w, COUNT(*) AS tf FROM tok2 WHERE w IN ('vector', 'join', 'data') GROUP BY id, w), " +
+       "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+       "bm AS (SELECT tf.id, ROUND(SUM(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) * " +
+       "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
+       "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id), " +
+       "bmr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS ra FROM " +
+       "(SELECT * FROM bm ORDER BY score DESC, id LIMIT 20) t), " +
+       "dens AS (SELECT tf.id, ROUND(SUM(tf.tf)::DOUBLE / MIN(dl.dl), 4) AS score " +
+       "FROM tf JOIN dl USING (id) GROUP BY tf.id), " +
+       "der AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rb FROM " +
+       "(SELECT * FROM dens ORDER BY score DESC, id LIMIT 20) t), " +
+       "mx AS (SELECT GREATEST(bmr.ra, der.rb) AS mx FROM bmr JOIN der USING (id)), " +
+       "ov AS (SELECT d.dpt, SUM(CASE WHEN mx.mx <= d.dpt THEN 1 ELSE 0 END)::BIGINT AS ov " +
+       "FROM (SELECT unnest(range(1, 21)) AS dpt) d CROSS JOIN mx GROUP BY d.dpt), " +
+       "l AS (SELECT list(ov ORDER BY dpt) AS ovs FROM ov) " +
+       "SELECT ROUND(0.1 * list_sum(list_transform(range(1, 21), " +
+       "d -> power(0.9, d - 1) * ovs[d] / d)), 4) AS rbo FROM l"),
+    "q256_funnel_ab" ->
+      ("WITH e AS (SELECT user_id AS u, event_type AS et, epoch(date_trunc('second', ts))::BIGINT AS t, "
+       + "CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) IN ('0','1','2','3','4','5','6','7') "
+       + "THEN 'A' ELSE 'B' END AS arm FROM events), "
+       + "s0 AS (SELECT arm, u, MIN(t) AS t FROM e WHERE et = 'view' GROUP BY arm, u), "
+       + "s1 AS (SELECT s0.arm, e.u, MIN(e.t) AS t FROM e JOIN s0 USING (u) "
+       + "WHERE e.et = 'click' AND e.t > s0.t AND e.t <= s0.t + 604800 GROUP BY s0.arm, e.u), "
+       + "s2 AS (SELECT s1.arm, e.u, MIN(e.t) AS t FROM e JOIN s1 USING (u) "
+       + "WHERE e.et = 'purchase' AND e.t > s1.t AND e.t <= s1.t + 604800 GROUP BY s1.arm, e.u) "
+       + "SELECT arm, step, step_name, n_users FROM ("
+       + "SELECT arm, 0::BIGINT AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s0 GROUP BY arm "
+       + "UNION ALL SELECT arm, 1::BIGINT, 'click', COUNT(*) FROM s1 GROUP BY arm "
+       + "UNION ALL SELECT arm, 2::BIGINT, 'purchase', COUNT(*) FROM s2 GROUP BY arm) "
+       + "ORDER BY arm, step"),
     "q251_time_travel" ->
       ("WITH log AS (SELECT o_custkey AS k, o_orderdate AS ts, "
        + "CASE WHEN o_orderpriority LIKE '1%' THEN 'D' ELSE 'U' END AS op, o_totalprice AS nb "

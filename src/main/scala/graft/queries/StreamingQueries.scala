@@ -971,6 +971,46 @@ object StreamingQueries {
         .orderBy("arm")
     }
 
+  /** Streaming twin of q252's quantile sketch: the bottom-k-by-hash
+    * sample absorbs each micro-batch through the same merge the batch
+    * shuffle uses (mergeable == streamable, the q176 principle, now
+    * for the quantile axis). State is <= k (hash, value) pairs per
+    * type — constant over an unbounded stream; the drained sketch must
+    * yield the exact same p50/p90 estimates as the batch sketch, so
+    * the oracle is shared.
+    */
+  def q254StreamSampleQuantiles(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q254_stream_sample_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q254")
+      val agg = udaf(new graft.operators.Kmv.SampleAgg(512),
+        org.apache.spark.sql.Encoders.product[graft.operators.Kmv.HV])
+      val events = eventsStream(s, dir, raw)
+      val q = events
+        .select(col("event_type"),
+          graft.operators.Kmv.hash60(col("event_id")).as("h"),
+          col("value").as("v"))
+        .groupBy(col("event_type"))
+        .agg(agg(col("h"), col("v")).as("sample"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      val est = s.table(name)
+        .select(col("event_type"), explode(col("sample")).as("smp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sample"),
+          round(expr("percentile(smp.v, 0.5)"), 4).as("est_p50"),
+          round(expr("percentile(smp.v, 0.9)"), 4).as("est_p90"))
+      val exact = graft.engine.Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("exact_p90"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
+    }
+
   /** Streaming dataset fingerprint: q181's order-invariant XOR
     * checksum maintained INCREMENTALLY per event_type — XOR is
     * commutative/associative with itself as inverse-free merge, so the
@@ -1104,13 +1144,16 @@ object StreamingQueries {
     "q176_stream_kmv" -> (q176StreamKmv(_, _)),
     "q219_stream_throttle" -> (q219StreamThrottle(_, _)),
     "q227_stream_upsert" -> (q227StreamUpsert(_, _)),
-    "q253_stream_ab" -> (q253StreamAb(_, _))
+    "q253_stream_ab" -> (q253StreamAb(_, _)),
+    "q254_stream_sample" -> (q254StreamSampleQuantiles(_, _))
   )
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
     // the streamed A/B readout must equal the batch assignment + rollup
     "q253_stream_ab" -> AnalyticsQueries.oracles("q243_ab_assign"),
+    // the streamed quantile sketch must equal the batch sketch exactly
+    "q254_stream_sample" -> AnalyticsQueries.oracles("q252_sample_quantiles"),
     // streaming MG candidates + exact recount == the plain HAVING
     // query (approximation assists the plan, never the answer — the
     // q131 contract, maintained incrementally)
