@@ -130,6 +130,23 @@ case class SignPack64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Late-interaction MaxSim FLOAT[]×FLOAT[] → BIGINT as a single
+  * codegen kernel call — see [[VecKernels.maxSim]] for the exact
+  * integer-quantized arithmetic contract.
+  */
+case class MaxSimQuant(left: Expression, right: Expression,
+    m: Int, dsub: Int, scale: Long) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.maxSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, dsub, scale)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.maxSim($a, $b, $m, $dsub, ${scale}L)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class FloatHyperplaneBucket(child: Expression, nPlanes: Int, seed: Int)
     extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType

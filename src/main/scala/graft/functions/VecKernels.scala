@@ -188,6 +188,54 @@ object VecKernels {
     bits
   }
 
+  /** Late-interaction MaxSim (the ColBERT scoring shape) over two
+    * FLOAT[] vectors viewed as `m` token sub-vectors of `dsub` dims:
+    *   score = Σ_{qi<m} max_{dj<m} dot(qTok_qi, dTok_dj)
+    * Every element is first quantized to BIGINT with the identical
+    * HALF_UP rounding [[jlProject]] uses (and the DuckDB oracle
+    * re-executes), so the token dots — and therefore the score — are
+    * exact integer arithmetic: bit-identical on any engine, any
+    * summation order. One per-row primitive loop (m²·dsub multiplies)
+    * inside whole-stage codegen; the HOF formulation would evaluate
+    * m²·dsub interpreted lambdas per row (the q167 failure mode).
+    */
+  def maxSim(a: ArrayData, b: ArrayData, m: Int, dsub: Int,
+      scale: Long): Long = {
+    val n = m * dsub
+    def quant(v: ArrayData): Array[Long] = {
+      val q = new Array[Long](n)
+      val len = math.min(v.numElements(), n)
+      var i = 0
+      while (i < len) {
+        val d = v.getFloat(i).toDouble * scale
+        val r =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        q(i) = r.toLong
+        i += 1
+      }
+      q
+    }
+    val qa = quant(a); val qb = quant(b)
+    var score = 0L
+    var qi = 0
+    while (qi < m) {
+      var best = Long.MinValue
+      var dj = 0
+      while (dj < m) {
+        var dp = 0L
+        var p = 0
+        while (p < dsub) { dp += qa(qi * dsub + p) * qb(dj * dsub + p); p += 1 }
+        if (dp > best) best = dp
+        dj += 1
+      }
+      score += best
+      qi += 1
+    }
+    score
+  }
+
   def l2(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0

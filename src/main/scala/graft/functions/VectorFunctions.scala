@@ -61,4 +61,14 @@ object VectorFunctions {
     * between two codes is `bit_count(a ^ b)`.
     */
   def signBits(v: Column): Column = column(SignPack64(expression(v)))
+
+  /** Late-interaction MaxSim score (ColBERT shape): both vectors are
+    * viewed as `m` token sub-vectors of `dsub` dims, each element
+    * quantized to BIGINT at `scale`, and the score is
+    * Σ_q max_d dot(qTok, dTok) in exact integer arithmetic — one
+    * codegen loop per pair (see [[VecKernels.maxSim]]).
+    */
+  def maxSimQ(a: Column, b: Column, m: Int, dsub: Int,
+      scale: Long = 1000L): Column =
+    column(MaxSimQuant(expression(a), expression(b), m, dsub, scale))
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (community detection) over a directed
+  * edge list — the deterministic variant: every node starts labeled
+  * with its own id; each round, a node adopts the label that is most
+  * frequent among its in-neighbors, ties broken by the SMALLEST label.
+  * With both the frequency count and the tie-break in exact integer
+  * arithmetic the fixed number of rounds unrolls to a CTE oracle in
+  * another engine, the same certification design as [[PageRank]].
+  * (Classic LPA randomizes update order and tie-breaks — fine for
+  * exploration, useless for a result another engine must reproduce.)
+  *
+  * Scale (Pregel-on-DataFrames): the edge list is attached to the loop
+  * once, hash-partitioned on `src` and pinned, so each round moves
+  * only the |V|-row label relation. A round is one equi-join plus TWO
+  * map-side-combinable aggregations — count per (node, label), then
+  * argmin_{(-count, label)} per node via `min(struct(...))` — no
+  * window, no sort: the per-node winner reduces inside the shuffle
+  * exactly like a MIN. Lineage is cut per round through
+  * [[graft.engine.Checkpoints]] with the previous round's blocks
+  * released eagerly ([[PageRank]]'s measured-best pattern).
+  *
+  * Requires every node to appear as a source (symmetrize first) —
+  * community detection is an undirected notion here.
+  */
+object Lpa {
+  /** @param edges (src: long, dst: long), deduplicated, symmetrized.
+    * @return (node, community) after `iterations` synchronous rounds.
+    */
+  def run(edges: DataFrame, iterations: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("e_src"),
+      col("dst").cast("long").as("e_dst"))
+      .repartition(col("e_src"))
+      .persist()
+    var labels = e.select(col("e_src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var lastCut: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val votes = labels
+        .join(e, col("node") === col("e_src"))
+        .groupBy(col("e_dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val plan = votes
+        .groupBy(col("e_dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("w"))
+        .select(col("e_dst").as("node"), col("w.l").as("lbl"))
+      val next = graft.engine.Checkpoints.cut(plan)
+      if (lastCut != null) graft.engine.Checkpoints.release(lastCut)
+      lastCut = next
+      labels = next
+    }
+    e.unpersist()
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+}

@@ -2270,6 +2270,76 @@ object AnalyticsQueries {
       }.reduce(_.unionAll(_)).orderBy("arm", "step")
     }),
 
+    // late-interaction retrieval (the ColBERT scoring shape): query and
+    // doc vectors viewed as 8 token sub-vectors of 8 dims; score =
+    // sum over query tokens of the max dot against any doc token. The
+    // m^2*dsub arithmetic runs as ONE codegen kernel per (query, doc)
+    // pair (MaxSimQuant — the q167 lesson applied up front), in
+    // integer-quantized exact BIGINT so the oracle re-executes it.
+    // Queries broadcast; the corpus never shuffles before scoring; the
+    // top-k cut is the WindowGroupLimit rank-filter shape
+    "q259_maxsim" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      c.crossJoin(broadcast(q)).filter(col("qid") =!= col("cid"))
+        .withColumn("score", graft.functions.VectorFunctions.maxSimQ(
+          col("qv"), col("cv"), m = 8, dsub = 8))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("cid"), col("score"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // small-file compaction planner (the lakehouse maintenance op a
+    // 100 TB table needs continuously): files modeled as (source,
+    // doc_id div 100) stats rows; within each partition the planner
+    // assigns file k to bin floor(preceding-bytes / target) — one
+    // groupBy + one window per partition, cost O(files), never
+    // touching file CONTENTS. Output: per-bin file count and bytes,
+    // i.e. the rewrite task list a compactor would execute
+    "q260_compaction" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = t(s, d, "documents")
+        .groupBy(col("source"), expr("doc_id div 100").as("file_seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val w = Window.partitionBy(col("source")).orderBy(col("file_seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("coalesce(cum, 0L) div 262144"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+          sum(col("n_docs")).as("n_docs"))
+        .orderBy("source", "bin")
+    }),
+
+    // label-propagation communities over the customer<->supplier trade
+    // graph (q125's symmetric edge list): 5 synchronous rounds, each
+    // node adopting its in-neighbors' most frequent label with
+    // smallest-label tie-break — all-integer, so the rounds unroll to
+    // an exact CTE oracle. Per round: one equi-join against the pinned
+    // edge list + two map-side-combinable aggs (count per (node,
+    // label), then min(struct(-cnt, lbl)) per node — no window, no
+    // sort); lineage cut per round, PageRank's pattern
+    "q261_lpa" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      graft.operators.Lpa.run(edges, iterations = 5)
+        .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
+    }),
+
     // recursive CTE hierarchy rollup (WITH RECURSIVE, new in Spark 4):
     // parts form a quaternary taxonomy (parent = p_partkey div 4);
     // the recursion walks DOWN from the roots carrying (root, depth),
@@ -3058,6 +3128,28 @@ object AnalyticsQueries {
     * Spark, `//` in DuckDB), so the ranks match bit-for-bit with no
     * float-order tolerance and no golden pin.
     */
+  /** q261's oracle: 5 unrolled synchronous label-propagation rounds —
+    * per round each node takes the (COUNT DESC, label ASC)-first label
+    * among its in-neighbors, exactly the `min(struct(-cnt, lbl))`
+    * reduction the Spark side runs; all-integer, so the final
+    * community sizes are engine-independent.
+    */
+  private def lpaOracle: String = {
+    val base =
+      "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+      "edges AS (SELECT c AS src, su AS dst FROM pairs UNION ALL SELECT su, c FROM pairs), " +
+      "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"
+    val iters = (1 to 5).map { i =>
+      s"l$i AS (SELECT node, lbl FROM (SELECT e.dst AS node, p.lbl AS lbl, " +
+      "ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, p.lbl) AS rn " +
+      s"FROM l${i - 1} p JOIN edges e ON p.node = e.src GROUP BY e.dst, p.lbl) t WHERE rn = 1)"
+    }.mkString(", ", ", ", " ")
+    base + iters +
+      "SELECT lbl AS community, COUNT(*)::BIGINT AS n_members FROM l5 " +
+      "GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"
+  }
+
   private def pagerankOracle: String = {
     val base =
       "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su " +
@@ -4389,6 +4481,30 @@ object AnalyticsQueries {
        + "UNION ALL SELECT arm, 1::BIGINT, 'click', COUNT(*) FROM s1 GROUP BY arm "
        + "UNION ALL SELECT arm, 2::BIGINT, 'purchase', COUNT(*) FROM s2 GROUP BY arm) "
        + "ORDER BY arm, step"),
+    // identical integer quantization (round(x*1000) BIGINT) and exact
+    // integer token dots — any summation order reproduces the score
+    "q259_maxsim" ->
+      ("WITH v AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS i FROM embeddings), "
+       + "q AS (SELECT vec_id, i // 8 AS tok, i % 8 AS p, CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xq FROM v), "
+       + "qt AS (SELECT * FROM q WHERE vec_id < 8), "
+       + "dp AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.tok AS qtok, b.tok AS dtok, "
+       + "CAST(SUM(a.xq * b.xq) AS BIGINT) AS dp "
+       + "FROM qt a JOIN q b ON a.p = b.p AND a.vec_id <> b.vec_id GROUP BY 1, 2, 3, 4), "
+       + "mx AS (SELECT qid, cid, qtok, MAX(dp) AS m FROM dp GROUP BY 1, 2, 3), "
+       + "sc AS (SELECT qid, cid, CAST(SUM(m) AS BIGINT) AS score FROM mx GROUP BY 1, 2) "
+       + "SELECT qid, cid, score, rn FROM (SELECT qid, cid, score, "
+       + "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM sc) t "
+       + "WHERE rn <= 3 ORDER BY qid, rn"),
+    "q260_compaction" ->
+      ("WITH f AS (SELECT source, doc_id // 100 AS file_seq, COUNT(*)::BIGINT AS n_docs, "
+       + "SUM(n_chars)::BIGINT AS bytes FROM documents GROUP BY 1, 2), "
+       + "b AS (SELECT source, file_seq, n_docs, bytes, "
+       + "COALESCE(SUM(bytes) OVER (PARTITION BY source ORDER BY file_seq "
+       + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 262144 AS bin FROM f) "
+       + "SELECT source, CAST(bin AS BIGINT) AS bin, COUNT(*)::BIGINT AS n_files, "
+       + "SUM(bytes)::BIGINT AS bytes, SUM(n_docs)::BIGINT AS n_docs "
+       + "FROM b GROUP BY 1, 2 ORDER BY source, bin"),
+    "q261_lpa" -> lpaOracle,
     "q251_time_travel" ->
       ("WITH log AS (SELECT o_custkey AS k, o_orderdate AS ts, "
        + "CASE WHEN o_orderpriority LIKE '1%' THEN 'D' ELSE 'U' END AS op, o_totalprice AS nb "

@@ -70,4 +70,39 @@ class VecKernelsPropSpec extends AnyFunSuite {
       assert(VecKernels.agreeFrac(larr(a), larr(b)) == naive)
     }
   }
+
+  test("maxSim equals the naive quantize-then-max-dot composition") {
+    def q(x: Float): Long = {
+      val d = x.toDouble * 1000
+      java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    }
+    val m = 3; val dsub = 4
+    val g = Gen.listOfN(m * dsub, Gen.chooseNum(-2.0f, 2.0f))
+    samples(Gen.zip(g, g), 40).foreach { case (a, b) =>
+      val qa = a.map(q); val qb = b.map(q)
+      val naive = (0 until m).map { qi =>
+        (0 until m).map { dj =>
+          (0 until dsub).map(p => qa(qi * dsub + p) * qb(dj * dsub + p)).sum
+        }.max
+      }.sum
+      assert(VecKernels.maxSim(arr(a), arr(b), m, dsub, 1000L) == naive,
+        s"$a vs $b")
+    }
+  }
+
+  test("maxSim zero-pads a short vector (missing dims contribute 0)") {
+    val a = Seq(1.0f, 1.0f, 1.0f, 1.0f) // only the first token present
+    val b = Seq(1.0f, 2.0f, 3.0f, 4.0f, -1.0f, -1.0f, -1.0f, -1.0f)
+    // m=2, dsub=2 over a 4-element space: a's tokens = (1,1),(1,1);
+    // b's = (1,2),(3,4) -> per a-token max dot = 7000*1000 scaled
+    val got = VecKernels.maxSim(arr(a), arr(b), 2, 2, 1000L)
+    assert(got == 2L * 7000000L)
+    // b truncated to 4 elements on the kernel's min-length guard side:
+    // a 4-dim b against m*dsub=8 pads token 2 with zeros
+    val got2 = VecKernels.maxSim(arr(b), arr(a), 4, 2, 1000L)
+    // b tokens: (1,2),(3,4),(-1,-1),(-1,-1); a tokens: (1,1),(1,1),(0,0),(0,0)
+    // per b-token max dot vs a tokens: 3e6, 7e6, 0, 0
+    assert(got2 == 10000000L)
+  }
 }
