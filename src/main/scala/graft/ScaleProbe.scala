@@ -336,6 +336,46 @@ object ScaleProbe {
         terms = Seq("vector", "join", "data"), topN = 10).count()
     })
 
+    // q259's shape: one kernel call per (query, corpus) pair off a
+    // broadcast — the corpus scan is the only scale axis, linear bar
+    t("maxsim_topk")({
+      import org.apache.spark.sql.expressions.Window
+      val quant = (c: org.apache.spark.sql.Column) =>
+        graft.functions.VectorFunctions.quantizeVec(c, n = 64)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), quant(col("embedding")).as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("cid"))
+      e.select(col("vec_id").as("cid"), quant(col("embedding")).as("cv"))
+        .crossJoin(broadcast(q)).filter(col("qid") =!= col("cid"))
+        .withColumn("score", graft.functions.VectorFunctions.maxSimPre(
+          col("qv"), col("cv"), m = 8, dsub = 8))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).count()
+    })
+    // q261's shape: 5 synchronous rounds over the symmetric co-purchase
+    // graph — per round one join vs the pinned edge list + two combinable
+    // aggs; per-replica subgraphs are disjoint, so linear is the bar
+    t("lpa_5rounds")({
+      val sym = coEdges.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(coEdges.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.Lpa.run(sym, iterations = 5).count()
+    })
+    // q260's shape: one groupBy + one per-partition window over FILE
+    // STATS (never contents) — cost rides the file count
+    t("compaction_plan")({
+      import org.apache.spark.sql.expressions.Window
+      val files = d.withColumn("source", pmod(col("doc_id"), lit(20L)))
+        .groupBy(col("source"), expr("doc_id div 100").as("file_seq"))
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("bytes"))
+      val w = Window.partitionBy(col("source")).orderBy(col("file_seq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("coalesce(cum, 0L) div 262144"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files")).count()
+    })
+
     spark.stop()
   }
 }

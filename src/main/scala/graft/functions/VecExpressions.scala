@@ -147,6 +147,39 @@ case class MaxSimQuant(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** [[MaxSimQuant]]'s quantization stage as its own expression:
+  * FLOAT[] → BIGINT[n] (see [[VecKernels.quantizeVec]]) — applied once
+  * per stored vector so pair scoring ([[MaxSimPre]]) is pure long math.
+  */
+case class QuantizeVec(child: Expression, n: Int, scale: Long)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    VecKernels.quantizeVec(a.asInstanceOf[ArrayData], n, scale)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VecKernels.quantizeVec($a, $n, ${scale}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** MaxSim over two pre-quantized BIGINT[] vectors — see
+  * [[VecKernels.maxSimPre]].
+  */
+case class MaxSimPre(left: Expression, right: Expression, m: Int, dsub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.maxSimPre(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      m, dsub)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecKernels.maxSimPre($a, $b, $m, $dsub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class FloatHyperplaneBucket(child: Expression, nPlanes: Int, seed: Int)
     extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType

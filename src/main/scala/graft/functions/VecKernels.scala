@@ -202,22 +202,55 @@ object VecKernels {
   def maxSim(a: ArrayData, b: ArrayData, m: Int, dsub: Int,
       scale: Long): Long = {
     val n = m * dsub
-    def quant(v: ArrayData): Array[Long] = {
-      val q = new Array[Long](n)
-      val len = math.min(v.numElements(), n)
-      var i = 0
-      while (i < len) {
-        val d = v.getFloat(i).toDouble * scale
-        val r =
-          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
-          else java.math.BigDecimal.valueOf(d)
-            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
-        q(i) = r.toLong
-        i += 1
-      }
-      q
+    val qa = quantArray(a, n, scale); val qb = quantArray(b, n, scale)
+    maxSimLong(qa, qb, m, dsub)
+  }
+
+  private def quantArray(v: ArrayData, n: Int, scale: Long): Array[Long] = {
+    val q = new Array[Long](n)
+    val len = math.min(v.numElements(), n)
+    var i = 0
+    while (i < len) {
+      val d = v.getFloat(i).toDouble * scale
+      val r =
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+        else java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      q(i) = r.toLong
+      i += 1
     }
-    val qa = quant(a); val qb = quant(b)
+    q
+  }
+
+  /** [[maxSim]]'s quantization stage alone: FLOAT[] → BIGINT[n]
+    * (round(x·scale) HALF_UP, zero-padded/truncated to n). Quantize
+    * each vector ONCE at rest, then score pairs with [[maxSimPre]] —
+    * the per-pair cost drops to pure long multiplies (the one-shot
+    * [[maxSim]] re-rounds both sides on every pair: measured ~6× the
+    * cost at 20× sf0.1).
+    */
+  def quantizeVec(v: ArrayData, n: Int, scale: Long): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(quantArray(v, n, scale))
+
+  /** MaxSim over two ALREADY-QUANTIZED BIGINT[] vectors (see
+    * [[quantizeVec]]) — result-identical to [[maxSim]] on the
+    * pre-quantization floats.
+    */
+  def maxSimPre(a: ArrayData, b: ArrayData, m: Int, dsub: Int): Long = {
+    val n = m * dsub
+    val qa = new Array[Long](n); val qb = new Array[Long](n)
+    var i = 0
+    val la = math.min(a.numElements(), n)
+    while (i < la) { qa(i) = a.getLong(i); i += 1 }
+    i = 0
+    val lb = math.min(b.numElements(), n)
+    while (i < lb) { qb(i) = b.getLong(i); i += 1 }
+    maxSimLong(qa, qb, m, dsub)
+  }
+
+  private def maxSimLong(qa: Array[Long], qb: Array[Long],
+      m: Int, dsub: Int): Long = {
     var score = 0L
     var qi = 0
     while (qi < m) {

@@ -2281,13 +2281,15 @@ object AnalyticsQueries {
     "q259_maxsim" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = t(s, d, "embeddings")
+      val quant = (c: org.apache.spark.sql.Column) =>
+        graft.functions.VectorFunctions.quantizeVec(c, n = 64)
       val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        .select(col("vec_id").as("qid"), quant(col("embedding")).as("qv"))
+      val c = e.select(col("vec_id").as("cid"), quant(col("embedding")).as("cv"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("score").desc, col("cid"))
       c.crossJoin(broadcast(q)).filter(col("qid") =!= col("cid"))
-        .withColumn("score", graft.functions.VectorFunctions.maxSimQ(
+        .withColumn("score", graft.functions.VectorFunctions.maxSimPre(
           col("qv"), col("cv"), m = 8, dsub = 8))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

@@ -91,6 +91,17 @@ class VecKernelsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizeVec + maxSimPre equals the one-shot maxSim exactly") {
+    val m = 4; val dsub = 3
+    val g = Gen.listOfN(m * dsub, Gen.chooseNum(-5.0f, 5.0f))
+    samples(Gen.zip(g, g), 40).foreach { case (a, b) =>
+      val qa = VecKernels.quantizeVec(arr(a), m * dsub, 1000L)
+      val qb = VecKernels.quantizeVec(arr(b), m * dsub, 1000L)
+      assert(VecKernels.maxSimPre(qa, qb, m, dsub) ==
+        VecKernels.maxSim(arr(a), arr(b), m, dsub, 1000L), s"$a vs $b")
+    }
+  }
+
   test("maxSim zero-pads a short vector (missing dims contribute 0)") {
     val a = Seq(1.0f, 1.0f, 1.0f, 1.0f) // only the first token present
     val b = Seq(1.0f, 2.0f, 3.0f, 4.0f, -1.0f, -1.0f, -1.0f, -1.0f)
