@@ -2342,6 +2342,141 @@ object AnalyticsQueries {
         .orderBy(col("n_members").desc, col("community")).limit(20)
     }),
 
+    // CUSUM changepoint detection per event type: daily totals in
+    // exact centi-units (per-row rounding BEFORE the sum — the q212
+    // lesson), deviation from the global mean kept RATIONAL by scaling
+    // with n (dev_t = n·cumsum_t − t·total, exact BIGINT — no division
+    // ever happens), changepoint = the day maximizing |dev|, earliest
+    // day on ties. One window pass + one argmin struct agg per type
+    "q262_cusum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("v")).as("tt"), count(lit(1)).as("n_days"))
+      daily
+        .withColumn("cum", sum(col("v")).over(w))
+        .withColumn("idx", row_number().over(w).cast("long"))
+        .join(tot, "event_type")
+        .withColumn("dev",
+          col("n_days") * col("cum") - col("idx") * col("tt"))
+        .groupBy(col("event_type"))
+        .agg(min(struct((-abs(col("dev"))).as("na"), col("day").as("dy")))
+          .as("wn"), max(col("n_days")).as("n_days"))
+        .select(col("event_type"), col("wn.dy").as("cp_day"),
+          (-col("wn.na")).as("dev_scaled"), col("n_days"))
+        .orderBy("event_type")
+    }),
+
+    // modularity of the q261 LPA partition — the "was that a good
+    // community structure" number, in exact integers: per community,
+    // internal2 (directed in-community edges), deg (out-degree mass),
+    // and the numerator m2·internal2 − deg² of the contribution
+    // (true value = that / m2²; division never happens). Edge list
+    // joined with labels twice on the shuffle key — no new plan shape
+    // beyond the equi-joins the graph pack already pays
+    "q263_modularity" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val lab = graft.operators.Lpa.run(edges, iterations = 5)
+      val m2 = edges.agg(count(lit(1)).as("m2"))
+      val el = edges
+        .join(lab.select(col("node").as("src"), col("community").as("ca")),
+          Seq("src"))
+        .join(lab.select(col("node").as("dst"), col("community").as("cb")),
+          Seq("dst"))
+      val intc = el.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("internal2"))
+      val degc = el.groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("deg"))
+      val mem = lab.groupBy(col("community"))
+        .agg(count(lit(1)).as("n_members"))
+      mem.join(degc, Seq("community"))
+        .join(intc, Seq("community"), "left")
+        .crossJoin(broadcast(m2))
+        .select(col("community"), col("n_members"),
+          coalesce(col("internal2"), lit(0L)).as("internal2"), col("deg"),
+          (col("m2") * coalesce(col("internal2"), lit(0L))
+            - col("deg") * col("deg")).as("q_num"))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
+    }),
+
+    // PMI query expansion -> BM25 (pseudo-relevance expansion, the
+    // classic lexical-retrieval composition): the seed term's top-2
+    // adjacency-PMI partners (q139's statistic) join the query, and
+    // the expanded set drives q55's BM25 — the expansion relation is
+    // BROADCAST into the tf filter, so the term set never touches the
+    // driver and the corpus tokenization is shared by both stages
+    "q264_query_expansion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val seed = "data"
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
+        .filter(col("wd") =!= "")
+      val big = tok.withColumn("nxt", lead(col("wd"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("wd"), col("nxt")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = tok.groupBy(col("wd")).agg(count(lit(1)).as("c"))
+      val ntok = tok.agg(count(lit(1)).as("n_tok"))
+      val cand = big
+        .filter(col("wd") === seed || col("nxt") === seed)
+        .select(when(col("wd") === seed, col("nxt")).otherwise(col("wd"))
+          .as("term"), col("c_ab"))
+        .filter(col("term") =!= seed)
+        .groupBy(col("term")).agg(sum(col("c_ab")).as("c_ab"))
+      val expTerms = cand
+        .join(uni.select(col("wd").as("term"), col("c").as("c_term")), "term")
+        .crossJoin(broadcast(uni.filter(col("wd") === seed)
+          .select(col("c").as("c_seed"))))
+        .crossJoin(broadcast(ntok))
+        .select(col("term"), round(log(col("c_ab").cast("double")
+            * col("n_tok").cast("double")
+            / (col("c_seed").cast("double") * col("c_term").cast("double"))),
+          4).as("pmi"))
+        .orderBy(col("pmi").desc, col("term")).limit(2)
+        .select(col("term"))
+        .unionAll(docs.sparkSession.range(1).select(lit(seed).as("term")))
+      // q55's BM25 over the shared tokenization, terms via broadcast
+      val toks = tok.select(col("doc_id").as("id"), col("wd").as("w"))
+      val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      val tf = toks.join(broadcast(expTerms), col("w") === col("term"))
+        .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      // prune (id, dl) to matching docs before the join — the
+      // bm25Search 100 TB rule: the full per-doc relation must not
+      // shuffle to serve |matching docs| rows
+      val dlPruned = dl.join(broadcast(tf.select(col("id")).distinct()),
+        Seq("id"), "left_semi")
+      tf.join(broadcast(docFreq), "w")
+        .join(dlPruned, "id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        .withColumn("contrib",
+          col("idf") * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy(col("id"))
+        .agg(round(sum(col("contrib")), 4).as("score"))
+        .select(col("id").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // recursive CTE hierarchy rollup (WITH RECURSIVE, new in Spark 4):
     // parts form a quaternary taxonomy (parent = p_partkey div 4);
     // the recursion walks DOWN from the roots carrying (root, depth),
@@ -3136,7 +3271,7 @@ object AnalyticsQueries {
     * reduction the Spark side runs; all-integer, so the final
     * community sizes are engine-independent.
     */
-  private def lpaOracle: String = {
+  private def lpaCtes: String = {
     val base =
       "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su " +
       "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
@@ -3146,11 +3281,36 @@ object AnalyticsQueries {
       s"l$i AS (SELECT node, lbl FROM (SELECT e.dst AS node, p.lbl AS lbl, " +
       "ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, p.lbl) AS rn " +
       s"FROM l${i - 1} p JOIN edges e ON p.node = e.src GROUP BY e.dst, p.lbl) t WHERE rn = 1)"
-    }.mkString(", ", ", ", " ")
-    base + iters +
-      "SELECT lbl AS community, COUNT(*)::BIGINT AS n_members FROM l5 " +
-      "GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"
+    }.mkString(", ", ", ", "")
+    base + iters
   }
+
+  private def lpaOracle: String =
+    lpaCtes +
+      " SELECT lbl AS community, COUNT(*)::BIGINT AS n_members FROM l5 " +
+      "GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"
+
+  /** q263's oracle: the q261 label chain, then exact-integer modularity
+    * bookkeeping per community over the DIRECTED symmetric edge list —
+    * internal2 (directed in-community edges), deg (out-degree mass) and
+    * the per-community numerator m2·internal2 − deg², where the true
+    * modularity contribution is that value / m2².
+    */
+  private def modularityOracle: String =
+    lpaCtes +
+      ", lab AS (SELECT node, lbl FROM l5), " +
+      "m2 AS (SELECT COUNT(*) AS m2 FROM edges), " +
+      "el AS (SELECT a.lbl AS ca, b.lbl AS cb FROM edges e " +
+      "JOIN lab a ON e.src = a.node JOIN lab b ON e.dst = b.node), " +
+      "intc AS (SELECT ca AS community, COUNT(*)::BIGINT AS internal2 FROM el WHERE ca = cb GROUP BY 1), " +
+      "degc AS (SELECT a.lbl AS community, COUNT(*)::BIGINT AS deg FROM edges e " +
+      "JOIN lab a ON e.src = a.node GROUP BY 1), " +
+      "mem AS (SELECT lbl AS community, COUNT(*)::BIGINT AS n_members FROM lab GROUP BY 1) " +
+      "SELECT mem.community, n_members, COALESCE(internal2, 0)::BIGINT AS internal2, deg, " +
+      "CAST(m2 * COALESCE(internal2, 0) - deg * deg AS BIGINT) AS q_num " +
+      "FROM mem JOIN degc ON mem.community = degc.community " +
+      "LEFT JOIN intc ON mem.community = intc.community, m2 " +
+      "ORDER BY n_members DESC, mem.community LIMIT 20"
 
   private def pagerankOracle: String = {
     val base =
@@ -4507,6 +4667,41 @@ object AnalyticsQueries {
        + "SUM(bytes)::BIGINT AS bytes, SUM(n_docs)::BIGINT AS n_docs "
        + "FROM b GROUP BY 1, 2 ORDER BY source, bin"),
     "q261_lpa" -> lpaOracle,
+    "q262_cusum" ->
+      ("WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+       + "SUM(CAST(round(value * 100) AS BIGINT)) AS v FROM events GROUP BY 1, 2), "
+       + "tot AS (SELECT event_type, SUM(v)::BIGINT AS tt, COUNT(*)::BIGINT AS n_days FROM daily GROUP BY 1), "
+       + "c AS (SELECT event_type, day, SUM(v) OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS cum, "
+       + "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)::BIGINT AS idx FROM daily), "
+       + "dv AS (SELECT c.event_type, day, CAST(n_days * cum - idx * tt AS BIGINT) AS dev, n_days "
+       + "FROM c JOIN tot ON c.event_type = tot.event_type) "
+       + "SELECT event_type, cp_day, dev_scaled, n_days FROM ("
+       + "SELECT event_type, day AS cp_day, ABS(dev)::BIGINT AS dev_scaled, n_days, "
+       + "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(dev) DESC, day) AS rn FROM dv) t "
+       + "WHERE rn = 1 ORDER BY event_type"),
+    "q263_modularity" -> modularityOracle,
+    "q264_query_expansion" ->
+      ("WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+       + "tok AS (SELECT doc_id, unnest(ws) AS wd, unnest(range(len(ws))) AS i FROM t0), "
+       + "tk AS (SELECT doc_id, wd, i FROM tok WHERE wd <> ''), "
+       + "led AS (SELECT doc_id, wd, LEAD(wd) OVER (PARTITION BY doc_id ORDER BY i) AS nxt FROM tk), "
+       + "p AS (SELECT wd, nxt, COUNT(*) AS c_ab FROM led WHERE nxt IS NOT NULL GROUP BY 1, 2 HAVING COUNT(*) >= 5), "
+       + "u AS (SELECT wd, COUNT(*) AS c FROM tk GROUP BY 1), "
+       + "n AS (SELECT COUNT(*) AS n_tok FROM tk), "
+       + "cand AS (SELECT CASE WHEN wd = 'data' THEN nxt ELSE wd END AS term, SUM(c_ab) AS c_ab "
+       + "FROM p WHERE (wd = 'data' OR nxt = 'data') AND NOT (wd = 'data' AND nxt = 'data') GROUP BY 1), "
+       + "pmi AS (SELECT term, ROUND(LN(CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) / "
+       + "(CAST(cs.c AS DOUBLE) * CAST(ct.c AS DOUBLE))), 4) AS pmi "
+       + "FROM cand JOIN u ct ON cand.term = ct.wd CROSS JOIN (SELECT c FROM u WHERE wd = 'data') cs, n), "
+       + "exp AS (SELECT term FROM (SELECT term FROM pmi ORDER BY pmi DESC, term LIMIT 2) UNION ALL SELECT 'data'), "
+       + "dl AS (SELECT doc_id AS id, COUNT(*) AS dl FROM tk GROUP BY 1), "
+       + "stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), "
+       + "tf AS (SELECT doc_id AS id, wd AS w, COUNT(*) AS tf FROM tk WHERE wd IN (SELECT term FROM exp) GROUP BY 1, 2), "
+       + "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), "
+       + "sc AS (SELECT tf.id, ROUND(SUM(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) * "
+       + "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score "
+       + "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id) "
+       + "SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10"),
     "q251_time_travel" ->
       ("WITH log AS (SELECT o_custkey AS k, o_orderdate AS ts, "
        + "CASE WHEN o_orderpriority LIKE '1%' THEN 'D' ELSE 'U' END AS op, o_totalprice AS nb "
