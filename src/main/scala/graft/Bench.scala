@@ -45,10 +45,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
     }
 
-    val results = ok.map { case (name, fn) =>
-      val ts = (1 to iters).map(_ => time(fn)).sorted
+    // Keep the raw per-iteration times (in run order, unsorted): a single
+    // stalled iteration is then distinguishable from a real regression
+    // without a re-run (round-9 judge burned time on exactly that
+    // ambiguity — q47/q89 landed on identical medians).
+    val raw = ok.map { case (name, fn) =>
+      val ts = (1 to iters).map(_ => time(fn))
       clearState()
-      name -> ts(ts.length / 2)
+      name -> ts
+    }
+    val results = raw.map { case (name, ts) =>
+      val sorted = ts.sorted
+      name -> sorted(sorted.length / 2)
     }
 
     // Round to ms precision: full-precision doubles made the line ~4.4 KB and
@@ -70,8 +78,14 @@ object Bench {
     // the working dir (the repo when run via sbt), overridable via
     // SPARK_GRAFT_BENCH_OUT.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // File artifact carries the per-iteration detail (`iters_s`, run order)
+    // that would blow the console line past the driver's capture window;
+    // `queries` keeps the same medians-only shape in both.
+    val itersJson = raw.map { case (k, ts) =>
+      s""""$k":[${ts.map(fmt).mkString(",")}]""" }.mkString("{", ",", "}")
+    val fileLine = line.stripSuffix("}") + s""","iters_s":$itersJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()

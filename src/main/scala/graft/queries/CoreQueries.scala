@@ -926,7 +926,7 @@ object CoreQueries {
        + "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
        + "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c"),
     "q239_share_of_total" ->
-      ("SELECT h, event_type, c, c * 1000000 // SUM(c) OVER (PARTITION BY h) AS share_ppm FROM ("
+      ("SELECT h, event_type, c, (c * 1000000 // SUM(c) OVER (PARTITION BY h))::BIGINT AS share_ppm FROM ("
        + "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS h, event_type, COUNT(*)::BIGINT AS c "
        + "FROM events GROUP BY 1, 2) t ORDER BY h, event_type"),
     "q216_ordered_collect" ->
