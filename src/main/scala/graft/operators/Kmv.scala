@@ -85,9 +85,15 @@ object Kmv {
     override def zero: Seq[HV] = Vector.empty
     private def insert(buf: Seq[HV], x: HV): Seq[HV] =
       if (buf.size >= k && x.h > buf.last.h) buf
-      else if (buf.exists(_.h == x.h)) buf
-      else if (buf.size < k) (buf :+ x).sortBy(_.h)
-      else (buf.init :+ x).sortBy(_.h)
+      else buf.indexWhere(_.h == x.h) match {
+        // hash60 collision between distinct keys: keep the SMALLER
+        // measure value so the retained pair is a pure function of the
+        // multiset, not of partition/merge encounter order — the
+        // q254 stream-equals-batch contract demands order independence
+        case i if i >= 0 => if (x.v < buf(i).v) buf.updated(i, x) else buf
+        case _ if buf.size < k => (buf :+ x).sortBy(_.h)
+        case _ => (buf.init :+ x).sortBy(_.h)
+      }
     override def reduce(buf: Seq[HV], x: HV): Seq[HV] = insert(buf, x)
     override def merge(a: Seq[HV], b: Seq[HV]): Seq[HV] =
       b.foldLeft(a)(insert)

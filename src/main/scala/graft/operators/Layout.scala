@@ -111,21 +111,39 @@ object Layout {
     * row-identical to the full-scan filter; false positives only cost
     * extra file reads at rate `fpp`). Returns (rows, filesRead,
     * filesTotal).
+    *
+    * Scale contract: the bloom probes run DISTRIBUTED over the stats
+    * table — the driver never materializes O(files) rows, only the
+    * SURVIVING paths (≈ true matches + fpp·files for a point lookup),
+    * and `maxFiles` hard-caps even that: past the cap the skip is
+    * abandoned for a plain full-directory scan, which is row-identical
+    * by construction (skipping is purely an I/O optimization). At
+    * millions of files the old collect-everything shape made the
+    * driver the bottleneck twice — once in the collect, once in the
+    * reader's explicit path-list planning.
     */
   def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
-      dir: String, bidx: DataFrame, keyCol: String, key: Long)
-      : (DataFrame, Int, Int) = {
-    val stats = bidx.select(col("file"), col("bloom")).collect()
+      dir: String, bidx: DataFrame, keyCol: String, key: Long,
+      maxFiles: Int = 65536): (DataFrame, Int, Int) = {
+    val total = bidx.count().toInt
     val h = org.apache.spark.sql.catalyst.expressions.XXH64
       .hashLong(key, 42L) // spark xxhash64's fixed seed
-    val keep = stats.filter { r =>
-      !r.isNullAt(1) && org.apache.spark.util.sketch.BloomFilter
-        .readFrom(r.getAs[Array[Byte]](1)).mightContainLong(h)
-    }.map(_.getString(0))
-    val pruned =
-      if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-    (pruned.filter(col(keyCol) === key), keep.length, stats.length)
+    // per-file-row bloom deserialization on executors; a UDF is fine
+    // here — the input is the stats table (one row per FILE), never
+    // the data itself
+    val might = udf((b: Array[Byte]) => b != null &&
+      org.apache.spark.util.sketch.BloomFilter.readFrom(b)
+        .mightContainLong(h))
+    val keep = bidx.filter(might(col("bloom"))).select(col("file"))
+      .limit(maxFiles + 1).collect().map(_.getString(0))
+    if (keep.length > maxFiles)
+      (spark.read.parquet(dir).filter(col(keyCol) === key), total, total)
+    else {
+      val pruned =
+        if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
+        else spark.read.parquet(keep.toIndexedSeq: _*)
+      (pruned.filter(col(keyCol) === key), keep.length, total)
+    }
   }
 
   /** The maintained zone map: union of every batch's stats. */
@@ -137,24 +155,36 @@ object Layout {
     * [min_key, max_key] intersects [lo, hi], then apply the exact
     * predicate to the survivors. On a z-ordered table the skipped
     * fraction approaches the selectivity — the OPTIMIZE-ZORDER payoff.
-    * Returns (rows, filesRead, filesTotal); the file list is O(files)
-    * on the driver (bounded artifact, like [[zoneMap]] itself).
+    * Returns (rows, filesRead, filesTotal).
     * Row-identical to the plain full-scan filter by construction:
     * skipping only drops files the min/max proves empty for the range.
+    *
+    * Scale contract (same as [[bloomPrunedRead]]): the range
+    * intersection is a distributed filter over the stats table; the
+    * driver collects only the SURVIVING paths, `maxFiles`-capped with
+    * a full-scan fallback — a selective range on a z-ordered table
+    * keeps survivors near the selectivity, and a non-selective one
+    * shouldn't be path-list-planned anyway.
     */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
-      zmap: DataFrame, key: String, lo: Long, hi: Long)
-      : (DataFrame, Int, Int) = {
-    val stats = zmap.select(col("file"),
-      col(s"min_$key").cast("long").as("mn"),
-      col(s"max_$key").cast("long").as("mx")).collect()
-    val keep = stats.filter(r => r.getLong(1) <= hi && r.getLong(2) >= lo)
-      .map(_.getString(0))
-    val pruned =
-      if (keep.isEmpty)
-        spark.read.parquet(dir).filter(lit(false))
-      else spark.read.parquet(keep.toIndexedSeq: _*)
-    (pruned.filter(col(key).between(lo, hi)), keep.length, stats.length)
+      zmap: DataFrame, key: String, lo: Long, hi: Long,
+      maxFiles: Int = 65536): (DataFrame, Int, Int) = {
+    val total = zmap.count().toInt
+    val keep = zmap
+      .filter(col(s"min_$key").cast("long") <= hi &&
+        col(s"max_$key").cast("long") >= lo)
+      .select(col("file"))
+      .limit(maxFiles + 1).collect().map(_.getString(0))
+    if (keep.length > maxFiles)
+      (spark.read.parquet(dir).filter(col(key).between(lo, hi)),
+        total, total)
+    else {
+      val pruned =
+        if (keep.isEmpty)
+          spark.read.parquet(dir).filter(lit(false))
+        else spark.read.parquet(keep.toIndexedSeq: _*)
+      (pruned.filter(col(key).between(lo, hi)), keep.length, total)
+    }
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -29,6 +29,15 @@ import org.apache.spark.sql.functions._
 object Lpa {
   /** @param edges (src: long, dst: long), deduplicated, symmetrized.
     * @return (node, community) after `iterations` synchronous rounds.
+    *         The result rides the FINAL round's lineage cut, whose
+    *         blocks stay resident — the caller owns them (the same
+    *         contract as [[PageRank.run]]'s returned ranks): pass the
+    *         result to [[graft.engine.Checkpoints.release]] once
+    *         consumed, or repeated invocations in one JVM each strand
+    *         one labels-sized cached RDD until `clearCache`/exit.
+    *         (Releasing it here instead would discard the only
+    *         materialization and force a full fixed-point replay on
+    *         first use.)
     */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("e_src"),

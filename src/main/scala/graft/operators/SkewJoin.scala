@@ -37,8 +37,14 @@ object SkewJoin {
         count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
       .crossJoin(broadcast(hot))
       .select(col("n_rows"), col("n_keys"), col("hot_key"), col("max_cnt"),
-        expr("max_cnt * 1000000 div n_rows").as("max_share_ppm"),
-        expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+        // the products route through DECIMAL(38,0): max_cnt*n_keys (or
+        // *1e6) can exceed Long.MaxValue exactly when skew is largest,
+        // and non-ANSI BIGINT would wrap silently; `div` on decimals
+        // still yields BIGINT, which the quotients always fit
+        expr("CAST(max_cnt AS DECIMAL(38,0)) * 1000000 div n_rows")
+          .as("max_share_ppm"),
+        expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys + n_rows - 1) div n_rows")
+          .as("salt_factor"))
   }
 
   def salted(large: DataFrame, small: DataFrame, key: String,

@@ -2610,7 +2610,11 @@ object AnalyticsQueries {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"),
           date_trunc("day", col("ts")).as("day"))
-        .agg((round(sum(col("value") * 100), 0) / 100.0).as("v"))
+        // the q212 lesson, fully applied: round per-row to exact centi
+        // longs BEFORE summing (a post-sum round is aggregation-order
+        // dependent at the .5 boundary across engines, and the Holt
+        // recursion amplifies any one-day divergence)
+        .agg((sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("v"))
       daily.groupBy(col("event_type"))
         .agg(array_sort(collect_list(struct(col("day"), col("v"))))
           .as("series"))
@@ -3974,8 +3978,8 @@ object AnalyticsQueries {
        + "s AS (SELECT SUM(cnt)::BIGINT AS n_rows, COUNT(*)::BIGINT AS n_keys, MAX(cnt)::BIGINT AS max_cnt FROM c), "
        + "h AS (SELECT user_id AS hot_key FROM c ORDER BY cnt DESC, user_id LIMIT 1) "
        + "SELECT n_rows, n_keys, hot_key, max_cnt, "
-       + "max_cnt * 1000000 // n_rows AS max_share_ppm, "
-       + "(max_cnt * n_keys + n_rows - 1) // n_rows AS salt_factor "
+       + "(max_cnt::HUGEINT * 1000000 // n_rows)::BIGINT AS max_share_ppm, "
+       + "((max_cnt::HUGEINT * n_keys + n_rows - 1) // n_rows)::BIGINT AS salt_factor "
        + "FROM s CROSS JOIN h"),
     "q217_throttle" ->
       ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
@@ -4627,8 +4631,12 @@ object AnalyticsQueries {
        "ov AS (SELECT d.dpt, SUM(CASE WHEN mx.mx <= d.dpt THEN 1 ELSE 0 END)::BIGINT AS ov " +
        "FROM (SELECT unnest(range(1, 21)) AS dpt) d CROSS JOIN mx GROUP BY d.dpt), " +
        "l AS (SELECT list(ov ORDER BY dpt) AS ovs FROM ov) " +
+       // COALESCE guards the zero-overlap corpus: with no shared ids
+       // the ov CTE is empty, list() yields NULL, and a bare ovs[d]
+       // would make the oracle NULL where the engine's aggregate over
+       // an empty collect_list correctly yields 0.0
        "SELECT ROUND(0.1 * list_sum(list_transform(range(1, 21), " +
-       "d -> power(0.9, d - 1) * ovs[d] / d)), 4) AS rbo FROM l"),
+       "d -> power(0.9, d - 1) * COALESCE(ovs[d], 0) / d)), 4) AS rbo FROM l"),
     "q256_funnel_ab" ->
       ("WITH e AS (SELECT user_id AS u, event_type AS et, epoch(date_trunc('second', ts))::BIGINT AS t, "
        + "CASE WHEN substring(md5(user_id::VARCHAR), 1, 1) IN ('0','1','2','3','4','5','6','7') "
@@ -4785,7 +4793,7 @@ object AnalyticsQueries {
        + "ORDER BY reason"),
     "q250_holt" ->
       ("WITH RECURSIVE daily AS (SELECT event_type, date_trunc('day', ts) AS day, "
-       + "ROUND(SUM(value * 100), 0) / 100.0 AS v FROM events GROUP BY event_type, date_trunc('day', ts)), "
+       + "SUM(ROUND(value * 100, 0)::BIGINT) / 100.0 AS v FROM events GROUP BY event_type, date_trunc('day', ts)), "
        + "ord AS (SELECT event_type, v, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM daily), "
        + "nd AS (SELECT event_type, MAX(rn) AS n FROM ord GROUP BY event_type), "
        + "s AS (SELECT event_type, 1 AS i, v AS l, 0.0::DOUBLE AS b FROM ord WHERE rn = 1 "

@@ -19,11 +19,18 @@ import Amqp._
   * speaking AMQP 0-9-1 — the protocol of the reference's input side
   * (reference amqp.py:36-53 connects pika to a RabbitMQ).
   */
-final class AmqpConnection(host: String, port: Int,
-    user: String = "guest", password: String = "guest",
-    vhost: String = "/", tls: Boolean = false) {
-  def this(u: AmqpUrl) =
-    this(u.host, u.port, u.user, u.password, u.vhost, u.tls)
+final class AmqpConnection(url: AmqpUrl) {
+  def this(host: String, port: Int, user: String = "guest",
+      password: String = "guest", vhost: String = "/",
+      tls: Boolean = false) =
+    this(AmqpUrl(host, port, user, password, vhost, tls))
+
+  private val host = url.host
+  private val port = url.port
+  private val user = url.user
+  private val password = url.password
+  private val vhost = url.vhost
+  private val tls = url.tls
 
   @volatile private var deadFlag = false
   def isDead: Boolean = deadFlag
@@ -36,9 +43,10 @@ final class AmqpConnection(host: String, port: Int,
   /** Called once when the connection dies (reader IOException). */
   @volatile var onDead: () => Unit = () => ()
 
-  private val sock = {
+  private def connectOnce(): Socket = {
     val plain = new Socket()
-    plain.connect(new java.net.InetSocketAddress(host, port), 10000)
+    plain.connect(new java.net.InetSocketAddress(host, port),
+      math.max(1, (url.socketTimeout * 1000).toInt))
     if (tls)
       // amqps: wrap the connected socket in the JVM's default TLS
       // context (the python equivalent of pika's amqps:// handling)
@@ -47,13 +55,33 @@ final class AmqpConnection(host: String, port: Int,
         .createSocket(plain, host, port, true)
     else plain
   }
+
+  // pika URLParameters connection_attempts/retry_delay: retry the TCP
+  // connect (only — a handshake refusal like 403 is final) with the
+  // configured pause, surfacing the last failure when attempts run out
+  private val sock = {
+    var attempt = 1
+    var s: Socket = null
+    while (s == null) {
+      try s = connectOnce()
+      catch { case e: java.io.IOException =>
+        if (attempt >= url.connectionAttempts) throw e
+        attempt += 1
+        Thread.sleep(math.max(0L, (url.retryDelay * 1000).toLong))
+      }
+    }
+    s
+  }
   sock.setSoTimeout(0) // reader blocks on deliveries indefinitely
   sock.setTcpNoDelay(true)
   private val in = new DataInputStream(
     new java.io.BufferedInputStream(sock.getInputStream))
   private val out = new DataOutputStream(
     new java.io.BufferedOutputStream(sock.getOutputStream))
-  private var frameMax = DefaultFrameMax
+  // frame_max URL param lowers the cap we negotiate down from
+  private var frameMax =
+    if (url.frameMax > 0) math.min(DefaultFrameMax, url.frameMax)
+    else DefaultFrameMax
   private val replies = new LinkedBlockingQueue[Method]()
 
   // ---- handshake (synchronous, before the reader thread owns `in`) --
@@ -63,11 +91,22 @@ final class AmqpConnection(host: String, port: Int,
   // connection URL exactly as pika builds it from URLParameters
   sendFrames(methodFrame(0, ConnectionStartOk(
     Map("product" -> "graft-spark", "version" -> "0-9-1"),
-    "PLAIN", ("\u0000" + user + "\u0000" + password).getBytes(UTF_8), "en_US")))
+    "PLAIN", ("\u0000" + user + "\u0000" + password).getBytes(UTF_8),
+    url.locale)))
   private val tune = expectSync[ConnectionTune]()
   if (tune.frameMax > 0) frameMax = math.min(frameMax, tune.frameMax)
+  // heartbeat: pika semantics - an explicit URL value wins, otherwise
+  // accept whatever the broker proposed in tune (0 = disabled). The
+  // tune-ok value is the operative interval for BOTH sides;
+  // channel_max negotiates min-positive (0 means unlimited).
+  private val heartbeatSecs = url.heartbeat.getOrElse(tune.heartbeat)
+  private val channelMax = (url.channelMax, tune.channelMax) match {
+    case (0, t) => t
+    case (c, 0) => c
+    case (c, t) => math.min(c, t)
+  }
   sendFrames(methodFrame(0,
-    ConnectionTuneOk(tune.channelMax, frameMax, 0)))
+    ConnectionTuneOk(channelMax, frameMax, heartbeatSecs)))
   sendFrames(methodFrame(0, ConnectionOpen(vhost)))
   expectSync[ConnectionOpenOk]()
 
@@ -149,6 +188,25 @@ final class AmqpConnection(host: String, port: Int,
   }, s"graft-amqp-reader-$host-$port")
   reader.setDaemon(true)
   reader.start()
+
+  // heartbeat sender: AMQP convention is to emit at half the
+  // negotiated interval so the peer's full-interval deadline is never
+  // grazed by scheduling jitter; inbound heartbeats are absorbed by
+  // the reader loop above. Only started when heartbeats are on.
+  if (heartbeatSecs > 0) {
+    val hb = new Thread(() => {
+      val pauseMs = math.max(1, heartbeatSecs) * 1000L / 2
+      try {
+        while (!deadFlag) {
+          Thread.sleep(pauseMs)
+          if (!deadFlag)
+            sendFrames(Frame(FrameHeartbeat, 0, Array.emptyByteArray))
+        }
+      } catch { case _: Throwable => () } // connection death ends us
+    }, s"graft-amqp-heartbeat-$host-$port")
+    hb.setDaemon(true)
+    hb.start()
+  }
 
   private def rpc[M <: Method](m: Method)(implicit ct: ClassTag[M]): M = {
     sendFrames(methodFrame(1, m))

@@ -121,6 +121,42 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() == 0 && readA <= 4)
   }
 
+  test("distributed prune path: maxFiles cap falls back to a row-identical full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap-").toString
+    val ev = Tables(spark, sf, "events")
+      .withColumn("vint", (col("value") / 64).cast("long"))
+    Layout.zOrdered(ev, "user_id", "vint", numFiles = 16)
+      .drop("vint", "zval")
+      .write.mode("overwrite").parquet(dir)
+    val zmap = Layout.zoneMap(spark, dir, Seq("user_id"))
+    val full = spark.read.parquet(dir)
+      .filter(col("user_id").between(10, 11))
+    // cap of 0: every survivor trips the cap — the read degrades to
+    // the plain directory scan (filesRead == filesTotal) and stays
+    // row-identical; the driver never holds a path list at all
+    val (rows, read, total) = Layout.prunedRead(spark, dir, zmap,
+      "user_id", 10L, 11L, maxFiles = 0)
+    assert(read == total)
+    assert(rows.count() == full.count() && rows.count() > 0)
+    assert(rows.agg(sum("event_id")).head().getLong(0) ==
+      full.agg(sum("event_id")).head().getLong(0))
+    // same contract on the bloom path
+    val bidx = Layout.bloomIndex(spark, dir, "event_id",
+      expectedPerFile = 4096)
+    val probe = Tables(spark, sf, "events").select("event_id")
+      .head().getLong(0)
+    val (brows, bread, btotal) = Layout.bloomPrunedRead(spark, dir,
+      bidx, "event_id", probe, maxFiles = 0)
+    assert(bread == btotal)
+    assert(brows.count() ==
+      spark.read.parquet(dir).filter(col("event_id") === probe).count())
+    // and the uncapped bloom path still prunes: the surviving-path
+    // collect is bounded by matches + fpp·files, never O(files)
+    val (_, read2, total2) = Layout.bloomPrunedRead(spark, dir,
+      bidx, "event_id", probe)
+    assert(read2 < total2)
+  }
+
   test("zoneMapAppend: incremental stats, replay-idempotent, pruning exact") {
     val dataDir = java.nio.file.Files.createTempDirectory("graft-zma-d-").toString
     val statsDir = java.nio.file.Files.createTempDirectory("graft-zma-s-").toString
