@@ -463,6 +463,60 @@ object StreamingQueries {
         .orderBy("user_id")
     }
 
+  /** Stream-stream FULL OUTER join with event-time bounds — q126's
+    * missing twin, closing the streaming join matrix: unmatched rows
+    * on BOTH sides must emit with NULLs, and each side's emission is a
+    * state-eviction side effect on ITS OWN buffer (an unmatched click
+    * emits when the watermark passes the end of the windows it could
+    * still join into, an unmatched purchase likewise). The sentinel
+    * flush rides both sides so both buffers drain; sentinel rows
+    * (user_id −1) match only each other and are dropped in the
+    * sink-side rollup. The per-user rollup counts total emitted rows
+    * and the non-NULL count per side, which pins all three emission
+    * classes (pair / purchase-only / click-only) against the batch
+    * full join.
+    */
+  def q265StreamFullOuter(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q265_stream_full_outer_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q265")
+      val (_, flushDir) = sentinelFor(s, dir)
+      def side(kind: String, idAs: String, userAs: String, tsAs: String) = {
+        val events = eventsStream(s, dir, raw)
+        val flush = s.readStream.schema(raw).parquet(flushDir)
+        events.unionByName(flush)
+          .filter(col("event_type") === kind || col("event_type") === "__flush__")
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            timestamp_seconds(tsSeconds(raw)).as(tsAs))
+          .withWatermark(tsAs, "10 minutes")
+      }
+      val purchases = side("purchase", "p_id", "p_user_id", "p_ts")
+      val clicks = side("click", "c_id", "c_user_id", "c_ts")
+      val q = purchases.join(clicks,
+          col("p_user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
+        .select(coalesce(col("p_user_id"), col("c_user_id")).as("user_id"),
+          col("p_id"), col("c_id"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_id")).as("n_purchases"),
+          count(col("c_id")).as("n_clicks"))
+        .orderBy("user_id")
+    }
+
   /** Typed rows/state/output for [[q100SessionizeState]]. `ts_s`
     * carries the watermark tag — the event-time column must reach the
     * stateful operator or analysis rejects the event-time timeout.
@@ -1136,6 +1190,7 @@ object StreamingQueries {
     "q25_stream" -> (q25Stream(_, _)),
     "q65_stream_join" -> (q65StreamJoin(_, _)),
     "q126_stream_outer" -> (q126StreamOuter(_, _)),
+    "q265_stream_full_outer" -> (q265StreamFullOuter(_, _)),
     "q82_stream" -> (q82Stream(_, _)),
     "q89_stream_static" -> (q89StreamStatic(_, _)),
     "q100_sessionize_state" -> (q100SessionizeState(_, _)),
@@ -1222,6 +1277,14 @@ object StreamingQueries {
        + "SELECT p.user_id, COUNT(*) AS n_rows, COUNT(c.c_id) AS n_matched "
        + "FROM p LEFT JOIN c ON p.user_id = c.c_user_id AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec "
        + "GROUP BY 1 ORDER BY p.user_id"),
+    "q265_stream_full_outer" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
+       + "p AS (SELECT event_id AS p_id, user_id AS p_user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'), "
+       + "c AS (SELECT event_id AS c_id, user_id AS c_user_id, sec AS c_sec FROM e WHERE event_type = 'click'), "
+       + "j AS (SELECT COALESCE(p_user_id, c_user_id) AS user_id, p_id, c_id "
+       + "FROM p FULL JOIN c ON p_user_id = c_user_id AND c_sec BETWEEN p_sec - 600 AND p_sec) "
+       + "SELECT user_id, COUNT(*) AS n_rows, COUNT(p_id) AS n_purchases, COUNT(c_id) AS n_clicks "
+       + "FROM j GROUP BY 1 ORDER BY user_id"),
     "q89_stream_static" ->
       ("SELECT c.c_nationkey, COUNT(*) AS n_purchases, ROUND(SUM(e.value), 4) AS total_value "
        + "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
