@@ -376,6 +376,114 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_files")).count()
     })
 
+    // q263's FULL composition (the parts are probed individually —
+    // lpa_5rounds, pagerank — but the composition's join order with
+    // the label relation was not): bipartite customer—supplier edges
+    // from orders⋈lineitem with disjoint key spaces per replica, LPA
+    // 5 rounds, then the double label join + exact-integer modularity
+    // rollup. Per-replica subgraphs are disjoint ⇒ linear is the bar.
+    t("modularity")({
+      val ord0 = graft.engine.Tables(spark, base, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li1 = graft.engine.Tables(spark, base, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val (maxCust, maxSupp) = {
+        val r = ord0.agg(max(col("o_custkey"))).head().getLong(0) + 1
+        val s2 = li1.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+        (r, s2)
+      }
+      val ords = spark.range(mult).crossJoin(ord0)
+        .select((col("o_orderkey") + col("id") * maxOrd).as("o_orderkey"),
+          (col("o_custkey") + col("id") * maxCust).as("o_custkey"))
+      val lis = spark.range(mult).crossJoin(li1)
+        .select((col("l_orderkey") + col("id") * maxOrd).as("l_orderkey"),
+          (col("l_suppkey") + col("id") * maxSupp).as("l_suppkey"))
+      val pairs = ords.join(lis, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+        .localCheckpoint() // probe the composition, not the edge build
+      val lab = graft.operators.Lpa.run(edges, iterations = 5)
+      val m2 = edges.agg(count(lit(1)).as("m2"))
+      val el = edges
+        .join(lab.select(col("node").as("src"), col("community").as("ca")),
+          Seq("src"))
+        .join(lab.select(col("node").as("dst"), col("community").as("cb")),
+          Seq("dst"))
+      val intc = el.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("internal2"))
+      val degc = el.groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("deg"))
+      val n = lab.groupBy(col("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .join(degc, Seq("community"))
+        .join(intc, Seq("community"), "left")
+        .crossJoin(broadcast(m2))
+        .select(col("community"),
+          (col("m2") * coalesce(col("internal2"), lit(0L))
+            - col("deg") * col("deg")).as("q_num"))
+        .count()
+      graft.engine.Checkpoints.release(lab)
+      n
+    })
+    // q264's FULL composition: one shared tokenization feeds both the
+    // PMI-expansion stage (bigram + unigram counts, top-2 partners of
+    // the seed) and the BM25 stage (tf filtered by the BROADCAST
+    // expanded term set). The corpus-wide relations (tok, big, uni)
+    // are linear in the doc count; everything after the tf filter
+    // rides |matching docs|.
+    t("query_expansion")({
+      import org.apache.spark.sql.expressions.Window
+      val seed = "data"
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tok = d.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
+        .filter(col("wd") =!= "")
+      val big = tok.withColumn("nxt", lead(col("wd"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("wd"), col("nxt")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = tok.groupBy(col("wd")).agg(count(lit(1)).as("c"))
+      val ntok = tok.agg(count(lit(1)).as("n_tok"))
+      val cand = big
+        .filter(col("wd") === seed || col("nxt") === seed)
+        .select(when(col("wd") === seed, col("nxt")).otherwise(col("wd"))
+          .as("term"), col("c_ab"))
+        .filter(col("term") =!= seed)
+        .groupBy(col("term")).agg(sum(col("c_ab")).as("c_ab"))
+      val expTerms = cand
+        .join(uni.select(col("wd").as("term"), col("c").as("c_term")), "term")
+        .crossJoin(broadcast(uni.filter(col("wd") === seed)
+          .select(col("c").as("c_seed"))))
+        .crossJoin(broadcast(ntok))
+        .select(col("term"), round(log(col("c_ab").cast("double")
+            * col("n_tok").cast("double")
+            / (col("c_seed").cast("double") * col("c_term").cast("double"))),
+          4).as("pmi"))
+        .orderBy(col("pmi").desc, col("term")).limit(2)
+        .select(col("term"))
+        .unionAll(spark.range(1).select(lit(seed).as("term")))
+      val toks = tok.select(col("doc_id").as("id"), col("wd").as("w"))
+      val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("dl")).as("avgdl"))
+      val tf = toks.join(broadcast(expTerms), col("w") === col("term"))
+        .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+      val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val dlPruned = dl.join(broadcast(tf.select(col("id")).distinct()),
+        Seq("id"), "left_semi")
+      tf.join(broadcast(docFreq), "w")
+        .join(dlPruned, "id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_terms"))
+        .count()
+    })
+
     spark.stop()
   }
 }

@@ -517,6 +517,52 @@ object StreamingQueries {
         .orderBy("user_id")
     }
 
+  /** Stream-stream RIGHT OUTER join — the last cell of the streaming
+    * join matrix (inner q65, left q126, full q265): unmatched CLICKS
+    * emit with NULL purchase id on eviction of the click buffer; the
+    * purchase side emits only on match. Same sentinel-flush discipline
+    * as q126 (both sides' watermarks must advance for the right
+    * buffer to drain).
+    */
+  def q266StreamRightOuter(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q266_stream_right_outer_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q266")
+      val (_, flushDir) = sentinelFor(s, dir)
+      def side(kind: String, idAs: String, userAs: String, tsAs: String) = {
+        val events = eventsStream(s, dir, raw)
+        val flush = s.readStream.schema(raw).parquet(flushDir)
+        events.unionByName(flush)
+          .filter(col("event_type") === kind || col("event_type") === "__flush__")
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            timestamp_seconds(tsSeconds(raw)).as(tsAs))
+          .withWatermark(tsAs, "10 minutes")
+      }
+      val purchases = side("purchase", "p_id", "p_user_id", "p_ts")
+      val clicks = side("click", "c_id", "c_user_id", "c_ts")
+      val q = purchases.join(clicks,
+          col("p_user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "right_outer")
+        .select(col("c_user_id").as("user_id"), col("p_id"), col("c_id"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_id")).as("n_matched"))
+        .orderBy("user_id")
+    }
+
   /** Typed rows/state/output for [[q100SessionizeState]]. `ts_s`
     * carries the watermark tag — the event-time column must reach the
     * stateful operator or analysis rejects the event-time timeout.
@@ -1191,6 +1237,7 @@ object StreamingQueries {
     "q65_stream_join" -> (q65StreamJoin(_, _)),
     "q126_stream_outer" -> (q126StreamOuter(_, _)),
     "q265_stream_full_outer" -> (q265StreamFullOuter(_, _)),
+    "q266_stream_right_outer" -> (q266StreamRightOuter(_, _)),
     "q82_stream" -> (q82Stream(_, _)),
     "q89_stream_static" -> (q89StreamStatic(_, _)),
     "q100_sessionize_state" -> (q100SessionizeState(_, _)),
@@ -1285,6 +1332,13 @@ object StreamingQueries {
        + "FROM p FULL JOIN c ON p_user_id = c_user_id AND c_sec BETWEEN p_sec - 600 AND p_sec) "
        + "SELECT user_id, COUNT(*) AS n_rows, COUNT(p_id) AS n_purchases, COUNT(c_id) AS n_clicks "
        + "FROM j GROUP BY 1 ORDER BY user_id"),
+    "q266_stream_right_outer" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
+       + "p AS (SELECT event_id AS p_id, user_id AS p_user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'), "
+       + "c AS (SELECT event_id AS c_id, user_id AS c_user_id, sec AS c_sec FROM e WHERE event_type = 'click') "
+       + "SELECT c.c_user_id AS user_id, COUNT(*) AS n_rows, COUNT(p.p_id) AS n_matched "
+       + "FROM p RIGHT JOIN c ON p.p_user_id = c.c_user_id AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec "
+       + "GROUP BY 1 ORDER BY user_id"),
     "q89_stream_static" ->
       ("SELECT c.c_nationkey, COUNT(*) AS n_purchases, ROUND(SUM(e.value), 4) AS total_value "
        + "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
