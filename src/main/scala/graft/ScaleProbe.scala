@@ -429,6 +429,13 @@ object ScaleProbe {
       graft.engine.Checkpoints.release(lab)
       n
     })
+    // q267's shape: DSIR importance selection — two corpus-linear
+    // tokenization passes compress to ≤4096-bucket histograms, the
+    // log-ratio table broadcasts back, scoring is one (doc, bucket)
+    // partial aggregation, and the cut is quota-bounded
+    t("dsir_select")(graft.operators.Sampling.dsirSelect(
+      d, d.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+      "doc_id", "text", quota = 1000).count())
     // q264's FULL composition: one shared tokenization feeds both the
     // PMI-expansion stage (bigram + unigram counts, top-2 partners of
     // the seed) and the BM25 stage (tf filtered by the BROADCAST

@@ -295,6 +295,81 @@ object Sampling {
     * (`hash60 < 2^60 * cap * slack / count`) before the exact window;
     * the uniform hash makes the survivor count sharply concentrated.
     */
+  /** DSIR-style data selection via hashed-n-gram importance weights
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling", NeurIPS): score every raw document by
+    * how much its hashed unigram+bigram profile resembles a TARGET
+    * corpus rather than the raw pool, keep the top-`quota` scorers.
+    *
+    *   log w(doc) = Σ_b n_b(doc) · (ln p̂_target[b] − ln p̂_raw[b])
+    *
+    * over `nBuckets` md5 hash buckets with add-λ (λ=0.5) smoothing.
+    *
+    * Determinism / cross-engine certification: the ONLY floating-point
+    * step is the per-bucket log-ratio, computed once on the ≤B-row
+    * bucket table and immediately quantized to exact micro-units
+    * (ROUND(·×1e6) BIGINT) — the per-doc score is then an exact
+    * integer dot product, immune to summation order (the q212/q250
+    * lesson applied preemptively: a doc sums hundreds of terms, so a
+    * rounded double total WOULD flap at the boundary). Selection is
+    * (score desc, id) — a pure function of the corpus.
+    *
+    * Scale: one tokenization pass per corpus (bigrams via the q139
+    * per-doc lead window, no token self-join); bucket histograms are
+    * map-side combinable to ≤B rows and BROADCAST back; per-doc
+    * scoring is one (doc, bucket) partial aggregation + a broadcast
+    * join — the corpus shuffles once, carrying 16-byte pairs. The
+    * top-quota cut is TakeOrderedAndProject (quota-bounded driver
+    * result), never a global sort.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, quota: Int, nBuckets: Int = 4096): DataFrame = {
+    val lambdaN = 0.5
+    val hexDigits = (math.log(nBuckets) / math.log(16)).toInt
+    require((1 << (4 * hexDigits)) == nBuckets,
+      s"nBuckets must be a power of 16, got $nBuckets")
+    def bucket(feature: Column): Column =
+      conv(substring(md5(feature), 1, hexDigits), 16, 10).cast("long")
+    // unigram + adjacent-bigram features, one tokenization pass
+    def features(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      val tok = df.select(col(idCol),
+          posexplode(split(col(textCol), " ")).as(Seq("pos", "wd")))
+        .filter(col("wd") =!= "")
+      val uni = tok.select(col(idCol), bucket(col("wd")).as("b"))
+      val big = tok.withColumn("nxt", lead(col("wd"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col(idCol),
+          bucket(concat(col("wd"), lit(" "), col("nxt"))).as("b"))
+      uni.unionAll(big)
+    }
+    val rawF = features(raw)
+    val tgtF = features(target)
+    val rawB = rawF.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val tgtB = tgtF.groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val totals = rawB.agg(sum(col("c_raw")).as("t_raw"))
+      .crossJoin(tgtB.agg(sum(col("c_tgt")).as("t_tgt")))
+    // every bucket a raw doc can hit appears in rawB, so rawB is the
+    // ratio table's domain; absent target buckets smooth to λ
+    val ratio = rawB
+      .join(tgtB, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round((log((coalesce(col("c_tgt"), lit(0L)) + lambdaN)
+            / (col("t_tgt") + lambdaN * nBuckets))
+          - log((col("c_raw") + lambdaN)
+            / (col("t_raw") + lambdaN * nBuckets))) * 1e6, 0)
+          .cast("long").as("lr_micro"))
+    val docB = rawF.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+    docB.join(broadcast(ratio), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("lr_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(quota)
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -2477,6 +2477,18 @@ object AnalyticsQueries {
         .limit(10)
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): keep the 100 raw
+    // docs whose hashed unigram+bigram profile most resembles the
+    // English-language target slice — the published data-selection
+    // method for matching a pretraining pool to a target domain. The
+    // per-bucket log-ratio is quantized to exact micro-units before
+    // the per-doc dot product, so the score is summation-order-proof
+    "q267_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Sampling.dsirSelect(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text", quota = 100)
+    }),
+
     // recursive CTE hierarchy rollup (WITH RECURSIVE, new in Spark 4):
     // parts form a quaternary taxonomy (parent = p_partkey div 4);
     // the recursion walks DOWN from the roots carrying (root, depth),
@@ -4688,6 +4700,23 @@ object AnalyticsQueries {
        + "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(dev) DESC, day) AS rn FROM dv) t "
        + "WHERE rn = 1 ORDER BY event_type"),
     "q263_modularity" -> modularityOracle,
+    "q267_dsir" ->
+      ("WITH t0 AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents), "
+       + "tok AS (SELECT doc_id, lang, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t0), "
+       + "tk AS (SELECT doc_id, lang, w, i FROM tok WHERE w <> ''), "
+       + "led AS (SELECT doc_id, lang, w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1 FROM tk), "
+       + "feat AS (SELECT doc_id, lang, CAST(('0x' || substring(md5(w), 1, 3)) AS BIGINT) AS b FROM tk "
+       + "UNION ALL SELECT doc_id, lang, CAST(('0x' || substring(md5(w || ' ' || w1), 1, 3)) AS BIGINT) AS b "
+       + "FROM led WHERE w1 IS NOT NULL), "
+       + "rawb AS (SELECT b, COUNT(*)::BIGINT AS c_raw FROM feat GROUP BY b), "
+       + "tgtb AS (SELECT b, COUNT(*)::BIGINT AS c_tgt FROM feat WHERE lang = 'en' GROUP BY b), "
+       + "tot AS (SELECT (SELECT SUM(c_raw) FROM rawb)::BIGINT AS t_raw, (SELECT SUM(c_tgt) FROM tgtb)::BIGINT AS t_tgt), "
+       + "ratio AS (SELECT rawb.b, ROUND((ln((COALESCE(c_tgt, 0) + 0.5) / (t_tgt + 0.5 * 4096)) "
+       + "- ln((c_raw + 0.5) / (t_raw + 0.5 * 4096))) * 1000000, 0)::BIGINT AS lr_micro "
+       + "FROM rawb LEFT JOIN tgtb USING (b) CROSS JOIN tot), "
+       + "docb AS (SELECT doc_id, b, COUNT(*)::BIGINT AS n FROM feat GROUP BY doc_id, b) "
+       + "SELECT doc_id, SUM(n * lr_micro)::BIGINT AS score_micro FROM docb JOIN ratio USING (b) "
+       + "GROUP BY doc_id ORDER BY score_micro DESC, doc_id LIMIT 100"),
     "q264_query_expansion" ->
       ("WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
        + "tok AS (SELECT doc_id, unnest(ws) AS wd, unnest(range(len(ws))) AS i FROM t0), "

@@ -188,4 +188,35 @@ class SamplingSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept(docs) == kept(docs.repartition(13)))
   }
+
+  test("dsirSelect: quota respected, target-like docs favored, partition-invariant") {
+    val target = docs.filter(col("lang") === "en")
+    val sel = Sampling.dsirSelect(docs, target, "doc_id", "text",
+      quota = 50).cache()
+    assert(sel.count() == 50)
+    assert(sel.columns.toSeq == Seq("doc_id", "score_micro"))
+    // the selected set should be enriched in the target language well
+    // beyond its base rate (the whole point of importance weighting)
+    val baseRate = target.count().toDouble / docs.count()
+    val selEn = sel.join(docs.select("doc_id", "lang"), "doc_id")
+      .filter(col("lang") === "en").count().toDouble / 50
+    assert(selEn > baseRate,
+      s"selected en-rate $selEn not above base rate $baseRate")
+    // exact-integer scores: selection is a pure function of the corpus
+    val sel2 = Sampling.dsirSelect(docs.repartition(13),
+      target.repartition(7), "doc_id", "text", quota = 50)
+    assert(sel.collect().map(_.toString).toSeq ==
+      sel2.collect().map(_.toString).toSeq)
+    // a doc made of pure target-corpus text must outscore one made of
+    // tokens the target never uses
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzqq xxyy wwvv uuss ttrr qqpp oonn mmll kkjj")).toDF("doc_id", "text")
+    val tgt2 = Seq((10L, "the quick brown fox and the quick dog"))
+      .toDF("doc_id", "text")
+    val scores = Sampling.dsirSelect(tiny, tgt2, "doc_id", "text", quota = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(1L) > scores(2L))
+  }
 }
