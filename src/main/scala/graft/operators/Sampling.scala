@@ -346,7 +346,14 @@ object Sampling {
     }
     val rawF = features(raw)
     val tgtF = features(target)
-    val rawB = rawF.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    // the per-doc bucket counts are computed FIRST and the corpus
+    // histogram rolls up from them — the raw corpus is tokenized
+    // exactly once (Catalyst won't CSE the two aggregations over the
+    // shared window subtree, so deriving rawB independently would pay
+    // the tokenization shuffle twice)
+    val docB = rawF.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val rawB = docB.groupBy(col("b")).agg(sum(col("n")).as("c_raw"))
     val tgtB = tgtF.groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
     val totals = rawB.agg(sum(col("c_raw")).as("t_raw"))
       .crossJoin(tgtB.agg(sum(col("c_tgt")).as("t_tgt")))
@@ -361,8 +368,6 @@ object Sampling {
           - log((col("c_raw") + lambdaN)
             / (col("t_raw") + lambdaN * nBuckets))) * 1e6, 0)
           .cast("long").as("lr_micro"))
-    val docB = rawF.groupBy(col(idCol), col("b"))
-      .agg(count(lit(1)).as("n"))
     docB.join(broadcast(ratio), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("n") * col("lr_micro")).as("score_micro"))
