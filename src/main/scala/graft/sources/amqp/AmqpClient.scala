@@ -109,6 +109,12 @@ final class AmqpConnection(url: AmqpUrl) {
     ConnectionTuneOk(channelMax, frameMax, heartbeatSecs)))
   sendFrames(methodFrame(0, ConnectionOpen(vhost)))
   expectSync[ConnectionOpenOk]()
+  // missed-heartbeat detection (pika semantics): with heartbeats on,
+  // >2 intervals of inbound silence means the broker is gone — the
+  // read timeout surfaces in the reader thread, which marks the
+  // connection dead and fires onDead. The broker's own heartbeats
+  // keep an idle-but-alive connection open.
+  if (heartbeatSecs > 0) sock.setSoTimeout(heartbeatSecs * 2 * 1000)
 
   private def expectSync[M <: Method]()(implicit ct: ClassTag[M]): M = {
     var f = readFrame(in)

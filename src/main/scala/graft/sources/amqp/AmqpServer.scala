@@ -200,6 +200,26 @@ final class AmqpServer(port: Int, walDir: Option[Path],
         send(methodFrame(0, ConnectionTune(2047, DefaultFrameMax, 0)))
         val tuneOk = expect[ConnectionTuneOk](0)
         if (tuneOk.frameMax > 0) frameMax = math.min(frameMax, tuneOk.frameMax)
+        // heartbeat contract (AMQP 0-9-1 §4.2.7, RabbitMQ semantics):
+        // the tune-ok value is operative for BOTH peers — when the
+        // client elects heartbeats (pika URL ?heartbeat=N), the broker
+        // emits its own at N/2 and treats >2N of inbound silence as a
+        // dead client. `send` is lock-protected, so the sender thread
+        // interleaves safely with delivery pushes.
+        if (tuneOk.heartbeat > 0) {
+          sock.setSoTimeout(tuneOk.heartbeat * 2 * 1000)
+          val hb = new Thread(() => {
+            val pauseMs = math.max(1, tuneOk.heartbeat) * 1000L / 2
+            try {
+              while (alive) {
+                Thread.sleep(pauseMs)
+                if (alive) send(Frame(FrameHeartbeat, 0, Array.emptyByteArray))
+              }
+            } catch { case _: Throwable => () }
+          }, s"graft-amqpserver-heartbeat")
+          hb.setDaemon(true)
+          hb.start()
+        }
         val open = expect[ConnectionOpen](0)
         if (!vhosts.contains(open.vhost)) {
           refuse(530, s"NOT_ALLOWED - vhost '${open.vhost}' not found")

@@ -81,13 +81,56 @@ class AmqpAuthSpec extends AnyFunSuite {
         c.declareQueue("hb_rt")
         c.bind("hb_rt", "hb_rt")
         c.consume("hb_rt")
-        Thread.sleep(1500) // > one full heartbeat interval
+        // > TWO full heartbeat intervals: both peers' missed-heartbeat
+        // timers would have fired by now were the other side silent —
+        // surviving the idle stretch proves both senders are live
+        Thread.sleep(2500)
         c.publish("hb_rt", """{"hb":true}""", "application/json")
         val body = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
         assert(body == """{"hb":true}""")
         assert(!c.isDead)
       } finally c.close()
     } finally srv.stop()
+  }
+
+  test("missed broker heartbeats kill the connection (pika semantics)") {
+    import graft.sources.amqp.Amqp._
+    // a hand-rolled broker that completes the handshake, then goes
+    // totally silent: with heartbeat=1 negotiated, the client must
+    // declare it dead after ~2 missed intervals — the failure mode a
+    // wedged (not closed) broker socket produces in production
+    val ss = new java.net.ServerSocket(0)
+    val srvThread = new Thread(() => {
+      try {
+        val s = ss.accept()
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(s.getInputStream))
+        val out = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(s.getOutputStream))
+        def send(f: Frame) = { writeFrame(out, f); out.flush() }
+        val hdr = new Array[Byte](8); in.readFully(hdr)
+        send(methodFrame(0, ConnectionStart(Map.empty, "PLAIN", "en_US")))
+        readFrame(in) // start-ok
+        send(methodFrame(0, ConnectionTune(2047, DefaultFrameMax, 0)))
+        readFrame(in) // tune-ok
+        readFrame(in) // connection.open
+        send(methodFrame(0, ConnectionOpenOk()))
+        readFrame(in) // channel.open
+        send(methodFrame(1, ChannelOpenOk()))
+        Thread.sleep(15000) // silence; socket stays open
+        s.close()
+      } catch { case _: Exception => () }
+    })
+    srvThread.setDaemon(true); srvThread.start()
+    val died = new java.util.concurrent.CountDownLatch(1)
+    val c = new graft.sources.amqp.AmqpConnection(graft.sources.amqp.AmqpUrl
+      .parse(s"amqp://localhost:${ss.getLocalPort}?heartbeat=1"))
+    try {
+      c.onDead = () => died.countDown()
+      assert(died.await(6, java.util.concurrent.TimeUnit.SECONDS),
+        "connection did not die on heartbeat silence")
+      assert(c.isDead)
+    } finally { c.close(); ss.close() }
   }
 
   test("connection_attempts retries the TCP connect before giving up") {
