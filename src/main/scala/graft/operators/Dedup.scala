@@ -915,4 +915,39 @@ object Dedup {
       .filter(col("sim") > threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Soft deduplication: per-document sampling weights from n-gram
+    * commonness (the SoftDedup idea — Xia et al. 2024, "rather than
+    * dropping near-duplicate documents, down-weight documents built
+    * from common n-grams in the training loss"). A doc whose grams
+    * each appear in only one document scores 1 000 000 ppm (fully
+    * novel, full weight); a doc assembled entirely from grams shared
+    * by `k` docs scores ~1 000 000 / k. The novelty score here is the
+    * harmonic mean of per-gram document frequencies, kept in EXACT
+    * integer arithmetic (ppm units, integer `div`) so the result is
+    * summation-order-proof and recomputable by the SQL oracle:
+    *
+    *   novelty_ppm(doc) = ( Σ_{g ∈ grams(doc)} 1 000 000 div df(g) )
+    *                        div |grams(doc)|
+    *
+    * Plan shape for 100 TB: grams are distinct-per-doc 8-byte hashes
+    * (never the strings); df(g) is ONE map-side-combinable groupBy of
+    * the gram stream; the gram→df join shuffles (gram, doc) pairs once
+    * (the standard inverted-index shape of [[jaccardPairs]]); the
+    * per-doc reduce is map-side combinable again. Nothing quadratic,
+    * no all-pairs — cost is O(total grams), i.e. linear in corpus
+    * size, and ubiquitous grams (huge df) cost the same as rare ones.
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val grams = shingles(docs, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).as("g"))
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(expr("1000000 div df")).as("_s"))
+      .select(col("id").as(idCol), col("n_grams"),
+        expr("_s div n_grams").as("novelty_ppm"))
+  }
 }

@@ -389,4 +389,36 @@ object Sampling {
       .filter(col("_rn") <= cap).drop("_rn")
     under.unionByName(over)
   }
+
+  /** Seeded global shuffle + striped shard assignment for training
+    * export — the "shuffle the corpus once, write N shards" step every
+    * pretraining dataloader expects (docs must arrive in an order
+    * uncorrelated with ingest order, and the order must be
+    * reproducible run-to-run so a resumed job reads the same stream).
+    *
+    * Each row gets `skey` = md5(seed|id) (the global shuffle order)
+    * and `shard` = its 60-bit prefix mod `nShards`. Both are pure
+    * functions of (seed, id): the same doc lands in the same shard at
+    * the same position on any cluster, any partitioning, any engine —
+    * and changing the seed is a full, independent reshuffle.
+    *
+    * Plan shape for 100 TB: ONE shuffle (the `repartition` on shard —
+    * inherent: a global shuffle must move every row once) followed by
+    * a within-partition sort that spills; no global sort, no window,
+    * no driver state. The md5 is uniform, so shards are balanced to
+    * ±O(√(rows/shards)) regardless of key skew, and `nShards` directly
+    * controls output file count/size. Downstream:
+    * `.write.partitionBy("shard")` or one file per partition.
+    */
+  def shuffleExport(df: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    df.withColumn("skey", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("bigint"),
+          lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("skey"))
+  }
 }

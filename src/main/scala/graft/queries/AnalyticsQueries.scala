@@ -3156,7 +3156,37 @@ object AnalyticsQueries {
           .agg(sum(when(col("d") > 100, 1L).otherwise(0L)).as("n"),
             sum(col("d")).as("cents")))
       orphans.unionAll(childless).unionAll(drift).orderBy("chk")
-    })
+    }),
+
+    // seeded global shuffle + striped shard export (the "shuffle once,
+    // write N shards" step a pretraining dataloader expects): shard
+    // and order are pure functions of (seed, doc_id), so the export is
+    // reproducible on any cluster and fully SQL-recomputable. The
+    // query emits the per-shard manifest (doc/token totals + the first
+    // and last doc in shuffle order) over the assignment the writer
+    // would partitionBy
+    "q268_shuffle_export" -> ((s, d) => {
+      val a = Sampling.shuffleExport(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", nShards = 8, seed = "graft-r10")
+      a.withColumn("tokens",
+          size(filter(split(col("text"), " "), w => w =!= "")).cast("bigint"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"),
+          expr("min_by(doc_id, skey)").as("first_doc"),
+          expr("max_by(doc_id, skey)").as("last_doc"))
+        .orderBy("shard")
+    }),
+
+    // soft deduplication (SoftDedup, Xia et al. 2024): per-doc
+    // sampling weight from bigram commonness instead of dropping
+    // near-dups — novelty_ppm is the harmonic mean of per-gram doc
+    // frequencies in exact integer ppm, so a doc made of corpus-unique
+    // bigrams keeps full weight and boilerplate-heavy docs are
+    // down-weighted proportionally
+    "q269_soft_dedup" -> ((s, d) =>
+      Dedup.softDedupWeights(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id"))
   )
 
   /** Two-generation events layout per sf dir (schema evolution
@@ -4892,7 +4922,23 @@ object AnalyticsQueries {
        + "(SELECT c.lang, w.wt::DOUBLE * 1.0 * tot.total / c.n AS f FROM counts c JOIN w USING (lang) CROSS JOIN tot)), "
        + "sel AS (SELECT d.lang, r.base + CASE WHEN CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER) < r.thresh THEN 1 ELSE 0 END AS n_copies "
        + "FROM documents d JOIN rates r USING (lang)) "
-       + "SELECT lang, COUNT(*) AS total, SUM(n_copies)::BIGINT AS copies FROM sel GROUP BY 1 ORDER BY lang")
+       + "SELECT lang, COUNT(*) AS total, SUM(n_copies)::BIGINT AS copies FROM sel GROUP BY 1 ORDER BY lang"),
+    "q268_shuffle_export" ->
+      ("WITH a AS (SELECT doc_id, md5('graft-r10|' || CAST(doc_id AS VARCHAR)) AS skey, "
+       + "CAST(('0x' || substring(md5('graft-r10|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard, "
+       + "len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS tokens FROM documents) "
+       + "SELECT shard, COUNT(*)::BIGINT AS n_docs, SUM(tokens)::BIGINT AS tokens, "
+       + "min_by(doc_id, skey) AS first_doc, max_by(doc_id, skey) AS last_doc "
+       + "FROM a GROUP BY shard ORDER BY shard"),
+    "q269_soft_dedup" ->
+      ("WITH t0 AS (" + wordsCte + "), "
+       + "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t0), "
+       + "led AS (SELECT doc_id, w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w1 FROM tok), "
+       + "g AS (SELECT DISTINCT doc_id, w || ' ' || w1 AS gram FROM led WHERE w1 IS NOT NULL), "
+       + "dfr AS (SELECT gram, COUNT(*)::BIGINT AS df FROM g GROUP BY gram) "
+       + "SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
+       + "(SUM(1000000 // df) // COUNT(*))::BIGINT AS novelty_ppm "
+       + "FROM g JOIN dfr USING (gram) GROUP BY doc_id ORDER BY doc_id")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

@@ -347,4 +347,27 @@ class DedupSpec extends SparkSpec {
       (4L, 4L, 1L), (5L, 4L, 0L),               // tie -> smaller id wins
       (6L, 6L, 1L)))                            // singleton survives
   }
+
+  test("softDedupWeights: exact ppm novelty from bigram doc frequencies") {
+    import spark.implicits._
+    // docA/docB identical; docC shares only "aa bb" with them.
+    // df("aa bb")=3, df("bb cc")=2, df("bb dd")=1 — exact integer ppm:
+    //   A,B: (1000000 div 3 + 1000000 div 2) div 2 = 416666
+    //   C:   (1000000 div 3 + 1000000 div 1) div 2 = 666666
+    val tiny = Seq((1L, "aa bb cc"), (2L, "aa bb cc"), (3L, "aa bb dd"))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(tiny, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 416666L), (2L, 2L, 416666L),
+      (3L, 2L, 666666L)))
+    // corpus-scale sanity: weights live in (0, 1e6], and the score is
+    // a pure function of the corpus (partitioning-independent)
+    val w1 = Dedup.softDedupWeights(docs, "doc_id", "text", n = 2)
+    assert(w1.filter(col("novelty_ppm") <= 0 ||
+      col("novelty_ppm") > 1000000).count() == 0)
+    val w2 = Dedup.softDedupWeights(docs.repartition(13), "doc_id", "text", n = 2)
+    assert(w1.orderBy("doc_id").collect().map(_.toString).toSeq ==
+      w2.orderBy("doc_id").collect().map(_.toString).toSeq)
+  }
 }

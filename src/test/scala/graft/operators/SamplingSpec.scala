@@ -219,4 +219,40 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scores(1L) > scores(2L))
   }
+
+  test("shuffleExport: exhaustive, balanced, seed-keyed, sorted within shard") {
+    val n = docs.count()
+    val a = Sampling.shuffleExport(docs.select(col("doc_id")), "doc_id",
+      nShards = 8, seed = "s1").cache()
+    assert(a.count() == n)
+    val byShard = a.groupBy("shard").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.keySet == (0L until 8L).toSet)
+    // md5 is uniform: no shard more than 2x the mean at sf>=0.001
+    assert(byShard.values.max < 2 * n / 8, byShard.toString)
+    // pure function of (seed, id): partitioning must not move a doc
+    val a2 = Sampling.shuffleExport(docs.select(col("doc_id"))
+      .repartition(13), "doc_id", nShards = 8, seed = "s1")
+    assert(a.select("doc_id", "shard").collect().map(_.toString).sorted.toSeq ==
+      a2.select("doc_id", "shard").collect().map(_.toString).sorted.toSeq)
+    // a different seed is a genuine reshuffle (some docs change shard)
+    val b = Sampling.shuffleExport(docs.select(col("doc_id")), "doc_id",
+      nShards = 8, seed = "s2")
+    val moved = a.select(col("doc_id"), col("shard").as("s1"))
+      .join(b.select(col("doc_id"), col("shard").as("s2")), "doc_id")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(moved > n / 4, s"only $moved docs moved on reseed")
+    // within every output partition, rows arrive in (shard, skey)
+    // order (two shards may hash to one partition; the writer streams
+    // each shard's run straight to its file)
+    val perPartSorted = a.select(col("shard"), col("skey")).rdd
+      .mapPartitions(it => Iterator.single(
+        it.map(r => (r.getLong(0), r.getString(1)))
+          .foldLeft((true, (-1L, ""))) { case ((ok, prev), k) =>
+            (ok && (prev._1 < k._1 ||
+              (prev._1 == k._1 && prev._2 <= k._2)), k)
+          }._1))
+      .collect()
+    assert(perPartSorted.forall(identity))
+  }
 }
