@@ -491,6 +491,16 @@ object ScaleProbe {
         .count()
     })
 
+    // q268: the one inherent full shuffle (repartition on shard) plus a
+    // within-partition sort — cost must track rows moved, i.e. linear
+    t("shuffle_export")(graft.operators.Sampling.shuffleExport(
+      d, "doc_id", nShards = 64, seed = "probe").count())
+    // q269: distinct-per-doc gram hashes -> one df groupBy + one
+    // gram-keyed join + one per-doc reduce; all map-side combinable,
+    // linear in total grams
+    t("soft_dedup")(graft.operators.Dedup.softDedupWeights(
+      d, "doc_id", "text", n = 2).count())
+
     spark.stop()
   }
 }
