@@ -563,6 +563,56 @@ object StreamingQueries {
         .orderBy("user_id")
     }
 
+  /** Stream-stream LEFT SEMI join — the existence-test cell of the
+    * streaming join matrix (inner q65, left q126, full q265, right
+    * q266): a purchase emits AT MOST ONCE, when its first qualifying
+    * click arrives; later matches must not re-emit (the state store
+    * carries a matched flag), and never-matched purchases are silently
+    * dropped at watermark eviction rather than emitted with NULLs.
+    * The sentinel flush rides both sides so the final no-data batch
+    * drains all buffered state (semi output is match-driven, but the
+    * drain keeps the run's state footprint zero at stop, the same
+    * discipline as the outer cells); sentinel rows (user_id −1) match
+    * only each other and are dropped in the sink-side rollup.
+    */
+  def q270StreamSemi(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val name = s"q270_stream_semi_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q270")
+      val (_, flushDir) = sentinelFor(s, dir)
+      def side(kind: String, idAs: String, userAs: String, tsAs: String) = {
+        val events = eventsStream(s, dir, raw)
+        val flush = s.readStream.schema(raw).parquet(flushDir)
+        events.unionByName(flush)
+          .filter(col("event_type") === kind || col("event_type") === "__flush__")
+          .select(col("event_id").as(idAs), col("user_id").as(userAs),
+            timestamp_seconds(tsSeconds(raw)).as(tsAs))
+          .withWatermark(tsAs, "10 minutes")
+      }
+      val purchases = side("purchase", "p_id", "user_id", "p_ts")
+      val clicks = side("click", "c_id", "c_user_id", "c_ts")
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user_id") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") <= col("p_ts"),
+          "left_semi")
+        .select(col("user_id"), col("p_id"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_semi"))
+        .orderBy("user_id")
+    }
+
   /** Typed rows/state/output for [[q100SessionizeState]]. `ts_s`
     * carries the watermark tag — the event-time column must reach the
     * stateful operator or analysis rejects the event-time timeout.
@@ -1238,6 +1288,7 @@ object StreamingQueries {
     "q126_stream_outer" -> (q126StreamOuter(_, _)),
     "q265_stream_full_outer" -> (q265StreamFullOuter(_, _)),
     "q266_stream_right_outer" -> (q266StreamRightOuter(_, _)),
+    "q270_stream_semi" -> (q270StreamSemi(_, _)),
     "q82_stream" -> (q82Stream(_, _)),
     "q89_stream_static" -> (q89StreamStatic(_, _)),
     "q100_sessionize_state" -> (q100SessionizeState(_, _)),
@@ -1338,6 +1389,14 @@ object StreamingQueries {
        + "c AS (SELECT event_id AS c_id, user_id AS c_user_id, sec AS c_sec FROM e WHERE event_type = 'click') "
        + "SELECT c.c_user_id AS user_id, COUNT(*) AS n_rows, COUNT(p.p_id) AS n_matched "
        + "FROM p RIGHT JOIN c ON p.p_user_id = c.c_user_id AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec "
+       + "GROUP BY 1 ORDER BY user_id"),
+    "q270_stream_semi" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, epoch(date_trunc('second', ts))::BIGINT AS sec FROM events), "
+       + "p AS (SELECT event_id AS p_id, user_id, sec AS p_sec FROM e WHERE event_type = 'purchase'), "
+       + "c AS (SELECT user_id AS c_user_id, sec AS c_sec FROM e WHERE event_type = 'click') "
+       + "SELECT user_id, COUNT(*) AS n_semi FROM p "
+       + "WHERE EXISTS (SELECT 1 FROM c WHERE c.c_user_id = p.user_id "
+       + "AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec) "
        + "GROUP BY 1 ORDER BY user_id"),
     "q89_stream_static" ->
       ("SELECT c.c_nationkey, COUNT(*) AS n_purchases, ROUND(SUM(e.value), 4) AS total_value "
