@@ -183,6 +183,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection (resize to
+    * 9×8 grayscale, emit one bit per horizontal neighbor comparison).
+    * The downsample here is an explicit block average over a 9×8 grid
+    * (ITU-R 601 luma), NOT platform image scaling — `Image.getScaledInstance`
+    * interpolation differs across JDKs/platforms, and a fingerprint
+    * that isn't bit-reproducible cannot be stored in an index. All
+    * arithmetic is integer/double with no transcendentals, so the hash
+    * is a pure function of the pixel data on any JVM.
+    */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val lum = Array.ofDim[Double](gh, gw)
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+        val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        lum(gy)(gx) = s / n
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L; var i = 0
+    gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (lum(gy)(gx) < lum(gy)(gx + 1)) bits |= 1L << i
+        i += 1; gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Per-row dHash over a media table's image rows: (media_id, dhash),
+    * undecodable rows dropped. A narrow partition-wise transform — the
+    * binary column never shuffles; downstream near-dup joins see only
+    * 16 bytes per image. The fingerprint store this emits is the
+    * image-side twin of [[graft.operators.Dedup.simHash]]'s text store.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType))))
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val img = readImage(r.getAs[Array[Byte]](1))
+        if (img == null) Iterator.empty
+        else Iterator.single(Row(r.getLong(0), dHash64(img)))
+      }
+    }(enc)
+  }
+
   private def l2(v: Array[Float]): Array[Float] = {
     val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
     if (n > 0) { var j = 0; while (j < v.length) { v(j) /= n; j += 1 } }
@@ -359,6 +428,72 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic real PNG with PLANTED near-duplicates: ids sharing
+    * `id div 3` render the same smooth per-base luminance field (two
+    * StrictMath sinusoids, frequencies/phases from the base hash), and
+    * the variant (`id mod 3`) stamps at most one small dark square —
+    * a localized retouch that moves only the few dHash bits whose grid
+    * cells it touches. Distinct bases get independent fields, so their
+    * fingerprints differ in ~half the bits. StrictMath (not Math)
+    * keeps the pixels — and therefore the hash — bit-identical on any
+    * JVM.
+    */
+  def syntheticPngNear(id: Long): Array[Byte] = {
+    val base = id / 3; val variant = (id % 3).toInt
+    var hsh = base * 6364136223846793005L + 1442695040888963407L
+    hsh ^= hsh >>> 32
+    val w = 18; val h = 16
+    // three independent sinusoids (x, y, diagonal), frequencies 1..8
+    // and 256-step phases all drawn from the base hash: 512 frequency
+    // combinations × fine phases decorrelate distinct bases' dHashes
+    // (measured: two-sinusoid/4-frequency fields left cross-base
+    // hammings low enough that chance pairs swamped the planted ones)
+    val fx = 1 + (hsh & 7).toInt
+    val fy = 1 + ((hsh >>> 3) & 7).toInt
+    val fd = 1 + ((hsh >>> 6) & 7).toInt
+    val p1 = ((hsh >>> 9) & 255).toInt / 255.0 * 2 * StrictMath.PI
+    val p2 = ((hsh >>> 17) & 255).toInt / 255.0 * 2 * StrictMath.PI
+    val p3 = ((hsh >>> 25) & 255).toInt / 255.0 * 2 * StrictMath.PI
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v0 = 128 +
+          50 * StrictMath.sin(2 * StrictMath.PI * fx * x / w + p1) +
+          40 * StrictMath.cos(2 * StrictMath.PI * fy * y / h + p2) +
+          35 * StrictMath.sin(2 * StrictMath.PI * fd * (x + y) / (w + h) + p3)
+        val inSquare = variant match {
+          case 1 => x >= 3 && x < 5 && y >= 3 && y < 5
+          case 2 => x >= 12 && x < 14 && y >= 9 && y < 11
+          case _ => false
+        }
+        val v = math.max(0, math.min(255,
+          (if (inSquare) v0 - 120 else v0).toInt))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image-only media table over the doc ids with [[syntheticPngNear]]
+    * content — the fixture for perceptual-hash dedup (every 3 ids form
+    * a planted near-dup group).
+    */
+  def syntheticNearDupImages(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), syntheticPngNear(r.getLong(0))) }
+    }(enc)
   }
 
   /** Deterministic real WAV bytes for a media id: 16-bit mono PCM at

@@ -785,11 +785,27 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
-    val fp = simHash(docs, idCol, textCol).cache()
+    fingerprintPairs(simHash(docs, idCol, textCol), "id", "simhash",
+      maxHamming)
+  }
+
+  /** All pairs of 64-bit fingerprints within `maxHamming` bits — the
+    * banded-join kernel behind [[simHashPairs]], exposed for ANY
+    * stored fingerprint column (text SimHash, image dHash
+    * ([[graft.multimodal.Multimodal.imageDHash]]), audio chromaprints):
+    * pigeonhole banding guarantees two hashes within `maxHamming` agree
+    * exactly on at least one of the `maxHamming+1` bit-slice bands, so
+    * candidates come from equi-joins on (band, slice) — never all
+    * pairs — and the exact `bit_count(xor)` verify runs per candidate
+    * BEFORE the distinct, so non-qualifying candidates never enter the
+    * pair shuffle.
+    */
+  def fingerprintPairs(fp0: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val fp = fp0.select(col(idCol).as("id"), col(fpCol).as("simhash"))
+      .cache()
     val banded = simHashBands(fp, maxHamming)
-    // the Hamming verify is a per-row bit_count on the joined rows —
-    // apply it BEFORE the distinct so non-qualifying candidates never
-    // enter the pair shuffle
     banded.select(col("id").as("a"), col("fp").as("fpa"), col("band"), col("bkt"))
       .join(banded.select(col("id").as("b"), col("fp").as("fpb"),
         col("band"), col("bkt")), Seq("band", "bkt"))

@@ -49,6 +49,23 @@ object AnalyticsQueries {
     s.read.parquet(out)
   }
 
+  /** Near-dup image fixture per sf dir (q271): disk-backed for the
+    * same reasons as [[mediaCache]] — PNG encoding is fixture
+    * fabrication, not the hash/join under test.
+    */
+  private val nearImageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupImages(s: SparkSession, dir: String): DataFrame = {
+    val out = nearImageCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nearimg-").toString
+      graft.multimodal.Multimodal.syntheticNearDupImages(
+          graft.engine.Par.widen(Tables(s, d, "documents")))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(out)
+  }
+
   /** IVF index per sf dir, trained and WRITTEN once per JVM, searches
     * served from the read-back parquet artifact — q38 exercises the
     * production train-once/search-many path, not a per-query retrain
@@ -3186,7 +3203,20 @@ object AnalyticsQueries {
     // down-weighted proportionally
     "q269_soft_dedup" -> ((s, d) =>
       Dedup.softDedupWeights(t(s, d, "documents"), "doc_id", "text", n = 2)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // image near-dup via perceptual hash: dHash-64 over REAL decoded
+    // PNG pixels (narrow, bytes never shuffle), then the pigeonhole
+    // banded fingerprint join — the image-side twin of q48's text
+    // SimHash pairs, over a fixture with planted near-dup triples
+    // (same base image, one small retouch per variant). Golden-parquet
+    // oracle: the hash is defined by the engine's decode+downsample
+    // kernel, not SQL-expressible
+    "q271_image_phash" -> ((s, d) =>
+      Dedup.fingerprintPairs(
+          graft.multimodal.Multimodal.imageDHash(nearDupImages(s, d)),
+          "media_id", "dhash", maxHamming = 6)
+        .orderBy("a", "b"))
   )
 
   /** Two-generation events layout per sf dir (schema evolution
@@ -4074,6 +4104,7 @@ object AnalyticsQueries {
       golden("q84_cluster_terms", "cluster, term, score, rn", "cluster, rn"),
     "q91_ann_int8" -> golden("q91_ann_int8", "qid, cid, rn", "qid, rn"),
     "q93_survivors" -> golden("q93_survivors", "doc_id, cluster, keep", "doc_id"),
+    "q271_image_phash" -> golden("q271_image_phash", "a, b, hamming", "a, b"),
     "q96_hll" ->
       golden("q96_hll", "event_type, approx_users, exact_users", "event_type"),
     // independent re-execution of BPE apply: tokens ride as

@@ -304,4 +304,40 @@ class MultimodalSpec extends SparkSpec {
     // L2-normalized
     assert(math.abs(vecs(2L).map(x => x * x.toDouble).sum - 1.0) < 1e-5)
   }
+
+  test("dHash: identical images collide, retouches stay near, bases differ") {
+    import graft.operators.Dedup
+    val n = 60L // 20 planted triples
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val imgs = Multimodal.syntheticNearDupImages(docs).cache()
+    assert(imgs.count() == n)
+    val hashes = Multimodal.imageDHash(imgs).cache()
+    assert(hashes.count() == n) // every PNG decodes
+    val hm = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same id -> same bytes -> same hash (bit-reproducible kernel)
+    val again = Multimodal.imageDHash(imgs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm == again)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // planted retouches move few bits; independent bases move many
+    val within = for (b <- 0L until n / 3; i <- 0 to 1; j <- i + 1 to 2)
+      yield ham(hm(3 * b + i), hm(3 * b + j))
+    assert(within.max <= 6, s"within-base hamming up to ${within.max}")
+    val across = for (b <- 0L until n / 3 - 1)
+      yield ham(hm(3 * b), hm(3 * (b + 1)))
+    assert(across.count(_ > 6) > across.size * 3 / 4,
+      s"cross-base hammings unexpectedly low: $across")
+    // banded pair finder == brute force at the same threshold
+    val got = Dedup.fingerprintPairs(hashes, "media_id", "dhash", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- 0L until n; b <- a + 1 until n
+      d = ham(hm(a), hm(b)) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+    // and the planted triples are all found
+    assert((for (b <- 0L until n / 3; i <- 0 to 1; j <- i + 1 to 2)
+      yield (3 * b + i, 3 * b + j)).forall(p =>
+        want.exists(t => t._1 == p._1 && t._2 == p._2)))
+  }
 }
