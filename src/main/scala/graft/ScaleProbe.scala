@@ -501,6 +501,43 @@ object ScaleProbe {
     t("soft_dedup")(graft.operators.Dedup.softDedupWeights(
       d, "doc_id", "text", n = 2).count())
 
+    // q271/q273: fixture fabrication + decode are narrow per-partition
+    // passes (linear); the banded fingerprint join is the term to
+    // watch — replicated ids mint fresh bases, so bucket occupancy
+    // (and with it candidate-pair volume) grows linearly
+    t("image_phash")(graft.operators.Dedup.fingerprintPairs(
+      graft.multimodal.Multimodal.imageDHash(
+        graft.multimodal.Multimodal.syntheticNearDupImages(d)),
+      "media_id", "dhash", maxHamming = 6).count())
+    t("audio_fingerprint")(graft.operators.Dedup.fingerprintPairs(
+      graft.multimodal.Multimodal.audioDHash(
+        graft.multimodal.Multimodal.syntheticNearDupAudio(d)),
+      "media_id", "ahash", maxHamming = 6).count())
+
+    // q272: two map-side-combinable aggregations + a broadcast cross of
+    // |cells|×|cohorts|; nothing rides the row count past the first agg
+    t("tcloseness")({
+      val e2 = ev.select(col("event_type"),
+        hour(col("ts")).cast("bigint").as("hod"),
+        pmod(col("user_id"), lit(10L)).as("cohort"))
+      val cellCohort = e2.groupBy(col("event_type"), col("hod"), col("cohort"))
+        .agg(count(lit(1)).as("cgv"))
+      val cells = cellCohort.groupBy(col("event_type"), col("hod"))
+        .agg(sum(col("cgv")).as("ng"))
+      val cohorts = e2.groupBy(col("cohort")).agg(count(lit(1)).as("cv"))
+      val total = e2.agg(count(lit(1)).as("n_total"))
+      cells.crossJoin(broadcast(cohorts))
+        .join(cellCohort, Seq("event_type", "hod", "cohort"), "left")
+        .withColumn("cgv", coalesce(col("cgv"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(expr("CAST(sum(abs(CAST(cgv AS DECIMAL(38,0)) * n_total - "
+          + "CAST(cv AS DECIMAL(38,0)) * ng)) * 500000 div "
+          + "(max(CAST(ng AS DECIMAL(38,0)) * n_total)) AS BIGINT)")
+          .as("t_ppm"))
+        .count()
+    })
+
     spark.stop()
   }
 }

@@ -462,10 +462,22 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
+        // per-(base, 2×2 block) pseudo-noise at the dHash grid
+        // resolution: the sinusoid family alone has ~2^9 frequency
+        // combinations, so at 10^4+ bases many pairs land near-
+        // identical fields and chance pairs grow quadratically
+        // (measured at the 10× probe); ±32 gray levels of base-keyed
+        // block noise give every base ~72 independent identity bits
+        // while staying far below the ±120 retouch signal
+        var nz = (base * 0x9E3779B97F4A7C15L) ^
+          ((x / 2).toLong * 0xC2B2AE3D27D4EB4FL) ^
+          ((y / 2).toLong * 0x165667B19E3779F9L)
+        nz *= 0xFF51AFD7ED558CCDL; nz ^= nz >>> 33
         val v0 = 128 +
-          50 * StrictMath.sin(2 * StrictMath.PI * fx * x / w + p1) +
-          40 * StrictMath.cos(2 * StrictMath.PI * fy * y / h + p2) +
-          35 * StrictMath.sin(2 * StrictMath.PI * fd * (x + y) / (w + h) + p3)
+          45 * StrictMath.sin(2 * StrictMath.PI * fx * x / w + p1) +
+          35 * StrictMath.cos(2 * StrictMath.PI * fy * y / h + p2) +
+          25 * StrictMath.sin(2 * StrictMath.PI * fd * (x + y) / (w + h) + p3) +
+          ((nz & 63) - 32) // uniform block offset in [-32, 31]
         val inSquare = variant match {
           case 1 => x >= 3 && x < 5 && y >= 3 && y < 5
           case 2 => x >= 12 && x < 14 && y >= 9 && y < 11
@@ -523,6 +535,127 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** 64-bit energy-envelope fingerprint of a decoded audio clip — the
+    * audio twin of [[dHash64]]: the PCM stream splits into 65 equal
+    * windows, each window's energy is an exact integer Σ s² (16-bit
+    * samples: ≤2^30 per sample, no overflow below 2^33 samples per
+    * window), and bit i compares window i against window i+1. The
+    * envelope shape survives uniform gain/codec-level noise while
+    * localized edits move only the bits whose windows they touch —
+    * the property a near-dup index needs. Returns null for bytes no
+    * audio reader decodes (or non-16-bit formats / clips shorter than
+    * one sample per window).
+    */
+  def audioHash64(bytes: Array[Byte]): java.lang.Long = {
+    val info = try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val data = ais.readAllBytes()
+      ais.close()
+      if (fmt.getSampleSizeInBits != 16) null
+      else (data, fmt.getChannels, fmt.isBigEndian)
+    } catch { case _: Exception => null }
+    if (info == null) return null
+    val (data, ch, big) = info
+    val windows = 65
+    val nSamples = data.length / 2 / ch
+    if (nSamples < windows) return null
+    val energies = new Array[Long](windows)
+    var i = 0
+    while (i < nSamples) {
+      val w = math.min(windows - 1, (i.toLong * windows / nSamples).toInt)
+      val off = i * 2 * ch // first channel of each frame
+      val s =
+        if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+        else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+      energies(w) += s.toLong * s
+      i += 1
+    }
+    var bits = 0L; var b = 0
+    while (b < 64) {
+      if (energies(b) < energies(b + 1)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
+  /** Per-row audio fingerprint over a media table: (media_id, ahash),
+    * undecodable rows dropped — same narrow no-shuffle shape as
+    * [[imageDHash]], same downstream
+    * [[graft.operators.Dedup.fingerprintPairs]] join.
+    */
+  def audioDHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType))))
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val h = audioHash64(r.getAs[Array[Byte]](1))
+        if (h == null) Iterator.empty
+        else Iterator.single(Row(r.getLong(0), h.longValue))
+      }
+    }(enc)
+  }
+
+  /** Deterministic real WAV with PLANTED near-duplicates — the audio
+    * sibling of [[syntheticPngNear]]: ids sharing `id div 3` carry the
+    * same per-window random-amplitude envelope (the fingerprint's
+    * signal), and the variant (`id mod 3`) boosts the amplitude of two
+    * specific windows 4× (a localized edit: energy 16×, moving only
+    * the envelope comparisons at those windows' boundaries). All
+    * sample values are integer hash arithmetic — bit-identical on any
+    * JVM.
+    */
+  def syntheticWavNear(id: Long): Array[Byte] = {
+    val base = id / 3; val variant = (id % 3).toInt
+    val windows = 65; val perWin = 32
+    val n = windows * perWin
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val w = i / perWin
+      // two large odd multipliers: base*A + w*B collides across bases
+      // only under an exact 64-bit relation (a small multiplier like 31
+      // made adjacent bases share shifted window streams — measured as
+      // quadratic chance-pair growth at the 10× probe)
+      var hw = base * 0x9E3779B97F4A7C15L + w * 0xC2B2AE3D27D4EB4FL
+      hw *= 0xFF51AFD7ED558CCDL; hw ^= hw >>> 32
+      var amp = 500 + (hw & 4095).toInt
+      val boosted = variant match {
+        case 1 => w == 10 || w == 11
+        case 2 => w == 40 || w == 41
+        case _ => false
+      }
+      if (boosted) amp *= 4
+      var hi = base * 0x165667B19E3779F9L + i * 0x27D4EB2F165667C5L
+      hi *= 0x9E3779B97F4A7C15L; hi ^= hi >>> 32
+      val s = (((hi & Long.MaxValue) % (2L * amp + 1)) - amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio-only media table over the doc ids with [[syntheticWavNear]]
+    * content (every 3 ids form a planted near-dup group).
+    */
+  def syntheticNearDupAudio(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), syntheticWavNear(r.getLong(0))) }
+    }(enc)
   }
 
   /** How many frames [[syntheticAvi]] actually stores in its 'movi'

@@ -66,6 +66,22 @@ object AnalyticsQueries {
     s.read.parquet(out)
   }
 
+  /** Near-dup audio fixture per sf dir (q273) — WAV encoding is
+    * fixture fabrication, same disk-backed discipline.
+    */
+  private val nearAudioCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupAudio(s: SparkSession, dir: String): DataFrame = {
+    val out = nearAudioCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nearwav-").toString
+      graft.multimodal.Multimodal.syntheticNearDupAudio(
+          graft.engine.Par.widen(Tables(s, d, "documents")))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(out)
+  }
+
   /** IVF index per sf dir, trained and WRITTEN once per JVM, searches
     * served from the read-back parquet artifact — q38 exercises the
     * production train-once/search-many path, not a per-query retrain
@@ -3216,6 +3232,52 @@ object AnalyticsQueries {
       Dedup.fingerprintPairs(
           graft.multimodal.Multimodal.imageDHash(nearDupImages(s, d)),
           "media_id", "dhash", maxHamming = 6)
+        .orderBy("a", "b")),
+
+    // t-closeness privacy audit — the third axis of the release gate
+    // (q161 k-anonymity: cell size; q244 l-diversity: distinct
+    // sensitive values; here: the cell's sensitive-value DISTRIBUTION
+    // must stay close to the global one, or the cell leaks the
+    // attribute even with many distinct values). Distance is total
+    // variation in exact ppm: t_ppm = Σ_v |cgv·N − cv·ng| · 500000
+    // div (ng·N), all products routed through DECIMAL(38,0) (the q220
+    // lesson: BIGINT products overflow silently exactly at the scales
+    // that matter). The cohort domain is bounded (10 values) so the
+    // global distribution BROADCASTS; cells × cohorts is |cells|·10
+    // rows, never data-sized
+    "q272_tcloseness" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_type"),
+        hour(col("ts")).cast("bigint").as("hod"),
+        pmod(col("user_id"), lit(10L)).as("cohort"))
+      val cellCohort = e.groupBy(col("event_type"), col("hod"), col("cohort"))
+        .agg(count(lit(1)).as("cgv"))
+      val cells = cellCohort.groupBy(col("event_type"), col("hod"))
+        .agg(sum(col("cgv")).as("ng"))
+      val cohorts = e.groupBy(col("cohort")).agg(count(lit(1)).as("cv"))
+      val total = e.agg(count(lit(1)).as("n_total"))
+      cells.crossJoin(broadcast(cohorts))
+        .join(cellCohort, Seq("event_type", "hod", "cohort"), "left")
+        .withColumn("cgv", coalesce(col("cgv"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(max(col("ng")).as("n"),
+          expr("CAST(sum(abs(CAST(cgv AS DECIMAL(38,0)) * n_total - "
+            + "CAST(cv AS DECIMAL(38,0)) * ng)) * 500000 div "
+            + "(max(CAST(ng AS DECIMAL(38,0)) * n_total)) AS BIGINT)")
+            .as("t_ppm"))
+        .withColumn("risky", (col("t_ppm") > 150000).cast("int").cast("bigint"))
+        .orderBy("event_type", "hod")
+    }),
+
+    // audio near-dup via energy-envelope fingerprint: the audio twin
+    // of q271 over REAL decoded WAV PCM (AudioSystem), same banded
+    // fingerprint join, fixture with planted near-dup triples (same
+    // envelope, two windows re-amplified per variant). Golden oracle:
+    // the hash is defined by the engine's decode+window kernel
+    "q273_audio_fingerprint" -> ((s, d) =>
+      Dedup.fingerprintPairs(
+          graft.multimodal.Multimodal.audioDHash(nearDupAudio(s, d)),
+          "media_id", "ahash", maxHamming = 6)
         .orderBy("a", "b"))
   )
 
@@ -4105,6 +4167,8 @@ object AnalyticsQueries {
     "q91_ann_int8" -> golden("q91_ann_int8", "qid, cid, rn", "qid, rn"),
     "q93_survivors" -> golden("q93_survivors", "doc_id, cluster, keep", "doc_id"),
     "q271_image_phash" -> golden("q271_image_phash", "a, b, hamming", "a, b"),
+    "q273_audio_fingerprint" ->
+      golden("q273_audio_fingerprint", "a, b, hamming", "a, b"),
     "q96_hll" ->
       golden("q96_hll", "event_type, approx_users, exact_users", "event_type"),
     // independent re-execution of BPE apply: tokens ride as
@@ -4969,7 +5033,22 @@ object AnalyticsQueries {
        + "dfr AS (SELECT gram, COUNT(*)::BIGINT AS df FROM g GROUP BY gram) "
        + "SELECT doc_id, COUNT(*)::BIGINT AS n_grams, "
        + "(SUM(1000000 // df) // COUNT(*))::BIGINT AS novelty_ppm "
-       + "FROM g JOIN dfr USING (gram) GROUP BY doc_id ORDER BY doc_id")
+       + "FROM g JOIN dfr USING (gram) GROUP BY doc_id ORDER BY doc_id"),
+    "q272_tcloseness" ->
+      ("WITH e AS (SELECT event_type, hour(ts)::BIGINT AS hod, user_id % 10 AS cohort FROM events), "
+       + "cc AS (SELECT event_type, hod, cohort, COUNT(*)::BIGINT AS cgv FROM e GROUP BY 1, 2, 3), "
+       + "cells AS (SELECT event_type, hod, SUM(cgv)::BIGINT AS ng FROM cc GROUP BY 1, 2), "
+       + "coh AS (SELECT cohort, COUNT(*)::BIGINT AS cv FROM e GROUP BY 1), "
+       + "tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM e), "
+       + "x AS (SELECT cells.event_type, cells.hod, cells.ng, coh.cohort, coh.cv, "
+       + "COALESCE(cc.cgv, 0)::BIGINT AS cgv FROM cells CROSS JOIN coh "
+       + "LEFT JOIN cc ON cc.event_type = cells.event_type AND cc.hod = cells.hod AND cc.cohort = coh.cohort), "
+       + "g AS (SELECT event_type, hod, MAX(ng)::BIGINT AS n, "
+       + "(SUM(ABS(cgv::HUGEINT * n_total - cv::HUGEINT * ng)) * 500000 "
+       + "// (MAX(ng)::HUGEINT * MAX(n_total)))::BIGINT AS t_ppm "
+       + "FROM x CROSS JOIN tot GROUP BY 1, 2) "
+       + "SELECT event_type, hod, n, t_ppm, (t_ppm > 150000)::INT::BIGINT AS risky "
+       + "FROM g ORDER BY event_type, hod")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

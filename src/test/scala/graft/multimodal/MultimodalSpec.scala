@@ -340,4 +340,54 @@ class MultimodalSpec extends SparkSpec {
       yield (3 * b + i, 3 * b + j)).forall(p =>
         want.exists(t => t._1 == p._1 && t._2 == p._2)))
   }
+
+  test("audio fingerprint: envelope edits stay near, bases differ, pairs exact") {
+    import graft.operators.Dedup
+    val n = 60L
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+    val wavs = Multimodal.syntheticNearDupAudio(docs).cache()
+    val hashes = Multimodal.audioDHash(wavs).cache()
+    assert(hashes.count() == n) // every WAV decodes
+    val hm = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val within = for (b <- 0L until n / 3; i <- 0 to 1; j <- i + 1 to 2)
+      yield ham(hm(3 * b + i), hm(3 * b + j))
+    assert(within.max <= 6, s"within-base hamming up to ${within.max}")
+    val across = for (b <- 0L until n / 3 - 1)
+      yield ham(hm(3 * b), hm(3 * (b + 1)))
+    assert(across.count(_ > 6) > across.size * 3 / 4,
+      s"cross-base hammings unexpectedly low: $across")
+    // a gain-only change must NOT register as an edit: halving every
+    // sample scales all window energies by ~1/4 uniformly, preserving
+    // the envelope ordering (the invariance claim in the scaladoc)
+    val b0 = Multimodal.syntheticWavNear(0L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(b0))
+    val pcm = ais.readAllBytes(); ais.close()
+    var i = 0
+    while (i < pcm.length) {
+      val s = (((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort / 2).toShort
+      pcm(i) = (s & 0xff).toByte; pcm(i + 1) = ((s >> 8) & 0xff).toByte
+      i += 2
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val quiet = {
+      val a2 = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(a2,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val quietHash = Multimodal.audioHash64(quiet)
+    assert(quietHash != null && quietHash.longValue == hm(0L),
+      "half-gain copy must fingerprint identically")
+    val got = Dedup.fingerprintPairs(hashes, "media_id", "ahash", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- 0L until n; b <- a + 1 until n
+      d = ham(hm(a), hm(b)) if d <= 6
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want)
+  }
 }
