@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{DoubleType, LongType, StructType, TimestampNTZType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType}
 
 /** Streaming twins of the batch inventory (SURVEY §2.3 Q23 / §5.3 item 4):
   * the same aggregation executed through Structured Streaming from a file
@@ -611,6 +611,69 @@ object StreamingQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_semi"))
         .orderBy("user_id")
+    }
+
+  /** Orders-as-CDC log parquet per sf dir, written ONCE per JVM as 4
+    * ts-range files so `maxFilesPerTrigger=1` under AvailableNow
+    * yields a genuine multi-batch maintenance run (file order is not
+    * ts order — exactly the out-of-order arrival the stale-guard in
+    * [[graft.streaming.IncrementalAgg.mergeRetract]] must absorb).
+    * `tso` = days·10⁹ + orderkey: unique per entry, so latest-per-key
+    * is well-defined on any engine.
+    */
+  private val cdcLogCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cdcLogDir(s: SparkSession, dir: String): String =
+    cdcLogCache.computeIfAbsent(dir, { d =>
+      val tmp = scratchCheckpoint("q274-log")
+      graft.engine.Tables(s, d, "orders")
+        .filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_custkey").as("k"),
+          (datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint") * 1000000000L +
+            col("o_orderkey")).as("tso"),
+          when(col("o_orderpriority").startsWith("1"), "D").otherwise("U")
+            .as("op"),
+          pmod(col("o_custkey"), lit(8L)).as("grp"),
+          expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .repartitionByRange(4, col("tso"))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
+  /** Retraction-aware incremental view maintenance driven end-to-end:
+    * the orders CDC log streams through [[graft.streaming
+    * .IncrementalAgg.mergeRetract]] in 4 out-of-ts-order micro-batches
+    * (maxFilesPerTrigger=1), maintaining per-cohort (cnt, total_cents)
+    * where each key's update RETRACTS its previous contribution and a
+    * delete removes it — the aggregate q106's insert-only merger
+    * cannot maintain. The final served view must equal the plain batch
+    * latest-per-key recompute (the DuckDB oracle), certifying the
+    * retraction arithmetic; batch-boundary/replay behavior is pinned
+    * in IncrementalAggSpec.
+    */
+  def q274IvmRetract(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val logDir = cdcLogDir(s, dir)
+      val store = scratchCheckpoint("q274-store")
+      val ckpt = scratchCheckpoint("q274")
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("tso", LongType),
+        StructField("op", StringType), StructField("grp", LongType),
+        StructField("cents", LongType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(logDir)
+        .writeStream
+        .foreachBatch(graft.streaming.IncrementalAgg.mergeRetract(
+          store, "k", "tso", "op", "grp", "cents") _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      graft.streaming.IncrementalAgg.read(s, s"$store/agg", Seq("grp"))
+        .select(col("grp"), col("cnt"), col("total").as("total_cents"))
+        .orderBy("grp")
     }
 
   /** Typed rows/state/output for [[q100SessionizeState]]. `ts_s`
@@ -1289,6 +1352,7 @@ object StreamingQueries {
     "q265_stream_full_outer" -> (q265StreamFullOuter(_, _)),
     "q266_stream_right_outer" -> (q266StreamRightOuter(_, _)),
     "q270_stream_semi" -> (q270StreamSemi(_, _)),
+    "q274_ivm_retract" -> (q274IvmRetract(_, _)),
     "q82_stream" -> (q82Stream(_, _)),
     "q89_stream_static" -> (q89StreamStatic(_, _)),
     "q100_sessionize_state" -> (q100SessionizeState(_, _)),
@@ -1398,6 +1462,16 @@ object StreamingQueries {
        + "WHERE EXISTS (SELECT 1 FROM c WHERE c.c_user_id = p.user_id "
        + "AND c.c_sec BETWEEN p.p_sec - 600 AND p.p_sec) "
        + "GROUP BY 1 ORDER BY user_id"),
+    "q274_ivm_retract" ->
+      ("WITH log AS (SELECT o_custkey AS k, "
+       + "datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT * 1000000000 + o_orderkey AS tso, "
+       + "CASE WHEN o_orderpriority LIKE '1%' THEN 'D' ELSE 'U' END AS op, "
+       + "ROUND(o_totalprice * 100)::BIGINT AS cents "
+       + "FROM orders WHERE o_orderkey % 5 = 0), "
+       + "la AS (SELECT k, op, cents FROM (SELECT *, ROW_NUMBER() OVER "
+       + "(PARTITION BY k ORDER BY tso DESC) AS rn FROM log) t WHERE rn = 1) "
+       + "SELECT k % 8 AS grp, COUNT(*)::BIGINT AS cnt, SUM(cents)::BIGINT AS total_cents "
+       + "FROM la WHERE op <> 'D' GROUP BY 1 ORDER BY grp"),
     "q89_stream_static" ->
       ("SELECT c.c_nationkey, COUNT(*) AS n_purchases, ROUND(SUM(e.value), 4) AS total_value "
        + "FROM events e JOIN customer c ON e.user_id = c.c_custkey "

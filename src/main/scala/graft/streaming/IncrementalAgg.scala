@@ -137,6 +137,91 @@ object IncrementalAgg {
     pruneBelow(storeDir, base)
   }
 
+  /** foreachBatch body maintaining a RETRACTION-AWARE group aggregate
+    * from a keyed CDC stream — the full incremental-view-maintenance
+    * shape [[mergeCountSum]] (insert-only) cannot express: each batch
+    * of (key, ts, op U/D, group, value) rows first RETRACTS the stored
+    * contribution of every touched key from its group's (cnt, total),
+    * then applies the new value (or nothing, for a delete). Two
+    * co-versioned tables live under the store: `keys/` (per-key
+    * snapshot: key, ts, group, value — the retraction source) and
+    * `agg/` (group → cnt, total — the served view).
+    *
+    * Out-of-order batches are safe: a delta row older than the key's
+    * stored ts is dropped (never applied, never retracts), so the
+    * final state is a pure function of the log's per-key latest entry
+    * regardless of arrival order — entries must carry unique (key, ts)
+    * for this to be well-defined (compose ts as day·10⁹+seq if needed).
+    * Deletes leave a TOMBSTONE row (alive=false) in `keys/` rather
+    * than dropping the key: without it, an older update arriving after
+    * the delete would see no stored ts and resurrect the key (found by
+    * the cross-engine oracle on the first run). Production would
+    * compact tombstones past the source's max reordering horizon.
+    * Replay safety is the same versioned-state contract as the other
+    * mergers: both tables read only the base version and overwrite
+    * their own `state_b=<batch>`.
+    *
+    * Cost per batch: one delta-sized struct-max groupBy, one key join
+    * delta↔snapshot, delta-sized retract/insert aggregates, and a
+    * |groups|-row agg merge. The snapshot rewrite is O(|keys|) here
+    * (one parquet dir per version); at 100 TB the snapshot would be
+    * bucketed by key and only touched buckets rewritten — the merge
+    * arithmetic is unchanged.
+    */
+  def mergeRetract(storeDir: String, keyCol: String, tsCol: String,
+      opCol: String, groupCol: String, valueCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val keysDir = s"$storeDir/keys"; val aggDir = s"$storeDir/agg"
+    val base = baseBelow(keysDir, batchId)
+    val snapshot = base match {
+      case Some(v) => spark.read.parquet(s"$keysDir/state_b=$v")
+      case None => batch
+        .select(col(keyCol), col(tsCol), col(groupCol), col(valueCol),
+          lit(true).as("alive"))
+        .limit(0)
+    }
+    val aggBase = base match {
+      case Some(v) => spark.read.parquet(s"$aggDir/state_b=$v")
+      case None => batch.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+        .limit(0)
+    }
+    // batch-local winner per key, then the stale-guard: only deltas at
+    // or beyond the stored ts apply ('U' > 'D' breaks an exact-ts tie
+    // toward keeping the row, q251's CDC convention)
+    val winner = latestPerKey(
+      batch.select(col(keyCol) +:
+        Seq(tsCol, opCol, groupCol, valueCol).map(col): _*),
+      keyCol, Seq(tsCol, opCol), Seq(groupCol, valueCol))
+    val delta = winner
+      .join(snapshot.select(col(keyCol), col(tsCol).as("_sts")),
+        Seq(keyCol), "left")
+      .filter(col("_sts").isNull || col(tsCol) >= col("_sts"))
+      .drop("_sts")
+      .cache()
+    val touched = snapshot.filter(col("alive"))
+      .join(delta.select(col(keyCol)), Seq(keyCol), "left_semi")
+    val retract = touched.groupBy(col(groupCol))
+      .agg((-count(lit(1))).as("cnt"), (-sum(col(valueCol))).as("total"))
+    val insert = delta.filter(col(opCol) =!= "D")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol)).as("total"))
+    val newAgg = aggBase.unionByName(retract).unionByName(insert)
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+      .filter(col("cnt") =!= 0)
+    val newSnap = snapshot
+      .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(delta.select(col(keyCol), col(tsCol), col(groupCol),
+        col(valueCol), (col(opCol) =!= "D").as("alive")))
+    newSnap.write.mode("overwrite").parquet(s"$keysDir/state_b=$batchId")
+    newAgg.write.mode("overwrite").parquet(s"$aggDir/state_b=$batchId")
+    delta.unpersist()
+    pruneBelow(keysDir, base)
+    pruneBelow(aggDir, base)
+  }
+
   /** foreachBatch body maintaining the (keyCols → cnt, total) view. */
   def mergeCountSum(storeDir: String, keyCols: Seq[String],
       valueCol: String)(batch: DataFrame, batchId: Long): Unit = {

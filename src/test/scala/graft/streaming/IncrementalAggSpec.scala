@@ -138,4 +138,47 @@ class IncrementalAggSpec extends SparkSpec {
     q.awaitTermination()
     assert(snap(dir) == Seq((1L, 15.0)))
   }
+
+  test("mergeRetract: updates retract, deletes remove, stale rows drop, replay idempotent") {
+    val dir = store()
+    def agg() = IncrementalAgg.read(spark, s"$dir/agg", Seq("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      IncrementalAgg.mergeRetract(dir, "k", "tso", "op", "grp", "v")(b, id)
+    // batch 0: three keys across two groups
+    run(Seq(("k1", 10L, "U", "g1", 100L), ("k2", 11L, "U", "g1", 200L),
+      ("k3", 12L, "U", "g2", 50L)).toDF("k", "tso", "op", "grp", "v"), 0L)
+    assert(agg() == Seq(("g1", 2L, 300L), ("g2", 1L, 50L)))
+    // batch 1: k1 updated (retract 100, apply 150), k3 deleted,
+    // and a STALE k2 update (tso 5 < stored 11) that must be ignored
+    run(Seq(("k1", 20L, "U", "g1", 150L), ("k3", 21L, "D", "g2", 0L),
+      ("k2", 5L, "U", "g1", 999L)).toDF("k", "tso", "op", "grp", "v"), 1L)
+    assert(agg() == Seq(("g1", 2L, 350L)), agg().toString) // g2 emptied out
+    // replay batch 1 (crash before offset commit): same state rebuilt
+    run(Seq(("k1", 20L, "U", "g1", 150L), ("k3", 21L, "D", "g2", 0L),
+      ("k2", 5L, "U", "g1", 999L)).toDF("k", "tso", "op", "grp", "v"), 1L)
+    assert(agg() == Seq(("g1", 2L, 350L)))
+    // batch 2: an update OLDER than k3's delete arrives late — the
+    // tombstone must block it (without tombstones the key would
+    // resurrect: the bug the first cross-engine run caught)
+    run(Seq(("k3", 15L, "U", "g2", 77L)).toDF("k", "tso", "op", "grp", "v"), 2L)
+    assert(agg() == Seq(("g1", 2L, 350L)), agg().toString)
+    // batch 3: k3 re-inserted after its delete (newer ts beats the
+    // tombstone); within-batch the latest (tso, op) per key wins — k1
+    // gets two entries, 31 wins
+    run(Seq(("k3", 30L, "U", "g2", 60L), ("k1", 31L, "U", "g1", 175L),
+      ("k1", 30L, "U", "g1", 1L)).toDF("k", "tso", "op", "grp", "v"), 3L)
+    assert(agg() == Seq(("g1", 2L, 375L), ("g2", 1L, 60L)))
+    // the final view equals the brute-force latest-per-key recompute
+    val log = Seq(("k1", 10L, "U", "g1", 100L), ("k2", 11L, "U", "g1", 200L),
+      ("k3", 12L, "U", "g2", 50L), ("k1", 20L, "U", "g1", 150L),
+      ("k3", 21L, "D", "g2", 0L), ("k2", 5L, "U", "g1", 999L),
+      ("k3", 30L, "U", "g2", 60L), ("k1", 31L, "U", "g1", 175L),
+      ("k1", 30L, "U", "g1", 1L))
+    val brute = log.groupBy(_._1).map(_._2.maxBy(e => (e._2, e._3)))
+      .filter(_._3 != "D").toSeq
+      .groupBy(_._4).map { case (g, es) => (g, es.size.toLong,
+        es.map(_._5).sum) }.toSeq.sortBy(_._1)
+    assert(agg() == brute)
+  }
 }
