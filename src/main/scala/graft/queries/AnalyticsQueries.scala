@@ -3278,7 +3278,50 @@ object AnalyticsQueries {
       Dedup.fingerprintPairs(
           graft.multimodal.Multimodal.audioDHash(nearDupAudio(s, d)),
           "media_id", "ahash", maxHamming = 6)
-        .orderBy("a", "b"))
+        .orderBy("a", "b")),
+
+    // golden-record consolidation — the MDM step AFTER entity
+    // resolution (q208 stops at clusters; a master-data pipeline must
+    // then emit ONE record per entity): per cluster, majority-vote the
+    // brand (ties to the smallest value — the q261 min(struct(-cnt,v))
+    // reduction, deterministic on any engine), keep the most complete
+    // numerics (max price in exact cents, min size), min-id canonical.
+    // Singletons (no incident pair) consolidate to themselves. Votes
+    // and rollups are per-cluster map-side-combinable aggregates over
+    // |entities| rows; components run over the (tiny) pair list only
+    "q275_golden_record" -> ((s, d) => {
+      val part = t(s, d, "part")
+      val names = part.groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("p_partkey"))
+      val pairs = graft.operators.Linkage.jaroWinklerPairs(
+        names, "p_partkey", "p_name", threshold = 0.88)
+      val comps = graft.operators.Components
+        .connectedComponents(pairs, "a", "b")
+      val member = names
+        .join(part.select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast("bigint").as("p_size"),
+          expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").as("cents")),
+          Seq("p_partkey"))
+        .join(comps.withColumnRenamed("id", "p_partkey"),
+          Seq("p_partkey"), "left")
+        .select(coalesce(col("comp"), col("p_partkey")).as("comp"),
+          col("p_partkey"), col("p_brand"), col("p_size"), col("cents"))
+      val brand = member.groupBy(col("comp"), col("p_brand"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("comp"))
+        .agg(min(struct((-col("c")).as("nc"), col("p_brand").as("b")))
+          .as("w"))
+        .select(col("comp"), col("w.b").as("brand"))
+      member.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("p_partkey")).as("canonical"),
+          min(col("p_size")).as("min_size"),
+          max(col("cents")).as("max_retail_cents"))
+        .join(brand, Seq("comp"))
+        .select(col("comp"), col("n_members"), col("canonical"),
+          col("brand"), col("min_size"), col("max_retail_cents"))
+        .orderBy("comp")
+    })
   )
 
   /** Two-generation events layout per sf dir (schema evolution
@@ -5048,7 +5091,28 @@ object AnalyticsQueries {
        + "// (MAX(ng)::HUGEINT * MAX(n_total)))::BIGINT AS t_ppm "
        + "FROM x CROSS JOIN tot GROUP BY 1, 2) "
        + "SELECT event_type, hod, n, t_ppm, (t_ppm > 150000)::INT::BIGINT AS risky "
-       + "FROM g ORDER BY event_type, hod")
+       + "FROM g ORDER BY event_type, hod"),
+    "q275_golden_record" ->
+      ("WITH RECURSIVE u AS (SELECT MIN(p_partkey) AS p_partkey, p_name FROM part GROUP BY p_name), "
+       + "k AS (SELECT p_partkey AS id, p_name AS nm, "
+       + "string_split(p_name, ' ')[1] AS bk, length(p_name) // 8 AS lb FROM u), "
+       + "s AS (SELECT *, COUNT(*) OVER (PARTITION BY bk, lb) AS bc FROM k), "
+       + "pairs AS (SELECT x.id AS a, y.id AS b "
+       + "FROM s x JOIN s y ON x.bk = y.bk AND x.lb = y.lb AND x.id < y.id "
+       + "WHERE x.bc <= 10000 AND ROUND(jaro_winkler_similarity(x.nm, y.nm), 4) >= 0.88), "
+       + "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs), "
+       + "reach(id, comp) AS (SELECT src, src FROM edges "
+       + "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id), "
+       + "lbl AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id), "
+       + "m AS (SELECT COALESCE(l.comp, u.p_partkey) AS comp, u.p_partkey AS id, "
+       + "p.p_brand, p.p_size::BIGINT AS p_size, ROUND(p.p_retailprice * 100)::BIGINT AS cents "
+       + "FROM u JOIN part p ON p.p_partkey = u.p_partkey LEFT JOIN lbl l ON l.id = u.p_partkey), "
+       + "bv AS (SELECT comp, p_brand AS brand FROM ("
+       + "SELECT comp, p_brand, ROW_NUMBER() OVER (PARTITION BY comp "
+       + "ORDER BY COUNT(*) DESC, p_brand) AS rn FROM m GROUP BY comp, p_brand) WHERE rn = 1) "
+       + "SELECT m.comp AS comp, COUNT(*)::BIGINT AS n_members, MIN(id)::BIGINT AS canonical, "
+       + "MAX(bv.brand) AS brand, MIN(p_size)::BIGINT AS min_size, MAX(cents)::BIGINT AS max_retail_cents "
+       + "FROM m JOIN bv ON bv.comp = m.comp GROUP BY m.comp ORDER BY m.comp")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

@@ -590,4 +590,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("embedding")),
       s"no exchange may carry the raw vector column:\n${exchanges.mkString("\n")}")
   }
+
+  test("q268 shuffle export moves every row exactly once (one exchange, no sort-merge)") {
+    // the global shuffle IS the operator: exactly one exchange (the
+    // repartition on shard), a within-partition sort, and no global
+    // Sort/window anywhere — the shape that holds at any corpus size
+    val df = graft.operators.Sampling.shuffleExport(
+      graft.engine.Tables(spark, sf, "documents").select("doc_id"),
+      "doc_id", nShards = 8, seed = "plan")
+    val s = planString(df).split("== Initial Plan ==")(0)
+    val exchanges = s.linesIterator.filter(_.contains("Exchange hash")).toList
+    assert(exchanges.size == 1, s"expect exactly one exchange:\n$s")
+    assert(s.contains("Sort ") && !s.contains("Window"),
+      s"within-partition sort only:\n$s")
+  }
+
+  test("q269 soft dedup stays equi-joined with partial aggregation") {
+    val s = planString(q("q269_soft_dedup"))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"gram join must stay an equi-join:\n$s")
+    // df agg + per-doc agg both map-side combinable
+    assert(s.split("HashAggregate").length >= 3, s)
+  }
+
+  test("q272 t-closeness broadcasts the cohort distribution") {
+    val s = planString(q("q272_tcloseness"))
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"cells x cohorts must ride broadcasts:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
 }
