@@ -587,4 +587,39 @@ object TextOps {
       xxhash64(col(textCol)).as("xx_fp"),
       rolling.as("roll_fp"))
   }
+
+  /** Distributed JSON schema profiling — the infer-schema step a
+    * semi-structured ingest runs before declaring columns: for every
+    * top-level key across a JSON column, how often it is present and
+    * with what value types. One narrow pass (`json_object_keys` →
+    * explode → per-key extract + classify), one map-side-combinable
+    * groupBy over (key) — the document bodies never shuffle, only
+    * (key, type-flag) pairs do. Type classification is lexical over
+    * the extracted text (integer / boolean literal / everything else
+    * a string), which is exact for JSON whose string values are not
+    * digit-only — the caller's contract, and what makes the profile
+    * engine-independent.
+    *
+    * Output: (key, n_present, n_int, n_bool, n_str, presence_ppm)
+    * with presence in exact ppm of the row count.
+    */
+  def jsonProfile(df: DataFrame, jsonCol: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("n_total"))
+    val kv = df.select(col(jsonCol).as("j"))
+      .select(col("j"), explode(expr("json_object_keys(j)")).as("key"))
+      .withColumn("v", expr("get_json_object(j, concat('$.', key))"))
+      .withColumn("cls",
+        when(col("v").rlike("^-?[0-9]+$"), "int")
+          .when(col("v").isin("true", "false"), "bool")
+          .otherwise("str"))
+    kv.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_present"),
+        sum(when(col("cls") === "int", 1L).otherwise(0L)).as("n_int"),
+        sum(when(col("cls") === "bool", 1L).otherwise(0L)).as("n_bool"),
+        sum(when(col("cls") === "str", 1L).otherwise(0L)).as("n_str"))
+      .crossJoin(broadcast(total))
+      .withColumn("presence_ppm",
+        expr("n_present * 1000000 div n_total"))
+      .drop("n_total")
+  }
 }

@@ -3321,6 +3321,27 @@ object AnalyticsQueries {
         .select(col("comp"), col("n_members"), col("canonical"),
           col("brand"), col("min_size"), col("max_retail_cents"))
         .orderBy("comp")
+    }),
+
+    // JSON schema profiling over a variant-shaped document stream: the
+    // fixture renders orders as JSON with conditionally-present keys
+    // and mixed value types (to_json omits NULL fields), and the
+    // profile must recover, per key, presence and the type histogram —
+    // the infer-schema step of a semi-structured ingest. The oracle
+    // derives the same profile in closed form from the base columns
+    // (an INDEPENDENT derivation, not a JSON re-parse), so the
+    // engine's whole json_object_keys/get_json_object path is what is
+    // certified
+    "q276_json_profile" -> ((s, d) => {
+      val j = t(s, d, "orders").select(to_json(struct(
+        col("o_orderkey").as("key"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderpriority").startsWith("1").as("urgent"),
+        when(col("o_orderkey") % 3 === 0,
+          expr("CAST(ROUND(o_totalprice) AS BIGINT)")).as("total"),
+        when(col("o_orderkey") % 7 === 0,
+          concat(lit("s-"), col("o_orderstatus"))).as("note"))).as("j"))
+      graft.operators.TextOps.jsonProfile(j, "j").orderBy("key")
     })
   )
 
@@ -5112,7 +5133,19 @@ object AnalyticsQueries {
        + "ORDER BY COUNT(*) DESC, p_brand) AS rn FROM m GROUP BY comp, p_brand) WHERE rn = 1) "
        + "SELECT m.comp AS comp, COUNT(*)::BIGINT AS n_members, MIN(id)::BIGINT AS canonical, "
        + "MAX(bv.brand) AS brand, MIN(p_size)::BIGINT AS min_size, MAX(cents)::BIGINT AS max_retail_cents "
-       + "FROM m JOIN bv ON bv.comp = m.comp GROUP BY m.comp ORDER BY m.comp")
+       + "FROM m JOIN bv ON bv.comp = m.comp GROUP BY m.comp ORDER BY m.comp"),
+    "q276_json_profile" ->
+      ("WITH n AS (SELECT COUNT(*)::BIGINT AS total FROM orders), "
+       + "t3 AS (SELECT COUNT(*)::BIGINT AS c FROM orders WHERE o_orderkey % 3 = 0), "
+       + "t7 AS (SELECT COUNT(*)::BIGINT AS c FROM orders WHERE o_orderkey % 7 = 0), "
+       + "p AS (SELECT 'key' AS key, total AS n_present, total AS n_int, 0::BIGINT AS n_bool, 0::BIGINT AS n_str FROM n "
+       + "UNION ALL SELECT 'priority', total, 0, 0, total FROM n "
+       + "UNION ALL SELECT 'urgent', total, 0, total, 0 FROM n "
+       + "UNION ALL SELECT 'total', c, c, 0, 0 FROM t3 "
+       + "UNION ALL SELECT 'note', c, 0, 0, c FROM t7) "
+       + "SELECT key, n_present, n_int, n_bool, n_str, "
+       + "(n_present * 1000000 // total)::BIGINT AS presence_ppm "
+       + "FROM p CROSS JOIN n ORDER BY key")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

@@ -261,4 +261,24 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(5) == 4L)                       // the, is, on, the
     assert(r.getLong(6) == 0L)                       // fails min word count
   }
+
+  test("jsonProfile recovers presence and type histogram per key") {
+    import spark.implicits._
+    val docs = Seq(
+      """{"a": 1, "b": "x", "c": true}""",
+      """{"a": -42, "b": "7up"}""",           // "7up" is str (not digit-only)
+      """{"b": "y", "c": false}""",
+      """{"a": 3}""").toDF("j")
+    val got = TextOps.jsonProfile(docs, "j").orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 3L, 3L, 0L, 0L, 750000L),
+      ("b", 3L, 0L, 0L, 3L, 750000L),
+      ("c", 2L, 0L, 2L, 0L, 500000L)))
+    // partitioning-invariant (pure aggregation)
+    val again = TextOps.jsonProfile(docs.repartition(5), "j")
+      .orderBy("key").collect().map(_.toString).toSeq
+    assert(again == got.map(t => s"[${t.productIterator.mkString(",")}]").toSeq)
+  }
 }
