@@ -66,6 +66,28 @@ object AnalyticsQueries {
     s.read.parquet(out)
   }
 
+  /** One PNG FILE per doc id (q277's binaryFile-source fixture),
+    * written once per JVM by a distributed mapPartitions pass (local
+    * FS — single machine; a cluster would target shared storage).
+    */
+  private val pngDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pngFileDir(s: SparkSession, dir: String): String =
+    pngDirCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pngdir-").toString
+      import s.implicits._
+      graft.engine.Par.widen(Tables(s, d, "documents"))
+        .select(col("doc_id")).as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$tmp/$id.png"),
+              graft.multimodal.Multimodal.syntheticPng(id))
+          }
+        }
+      tmp
+    })
+
   /** Near-dup audio fixture per sf dir (q273) — WAV encoding is
     * fixture fabrication, same disk-backed discipline.
     */
@@ -3342,6 +3364,28 @@ object AnalyticsQueries {
         when(col("o_orderkey") % 7 === 0,
           concat(lit("s-"), col("o_orderstatus"))).as("note"))).as("j"))
       graft.operators.TextOps.jsonProfile(j, "j").orderBy("key")
+    }),
+
+    // media ingest through Spark's `binaryFile` source — the actual
+    // entry path of a production media pipeline (a directory of image
+    // files, not a pre-built parquet): one PNG file per doc id on
+    // disk, scanned as (path, content), id parsed from the filename,
+    // REAL ImageIO decode downstream. The oracle knows the fixture's
+    // dimension formula (12+id%9 × 8+id%7), so the whole
+    // source→decode path is certified in closed form. Scale: the scan
+    // parallelizes over files; content bytes never shuffle (decode is
+    // scan-side, only (id, dims) scalars reach the sort)
+    "q277_binary_ingest" -> ((s, d) => {
+      val dir = pngFileDir(s, d)
+      val decoded = graft.multimodal.Multimodal.decode(
+        s.read.format("binaryFile").load(s"$dir/*.png")
+          .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+            .cast("bigint").as("media_id"),
+            lit("image").as("media_type"), col("content")))
+      decoded.filter(col("ok"))
+        .select(col("media_id"), col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"))
+        .orderBy("media_id")
     })
   )
 
@@ -5145,7 +5189,10 @@ object AnalyticsQueries {
        + "UNION ALL SELECT 'note', c, 0, 0, c FROM t7) "
        + "SELECT key, n_present, n_int, n_bool, n_str, "
        + "(n_present * 1000000 // total)::BIGINT AS presence_ppm "
-       + "FROM p CROSS JOIN n ORDER BY key")
+       + "FROM p CROSS JOIN n ORDER BY key"),
+    "q277_binary_ingest" ->
+      ("SELECT doc_id AS media_id, (12 + doc_id % 9)::BIGINT AS width, "
+       + "(8 + doc_id % 7)::BIGINT AS height FROM documents ORDER BY media_id")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom
