@@ -720,6 +720,127 @@ object Multimodal {
     bb.array()
   }
 
+  /** Shot/scene segmentation over uncompressed AVI video: decode every
+    * stored frame (RIFF walk + DIB pixels), fingerprint each with the
+    * same [[dHash64]] kernel the image path uses, and declare a CUT
+    * wherever consecutive frames' hamming distance exceeds
+    * `cutHamming` — the shot-boundary step a video training pipeline
+    * runs before sampling frames per shot. A narrow partition-wise
+    * pass: video bytes never shuffle; only (id, n_frames, n_cuts,
+    * first_cut) scalars leave the scan. `first_cut` is the index of
+    * the first frame that starts a new shot, −1 when single-shot.
+    */
+  def sceneCuts(media: DataFrame, cutHamming: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_cuts", LongType),
+      StructField("first_cut", LongType))))
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val avi = readAvi(bytes)
+        val frames = readAviFrames(bytes)
+        if (avi == null || frames.isEmpty) Iterator.empty
+        else {
+          val stride = (avi.width * 3 + 3) & ~3
+          val hashes = frames.map { fb =>
+            val img = new java.awt.image.BufferedImage(avi.width,
+              avi.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < avi.height) {
+              val ro = (avi.height - 1 - y) * stride // DIB bottom-up
+              var x = 0
+              while (x < avi.width) {
+                val b = fb(ro + 3 * x) & 0xff
+                val g = fb(ro + 3 * x + 1) & 0xff
+                val rr = fb(ro + 3 * x + 2) & 0xff
+                img.setRGB(x, y, (rr << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            dHash64(img)
+          }
+          var cuts = 0L; var first = -1L; var i = 1
+          while (i < hashes.length) {
+            if (java.lang.Long.bitCount(hashes(i - 1) ^ hashes(i)) >
+                cutHamming) {
+              cuts += 1; if (first < 0) first = i
+            }
+            i += 1
+          }
+          Iterator.single(Row(r.getLong(0), hashes.length.toLong, cuts,
+            first))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic uncompressed AVI with a PLANTED scene cut: 6 stored
+    * 18×16 frames; frames before index `1 + id mod 4` render scene 0's
+    * block pattern, the rest scene 1's (independent hash fields →
+    * consecutive cross-scene frames differ in ~half their dHash bits,
+    * within-scene frames are identical). The cut position is a pure
+    * function of the id — the closed-form oracle of the q278 query.
+    */
+  def syntheticAviScenes(id: Long): Array[Byte] = {
+    val w = 18; val h = 16; val nf = 6
+    val cut = 1 + (id % 4).toInt
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val hdrlSize = 68
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(riffSize)
+      .put("AVI ".getBytes(ascii))
+    bb.put("LIST".getBytes(ascii)).putInt(hdrlSize)
+      .put("hdrl".getBytes(ascii))
+    bb.put("avih".getBytes(ascii)).putInt(56)
+    bb.putInt(40000).putInt(0).putInt(0).putInt(0)
+      .putInt(nf).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes(ascii)).putInt(moviSize)
+      .put("movi".getBytes(ascii))
+    var f = 0
+    while (f < nf) {
+      bb.put("00db".getBytes(ascii)).putInt(frameBytes)
+      val scene = if (f < cut) 0L else 1L
+      var row = h - 1
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          var nz = (id * 2 + scene) * 0x9E3779B97F4A7C15L ^
+            ((x / 2).toLong * 0xC2B2AE3D27D4EB4FL) ^
+            ((row / 2).toLong * 0x165667B19E3779F9L)
+          nz *= 0xFF51AFD7ED558CCDL; nz ^= nz >>> 33
+          val v = (nz & 255).toByte
+          bb.put(v).put(v).put(v)
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** Video-only media table with [[syntheticAviScenes]] content. */
+  def syntheticSceneVideos(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), syntheticAviScenes(r.getLong(0))) }
+    }(enc)
+  }
+
   /** REAL per-frame video decode for uncompressed AVI: walks the RIFF
     * 'movi' list and returns each '00db'/'00dc' chunk's raw DIB
     * payload (bottom-up BGR, 4-byte-aligned stride — interpret with

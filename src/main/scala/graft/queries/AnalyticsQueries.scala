@@ -88,6 +88,22 @@ object AnalyticsQueries {
       tmp
     })
 
+  /** Scene-cut video fixture per sf dir (q278), disk-backed like the
+    * other media fixtures.
+    */
+  private val sceneVideoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sceneVideos(s: SparkSession, dir: String): DataFrame = {
+    val out = sceneVideoCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-scenes-").toString
+      graft.multimodal.Multimodal.syntheticSceneVideos(
+          graft.engine.Par.widen(Tables(s, d, "documents")))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(out)
+  }
+
   /** Near-dup audio fixture per sf dir (q273) — WAV encoding is
     * fixture fabrication, same disk-backed discipline.
     */
@@ -3386,7 +3402,17 @@ object AnalyticsQueries {
         .select(col("media_id"), col("width").cast("bigint").as("width"),
           col("height").cast("bigint").as("height"))
         .orderBy("media_id")
-    })
+    }),
+
+    // video shot segmentation: per-frame dHash over REAL decoded AVI
+    // frames, cut where consecutive frames' hamming exceeds the
+    // threshold — the shot-boundary step before per-shot frame
+    // sampling. The fixture plants the cut at 1 + id mod 4, so the
+    // whole decode→hash→segment path has a closed-form oracle
+    "q278_scene_cuts" -> ((s, d) =>
+      graft.multimodal.Multimodal.sceneCuts(
+          sceneVideos(s, d), cutHamming = 10)
+        .orderBy("media_id"))
   )
 
   /** Two-generation events layout per sf dir (schema evolution
@@ -5192,7 +5218,10 @@ object AnalyticsQueries {
        + "FROM p CROSS JOIN n ORDER BY key"),
     "q277_binary_ingest" ->
       ("SELECT doc_id AS media_id, (12 + doc_id % 9)::BIGINT AS width, "
-       + "(8 + doc_id % 7)::BIGINT AS height FROM documents ORDER BY media_id")
+       + "(8 + doc_id % 7)::BIGINT AS height FROM documents ORDER BY media_id"),
+    "q278_scene_cuts" ->
+      ("SELECT doc_id AS media_id, 6::BIGINT AS n_frames, 1::BIGINT AS n_cuts, "
+       + "(1 + doc_id % 4)::BIGINT AS first_cut FROM documents ORDER BY media_id")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

@@ -390,4 +390,25 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, d.toLong)).toSet
     assert(got == want)
   }
+
+  test("sceneCuts finds the planted shot boundary; single-shot video has none") {
+    import spark.implicits._
+    val docs = spark.range(24).select(col("id").as("doc_id"))
+    val got = Multimodal.sceneCuts(
+        Multimodal.syntheticSceneVideos(docs), cutHamming = 10)
+      .orderBy("media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 24)
+    got.foreach { case (id, nf, cuts, first) =>
+      assert(nf == 6L && cuts == 1L && first == 1 + id % 4, s"id=$id")
+    }
+    // a plain syntheticAvi clip: every frame shifts the gray ramp by a
+    // constant (+11 per frame index) — a global brightness-style drift,
+    // not a content change; the dHash envelope must call it ONE shot
+    val single = Seq((7L, Multimodal.syntheticAvi(47L)))
+      .toDF("media_id", "content")
+    val s0 = Multimodal.sceneCuts(single, cutHamming = 10).collect().head
+    assert(s0.getLong(2) == 0L && s0.getLong(3) == -1L,
+      s"drifting single-shot clip must have no cuts: $s0")
+  }
 }
