@@ -88,6 +88,34 @@ object AnalyticsQueries {
       tmp
     })
 
+  /** WebDataset tar shards per sf dir (q279): 50 samples per shard,
+    * each sample a `<id>.txt` ("doc-<id>") + `<id>.png`
+    * ([[graft.multimodal.Multimodal.syntheticPng]]) member pair —
+    * written once per JVM, one tar per shard, by executors.
+    */
+  private val wdsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def wdsShardDir(s: SparkSession, dir: String): String =
+    wdsCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wds-").toString
+      graft.engine.Par.widen(Tables(s, d, "documents"))
+        .select((col("doc_id") / 50).cast("long").as("shard"), col("doc_id"))
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .foreach { row =>
+          val shard = row.getLong(0)
+          val entries = row.getSeq[Long](1).flatMap { id =>
+            Seq((s"$id.txt", s"doc-$id".getBytes("UTF-8")),
+              (s"$id.png", graft.multimodal.Multimodal.syntheticPng(id)))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$tmp/shard-$shard%05d.tar"),
+            graft.sources.WebDataset.writeTar(entries))
+          ()
+        }
+      tmp
+    })
+
   /** Scene-cut video fixture per sf dir (q278), disk-backed like the
     * other media fixtures.
     */
@@ -3412,7 +3440,37 @@ object AnalyticsQueries {
     "q278_scene_cuts" -> ((s, d) =>
       graft.multimodal.Multimodal.sceneCuts(
           sceneVideos(s, d), cutHamming = 10)
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // WebDataset shard audit: ingest the tar shards (binaryFile scan +
+    // pure-JDK ustar walk, members exploded scan-side), pair members
+    // by sample key, decode the image of every pair — the integrity
+    // check a multimodal pipeline runs before training on a shard
+    // drop. Closed-form oracle from the fixture's shard formula
+    "q279_webdataset" -> ((s, d) => {
+      val m = graft.sources.WebDataset.ingest(s, wdsShardDir(s, d))
+        .withColumn("id", regexp_extract(col("name"), "^(\\d+)\\.", 1)
+          .cast("bigint"))
+        .withColumn("ext", regexp_extract(col("name"), "\\.(\\w+)$", 1))
+      val pngOk = graft.multimodal.Multimodal.decode(
+          m.filter(col("ext") === "png")
+            .select(col("id").as("media_id"), lit("image").as("media_type"),
+              col("content")))
+        .filter(col("ok"))
+        .select((col("media_id") / 50).cast("long").as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_png_ok"))
+      m.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("id")).as("n_pairs"),
+          sum(when(col("ext") === "txt", length(col("content")))
+            .otherwise(0L)).cast("bigint").as("txt_chars"))
+        .withColumn("shard",
+          regexp_extract(col("shard"), "(\\d+)$", 1).cast("bigint"))
+        .join(pngOk, Seq("shard"))
+        .select(col("shard"), col("n_members"), col("n_pairs"),
+          col("n_png_ok"), col("txt_chars"))
+        .orderBy("shard")
+    })
   )
 
   /** Two-generation events layout per sf dir (schema evolution
@@ -5221,7 +5279,12 @@ object AnalyticsQueries {
        + "(8 + doc_id % 7)::BIGINT AS height FROM documents ORDER BY media_id"),
     "q278_scene_cuts" ->
       ("SELECT doc_id AS media_id, 6::BIGINT AS n_frames, 1::BIGINT AS n_cuts, "
-       + "(1 + doc_id % 4)::BIGINT AS first_cut FROM documents ORDER BY media_id")
+       + "(1 + doc_id % 4)::BIGINT AS first_cut FROM documents ORDER BY media_id"),
+    "q279_webdataset" ->
+      ("SELECT (doc_id // 50)::BIGINT AS shard, (2 * COUNT(*))::BIGINT AS n_members, "
+       + "COUNT(*)::BIGINT AS n_pairs, COUNT(*)::BIGINT AS n_png_ok, "
+       + "SUM(4 + length(doc_id::VARCHAR))::BIGINT AS txt_chars "
+       + "FROM documents GROUP BY 1 ORDER BY shard")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom
