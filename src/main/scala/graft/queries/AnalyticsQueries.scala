@@ -116,6 +116,24 @@ object AnalyticsQueries {
       tmp
     })
 
+  /** Gzip-compressed JSONL drop per sf dir (q280): events rendered as
+    * `.json.gz` part files — the CommonCrawl-style ingest format.
+    * Written once per JVM; the query times the codec+parse read path,
+    * not the fixture write.
+    */
+  private val gzJsonCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def gzJsonDir(s: SparkSession, dir: String): String =
+    gzJsonCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gzjson-").toString
+      Tables(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .repartition(4)
+        .write.mode("overwrite").option("compression", "gzip").json(tmp)
+      tmp
+    })
+
   /** Scene-cut video fixture per sf dir (q278), disk-backed like the
     * other media fixtures.
     */
@@ -3470,6 +3488,29 @@ object AnalyticsQueries {
         .select(col("shard"), col("n_members"), col("n_pairs"),
           col("n_png_ok"), col("txt_chars"))
         .orderBy("shard")
+    }),
+
+    // gzip JSONL ingest (q222/q223's codec sibling — the format a web
+    // crawl actually lands in): read `.json.gz` part files with an
+    // explicit schema (no inference pass at scale), roll up per type.
+    // Scale note: gzip files are NOT splittable — parallelism is the
+    // file count, which is why the fixture (and any real crawl drop)
+    // arrives as many bounded part files
+    "q280_gzip_jsonl" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      s.read.schema(schema).json(gzJsonDir(s, d))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy("event_type")
     })
   )
 
@@ -5284,7 +5325,12 @@ object AnalyticsQueries {
       ("SELECT (doc_id // 50)::BIGINT AS shard, (2 * COUNT(*))::BIGINT AS n_members, "
        + "COUNT(*)::BIGINT AS n_pairs, COUNT(*)::BIGINT AS n_png_ok, "
        + "SUM(4 + length(doc_id::VARCHAR))::BIGINT AS txt_chars "
-       + "FROM documents GROUP BY 1 ORDER BY shard")
+       + "FROM documents GROUP BY 1 ORDER BY shard"),
+    "q280_gzip_jsonl" ->
+      ("SELECT event_type, COUNT(*)::BIGINT AS n, "
+       + "COUNT(DISTINCT user_id)::BIGINT AS users, "
+       + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "
+       + "FROM events GROUP BY 1 ORDER BY event_type")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom
