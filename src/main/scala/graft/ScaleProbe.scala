@@ -514,6 +514,34 @@ object ScaleProbe {
         graft.multimodal.Multimodal.syntheticNearDupAudio(d)),
       "media_id", "ahash", maxHamming = 6).count())
 
+    // q278: narrow decode+hash pass per video, only scalars leave the
+    // scan — must be linear in clip count
+    t("scene_cuts")(graft.multimodal.Multimodal.sceneCuts(
+      graft.multimodal.Multimodal.syntheticSceneVideos(d),
+      cutHamming = 10).count())
+
+    // q279: tar-shard fabrication + binaryFile scan + ustar walk +
+    // image decode; shards are the parallelism unit, so cost rides
+    // the shard count (= corpus / 50) linearly
+    t("webdataset")({
+      val tmp2 = java.nio.file.Files.createTempDirectory("probe-wds").toString
+      d.select((col("doc_id") / 50).cast("long").as("shard"), col("doc_id"))
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .foreach { row =>
+          val shard = row.getLong(0)
+          val entries = row.getSeq[Long](1).flatMap { id =>
+            Seq((s"$id.txt", s"doc-$id".getBytes("UTF-8")),
+              (s"$id.png", graft.multimodal.Multimodal.syntheticPng(id)))
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$tmp2/shard-$shard%07d.tar"),
+            graft.sources.WebDataset.writeTar(entries))
+          ()
+        }
+      graft.sources.WebDataset.ingest(spark, tmp2).count()
+    })
+
     // q272: two map-side-combinable aggregations + a broadcast cross of
     // |cells|×|cohorts|; nothing rides the row count past the first agg
     t("tcloseness")({
