@@ -588,6 +588,34 @@ object TextOps {
       rolling.as("roll_fp"))
   }
 
+  /** URL canonicalization — the normalization every web-corpus
+    * URL-dedup runs before grouping (CCNet/RefinedWeb "dedup by URL"):
+    * lowercase scheme and host, strip the scheme's default port, drop
+    * the fragment, remove tracking parameters (utm_*, fbclid, gclid,
+    * ref), sort the surviving query parameters, and collapse one
+    * trailing slash on a non-root path. Pure column expressions
+    * (regex + array ops, fully codegen) — no UDF, and every rule is
+    * re-expressible in the oracle's SQL dialect, so canonical
+    * equality is certified cross-engine rather than assumed.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z]+)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[A-Za-z]+://([^/?#]+)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path0 = regexp_extract(noFrag, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .otherwise(regexp_replace(path0, "(.+)/$", "$1"))
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
+    val q2 = array_join(array_sort(kept), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+  }
+
   /** Distributed JSON schema profiling — the infer-schema step a
     * semi-structured ingest runs before declaring columns: for every
     * top-level key across a JSON column, how often it is present and

@@ -3511,6 +3511,33 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
           sum(col("cents")).as("total_cents"))
         .orderBy("event_type")
+    }),
+
+    // URL canonicalization + URL-level dedup (the CCNet/RefinedWeb
+    // first pass — cheaper than any content dedup and run before it):
+    // messy raw URLs (case-mixed hosts, default ports, tracking
+    // params, unsorted queries, fragments, trailing slashes) collapse
+    // to canonical form; dedup groups by canonical URL. The raw URLs
+    // are constructed with id-dependent mess so ids i and i+1000…
+    // collide ONLY after every rule fires; the oracle re-implements
+    // the same rules in DuckDB SQL — cross-engine, not closed-form
+    "q281_url_dedup" -> ((s, d) => {
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, "HTTP://Ex-").otherwise("http://ex-"),
+          col("source"), lit(".COM"),
+          when(col("doc_id") % 3 === 0, ":80").otherwise(""),
+          lit("/p/"), pmod(col("doc_id"), lit(500L)),
+          when(col("doc_id") % 5 === 0, "/").otherwise(""),
+          when(col("doc_id") % 2 === 0, "?b=2&utm_source=feed&a=1")
+            .otherwise("?a=1&b=2&gclid=xyz"),
+          when(col("doc_id") % 7 === 0, "#frag").otherwise(""))
+          .as("url"))
+      raw.select(col("doc_id"),
+          graft.operators.TextOps.canonicalUrl(col("url")).as("canon"))
+        .groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .orderBy("canon")
     })
   )
 
@@ -5330,7 +5357,29 @@ object AnalyticsQueries {
       ("SELECT event_type, COUNT(*)::BIGINT AS n, "
        + "COUNT(DISTINCT user_id)::BIGINT AS users, "
        + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "
-       + "FROM events GROUP BY 1 ORDER BY event_type")
+       + "FROM events GROUP BY 1 ORDER BY event_type"),
+    "q281_url_dedup" ->
+      ("WITH raw AS (SELECT doc_id, "
+       + "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Ex-' ELSE 'http://ex-' END) || source || '.COM' || "
+       + "(CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) || '/p/' || (doc_id % 500) || "
+       + "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || "
+       + "(CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1' ELSE '?a=1&b=2&gclid=xyz' END) || "
+       + "(CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url FROM documents), "
+       + "c AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM raw), "
+       + "p AS (SELECT doc_id, lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) AS scheme, "
+       + "lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?#]+)', 1)) AS hostport, "
+       + "regexp_extract(nofrag, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0, "
+       + "regexp_extract(nofrag, '\\?([^#]*)', 1) AS qry FROM c), "
+       + "c2 AS (SELECT doc_id, scheme, "
+       + "CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '') "
+       + "WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '') ELSE hostport END AS host, "
+       + "CASE WHEN path0 = '' THEN '/' ELSE regexp_replace(path0, '(.+)/$', '\\1') END AS pth, "
+       + "array_to_string(list_sort(list_filter(string_split(qry, '&'), "
+       + "x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q2 FROM p), "
+       + "cn AS (SELECT doc_id, scheme || '://' || host || pth || "
+       + "(CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canon FROM c2) "
+       + "SELECT canon, COUNT(*)::BIGINT AS n_docs, MIN(doc_id)::BIGINT AS keep_doc "
+       + "FROM cn GROUP BY 1 ORDER BY canon")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

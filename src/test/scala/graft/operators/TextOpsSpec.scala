@@ -281,4 +281,29 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("key").collect().map(_.toString).toSeq
     assert(again == got.map(t => s"[${t.productIterator.mkString(",")}]").toSeq)
   }
+
+  test("canonicalUrl applies every normalization rule") {
+    import spark.implicits._
+    val cases = Seq(
+      // case + default port + tracking param + unsorted query + fragment
+      ("HTTP://Ex.COM:80/P/1?b=2&utm_source=f&a=1#x", "http://ex.com/P/1?a=1&b=2"),
+      // https default port; non-default port preserved
+      ("https://A.b:443/x", "https://a.b/x"),
+      ("https://a.b:8443/x", "https://a.b:8443/x"),
+      // http keeps :443 (not its default)
+      ("http://a.b:443/x", "http://a.b:443/x"),
+      // empty path -> "/", root slash kept
+      ("http://a.b", "http://a.b/"),
+      ("http://a.b/", "http://a.b/"),
+      // one trailing slash collapsed on a non-root path
+      ("http://a.b/p/q/", "http://a.b/p/q"),
+      // all params tracking -> no query at all
+      ("http://a.b/p?utm_x=1&gclid=2&fbclid=3&ref=4", "http://a.b/p"),
+      ("http://a.b/p?ref=4&z=9&fbclid=3", "http://a.b/p?z=9"))
+    val got = cases.map(_._1).toDF("u")
+      .select(TextOps.canonicalUrl(col("u"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalUrl($in) = $g, want $want")
+    }
+  }
 }
