@@ -421,4 +421,53 @@ object Sampling {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("skey"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * stability-under-resharding alternative to mod-N: each (key,
+    * shard) pair gets an md5-derived 60-bit weight and the key goes
+    * to the argmax shard. Growing N → N+1 moves ONLY the ~1/(N+1) of
+    * keys whose new shard wins their argmax — every other key keeps
+    * its shard — whereas mod-N resharding moves ~N/(N+1) of the
+    * corpus. At 100 TB that difference is the whole cost of an
+    * incremental re-export.
+    *
+    * Plan shape: a per-row `transform` over the N candidate weights +
+    * `array_max` on (weight, shard) structs — pure codegen
+    * projection, no shuffle, no UDF; N is small (shard counts, not
+    * rows). The weight is a pure function of (key, shard), so the
+    * assignment is engine- and partitioning-independent and the
+    * oracle recomputes it exactly (max_by over an unnested candidate
+    * relation).
+    */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val scores = transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        conv(substring(md5(concat(key.cast("string"), lit(":"),
+          s.cast("string"))), 1, 15), 16, 10).cast("bigint").as("h"),
+        s.cast("bigint").as("s")))
+    array_max(scores).getField("s")
+  }
+
+  /** Per-shard export manifest: row count, id span, and an
+    * order-independent 60-bit content checksum (bit_xor of
+    * md5(id|payload)) — what an export job writes next to its shards
+    * so a re-export (different cluster, different parallelism,
+    * different engine) can be certified byte-equivalent shard-by-shard
+    * without re-reading both corpora side by side. XOR is commutative
+    * and associative, so the checksum is identical under ANY row
+    * order/partitioning; one map-side-combinable aggregation, output
+    * |shards| rows.
+    */
+  def shardManifest(assigned: DataFrame, shardCol: String, idCol: String,
+      payloadCol: String): DataFrame = {
+    val h = conv(substring(md5(concat_ws("|",
+      col(idCol).cast("string"), col(payloadCol))), 1, 15), 16, 10)
+      .cast("bigint")
+    assigned.withColumn("__h", h)
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
 }

@@ -616,6 +616,65 @@ object TextOps {
       when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
   }
 
+  /** HTML → text extraction — the boilerplate-strip pass a web-corpus
+    * pipeline runs on every crawled page before any text analysis
+    * (the trafilatura/jusText role, reduced to its deterministic
+    * core): drop script/style blocks and comments, turn block-closing
+    * tags into newlines, strip remaining tags, decode the six
+    * ubiquitous entities (&amp; last, so `&amp;lt;` decodes once),
+    * collapse horizontal whitespace, and normalize blank runs around
+    * newlines. A pure regexp_replace chain — fully codegen, one
+    * narrow pass over the page bytes, no shuffle — and every pattern
+    * is RE2-compatible (no backreferences), so the oracle replays the
+    * identical chain in DuckDB and certifies the extraction
+    * cross-engine.
+    */
+  def htmlToText(h: Column): Column = {
+    val noScript = regexp_replace(h, "(?is)<script\\b[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", "")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", "")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol)[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val sp = regexp_replace(ent, "[ \\t]+", " ")
+    val nl = regexp_replace(sp, "\\s*\\n\\s*", "\n")
+    regexp_replace(nl, "^\\s+|\\s+$", "")
+  }
+
+  /** Outbound links of an HTML page as an array of href values —
+    * the web-graph extraction a crawl pipeline runs to build the
+    * host-level link graph (quality/centrality signals feed curation).
+    * Same single-narrow-pass / RE2-compatible discipline as
+    * [[htmlToText]].
+    */
+  def htmlLinks(h: Column): Column =
+    regexp_extract_all(h, lit("(?is)<a\\s[^>]*href=\"([^\"]+)\""), lit(1))
+
+  /** Unicode-script character counts — the script-detection signal a
+    * multilingual pipeline uses to route documents to per-script
+    * tokenizers and to catch mixed-script spam (Latin text stuffed
+    * with Cyrillic lookalikes). Counting is length-after-removing-
+    * non-members, one codegen pass; the `\x{…}` class syntax is
+    * shared by Java regex and RE2, so the oracle counts the same
+    * ranges.
+    */
+  def scriptCount(t: Column, cls: String): Column =
+    length(regexp_replace(t, s"[^$cls]", "")).cast("bigint")
+
+  /** Dominant script label from the four counted ranges (ties broken
+    * by the fixed priority latin > cyrillic > greek > cjk, so the
+    * label is a pure function of the counts).
+    */
+  def dominantScript(latin: Column, cyr: Column, greek: Column,
+      cjk: Column): Column =
+    when(latin >= cyr && latin >= greek && latin >= cjk, "latin")
+      .when(cyr >= greek && cyr >= cjk, "cyrillic")
+      .when(greek >= cjk, "greek")
+      .otherwise("cjk")
+
   /** Distributed JSON schema profiling — the infer-schema step a
     * semi-structured ingest runs before declaring columns: for every
     * top-level key across a JSON column, how often it is present and

@@ -3538,6 +3538,165 @@ object AnalyticsQueries {
         .groupBy(col("canon"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .orderBy("canon")
+    }),
+
+    // HTML → text extraction (the boilerplate-strip every web corpus
+    // runs before text analysis): pages fabricated around documents
+    // .text with the full hazard set — script blocks containing '<',
+    // style blocks, comments, entities (&amp;lt; must decode ONCE),
+    // block tags, a conditional nav div — then TextOps.htmlToText's
+    // regexp chain. The oracle replays the identical RE2-compatible
+    // chain in DuckDB: extraction certified cross-engine, not assumed
+    "q282_html_extract" -> ((s, d) => {
+      val page = concat(
+        lit("<html><head><title>d"), col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">p { margin:0; }</style>"),
+        lit("<script>if (1<2) { var x = \"<p>&amp;\"; }</script></head>"),
+        lit("<body><!-- generated page --><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1>"),
+        when(col("doc_id") % 3 === 0,
+          "<div class=\"nav\">Home &gt; Docs&nbsp;&amp;&nbsp;More</div>")
+          .otherwise(""),
+        lit("<p>"), col("text"), lit("</p>"),
+        lit("<ul><li>alpha</li><li>beta&amp;lt;3</li></ul>"),
+        lit("<table><tr><td>k</td><td>v</td></tr></table></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), page.as("page"))
+        .select(col("doc_id"),
+          graft.operators.TextOps.htmlToText(col("page")).as("txt"))
+        .select(col("doc_id"), col("txt"),
+          length(col("txt")).cast("bigint").as("n_chars"),
+          size(split(col("txt"), "\n")).cast("bigint").as("n_lines"))
+        .orderBy("doc_id")
+    }),
+
+    // Rendezvous resharding stability: assign every doc to 16 shards
+    // and to 17 shards by highest-random-weight; the HRW contract —
+    // certified here as data, not prose — is that every moved key
+    // moves TO the new shard (bad_moves = 0) and the moved fraction
+    // is ~1/17 of the corpus (vs ~16/17 for mod-N resharding)
+    "q283_rendezvous" -> ((s, d) => {
+      val a = t(s, d, "documents").select(col("doc_id"),
+        Sampling.rendezvousShard(col("doc_id"), 16).as("s16"),
+        Sampling.rendezvousShard(col("doc_id"), 17).as("s17"))
+      a.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L)).as("n_moved"),
+        sum(when(col("s16") =!= col("s17") && col("s17") =!= 16L, 1L)
+          .otherwise(0L)).as("bad_moves"),
+        expr("sum(CASE WHEN s16 <> s17 THEN 1000000 ELSE 0 END) div count(1)")
+          .as("moved_ppm"))
+    }),
+
+    // Export shard manifest: shuffleExport's shard assignment + an
+    // order-independent per-shard content checksum (bit_xor of 60-bit
+    // md5(id|payload)) — the artifact that certifies a re-export
+    // byte-equivalent shard-by-shard on any cluster/parallelism.
+    // The oracle recomputes assignment AND checksum from scratch in
+    // DuckDB: two engines, two partitionings, identical manifests
+    "q284_shard_manifest" -> ((s, d) => {
+      val assigned = Sampling.shuffleExport(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", nShards = 8, seed = "m1")
+      Sampling.shardManifest(assigned, "shard", "doc_id", "text")
+        .select(col("shard"), col("n_rows"), col("min_id"), col("max_id"),
+          col("checksum"))
+        .orderBy("shard")
+    }),
+
+    // Unicode-script detection: docs salted with Cyrillic/Greek/CJK
+    // runs sized relative to their own length (FLOOR-divided, so both
+    // engines truncate identically), then per-script char counts +
+    // dominant-script label — the routing signal for per-script
+    // tokenizers and mixed-script spam flags
+    "q285_script_mix" -> ((s, d) => {
+      val salted = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 1,
+            expr("repeat('привет мир ', CAST(FLOOR(length(text) / 8) AS INT))"))
+          .when(col("doc_id") % 4 === 2,
+            expr("repeat('αβγδ εζηθ ', CAST(FLOOR(length(text) / 40) AS INT))"))
+          .when(col("doc_id") % 4 === 3,
+            expr("repeat('数据处理引擎 ', CAST(FLOOR(length(text) / 12) AS INT))"))
+          .otherwise(lit(""))).as("txt"))
+      val to = graft.operators.TextOps
+      salted.select(col("doc_id"),
+          to.scriptCount(col("txt"), "A-Za-z").as("n_latin"),
+          to.scriptCount(col("txt"), "\\x{0400}-\\x{04FF}").as("n_cyr"),
+          to.scriptCount(col("txt"), "\\x{0370}-\\x{03FF}").as("n_greek"),
+          to.scriptCount(col("txt"), "\\x{4E00}-\\x{9FFF}").as("n_cjk"))
+        .select(col("doc_id"), col("n_latin"), col("n_cyr"), col("n_greek"),
+          col("n_cjk"),
+          to.dominantScript(col("n_latin"), col("n_cyr"), col("n_greek"),
+            col("n_cjk")).as("script"))
+        .orderBy("doc_id")
+    }),
+
+    // Cohen's kappa between two deterministic "annotators" (length
+    // rule vs mean-word-length rule) — the inter-annotator agreement
+    // statistic a labeling pipeline reports before trusting a rubric.
+    // Counts are exact integers; kappa is one fixed double expression
+    // over them, so the value is engine-independent
+    "q286_kappa" -> ((s, d) => {
+      val to = graft.operators.TextOps
+      val lab = t(s, d, "documents").select(
+        (length(col("text")) >= 600).cast("int").as("a"),
+        (to.avgWordLenCol(col("text")) >= 5.0).cast("int").as("b"))
+      lab.agg(count(lit(1)).as("n"),
+          sum(col("a")).cast("bigint").as("n_a"),
+          sum(col("b")).cast("bigint").as("n_b"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("n_agree"))
+        .select(col("n"), col("n_a"), col("n_b"), col("n_agree"),
+          round((col("n_agree") / col("n")
+            - (col("n_a") / col("n") * (col("n_b") / col("n"))
+              + (lit(1) - col("n_a") / col("n"))
+                * (lit(1) - col("n_b") / col("n"))))
+            / (lit(1) - (col("n_a") / col("n") * (col("n_b") / col("n"))
+              + (lit(1) - col("n_a") / col("n"))
+                * (lit(1) - col("n_b") / col("n")))), 4).as("kappa"))
+    }),
+
+    // Benford first-digit audit over lineitem prices (in exact cents)
+    // — the data-quality screen for fabricated numeric columns:
+    // observed per-digit ppm vs the Benford expectation
+    // floor(log10(1+1/d)·1e6), both integer-exact
+    "q287_benford" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(substring(round(col("l_extendedprice") * 100, 0)
+          .cast("bigint").cast("string"), 1, 1).cast("bigint").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div SUM(n) OVER ()").as("obs_ppm"),
+          floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1000000)
+            .cast("bigint").as("exp_ppm"))
+        .orderBy("digit")),
+
+    // Host-level link graph from crawled HTML: href extraction
+    // (regexp_extract_all group 1), host parse, (src_host, dst_host)
+    // edge weights — the web-graph signal curation pipelines feed into
+    // centrality/quality scoring. Fabricated pages give each doc 2–3
+    // deterministic outlinks; the oracle extracts with the same RE2
+    // pattern over the same fabricated pages
+    "q288_link_graph" -> ((s, d) => {
+      val h = (e: org.apache.spark.sql.Column) =>
+        concat(lit("h"), pmod(e, lit(20L)).cast("string"))
+      val page = concat(
+        lit("<p>see <a class=\"x\" href=\"http://"),
+        h(col("doc_id") * 7 + 1), lit(".com/a\">one</a> and "),
+        lit("<a href=\"https://"), h(col("doc_id") * 13 + 5),
+        lit(".org/b?q=1\">two</a>"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" plus <a href=\"http://"), h(col("doc_id") + 3),
+            lit(".net/c\">three</a>"))).otherwise(lit("")),
+        lit("</p>"))
+      t(s, d, "documents")
+        .select(concat(lit("s"), pmod(col("doc_id"), lit(10L)).cast("string"))
+            .as("src_host"),
+          explode(graft.operators.TextOps.htmlLinks(page)).as("url"))
+        .select(col("src_host"),
+          regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("src_host", "dst_host")
     })
   )
 
@@ -5379,7 +5538,89 @@ object AnalyticsQueries {
        + "cn AS (SELECT doc_id, scheme || '://' || host || pth || "
        + "(CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canon FROM c2) "
        + "SELECT canon, COUNT(*)::BIGINT AS n_docs, MIN(doc_id)::BIGINT AS keep_doc "
-       + "FROM cn GROUP BY 1 ORDER BY canon")
+       + "FROM cn GROUP BY 1 ORDER BY canon"),
+    "q282_html_extract" ->
+      ("WITH pg AS (SELECT doc_id, '<html><head><title>d' || doc_id::VARCHAR || "
+       + "'</title><style type=\"text/css\">p { margin:0; }</style>' || "
+       + "'<script>if (1<2) { var x = \"<p>&amp;\"; }</script></head>' || "
+       + "'<body><!-- generated page --><h1>Doc ' || doc_id::VARCHAR || '</h1>' || "
+       + "(CASE WHEN doc_id % 3 = 0 THEN '<div class=\"nav\">Home &gt; Docs&nbsp;&amp;&nbsp;More</div>' ELSE '' END) || "
+       + "'<p>' || text || '</p>' || "
+       + "'<ul><li>alpha</li><li>beta&amp;lt;3</li></ul>' || "
+       + "'<table><tr><td>k</td><td>v</td></tr></table></body></html>' AS page FROM documents), "
+       + "s1 AS (SELECT doc_id, regexp_replace(page, '(?is)<script\\b[^>]*>.*?</script>', '', 'g') AS x FROM pg), "
+       + "s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style\\b[^>]*>.*?</style>', '', 'g') AS x FROM s1), "
+       + "s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', '', 'g') AS x FROM s2), "
+       + "s4 AS (SELECT doc_id, regexp_replace(x, '(?i)<(?:br|/p|/div|/h[1-6]|/li|/tr|/table|/ul|/ol)[^>]*>', chr(10), 'g') AS x FROM s3), "
+       + "s5 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4), "
+       + "s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x, "
+       + "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&') AS x FROM s5), "
+       + "s7 AS (SELECT doc_id, regexp_replace(x, '[ \\t]+', ' ', 'g') AS x FROM s6), "
+       + "s8 AS (SELECT doc_id, regexp_replace(x, '\\s*\\n\\s*', chr(10), 'g') AS x FROM s7), "
+       + "s9 AS (SELECT doc_id, regexp_replace(x, '^\\s+|\\s+$', '', 'g') AS txt FROM s8) "
+       + "SELECT doc_id, txt, length(txt)::BIGINT AS n_chars, "
+       + "len(string_split(txt, chr(10)))::BIGINT AS n_lines FROM s9 ORDER BY doc_id"),
+    "q283_rendezvous" ->
+      ("WITH a AS (SELECT doc_id, "
+       + "(SELECT arg_max(t.sh, CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || t.sh::VARCHAR), 1, 15)) AS BIGINT)) "
+       + "FROM range(0, 16) t(sh)) AS s16, "
+       + "(SELECT arg_max(t.sh, CAST(('0x' || substring(md5(doc_id::VARCHAR || ':' || t.sh::VARCHAR), 1, 15)) AS BIGINT)) "
+       + "FROM range(0, 17) t(sh)) AS s17 FROM documents) "
+       + "SELECT COUNT(*)::BIGINT AS n_docs, "
+       + "SUM(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END)::BIGINT AS n_moved, "
+       + "SUM(CASE WHEN s16 <> s17 AND s17 <> 16 THEN 1 ELSE 0 END)::BIGINT AS bad_moves, "
+       + "(SUM(CASE WHEN s16 <> s17 THEN 1000000 ELSE 0 END)::BIGINT // COUNT(*))::BIGINT AS moved_ppm FROM a"),
+    "q284_shard_manifest" ->
+      ("WITH a AS (SELECT doc_id, text, "
+       + "CAST(('0x' || substring(md5('m1|' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 8 AS shard, "
+       + "CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT) AS h FROM documents) "
+       + "SELECT shard, COUNT(*)::BIGINT AS n_rows, MIN(doc_id)::BIGINT AS min_id, "
+       + "MAX(doc_id)::BIGINT AS max_id, bit_xor(h)::BIGINT AS checksum "
+       + "FROM a GROUP BY shard ORDER BY shard"),
+    "q285_script_mix" ->
+      ("WITH s AS (SELECT doc_id, text || "
+       + "(CASE WHEN doc_id % 4 = 1 THEN repeat('привет мир ', CAST(FLOOR(length(text) / 8) AS INT)) "
+       + "WHEN doc_id % 4 = 2 THEN repeat('αβγδ εζηθ ', CAST(FLOOR(length(text) / 40) AS INT)) "
+       + "WHEN doc_id % 4 = 3 THEN repeat('数据处理引擎 ', CAST(FLOOR(length(text) / 12) AS INT)) "
+       + "ELSE '' END) AS txt FROM documents), "
+       + "c AS (SELECT doc_id, "
+       + "length(regexp_replace(txt, '[^A-Za-z]', '', 'g'))::BIGINT AS n_latin, "
+       + "length(regexp_replace(txt, '[^\\x{0400}-\\x{04FF}]', '', 'g'))::BIGINT AS n_cyr, "
+       + "length(regexp_replace(txt, '[^\\x{0370}-\\x{03FF}]', '', 'g'))::BIGINT AS n_greek, "
+       + "length(regexp_replace(txt, '[^\\x{4E00}-\\x{9FFF}]', '', 'g'))::BIGINT AS n_cjk FROM s) "
+       + "SELECT doc_id, n_latin, n_cyr, n_greek, n_cjk, "
+       + "CASE WHEN n_latin >= n_cyr AND n_latin >= n_greek AND n_latin >= n_cjk THEN 'latin' "
+       + "WHEN n_cyr >= n_greek AND n_cyr >= n_cjk THEN 'cyrillic' "
+       + "WHEN n_greek >= n_cjk THEN 'greek' ELSE 'cjk' END AS script "
+       + "FROM c ORDER BY doc_id"),
+    "q286_kappa" ->
+      ("WITH lab AS (SELECT "
+       + "(CASE WHEN length(text) >= 600 THEN 1 ELSE 0 END) AS a, "
+       + "(CASE WHEN ROUND(list_sum(list_transform(list_filter(string_split(text, ' '), x -> x <> ''), w -> length(w)))::DOUBLE "
+       + "/ len(list_filter(string_split(text, ' '), x -> x <> '')), 4) >= 5.0 THEN 1 ELSE 0 END) AS b "
+       + "FROM documents), "
+       + "agg AS (SELECT COUNT(*)::BIGINT AS n, SUM(a)::BIGINT AS n_a, SUM(b)::BIGINT AS n_b, "
+       + "SUM(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS n_agree FROM lab) "
+       + "SELECT n, n_a, n_b, n_agree, "
+       + "ROUND((n_agree / n - (n_a / n * (n_b / n) + (1 - n_a / n) * (1 - n_b / n))) "
+       + "/ (1 - (n_a / n * (n_b / n) + (1 - n_a / n) * (1 - n_b / n))), 4) AS kappa FROM agg"),
+    "q287_benford" ->
+      ("WITH dg AS (SELECT CAST(substring(CAST(ROUND(l_extendedprice * 100)::BIGINT AS VARCHAR), 1, 1) AS BIGINT) AS digit "
+       + "FROM lineitem), "
+       + "c AS (SELECT digit, COUNT(*)::BIGINT AS n FROM dg GROUP BY digit) "
+       + "SELECT digit, n, (n * 1000000 // SUM(n) OVER ())::BIGINT AS obs_ppm, "
+       + "CAST(FLOOR(log10(1.0 + 1.0 / digit) * 1000000) AS BIGINT) AS exp_ppm "
+       + "FROM c ORDER BY digit"),
+    "q288_link_graph" ->
+      ("WITH pg AS (SELECT doc_id, "
+       + "'<p>see <a class=\"x\" href=\"http://' || 'h' || ((doc_id * 7 + 1) % 20)::VARCHAR || '.com/a\">one</a> and ' || "
+       + "'<a href=\"https://' || 'h' || ((doc_id * 13 + 5) % 20)::VARCHAR || '.org/b?q=1\">two</a>' || "
+       + "(CASE WHEN doc_id % 4 = 0 THEN ' plus <a href=\"http://' || 'h' || ((doc_id + 3) % 20)::VARCHAR || '.net/c\">three</a>' ELSE '' END) || "
+       + "'</p>' AS page FROM documents), "
+       + "lk AS (SELECT 's' || (doc_id % 10)::VARCHAR AS src_host, "
+       + "unnest(regexp_extract_all(page, '(?is)<a\\s[^>]*href=\"([^\"]+)\"', 1)) AS url FROM pg) "
+       + "SELECT src_host, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS dst_host, "
+       + "COUNT(*)::BIGINT AS n_links FROM lk GROUP BY 1, 2 ORDER BY src_host, dst_host")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

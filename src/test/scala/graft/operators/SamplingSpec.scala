@@ -255,4 +255,47 @@ class SamplingSpec extends SparkSpec {
       .collect()
     assert(perPartSorted.forall(identity))
   }
+
+  test("rendezvousShard: HRW stability — N->N+1 moves only to the new shard") {
+    val a = docs.select(col("doc_id"),
+      Sampling.rendezvousShard(col("doc_id"), 16).as("s16"),
+      Sampling.rendezvousShard(col("doc_id"), 17).as("s17")).cache()
+    val n = a.count()
+    // range check + every key present in both assignments
+    assert(a.filter(col("s16") < 0 || col("s16") > 15).count() == 0)
+    assert(a.filter(col("s17") < 0 || col("s17") > 16).count() == 0)
+    // THE rendezvous contract: a changed assignment lands on the new
+    // shard — nothing reshuffles between surviving shards
+    assert(a.filter(col("s16") =!= col("s17") && col("s17") =!= 16)
+      .count() == 0)
+    // moved fraction ~ 1/17 (md5 is uniform; allow wide slack at sf)
+    val moved = a.filter(col("s16") =!= col("s17")).count().toDouble / n
+    assert(moved > 0.015 && moved < 0.12, s"moved=$moved")
+    // balance: no shard holds more than 3x the uniform share
+    val maxCnt = a.groupBy("s16").count().agg(max("count")).head().getLong(0)
+    assert(maxCnt <= 3L * n / 16 + 1, s"max shard size $maxCnt of $n")
+    a.unpersist(); ()
+  }
+
+  test("shardManifest checksum is order- and partitioning-independent") {
+    val assigned = Sampling.shuffleExport(
+      docs.select(col("doc_id"), col("text")), "doc_id", 8, "m1")
+    val m1 = Sampling.shardManifest(assigned, "shard", "doc_id", "text")
+      .orderBy("shard").collect().map(_.toString).toSeq
+    // same rows, adversarial order and partitioning: manifest identical
+    val shuffled = Sampling.shuffleExport(
+      docs.select(col("doc_id"), col("text"))
+        .orderBy(col("text")).repartition(13), "doc_id", 8, "m1")
+    val m2 = Sampling.shardManifest(shuffled, "shard", "doc_id", "text")
+      .orderBy("shard").collect().map(_.toString).toSeq
+    assert(m1 == m2)
+    // a single-byte payload corruption flips its shard's checksum
+    val corrupt = Sampling.shuffleExport(
+      docs.select(col("doc_id"),
+        when(col("doc_id") === 7, concat(col("text"), lit("x")))
+          .otherwise(col("text")).as("text")), "doc_id", 8, "m1")
+    val m3 = Sampling.shardManifest(corrupt, "shard", "doc_id", "text")
+      .orderBy("shard").collect().map(_.toString).toSeq
+    assert(m1 != m3 && m1.zip(m3).count { case (x, y) => x != y } == 1)
+  }
 }

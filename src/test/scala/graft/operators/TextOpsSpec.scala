@@ -306,4 +306,52 @@ class TextOpsSpec extends SparkSpec {
       assert(g == want, s"canonicalUrl($in) = $g, want $want")
     }
   }
+
+  test("htmlToText strips hazards and decodes entities exactly once") {
+    import spark.implicits._
+    val cases = Seq(
+      // script containing '<' and a fake tag; style; comment
+      ("<script>if(1<2){var x=\"<p>\";}</script><style>p{}</style>" +
+        "<!-- hi --><p>a b</p>", "a b"),
+      // block closers become newlines, inline tags become spaces
+      ("<h1>T</h1><p>x <b>y</b> z</p><ul><li>i1</li><li>i2</li></ul>",
+        "T\nx y z\ni1\ni2"),
+      // &amp;lt; decodes ONCE to "&lt;", never to "<"
+      ("<p>a &amp;lt; b &lt; c &nbsp;d &#39;e&#39; &quot;f&quot;</p>",
+        "a &lt; b < c d 'e' \"f\""),
+      // whitespace collapse + trim
+      ("  <div>  a   b  </div>  \n <p> c </p> ", "a b\nc"),
+      // case-insensitive tags, attributes on closers
+      ("<P CLASS=\"x\">A</P  ><BR/>B", "A\nB"))
+    val got = cases.map(_._1).toDF("h")
+      .select(TextOps.htmlToText(col("h"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"htmlToText($in) = ${g.replace("\n", "\\n")}")
+    }
+  }
+
+  test("htmlLinks extracts hrefs; scriptCount + dominantScript classify") {
+    import spark.implicits._
+    val links = Seq("<a href=\"http://a.b/x\">1</a> text " +
+      "<A HREF=\"https://c.d/y?q=1\">2</A> <a class=\"z\" " +
+      "href=\"http://e.f/\">3</a> <a name=\"no-href\">4</a>")
+      .toDF("h").select(TextOps.htmlLinks(col("h")))
+      .collect().head.getSeq[String](0)
+    assert(links == Seq("http://a.b/x", "https://c.d/y?q=1", "http://e.f/"))
+    val df = Seq(("abc привет мир xyz", 1L), ("数据处理 ab", 2L)).toDF("t", "id")
+      .select(col("id"),
+        TextOps.scriptCount(col("t"), "A-Za-z").as("lat"),
+        TextOps.scriptCount(col("t"), "\\x{0400}-\\x{04FF}").as("cyr"),
+        TextOps.scriptCount(col("t"), "\\x{0370}-\\x{03FF}").as("grk"),
+        TextOps.scriptCount(col("t"), "\\x{4E00}-\\x{9FFF}").as("cjk"))
+      .orderBy("id").collect()
+    assert(df(0).getLong(1) == 6 && df(0).getLong(2) == 9) // abcxyz, приветмир
+    assert(df(1).getLong(1) == 2 && df(1).getLong(4) == 4)
+    val dom = Seq((10L, 2L, 0L, 0L), (3L, 9L, 0L, 0L), (0L, 0L, 2L, 1L),
+      (0L, 0L, 0L, 5L), (2L, 2L, 2L, 2L))
+      .toDF("l", "c", "g", "j")
+      .select(TextOps.dominantScript(col("l"), col("c"), col("g"), col("j")))
+      .collect().map(_.getString(0)).toSeq
+    assert(dom == Seq("latin", "cyrillic", "greek", "cjk", "latin"))
+  }
 }
