@@ -566,6 +566,58 @@ object ScaleProbe {
         .count()
     })
 
+    // q281/q282/q285/q288: single-pass regex projections (canonical
+    // URL, HTML strip, script counts, href extraction) + one groupBy —
+    // per-char regex cost is the axis, linear in corpus bytes is the bar
+    t("url_dedup")({
+      val raw = d.select(col("doc_id"),
+        concat(lit("http://ex-"), pmod(col("doc_id"), lit(97L)),
+          lit(".COM:80/p/"), pmod(col("doc_id"), lit(5000L)),
+          lit("?b=2&utm_source=feed&a=1#f")).as("url"))
+      raw.select(graft.operators.TextOps.canonicalUrl(col("url")).as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("n")).count()
+    })
+    t("html_extract")({
+      val page = concat(lit("<html><head><style>p{}</style>"
+          + "<script>if(1<2){var x=\"<p>\";}</script></head><body>"
+          + "<!-- c --><h1>D</h1><p>"), col("text"),
+        lit("</p><ul><li>a&amp;lt;b</li></ul></body></html>"))
+      d.select(graft.operators.TextOps.htmlToText(page).as("t"))
+        .select(sum(length(col("t")))).head(); d.count()
+    })
+    t("script_mix")({
+      val salted = d.select(concat(col("text"),
+        expr("repeat('привет мир ', CAST(FLOOR(length(text) / 8) AS INT))"))
+        .as("txt"))
+      salted.select(
+          graft.operators.TextOps.scriptCount(col("txt"), "A-Za-z").as("l"),
+          graft.operators.TextOps.scriptCount(col("txt"),
+            "\\x{0400}-\\x{04FF}").as("c"))
+        .agg(sum(col("l")), sum(col("c"))).head(); d.count()
+    })
+    t("link_graph")({
+      val page = concat(lit("<p><a href=\"http://h"),
+        pmod(col("doc_id") * 7 + 1, lit(1000L)), lit(".com/a\">1</a>"),
+        lit("<a href=\"https://h"), pmod(col("doc_id") * 13 + 5, lit(1000L)),
+        lit(".org/b\">2</a></p>"))
+      d.select(pmod(col("doc_id"), lit(500L)).as("src"),
+          explode(graft.operators.TextOps.htmlLinks(page)).as("u"))
+        .select(col("src"),
+          regexp_extract(col("u"), "^[a-z]+://([^/]+)", 1).as("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1))).count()
+    })
+    // q283/q284: rendezvous is a pure projection with nShards md5s per
+    // row (constant-heavy, shuffle-free); the manifest is shuffleExport's
+    // one inherent shuffle + a map-side-combinable agg to |shards| rows
+    t("rendezvous")(d.select(
+      graft.operators.Sampling.rendezvousShard(col("doc_id"), 16).as("s16"),
+      graft.operators.Sampling.rendezvousShard(col("doc_id"), 17).as("s17"))
+      .filter(col("s16") =!= col("s17")).count())
+    t("shard_manifest")(graft.operators.Sampling.shardManifest(
+      graft.operators.Sampling.shuffleExport(
+        d.select(col("doc_id"), col("text")), "doc_id", 64, "m1"),
+      "shard", "doc_id", "text").count())
+
     spark.stop()
   }
 }
