@@ -617,6 +617,37 @@ object ScaleProbe {
       graft.operators.Sampling.shuffleExport(
         d.select(col("doc_id"), col("text")), "doc_id", 64, "m1"),
       "shard", "doc_id", "text").count())
+    // q289: two generator stages over per-row regex extractions —
+    // output is ~5 cells/doc, linear in corpus
+    t("table_extract")({
+      val tbl = concat(lit("<table><tr><th>k</th><th>v</th></tr><tr><td>a"),
+        pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("</td><td><b>"), pmod(col("doc_id") * 3, lit(11L)).cast("string"),
+        lit("</b></td></tr></table>"))
+      d.select(col("doc_id"), posexplode(
+          graft.operators.TextOps.htmlTableRows(tbl)).as(Seq("r", "row")))
+        .select(col("doc_id"), col("r"), posexplode(
+          graft.operators.TextOps.htmlRowCells(col("row")))
+          .as(Seq("c", "cell")))
+        .select(graft.operators.TextOps.cellText(col("cell"))).count()
+    })
+    // q290: per-value aggregation (map-side combinable) then ONE global
+    // window over the distinct-value relation — the window's input is
+    // |distinct values|, not |rows|; the probe watches that stay true
+    t("ks_test")({
+      import org.apache.spark.sql.expressions.Window
+      val per = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.select(sum(col("c1")).over(w).as("f1"),
+          sum(col("c2")).over(w).as("f2"))
+        .agg(max(col("f1") - col("f2"))).head(); ev.count()
+    })
 
     spark.stop()
   }

@@ -653,6 +653,29 @@ object TextOps {
   def htmlLinks(h: Column): Column =
     regexp_extract_all(h, lit("(?is)<a\\s[^>]*href=\"([^\"]+)\""), lit(1))
 
+  /** HTML table extraction — the "table to relation" step a data
+    * pipeline runs to recover structured rows from crawled pages:
+    * `<tr>` blocks, then `<td>/<th>` cells within each, as arrays the
+    * caller posexplodes into (row_idx, col_idx, cell) tuples. RE2-
+    * compatible non-greedy patterns, so the oracle replays them.
+    */
+  def htmlTableRows(h: Column): Column =
+    regexp_extract_all(h, lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1))
+
+  def htmlRowCells(row: Column): Column =
+    regexp_extract_all(row, lit("(?is)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1))
+
+  /** Cell cleanup: strip inline tags, decode the six entities
+    * ([[htmlToText]] order — &amp; last), collapse spaces, trim.
+    */
+  def cellText(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", "")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (x, (e, r)) => regexp_replace(x, e, r) }
+    regexp_replace(regexp_replace(ent, "[ \\t]+", " "), "^\\s+|\\s+$", "")
+  }
+
   /** Unicode-script character counts — the script-detection signal a
     * multilingual pipeline uses to route documents to per-script
     * tokenizers and to catch mixed-script spam (Latin text stuffed

@@ -3697,6 +3697,85 @@ object AnalyticsQueries {
         .groupBy(col("src_host"), col("dst_host"))
         .agg(count(lit(1)).as("n_links"))
         .orderBy("src_host", "dst_host")
+    }),
+
+    // HTML table → relation: recover (row_idx, col_idx, cell) tuples
+    // from fabricated pages with header rows, nested inline tags,
+    // entities, and a conditional extra row — the structured-data
+    // recovery step for crawled tables. Two generator stages
+    // (rows, then cells), both 1-based to match the oracle's
+    // index lambdas; cell text cleaned by the htmlToText entity chain
+    "q289_table_extract" -> ((s, d) => {
+      val to = graft.operators.TextOps
+      val tbl = concat(
+        lit("<table class=\"data\"><tr><th>key</th><th> val </th></tr>"),
+        lit("<tr><td>a"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit("</td><td><b>"), pmod(col("doc_id") * 3, lit(11L)).cast("string"),
+        lit("</b></td></tr>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<tr><td>b&amp;c</td><td>"),
+            pmod(col("doc_id"), lit(5L)).cast("string"),
+            lit("</td></tr>"))).otherwise(lit("")),
+        lit("</table>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(to.htmlTableRows(tbl))
+          .as(Seq("r0", "row")))
+        .select(col("doc_id"), (col("r0") + 1).cast("bigint").as("row_idx"),
+          posexplode(to.htmlRowCells(col("row"))).as(Seq("c0", "cell0")))
+        .select(col("doc_id"), col("row_idx"),
+          (col("c0") + 1).cast("bigint").as("col_idx"),
+          to.cellText(col("cell0")).as("cell"))
+        .orderBy("doc_id", "row_idx", "col_idx")
+    }),
+
+    // Kolmogorov–Smirnov distance between the click and purchase
+    // value distributions — the drift test a pipeline runs between
+    // corpus versions / traffic segments. Exact-integer form: the
+    // sup is over |F1·n2 − F2·n1| numerators (DECIMAL-routed per the
+    // skew-advisor lesson), one division at the end → ks_ppm is
+    // engine-independent. The cumulative window runs over the
+    // DISTINCT-value relation (≪ corpus after the per-value
+    // aggregation), not the raw rows
+    "q290_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = t(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per.select(sum(col("c1")).over(w).as("f1"),
+        sum(col("c2")).over(w).as("f2"))
+      val tot = per.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(expr("abs(CAST(f1 AS DECIMAL(38,0)) * n2 "
+          + "- CAST(f2 AS DECIMAL(38,0)) * n1)")).as("num"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(num * 1000000 div (CAST(n1 AS DECIMAL(38,0)) * n2) "
+            + "AS BIGINT)").as("ks_ppm"))
+    }),
+
+    // Gini concentration of per-source document counts — the
+    // governance metric for "is the corpus dominated by a few
+    // sources". Exact rational form on ascending-rank weighted sums:
+    // gini_ppm = (2·Σi·cᵢ − (n+1)·Σc)·1e6 div (n·Σc), DECIMAL-routed
+    "q291_source_gini" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("c"))
+      val ranked = c.withColumn("i",
+        row_number().over(Window.orderBy(col("c"), col("source")))
+          .cast("bigint"))
+      ranked.agg(count(lit(1)).as("n_sources"), sum(col("c")).as("total_docs"),
+          sum(expr("CAST(i AS DECIMAL(38,0)) * c")).as("s"))
+        .select(col("n_sources"), col("total_docs"),
+          expr("CAST((2 * s - (n_sources + 1) * CAST(total_docs AS "
+            + "DECIMAL(38,0))) * 1000000 div (n_sources * "
+            + "CAST(total_docs AS DECIMAL(38,0))) AS BIGINT)").as("gini_ppm"))
     })
   )
 
@@ -5620,7 +5699,43 @@ object AnalyticsQueries {
        + "lk AS (SELECT 's' || (doc_id % 10)::VARCHAR AS src_host, "
        + "unnest(regexp_extract_all(page, '(?is)<a\\s[^>]*href=\"([^\"]+)\"', 1)) AS url FROM pg) "
        + "SELECT src_host, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS dst_host, "
-       + "COUNT(*)::BIGINT AS n_links FROM lk GROUP BY 1, 2 ORDER BY src_host, dst_host")
+       + "COUNT(*)::BIGINT AS n_links FROM lk GROUP BY 1, 2 ORDER BY src_host, dst_host"),
+    "q289_table_extract" ->
+      ("WITH pg AS (SELECT doc_id, "
+       + "'<table class=\"data\"><tr><th>key</th><th> val </th></tr>' || "
+       + "'<tr><td>a' || (doc_id % 7)::VARCHAR || '</td><td><b>' || ((doc_id * 3) % 11)::VARCHAR || '</b></td></tr>' || "
+       + "(CASE WHEN doc_id % 2 = 0 THEN '<tr><td>b&amp;c</td><td>' || (doc_id % 5)::VARCHAR || '</td></tr>' ELSE '' END) || "
+       + "'</table>' AS pg FROM documents), "
+       + "r AS (SELECT doc_id, unnest(list_transform("
+       + "regexp_extract_all(pg, '(?is)<tr[^>]*>(.*?)</tr>', 1), (v, i) -> struct_pack(v := v, i := i))) AS rw FROM pg), "
+       + "c AS (SELECT doc_id, rw.i AS row_idx, unnest(list_transform("
+       + "regexp_extract_all(rw.v, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1), (v, i) -> struct_pack(v := v, i := i))) AS cl FROM r), "
+       + "x AS (SELECT doc_id, row_idx, cl.i AS col_idx, "
+       + "regexp_replace(regexp_replace(replace(replace(replace(replace(replace(replace("
+       + "regexp_replace(cl.v, '<[^>]*>', '', 'g'), "
+       + "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&'), "
+       + "'[ \\t]+', ' ', 'g'), '^\\s+|\\s+$', '', 'g') AS cell FROM c) "
+       + "SELECT doc_id, row_idx::BIGINT AS row_idx, col_idx::BIGINT AS col_idx, cell "
+       + "FROM x ORDER BY doc_id, row_idx, col_idx"),
+    "q290_ks_test" ->
+      ("WITH per AS (SELECT value AS v, "
+       + "SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS c1, "
+       + "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS c2 "
+       + "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value), "
+       + "cum AS (SELECT SUM(c1) OVER (ORDER BY v)::BIGINT AS f1, "
+       + "SUM(c2) OVER (ORDER BY v)::BIGINT AS f2 FROM per), "
+       + "tot AS (SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2 FROM per) "
+       + "SELECT n1, n2, CAST(MAX(abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1)) "
+       + "* 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm "
+       + "FROM cum, tot GROUP BY n1, n2"),
+    "q291_source_gini" ->
+      ("WITH c AS (SELECT source, COUNT(*)::BIGINT AS c FROM documents GROUP BY source), "
+       + "r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, source)::BIGINT AS i FROM c), "
+       + "a AS (SELECT COUNT(*)::BIGINT AS n_sources, SUM(c)::BIGINT AS total_docs, "
+       + "SUM(CAST(i AS HUGEINT) * c) AS s FROM r) "
+       + "SELECT n_sources, total_docs, "
+       + "CAST((2 * s - (n_sources + 1) * CAST(total_docs AS HUGEINT)) * 1000000 "
+       + "// (n_sources * CAST(total_docs AS HUGEINT)) AS BIGINT) AS gini_ppm FROM a")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

@@ -354,4 +354,21 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(dom == Seq("latin", "cyrillic", "greek", "cjk", "latin"))
   }
+
+  test("html table extraction recovers (row, col, cell) with cleanup") {
+    import spark.implicits._
+    val h = "<table><TR><th> Name </th><th>N</th></TR>" +
+      "<tr class=\"d\"><td><b>alpha</b>&nbsp;x</td><td>1</td></tr>" +
+      "<tr><td>b&amp;c</td><td> 2 </td></tr></table>"
+    val got = Seq(h).toDF("h")
+      .select(posexplode(TextOps.htmlTableRows(col("h"))).as(Seq("r", "row")))
+      .select((col("r") + 1).as("row_idx"),
+        posexplode(TextOps.htmlRowCells(col("row"))).as(Seq("c", "cell0")))
+      .select(col("row_idx"), (col("c") + 1).as("col_idx"),
+        TextOps.cellText(col("cell0")).as("cell"))
+      .orderBy("row_idx", "col_idx")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == Seq((1, 1, "Name"), (1, 2, "N"), (2, 1, "alpha x"),
+      (2, 2, "1"), (3, 1, "b&c"), (3, 2, "2")))
+  }
 }
