@@ -631,6 +631,12 @@ object ScaleProbe {
           .as(Seq("c", "cell")))
         .select(graft.operators.TextOps.cellText(col("cell"))).count()
     })
+    // q292: per-row normalize (isNormalized fast path for the ASCII
+    // bulk) + accent fold (NFD → strip marks → NFC) — narrow codegen
+    // pass, linear in corpus bytes
+    t("nfc_fold")(d.select(graft.functions.TextFunctions.foldAccents(
+        concat(col("text"), lit(" café résumé"))).as("t"))
+      .agg(sum(length(col("t")))).head().getLong(0))
     // q290: per-value aggregation (map-side combinable) then ONE global
     // window over the distinct-value relation — the window's input is
     // |distinct values|, not |rows|; the probe watches that stay true

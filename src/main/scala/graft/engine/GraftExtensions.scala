@@ -45,6 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("agree_frac",
         "agree_frac(a, b) - fraction of agreeing positions of two BIGINT arrays (MinHash estimator)"),
       (cs: Seq[Expression]) => LongArrayAgreeFrac(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("unicode_norm"),
+      info("unicode_norm",
+        "unicode_norm(s, 'NFC') - Unicode normalization (NFC/NFD/NFKC/NFKD)"),
+      (cs: Seq[Expression]) => UnicodeNormalize(cs(0), cs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          String.valueOf(v)
+        case other => throw new IllegalArgumentException(
+          s"unicode_norm form must be a string literal, got $other")
+      })))
     // fuse the SQL-idiom aggregate/zip_with dot product into the
     // codegen'd kernel — SQL-only users get the native loop for free
     ext.injectOptimizerRule(_ => graft.plans.VecFusion)

@@ -470,4 +470,29 @@ object Sampling {
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
         expr("bit_xor(__h)").as("checksum"))
   }
+
+  /** Incremental manifest maintenance: fold a delta batch's manifest
+    * into an existing corpus manifest WITHOUT re-reading the corpus —
+    * counts add, id spans least/greatest, and the XOR checksum
+    * composes (XOR is a group: combine = xor, identity = 0), so
+    * combine(manifest(A), manifest(B)) ≡ manifest(A ∪ B) exactly.
+    * At 100 TB this is the difference between touching |delta| bytes
+    * and touching everything; the oracle certifies the equivalence by
+    * recomputing the full manifest from scratch.
+    */
+  def combineManifests(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("shard"), col("n_rows").as("n2"),
+      col("min_id").as("mi2"), col("max_id").as("ma2"),
+      col("checksum").as("c2"))
+    a.select(col("shard"), col("n_rows").as("n1"), col("min_id").as("mi1"),
+        col("max_id").as("ma1"), col("checksum").as("c1"))
+      .join(bb, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n_rows"),
+        least(col("mi1"), col("mi2")).as("min_id"),
+        greatest(col("ma1"), col("ma2")).as("max_id"),
+        coalesce(col("c1"), lit(0L)).bitwiseXOR(coalesce(col("c2"), lit(0L)))
+          .as("checksum"))
+  }
 }

@@ -3776,6 +3776,44 @@ object AnalyticsQueries {
           expr("CAST((2 * s - (n_sources + 1) * CAST(total_docs AS "
             + "DECIMAL(38,0))) * 1000000 div (n_sources * "
             + "CAST(total_docs AS DECIMAL(38,0))) AS BIGINT)").as("gini_ppm"))
+    }),
+
+    // Unicode normalization ahead of dedup: one word per doc appears
+    // as plain ASCII, composed "café" (U+00E9), or NFD-decomposed
+    // "cafe" + U+0301 by doc_id residue — three raw byte forms per
+    // source. NFC (native codegen UnicodeNormalize) collapses the two
+    // accent spellings; the NFD-strip-recompose accent fold collapses
+    // all three. Counts certified against DuckDB's nfc_normalize /
+    // strip_accents
+    "q292_nfc_dedup" -> ((s, d) => {
+      val tf = graft.functions.TextFunctions
+      val v = when(col("doc_id") % 3 === 0, "cafe")
+        .when(col("doc_id") % 3 === 1, "café") // composed U+00E9
+        .otherwise("café") // decomposed e + U+0301
+      t(s, d, "documents").select(col("source"), v.as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("w")).as("raw_forms"),
+          countDistinct(tf.unicodeNormalize(col("w"), "NFC"))
+            .as("nfc_forms"),
+          countDistinct(tf.foldAccents(col("w"))).as("folded_forms"))
+        .orderBy("source")
+    }),
+
+    // Incremental manifest maintenance: manifest(corpus∖delta) ⊕
+    // manifest(delta) must equal manifest(corpus) EXACTLY (counts add,
+    // spans least/greatest, XOR checksums compose) — the oracle
+    // recomputes the full manifest from scratch in DuckDB, so the
+    // incremental path is certified equivalent cross-engine
+    "q293_manifest_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      def m(df: DataFrame) = Sampling.shardManifest(
+        Sampling.shuffleExport(df, "doc_id", nShards = 16, seed = "m2"),
+        "shard", "doc_id", "text")
+      Sampling.combineManifests(
+          m(docs.filter(col("doc_id") % 10 =!= 0)),
+          m(docs.filter(col("doc_id") % 10 === 0)))
+        .orderBy("shard")
     })
   )
 
@@ -5735,7 +5773,22 @@ object AnalyticsQueries {
        + "SUM(CAST(i AS HUGEINT) * c) AS s FROM r) "
        + "SELECT n_sources, total_docs, "
        + "CAST((2 * s - (n_sources + 1) * CAST(total_docs AS HUGEINT)) * 1000000 "
-       + "// (n_sources * CAST(total_docs AS HUGEINT)) AS BIGINT) AS gini_ppm FROM a")
+       + "// (n_sources * CAST(total_docs AS HUGEINT)) AS BIGINT) AS gini_ppm FROM a"),
+    "q292_nfc_dedup" ->
+      ("WITH v AS (SELECT source, CASE WHEN doc_id % 3 = 0 THEN 'cafe' "
+       + "WHEN doc_id % 3 = 1 THEN 'café' ELSE 'café' END AS w FROM documents) "
+       + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+       + "COUNT(DISTINCT w)::BIGINT AS raw_forms, "
+       + "COUNT(DISTINCT nfc_normalize(w))::BIGINT AS nfc_forms, "
+       + "COUNT(DISTINCT strip_accents(nfc_normalize(w)))::BIGINT AS folded_forms "
+       + "FROM v GROUP BY source ORDER BY source"),
+    "q293_manifest_incremental" ->
+      ("WITH a AS (SELECT doc_id, text, "
+       + "CAST(('0x' || substring(md5('m2|' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 16 AS shard, "
+       + "CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT) AS h FROM documents) "
+       + "SELECT shard, COUNT(*)::BIGINT AS n_rows, MIN(doc_id)::BIGINT AS min_id, "
+       + "MAX(doc_id)::BIGINT AS max_id, bit_xor(h)::BIGINT AS checksum "
+       + "FROM a GROUP BY shard ORDER BY shard")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

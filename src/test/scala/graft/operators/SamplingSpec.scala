@@ -298,4 +298,22 @@ class SamplingSpec extends SparkSpec {
       .orderBy("shard").collect().map(_.toString).toSeq
     assert(m1 != m3 && m1.zip(m3).count { case (x, y) => x != y } == 1)
   }
+
+  test("combineManifests(old, delta) equals the full recompute exactly") {
+    val base = docs.select(col("doc_id"), col("text"))
+    def m(df: org.apache.spark.sql.DataFrame) = Sampling.shardManifest(
+      Sampling.shuffleExport(df, "doc_id", 16, "cm"), "shard", "doc_id", "text")
+    val full = m(base).orderBy("shard").collect().map(_.toString).toSeq
+    val inc = Sampling.combineManifests(
+        m(base.filter(col("doc_id") % 10 =!= 0)),
+        m(base.filter(col("doc_id") % 10 === 0)))
+      .orderBy("shard").collect().map(_.toString).toSeq
+    assert(inc == full)
+    // a tiny delta (one doc) still composes: shards absent from the
+    // delta manifest pass through the coalesce identity unchanged
+    val inc1 = Sampling.combineManifests(
+        m(base.filter(col("doc_id") =!= 3)), m(base.filter(col("doc_id") === 3)))
+      .orderBy("shard").collect().map(_.toString).toSeq
+    assert(inc1 == full)
+  }
 }
