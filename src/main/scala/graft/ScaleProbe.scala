@@ -637,6 +637,38 @@ object ScaleProbe {
     t("nfc_fold")(d.select(graft.functions.TextFunctions.foldAccents(
         concat(col("text"), lit(" café résumé"))).as("t"))
       .agg(sum(length(col("t")))).head().getLong(0))
+    // q296: hashed-n-gram classifier inference — one codegen kernel
+    // call per row (per-gram md5 inside the kernel loop), no shuffle
+    // until the tiny rollup; cost is linear in corpus BYTES
+    t("hash_classifier")({
+      d.select(graft.functions.TextFunctions
+          .hashedNgramScore(col("text"), 2, 2001).as("s"))
+        .agg(sum(col("s")), sum(when(col("s") > 0, 1L).otherwise(0L)))
+        .head()
+      d.count()
+    })
+    // q297: suffix-chain explode (×~3 rows) + broadcast equi-join on
+    // the suffix — membership test, linear in corpus, no theta join
+    t("domain_blocklist")({
+      val host = concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("s"), pmod(col("doc_id"), lit(4L)), lit(".")))
+          .otherwise(""),
+        lit("ex-src"), pmod(col("doc_id"), lit(20L)),
+        when(col("doc_id") % 2 === 0, ".com").otherwise(".org"))
+      val rules = spark.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row("ex-src4.com"),
+          org.apache.spark.sql.Row("s0.ex-src0.com"),
+          org.apache.spark.sql.Row("ex-src7.org")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rule",
+            org.apache.spark.sql.types.StringType))))
+      graft.operators.TextOps.blocklistMatch(
+          d.select(col("doc_id"), host.as("host")),
+          "doc_id", "host", rules, "rule")
+        .filter(col("matched_rule").isNotNull).count()
+    })
     // q290: per-value aggregation (map-side combinable) then ONE global
     // window over the distinct-value relation — the window's input is
     // |distinct values|, not |rows|; the probe watches that stay true

@@ -5,7 +5,7 @@ import java.text.Normalizer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode-normalization kernels for the codegen expression below.
@@ -24,6 +24,82 @@ object TextKernels {
   def nfd(s: UTF8String): UTF8String = norm(s, Normalizer.Form.NFD)
   def nfkc(s: UTF8String): UTF8String = norm(s, Normalizer.Form.NFKC)
   def nfkd(s: UTF8String): UTF8String = norm(s, Normalizer.Form.NFKD)
+}
+
+/** Hashed-n-gram linear-model scoring kernel (fastText's trick, which
+  * is how production pipelines run language-ID/quality classifiers
+  * over web-scale corpora: features are character n-grams hashed into
+  * a fixed bucket table, the model is one weight per bucket, and
+  * inference is a single narrow pass — embarrassingly parallel, no
+  * shuffle, no vocabulary broadcast). The weight table here is
+  * derived from the bucket hash itself (`(hash60(gram) mod m) -
+  * (m-1)/2`, m odd) so the whole computation is a pure function of
+  * the text and exactly replayable in DuckDB SQL for the oracle —
+  * a real model would broadcast a weight array instead; the data
+  * path (per-row gram loop, md5 bucket hash, integer accumulate) is
+  * identical. hash60 = first 15 hex digits of md5 of the gram's
+  * UTF-8 bytes, the same hash the KMV/manifest stack uses.
+  */
+object ClassifierKernels {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes) read as the 15-hex-digit prefix —
+    * equals `CAST('0x' || substring(md5(s),1,15) AS BIGINT)`.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Σ over code-point n-grams of ((hash60(gram) mod m) - (m-1)/2).
+    * Code-point positions match DuckDB/Spark SUBSTRING semantics;
+    * empty/short text scores 0.
+    */
+  def ngramScore(s: UTF8String, n: Int, m: Int): Long = {
+    val str = s.toString
+    val cpCount = str.codePointCount(0, str.length)
+    if (cpCount < n) return 0L
+    val half = (m - 1) / 2
+    var score = 0L
+    var start = 0 // UTF-16 offset of gram start
+    var i = 0
+    while (i <= cpCount - n) {
+      val end = str.offsetByCodePoints(start, n)
+      val gram = str.substring(start, end)
+      score += hash60(
+        gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % m - half
+      start = str.offsetByCodePoints(start, 1)
+      i += 1
+    }
+    score
+  }
+}
+
+/** `hashed_ngram_score(text, n, m)` — the [[ClassifierKernels]] loop
+  * as one codegen expression: whole-stage codegen calls the static
+  * kernel once per row (the q167 lesson — Spark's HOF `aggregate` is
+  * CodegenFallback, so a `transform`/`aggregate` formulation of the
+  * same loop would run interpreted with per-gram Column overhead).
+  */
+case class HashedNgramScore(child: Expression, n: Int, m: Int)
+    extends UnaryExpression {
+  require(n >= 1 && m >= 3 && m % 2 == 1,
+    s"need n>=1 and odd m>=3, got n=$n m=$m")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    ClassifierKernels.ngramScore(a.asInstanceOf[UTF8String], n, m)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ClassifierKernels.ngramScore($c, $n, $m)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native codegen
@@ -68,4 +144,8 @@ object TextFunctions {
   def foldAccents(c: Column): Column =
     unicodeNormalize(org.apache.spark.sql.functions.regexp_replace(
       unicodeNormalize(c, "NFD"), "[\\x{0300}-\\x{036F}]", ""), "NFC")
+
+  /** Hashed-char-n-gram linear score (see [[HashedNgramScore]]). */
+  def hashedNgramScore(c: Column, n: Int, m: Int): Column =
+    column(HashedNgramScore(expression(c), n, m))
 }

@@ -616,6 +616,38 @@ object TextOps {
       when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
   }
 
+  /** All dot-boundary suffixes of a hostname, longest first:
+    * `a.b.com` → `[a.b.com, b.com, com]`. Turning suffix matching
+    * into set membership is THE scale move for blocklist filtering:
+    * a host matches a blocked domain iff one of its O(label-count)
+    * suffixes equals a blocklist entry, so the crawl-filter join is a
+    * plain equi-join on the suffix column — hash-partitionable,
+    * broadcastable when the list is small, and never a theta/LIKE
+    * join (which would be |corpus|×|blocklist| at 100 TB).
+    */
+  def domainSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)), i =>
+      array_join(slice(parts, i, size(parts) - i + 1), "."))
+  }
+
+  /** Blocklist verdict per document: explode the suffix chain,
+    * equi-join the blocklist (left), and report the matched rule —
+    * NULL ⇒ kept. A host matching several rules reports the most
+    * specific (longest) one.
+    */
+  def blocklistMatch(docs: DataFrame, idCol: String, hostCol: String,
+      rules: DataFrame, ruleCol: String): DataFrame = {
+    val suffixed = docs.select(col(idCol), col(hostCol),
+        posexplode(domainSuffixes(col(hostCol))).as(Seq("pos", "suffix")))
+    val hits = suffixed
+      .join(broadcast(rules.select(col(ruleCol).as("suffix"))), Seq("suffix"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("suffix"), col("pos")).as("matched_rule"))
+    docs.select(col(idCol), col(hostCol))
+      .join(hits, Seq(idCol), "left")
+  }
+
   /** HTML → text extraction — the boilerplate-strip pass a web-corpus
     * pipeline runs on every crawled page before any text analysis
     * (the trafilatura/jusText role, reduced to its deterministic

@@ -3814,6 +3814,95 @@ object AnalyticsQueries {
           m(docs.filter(col("doc_id") % 10 =!= 0)),
           m(docs.filter(col("doc_id") % 10 === 0)))
         .orderBy("shard")
+    }),
+
+    // Spark 4 collation-aware dedup keys: ICU collations make case/
+    // accent insensitivity a property of the COLUMN TYPE, so group-by,
+    // join, and countDistinct fold variants inside the hash key with
+    // no materialized normalized copy — vs q292's explicit fold, which
+    // this query certifies against (UNICODE_CI_AI must agree with
+    // lower(strip_accents(nfc(w)))). Five raw byte forms per source:
+    // two case variants, composed/decomposed accents, and upper-accent
+    "q294_collation_dedup" -> ((s, d) => {
+      val w = when(col("doc_id") % 5 === 0, "Cafe")
+        .when(col("doc_id") % 5 === 1, "caf\u00e9") // NFC composed
+        .when(col("doc_id") % 5 === 2, "cafe\u0301") // NFD decomposed
+        .when(col("doc_id") % 5 === 3, "CAFE")
+        .otherwise("CAF\u00c9") // upper, composed
+      t(s, d, "documents").select(col("source"), w.as("w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("w")).as("raw_forms"),
+          countDistinct(collate(col("w"), "UTF8_LCASE")).as("lcase_forms"),
+          countDistinct(collate(col("w"), "UNICODE_CI_AI")).as("ci_ai_forms"))
+        .orderBy("source")
+    }),
+
+    // XML source coverage (Spark 4 ships the former spark-xml as a
+    // core format): write the corpus as <doc> rows, read back with an
+    // explicit schema, and certify BYTE-IDENTITY of every (doc_id,
+    // text) pair through the escape/unescape roundtrip with the
+    // manifest checksum (count + XOR of hash60(doc_id||'|'||text) per
+    // lang) — the oracle computes the same checksum from the parquet
+    // ground truth, so one flipped character anywhere fails the gate
+    "q295_xml_roundtrip" -> ((s, d) =>
+      s.read.option("rowTag", "doc")
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .format("xml").load(xmlDocsFor(s, d))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(CAST(" +
+            "conv(substring(md5(concat(doc_id, '|', text)), 1, 15), 16, 10)" +
+            " AS BIGINT))").as("checksum"))
+        .orderBy("lang")),
+
+    // Hashed-n-gram linear classifier inference (the fastText trick):
+    // score = Σ over char bigrams of ((hash60(gram) mod 2001) - 1000),
+    // one codegen kernel call per row — model scoring as a narrow
+    // pass, no shuffle until the per-source rollup. The oracle replays
+    // the identical hash arithmetic in DuckDB over an unnested
+    // position list, so every per-document score is certified exact
+    "q296_hash_classifier" -> ((s, d) => {
+      val score = graft.functions.TextFunctions
+        .hashedNgramScore(col("text"), 2, 2001)
+      t(s, d, "documents")
+        .select(col("source"), score.as("score"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum(col("score")).as("sum_score"))
+        .orderBy("source")
+    }),
+
+    // Crawl blocklist filtering with subdomain semantics (block
+    // "ex-web.com" ⇒ also "s3.ex-web.com"): expand each host into its
+    // dot-boundary suffix chain and EQUI-join the blocklist — set
+    // membership, not a LIKE-suffix theta join, so the plan is a
+    // broadcast (or hash) join at any corpus size. Hosts fabricated
+    // from doc_id residues; a multi-rule host reports the most
+    // specific rule
+    "q297_domain_blocklist" -> ((s, d) => {
+      val host = concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("s"), pmod(col("doc_id"), lit(4L)), lit(".")))
+          .otherwise(""),
+        lit("ex-"), col("source"),
+        when(col("doc_id") % 2 === 0, ".com").otherwise(".org"))
+      val docs = t(s, d, "documents").select(col("doc_id"), host.as("host"))
+      val rules = s.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row("ex-src4.com"),
+          org.apache.spark.sql.Row("s0.ex-src0.com"),
+          org.apache.spark.sql.Row("ex-src7.org")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rule",
+            org.apache.spark.sql.types.StringType))))
+      TextOps.blocklistMatch(docs, "doc_id", "host", rules, "rule")
+        .groupBy(coalesce(col("matched_rule"), lit("__kept__"))
+          .as("verdict"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("verdict")
     })
   )
 
@@ -3873,6 +3962,18 @@ object AnalyticsQueries {
       t(s, d, "events")
         .select(col("event_id"), col("props"))
         .write.mode("overwrite").json(tmp)
+      tmp
+    })
+
+  private val xmlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def xmlDocsFor(s: SparkSession, dir: String): String =
+    xmlCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xml-").toString
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").option("rootTag", "docs")
+        .option("rowTag", "doc").format("xml").save(tmp)
       tmp
     })
 
@@ -5788,7 +5889,44 @@ object AnalyticsQueries {
        + "CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT) AS h FROM documents) "
        + "SELECT shard, COUNT(*)::BIGINT AS n_rows, MIN(doc_id)::BIGINT AS min_id, "
        + "MAX(doc_id)::BIGINT AS max_id, bit_xor(h)::BIGINT AS checksum "
-       + "FROM a GROUP BY shard ORDER BY shard")
+       + "FROM a GROUP BY shard ORDER BY shard"),
+    "q294_collation_dedup" ->
+      ("WITH v AS (SELECT source, CASE WHEN doc_id % 5 = 0 THEN 'Cafe' "
+       + "WHEN doc_id % 5 = 1 THEN 'café' "
+       + "WHEN doc_id % 5 = 2 THEN 'café' "
+       + "WHEN doc_id % 5 = 3 THEN 'CAFE' ELSE 'CAFÉ' END AS w FROM documents) "
+       + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+       + "COUNT(DISTINCT w)::BIGINT AS raw_forms, "
+       + "COUNT(DISTINCT lower(w))::BIGINT AS lcase_forms, "
+       + "COUNT(DISTINCT lower(strip_accents(nfc_normalize(w))))::BIGINT AS ci_ai_forms "
+       + "FROM v GROUP BY source ORDER BY source"),
+    "q295_xml_roundtrip" ->
+      ("SELECT lang, COUNT(*)::BIGINT AS n_docs, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM documents GROUP BY lang ORDER BY lang"),
+    "q296_hash_classifier" ->
+      ("WITH p AS (SELECT doc_id, source, text, unnest(range(1, length(text))) AS i FROM documents), "
+       + "g AS (SELECT doc_id, source, "
+       + "(CAST(('0x' || substring(md5(substring(text, i, 2)), 1, 15)) AS BIGINT) % 2001) - 1000 AS w FROM p), "
+       + "sc AS (SELECT doc_id, SUM(w) AS score FROM g GROUP BY doc_id), "
+       + "d AS (SELECT dd.source, COALESCE(sc.score, 0)::BIGINT AS score "
+       + "FROM documents dd LEFT JOIN sc USING (doc_id)) "
+       + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+       + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
+       + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q297_domain_blocklist" ->
+      ("WITH h AS (SELECT doc_id, "
+       + "(CASE WHEN doc_id % 3 = 0 THEN 's' || (doc_id % 4)::VARCHAR || '.' ELSE '' END) "
+       + "|| 'ex-' || source || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) AS host FROM documents), "
+       + "e AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM h), "
+       + "sfx AS (SELECT doc_id, host, "
+       + "unnest([{'pos': i, 'suffix': array_to_string(parts[i:], '.')} FOR i IN range(1, len(parts)+1)]) AS u FROM e), "
+       + "hits AS (SELECT doc_id, MIN_BY(struct_extract(u, 'suffix'), struct_extract(u, 'pos')) AS matched_rule FROM sfx "
+       + "WHERE struct_extract(u, 'suffix') IN ('ex-src4.com', 's0.ex-src0.com', 'ex-src7.org') GROUP BY doc_id), "
+       + "v AS (SELECT h.doc_id, h.host, COALESCE(hits.matched_rule, '__kept__') AS verdict "
+       + "FROM h LEFT JOIN hits USING (doc_id)) "
+       + "SELECT verdict, COUNT(*)::BIGINT AS n_docs, "
+       + "COUNT(DISTINCT host)::BIGINT AS n_hosts FROM v GROUP BY verdict ORDER BY verdict")
   )
 
   /** q69 is q51's semantics behind a different physical plan (Bloom

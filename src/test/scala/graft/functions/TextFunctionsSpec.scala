@@ -43,6 +43,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("hashedNgramScore matches the SQL md5/conv replay; short text is 0") {
+    val docs = Seq("hello world", "ab", "a", "", "café").toDF("t")
+    val kernel = docs.select(
+      TextFunctions.hashedNgramScore(col("t"), 2, 2001).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    // replay with Spark SQL built-ins over an exploded position list —
+    // the same arithmetic the DuckDB oracle runs
+    val sql = docs.selectExpr(
+      """case when length(t) < 2 then 0L else aggregate(
+           transform(sequence(1, length(t) - 1),
+             i -> cast(conv(substring(md5(substring(t, i, 2)), 1, 15), 16, 10)
+                       as bigint) % 2001 - 1000),
+           0L, (acc, x) -> acc + x) end as s""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kernel == sql)
+    assert(kernel(2) == 0L && kernel(3) == 0L) // < n grams -> 0
+    // null-safe
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(TextFunctions.hashedNgramScore(col("t"), 2, 2001))
+      .collect().head
+    assert(n.isNullAt(0))
+    // the kernel stays inside whole-stage codegen (the q167 lesson:
+    // an `aggregate` HOF formulation would be CodegenFallback)
+    val plan = spark.range(3).selectExpr("cast(id as string) as t")
+      .select(TextFunctions.hashedNgramScore(col("t"), 2, 2001))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project")) // *(n) = inside codegen stage n
+  }
+
   test("unicode_norm is registered for SQL users; bad form rejected") {
     val r = spark.sql("SELECT unicode_norm('café', 'NFC') AS w")
       .collect().head.getString(0)

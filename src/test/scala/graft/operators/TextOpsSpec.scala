@@ -371,4 +371,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1, 1, "Name"), (1, 2, "N"), (2, 1, "alpha x"),
       (2, 2, "1"), (3, 1, "b&c"), (3, 2, "2")))
   }
+
+  test("domainSuffixes expands the dot-boundary chain, longest first") {
+    import spark.implicits._
+    val got = Seq("a.b.com", "com", "x.y").toDF("h")
+      .select(TextOps.domainSuffixes(col("h")))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a.b.com", "b.com", "com"), List("com"),
+      List("x.y", "y")))
+  }
+
+  test("blocklistMatch: subdomain semantics, most-specific rule wins") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ads.bad.com"),   // matches bad.com via suffix
+      (2L, "bad.com"),       // exact
+      (3L, "notbad.com"),    // must NOT match (dot boundary)
+      (4L, "deep.ads.bad.com"), // matches both ads.bad.com and bad.com
+      (5L, "clean.org")).toDF("doc_id", "host")
+    val rules = Seq("bad.com", "ads.bad.com").toDF("rule")
+    val got = TextOps.blocklistMatch(docs, "doc_id", "host", rules, "rule")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq((1L, "ads.bad.com"), (2L, "bad.com"), (3L, null),
+      (4L, "ads.bad.com"), (5L, null)))
+    // doc 1: its own first matching suffix is ads.bad.com (pos 1 of its
+    // chain) — the most specific rule; doc 4's chain hits ads.bad.com
+    // before bad.com too
+    // plan pin: the rule join is a broadcast equi-join on the suffix
+    // column, never a LIKE theta join
+    val plan = TextOps.blocklistMatch(docs, "doc_id", "host", rules, "rule")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
