@@ -542,6 +542,35 @@ object ScaleProbe {
       graft.sources.WebDataset.ingest(spark, tmp2).count()
     })
 
+    // q298: WARC fabrication + binaryFile scan + record walk (mixed
+    // plain/gzip shards); like webdataset, shards are the parallelism
+    // unit and cost rides the shard count linearly
+    t("warc_ingest")({
+      val tmp2 = java.nio.file.Files.createTempDirectory("probe-warc").toString
+      d.select((col("doc_id") / 50).cast("long").as("shard"),
+          col("doc_id"), col("text"))
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("docs"))
+        .foreach { row =>
+          val shard = row.getLong(0)
+          val entries = row.getSeq[org.apache.spark.sql.Row](1).map { r =>
+            ("response", s"http://ex/en/${r.getLong(0)}",
+              r.getString(1).getBytes("UTF-8"))
+          }
+          val bytes = graft.sources.Warc.write(entries)
+          val (name, payload) =
+            if (shard % 2 == 1) (f"shard-$shard%07d.warc.gz",
+              graft.sources.Warc.gzip(bytes))
+            else (f"shard-$shard%07d.warc", bytes)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp2/$name"), payload)
+          ()
+        }
+      graft.sources.Warc.ingest(spark, tmp2)
+        .filter(col("warc_type") === "response").count()
+    })
+
     // q272: two map-side-combinable aggregations + a broadcast cross of
     // |cells|×|cohorts|; nothing rides the row count past the first agg
     t("tcloseness")({

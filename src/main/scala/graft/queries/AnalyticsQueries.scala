@@ -116,6 +116,40 @@ object AnalyticsQueries {
       tmp
     })
 
+  /** WARC shard drop per sf dir (q298): documents rendered as ISO
+    * 28500 `.warc` / `.warc.gz` shards (odd shards gzipped, so both
+    * codec paths are exercised), target URI carrying lang + doc_id,
+    * payload = raw text bytes. Written once per JVM.
+    */
+  private val warcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def warcShardDir(s: SparkSession, dir: String): String =
+    warcCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc-").toString
+      graft.engine.Par.widen(Tables(s, d, "documents"))
+        .select((col("doc_id") / 50).cast("long").as("shard"),
+          col("doc_id"), col("lang"), col("text"))
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("lang"),
+          col("text")))).as("docs"))
+        .foreach { row =>
+          val shard = row.getLong(0)
+          val entries = row.getSeq[org.apache.spark.sql.Row](1).map { r =>
+            ("response", s"http://ex/${r.getString(1)}/${r.getLong(0)}",
+              r.getString(2).getBytes("UTF-8"))
+          }
+          val bytes = graft.sources.Warc.write(entries)
+          val (name, payload) =
+            if (shard % 2 == 1) (f"shard-$shard%05d.warc.gz",
+              graft.sources.Warc.gzip(bytes))
+            else (f"shard-$shard%05d.warc", bytes)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$tmp/$name"), payload)
+          ()
+        }
+      tmp
+    })
+
   /** Gzip-compressed JSONL drop per sf dir (q280): events rendered as
     * `.json.gz` part files — the CommonCrawl-style ingest format.
     * Written once per JVM; the query times the codec+parse read path,
@@ -3874,6 +3908,30 @@ object AnalyticsQueries {
         .orderBy("source")
     }),
 
+    // WARC ingestion (ISO 28500 — the format web corpora arrive in;
+    // Common Crawl is ~100 TB of .warc.gz per crawl): binaryFile scan
+    // over mixed plain/gzip shards, pure-JDK record walk scan-side,
+    // then byte-identity of every payload certified per lang via the
+    // XOR-of-hash60 manifest checksum against the parquet ground
+    // truth. n_shards pins that shard attribution survived the walk
+    "q298_warc_ingest" -> ((s, d) =>
+      graft.sources.Warc.ingest(s, warcShardDir(s, d))
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "^http://ex/([a-z]+)/", 1)
+            .as("lang"),
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("content").cast("string").as("text"),
+          col("shard"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("shard")).as("n_shards"),
+          expr("bit_xor(CAST(" +
+            "conv(substring(md5(concat(doc_id, '|', text)), 1, 15), 16, 10)" +
+            " AS BIGINT))").as("checksum"))
+        .orderBy("lang")),
+
     // Crawl blocklist filtering with subdomain semantics (block
     // "ex-web.com" ⇒ also "s3.ex-web.com"): expand each host into its
     // dot-boundary suffix chain and EQUI-join the blocklist — set
@@ -5914,6 +5972,11 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q298_warc_ingest" ->
+      ("SELECT lang, COUNT(*)::BIGINT AS n_docs, "
+       + "COUNT(DISTINCT doc_id // 50)::BIGINT AS n_shards, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM documents GROUP BY lang ORDER BY lang"),
     "q297_domain_blocklist" ->
       ("WITH h AS (SELECT doc_id, "
        + "(CASE WHEN doc_id % 3 = 0 THEN 's' || (doc_id % 4)::VARCHAR || '.' ELSE '' END) "
