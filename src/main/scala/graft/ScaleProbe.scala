@@ -698,6 +698,29 @@ object ScaleProbe {
           "doc_id", "host", rules, "rule")
         .filter(col("matched_rule").isNotNull).count()
     })
+    // q299: robots parse is |hosts|·|lines| (1000 hosts here), the
+    // verdict is a host-equi-join + per-(url,rule) prefix test — both
+    // linear in the URL corpus with a per-host-bounded rule factor
+    t("robots_filter")({
+      val robots = d.select(pmod(col("doc_id"), lit(1000L)).as("h"))
+        .distinct()
+        .select(concat(lit("h"), col("h"), lit(".com")).as("host"),
+          concat(lit("User-agent: *\nDisallow: /private\n" +
+            "Allow: /private/ok\n"),
+            when(col("h") % 2 === 0, "Disallow: /tmp\n").otherwise(""))
+            .as("body"))
+      val rules = graft.operators.TextOps.parseRobots(robots, "host", "body")
+      val urls = d.select(col("doc_id"),
+        concat(lit("h"), pmod(col("doc_id"), lit(1000L)), lit(".com"))
+          .as("host"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("/private/"), col("doc_id")))
+          .when(col("doc_id") % 3 === 1, concat(lit("/tmp/"), col("doc_id")))
+          .otherwise(concat(lit("/a/"), col("doc_id"))).as("path"))
+      graft.operators.TextOps.robotsVerdict(
+          urls, "doc_id", "host", "path", rules)
+        .filter(!col("allowed")).count()
+    })
     // q290: per-value aggregation (map-side combinable) then ONE global
     // window over the distinct-value relation — the window's input is
     // |distinct values|, not |rows|; the probe watches that stay true

@@ -648,6 +648,69 @@ object TextOps {
       .join(hits, Seq(idCol), "left")
   }
 
+  /** Parse robots.txt bodies into per-host (allow, prefix) rules for
+    * the `*` user-agent — the REP (RFC 9309) subset a crawl pipeline
+    * enforces before a URL ever reaches the fetcher. Grammar handled:
+    * `#` comments, blank lines, case-insensitive keys, groups formed
+    * by RUNS of consecutive `User-agent` lines (a group applies iff
+    * one of its agents is `*`), `Allow`/`Disallow` path prefixes,
+    * empty `Disallow:` ignored (allow-all idiom). Pure column ops:
+    * one posexplode over lines + two windows per host — rules stay
+    * |hosts|·|lines|, never touching the URL corpus.
+    */
+  def parseRobots(robots: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .select(col("host"), col("pos"),
+        lower(trim(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+          .as("key"),
+        trim(regexp_extract(col("line"), ":\\s*(.*)$", 1)).as("value"))
+    val w = Window.partitionBy("host").orderBy("pos")
+    val grouped = lines
+      .withColumn("ua", (col("key") === "user-agent").cast("int"))
+      .withColumn("grp_start",
+        (col("ua") === 1 &&
+          coalesce(lag(col("ua"), 1).over(w), lit(0)) === 0).cast("long"))
+      .withColumn("grp", sum(col("grp_start")).over(w))
+    val starGroups = grouped
+      .filter(col("ua") === 1 && col("value") === "*")
+      .select(col("host"), col("grp")).distinct()
+    grouped
+      .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
+      .join(starGroups, Seq("host", "grp"), "left_semi")
+      .select(col("host"), (col("key") === "allow").as("allow"),
+        col("value").as("prefix"))
+  }
+
+  /** REP verdict per URL: equi-join rules on host, keep rules whose
+    * prefix matches, take the longest match (tie → allow); no rule ⇒
+    * allowed. Work is |urls|·|rules-per-host| after the host join —
+    * the rule set is per-host-bounded, so this scales as a plain
+    * hash join at any corpus size.
+    */
+  def robotsVerdict(urls: DataFrame, idCol: String, hostCol: String,
+      pathCol: String, rules: DataFrame): DataFrame = {
+    val matched = urls.select(col(idCol), col(hostCol).as("host"),
+        col(pathCol).as("path"))
+      .join(rules.withColumnRenamed("host", "host"), Seq("host"), "left")
+      .withColumn("hit",
+        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+      .groupBy(col(idCol))
+      .agg(max(when(col("hit"),
+          struct(length(col("prefix")).as("l"),
+            col("allow").cast("int").as("a"))))
+        .as("best"))
+    urls.select(col(idCol), col(hostCol), col(pathCol))
+      .join(matched, Seq(idCol), "left")
+      .withColumn("allowed",
+        coalesce(col("best.a") === 1, lit(true)))
+      .drop("best")
+  }
+
   /** HTML → text extraction — the boilerplate-strip pass a web-corpus
     * pipeline runs on every crawled page before any text analysis
     * (the trafilatura/jusText role, reduced to its deterministic

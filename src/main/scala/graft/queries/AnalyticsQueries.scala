@@ -3932,6 +3932,46 @@ object AnalyticsQueries {
             " AS BIGINT))").as("checksum"))
         .orderBy("lang")),
 
+    // robots.txt enforcement (RFC 9309 subset): parse per-host robots
+    // bodies — comments, UA-run grouping (a group applies iff one of
+    // its agents is '*'), Allow/Disallow prefixes, empty-Disallow
+    // idiom — then verdict per URL by longest-prefix match (tie →
+    // allow, no rule → allow). The gptbot-only group must NOT apply;
+    // '/privateer' must block via raw prefix semantics; '/private/ok'
+    // must out-rank '/private'. The oracle replays the ENTIRE parse +
+    // verdict in DuckDB SQL, certifying the parser cross-engine
+    "q299_robots_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(lit("ex-"), col("source"), lit(".com")).as("host"),
+          concat(
+            lit("# policy\nUser-agent: gptbot\nDisallow: /\n\n" +
+              "User-agent: bingbot\nUser-agent: *\n" +
+              "Disallow: /private\nAllow: /private/ok\n"),
+            when(srcNum % 2 === 0, "Disallow: /tmp\n").otherwise(""),
+            lit("Disallow:")).as("body"))
+      val rules = TextOps.parseRobots(robots, "host", "body")
+      val urls = docs.select(col("doc_id"), col("source"),
+        concat(lit("ex-"), col("source"), lit(".com")).as("host"),
+        when(expr("doc_id div 20 % 6") === 0,
+            concat(lit("/a/"), col("doc_id")))
+          .when(expr("doc_id div 20 % 6") === 1,
+            concat(lit("/private/"), col("doc_id")))
+          .when(expr("doc_id div 20 % 6") === 2,
+            concat(lit("/private/ok/"), col("doc_id")))
+          .when(expr("doc_id div 20 % 6") === 3,
+            concat(lit("/tmp/"), col("doc_id")))
+          .when(expr("doc_id div 20 % 6") === 4, lit("/"))
+          .otherwise(lit("/privateer")).as("path"))
+      TextOps.robotsVerdict(urls, "doc_id", "host", "path", rules)
+        .join(urls.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+        .orderBy("source")
+    }),
+
     // Crawl blocklist filtering with subdomain semantics (block
     // "ex-web.com" ⇒ also "s3.ex-web.com"): expand each host into its
     // dot-boundary suffix chain and EQUI-join the blocklist — set
@@ -5972,6 +6012,40 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q299_robots_filter" ->
+      ("WITH hosts AS (SELECT DISTINCT source FROM documents), "
+       + "r AS (SELECT source, 'ex-' || source || '.com' AS host, "
+       + "'# policy' || chr(10) || 'User-agent: gptbot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) || "
+       + "'User-agent: bingbot' || chr(10) || 'User-agent: *' || chr(10) || "
+       + "'Disallow: /private' || chr(10) || 'Allow: /private/ok' || chr(10) || "
+       + "(CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 = 0 "
+       + "THEN 'Disallow: /tmp' || chr(10) ELSE '' END) || 'Disallow:' AS body FROM hosts), "
+       + "lines0 AS (SELECT host, unnest([{'pos': i, 'raw': ls[i]} FOR i IN range(1, len(ls)+1)]) AS u "
+       + "FROM (SELECT host, string_split(body, chr(10)) AS ls FROM r)), "
+       + "lns AS (SELECT host, struct_extract(u, 'pos') AS pos, "
+       + "trim(regexp_replace(struct_extract(u, 'raw'), '#.*$', '')) AS line FROM lines0), "
+       + "kv AS (SELECT host, pos, lower(trim(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))) AS key, "
+       + "trim(regexp_extract(line, ':\\s*(.*)$', 1)) AS value FROM lns), "
+       + "g AS (SELECT host, pos, key, value, "
+       + "CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS ua, "
+       + "CASE WHEN key = 'user-agent' AND COALESCE(LAG(CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END) "
+       + "OVER (PARTITION BY host ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS gs FROM kv), "
+       + "g2 AS (SELECT *, SUM(gs) OVER (PARTITION BY host ORDER BY pos) AS grp FROM g), "
+       + "star AS (SELECT DISTINCT host, grp FROM g2 WHERE ua = 1 AND value = '*'), "
+       + "rules AS (SELECT g2.host, (key = 'allow') AS allow, value AS prefix "
+       + "FROM g2 JOIN star USING (host, grp) WHERE key IN ('allow', 'disallow') AND value <> ''), "
+       + "urls AS (SELECT doc_id, source, 'ex-' || source || '.com' AS host, "
+       + "CASE (doc_id // 20) % 6 WHEN 0 THEN '/a/' || doc_id WHEN 1 THEN '/private/' || doc_id "
+       + "WHEN 2 THEN '/private/ok/' || doc_id WHEN 3 THEN '/tmp/' || doc_id "
+       + "WHEN 4 THEN '/' ELSE '/privateer' END AS path FROM documents), "
+       + "m AS (SELECT u.doc_id, u.source, "
+       + "MAX(CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix) "
+       + "THEN {'l': length(r.prefix), 'a': CASE WHEN r.allow THEN 1 ELSE 0 END} END) AS best "
+       + "FROM urls u LEFT JOIN rules r ON u.host = r.host GROUP BY u.doc_id, u.source), "
+       + "v AS (SELECT doc_id, source, COALESCE(struct_extract(best, 'a') = 1, TRUE) AS allowed FROM m) "
+       + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
+       + "SUM(CASE WHEN allowed THEN 1 ELSE 0 END)::BIGINT AS n_allowed "
+       + "FROM v GROUP BY source ORDER BY source"),
     "q298_warc_ingest" ->
       ("SELECT lang, COUNT(*)::BIGINT AS n_docs, "
        + "COUNT(DISTINCT doc_id // 50)::BIGINT AS n_shards, "

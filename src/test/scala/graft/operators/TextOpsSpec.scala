@@ -406,4 +406,48 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("parseRobots: UA-run groups, comments, empty-Disallow idiom") {
+    import spark.implicits._
+    val body =
+      """# top comment
+        |User-agent: gptbot
+        |Disallow: /only-gpt
+        |
+        |User-agent: bingbot
+        |User-agent: *
+        |Disallow: /private  # trailing comment
+        |Allow: /private/ok
+        |Disallow:
+        |
+        |User-agent: otherbot
+        |Disallow: /only-other""".stripMargin
+    val rules = TextOps.parseRobots(
+        Seq(("h.com", body)).toDF("host", "body"), "host", "body")
+      .orderBy("prefix")
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).toSeq
+    // only the *-group's non-empty rules survive
+    assert(rules == Seq((false, "/private"), (true, "/private/ok")))
+  }
+
+  test("robotsVerdict: longest prefix wins, tie -> allow, no rule -> allow") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.com", false, "/private"),
+      ("h.com", true, "/private/ok"),
+      ("h.com", false, "/dup"),
+      ("h.com", true, "/dup")) // same length: allow wins
+      .toDF("host", "allow", "prefix")
+    val urls = Seq(
+      (1L, "h.com", "/private/x"),    // blocked
+      (2L, "h.com", "/private/ok/x"), // longer allow wins
+      (3L, "h.com", "/privateer"),    // raw prefix: blocked
+      (4L, "h.com", "/free"),         // no match
+      (5L, "h.com", "/dup/x"),        // tie -> allow
+      (6L, "no-robots.org", "/private/x")) // host without rules
+      .toDF("doc_id", "host", "path")
+    val got = TextOps.robotsVerdict(urls, "doc_id", "host", "path", rules)
+      .orderBy("doc_id").collect().map(_.getBoolean(3)).toSeq
+    assert(got == Seq(false, true, false, true, true, true))
+  }
 }
