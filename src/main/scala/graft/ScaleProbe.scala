@@ -698,6 +698,16 @@ object ScaleProbe {
           "doc_id", "host", rules, "rule")
         .filter(col("matched_rule").isNotNull).count()
     })
+    // q300: CDC chunking — per-window md5 inside one codegen kernel
+    // call per doc (linear in corpus bytes), then the chunk-level
+    // distinct/count rollup
+    t("cdc_chunks")({
+      val chunks = d.filter(length(col("text")) > 0)
+        .select(explode(graft.functions.TextFunctions
+          .cdcChunks(col("text"), 8, 64)).as("chunk"))
+      chunks.agg(count(lit(1)), countDistinct(col("chunk")))
+        .head(); d.count()
+    })
     // q299: robots parse is |hosts|·|lines| (1000 hosts here), the
     // verdict is a host-equi-join + per-(url,rule) prefix test — both
     // linear in the URL corpus with a per-host-bounded rule factor

@@ -5,7 +5,8 @@ import java.text.Normalizer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Unicode-normalization kernels for the codegen expression below.
@@ -83,6 +84,65 @@ object ClassifierKernels {
   }
 }
 
+/** Content-defined chunking kernels — the storage-dedup technique
+  * (FastCDC/LBFS lineage) for corpora where near-identical documents
+  * share long runs: cut wherever a rolling window's hash hits a
+  * residue class, so chunk boundaries realign after ANY insertion or
+  * deletion (fixed-size blocks would shift every boundary after an
+  * edit and kill the dedup). Boundary rule here: a cut falls after
+  * code-point `i + w - 1` whenever `hash60(gram(i, w)) % m == 0`
+  * (cuts after the final character are no-ops) — a pure function of
+  * the text, exactly replayable in DuckDB for the oracle.
+  */
+object ChunkKernels {
+  /** Split into content-defined chunks; concatenation of the result
+    * is always the input. Empty input → zero chunks.
+    */
+  def cdcChunks(s: UTF8String, w: Int, m: Int): ArrayData = {
+    val str = s.toString
+    val cpCount = str.codePointCount(0, str.length)
+    if (cpCount == 0) return new GenericArrayData(Array.empty[Any])
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int] // UTF-16 off
+    if (cpCount >= w) {
+      var start = 0 // UTF-16 offset of window start
+      var i = 0
+      while (i <= cpCount - w) {
+        val end = str.offsetByCodePoints(start, w)
+        val gram = str.substring(start, end)
+        val h = ClassifierKernels.hash60(
+          gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (h % m == 0 && end < str.length) cuts += end
+        start = str.offsetByCodePoints(start, 1)
+        i += 1
+      }
+    }
+    val bounds = (0 +: cuts.distinct.sorted) :+ str.length
+    val out = new Array[Any](bounds.length - 1)
+    var j = 0
+    while (j < out.length) {
+      out(j) = UTF8String.fromString(str.substring(bounds(j), bounds(j + 1)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `cdc_chunks(text, w, m)` — [[ChunkKernels.cdcChunks]] as one
+  * codegen expression (same rationale as [[HashedNgramScore]]: the
+  * per-window md5 loop must not fall out of whole-stage codegen).
+  */
+case class CdcChunks(child: Expression, w: Int, m: Int)
+    extends UnaryExpression {
+  require(w >= 2 && m >= 2, s"need w>=2 and m>=2, got w=$w m=$m")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    ChunkKernels.cdcChunks(a.asInstanceOf[UTF8String], w, m)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ChunkKernels.cdcChunks($c, $w, $m)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `hashed_ngram_score(text, n, m)` — the [[ClassifierKernels]] loop
   * as one codegen expression: whole-stage codegen calls the static
   * kernel once per row (the q167 lesson — Spark's HOF `aggregate` is
@@ -148,4 +208,8 @@ object TextFunctions {
   /** Hashed-char-n-gram linear score (see [[HashedNgramScore]]). */
   def hashedNgramScore(c: Column, n: Int, m: Int): Column =
     column(HashedNgramScore(expression(c), n, m))
+
+  /** Content-defined chunks (see [[CdcChunks]]). */
+  def cdcChunks(c: Column, w: Int, m: Int): Column =
+    column(CdcChunks(expression(c), w, m))
 }

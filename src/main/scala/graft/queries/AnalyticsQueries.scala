@@ -3932,6 +3932,29 @@ object AnalyticsQueries {
             " AS BIGINT))").as("checksum"))
         .orderBy("lang")),
 
+    // Content-defined chunking (FastCDC/LBFS lineage): cut where a
+    // rolling 8-gram's hash60 lands in residue class 0 mod 64, so
+    // boundaries REALIGN after any insertion/deletion — the dedup
+    // primitive for corpora of near-identical revisions (fixed-size
+    // blocks would shift every boundary after one edit). One codegen
+    // kernel call per doc; chunk stats certified cross-engine,
+    // including the concatenation invariant (sum_chunk_chars equals
+    // corpus chars exactly)
+    "q300_cdc_chunks" -> ((s, d) => {
+      val chunks = t(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), explode(graft.functions.TextFunctions
+          .cdcChunks(col("text"), 8, 64)).as("chunk"))
+      val perChunk = chunks.groupBy(col("chunk"))
+        .agg(count(lit(1)).as("c"))
+      chunks.agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_distinct_chunks"),
+          sum(length(col("chunk"))).as("sum_chunk_chars"))
+        .crossJoin(perChunk.agg(max(col("c")).as("max_dup")))
+    }),
+
     // robots.txt enforcement (RFC 9309 subset): parse per-host robots
     // bodies — comments, UA-run grouping (a group applies iff one of
     // its agents is '*'), Allow/Disallow prefixes, empty-Disallow
@@ -6012,6 +6035,24 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q300_cdc_chunks" ->
+      ("WITH p AS (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 1))) AS i "
+       + "FROM documents WHERE length(text) > 0), "
+       + "c AS (SELECT doc_id, i + 7 AS cut FROM p "
+       + "WHERE CAST(('0x' || substring(md5(substring(text, i, 8)), 1, 15)) AS BIGINT) % 64 = 0 "
+       + "AND i + 7 < length(text)), "
+       + "cl AS (SELECT doc_id, list(cut ORDER BY cut) AS cuts FROM c GROUP BY doc_id), "
+       + "d AS (SELECT t.doc_id, t.text, COALESCE(cl.cuts, []) AS cuts "
+       + "FROM documents t LEFT JOIN cl USING (doc_id) WHERE length(t.text) > 0), "
+       + "ch AS (SELECT doc_id, unnest([substring(text, ([0] || cuts)[k] + 1, "
+       + "(cuts || [length(text)])[k] - ([0] || cuts)[k]) "
+       + "FOR k IN range(1, len(cuts) + 2)]) AS chunk FROM d), "
+       + "cc AS (SELECT chunk, COUNT(*) AS c FROM ch GROUP BY chunk) "
+       + "SELECT (SELECT COUNT(DISTINCT doc_id) FROM ch)::BIGINT AS n_docs, "
+       + "(SELECT COUNT(*) FROM ch)::BIGINT AS n_chunks, "
+       + "(SELECT COUNT(DISTINCT chunk) FROM ch)::BIGINT AS n_distinct_chunks, "
+       + "(SELECT SUM(length(chunk)) FROM ch)::BIGINT AS sum_chunk_chars, "
+       + "(SELECT MAX(c) FROM cc)::BIGINT AS max_dup"),
     "q299_robots_filter" ->
       ("WITH hosts AS (SELECT DISTINCT source FROM documents), "
        + "r AS (SELECT source, 'ex-' || source || '.com' AS host, "

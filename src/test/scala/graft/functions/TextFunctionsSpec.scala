@@ -72,6 +72,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project")) // *(n) = inside codegen stage n
   }
 
+  test("cdcChunks: concatenation invariant, boundary realignment on edit") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark woods tonight again"
+    val edited = "XX " + base // prefix edit shifts every fixed block
+    val got = Seq((base, edited)).toDF("a", "b")
+      .select(TextFunctions.cdcChunks(col("a"), 8, 16).as("ca"),
+        TextFunctions.cdcChunks(col("b"), 8, 16).as("cb"))
+      .collect().head
+    val ca = got.getSeq[String](0)
+    val cb = got.getSeq[String](1)
+    assert(ca.mkString == base && cb.mkString == edited)
+    // after the first boundary past the edit, chunks realign: the
+    // suffix chunk multisets overlap (the CDC property fixed-size
+    // blocking lacks)
+    assert(ca.toSet.intersect(cb.toSet).nonEmpty)
+    // degenerate inputs: shorter than the window -> one chunk;
+    // empty -> zero chunks; null-safe
+    val deg = Seq(("ab", "")).toDF("x", "y")
+      .select(TextFunctions.cdcChunks(col("x"), 8, 16),
+        TextFunctions.cdcChunks(col("y"), 8, 16))
+      .collect().head
+    assert(deg.getSeq[String](0) == Seq("ab"))
+    assert(deg.getSeq[String](1).isEmpty)
+    val n = Seq[Option[String]](None).toDF("x")
+      .select(TextFunctions.cdcChunks(col("x"), 8, 16)).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("unicode_norm is registered for SQL users; bad form rejected") {
     val r = spark.sql("SELECT unicode_norm('café', 'NFC') AS w")
       .collect().head.getString(0)
