@@ -1339,7 +1339,48 @@ object StreamingQueries {
         .orderBy("event_id")
     }
 
+  /** Streaming twin of q296's hashed-n-gram classifier: score each
+    * micro-batch with the SAME codegen kernel (stateless projection —
+    * model inference is the easiest operator to stream), accumulate
+    * the per-source rollup in the state store. The drained stream must
+    * equal the batch rollup exactly (shared oracle): sums and counts
+    * are commutative merges, so stream == batch by construction, and
+    * the oracle certifies the construction.
+    */
+  def q301StreamClassifier(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val name = s"q301_classifier_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q301")
+      val docs =
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, "documents.parquet")))
+          s.readStream.schema(raw).parquet(dir + "/documents.parquet")
+        else
+          s.readStream.schema(raw)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val score = graft.functions.TextFunctions
+        .hashedNgramScore(col("text"), 2, 2001)
+      val q = docs.select(col("source"), score.as("score"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pos"),
+          sum(col("score")).as("sum_score"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .select(col("source"), col("n_docs"), col("n_pos"), col("sum_score"))
+        .orderBy("source")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q301_stream_classifier" -> (q301StreamClassifier(_, _)),
     "q197_sessionize_tws" -> (q197SessionizeTws(_, _)),
     "q196_stream_zonemap" -> (q196StreamZonemap(_, _)),
     "q193_stream_topk" -> (q193StreamTopk(_, _)),
@@ -1367,6 +1408,8 @@ object StreamingQueries {
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
+    // the streamed classifier rollup must equal the batch inference
+    "q301_stream_classifier" -> AnalyticsQueries.oracles("q296_hash_classifier"),
     // the streamed A/B readout must equal the batch assignment + rollup
     "q253_stream_ab" -> AnalyticsQueries.oracles("q243_ab_assign"),
     // the streamed quantile sketch must equal the batch sketch exactly
