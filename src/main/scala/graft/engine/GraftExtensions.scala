@@ -54,6 +54,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"unicode_norm form must be a string literal, got $other")
       })))
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+        String.valueOf(v).toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    ext.injectFunction((FunctionIdentifier("hashed_ngram_score"),
+      info("hashed_ngram_score",
+        "hashed_ngram_score(s, n, m) - hashed char-n-gram linear score (fastText-style inference)"),
+      (cs: Seq[Expression]) => HashedNgramScore(cs(0),
+        intLit(cs(1), "n"), intLit(cs(2), "m"))))
+    ext.injectFunction((FunctionIdentifier("cdc_chunks"),
+      info("cdc_chunks",
+        "cdc_chunks(s, w, m) - content-defined chunks (cut where rolling w-gram hash60 % m == 0)"),
+      (cs: Seq[Expression]) => CdcChunks(cs(0),
+        intLit(cs(1), "w"), intLit(cs(2), "m"))))
     // fuse the SQL-idiom aggregate/zip_with dot product into the
     // codegen'd kernel — SQL-only users get the native loop for free
     ext.injectOptimizerRule(_ => graft.plans.VecFusion)

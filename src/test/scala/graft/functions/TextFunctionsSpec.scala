@@ -109,4 +109,24 @@ class TextFunctionsSpec extends SparkSpec {
     }
     ()
   }
+
+  test("hashed_ngram_score and cdc_chunks are registered for SQL users") {
+    val s = spark.sql(
+      "SELECT hashed_ngram_score('hello world', 2, 2001) AS sc")
+      .collect().head.getLong(0)
+    val viaApi = Seq("hello world").toDF("t")
+      .select(TextFunctions.hashedNgramScore(col("t"), 2, 2001))
+      .collect().head.getLong(0)
+    assert(s == viaApi)
+    val ch = spark.sql(
+      "SELECT concat_ws('', cdc_chunks('the quick brown fox jumps " +
+        "over the lazy dog', 8, 16)) AS joined")
+      .collect().head.getString(0)
+    assert(ch == "the quick brown fox jumps over the lazy dog")
+    // non-literal size params are rejected at resolution, not silently
+    intercept[Exception] {
+      spark.sql("SELECT cdc_chunks('x', length('ab'), 16)").collect()
+    }
+    ()
+  }
 }
