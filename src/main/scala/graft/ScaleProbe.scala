@@ -708,6 +708,26 @@ object ScaleProbe {
       chunks.agg(count(lit(1)), countDistinct(col("chunk")))
         .head(); d.count()
     })
+    // q302: chunk near-dup — the pair join's fan-out is bounded by the
+    // df cap (≤32² per chunk), so cost rides emitted pairs, never
+    // |docs|²; the probe corpus is replicated, the adversarial case
+    t("cdc_neardup")({
+      val tf = graft.functions.TextFunctions
+      val corpus = d.select(col("doc_id"), col("text"))
+      val ch = corpus.filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(tf.cdcChunks(col("text"), 8, 64)).as("chunk"))
+        .filter(length(col("chunk")) >= 16).distinct()
+      val rare = ch.join(ch.groupBy(col("chunk"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") <= 32), Seq("chunk"))
+      rare.select(col("doc_id").as("a"), col("chunk"))
+        .join(rare.select(col("doc_id").as("b"), col("chunk")),
+          Seq("chunk"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+        .count()
+    })
     // q299: robots parse is |hosts|·|lines| (1000 hosts here), the
     // verdict is a host-equi-join + per-(url,rule) prefix test — both
     // linear in the URL corpus with a per-host-bounded rule factor

@@ -3955,6 +3955,61 @@ object AnalyticsQueries {
         .crossJoin(perChunk.agg(max(col("c")).as("max_dup")))
     }),
 
+    // CDC chunk-overlap near-dup: plant edited copies (a prefix edit —
+    // the case that shifts EVERY fixed-size block boundary), chunk
+    // both, suppress common chunks (df > 32, the prefix-filter move
+    // that bounds join fan-out — the bound must exceed the corpus's
+    // own duplication factor or every genuinely-shared chunk is
+    // suppressed; sf1's 10-20x replicated corpus taught that) then
+    // pair docs by shared-chunk count
+    // and flag containment >= 50% in exact ppm (pairs need >= 3
+    // chunks each — single-chunk docs are noise). Planted pairs are
+    // found whenever the doc spans at least one boundary (realignment
+    // starts at the first cut past the edit); the found-vs-planted
+    // ratio is itself part of the certified output, and the oracle
+    // re-derives every pair cross-engine
+    "q302_cdc_neardup" -> ((s, d) => {
+      val tf = graft.functions.TextFunctions
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(lit("EDIT v2 "), col("text")).as("text")))
+      val ch = corpus.filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(tf.cdcChunks(col("text"), 8, 64)).as("chunk"))
+        .filter(length(col("chunk")) >= 16)
+        .distinct()
+      val rare = ch.join(
+        ch.groupBy(col("chunk"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= 32), Seq("chunk"))
+      val perDoc = rare.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"))
+      val pairs = rare.select(col("doc_id").as("a"), col("chunk"))
+        .join(rare.select(col("doc_id").as("b"), col("chunk")), Seq("chunk"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(perDoc.select(col("doc_id").as("a"), col("n_chunks").as("na")),
+          Seq("a"))
+        .join(perDoc.select(col("doc_id").as("b"), col("n_chunks").as("nb")),
+          Seq("b"))
+        .filter(least(col("na"), col("nb")) >= 3)
+        .withColumn("containment_ppm",
+          expr("shared * 1000000 div least(na, nb)"))
+        .withColumn("neardup", col("containment_ppm") >= 500000)
+      pairs.agg(
+          count(lit(1)).as("n_candidate_pairs"),
+          coalesce(sum(when(col("neardup"), 1L).otherwise(0L)), lit(0L))
+            .as("n_neardup"),
+          max(col("shared")).as("max_shared"),
+          coalesce(sum(when(
+            col("neardup") && col("b") === col("a") + 1000000000L,
+            1L).otherwise(0L)), lit(0L)).as("n_planted_found"))
+        .crossJoin(corpus.filter(col("doc_id") >= 1000000000L)
+          .agg(count(lit(1)).as("n_planted")))
+    }),
+
     // robots.txt enforcement (RFC 9309 subset): parse per-host robots
     // bodies — comments, UA-run grouping (a group applies iff one of
     // its agents is '*'), Allow/Disallow prefixes, empty-Disallow
@@ -6035,6 +6090,37 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q302_cdc_neardup" ->
+      ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+       + "SELECT doc_id + 1000000000, 'EDIT v2 ' || text FROM documents WHERE doc_id % 97 = 0), "
+       + "p AS (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 1))) AS i "
+       + "FROM corpus WHERE length(text) > 0), "
+       + "c AS (SELECT doc_id, i + 7 AS cut FROM p "
+       + "WHERE CAST(('0x' || substring(md5(substring(text, i, 8)), 1, 15)) AS BIGINT) % 64 = 0 "
+       + "AND i + 7 < length(text)), "
+       + "cl AS (SELECT doc_id, list(cut ORDER BY cut) AS cuts FROM c GROUP BY doc_id), "
+       + "d AS (SELECT t.doc_id, t.text, COALESCE(cl.cuts, []) AS cuts "
+       + "FROM corpus t LEFT JOIN cl USING (doc_id) WHERE length(t.text) > 0), "
+       + "ch0 AS (SELECT doc_id, unnest([substring(text, ([0] || cuts)[k] + 1, "
+       + "(cuts || [length(text)])[k] - ([0] || cuts)[k]) "
+       + "FOR k IN range(1, len(cuts) + 2)]) AS chunk FROM d), "
+       + "ch AS (SELECT DISTINCT doc_id, chunk FROM ch0 WHERE length(chunk) >= 16), "
+       + "rare AS (SELECT ch.doc_id, ch.chunk FROM ch JOIN ("
+       + "SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY chunk) f "
+       + "ON ch.chunk = f.chunk WHERE f.df <= 32), "
+       + "perdoc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM rare GROUP BY doc_id), "
+       + "pr AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS shared "
+       + "FROM rare x JOIN rare y ON x.chunk = y.chunk AND x.doc_id < y.doc_id "
+       + "GROUP BY 1, 2), "
+       + "pp AS (SELECT pr.a, pr.b, pr.shared, "
+       + "(pr.shared * 1000000 // least(pa.n_chunks, pb.n_chunks))::BIGINT AS containment_ppm "
+       + "FROM pr JOIN perdoc pa ON pr.a = pa.doc_id JOIN perdoc pb ON pr.b = pb.doc_id "
+       + "WHERE least(pa.n_chunks, pb.n_chunks) >= 3) "
+       + "SELECT (SELECT COUNT(*) FROM pp)::BIGINT AS n_candidate_pairs, "
+       + "(SELECT COALESCE(SUM(CASE WHEN containment_ppm >= 500000 THEN 1 ELSE 0 END), 0) FROM pp)::BIGINT AS n_neardup, "
+       + "(SELECT MAX(shared) FROM pp)::BIGINT AS max_shared, "
+       + "(SELECT COALESCE(SUM(CASE WHEN containment_ppm >= 500000 AND b = a + 1000000000 THEN 1 ELSE 0 END), 0) FROM pp)::BIGINT AS n_planted_found, "
+       + "(SELECT COUNT(*) FROM corpus WHERE doc_id >= 1000000000)::BIGINT AS n_planted"),
     "q300_cdc_chunks" ->
       ("WITH p AS (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 6, 1))) AS i "
        + "FROM documents WHERE length(text) > 0), "
