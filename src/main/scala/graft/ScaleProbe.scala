@@ -728,6 +728,19 @@ object ScaleProbe {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
         .count()
     })
+    // q303/q304: index build is ONE tokenize + partitioned write
+    // (linear); queries read only their terms' cells — their cost
+    // rides df, not corpus size, which is the whole point
+    t("inverted_index")({
+      val tmp2 = java.nio.file.Files.createTempDirectory("probe-invidx")
+        .toString
+      graft.operators.InvertedIndex.build(d, "doc_id", "text", tmp2)
+      val ph = graft.operators.InvertedIndex
+        .phraseQuery(spark, tmp2, Seq("hash", "join")).count()
+      val bool = graft.operators.InvertedIndex
+        .andQuery(spark, tmp2, Seq("join", "filter", "stream")).count()
+      ph + bool
+    })
     // q299: robots parse is |hosts|·|lines| (1000 hosts here), the
     // verdict is a host-equi-join + per-(url,rule) prefix test — both
     // linear in the URL corpus with a per-host-bounded rule factor

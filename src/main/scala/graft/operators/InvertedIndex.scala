@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted positional inverted index — the artifact a search system
+  * builds ONCE so that queries never scan the corpus again. Layout:
+  * (term, doc_id, pos) postings, hive-partitioned by
+  * `cell = pmod(xxhash64(term), nCells)` so a query for k terms reads
+  * at most k cells — unqueried cells are ZERO I/O at the file level
+  * (the IVF-PQ partition-pruning pattern applied to text retrieval).
+  * The build is one tokenize + one partitioned write; at 100 TB the
+  * index shuffle happens once and every subsequent phrase/boolean
+  * query costs O(df of its terms), not O(corpus).
+  *
+  * The cell predicate is written as `pmod(xxhash64(lit(term)), n)` —
+  * foldable, so Catalyst constant-folds it into a literal partition
+  * filter and the scan's PartitionFilters prunes directories at
+  * planning time (pinned in InvertedIndexSpec).
+  */
+object InvertedIndex {
+
+  /** Tokenize and write the postings artifact. Positions are word
+    * offsets in the single-space tokenization ([[TextOps.words]]'s
+    * contract); empty segments are dropped but POSITIONS ARE KEPT
+    * from the raw split, so adjacency means textual adjacency.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nCells: Int = 16): Unit =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("cell", pmod(xxhash64(col("term")), lit(nCells)))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  private def postings(spark: SparkSession, dir: String, term: String,
+      nCells: Int): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("cell") === pmod(xxhash64(lit(term)), lit(nCells)) &&
+        col("term") === term)
+      .select(col("doc_id"), col("pos"))
+
+  /** Conjunctive (AND) query via the index alone: per term an O(df)
+    * postings read from its own cell, per-doc per-term position
+    * counts, then docs holding ALL terms — count_distinct over the
+    * union of postings, never a corpus scan. Returns (doc_id, hits)
+    * with hits = total occurrences of any query term.
+    */
+  def andQuery(spark: SparkSession, dir: String, terms: Seq[String],
+      nCells: Int = 16): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    terms.map(w => postings(spark, dir, w, nCells)
+        .select(col("doc_id"), lit(w).as("w")))
+      .reduce(_ unionAll _)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("w")).as("nt"), count(lit(1)).as("hits"))
+      .filter(col("nt") === terms.size)
+      .select(col("doc_id"), col("hits"))
+  }
+
+  /** Exact-phrase hits per document via the index alone: word k's
+    * postings shifted by -k and equi-joined on (doc_id, start) — the
+    * corpus is never touched, only the phrase terms' cells are read,
+    * and the join keys are the natural shuffle keys.
+    */
+  def phraseQuery(spark: SparkSession, dir: String, phrase: Seq[String],
+      nCells: Int = 16): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val first = postings(spark, dir, phrase.head, nCells)
+      .select(col("doc_id"), col("pos").as("start"))
+    phrase.indices.tail.foldLeft(first) { (acc, k) =>
+      acc.join(postings(spark, dir, phrase(k), nCells)
+        .select(col("doc_id"), (col("pos") - k).as("start")),
+        Seq("doc_id", "start"))
+    }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

@@ -4010,6 +4010,26 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_planted")))
     }),
 
+    // Index-backed phrase search: q127's exact result from the
+    // persisted positional inverted index ALONE — the corpus is never
+    // scanned; only the two phrase terms' hash cells are read
+    // (partition pruning on the constant-folded cell predicate,
+    // pinned in InvertedIndexSpec) and adjacency is an equi-join on
+    // (doc_id, start). Shares q127's oracle: index path == scan path
+    // is the correctness contract
+    "q303_index_phrase" -> ((s, d) =>
+      graft.operators.InvertedIndex.phraseQuery(
+          s, invIdxDir(s, d), Seq("hash", "join"))
+        .orderBy("doc_id")),
+
+    // Index-backed boolean AND: q188's conjunctive query answered by
+    // the postings cells alone (O(df) per term); shares q188's oracle
+    // — index path == scan path
+    "q304_index_boolean" -> ((s, d) =>
+      graft.operators.InvertedIndex.andQuery(
+          s, invIdxDir(s, d), Seq("join", "filter", "stream"))
+        .orderBy("doc_id")),
+
     // robots.txt enforcement (RFC 9309 subset): parse per-host robots
     // bodies — comments, UA-run grouping (a group applies iff one of
     // its agents is '*'), Allow/Disallow prefixes, empty-Disallow
@@ -4150,6 +4170,21 @@ object AnalyticsQueries {
         .select(col("doc_id"), col("text"), col("lang"))
         .write.mode("overwrite").option("rootTag", "docs")
         .option("rowTag", "doc").format("xml").save(tmp)
+      tmp
+    })
+
+  /** Positional inverted-index artifact per sf dir (q303), written
+    * once per JVM — the search-system trade: one indexed shuffle,
+    * then every query reads only its terms' hash cells.
+    */
+  private val invIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def invIdxDir(s: SparkSession, dir: String): String =
+    invIdxCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-")
+        .toString
+      graft.operators.InvertedIndex.build(
+        t(s, d, "documents"), "doc_id", "text", tmp)
       tmp
     })
 
@@ -6090,6 +6125,17 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q304_index_boolean" ->
+      ("SELECT doc_id, COUNT(*)::BIGINT AS hits "
+       + "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+       + "WHERE w IN ('join', 'filter', 'stream') "
+       + "GROUP BY doc_id HAVING COUNT(DISTINCT w) = 3 ORDER BY doc_id"),
+    "q303_index_phrase" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+       "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), " +
+       "led AS (SELECT doc_id, w, LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1 FROM tok) " +
+       "SELECT doc_id, COUNT(*) AS n_hits FROM led WHERE w = 'hash' AND w1 = 'join' " +
+       "GROUP BY 1 ORDER BY 1"),
     "q302_cdc_neardup" ->
       ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL "
        + "SELECT doc_id + 1000000000, 'EDIT v2 ' || text FROM documents WHERE doc_id % 97 = 0), "

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val tmp = java.nio.file.Files.createTempDirectory("invidx-spec-")
+      .toString
+    val docs = Seq(
+      (1L, "hash join is a hash join thing"),
+      (2L, "sort merge join beats hash sometimes"),
+      (3L, "hash join"),
+      (4L, "join hash reversed order"),
+      (5L, "no relevant terms here")).toDF("doc_id", "text")
+    InvertedIndex.build(docs, "doc_id", "text", tmp)
+    tmp
+  }
+
+  test("index-backed phrase query equals the scan-based window result") {
+    val got = InvertedIndex.phraseQuery(spark, dir, Seq("hash", "join"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 1 has the phrase twice, doc 3 once; doc 4 is reversed
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+    // three-word phrase crosses two adjacency joins
+    val three = InvertedIndex.phraseQuery(spark, dir,
+        Seq("sort", "merge", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(three == Seq((2L, 1L)))
+  }
+
+  test("the cell predicate constant-folds into a partition filter") {
+    val plan = InvertedIndex.phraseQuery(spark, dir, Seq("hash", "join"))
+      .queryExecution.executedPlan.toString
+    // each term scan must carry a LITERAL cell partition filter (the
+    // pmod(xxhash64(lit)) folded at plan time), so unqueried cells are
+    // zero I/O at the file level
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"))
+    assert(plan.contains("(cell#") && plan.contains(" = "))
+    // and the term equality reaches parquet as a pushed filter
+    assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,hash)")
+      || plan.contains("EqualTo(term,hash)"))
+  }
+}
