@@ -739,7 +739,9 @@ object ScaleProbe {
         .phraseQuery(spark, tmp2, Seq("hash", "join")).count()
       val bool = graft.operators.InvertedIndex
         .andQuery(spark, tmp2, Seq("join", "filter", "stream")).count()
-      ph + bool
+      val bm = graft.operators.InvertedIndex
+        .bm25Query(spark, tmp2, Seq("vector", "join", "data"), 20).count()
+      ph + bool + bm
     })
     // q299: robots parse is |hosts|·|lines| (1000 hosts here), the
     // verdict is a host-equi-join + per-(url,rule) prefix test — both

@@ -26,12 +26,24 @@ object InvertedIndex {
     * from the raw split, so adjacency means textual adjacency.
     */
   def build(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, nCells: Int = 16): Unit =
-    docs.select(col(idCol).as("doc_id"),
+      dir: String, nCells: Int = 16): Unit = {
+    val postings = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
+    postings
       .withColumn("cell", pmod(xxhash64(col("term")), lit(nCells)))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // doc-norm sidecar for ranked retrieval (the Lucene "norms" file):
+    // the "_" prefix hides it from the postings partition discovery.
+    // dl is a PER-ROW projection over the token array — never a
+    // groupBy over the exploded postings (that shuffle measured
+    // superlinear at 20×; the projection is one narrow pass)
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .write.mode("overwrite").parquet(s"$dir/_doclens")
+  }
 
   private def postings(spark: SparkSession, dir: String, term: String,
       nCells: Int): DataFrame =
@@ -56,6 +68,44 @@ object InvertedIndex {
       .agg(count_distinct(col("w")).as("nt"), count(lit(1)).as("hits"))
       .filter(col("nt") === terms.size)
       .select(col("doc_id"), col("hits"))
+  }
+
+  /** BM25 ranked retrieval from the index alone — must equal
+    * [[TextOps.bm25Search]]'s corpus-scan result exactly (the shared
+    * oracle enforces it). tf/df come from the terms' pruned cells;
+    * dl from the norms sidecar, semi-join-pruned to matching docs
+    * BEFORE its join (the bm25Search 100 TB rule); corpus stats
+    * (N, avgdl) are one scalar aggregate over the sidecar (a stored
+    * stats row in a production index).
+    */
+  def bm25Query(spark: SparkSession, dir: String, terms: Seq[String],
+      topN: Int, nCells: Int = 16, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val doclens = spark.read.parquet(s"$dir/_doclens")
+    val stats = doclens.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = terms.map(w => postings(spark, dir, w, nCells)
+        .select(col("doc_id").as("id"), lit(w).as("w")))
+      .reduce(_ unionAll _)
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val dlPruned = doclens.select(col("doc_id").as("id"), col("dl"))
+      .join(broadcast(tf.select(col("id")).distinct()), Seq("id"),
+        "left_semi")
+    tf.join(broadcast(docFreq), "w")
+      .join(dlPruned, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .select(col("id").as("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
   }
 
   /** Exact-phrase hits per document via the index alone: word k's

@@ -4022,6 +4022,15 @@ object AnalyticsQueries {
           s, invIdxDir(s, d), Seq("hash", "join"))
         .orderBy("doc_id")),
 
+    // Index-backed BM25: q55's ranked retrieval answered from the
+    // postings cells + the norms sidecar alone (tf/df from pruned
+    // cells, dl semi-join-pruned); shares q55's oracle — the full
+    // search surface (phrase q303, boolean q304, ranked q305) now
+    // runs corpus-scan-free
+    "q305_index_bm25" -> ((s, d) =>
+      graft.operators.InvertedIndex.bm25Query(
+          s, invIdxDir(s, d), Seq("vector", "join", "data"), topN = 20)),
+
     // Index-backed boolean AND: q188's conjunctive query answered by
     // the postings cells alone (O(df) per term); shares q188's oracle
     // — index path == scan path
@@ -6125,6 +6134,17 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q305_index_bm25" ->
+      ("WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
+       "dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id), " +
+       "stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), " +
+       "tf AS (SELECT id, w, COUNT(*) AS tf FROM tok2 WHERE w IN ('vector', 'join', 'data') GROUP BY id, w), " +
+       "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+       "sc AS (SELECT tf.id, ROUND(SUM(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) * " +
+       "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
+       "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id) " +
+       "SELECT id AS doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20"),
     "q304_index_boolean" ->
       ("SELECT doc_id, COUNT(*)::BIGINT AS hits "
        + "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "

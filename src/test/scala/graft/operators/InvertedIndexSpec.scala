@@ -32,6 +32,24 @@ class InvertedIndexSpec extends SparkSpec {
     assert(three == Seq((2L, 1L)))
   }
 
+  test("index-backed BM25 equals the corpus-scan ranking exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join is a hash join thing"),
+      (2L, "sort merge join beats hash sometimes"),
+      (3L, "hash join"),
+      (4L, "join hash reversed order"),
+      (5L, "no relevant terms here")).toDF("doc_id", "text")
+    val viaIndex = InvertedIndex.bm25Query(spark, dir,
+        Seq("hash", "merge"), topN = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaScan = TextOps.bm25Search(docs, "doc_id", "text",
+        Seq("hash", "merge"), topN = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex == viaScan)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("the cell predicate constant-folds into a partition filter") {
     val plan = InvertedIndex.phraseQuery(spark, dir, Seq("hash", "join"))
       .queryExecution.executedPlan.toString
