@@ -108,6 +108,42 @@ object InvertedIndex {
       .limit(topN)
   }
 
+  /** Proximity query via the index: both terms' postings from their
+    * pruned cells, doc-keyed equi-join with the |pa − pb| ≤ window
+    * residual riding the join — [[TextOps.proximitySearch]]'s plan
+    * shape minus the corpus scan.
+    */
+  def proximityQuery(spark: SparkSession, dir: String, termA: String,
+      termB: String, window: Int, nCells: Int = 16): DataFrame =
+    postings(spark, dir, termA, nCells)
+      .select(col("doc_id"), col("pos").as("pa"))
+      .join(postings(spark, dir, termB, nCells)
+        .select(col("doc_id"), col("pos").as("pb")), Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prox"))
+
+  /** Incremental append: new documents' postings land in the SAME
+    * cell layout (append-mode partitioned write) and their norms
+    * append to the sidecar — the index absorbs a delta without
+    * touching existing files, the q198 IVF-append pattern on the
+    * text axis. Queries over the appended index must equal a full
+    * rebuild over the union corpus (certified by q306's oracle).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, nCells: Int = 16): Unit = {
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("cell", pmod(xxhash64(col("term")), lit(nCells)))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
+      .write.mode("append").parquet(s"$dir/_doclens")
+  }
+
   /** Exact-phrase hits per document via the index alone: word k's
     * postings shifted by -k and equi-joined on (doc_id, start) — the
     * corpus is never touched, only the phrase terms' cells are read,

@@ -4031,6 +4031,23 @@ object AnalyticsQueries {
       graft.operators.InvertedIndex.bm25Query(
           s, invIdxDir(s, d), Seq("vector", "join", "data"), topN = 20)),
 
+    // Incremental index append: the base index (90% of the corpus)
+    // absorbs the remaining 10% via append-mode writes into the same
+    // cell layout (q198's IVF-append pattern on the text axis); the
+    // phrase query over the appended index must equal the full-corpus
+    // scan result — q127's oracle certifies append == rebuild
+    "q306_index_append" -> ((s, d) =>
+      graft.operators.InvertedIndex.phraseQuery(
+          s, invIdxAppendDir(s, d), Seq("hash", "join"))
+        .orderBy("doc_id")),
+
+    // Index-backed proximity: q192's within-5-positions co-occurrence
+    // from the two terms' pruned cells alone; shares q192's oracle
+    "q307_index_proximity" -> ((s, d) =>
+      graft.operators.InvertedIndex.proximityQuery(
+          s, invIdxDir(s, d), "hash", "join", window = 5)
+        .orderBy("doc_id")),
+
     // Index-backed boolean AND: q188's conjunctive query answered by
     // the postings cells alone (O(df) per term); shares q188's oracle
     // — index path == scan path
@@ -4194,6 +4211,24 @@ object AnalyticsQueries {
         .toString
       graft.operators.InvertedIndex.build(
         t(s, d, "documents"), "doc_id", "text", tmp)
+      tmp
+    })
+
+  /** Incrementally-built twin of [[invIdxDir]] (q306): base postings
+    * from 90% of the corpus, the remaining 10% APPENDED — queries
+    * against it must equal the full rebuild.
+    */
+  private val invIdxApCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def invIdxAppendDir(s: SparkSession, dir: String): String =
+    invIdxApCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-ap-")
+        .toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", tmp)
+      graft.operators.InvertedIndex.append(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", tmp)
       tmp
     })
 
@@ -6134,6 +6169,20 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q306_index_append" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+       "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), " +
+       "led AS (SELECT doc_id, w, LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1 FROM tok) " +
+       "SELECT doc_id, COUNT(*) AS n_hits FROM led WHERE w = 'hash' AND w1 = 'join' " +
+       "GROUP BY 1 ORDER BY 1"),
+    "q307_index_proximity" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+       + "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), "
+       + "a AS (SELECT doc_id, i AS pa FROM tok WHERE w = 'hash'), "
+       + "b AS (SELECT doc_id, i AS pb FROM tok WHERE w = 'join') "
+       + "SELECT a.doc_id, COUNT(*)::BIGINT AS n_prox "
+       + "FROM a JOIN b ON a.doc_id = b.doc_id AND abs(pa - pb) <= 5 "
+       + "GROUP BY 1 ORDER BY 1"),
     "q305_index_bm25" ->
       ("WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), " +
        "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
