@@ -123,7 +123,7 @@ object AnalyticsQueries {
     */
   private val warcCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def warcShardDir(s: SparkSession, dir: String): String =
+  private[queries] def warcShardDir(s: SparkSession, dir: String): String =
     warcCache.computeIfAbsent(dir, { d =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-warc-").toString
       graft.engine.Par.widen(Tables(s, d, "documents"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Streaming twins of the batch inventory (SURVEY §2.3 Q23 / §5.3 item 4):
   * the same aggregation executed through Structured Streaming from a file
@@ -1379,7 +1379,60 @@ object StreamingQueries {
         .orderBy("source")
     }
 
+  /** Streaming WARC ingest: the crawl-drop shape — shards LAND over
+    * time and each micro-batch explodes its arrived `.warc`/`.warc.gz`
+    * files through the same stateless record walk the batch path uses
+    * ([[graft.sources.Warc.explodeRecords]]); the per-lang
+    * count+checksum rollup accumulates in the state store and the
+    * drained stream must equal the batch ingest bit-for-bit (shared
+    * q298 oracle — XOR checksum over every payload byte).
+    */
+  def q308StreamWarc(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val wdir = AnalyticsQueries.warcShardDir(s, dir)
+      val name = s"q308_warc_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q308")
+      val files = s.readStream.format("binaryFile")
+        .schema(StructType(Seq(
+          StructField("path", StringType),
+          StructField("modificationTime", TimestampType),
+          StructField("length", LongType),
+          StructField("content", BinaryType))))
+        .load(s"$wdir/*.warc*")
+      val q = graft.sources.Warc.explodeRecords(files)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "^http://ex/([a-z]+)/", 1)
+            .as("lang"),
+          regexp_extract(col("target_uri"), "/(\\d+)$", 1)
+            .cast("bigint").as("doc_id"),
+          col("content").cast("string").as("text"),
+          col("shard"))
+        // streaming aggregates per (lang, shard) — distinct counts are
+        // not streamable, but the per-shard partials are, and XOR
+        // checksums COMPOSE, so the batch rollup below reconstructs
+        // the exact per-lang manifest from the drained partials
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n"),
+          expr("bit_xor(CAST(" +
+            "conv(substring(md5(concat(doc_id, '|', text)), 1, 15), 16, 10)" +
+            " AS BIGINT))").as("ck"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_shards"),
+          expr("bit_xor(ck)").as("checksum"))
+        .select(col("lang"), col("n_docs"), col("n_shards"), col("checksum"))
+        .orderBy("lang")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q308_stream_warc" -> (q308StreamWarc(_, _)),
     "q301_stream_classifier" -> (q301StreamClassifier(_, _)),
     "q197_sessionize_tws" -> (q197SessionizeTws(_, _)),
     "q196_stream_zonemap" -> (q196StreamZonemap(_, _)),
@@ -1410,6 +1463,8 @@ object StreamingQueries {
   val oracles: Map[String, String] = Map(
     // the streamed classifier rollup must equal the batch inference
     "q301_stream_classifier" -> AnalyticsQueries.oracles("q296_hash_classifier"),
+    // the streamed WARC ingest must equal the batch ingest bit-for-bit
+    "q308_stream_warc" -> AnalyticsQueries.oracles("q298_warc_ingest"),
     // the streamed A/B readout must equal the batch assignment + rollup
     "q253_stream_ab" -> AnalyticsQueries.oracles("q243_ab_assign"),
     // the streamed quantile sketch must equal the batch sketch exactly

@@ -147,14 +147,21 @@ object Warc {
     * (shard, warc_type, target_uri, content) rows — shard-parallel,
     * records exploded scan-side.
     */
-  def ingest(spark: SparkSession, dir: String): DataFrame = {
+  def ingest(spark: SparkSession, dir: String): DataFrame =
+    explodeRecords(spark.read.format("binaryFile").load(s"$dir/*.warc*"))
+
+  /** The record explosion alone, over any (path, content) relation —
+    * batch or STREAMING (stateless mapPartitions, so the same walk
+    * serves `readStream` micro-batches; each arriving shard file
+    * explodes scan-side exactly as in batch).
+    */
+  def explodeRecords(files: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("shard", StringType),
       StructField("warc_type", StringType),
       StructField("target_uri", StringType),
       StructField("content", BinaryType))))
-    spark.read.format("binaryFile").load(s"$dir/*.warc*")
-      .select(col("path"), col("content"))
+    files.select(col("path"), col("content"))
       .mapPartitions { it =>
         it.flatMap { r =>
           val path = r.getString(0)
