@@ -60,6 +60,31 @@ object ClassifierKernels {
     v >>> 4
   }
 
+  /** Σ over code-point n-grams of weights[hash60(gram) mod len] —
+    * the externally-trained-model form: the weight table is a plain
+    * `long[]` that rides the serialized expression to every executor
+    * (for big models this is where a broadcast variable or a
+    * memory-mapped side file would slot in; the data path is
+    * identical).
+    */
+  def ngramScoreW(s: UTF8String, n: Int, weights: Array[Long]): Long = {
+    val str = s.toString
+    val cpCount = str.codePointCount(0, str.length)
+    if (cpCount < n) return 0L
+    var score = 0L
+    var start = 0
+    var i = 0
+    while (i <= cpCount - n) {
+      val end = str.offsetByCodePoints(start, n)
+      val h = hash60(str.substring(start, end)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      score += weights((h % weights.length).toInt)
+      start = str.offsetByCodePoints(start, 1)
+      i += 1
+    }
+    score
+  }
+
   /** Σ over code-point n-grams of ((hash60(gram) mod m) - (m-1)/2).
     * Code-point positions match DuckDB/Spark SUBSTRING semantics;
     * empty/short text scores 0.
@@ -162,6 +187,25 @@ case class HashedNgramScore(child: Expression, n: Int, m: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `hashed_ngram_score_w(text)` with an explicit weight table — the
+  * production classifier shape ([[ClassifierKernels.ngramScoreW]]):
+  * weights trained elsewhere, loaded as a bounded table, folded into
+  * the plan as a reference object, scored in one codegen pass.
+  */
+case class HashedNgramScoreWeighted(child: Expression, n: Int,
+    weights: Array[Long]) extends UnaryExpression {
+  require(n >= 1 && weights.nonEmpty, "need n>=1 and a non-empty table")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    ClassifierKernels.ngramScoreW(a.asInstanceOf[UTF8String], n, weights)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("ngramWeights", weights, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ClassifierKernels.ngramScoreW($c, $n, $w)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native codegen
   * expression — the canonicalization every text pipeline runs before
   * hashing/dedup (a composed "é" and its decomposed twin must collapse
@@ -212,4 +256,8 @@ object TextFunctions {
   /** Content-defined chunks (see [[CdcChunks]]). */
   def cdcChunks(c: Column, w: Int, m: Int): Column =
     column(CdcChunks(expression(c), w, m))
+
+  /** Weighted classifier score (see [[HashedNgramScoreWeighted]]). */
+  def hashedNgramScoreW(c: Column, n: Int, weights: Array[Long]): Column =
+    column(HashedNgramScoreWeighted(expression(c), n, weights))
 }

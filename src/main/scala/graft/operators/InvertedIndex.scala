@@ -144,6 +144,25 @@ object InvertedIndex {
       .write.mode("append").parquet(s"$dir/_doclens")
   }
 
+  /** Logical deletes: doc ids append to a `_deletes` sidecar (the
+    * Lucene deleted-docs bitmap, the q221 IVF-tombstone pattern) —
+    * no postings file is touched; queries anti-join the sidecar.
+    * A compaction pass would fold tombstones into a rewrite; until
+    * then deletes cost one bounded side-scan per query.
+    */
+  def delete(ids: DataFrame, idCol: String, dir: String): Unit =
+    ids.select(col(idCol).as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$dir/_deletes")
+
+  /** Apply tombstones to any per-doc result: left-anti join against
+    * the `_deletes` sidecar (absent sidecar ⇒ identity).
+    */
+  def live(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "_deletes"))) df
+    else df.join(broadcast(spark.read.parquet(s"$dir/_deletes")),
+      Seq("doc_id"), "left_anti")
+
   /** Exact-phrase hits per document via the index alone: word k's
     * postings shifted by -k and equi-joined on (doc_id, start) — the
     * corpus is never touched, only the phrase terms' cells are read,

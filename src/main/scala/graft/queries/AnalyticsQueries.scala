@@ -4048,6 +4048,43 @@ object AnalyticsQueries {
           s, invIdxDir(s, d), "hash", "join", window = 5)
         .orderBy("doc_id")),
 
+    // Index deletes via tombstones: doc removals append to a _deletes
+    // sidecar (Lucene's deleted-docs bitmap; the q221 IVF-tombstone
+    // pattern on the text axis) — no postings file rewritten; queries
+    // anti-join the sidecar. Result must equal the scan over the
+    // surviving corpus
+    "q309_index_deletes" -> ((s, d) => {
+      val dir2 = invIdxDeleteDir(s, d)
+      graft.operators.InvertedIndex.live(s, dir2,
+          graft.operators.InvertedIndex.phraseQuery(
+            s, dir2, Seq("hash", "join")))
+        .orderBy("doc_id")
+    }),
+
+    // Classifier inference with an EXTERNAL weight table (the
+    // production shape q296's derived weights stand in for): a
+    // bounded model table — here 2048 deterministic weights, built as
+    // a relation exactly as a trained model would be loaded — is
+    // collected once and rides the plan to every executor inside the
+    // codegen kernel. The oracle recomputes each bucket's weight
+    // inline from the same formula, so every per-document score is
+    // exact cross-engine
+    "q310_weighted_classifier" -> ((s, d) => {
+      val nB = 2048
+      val wdf = s.range(nB).select(col("id").cast("int").as("bucket"),
+        (graft.operators.Kmv.hash60(concat(lit("w|"), col("id")))
+          % 1001 - 500).as("weight"))
+      val weights = new Array[Long](nB)
+      wdf.collect().foreach(r => weights(r.getInt(0)) = r.getLong(1))
+      t(s, d, "documents")
+        .select(col("lang"), graft.functions.TextFunctions
+          .hashedNgramScoreW(col("text"), 2, weights).as("score"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("score")).as("sum_score"))
+        .orderBy("lang")
+    }),
+
     // Index-backed boolean AND: q188's conjunctive query answered by
     // the postings cells alone (O(df) per term); shares q188's oracle
     // — index path == scan path
@@ -4229,6 +4266,22 @@ object AnalyticsQueries {
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", tmp)
       graft.operators.InvertedIndex.append(
         docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", tmp)
+      tmp
+    })
+
+  /** Tombstoned twin of [[invIdxDir]] (q309): full build, then every
+    * doc_id % 7 == 0 logically deleted via the `_deletes` sidecar.
+    */
+  private val invIdxDelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def invIdxDeleteDir(s: SparkSession, dir: String): String =
+    invIdxDelCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-invidx-del-")
+        .toString
+      val docs = t(s, d, "documents")
+      graft.operators.InvertedIndex.build(docs, "doc_id", "text", tmp)
+      graft.operators.InvertedIndex.delete(
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", tmp)
       tmp
     })
 
@@ -6169,6 +6222,21 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q310_weighted_classifier" ->
+      ("WITH p AS (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i FROM documents), "
+       + "g AS (SELECT doc_id, lang, "
+       + "(CAST(('0x' || substring(md5('w|' || ((CAST(('0x' || substring(md5(substring(text, i, 2)), 1, 15)) AS BIGINT) % 2048))::VARCHAR), 1, 15)) AS BIGINT) % 1001) - 500 AS w FROM p), "
+       + "sc AS (SELECT doc_id, SUM(w) AS score FROM g GROUP BY doc_id), "
+       + "dd AS (SELECT d.lang, COALESCE(sc.score, 0)::BIGINT AS score "
+       + "FROM documents d LEFT JOIN sc USING (doc_id)) "
+       + "SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(score)::BIGINT AS sum_score "
+       + "FROM dd GROUP BY lang ORDER BY lang"),
+    "q309_index_deletes" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 7 <> 0), "
+       + "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), "
+       + "led AS (SELECT doc_id, w, LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w1 FROM tok) "
+       + "SELECT doc_id, COUNT(*) AS n_hits FROM led WHERE w = 'hash' AND w1 = 'join' "
+       + "GROUP BY 1 ORDER BY 1"),
     "q306_index_append" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
        "tok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS i FROM t), " +

@@ -110,6 +110,21 @@ class TextFunctionsSpec extends SparkSpec {
     ()
   }
 
+  test("weighted classifier: table-driven scores match the hand fold") {
+    val weights = Array.tabulate(64L.toInt)(b => (b * 7L) - 200L)
+    val texts = Seq("hello world", "a", "")
+    val got = texts.toDF("t")
+      .select(TextFunctions.hashedNgramScoreW(col("t"), 2, weights))
+      .collect().map(_.getLong(0)).toSeq
+    def score(s: String): Long = s.sliding(2).filter(_.length == 2)
+      .map { g =>
+        val h = ClassifierKernels.hash60(g.getBytes("UTF-8"))
+        weights((h % weights.length).toInt)
+      }.sum
+    assert(got == texts.map(score))
+    assert(got(1) == 0L && got(2) == 0L)
+  }
+
   test("hashed_ngram_score and cdc_chunks are registered for SQL users") {
     val s = spark.sql(
       "SELECT hashed_ngram_score('hello world', 2, 2001) AS sc")

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 class InvertedIndexSpec extends SparkSpec {
@@ -48,6 +50,38 @@ class InvertedIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaIndex == viaScan)
     assert(viaIndex.nonEmpty)
+  }
+
+  test("tombstoned docs vanish from results; no postings rewritten") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("invidx-del-")
+      .toString
+    val docs = Seq((1L, "hash join a"), (2L, "hash join b"),
+      (3L, "hash join c")).toDF("doc_id", "text")
+    InvertedIndex.build(docs, "doc_id", "text", tmp)
+    def postingFiles(): Set[String] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_deletes"))
+        .toSet
+      finally s.close()
+    }
+    val before = postingFiles()
+    InvertedIndex.delete(docs.filter(col("doc_id") === 2L), "doc_id", tmp)
+    val got = InvertedIndex.live(spark, tmp,
+        InvertedIndex.phraseQuery(spark, tmp, Seq("hash", "join")))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L))
+    // postings untouched: only the _deletes sidecar was added
+    assert(postingFiles() == before)
+    // live() is the identity when no sidecar exists
+    val tmp2 = java.nio.file.Files.createTempDirectory("invidx-del2-")
+      .toString
+    InvertedIndex.build(docs, "doc_id", "text", tmp2)
+    assert(InvertedIndex.live(spark, tmp2,
+      InvertedIndex.phraseQuery(spark, tmp2, Seq("hash", "join")))
+      .count() == 3)
   }
 
   test("the cell predicate constant-folds into a partition filter") {
