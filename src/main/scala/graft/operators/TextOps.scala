@@ -634,7 +634,11 @@ object TextOps {
   /** Blocklist verdict per document: explode the suffix chain,
     * equi-join the blocklist (left), and report the matched rule —
     * NULL ⇒ kept. A host matching several rules reports the most
-    * specific (longest) one.
+    * specific (longest) one. The rules side is broadcast — real
+    * blocklists (even the million-entry public ones) are megabytes;
+    * if a list ever outgrew the broadcast threshold, dropping the
+    * hint leaves a plain shuffled equi-join on the suffix, still
+    * never a theta join.
     */
   def blocklistMatch(docs: DataFrame, idCol: String, hostCol: String,
       rules: DataFrame, ruleCol: String): DataFrame = {
