@@ -4048,6 +4048,37 @@ object AnalyticsQueries {
           s, invIdxDir(s, d), "hash", "join", window = 5)
         .orderBy("doc_id")),
 
+    // Multi-epoch dataloader order: each epoch is a fresh seeded
+    // permutation (seed = "ep0"/"ep1" through the q268 exporter), so
+    // the model never sees the same batch order twice while every
+    // epoch remains bit-reproducible. Certified per epoch: an ORDER-
+    // INVARIANT content checksum (must be identical across epochs —
+    // same corpus) and an ORDER-SENSITIVE placement checksum over
+    // (doc, shard, rank) (must differ — genuinely different
+    // permutation); both recomputed exactly by the oracle
+    "q311_epoch_shuffle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      def epoch(e: Int): DataFrame = {
+        val ex = Sampling.shuffleExport(docs, "doc_id", nShards = 8,
+          seed = s"ep$e")
+        val rank = row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("skey"))) - 1
+        ex.select(col("doc_id"), col("text"), col("shard"),
+            rank.cast("long").as("rank"))
+          .groupBy()
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("content_ck"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "shard, '|', rank)), 1, 15), 16, 10) AS BIGINT))")
+              .as("order_ck"))
+          .select(lit(e.toLong).as("epoch"), col("n_rows"),
+            col("content_ck"), col("order_ck"))
+      }
+      epoch(0).unionAll(epoch(1)).orderBy("epoch")
+    }),
+
     // Index deletes via tombstones: doc removals append to a _deletes
     // sidecar (Lucene's deleted-docs bitmap; the q221 IVF-tombstone
     // pattern on the text axis) — no postings file rewritten; queries
@@ -6222,6 +6253,18 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q311_epoch_shuffle" ->
+      ("WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1), "
+       + "a AS (SELECT e.epoch, d.doc_id, d.text, "
+       + "md5('ep' || e.epoch::VARCHAR || '|' || d.doc_id::VARCHAR) AS skey FROM documents d CROSS JOIN e), "
+       + "b AS (SELECT epoch, doc_id, text, skey, "
+       + "CAST(('0x' || substring(skey, 1, 15)) AS BIGINT) % 8 AS shard FROM a), "
+       + "r AS (SELECT epoch, doc_id, text, shard, "
+       + "ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY skey) - 1 AS rank FROM b) "
+       + "SELECT epoch::BIGINT AS epoch, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS content_ck, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || shard::VARCHAR || '|' || rank::VARCHAR), 1, 15)) AS BIGINT))::BIGINT AS order_ck "
+       + "FROM r GROUP BY epoch ORDER BY epoch"),
     "q310_weighted_classifier" ->
       ("WITH p AS (SELECT doc_id, lang, text, unnest(range(1, length(text))) AS i FROM documents), "
        + "g AS (SELECT doc_id, lang, "
