@@ -4079,6 +4079,25 @@ object AnalyticsQueries {
       epoch(0).unionAll(epoch(1)).orderBy("epoch")
     }),
 
+    // Transaction-log table (the lakehouse commit protocol reduced to
+    // its public essentials): immutable parquet under data/, an
+    // ordered JSON commit log as the only source of truth, CREATE_NEW
+    // as the atomic commit point. Three commits (append 90%, append
+    // 10%, predicate-delete % 7 == 0 rewriting ONLY affected files);
+    // snapshots AS OF v2 and v3 certified against closed-form oracles
+    // — time travel at file granularity, no data rewritten for it
+    "q312_txlog" -> ((s, d) => {
+      val dir2 = txTableDir(s, d)
+      def roll(v: Int): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("checksum"))
+      roll(2).unionAll(roll(3)).orderBy("version")
+    }),
+
     // Index deletes via tombstones: doc removals append to a _deletes
     // sidecar (Lucene's deleted-docs bitmap; the q221 IVF-tombstone
     // pattern on the text axis) — no postings file rewritten; queries
@@ -4313,6 +4332,26 @@ object AnalyticsQueries {
       graft.operators.InvertedIndex.build(docs, "doc_id", "text", tmp)
       graft.operators.InvertedIndex.delete(
         docs.filter(col("doc_id") % 7 === 0), "doc_id", tmp)
+      tmp
+    })
+
+  /** Transaction-log table fixture (q312): three commits — append
+    * 90%, append 10%, predicate-delete doc_id % 7 == 0 (file-level
+    * rewrite of only affected files).
+    */
+  private val txCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txTableDir(s: SparkSession, dir: String): String =
+    txCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txtable-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.filter(col("doc_id") % 10 =!= 0).repartition(4), tmp)
+      graft.operators.TxTable.commitAppend(
+        docs.filter(col("doc_id") % 10 === 0).repartition(2), tmp)
+      graft.operators.TxTable.commitDelete(s, tmp, col("doc_id") % 7 === 0)
       tmp
     })
 
@@ -6253,6 +6292,12 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q312_txlog" ->
+      ("WITH v2 AS (SELECT 2::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "v3 AS (SELECT 3::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 7 <> 0) "
+       + "SELECT * FROM v2 UNION ALL SELECT * FROM v3 ORDER BY version"),
     "q311_epoch_shuffle" ->
       ("WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1), "
        + "a AS (SELECT e.epoch, d.doc_id, d.text, "
