@@ -130,6 +130,28 @@ object TxTable {
     v
   }
 
+  /** Compaction commit (OPTIMIZE): rewrite the current live set into
+    * `targetFiles` files and swap atomically — readers at older
+    * versions still see the old files (they are removed from the
+    * LOG, not the disk), so time travel survives compaction.
+    */
+  def commitCompact(spark: SparkSession, dir: String,
+      targetFiles: Int): Int = {
+    val v = currentVersion(dir) + 1
+    val files = liveFiles(dir)
+    val base = dataDir(dir).toString
+    val stage = dataDir(dir).resolve(f"v$v%05d").toString
+    spark.read.parquet(files.map(f => s"$base/$f"): _*)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(stage)
+    val added = Files.list(Paths.get(stage)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+      .map(n => f"v$v%05d/$n")
+    writeEntry(dir, Entry(v, added, files))
+    v
+  }
+
   /** Snapshot read as of `version` (None = latest): scan exactly the
     * live file list.
     */

@@ -4095,7 +4095,10 @@ object AnalyticsQueries {
               + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
           .select(lit(v.toLong).as("version"), col("n_rows"),
             col("checksum"))
-      roll(2).unionAll(roll(3)).orderBy("version")
+      // v4 is the compaction commit: content must equal v3 exactly
+      // (OPTIMIZE may never change a row), and older versions still
+      // resolve — time travel survives compaction
+      roll(2).unionAll(roll(3)).unionAll(roll(4)).orderBy("version")
     }),
 
     // Index deletes via tombstones: doc removals append to a _deletes
@@ -4352,6 +4355,7 @@ object AnalyticsQueries {
       graft.operators.TxTable.commitAppend(
         docs.filter(col("doc_id") % 10 === 0).repartition(2), tmp)
       graft.operators.TxTable.commitDelete(s, tmp, col("doc_id") % 7 === 0)
+      graft.operators.TxTable.commitCompact(s, tmp, targetFiles = 2)
       tmp
     })
 
@@ -6296,8 +6300,9 @@ object AnalyticsQueries {
       ("WITH v2 AS (SELECT 2::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
        + "v3 AS (SELECT 3::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
-       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 7 <> 0) "
-       + "SELECT * FROM v2 UNION ALL SELECT * FROM v3 ORDER BY version"),
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 7 <> 0), "
+       + "v4 AS (SELECT 4::BIGINT AS version, n_rows, checksum FROM v3) "
+       + "SELECT * FROM v2 UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4 ORDER BY version"),
     "q311_epoch_shuffle" ->
       ("WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1), "
        + "a AS (SELECT e.epoch, d.doc_id, d.text, "

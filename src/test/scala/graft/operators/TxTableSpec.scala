@@ -30,6 +30,12 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.snapshot(spark, dir).count() == 4)
     // no-match delete is a no-op commit (version unchanged)
     assert(TxTable.commitDelete(spark, dir, col("id") === 99L) == 3)
+    // compaction: fewer files, identical content, old versions intact
+    val preFiles = TxTable.liveFiles(dir).size
+    assert(TxTable.commitCompact(spark, dir, targetFiles = 1) == 4)
+    assert(TxTable.liveFiles(dir).size == 1 && preFiles > 1)
+    assert(ids(4) == ids(3))
+    assert(ids(1) == Set(1L, 2L, 3L)) // time travel survives compaction
     // optimistic concurrency: a racing writer of the same version fails
     val half = TxTable.currentVersion(dir)
     TxTable.commitAppend(a.limit(1), dir)
