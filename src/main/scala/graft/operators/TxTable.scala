@@ -130,6 +130,39 @@ object TxTable {
     v
   }
 
+  /** MERGE (upsert) commit: source rows REPLACE same-key rows, new
+    * keys append — one commit. Only files containing a matched key
+    * are rewritten (their unmatched rows re-land beside the full
+    * source); every other file survives untouched, so merge cost
+    * rides |affected files|, not table size.
+    */
+  def commitMerge(spark: SparkSession, dir: String, source: DataFrame,
+      keyCol: String): Int = {
+    val v = currentVersion(dir) + 1
+    val files = liveFiles(dir)
+    val base = dataDir(dir).toString
+    val current = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+      .withColumn("_f", input_file_name())
+    val keys = source.select(col(keyCol)).distinct()
+    val affectedPaths = current
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select(col("_f")).distinct().collect().map(_.getString(0)).toSet
+    val affected = files.filter(f => affectedPaths.exists(_.endsWith(f)))
+    val survivors =
+      if (affected.isEmpty) source
+      else spark.read.parquet(affected.map(f => s"$base/$f"): _*)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .unionByName(source)
+    val stage = dataDir(dir).resolve(f"v$v%05d").toString
+    survivors.write.mode("overwrite").parquet(stage)
+    val added = Files.list(Paths.get(stage)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+      .map(n => f"v$v%05d/$n")
+    writeEntry(dir, Entry(v, added, affected))
+    v
+  }
+
   /** Compaction commit (OPTIMIZE): rewrite the current live set into
     * `targetFiles` files and swap atomically — readers at older
     * versions still see the old files (they are removed from the

@@ -4097,8 +4097,10 @@ object AnalyticsQueries {
             col("checksum"))
       // v4 is the compaction commit: content must equal v3 exactly
       // (OPTIMIZE may never change a row), and older versions still
-      // resolve — time travel survives compaction
-      roll(2).unionAll(roll(3)).unionAll(roll(4)).orderBy("version")
+      // resolve — time travel survives compaction. v5 is the MERGE
+      // (upsert) commit: same-key rows replaced, new keys appended
+      roll(2).unionAll(roll(3)).unionAll(roll(4)).unionAll(roll(5))
+        .orderBy("version")
     }),
 
     // Index deletes via tombstones: doc removals append to a _deletes
@@ -4356,6 +4358,16 @@ object AnalyticsQueries {
         docs.filter(col("doc_id") % 10 === 0).repartition(2), tmp)
       graft.operators.TxTable.commitDelete(s, tmp, col("doc_id") % 7 === 0)
       graft.operators.TxTable.commitCompact(s, tmp, targetFiles = 2)
+      // v5: MERGE — update every surviving doc_id % 5 == 0 (prefixed
+      // text) and insert brand-new ids (doc_id + 2e9)
+      val src5 = docs.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
+            col("text"), col("lang")))
+      graft.operators.TxTable.commitMerge(s, tmp, src5, "doc_id")
       tmp
     })
 
@@ -6301,8 +6313,14 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
        + "v3 AS (SELECT 3::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 7 <> 0), "
-       + "v4 AS (SELECT 4::BIGINT AS version, n_rows, checksum FROM v3) "
-       + "SELECT * FROM v2 UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4 ORDER BY version"),
+       + "v4 AS (SELECT 4::BIGINT AS version, n_rows, checksum FROM v3), "
+       + "m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text "
+       + "FROM documents WHERE doc_id % 7 <> 0 "
+       + "UNION ALL SELECT doc_id + 2000000000, text FROM documents WHERE doc_id % 11 = 0), "
+       + "v5 AS (SELECT 5::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM m) "
+       + "SELECT * FROM v2 UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4 "
+       + "UNION ALL SELECT * FROM v5 ORDER BY version"),
     "q311_epoch_shuffle" ->
       ("WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1), "
        + "a AS (SELECT e.epoch, d.doc_id, d.text, "

@@ -30,11 +30,19 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.snapshot(spark, dir).count() == 4)
     // no-match delete is a no-op commit (version unchanged)
     assert(TxTable.commitDelete(spark, dir, col("id") === 99L) == 3)
+    // MERGE: same-key rows replaced, new keys appended, one commit
+    val src = Seq((2L, "BB2"), (9L, "new")).toDF("id", "s")
+    val mv = TxTable.commitMerge(spark, dir, src, "id")
+    assert(mv == 4)
+    val rows = TxTable.snapshot(spark, dir, Some(mv))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(2L) == "BB2" && rows(9L) == "new" && rows(1L) == "aa")
     // compaction: fewer files, identical content, old versions intact
     val preFiles = TxTable.liveFiles(dir).size
-    assert(TxTable.commitCompact(spark, dir, targetFiles = 1) == 4)
+    val cv = TxTable.commitCompact(spark, dir, targetFiles = 1)
+    assert(cv == 5)
     assert(TxTable.liveFiles(dir).size == 1 && preFiles > 1)
-    assert(ids(4) == ids(3))
+    assert(ids(cv) == ids(mv))
     assert(ids(1) == Set(1L, 2L, 3L)) // time travel survives compaction
     // optimistic concurrency: a racing writer of the same version fails
     val half = TxTable.currentVersion(dir)
