@@ -130,6 +130,27 @@ object TxTable {
     v
   }
 
+  /** Idempotent append at an EXPLICIT version — the exactly-once
+    * streaming-sink protocol: `foreachBatch` maps micro-batch N to
+    * version base+N+1; on restart a replayed batch finds its version
+    * file already committed and becomes a no-op, so the table sees
+    * every batch exactly once no matter how often the stream retries
+    * (the IdempotentSink contract at file granularity). Returns true
+    * if this call committed, false if the version already existed.
+    */
+  def commitAppendAt(df: DataFrame, dir: String, version: Int): Boolean = {
+    if (Files.exists(logDir(dir).resolve(f"v$version%05d.json")))
+      return false
+    val stage = dataDir(dir).resolve(f"v$version%05d").toString
+    df.write.mode("overwrite").parquet(stage)
+    val added = Files.list(Paths.get(stage)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+      .map(n => f"v$version%05d/$n")
+    try { writeEntry(dir, Entry(version, added, Seq.empty)); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
   /** MERGE (upsert) commit: source rows REPLACE same-key rows, new
     * keys append — one commit. Only files containing a matched key
     * are rewritten (their unmatched rows re-land beside the full

@@ -1431,7 +1431,45 @@ object StreamingQueries {
         .orderBy("lang")
     }
 
+  /** Exactly-once streaming ingestion into the transaction-log table:
+    * each micro-batch commits as version batchId+1 via
+    * [[graft.operators.TxTable.commitAppendAt]] — a replayed batch
+    * finds its version already committed and no-ops (exercised here
+    * by double-calling inside foreachBatch, simulating the restart
+    * replay), so the final snapshot equals the batch relation exactly
+    * despite retries. The file-sink twin of IdempotentSinkSpec's JDBC
+    * contract.
+    */
+  def q313StreamTxlog(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val ckpt = scratchCheckpoint("q313")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft-txstream-").toString
+      val q = eventsStream(s, dir, raw)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          val v = batchId.toInt + 1
+          graft.operators.TxTable.commitAppendAt(df, tdir, v)
+          // the restart replay: same batch arrives again — must no-op
+          val replayed = graft.operators.TxTable.commitAppendAt(df, tdir, v)
+          require(!replayed, s"replay of batch $batchId double-committed")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      graft.operators.TxTable.snapshot(s, tdir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("event_type")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
     "q308_stream_warc" -> (q308StreamWarc(_, _)),
     "q301_stream_classifier" -> (q301StreamClassifier(_, _)),
     "q197_sessionize_tws" -> (q197SessionizeTws(_, _)),
@@ -1465,6 +1503,12 @@ object StreamingQueries {
     "q301_stream_classifier" -> AnalyticsQueries.oracles("q296_hash_classifier"),
     // the streamed WARC ingest must equal the batch ingest bit-for-bit
     "q308_stream_warc" -> AnalyticsQueries.oracles("q298_warc_ingest"),
+    // the exactly-once txlog snapshot must equal the batch relation
+    // despite every batch being replayed once
+    "q313_stream_txlog" ->
+      ("SELECT event_type, COUNT(*)::BIGINT AS n, "
+       + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "
+       + "FROM events GROUP BY event_type ORDER BY event_type"),
     // the streamed A/B readout must equal the batch assignment + rollup
     "q253_stream_ab" -> AnalyticsQueries.oracles("q243_ab_assign"),
     // the streamed quantile sketch must equal the batch sketch exactly
