@@ -206,6 +206,32 @@ object TxTable {
     v
   }
 
+  /** Commit history (DESCRIBE HISTORY): one row per version with add/
+    * remove counts — the audit surface; driver-side, bounded by
+    * commit count like the log itself.
+    */
+  def history(dir: String): Seq[(Int, Int, Int)] =
+    readEntries(dir).map(e => (e.version, e.adds.size, e.removes.size))
+
+  /** VACUUM: physically delete data files no longer referenced by any
+    * version ≥ `retainFrom` — the storage-reclaim step that TRADES
+    * AWAY time travel older than the horizon (exactly Delta's
+    * contract). Files still referenced by any retained version
+    * survive; returns the deleted file names.
+    */
+  def vacuum(dir: String, retainFrom: Int): Seq[String] = {
+    val entries = readEntries(dir)
+    val latest = entries.lastOption.map(_.version).getOrElse(0)
+    val keep = (retainFrom to latest)
+      .flatMap(v => liveFiles(dir, Some(v))).toSet
+    val all = entries.flatMap(_.adds).toSet
+    val dead = (all -- keep).toSeq.sorted
+    dead.foreach { f =>
+      Files.deleteIfExists(dataDir(dir).resolve(f)); ()
+    }
+    dead
+  }
+
   /** Snapshot read as of `version` (None = latest): scan exactly the
     * live file list.
     */

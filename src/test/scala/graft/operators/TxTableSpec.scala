@@ -44,6 +44,15 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.liveFiles(dir).size == 1 && preFiles > 1)
     assert(ids(cv) == ids(mv))
     assert(ids(1) == Set(1L, 2L, 3L)) // time travel survives compaction
+    // history: one row per version with add/remove counts
+    val h = TxTable.history(dir)
+    assert(h.map(_._1) == (1 to 5) && h.head == ((1, 2, 0)))
+    // VACUUM from v4: v1-v3-only files go, retained versions still read
+    val dead = TxTable.vacuum(dir, retainFrom = 4)
+    assert(dead.nonEmpty)
+    assert(ids(4) == Set(1L, 2L, 3L, 5L, 9L)) // retained horizon intact
+    assert(ids(cv) == ids(mv))
+    intercept[Exception] { ids(1) } // pre-horizon time travel is gone
     // optimistic concurrency: a racing writer of the same version fails
     val half = TxTable.currentVersion(dir)
     TxTable.commitAppend(a.limit(1), dir)
