@@ -236,10 +236,12 @@ object TxTable {
     * live file list.
     */
   def snapshot(spark: SparkSession, dir: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(dir, version)
     require(files.nonEmpty, s"no live files at version $version")
     val base = dataDir(dir).toString
-    spark.read.parquet(files.map(f => s"$base/$f"): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => s"$base/$f"): _*)
   }
 }

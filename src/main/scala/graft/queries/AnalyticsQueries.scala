@@ -4103,6 +4103,18 @@ object AnalyticsQueries {
         .orderBy("version")
     }),
 
+    // Schema evolution on the transaction-log table: v6 appends rows
+    // carrying a `quality` column no earlier file has; a mergeSchema
+    // snapshot surfaces the union schema with NULL for pre-evolution
+    // rows — certified per (has_quality, n, sum) cross-engine
+    "q314_tx_schema_evolution" -> ((s, d) =>
+      graft.operators.TxTable.snapshot(s, txTableDir(s, d),
+          Some(6), mergeSchema = true)
+        .groupBy(col("quality").isNotNull.as("has_quality"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("quality")), lit(0L)).as("sum_quality"))
+        .orderBy("has_quality")),
+
     // Index deletes via tombstones: doc removals append to a _deletes
     // sidecar (Lucene's deleted-docs bitmap; the q221 IVF-tombstone
     // pattern on the text axis) — no postings file rewritten; queries
@@ -4368,6 +4380,15 @@ object AnalyticsQueries {
           .select((col("doc_id") + 2000000000L).as("doc_id"),
             col("text"), col("lang")))
       graft.operators.TxTable.commitMerge(s, tmp, src5, "doc_id")
+      // v6: schema evolution — later commits carry a quality column
+      // older files never had; mergeSchema snapshots surface it as
+      // NULL for pre-evolution rows
+      graft.operators.TxTable.commitAppend(
+        docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 3000000000L).as("doc_id"),
+            col("text"), col("lang"),
+            (length(col("text")) % 100).cast("long").as("quality")),
+        tmp)
       tmp
     })
 
@@ -6308,6 +6329,13 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q314_tx_schema_evolution" ->
+      ("WITH v5 AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 "
+       + "UNION ALL SELECT doc_id + 2000000000 FROM documents WHERE doc_id % 11 = 0), "
+       + "v6 AS (SELECT length(text) % 100 AS quality FROM documents WHERE doc_id % 13 = 0) "
+       + "SELECT FALSE AS has_quality, (SELECT COUNT(*) FROM v5)::BIGINT AS n_rows, 0::BIGINT AS sum_quality "
+       + "UNION ALL SELECT TRUE, (SELECT COUNT(*) FROM v6)::BIGINT, "
+       + "(SELECT COALESCE(SUM(quality), 0) FROM v6)::BIGINT ORDER BY has_quality"),
     "q312_txlog" ->
       ("WITH v2 AS (SELECT 2::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
