@@ -4103,6 +4103,36 @@ object AnalyticsQueries {
         .orderBy("version")
     }),
 
+    // Hybrid retrieval over the index: q211's RRF fusion with the
+    // LEXICAL leg answered by the postings artifact (q305's path)
+    // instead of a corpus scan — the hybrid-search deployment shape,
+    // where the dense leg is an ANN index and the lexical leg an
+    // inverted index, and only rank positions meet. Must equal q211
+    // exactly (shared oracle): swapping the scan for the index may
+    // not move a single rank
+    "q315_index_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val terms = Seq("vector", "join", "data")
+      val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+      val r1 = graft.operators.InvertedIndex.bm25Query(
+          s, invIdxDir(s, d), terms, topN = 20)
+        .withColumn("rank", row_number().over(wAll))
+        .select(col("doc_id"), col("rank"))
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dens = toks.filter(col("w").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .join(dl, "doc_id")
+        .select(col("doc_id"),
+          round(col("tf").cast("double") / col("dl"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      val r2 = dens.withColumn("rank", row_number().over(wAll))
+        .select(col("doc_id"), col("rank"))
+      TextOps.rrfFuse(Seq(r1, r2), "doc_id", topN = 10)
+    }),
+
     // Schema evolution on the transaction-log table: v6 appends rows
     // carrying a `quality` column no earlier file has; a mergeSchema
     // snapshot surfaces the union schema with NULL for pre-evolution
@@ -6329,6 +6359,25 @@ object AnalyticsQueries {
        + "SELECT source, COUNT(*)::BIGINT AS n_docs, "
        + "SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END)::BIGINT AS n_pos, "
        + "SUM(score)::BIGINT AS sum_score FROM d GROUP BY source ORDER BY source"),
+    "q315_index_hybrid" ->
+      ("WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+       "tok2 AS (SELECT * FROM toks WHERE w <> ''), " +
+       "dl AS (SELECT id, COUNT(*) AS dl FROM tok2 GROUP BY id), " +
+       "stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM dl), " +
+       "tf AS (SELECT id, w, COUNT(*) AS tf FROM tok2 WHERE w IN ('vector', 'join', 'data') GROUP BY id, w), " +
+       "dfr AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), " +
+       "bm AS (SELECT tf.id, ROUND(SUM(ln((s.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1) * " +
+       "(tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))), 4) AS score " +
+       "FROM tf JOIN dfr USING (w) JOIN dl USING (id) CROSS JOIN stats s GROUP BY tf.id), " +
+       "bmr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM " +
+       "(SELECT * FROM bm ORDER BY score DESC, id LIMIT 20) t), " +
+       "dens AS (SELECT tf.id, ROUND(SUM(tf.tf)::DOUBLE / MIN(dl.dl), 4) AS score " +
+       "FROM tf JOIN dl USING (id) GROUP BY tf.id), " +
+       "der AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rank FROM " +
+       "(SELECT * FROM dens ORDER BY score DESC, id LIMIT 20) t), " +
+       "allr AS (SELECT id, rank FROM bmr UNION ALL SELECT id, rank FROM der) " +
+       "SELECT id AS doc_id, ROUND(SUM(1.0 / (60 + rank)), 4) AS rrf, COUNT(*) AS n_lists " +
+       "FROM allr GROUP BY id ORDER BY rrf DESC, doc_id LIMIT 10"),
     "q314_tx_schema_evolution" ->
       ("WITH v5 AS (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 "
        + "UNION ALL SELECT doc_id + 2000000000 FROM documents WHERE doc_id % 11 = 0), "
