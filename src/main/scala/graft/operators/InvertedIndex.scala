@@ -52,20 +52,36 @@ object InvertedIndex {
         col("term") === term)
       .select(col("doc_id"), col("pos"))
 
-  /** Conjunctive (AND) query via the index alone: per term an O(df)
-    * postings read from its own cell, per-doc per-term position
-    * counts, then docs holding ALL terms — count_distinct over the
-    * union of postings, never a corpus scan. Returns (doc_id, hits)
-    * with hits = total occurrences of any query term.
+  /** ALL query terms' postings in ONE scan: the cell predicate is an
+    * OR of foldable per-term equalities (each `pmod(xxhash64(lit))`
+    * constant-folds, so PartitionFilters still prunes to exactly the
+    * k terms' cells) and the row filter is one `term IN (...)`. A
+    * k-term query plans ONE scan — file listing and planning are paid
+    * once, not k times (at many-term queries, e.g. expansion feeding
+    * BM25, per-term planning overhead scaled with k).
+    */
+  private def postingsAll(spark: SparkSession, dir: String,
+      terms: Seq[String], nCells: Int): DataFrame = {
+    val cellPred = terms.map(t =>
+        col("cell") === pmod(xxhash64(lit(t)), lit(nCells)))
+      .reduce(_ || _)
+    spark.read.parquet(dir)
+      .filter(cellPred && col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"), col("pos"))
+  }
+
+  /** Conjunctive (AND) query via the index alone: one O(sum of df)
+    * postings read across the terms' cells (single scan), per-doc
+    * per-term position counts, then docs holding ALL terms —
+    * count_distinct over the postings, never a corpus scan. Returns
+    * (doc_id, hits) with hits = total occurrences of any query term.
     */
   def andQuery(spark: SparkSession, dir: String, terms: Seq[String],
       nCells: Int = 16): DataFrame = {
     require(terms.nonEmpty, "need at least one term")
-    terms.map(w => postings(spark, dir, w, nCells)
-        .select(col("doc_id"), lit(w).as("w")))
-      .reduce(_ unionAll _)
+    postingsAll(spark, dir, terms, nCells)
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("w")).as("nt"), count(lit(1)).as("hits"))
+      .agg(count_distinct(col("term")).as("nt"), count(lit(1)).as("hits"))
       .filter(col("nt") === terms.size)
       .select(col("doc_id"), col("hits"))
   }
@@ -84,16 +100,20 @@ object InvertedIndex {
     val doclens = spark.read.parquet(s"$dir/_doclens")
     val stats = doclens.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
-    val tf = terms.map(w => postings(spark, dir, w, nCells)
-        .select(col("doc_id").as("id"), lit(w).as("w")))
-      .reduce(_ unionAll _)
+    val tf = postingsAll(spark, dir, terms, nCells)
+      .select(col("doc_id").as("id"), col("term").as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val dlPruned = doclens.select(col("doc_id").as("id"), col("dl"))
-      .join(broadcast(tf.select(col("id")).distinct()), Seq("id"),
-        "left_semi")
-    tf.join(broadcast(docFreq), "w")
-      .join(dlPruned, "id")
+    // df as a window count over the SAME tf aggregation — a groupBy
+    // formulation would re-plan (and re-scan) the postings subtree;
+    // the window is one tiny shuffle of the already-aggregated
+    // (id, w) rows, keeping the whole query at ONE postings scan
+    val tfdf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+    // norms join rides a broadcast of the matching (id, w) set — the
+    // corpus-sized doclens is scanned once, never shuffled (the
+    // bm25Search 100 TB rule)
+    doclens.select(col("doc_id").as("id"), col("dl"))
+      .join(broadcast(tfdf), "id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1))
@@ -155,13 +175,18 @@ object InvertedIndex {
       .write.mode("append").parquet(s"$dir/_deletes")
 
   /** Apply tombstones to any per-doc result: left-anti join against
-    * the `_deletes` sidecar (absent sidecar ⇒ identity).
+    * the `_deletes` sidecar (absent sidecar ⇒ identity). Sidecar
+    * existence resolves through the Hadoop FileSystem for the path —
+    * a java.nio check is local-only and would silently ignore
+    * tombstones on hdfs:// or s3a://, resurrecting deleted docs.
     */
-  def live(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
-    if (!java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(dir, "_deletes"))) df
+  def live(spark: SparkSession, dir: String, df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) df
     else df.join(broadcast(spark.read.parquet(s"$dir/_deletes")),
       Seq("doc_id"), "left_anti")
+  }
 
   /** Exact-phrase hits per document via the index alone: word k's
     * postings shifted by -k and equi-joined on (doc_id, start) — the

@@ -1,11 +1,13 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
 
 /** Minimal transaction-log table — the lakehouse commit protocol
   * (Delta/Iceberg's core idea) reduced to its public essentials:
@@ -18,29 +20,68 @@ import org.apache.spark.sql.functions._
   *  - commits are ATOMIC: a half-written data file is invisible
   *    until its log entry lands (the log write is the commit point —
   *    create-new-file with `CREATE_NEW`, so two racing writers of
-  *    the same version cannot both succeed: optimistic concurrency);
+  *    the same version cannot both succeed: optimistic concurrency).
+  *    Each attempt stages into its own UNIQUE directory
+  *    (`v00007-3fa9c1d2/`), so the loser of a race can never clobber
+  *    data files the winner's log entry already references — the
+  *    atomicity holds for the data files, not just the log file;
+  *  - a losing writer RETRIES at the next version after re-validating
+  *    that the interleaved commits don't conflict with what it read
+  *    (appends never conflict; remove-carrying commits conflict with
+  *    interleaved commits that touch their inputs) — Delta's
+  *    optimistic commit loop, so concurrent appends all land,
+  *    serialized, without restaging a byte;
   *  - snapshots are VERSIONED: reading "as of v" replays entries
   *    ≤ v — time travel at file granularity, no data rewritten;
+  *  - every `checkpointEvery` commits the resolved live-file set is
+  *    written as a parquet CHECKPOINT (`_txlog/ckpt-v00010/`) plus a
+  *    `_last_checkpoint` pointer, and snapshot resolution reads
+  *    checkpoint + suffix instead of replaying every JSON entry —
+  *    the term that dominates at 10⁵+ commits (Delta's
+  *    `_last_checkpoint` contract);
   *  - deletes REWRITE ONLY AFFECTED FILES: files with no matching
   *    row survive untouched (at 100 TB a predicate delete touches
   *    the handful of files whose zone a match lands in, not the
-  *    table).
+  *    table). DELETE keeps every row where the predicate is NOT TRUE
+  *    — under SQL three-valued logic a NULL predicate row is kept,
+  *    never silently dropped (Delta/Iceberg semantics).
   *
-  * The log itself is driver-side JSON — bounded by commit count, the
-  * same trade Delta makes; everything row-shaped stays distributed.
+  * The log itself is driver-side JSON — bounded by commit count and
+  * checkpoint-accelerated; everything row-shaped stays distributed.
   */
 object TxTable {
+
+  /** Write a checkpoint every this many commits (Delta defaults to
+    * 10; same trade: checkpoint cost amortized over resolution cost).
+    */
+  val DefaultCheckpointEvery = 10
 
   private def logDir(dir: String) = Paths.get(dir, "_txlog")
   private def dataDir(dir: String) = Paths.get(dir, "data")
 
-  private final case class Entry(version: Int, adds: Seq[String],
+  private[operators] final case class Entry(version: Int, adds: Seq[String],
       removes: Seq[String])
+
+  /** Raised when an optimistic retry finds a real conflict (Delta's
+    * `ConcurrentModificationException` contract).
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  private def writeEntry(dir: String, e: Entry): Unit = {
+  /** List a directory, CLOSING the stream (Files.list leaks an fd per
+    * call otherwise — and log resolution runs on every snapshot).
+    */
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else Using.resource(Files.list(p))(_.iterator().asScala.toList)
+
+  private def entryFile(dir: String, v: Int): Path =
+    logDir(dir).resolve(f"v$v%05d.json")
+
+  private[operators] def writeEntry(dir: String, e: Entry): Unit = {
     Files.createDirectories(logDir(dir))
     val json = s"""{"version":${e.version},""" +
       s""""adds":[${e.adds.map(a => "\"" + esc(a) + "\"").mkString(",")}],""" +
@@ -48,17 +89,29 @@ object TxTable {
     // CREATE_NEW is the commit point: the version file either appears
     // fully or the commit fails — a concurrent writer of the same
     // version loses with FileAlreadyExistsException
-    Files.write(logDir(dir).resolve(f"v${e.version}%05d.json"),
+    Files.write(entryFile(dir, e.version),
       json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
     ()
   }
 
-  private def readEntries(dir: String): Seq[Entry] = {
-    if (!Files.isDirectory(logDir(dir))) return Seq.empty
-    val files = Files.list(logDir(dir)).iterator().asScala
-      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
-    files.map { p =>
-      val s = new String(Files.readAllBytes(p), "UTF-8")
+  /** Version numbers present in the log, from the file names alone —
+    * no JSON is read, so `currentVersion` is one directory listing.
+    */
+  private def logVersions(dir: String): Seq[Int] =
+    listDir(logDir(dir))
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(_.stripPrefix("v").stripSuffix(".json").toInt)
+      .sorted
+
+  /** Parse log entries with version in (`after`, `upTo`] — the
+    * checkpoint-suffix read path; `after = 0, upTo = MaxValue` is the
+    * full replay.
+    */
+  private def readEntries(dir: String, after: Int = 0,
+      upTo: Int = Int.MaxValue): Seq[Entry] =
+    logVersions(dir).filter(v => v > after && v <= upTo).map { v =>
+      val s = new String(Files.readAllBytes(entryFile(dir, v)), "UTF-8")
       def arr(key: String): Seq[String] = {
         val i = s.indexOf("\"" + key + "\":[")
         val j = s.indexOf(']', i)
@@ -68,65 +121,246 @@ object TxTable {
           .map(_.trim.stripPrefix("\"").stripSuffix("\"")
             .replace("\\\"", "\"").replace("\\\\", "\\"))
       }
-      val v = s.substring(s.indexOf("\"version\":") + 10)
-        .takeWhile(_.isDigit).toInt
       Entry(v, arr("adds"), arr("removes"))
-    }.sortBy(_.version)
-  }
+    }
 
   /** Current highest committed version (0 = empty table). */
   def currentVersion(dir: String): Int =
-    readEntries(dir).lastOption.map(_.version).getOrElse(0)
+    logVersions(dir).lastOption.getOrElse(0)
 
-  /** Live data-file names as of `version` (None = latest). */
+  private def replay(live: scala.collection.mutable.LinkedHashSet[String],
+      entries: Seq[Entry]): Unit =
+    entries.foreach { e => live ++= e.adds; live --= e.removes }
+
+  /** Live data-file names as of `version` (None = latest) by FULL log
+    * replay — the no-SparkSession path (and the oracle the checkpoint
+    * path must equal).
+    */
   def liveFiles(dir: String, version: Option[Int] = None): Seq[String] = {
-    val upTo = readEntries(dir)
-      .filter(e => version.forall(e.version <= _))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    upTo.foreach { e => live ++= e.adds; live --= e.removes }
+    replay(live, readEntries(dir, upTo = version.getOrElse(Int.MaxValue)))
     live.toSeq
   }
 
-  /** Append `df` as a new commit: data files land first (invisible),
-    * the log entry makes them live.
-    */
-  def commitAppend(df: DataFrame, dir: String): Int = {
-    val v = currentVersion(dir) + 1
-    val stage = dataDir(dir).resolve(f"v$v%05d").toString
-    df.write.mode("overwrite").parquet(stage)
-    val added = Files.list(Paths.get(stage)).iterator().asScala
+  // ---------------------------------------------------------------
+  // Checkpoints
+  // ---------------------------------------------------------------
+
+  private def ckptDir(dir: String, v: Int): Path =
+    logDir(dir).resolve(f"ckpt-v$v%05d")
+
+  private def lastCkptFile(dir: String): Path =
+    logDir(dir).resolve("_last_checkpoint")
+
+  /** Checkpoint versions present on disk (from directory names). */
+  private def ckptVersions(dir: String): Seq[Int] =
+    listDir(logDir(dir))
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".parquet")).toSeq.sorted
-      .map(n => f"v$v%05d/$n")
-    writeEntry(dir, Entry(v, added, Seq.empty))
+      .filter(_.startsWith("ckpt-v"))
+      .map(_.stripPrefix("ckpt-v").toInt)
+      .sorted
+
+  /** Write a parquet checkpoint of the CURRENT resolved live-file set
+    * and repoint `_last_checkpoint` at it. Returns the checkpointed
+    * version. The parquet is tiny (one `file` column, O(live files))
+    * but distributed-scannable — at 10⁶ files the planner can read it
+    * without the driver holding the list as JSON.
+    */
+  def checkpoint(spark: SparkSession, dir: String): Int = {
+    val v = currentVersion(dir)
+    val live = liveFiles(dir, Some(v))
+    val rows = live.map(Row(_)).asJava
+    spark.createDataFrame(rows,
+        StructType(Seq(StructField("file", StringType))))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(ckptDir(dir, v).toString)
+    // _last_checkpoint is advisory (the one overwritten file, exactly
+    // Delta's shape); a stale or missing pointer falls back to the
+    // checkpoint-directory listing
+    Files.write(lastCkptFile(dir),
+      s"""{"version":$v}""".getBytes("UTF-8"))
+    v
+  }
+
+  /** Newest checkpoint version ≤ `upTo`, fast-pathed through
+    * `_last_checkpoint`, falling back to the listing when the pointer
+    * is missing, unparseable, or beyond the requested version.
+    */
+  private def latestCkptUpTo(dir: String, upTo: Int): Option[Int] = {
+    val hinted =
+      try {
+        val s = new String(Files.readAllBytes(lastCkptFile(dir)), "UTF-8")
+        val v = s.substring(s.indexOf("\"version\":") + 10)
+          .takeWhile(_.isDigit).toInt
+        if (v <= upTo && Files.isDirectory(ckptDir(dir, v))) Some(v)
+        else None
+      } catch { case _: Exception => None }
+    hinted.orElse(ckptVersions(dir).filter(_ <= upTo).lastOption)
+  }
+
+  /** Checkpoint-accelerated live-file resolution: load the newest
+    * checkpoint ≤ target and replay only the log suffix after it —
+    * O(suffix) JSON reads instead of O(all commits). Must equal
+    * [[liveFiles]] exactly (pinned in TxTableSpec).
+    */
+  def liveFilesFast(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[String] = {
+    val upTo = version.getOrElse(currentVersion(dir))
+    latestCkptUpTo(dir, upTo) match {
+      case None => liveFiles(dir, Some(upTo))
+      case Some(cv) =>
+        val base = spark.read.parquet(ckptDir(dir, cv).toString)
+          .collect().map(_.getString(0)).toSeq
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        live ++= base
+        replay(live, readEntries(dir, after = cv, upTo = upTo))
+        live.toSeq
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Commit machinery
+  // ---------------------------------------------------------------
+
+  /** Unique staging directory for one commit ATTEMPT. The version
+    * prefix is advisory (a retried commit keeps its original stage
+    * name); the random token is what guarantees two racing writers
+    * never share a directory, so the loser's files can never clobber
+    * the winner's.
+    */
+  private def newStageDir(dir: String, v: Int): Path =
+    dataDir(dir).resolve(
+      f"v$v%05d-" + java.util.UUID.randomUUID.toString.take(8))
+
+  /** Stage `df` into a fresh unique directory; returns the relative
+    * file names to record as the commit's adds.
+    */
+  private def stage(df: DataFrame, dir: String, v: Int): Seq[String] = {
+    val sd = newStageDir(dir, v)
+    df.write.mode("overwrite").parquet(sd.toString)
+    val rel = sd.getFileName.toString
+    listDir(sd).map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).sorted
+      .map(n => s"$rel/$n")
+  }
+
+  /** The optimistic commit loop: try `CREATE_NEW` at `firstV`; on
+    * loss, re-read ONLY the interleaved entries, ask `conflicts`
+    * whether they invalidate what this commit read, and retry at the
+    * next version (no data is restaged — staging dirs are unique).
+    * Exactly Delta's protocol shape: the log write is cheap, the
+    * staged data is the expensive part, and only a REAL conflict
+    * aborts.
+    */
+  private[operators] def commitWithRetry(dir: String, adds: Seq[String],
+      removes: Seq[String], firstV: Int,
+      conflicts: Seq[Entry] => Option[String],
+      maxAttempts: Int = 20): Int = {
+    var v = firstV
+    var validatedThrough = firstV - 1
+    var attempt = 0
+    while (true) {
+      try { writeEntry(dir, Entry(v, adds, removes)); return v }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        attempt += 1
+        if (attempt >= maxAttempts)
+          throw new CommitConflictException(
+            s"gave up after $maxAttempts attempts at $dir")
+        val latest = currentVersion(dir)
+        val interleaved = readEntries(dir, after = validatedThrough,
+          upTo = latest)
+        conflicts(interleaved).foreach { why =>
+          throw new CommitConflictException(
+            s"concurrent commit conflicts at $dir v$v: $why")
+        }
+        validatedThrough = latest
+        v = latest + 1
+      }
+    }
+    v // unreachable
+  }
+
+  /** Appends never conflict — any interleave serializes cleanly. */
+  private[operators] val AppendConflicts: Seq[Entry] => Option[String] = _ => None
+
+  /** A remove-carrying commit (delete/merge) read the whole live set:
+    * interleaved ADDS may hold rows it should have seen (its
+    * predicate/keys can't be re-checked without re-running), and
+    * interleaved REMOVES of its inputs mean it would resurrect or
+    * double-delete rows — both abort, matching Delta's serializable
+    * conflict matrix.
+    */
+  private[operators] def rewriteConflicts(ourRemoves: Set[String])
+      : Seq[Entry] => Option[String] = es => {
+    val added = es.flatMap(_.adds)
+    val removed = es.flatMap(_.removes).toSet
+    if (added.nonEmpty)
+      Some(s"${added.size} file(s) added concurrently (unscanned rows)")
+    else {
+      val hit = removed.intersect(ourRemoves)
+      if (hit.nonEmpty) Some(s"input file(s) removed concurrently: " +
+        hit.take(3).mkString(", "))
+      else None
+    }
+  }
+
+  /** Compaction only re-arranges rows: interleaved adds stay live
+    * untouched (fine), but an interleaved remove of a compaction
+    * input would be resurrected by the compacted output — abort.
+    */
+  private[operators] def compactConflicts(inputs: Set[String])
+      : Seq[Entry] => Option[String] = es => {
+    val hit = es.flatMap(_.removes).toSet.intersect(inputs)
+    if (hit.nonEmpty) Some(s"compaction input(s) removed concurrently: " +
+      hit.take(3).mkString(", "))
+    else None
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, dir: String, v: Int,
+      every: Int): Unit =
+    if (every > 0 && v % every == 0) { checkpoint(spark, dir); () }
+
+  /** Append `df` as a new commit: data files land first (invisible,
+    * in a unique staging dir), the log entry makes them live; a lost
+    * race retries at the next version without restaging.
+    */
+  def commitAppend(df: DataFrame, dir: String,
+      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+    val v0 = currentVersion(dir) + 1
+    val added = stage(df, dir, v0)
+    val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts)
+    maybeCheckpoint(df.sparkSession, dir, v, checkpointEvery)
     v
   }
 
   /** Predicate delete: rewrite ONLY the files containing a matching
     * row; untouched files stay live under their old names. Surviving
-    * rows of affected files re-land as this commit's adds.
+    * rows of affected files re-land as this commit's adds. DELETE
+    * semantics keep every row where `pred` is NOT TRUE — `coalesce`
+    * on both sides so NULL-predicate rows neither select a file
+    * spuriously nor vanish from the rewrite.
     */
   def commitDelete(spark: SparkSession, dir: String,
-      pred: org.apache.spark.sql.Column): Int = {
-    val v = currentVersion(dir) + 1
-    val files = liveFiles(dir)
+      pred: org.apache.spark.sql.Column,
+      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+    val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
+    val matches = coalesce(pred, lit(false))
     // which files hold a matching row? one distributed scan
     val withFile = spark.read.parquet(files.map(f => s"$base/$f"): _*)
       .withColumn("_f", input_file_name())
-    val affectedPaths = withFile.filter(pred)
+    val affectedPaths = withFile.filter(matches)
       .select(col("_f")).distinct().collect().map(_.getString(0)).toSet
     val affected = files.filter(f => affectedPaths.exists(_.endsWith(f)))
     if (affected.isEmpty) return currentVersion(dir)
-    val stage = dataDir(dir).resolve(f"v$v%05d").toString
-    spark.read.parquet(affected.map(f => s"$base/$f"): _*)
-      .filter(!pred)
-      .write.mode("overwrite").parquet(stage)
-    val added = Files.list(Paths.get(stage)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
-      .map(n => f"v$v%05d/$n")
-    writeEntry(dir, Entry(v, added, affected))
+    val v0 = currentVersion(dir) + 1
+    val added = stage(
+      spark.read.parquet(affected.map(f => s"$base/$f"): _*)
+        .filter(!matches),
+      dir, v0)
+    val v = commitWithRetry(dir, added, affected, v0,
+      rewriteConflicts(affected.toSet))
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
     v
   }
 
@@ -137,17 +371,18 @@ object TxTable {
     * every batch exactly once no matter how often the stream retries
     * (the IdempotentSink contract at file granularity). Returns true
     * if this call committed, false if the version already existed.
+    * A replayed attempt's orphaned staging dir is reclaimed by
+    * [[vacuum]].
     */
-  def commitAppendAt(df: DataFrame, dir: String, version: Int): Boolean = {
-    if (Files.exists(logDir(dir).resolve(f"v$version%05d.json")))
-      return false
-    val stage = dataDir(dir).resolve(f"v$version%05d").toString
-    df.write.mode("overwrite").parquet(stage)
-    val added = Files.list(Paths.get(stage)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
-      .map(n => f"v$version%05d/$n")
-    try { writeEntry(dir, Entry(version, added, Seq.empty)); true }
+  def commitAppendAt(df: DataFrame, dir: String, version: Int,
+      checkpointEvery: Int = DefaultCheckpointEvery): Boolean = {
+    if (Files.exists(entryFile(dir, version))) return false
+    val added = stage(df, dir, version)
+    try {
+      writeEntry(dir, Entry(version, added, Seq.empty))
+      maybeCheckpoint(df.sparkSession, dir, version, checkpointEvery)
+      true
+    }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   }
 
@@ -158,9 +393,9 @@ object TxTable {
     * rides |affected files|, not table size.
     */
   def commitMerge(spark: SparkSession, dir: String, source: DataFrame,
-      keyCol: String): Int = {
-    val v = currentVersion(dir) + 1
-    val files = liveFiles(dir)
+      keyCol: String,
+      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+    val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val current = spark.read.parquet(files.map(f => s"$base/$f"): _*)
       .withColumn("_f", input_file_name())
@@ -174,13 +409,11 @@ object TxTable {
       else spark.read.parquet(affected.map(f => s"$base/$f"): _*)
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .unionByName(source)
-    val stage = dataDir(dir).resolve(f"v$v%05d").toString
-    survivors.write.mode("overwrite").parquet(stage)
-    val added = Files.list(Paths.get(stage)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
-      .map(n => f"v$v%05d/$n")
-    writeEntry(dir, Entry(v, added, affected))
+    val v0 = currentVersion(dir) + 1
+    val added = stage(survivors, dir, v0)
+    val v = commitWithRetry(dir, added, affected, v0,
+      rewriteConflicts(affected.toSet))
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
     v
   }
 
@@ -190,19 +423,18 @@ object TxTable {
     * LOG, not the disk), so time travel survives compaction.
     */
   def commitCompact(spark: SparkSession, dir: String,
-      targetFiles: Int): Int = {
-    val v = currentVersion(dir) + 1
-    val files = liveFiles(dir)
+      targetFiles: Int,
+      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+    val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
-    val stage = dataDir(dir).resolve(f"v$v%05d").toString
-    spark.read.parquet(files.map(f => s"$base/$f"): _*)
-      .repartition(targetFiles)
-      .write.mode("overwrite").parquet(stage)
-    val added = Files.list(Paths.get(stage)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet")).toSeq.sorted
-      .map(n => f"v$v%05d/$n")
-    writeEntry(dir, Entry(v, added, files))
+    val v0 = currentVersion(dir) + 1
+    val added = stage(
+      spark.read.parquet(files.map(f => s"$base/$f"): _*)
+        .repartition(targetFiles),
+      dir, v0)
+    val v = commitWithRetry(dir, added, files, v0,
+      compactConflicts(files.toSet))
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
     v
   }
 
@@ -217,7 +449,11 @@ object TxTable {
     * version ≥ `retainFrom` — the storage-reclaim step that TRADES
     * AWAY time travel older than the horizon (exactly Delta's
     * contract). Files still referenced by any retained version
-    * survive; returns the deleted file names.
+    * survive; returns the deleted file names. Also reclaims ORPHANED
+    * staging directories — dirs no log entry ever referenced (lost
+    * races, replayed stream batches). Like Delta's vacuum, this must
+    * not run concurrently with an in-flight writer (whose stage is
+    * indistinguishable from an orphan until its log entry lands).
     */
   def vacuum(dir: String, retainFrom: Int): Seq[String] = {
     val entries = readEntries(dir)
@@ -229,16 +465,30 @@ object TxTable {
     dead.foreach { f =>
       Files.deleteIfExists(dataDir(dir).resolve(f)); ()
     }
-    dead
+    // orphaned staging dirs: under data/ but absent from every log
+    // entry's adds (prefix before '/')
+    val referenced = all.map(_.takeWhile(_ != '/'))
+    val orphans = listDir(dataDir(dir))
+      .filter(p => Files.isDirectory(p) &&
+        !referenced.contains(p.getFileName.toString))
+    orphans.foreach { d =>
+      listDir(d).foreach(f => { Files.deleteIfExists(f); () })
+      Files.deleteIfExists(d); ()
+    }
+    // now-empty referenced dirs (all files vacuumed) go too
+    listDir(dataDir(dir))
+      .filter(p => Files.isDirectory(p) && listDir(p).isEmpty)
+      .foreach(d => { Files.deleteIfExists(d); () })
+    dead ++ orphans.map(o => o.getFileName.toString + "/")
   }
 
   /** Snapshot read as of `version` (None = latest): scan exactly the
-    * live file list.
+    * live file list, resolved through the newest usable checkpoint.
     */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Int] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val files = liveFiles(dir, version)
+    val files = liveFilesFast(spark, dir, version)
     require(files.nonEmpty, s"no live files at version $version")
     val base = dataDir(dir).toString
     spark.read.option("mergeSchema", mergeSchema.toString)

@@ -96,4 +96,38 @@ class InvertedIndexSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(term), EqualTo(term,hash)")
       || plan.contains("EqualTo(term,hash)"))
   }
+
+  test("k-term AND/BM25 postings reads are one scan, not k") {
+    // the multi-term read is a single scan with an OR-of-foldable cell
+    // predicate — file listing and planning paid once, not per term
+    def postingsScans(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      // a postings scan's Location is the index root; the norms
+      // sidecar prints .../_doclens — count only the former
+      java.util.regex.Pattern.quote(s"[file:$dir]").r
+        .findAllIn(plan).length
+    }
+    assert(postingsScans(
+      InvertedIndex.andQuery(spark, dir, Seq("hash", "merge"))) == 1)
+    assert(postingsScans(InvertedIndex.andQuery(spark, dir,
+      Seq("hash", "merge", "sort", "join"))) == 1)
+    // bm25 too: tf, df (window) and the norms join all ride one
+    // postings scan, independent of k
+    val b2 = postingsScans(InvertedIndex.bm25Query(spark, dir,
+      Seq("hash", "merge"), topN = 5))
+    val b4 = postingsScans(InvertedIndex.bm25Query(spark, dir,
+      Seq("hash", "merge", "sort", "join"), topN = 5))
+    assert(b2 == 1 && b4 == 1, s"bm25 postings scans: $b2, $b4")
+    // the folded cell literals still prune partitions and term IN (...)
+    // reaches parquet
+    val plan = InvertedIndex.andQuery(spark, dir,
+      Seq("hash", "merge", "sort")).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell#"))
+    assert(plan.contains("In(term, [") || plan.contains("term IN"))
+    // and the one-scan rewrite is answer-identical to per-term reads
+    val got = InvertedIndex.andQuery(spark, dir, Seq("hash", "join"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 4L), (2L, 2L), (3L, 2L), (4L, 2L)))
+  }
 }

@@ -53,16 +53,152 @@ class TxTableSpec extends SparkSpec {
     assert(ids(4) == Set(1L, 2L, 3L, 5L, 9L)) // retained horizon intact
     assert(ids(cv) == ids(mv))
     intercept[Exception] { ids(1) } // pre-horizon time travel is gone
-    // optimistic concurrency: a racing writer of the same version fails
+    // optimistic concurrency: the version file is CREATE_NEW — a
+    // second write of the same version file fails at the fs layer
     val half = TxTable.currentVersion(dir)
     TxTable.commitAppend(a.limit(1), dir)
     intercept[Exception] {
-      // force a duplicate version file: the commit point is CREATE_NEW
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, "_txlog", f"v${half + 1}%05d.json"),
         "{}".getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW)
     }
     ()
+  }
+
+  test("checkpoint: resolve-from-checkpoint == full replay, vacuum-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-ckpt-")
+      .toString
+    // 12 commits with checkpointEvery=5 → checkpoints at v5 and v10
+    (1 to 12).foreach { i =>
+      TxTable.commitAppend(Seq((i.toLong, s"s$i")).toDF("id", "s")
+        .repartition(1), dir, checkpointEvery = 5)
+    }
+    val lc = java.nio.file.Paths.get(dir, "_txlog", "_last_checkpoint")
+    assert(java.nio.file.Files.exists(lc))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(dir, "_txlog", "ckpt-v00010")))
+    // fast path == full replay at latest and at historic versions,
+    // including versions BEFORE the newest checkpoint (falls back to
+    // the older checkpoint or full replay)
+    for (v <- Seq(3, 5, 7, 10, 12)) {
+      assert(TxTable.liveFilesFast(spark, dir, Some(v)) ==
+        TxTable.liveFiles(dir, Some(v)), s"version $v")
+    }
+    assert(TxTable.snapshot(spark, dir).count() == 12)
+    // a delete through the checkpointed table stays consistent
+    TxTable.commitDelete(spark, dir, col("id") <= 2L,
+      checkpointEvery = 5)
+    assert(TxTable.liveFilesFast(spark, dir) == TxTable.liveFiles(dir))
+    assert(TxTable.snapshot(spark, dir).count() == 10)
+    // vacuum the pre-delete horizon: checkpointed resolution of the
+    // retained versions still reads (the checkpoint references only
+    // retained files after the suffix replay)
+    TxTable.vacuum(dir, retainFrom = TxTable.currentVersion(dir))
+    assert(TxTable.snapshot(spark, dir).count() == 10)
+    assert(TxTable.liveFilesFast(spark, dir) == TxTable.liveFiles(dir))
+    // a corrupt _last_checkpoint falls back, never breaks resolution
+    java.nio.file.Files.write(lc, "garbage".getBytes("UTF-8"))
+    assert(TxTable.liveFilesFast(spark, dir) == TxTable.liveFiles(dir))
+  }
+
+  test("concurrent appends both land, serialized, disjoint file sets") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-race-")
+      .toString
+    TxTable.commitAppend(Seq((0L, "base")).toDF("id", "s"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = TxTable.commitAppend(
+            Seq((i.toLong, s"w$i")).toDF("id", "s").repartition(1), dir)
+        })
+      }
+      val versions = futs.map(_.get()).sorted
+      // every writer landed at its own consecutive version
+      assert(versions == Seq(2, 3, 4, 5))
+    } finally pool.shutdown()
+    assert(TxTable.snapshot(spark, dir).count() == 5)
+    // no data file is shared between commits (unique staging dirs)
+    val byCommit = TxTable.history(dir).map(_._2)
+    assert(TxTable.liveFiles(dir).size == byCommit.sum)
+  }
+
+  test("retry conflict matrix: appends retry, touched inputs abort") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-cfl-")
+      .toString
+    TxTable.commitAppend(Seq((1L, "a")).toDF("id", "s"), dir)
+    // simulate: an interleaved APPEND landed at v2 under our feet
+    TxTable.writeEntry(dir,
+      TxTable.Entry(2, Seq("vx/interleaved.parquet"), Seq.empty))
+    // append retries past it
+    val v = TxTable.commitWithRetry(dir, Seq("vy/mine.parquet"),
+      Seq.empty, firstV = 2, TxTable.AppendConflicts)
+    assert(v == 3)
+    // a rewrite (delete/merge) that lost to an interleaved ADD aborts:
+    // the add may hold rows its predicate never saw
+    TxTable.writeEntry(dir,
+      TxTable.Entry(4, Seq("vz/other.parquet"), Seq.empty))
+    intercept[TxTable.CommitConflictException] {
+      TxTable.commitWithRetry(dir, Seq("vw/rewrite.parquet"),
+        Seq("vy/mine.parquet"), firstV = 4,
+        TxTable.rewriteConflicts(Set("vy/mine.parquet")))
+    }
+    // a rewrite whose inputs were REMOVED concurrently aborts
+    TxTable.writeEntry(dir,
+      TxTable.Entry(5, Seq.empty, Seq("vy/mine.parquet")))
+    intercept[TxTable.CommitConflictException] {
+      TxTable.commitWithRetry(dir, Seq("vw/rewrite2.parquet"),
+        Seq("vy/mine.parquet"), firstV = 5,
+        TxTable.rewriteConflicts(Set("vy/mine.parquet")))
+    }
+    // compaction tolerates interleaved appends (they stay live) but
+    // aborts when an input vanished
+    TxTable.writeEntry(dir,
+      TxTable.Entry(6, Seq("vq/late.parquet"), Seq.empty))
+    val cv = TxTable.commitWithRetry(dir, Seq("vc/compacted.parquet"),
+      Seq("vx/interleaved.parquet"), firstV = 6,
+      TxTable.compactConflicts(Set("vx/interleaved.parquet")))
+    assert(cv == 7)
+    intercept[TxTable.CommitConflictException] {
+      // v7 (the compaction that just landed) removed vx/interleaved —
+      // a second compaction that read it as an input must abort
+      TxTable.commitWithRetry(dir, Seq("vc/compacted2.parquet"),
+        Seq("vx/interleaved.parquet"), firstV = 7,
+        TxTable.compactConflicts(Set("vx/interleaved.parquet")))
+    }
+    ()
+  }
+
+  test("DELETE keeps NULL-predicate rows (three-valued logic)") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-null-")
+      .toString
+    val rows = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "s")
+    TxTable.commitAppend(rows.repartition(1), dir)
+    // pred is NULL for id=2 — NOT TRUE, so the row must survive
+    TxTable.commitDelete(spark, dir, col("s") === "a")
+    val got = TxTable.snapshot(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L))
+  }
+
+  test("vacuum reclaims orphaned staging dirs; replayed batches no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-orph-")
+      .toString
+    val df = Seq((1L, "a")).toDF("id", "s")
+    assert(TxTable.commitAppendAt(df, dir, version = 1))
+    // a replayed batch is a no-op BEFORE staging (no orphan made)
+    assert(!TxTable.commitAppendAt(df, dir, version = 1))
+    // fabricate an orphan: a staging dir no log entry references
+    // (what a writer that died before its log write leaves behind)
+    val orphan = java.nio.file.Paths.get(dir, "data", "v00009-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val reclaimed = TxTable.vacuum(dir, retainFrom = 1)
+    assert(reclaimed.exists(_.startsWith("v00009-deadbeef")))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(TxTable.snapshot(spark, dir).count() == 1)
   }
 }
