@@ -18,6 +18,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
+      // SQL surface for transaction-log tables: SELECT ... FROM
+      // txlog.`/table/root` [VERSION AS OF v]
+      .config("spark.sql.catalog.txlog", "graft.sources.TxLogCatalog")
       // events.parquet carries TIMESTAMP(NANOS) — read as long, then
       // Tables normalizes to TimestampType (µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -4103,6 +4103,23 @@ object AnalyticsQueries {
         .orderBy("version")
     }),
 
+    // The SAME rollups through the SQL-ONLY surface: the txlog V2
+    // catalog resolves `txlog.`root`` and native `VERSION AS OF v`
+    // time travel (sources/TxLogCatalog.scala), so a SQL user needs
+    // no Scala API at all — shares q312's oracle: the surface may
+    // not change a byte
+    "q316_txlog_sql" -> ((s, d) => {
+      val dir2 = txTableDir(s, d)
+      def roll(v: Int): DataFrame =
+        s.sql(s"SELECT CAST($v AS BIGINT) AS version, " +
+          "COUNT(*) AS n_rows, " +
+          "bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', text)), " +
+          "1, 15), 16, 10) AS BIGINT)) AS checksum " +
+          s"FROM txlog.`$dir2` VERSION AS OF $v")
+      roll(2).unionAll(roll(3)).unionAll(roll(4)).unionAll(roll(5))
+        .orderBy("version")
+    }),
+
     // Hybrid retrieval over the index: q211's RRF fusion with the
     // LEXICAL leg answered by the postings artifact (q305's path)
     // instead of a corpus scan — the hybrid-search deployment shape,
@@ -6386,6 +6403,19 @@ object AnalyticsQueries {
        + "UNION ALL SELECT TRUE, (SELECT COUNT(*) FROM v6)::BIGINT, "
        + "(SELECT COALESCE(SUM(quality), 0) FROM v6)::BIGINT ORDER BY has_quality"),
     "q312_txlog" ->
+      ("WITH v2 AS (SELECT 2::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "v3 AS (SELECT 3::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 7 <> 0), "
+       + "v4 AS (SELECT 4::BIGINT AS version, n_rows, checksum FROM v3), "
+       + "m AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text "
+       + "FROM documents WHERE doc_id % 7 <> 0 "
+       + "UNION ALL SELECT doc_id + 2000000000, text FROM documents WHERE doc_id % 11 = 0), "
+       + "v5 AS (SELECT 5::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM m) "
+       + "SELECT * FROM v2 UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4 "
+       + "UNION ALL SELECT * FROM v5 ORDER BY version"),
+    "q316_txlog_sql" ->
       ("WITH v2 AS (SELECT 2::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
        + "v3 AS (SELECT 3::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "

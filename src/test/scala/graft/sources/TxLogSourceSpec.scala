@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TxTable
+
+class TxLogSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val tmp = java.nio.file.Files.createTempDirectory("txlog-dsv2-")
+      .toString
+    TxTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .repartition(2), tmp)
+    TxTable.commitAppend(
+      Seq((4L, "d"), (5L, "e")).toDF("id", "s").repartition(1), tmp)
+    TxTable.commitDelete(spark, tmp, col("id") === 2L)
+    // v4 evolves the schema: a column older files never had
+    TxTable.commitAppend(
+      Seq((6L, "f", 60L)).toDF("id", "s", "q"), tmp)
+    tmp
+  }
+
+  test("format(txlog) reads the latest snapshot; versionAsOf time-travels") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(spark.read.format("txlog").load(dir)) ==
+      Set(1L, 3L, 4L, 5L, 6L))
+    assert(ids(spark.read.format("txlog")
+      .option("versionAsOf", 1).load(dir)) == Set(1L, 2L, 3L))
+    assert(ids(spark.read.format("txlog")
+      .option("versionAsOf", 2).load(dir)) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(spark.read.format("txlog")
+      .option("versionAsOf", 3).load(dir)) == Set(1L, 3L, 4L, 5L))
+    // reader == operator at every version
+    for (v <- 1 to 4) {
+      val viaSource = spark.read.format("txlog")
+        .option("versionAsOf", v).load(dir)
+      assert(ids(viaSource) ==
+        ids(TxTable.snapshot(spark, dir, Some(v))), s"version $v")
+    }
+  }
+
+  test("SQL-only users reach the table, with native VERSION AS OF") {
+    val got = spark.sql(s"SELECT count(*) AS n FROM txlog.`$dir`")
+      .collect().head.getLong(0)
+    assert(got == 5L)
+    // time travel through Spark's own SQL syntax (loadTable(ident,
+    // version) on the catalog)
+    val v1 = spark.sql(
+        s"SELECT id FROM txlog.`$dir` VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(v1 == Seq(1L, 2L, 3L))
+    val v3 = spark.sql(
+        s"SELECT count(*) AS n FROM txlog.`$dir` VERSION AS OF 3")
+      .collect().head.getLong(0)
+    assert(v3 == 4L)
+    // a missing table is a clean NoSuchTable, not a crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM txlog.`/tmp/definitely-not-a-table`")
+        .collect()
+    }
+    ()
+  }
+
+  test("the scan is a real parquet V2 scan: pushdown and pruning work") {
+    val df = spark.read.format("txlog").load(dir)
+      .filter(col("id") > 3L).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,3)"))
+    assert(plan.contains("ReadSchema: struct<id:bigint>"))
+    assert(df.collect().map(_.getLong(0)).toSet == Set(4L, 5L, 6L))
+  }
+
+  test("mergeSchema option surfaces evolved columns as NULL on old rows") {
+    val df = spark.read.format("txlog").option("mergeSchema", "true")
+      .load(dir)
+    assert(df.columns.contains("q"))
+    val withQ = df.filter(col("q").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(withQ == Seq((6L, 60L)))
+    assert(df.filter(col("q").isNull).count() == 4)
+  }
+}
