@@ -187,6 +187,62 @@ object Layout {
     }
   }
 
+  /** Z-ordered layout with the zone as a HIVE PARTITION column: rows
+    * are range-partitioned on their z-value (sampled bounds — bins
+    * stay balanced whatever the key distribution, the [[zOrdered]]
+    * property) and each range becomes a `zbin=<id>/` directory, so
+    * one bin = one contiguous Morton range = a tight bounding box in
+    * both keys. This is the DISTRIBUTED-prune twin of
+    * [[zOrdered]]+[[prunedRead]]: because the zone is a partition
+    * column, pruning can ride Spark's own partition machinery instead
+    * of a driver-collected file list.
+    */
+  def zOrderedPartitionedWrite(df: DataFrame, xCol: String,
+      yCol: String, dir: String, nBins: Int = 16,
+      bits: Int = 16): Unit =
+    df.withColumn("zval", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nBins, col("zval"))
+      .withColumn("zbin", spark_partition_id().cast("long"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+      .write.mode("overwrite").partitionBy("zbin").parquet(dir)
+
+  /** Per-zone (min, max, count) statistics for a
+    * [[zOrderedPartitionedWrite]] layout — O(zones) rows, kept AS A
+    * TABLE (write it next to the data), never a driver list.
+    */
+  def zbinStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+      keyCols: Seq[String]): DataFrame = {
+    val aggs = keyCols.flatMap(k => Seq(
+      min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k")))
+    spark.read.parquet(dir)
+      .groupBy(col("zbin"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Fully DISTRIBUTED zone prune: the range test runs as a filter
+    * over the stats TABLE and the surviving zones reach the scan as a
+    * broadcast equi-join on the `zbin` partition column — DYNAMIC
+    * PARTITION PRUNING then skips unmatched `zbin=` directories at
+    * the file level (pinned in LayoutSpec). No file or zone list ever
+    * rides the driver, so there is no `maxFiles` cap and no full-scan
+    * fallback: this is the shape that holds at millions of files.
+    * Row-identical to the plain filter by construction — min/max only
+    * ever EXCLUDES zones that provably hold no match.
+    */
+  def prunedReadDpp(spark: org.apache.spark.sql.SparkSession,
+      dir: String, stats: DataFrame, key: String, lo: Long,
+      hi: Long): DataFrame = {
+    val zones = stats
+      .filter(col(s"min_$key").cast("long") <= hi &&
+        col(s"max_$key").cast("long") >= lo)
+      .select(col("zbin"))
+    spark.read.parquet(dir)
+      .join(broadcast(zones), Seq("zbin"))
+      .filter(col(key).between(lo, hi))
+      .drop("zbin")
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (streaming sinks and incremental
     * appends accumulate kilobyte files whose per-file open/footer cost

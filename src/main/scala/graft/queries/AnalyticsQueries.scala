@@ -3120,6 +3120,24 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // the DISTRIBUTED twin of q190: zones are hive partitions
+    // (zbin=<id>/ from a range partition on the z-value) and the
+    // range prune rides a broadcast join on the partition column —
+    // dynamic partition pruning skips unmatched directories at the
+    // file level with NO driver-collected path list and no maxFiles
+    // cap (LayoutSpec pins the DPP subquery and the numFiles metric).
+    // Must equal the plain range filter — q190's oracle shape
+    "q317_zonemap_dpp" -> ((s, d) => {
+      val dir = zbinEventsFor(s, d)
+      val stats = graft.operators.Layout.zbinStats(s, dir,
+        Seq("user_id"))
+      graft.operators.Layout.prunedReadDpp(s, dir, stats,
+          "user_id", 5L, 9L)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"))
+        .orderBy("event_id")
+    }),
+
     // per-file BLOOM skipping index: point lookup on event_id over the
     // z-ordered-by-user layout — a column the files are NOT sorted by,
     // so min/max ranges can't prune but per-file blooms can ("this
@@ -4462,6 +4480,22 @@ object AnalyticsQueries {
       tmp
     })
 
+  /** Hive-partitioned z-order twin of [[zorderedEventsFor]] (q317):
+    * zones as zbin= partition directories so pruning is DPP.
+    */
+  private val zbinCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def zbinEventsFor(s: SparkSession, dir: String): String =
+    zbinCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zbin-")
+        .toString
+      graft.operators.Layout.zOrderedPartitionedWrite(
+        t(s, d, "events").withColumn("vint",
+          (col("value") / 64).cast("long")),
+        "user_id", "vint", tmp, nBins = 16)
+      tmp
+    })
+
   private def inList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -4933,6 +4967,9 @@ object AnalyticsQueries {
     "q200_bloom_skip" ->
       ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
        + "WHERE event_id = 777 ORDER BY event_id"),
+    "q317_zonemap_dpp" ->
+      ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
+       + "WHERE user_id BETWEEN 5 AND 9 ORDER BY event_id"),
     "q203_schema_evolution" ->
       ("SELECT CASE WHEN event_id % 2 = 0 THEN '__pre_schema__' ELSE event_type END AS event_type, "
        + "COUNT(*)::BIGINT AS n, SUM(event_id)::BIGINT AS id_sum "

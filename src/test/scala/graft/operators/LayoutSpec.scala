@@ -99,6 +99,65 @@ class LayoutSpec extends SparkSpec {
     assert(none.schema == full.schema)
   }
 
+  test("zbin-partitioned layout: zone prune is DPP, no driver file list") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp-")
+      .toString
+    val ev = Tables(spark, sf, "events")
+      .withColumn("vint", (col("value") / 64).cast("long"))
+    Layout.zOrderedPartitionedWrite(ev.drop("props"), "user_id", "vint",
+      dir, nBins = 16)
+    // one hive partition dir per occupied zone
+    val bins = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("zbin="))
+    assert(bins.nonEmpty && bins.length <= 16)
+    val stats = Layout.zbinStats(spark, dir, Seq("user_id"))
+    assert(stats.count() == bins.length)
+    // the pruned read: surviving zones reach the scan through a
+    // broadcast join on the partition column — dynamic partition
+    // pruning, never a collected path list
+    val pruned = Layout.prunedReadDpp(spark, dir, stats,
+      "user_id", 10L, 11L)
+    val full = spark.read.parquet(dir)
+      .filter(col("user_id").between(10, 11)).drop("zbin")
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+    assert(pruned.agg(sum("event_id")).head().getLong(0) ==
+      full.agg(sum("event_id")).head().getLong(0))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"zone prune did not plan as DPP:\n$plan")
+    // file-level proof: the data scan's runtime metrics must show it
+    // opened FEWER files than the table holds (sf0.001 has users
+    // 0-14, so a 2-user slice survives in a minority of zones)
+    val totalFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("zbin="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+    val scanned = scans(pruned.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains(dir)))
+      .map(_.metrics("numFiles").value)
+    assert(scanned.nonEmpty && scanned.head < totalFiles,
+      s"DPP read ${scanned.headOption} of $totalFiles files")
+    // contrast: the capped driver-list path at an over-cap file count
+    // abandons skipping for a full scan (row-identical, but every
+    // file is read) — the DPP path above is the shape with no cap
+    val zmap = Layout.zoneMap(spark, dir, Seq("user_id"))
+    val (_, readN, totN) = Layout.prunedRead(spark, dir, zmap,
+      "user_id", 10L, 11L, maxFiles = 1)
+    assert(readN == totN, "over-cap fallback should read everything")
+    // empty range: zero surviving zones, empty result, same schema
+    val none = Layout.prunedReadDpp(spark, dir, stats,
+      "user_id", -500L, -400L)
+    assert(none.count() == 0)
+    assert(none.schema.fieldNames.toSet == full.schema.fieldNames.toSet)
+  }
+
   test("bloomIndex + bloomPrunedRead: point lookups skip files, no false negatives") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bl-").toString
     // 32k ids hash-scattered over 16 files: NOT sorted by id, so
