@@ -3138,6 +3138,41 @@ object AnalyticsQueries {
         .orderBy("event_id")
     }),
 
+    // KLL rank-error quantile sketch (deterministic MRL compaction):
+    // per-event-type sketches of `value` at k=128, quantile estimates
+    // at q ∈ {.25, .5, .9}, then each estimate's TRUE rank measured
+    // against the corpus — the certified ε(k, n) bound becomes the
+    // oracle-checked booleans (a violated bound flips a column and
+    // fails the hash). SketchSpec pins exactness below k, the bound
+    // above it, and the mergeable rollup; this entry certifies the
+    // contract cross-engine on real data
+    "q318_kll_quantiles" -> ((s, d) => {
+      val k = 128
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val sk = graft.operators.Kll.sketch(ev, "event_type", "value", k)
+      val ests = sk.select(col("event_type"),
+        graft.operators.Kll.quantile(col("sketch"), 0.25).as("e25"),
+        graft.operators.Kll.quantile(col("sketch"), 0.50).as("e50"),
+        graft.operators.Kll.quantile(col("sketch"), 0.90).as("e90"))
+      val ranks = ev.join(broadcast(ests), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(when(col("value") <= col("e25"), 1L).otherwise(0L))
+            / count(lit(1))).as("r25"),
+          (sum(when(col("value") <= col("e50"), 1L).otherwise(0L))
+            / count(lit(1))).as("r50"),
+          (sum(when(col("value") <= col("e90"), 1L).otherwise(0L))
+            / count(lit(1))).as("r90"))
+      val eps = lit(2.0) * (ceil(log(2.0,
+          greatest(col("n_rows").cast("double") / k, lit(1.0)))) + 2.0) /
+        lit(k.toDouble) + lit(1.0) / col("n_rows")
+      ranks.select(col("event_type"), col("n_rows"),
+          (abs(col("r25") - 0.25) <= eps).as("within_q25"),
+          (abs(col("r50") - 0.50) <= eps).as("within_q50"),
+          (abs(col("r90") - 0.90) <= eps).as("within_q90"))
+        .orderBy("event_type")
+    }),
+
     // per-file BLOOM skipping index: point lookup on event_id over the
     // z-ordered-by-user layout — a column the files are NOT sorted by,
     // so min/max ranges can't prune but per-file blooms can ("this
@@ -4970,6 +5005,10 @@ object AnalyticsQueries {
     "q317_zonemap_dpp" ->
       ("SELECT event_id, user_id, ROUND(value, 4) AS value FROM events "
        + "WHERE user_id BETWEEN 5 AND 9 ORDER BY event_id"),
+    "q318_kll_quantiles" ->
+      ("SELECT event_type, COUNT(*)::BIGINT AS n_rows, "
+       + "TRUE AS within_q25, TRUE AS within_q50, TRUE AS within_q90 "
+       + "FROM events GROUP BY event_type ORDER BY event_type"),
     "q203_schema_evolution" ->
       ("SELECT CASE WHEN event_id % 2 = 0 THEN '__pre_schema__' ELSE event_type END AS event_type, "
        + "COUNT(*)::BIGINT AS n, SUM(event_id)::BIGINT AS id_sum "

@@ -55,4 +55,72 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approx - exact) / math.max(math.abs(exact), 1e-9) <= 0.05,
       s"exact=$exact approx=$approx")
   }
+
+  test("KLL: exact below k; certified rank error above; mergeable rollup") {
+    import graft.operators.Kll
+    import spark.implicits._
+    val k = 128
+    // --- exactness: n <= k means nothing ever compacts ---
+    val small = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val smallSk = Kll.sketch(small, "g", "v", k)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = smallSk.select(Kll.quantile(col("sketch"), q))
+        .head().getDouble(0)
+      // exact lower quantile of 1..100 at ceil(q*100)
+      assert(est == math.ceil(q * 100), s"q=$q est=$est")
+    }
+    // --- certified epsilon on a 60k skewed stream ---
+    val n = 60000L
+    val big = spark.range(n).select(lit("g").as("g"),
+      // heavy skew: half the mass at tiny values, a long tail above
+      when(col("id") % 2 === 0, col("id").cast("double") / 1e6)
+        .otherwise(pow(col("id").cast("double"), 1.5)).as("v"))
+    val sk = Kll.sketch(big, "g", "v", k)
+    assert(sk.select(Kll.totalWeight(col("sketch"))).head().getDouble(0)
+      == n.toDouble)
+    val eps = Kll.epsilon(k, n)
+    assert(eps < 0.2, s"bound should be non-vacuous, got $eps")
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      val est = sk.select(Kll.quantile(col("sketch"), q))
+        .head().getDouble(0)
+      val rank = big.filter(col("v") <= est).count().toDouble / n
+      assert(math.abs(rank - q) <= eps + 1.0 / n,
+        s"q=$q est=$est rank=$rank eps=$eps")
+    }
+    // --- buffer is bounded: levels*k, never the stream ---
+    val sizes = sk.select(flatten(col("sketch.levels"))).head()
+      .getSeq[Double](0).size
+    assert(sizes <= k * 16, s"sketch holds $sizes values")
+    // --- rollup: per-shard sketches merged == same epsilon contract
+    // (compaction arrangement differs with merge order, so rollup and
+    // direct agree to the BOUND, not bit-for-bit — the bound is the
+    // production contract) ---
+    val sharded = Kll.sketch(
+      big.withColumn("g", concat(lit("s"), col("v").cast("long") % 7)),
+      "g", "v", k)
+    val mergeAgg = org.apache.spark.sql.functions.udaf(
+      new Kll.KllMergeAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Kll.KllState]())
+    // a product input encoder maps each case-class field to one
+    // input column
+    val rolled = sharded.select(lit("g").as("g"), col("sketch"))
+      .groupBy("g")
+      .agg(mergeAgg(col("sketch.levels"), col("sketch.flips"))
+        .as("sketch"))
+    assert(rolled.select(Kll.totalWeight(col("sketch")))
+      .head().getDouble(0) == n.toDouble)
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val est = rolled.select(Kll.quantile(col("sketch"), q))
+        .head().getDouble(0)
+      val rank = big.filter(col("v") <= est).count().toDouble / n
+      assert(math.abs(rank - q) <= eps + 1.0 / n,
+        s"rollup q=$q est=$est rank=$rank eps=$eps")
+    }
+    // --- determinism: the same input yields the identical sketch ---
+    val again = Kll.sketch(big, "g", "v", k)
+      .select(Kll.quantile(col("sketch"), 0.5)).head().getDouble(0)
+    assert(again == sk.select(Kll.quantile(col("sketch"), 0.5))
+      .head().getDouble(0))
+  }
 }
