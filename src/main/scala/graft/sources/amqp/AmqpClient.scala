@@ -47,13 +47,21 @@ final class AmqpConnection(url: AmqpUrl) {
     val plain = new Socket()
     plain.connect(new java.net.InetSocketAddress(host, port),
       math.max(1, (url.socketTimeout * 1000).toInt))
-    if (tls)
-      // amqps: wrap the connected socket in the JVM's default TLS
-      // context (the python equivalent of pika's amqps:// handling)
-      javax.net.ssl.SSLSocketFactory.getDefault
-        .asInstanceOf[javax.net.ssl.SSLSocketFactory]
-        .createSocket(plain, host, port, true)
-    else plain
+    if (tls) {
+      // amqps: wrap the connected socket in a TLS context honoring
+      // the URL's ssl_options (ca_certs → trust store, certfile/
+      // keyfile → mutual-TLS key store); none given ⇒ the JVM default
+      // context — pika's amqps handling, JVM-native
+      val ctx = url.sslOptions.map(Tls.context)
+        .getOrElse(javax.net.ssl.SSLContext.getDefault)
+      val sni = url.sslOptions.flatMap(_.serverHostname).getOrElse(host)
+      val s = ctx.getSocketFactory.createSocket(plain, sni, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      // handshake inside the connect step so a trust failure rides
+      // the connection_attempts retry/surface path like any IOError
+      s.startHandshake()
+      s
+    } else plain
   }
 
   // pika URLParameters connection_attempts/retry_delay: retry the TCP

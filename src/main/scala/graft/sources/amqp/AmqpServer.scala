@@ -49,7 +49,9 @@ import Amqp._
   */
 final class AmqpServer(port: Int, walDir: Option[Path],
     users: Map[String, String] = Map("guest" -> "guest"),
-    vhosts: Set[String] = Set("/")) {
+    vhosts: Set[String] = Set("/"),
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    needClientAuth: Boolean = false) {
   private val exchanges = new ConcurrentHashMap[String, ExchangeLog]()
   private val declaredKwargs = new ConcurrentHashMap[String, Map[String, String]]()
   private val bindings = new ConcurrentHashMap[String, String]() // queue -> exchange
@@ -60,7 +62,14 @@ final class AmqpServer(port: Int, walDir: Option[Path],
     new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
   // reuseAddress: a restarted broker must rebind its port even while
   // the dead process's connections sit in TIME_WAIT
-  private val server = new ServerSocket()
+  private val server = sslContext match {
+    case Some(ctx) => // amqps listener (TLS server socket)
+      val ss = ctx.getServerSocketFactory.createServerSocket()
+        .asInstanceOf[javax.net.ssl.SSLServerSocket]
+      ss.setNeedClientAuth(needClientAuth)
+      ss
+    case None => new ServerSocket()
+  }
   server.setReuseAddress(true)
   server.bind(new java.net.InetSocketAddress(port))
   @volatile private var running = true

@@ -18,24 +18,37 @@ package graft.sources.amqp
   * Honored here: `heartbeat` (None ⇒ accept the broker's tune value,
   * pika's default), `connection_attempts`, `retry_delay`,
   * `socket_timeout` (connect timeout), `frame_max`, `channel_max`,
-  * `locale`. Unknown keys raise, exactly as pika's
+  * `locale`, and `ssl_options` — a dict literal (pika's shape, e.g.
+  * `{'ca_certs': '/ca.pem', 'certfile': ..., 'keyfile': ...,
+  * 'server_hostname': ...}`) whose keys map onto the JVM TLS context
+  * ([[Tls.context]]): ca_certs → trust store, certfile/keyfile →
+  * key store (mutual TLS), server_hostname → SNI/verification name.
+  * Unknown keys raise, exactly as pika's
   * `ValueError("Unknown URL parameter")`; the pika keys this client
-  * has no machinery for (`ssl_options`, `tcp_options`,
-  * `client_properties`, `blocked_connection_timeout`,
-  * `stack_timeout`) raise a distinct "not supported" error rather
-  * than being silently dropped.
+  * has no machinery for (`tcp_options`, `client_properties`,
+  * `blocked_connection_timeout`, `stack_timeout`, and unsupported
+  * ssl_options sub-keys) raise a distinct "not supported" error
+  * rather than being silently dropped.
   */
 final case class AmqpUrl(host: String, port: Int, user: String,
     password: String, vhost: String, tls: Boolean,
     heartbeat: Option[Int] = None, connectionAttempts: Int = 1,
     retryDelay: Double = 2.0, socketTimeout: Double = 10.0,
-    frameMax: Int = 0, channelMax: Int = 0, locale: String = "en_US")
+    frameMax: Int = 0, channelMax: Int = 0, locale: String = "en_US",
+    sslOptions: Option[SslOptions] = None)
+
+/** Parsed pika `ssl_options` dict — only keys with a JVM-native
+  * equivalent; the rest are rejected at parse time.
+  */
+final case class SslOptions(caCerts: Option[String] = None,
+    certFile: Option[String] = None, keyFile: Option[String] = None,
+    serverHostname: Option[String] = None)
 
 object AmqpUrl {
   /** pika keys that exist but this client cannot honor — rejected
     * loudly (a silently-ignored TLS option would be a security bug).
     */
-  private val Unsupported = Set("ssl_options", "tcp_options",
+  private val Unsupported = Set("tcp_options",
     "client_properties", "blocked_connection_timeout", "stack_timeout")
 
   def parse(url: String): AmqpUrl = {
@@ -101,9 +114,47 @@ object AmqpUrl {
       case "frame_max" => a.copy(frameMax = int(k, v, 4096, Amqp.DefaultFrameMax))
       case "channel_max" => a.copy(channelMax = int(k, v, 0, 65535))
       case "locale" => a.copy(locale = v)
+      case "ssl_options" => a.copy(sslOptions = Some(parseSsl(v, url)))
       case key if Unsupported(key) => throw new IllegalArgumentException(
         s"URL parameter '$key' in '$url' is recognized by pika but not supported by this client")
       case key => throw new IllegalArgumentException(
         s"Unknown URL parameter: '$key' in '$url'")
     }
+
+  /** Parse pika's ssl_options dict literal (single- or double-quoted
+    * keys/values). Keys without a JVM equivalent raise — honoring a
+    * subset silently would be the security bug the old blanket
+    * rejection guarded against.
+    */
+  private def parseSsl(v: String, url: String): SslOptions = {
+    val body = v.trim.stripPrefix("{").stripSuffix("}").trim
+    def unq(s: String): String = {
+      val t = s.trim
+      if ((t.startsWith("'") && t.endsWith("'")) ||
+          (t.startsWith("\"") && t.endsWith("\"")))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    val opts =
+      if (body.isEmpty) SslOptions()
+      else body.split(",").foldLeft(SslOptions()) { (acc, kv) =>
+        val i = kv.indexOf(':')
+        if (i <= 0) throw new IllegalArgumentException(
+          s"ssl_options entry '$kv' in '$url' is not a key: value pair")
+        val (k, value) = (unq(kv.take(i)), unq(kv.drop(i + 1)))
+        k match {
+          case "ca_certs" | "cafile" => acc.copy(caCerts = Some(value))
+          case "certfile" => acc.copy(certFile = Some(value))
+          case "keyfile" => acc.copy(keyFile = Some(value))
+          case "server_hostname" =>
+            acc.copy(serverHostname = Some(value))
+          case other => throw new IllegalArgumentException(
+            s"ssl_options key '$other' in '$url' is recognized by pika but not supported by this client")
+        }
+      }
+    if (opts.certFile.isDefined != opts.keyFile.isDefined)
+      throw new IllegalArgumentException(
+        s"ssl_options in '$url': certfile and keyfile must be given together")
+    opts
+  }
 }
