@@ -422,6 +422,41 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("skey"))
   }
 
+  /** Concat-and-chunk SEQUENCE PACKING — the LLM-pretraining
+    * dataloader shape: documents are dealt to shards by a seeded md5
+    * key (one worker's stream each), laid end-to-end in seeded order
+    * within their shard, and the token stream is cut every `seqLen`
+    * tokens; a document then occupies byte range
+    * [start_off, start_off + n_tok) of its shard's stream and spans
+    * chunks floor(start_off/L) .. floor((end-1)/L). Emitting the
+    * SPAN (not one row per chunk) keeps output linear in documents.
+    *
+    * Plan shape: ONE shuffle (repartition by shard — the same
+    * rows-move-once bound as [[shuffleExport]]) + a per-shard running
+    * sum (each shard is one window partition, shards pack in
+    * parallel — exactly how per-worker packing runs on a cluster).
+    * Every output column is a pure function of (seed, ids, token
+    * counts), so the oracle replays the packing bit-for-bit.
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int, nShards: Int, seed: String): DataFrame = {
+    require(seqLen > 0 && nShards > 0, "seqLen and nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"))
+    df.withColumn("skey", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("bigint"),
+          lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .withColumn("start_off",
+        coalesce(sum(col(nTokCol)).over(w) - col(nTokCol), lit(0L)))
+      .withColumn("chunk_first",
+        floor(col("start_off") / seqLen.toLong))
+      .withColumn("chunk_last",
+        floor((col("start_off") + col(nTokCol) - 1) / seqLen.toLong))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — the
     * stability-under-resharding alternative to mod-N: each (key,
     * shard) pair gets an md5-derived 60-bit weight and the key goes

@@ -59,8 +59,15 @@ object TxTable {
   private def logDir(dir: String) = Paths.get(dir, "_txlog")
   private def dataDir(dir: String) = Paths.get(dir, "data")
 
+  /** One commit. `dataChange=false` marks a pure data-reorganization
+    * commit (OPTIMIZE): the file set changes but no row's content or
+    * liveness does — the change feed skips it entirely, exactly
+    * Delta's `dataChange` flag on add/remove actions (without it a
+    * compaction would force the feed to diff the whole table just to
+    * prove the diff is empty).
+    */
   private[operators] final case class Entry(version: Int, adds: Seq[String],
-      removes: Seq[String])
+      removes: Seq[String], dataChange: Boolean = true)
 
   /** Raised when an optimistic retry finds a real conflict (Delta's
     * `ConcurrentModificationException` contract).
@@ -85,7 +92,8 @@ object TxTable {
     Files.createDirectories(logDir(dir))
     val json = s"""{"version":${e.version},""" +
       s""""adds":[${e.adds.map(a => "\"" + esc(a) + "\"").mkString(",")}],""" +
-      s""""removes":[${e.removes.map(r => "\"" + esc(r) + "\"").mkString(",")}]}"""
+      s""""removes":[${e.removes.map(r => "\"" + esc(r) + "\"").mkString(",")}],""" +
+      s""""dataChange":${e.dataChange}}"""
     // CREATE_NEW is the commit point: the version file either appears
     // fully or the commit fails — a concurrent writer of the same
     // version loses with FileAlreadyExistsException
@@ -121,7 +129,10 @@ object TxTable {
           .map(_.trim.stripPrefix("\"").stripSuffix("\"")
             .replace("\\\"", "\"").replace("\\\\", "\\"))
       }
-      Entry(v, arr("adds"), arr("removes"))
+      // entries written before the flag existed default to
+      // dataChange=true (the conservative reading: include in the feed)
+      Entry(v, arr("adds"), arr("removes"),
+        dataChange = !s.contains("\"dataChange\":false"))
     }
 
   /** Current highest committed version (0 = empty table). */
@@ -255,12 +266,12 @@ object TxTable {
   private[operators] def commitWithRetry(dir: String, adds: Seq[String],
       removes: Seq[String], firstV: Int,
       conflicts: Seq[Entry] => Option[String],
-      maxAttempts: Int = 20): Int = {
+      maxAttempts: Int = 20, dataChange: Boolean = true): Int = {
     var v = firstV
     var validatedThrough = firstV - 1
     var attempt = 0
     while (true) {
-      try { writeEntry(dir, Entry(v, adds, removes)); return v }
+      try { writeEntry(dir, Entry(v, adds, removes, dataChange)); return v }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         attempt += 1
         if (attempt >= maxAttempts)
@@ -325,13 +336,19 @@ object TxTable {
     * race retries at the next version without restaging.
     */
   def commitAppend(df: DataFrame, dir: String,
-      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
     val v0 = currentVersion(dir) + 1
     val added = stage(df, dir, v0)
+    writeStats(df.sparkSession, dir, stageRelOf(added), added, statsCols)
     val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts)
     maybeCheckpoint(df.sparkSession, dir, v, checkpointEvery)
     v
   }
+
+  /** The unique stage-dir name shared by one commit's adds. */
+  private def stageRelOf(added: Seq[String]): String =
+    added.headOption.map(_.takeWhile(_ != '/')).getOrElse("")
 
   /** Predicate delete: rewrite ONLY the files containing a matching
     * row; untouched files stay live under their old names. Surviving
@@ -342,7 +359,8 @@ object TxTable {
     */
   def commitDelete(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column,
-      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val matches = coalesce(pred, lit(false))
@@ -358,6 +376,7 @@ object TxTable {
       spark.read.parquet(affected.map(f => s"$base/$f"): _*)
         .filter(!matches),
       dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added, statsCols)
     val v = commitWithRetry(dir, added, affected, v0,
       rewriteConflicts(affected.toSet))
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -394,7 +413,8 @@ object TxTable {
     */
   def commitMerge(spark: SparkSession, dir: String, source: DataFrame,
       keyCol: String,
-      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val current = spark.read.parquet(files.map(f => s"$base/$f"): _*)
@@ -411,6 +431,7 @@ object TxTable {
         .unionByName(source)
     val v0 = currentVersion(dir) + 1
     val added = stage(survivors, dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added, statsCols)
     val v = commitWithRetry(dir, added, affected, v0,
       rewriteConflicts(affected.toSet))
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -424,16 +445,25 @@ object TxTable {
     */
   def commitCompact(spark: SparkSession, dir: String,
       targetFiles: Int,
-      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Int = {
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val v0 = currentVersion(dir) + 1
-    val added = stage(
-      spark.read.parquet(files.map(f => s"$base/$f"): _*)
-        .repartition(targetFiles),
-      dir, v0)
+    val current = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+    // clusterBy = OPTIMIZE's clustering axis: range-partition so each
+    // output file owns a tight [min,max] slice of the cluster columns
+    // — what makes the per-file stats actually selective (Delta's
+    // OPTIMIZE ZORDER intent on one axis)
+    val arranged =
+      if (clusterBy.isEmpty) current.repartition(targetFiles)
+      else current.repartitionByRange(targetFiles,
+        clusterBy.map(col).toIndexedSeq: _*)
+    val added = stage(arranged, dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added, statsCols)
     val v = commitWithRetry(dir, added, files, v0,
-      compactConflicts(files.toSet))
+      compactConflicts(files.toSet), dataChange = false)
     maybeCheckpoint(spark, dir, v, checkpointEvery)
     v
   }
@@ -475,11 +505,280 @@ object TxTable {
       listDir(d).foreach(f => { Files.deleteIfExists(f); () })
       Files.deleteIfExists(d); ()
     }
+    // stats sidecars of orphaned stages go with them (a committed
+    // stage's sidecar stays even if some of its files were vacuumed —
+    // pruning filters by live files, so stale rows are inert)
+    listDir(logDir(dir))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("stats-") &&
+          !referenced.contains(n.stripPrefix("stats-"))
+      }
+      .foreach { d =>
+        listDir(d).foreach(f => { Files.deleteIfExists(f); () })
+        Files.deleteIfExists(d); ()
+      }
     // now-empty referenced dirs (all files vacuumed) go too
     listDir(dataDir(dir))
       .filter(p => Files.isDirectory(p) && listDir(p).isEmpty)
       .foreach(d => { Files.deleteIfExists(d); () })
     dead ++ orphans.map(o => o.getFileName.toString + "/")
+  }
+
+  // ---------------------------------------------------------------
+  // Per-file stats + data skipping
+  // ---------------------------------------------------------------
+
+  private def statsDir(dir: String, stageRel: String): Path =
+    logDir(dir).resolve(s"stats-$stageRel")
+
+  /** Write per-file (n_rows, min/max per stats column) for one staged
+    * commit as a tiny parquet sidecar keyed by the unique stage-dir
+    * name — Delta's stats-in-the-add-action contract, kept out of the
+    * JSON log so the log parser stays trivial and the stats stay
+    * distributed-scannable. Written BEFORE the commit point (like the
+    * data files), so a committed version always has its stats; a lost
+    * race's sidecar is an orphan [[vacuum]] reclaims. One columnar
+    * pass over ONLY the staged files (min/max of the stats columns —
+    * column pruning makes this cheap relative to the write itself).
+    */
+  private def writeStats(spark: SparkSession, dir: String,
+      stageRel: String, files: Seq[String],
+      statsCols: Seq[String]): Unit = {
+    if (statsCols.isEmpty || files.isEmpty) return
+    val base = dataDir(dir).toString
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(files.map(f => s"$base/$f"): _*)
+      .groupBy(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
+        .as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsDir(dir, stageRel).toString)
+  }
+
+  /** All stats sidecars as one DataFrame (mergeSchema: different
+    * commits may carry different stats columns), or None if the table
+    * has never written stats.
+    */
+  private def statsTable(spark: SparkSession, dir: String)
+      : Option[DataFrame] = {
+    val dirs = listDir(logDir(dir))
+      .filter(_.getFileName.toString.startsWith("stats-"))
+      .map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(dirs: _*))
+  }
+
+  /** Translate a DATA predicate into a STATS predicate over
+    * `min_<c>`/`max_<c>` columns — the Delta/Iceberg skipping rule: a
+    * file can be skipped only when the stats predicate is definitely
+    * false for its whole [min, max] range. Untranslatable subtrees
+    * (IS NULL, UDFs, columns without stats) return None = "cannot
+    * prune here"; inside an AND the other side may still prune, inside
+    * an OR both sides must translate (else the OR can't prune at all).
+    */
+  private def statsPredicate(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      covered: Set[String]): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def name(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute if covered.contains(a.name) => Some(a.name)
+      case a: AttributeReference if covered.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    def value(x: Expression): Option[Any] = x match {
+      case Literal(v, dt) =>
+        Some(CatalystTypeConverters.convertToScala(v, dt))
+      case _ => None
+    }
+    def range(c: String, v: Any, lowOp: (org.apache.spark.sql.Column, Any)
+        => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lowOp(col(s"min_$c"), v)
+    e match {
+      case And(l, r) =>
+        (statsPredicate(l, covered), statsPredicate(r, covered)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b)
+        }
+      case Or(l, r) =>
+        for { a <- statsPredicate(l, covered)
+              b <- statsPredicate(r, covered) } yield a || b
+      case EqualTo(a, b) =>
+        name(a).flatMap(c => value(b).map(v =>
+            col(s"min_$c") <= v && col(s"max_$c") >= v))
+          .orElse(name(b).flatMap(c => value(a).map(v =>
+            col(s"min_$c") <= v && col(s"max_$c") >= v)))
+      case LessThan(a, b) =>
+        name(a).flatMap(c => value(b).map(v => range(c, v, _ < _)))
+          .orElse(name(b).flatMap(c => value(a).map(v =>
+            col(s"max_$c") > v)))
+      case LessThanOrEqual(a, b) =>
+        name(a).flatMap(c => value(b).map(v => range(c, v, _ <= _)))
+          .orElse(name(b).flatMap(c => value(a).map(v =>
+            col(s"max_$c") >= v)))
+      case GreaterThan(a, b) =>
+        name(a).flatMap(c => value(b).map(v => col(s"max_$c") > v))
+          .orElse(name(b).flatMap(c => value(a).map(v =>
+            col(s"min_$c") < v)))
+      case GreaterThanOrEqual(a, b) =>
+        name(a).flatMap(c => value(b).map(v => col(s"max_$c") >= v))
+          .orElse(name(b).flatMap(c => value(a).map(v =>
+            col(s"min_$c") <= v)))
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        name(a).map { c =>
+          vs.flatMap(value).map(v =>
+              col(s"min_$c") <= v && col(s"max_$c") >= v)
+            .reduce(_ || _)
+        }
+      case _ => None
+    }
+  }
+
+  /** Live files as of `version` partitioned into (kept, skipped) for
+    * `pred`: a file is skipped only when its stats PROVE no row can
+    * match (stats predicate false; NULL stats — all-null column,
+    * missing sidecar, uncovered column — always keep). The file list
+    * rides the driver exactly as in [[liveFilesFast]]; the stats scan
+    * is distributed.
+    */
+  def pruneFiles(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val live = liveFilesFast(spark, dir, version)
+    statsTable(spark, dir) match {
+      case None => (live, Seq.empty)
+      case Some(st) =>
+        val covered = st.columns.filter(_.startsWith("min_"))
+          .map(_.stripPrefix("min_")).toSet
+        // resolve the predicate against the table schema (inserts the
+        // implicit casts, binds attributes) and walk the ANALYZED tree
+        // — matching the unanalyzed ColumnNode surface would miss
+        // every operator Spark rewrites during analysis
+        val cond = snapshot(spark, dir, version).filter(pred)
+          .queryExecution.analyzed match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            Some(f.condition)
+          case _ => None
+        }
+        cond.flatMap(statsPredicate(_, covered)) match {
+          case None => (live, Seq.empty)
+          case Some(sp) =>
+            // skippable ⇔ stats exist AND the stats predicate is
+            // definitely false (NULL = unknown = keep)
+            val skippable = st
+              .filter(!coalesce(sp, lit(true)))
+              .select(col("file")).collect().map(_.getString(0)).toSet
+            (live.filterNot(skippable), live.filter(skippable))
+        }
+    }
+  }
+
+  /** Predicate snapshot read WITH file skipping: scan only the files
+    * whose per-file stats admit a match, then apply the full predicate
+    * — at 100 TB a selective predicate over a clustered column reads
+    * the handful of files whose [min,max] intersects it, not the
+    * table. Result is always identical to `snapshot(...).filter(pred)`
+    * (skipping is sound by the min/max containment rule; pinned in
+    * TxTableSpec).
+    */
+  def snapshotWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
+    val (kept, _) = pruneFiles(spark, dir, pred, version)
+    val base = dataDir(dir).toString
+    if (kept.isEmpty) snapshot(spark, dir, version, mergeSchema).limit(0)
+    else spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(kept.map(f => s"$base/$f"): _*)
+      .filter(pred)
+  }
+
+  // ---------------------------------------------------------------
+  // Change data feed
+  // ---------------------------------------------------------------
+
+  /** Change data feed: the NET row-level changes per commit in
+    * (`fromVersion`, `toVersion`], as table rows plus `_change_type`
+    * ('insert' | 'delete') and `_commit_version` — the public CDF
+    * contract (Delta's `table_changes`) derived purely from the log:
+    *
+    *  - an append's added files ARE its inserts — no diff needed;
+    *  - a rewrite commit (DELETE/MERGE) is diffed file-locally:
+    *    `removes exceptAll adds` are the rows that stopped being live,
+    *    `adds exceptAll removes` the rows that started — survivor rows
+    *    that merely re-landed in a new file cancel out, so the feed
+    *    carries NET change, not rewrite churn;
+    *  - `dataChange=false` commits (OPTIMIZE) are skipped outright —
+    *    without the flag a compaction would force diffing the whole
+    *    table just to prove the diff is empty.
+    *
+    * Scale: each version's diff reads ONLY that commit's added/removed
+    * files, so feed cost rides the changed data, never table size —
+    * the property that makes CDF-driven incremental consumers cheaper
+    * than re-scanning snapshots.
+    */
+  def changes(spark: SparkSession, dir: String, fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    val upTo = toVersion.getOrElse(currentVersion(dir))
+    val base = dataDir(dir).toString
+    def readFiles(fs: Seq[String]): DataFrame =
+      spark.read.parquet(fs.map(f => s"$base/$f"): _*)
+    val perVersion = readEntries(dir, after = fromVersion, upTo = upTo)
+      .filter(_.dataChange)
+      .flatMap { e =>
+        def tag(df: DataFrame, ct: String): DataFrame =
+          df.withColumn("_change_type", lit(ct))
+            .withColumn("_commit_version", lit(e.version.toLong))
+        (e.adds.nonEmpty, e.removes.nonEmpty) match {
+          case (true, false) => Seq(tag(readFiles(e.adds), "insert"))
+          case (false, true) => Seq(tag(readFiles(e.removes), "delete"))
+          case (true, true) =>
+            val a = readFiles(e.adds)
+            // within one commit adds and removes share a schema
+            // (rewrites re-land the affected files' own columns);
+            // align order so exceptAll compares by position safely
+            val r = readFiles(e.removes).select(a.columns.map(col): _*)
+            Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
+          case _ => Seq.empty
+        }
+      }
+    if (perVersion.isEmpty)
+      snapshot(spark, dir).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    else
+      // across versions schemas may have evolved — union by name,
+      // missing columns NULL (the mergeSchema reading of the feed)
+      perVersion.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[changes]] with delete+insert pairs on the same `keyCol` within
+    * one commit reclassified as 'update_preimage' / 'update_postimage'
+    * — Delta CDF's four-type surface for keyed tables (a MERGE update
+    * is then distinguishable from a delete plus an unrelated insert).
+    * One window over the FEED (rides |changes|, never table size).
+    */
+  def changesWithUpdates(spark: SparkSession, dir: String,
+      fromVersion: Int, toVersion: Option[Int] = None,
+      keyCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cdf = changes(spark, dir, fromVersion, toVersion)
+    val w = Window.partitionBy(col("_commit_version"), col(keyCol))
+    cdf
+      .withColumn("_has_ins",
+        max(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+      .withColumn("_has_del",
+        max(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col("_has_ins") === 1 && col("_has_del") === 1,
+          when(col("_change_type") === "delete", "update_preimage")
+            .otherwise("update_postimage"))
+          .otherwise(col("_change_type")))
+      .drop("_has_ins", "_has_del")
   }
 
   /** Snapshot read as of `version` (None = latest): scan exactly the

@@ -4173,6 +4173,128 @@ object AnalyticsQueries {
         .orderBy("version")
     }),
 
+    // Change data feed over the transaction-log table (Delta's
+    // `table_changes` contract): NET row-level inserts/deletes per
+    // commit in (2, latest], derived from the log alone — appends
+    // emit their added files, rewrites diff ONLY their own files
+    // (survivor rows cancel, so no rewrite churn), and the OPTIMIZE
+    // commit contributes NOTHING because its log entry carries
+    // dataChange=false. Certified per (version, change_type) with a
+    // content checksum: v3 = the predicate-delete's rows, v5 = the
+    // merge's old/new rows + brand-new keys, v6 = the appended rows,
+    // v4 absent. Feed cost rides the changed data, never table size
+    "q319_txlog_cdf" -> ((s, d) => {
+      val dir2 = txTableDir(s, d)
+      graft.operators.TxTable.changes(s, dir2, fromVersion = 2)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .orderBy("version", "change_type")
+    }),
+
+    // The keyed four-type feed: delete+insert pairs on the same
+    // doc_id within one commit reclassify as update_preimage /
+    // update_postimage (one window over the FEED, rides |changes|) —
+    // so the v5 MERGE's updates are distinguishable from its brand-new
+    // keys, while v3's deletes and v6's inserts pass through unchanged
+    "q320_txlog_cdf_updates" -> ((s, d) => {
+      val dir2 = txTableDir(s, d)
+      graft.operators.TxTable.changesWithUpdates(s, dir2,
+          fromVersion = 2, keyCol = "doc_id")
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .orderBy("version", "change_type")
+    }),
+
+    // Incremental view maintenance OFF the change feed: per-lang
+    // count + char-sum materialized at v2, then advanced to v6 purely
+    // from the feed (+row for insert, -row for delete — both
+    // retractable aggregates), never re-scanning the table. The
+    // oracle computes the TRUE v6 state from scratch, so the
+    // incremental path must land on it exactly — the CDF-consumer
+    // deployment shape: downstream aggregates ride |changes| per
+    // refresh, not table size
+    "q321_txlog_ivm" -> ((s, d) => {
+      val dir2 = txTableDir(s, d)
+      val state2 = graft.operators.TxTable.snapshot(s, dir2, Some(2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n0"),
+          sum(length(col("text")).cast("long")).as("len0"))
+      val delta = graft.operators.TxTable.changes(s, dir2, fromVersion = 2)
+        .withColumn("sign",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("lang"))
+        .agg(sum(col("sign")).as("dn"),
+          sum(col("sign") * length(col("text"))).as("dlen"))
+      state2.join(delta, Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("len0"), lit(0L)) + coalesce(col("dlen"), lit(0L)))
+            .as("sum_len"))
+        .filter(col("n_docs") > 0)
+        .orderBy("lang")
+    }),
+
+    // Data skipping on the transaction-log table: per-file min/max
+    // stats (written as a parquet sidecar at commit time — Delta's
+    // stats-in-the-log contract) let a selective predicate scan only
+    // the files whose [min,max] admits a match; the predicate is
+    // ANALYZED and translated to a stats predicate (AND keeps the
+    // translatable side, OR needs both, unknown subtrees never prune
+    // — the soundness rule), so skipping can never change an answer.
+    // Result must equal the plain filter exactly (that IS the oracle);
+    // the file-count pin lives in TxTableSpec
+    "q323_txlog_skipping" -> ((s, d) => {
+      val dir2 = txStatsDir(s, d)
+      def roll(label: String, pred: org.apache.spark.sql.Column) =
+        graft.operators.TxTable.snapshotWhere(s, dir2, pred)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(label).as("probe"), col("n_rows"), col("checksum"))
+      roll("range", col("doc_id") >= 10L && col("doc_id") <= 99L)
+        .unionAll(roll("in_list", col("doc_id").isin(5L, 500L, 5000L)))
+        .unionAll(roll("mixed",
+          (col("doc_id") < 8L || col("doc_id") > 4000L) &&
+            col("lang") =!= ""))
+        .orderBy("probe")
+    }),
+
+    // Sequence packing (concat-and-chunk): the LLM-pretraining
+    // dataloader op — docs dealt to 8 shards by seeded md5, laid
+    // end-to-end in seeded order, token stream cut every 2048; each
+    // doc's (start_off, chunk span) is a pure function of the seed,
+    // so the oracle replays the packing bit-for-bit. Certified per
+    // shard: doc/token totals, chunk count, placement checksum, and
+    // the straddler count (docs crossing a cut — what a loader must
+    // split). ONE shuffle + a per-shard running sum; shards pack in
+    // parallel, exactly per-worker packing on a cluster
+    "q324_seq_packing" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.words(col("text"))).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+      graft.operators.Sampling
+        .packSequences(docs, "doc_id", "n_tok",
+          seqLen = 2048, nShards = 8, seed = "pack11")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          (max(col("chunk_last")) + 1).as("n_chunks"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "start_off, '|', chunk_first)), 1, 15), 16, 10) AS BIGINT))")
+            .as("pack_ck"),
+          sum(when(col("chunk_first") =!= col("chunk_last"), 1L)
+            .otherwise(0L)).as("n_straddlers"))
+        .orderBy("shard")
+    }),
+
     // Hybrid retrieval over the index: q211's RRF fusion with the
     // LEXICAL leg answered by the postings artifact (q305's path)
     // instead of a corpus scan — the hybrid-search deployment shape,
@@ -4458,7 +4580,7 @@ object AnalyticsQueries {
     */
   private val txCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def txTableDir(s: SparkSession, dir: String): String =
+  private[queries] def txTableDir(s: SparkSession, dir: String): String =
     txCache.computeIfAbsent(dir, { d =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-txtable-")
         .toString
@@ -4489,6 +4611,23 @@ object AnalyticsQueries {
             col("text"), col("lang"),
             (length(col("text")) % 100).cast("long").as("quality")),
         tmp)
+      tmp
+    })
+
+  /** Stats-carrying transaction-log table (q323): documents range-
+    * clustered on doc_id into 8 files, per-file min/max recorded as
+    * the commit's stats sidecar — the Delta data-skipping shape.
+    */
+  private val txStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txStatsDir(s: SparkSession, dir: String): String =
+    txStatsCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txstats-")
+        .toString
+      graft.operators.TxTable.commitAppend(
+        t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+          .repartitionByRange(8, col("doc_id")),
+        tmp, statsCols = Seq("doc_id"))
       tmp
     })
 
@@ -6504,6 +6643,60 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM m) "
        + "SELECT * FROM v2 UNION ALL SELECT * FROM v3 UNION ALL SELECT * FROM v4 "
        + "UNION ALL SELECT * FROM v5 ORDER BY version"),
+    // the feed's closed form: v3 = predicate-delete rows; v5 = merge
+    // old rows (delete) + new/updated rows (insert); v6 = appended
+    // rows; v4 (OPTIMIZE) contributes nothing
+    "q319_txlog_cdf" ->
+      ("WITH f AS ("
+       + "SELECT 3::BIGINT AS version, 'delete' AS change_type, doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+       + "UNION ALL SELECT 5, 'insert', doc_id, 'v2 ' || text FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 "
+       + "UNION ALL SELECT 5, 'insert', doc_id + 2000000000, text FROM documents WHERE doc_id % 11 = 0 "
+       + "UNION ALL SELECT 5, 'delete', doc_id, text FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 "
+       + "UNION ALL SELECT 6, 'insert', doc_id + 3000000000, text FROM documents WHERE doc_id % 13 = 0) "
+       + "SELECT version, change_type, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM f GROUP BY version, change_type ORDER BY version, change_type"),
+    "q320_txlog_cdf_updates" ->
+      ("WITH f AS ("
+       + "SELECT 3::BIGINT AS version, 'delete' AS change_type, doc_id, text FROM documents WHERE doc_id % 7 = 0 "
+       + "UNION ALL SELECT 5, 'update_postimage', doc_id, 'v2 ' || text FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 "
+       + "UNION ALL SELECT 5, 'insert', doc_id + 2000000000, text FROM documents WHERE doc_id % 11 = 0 "
+       + "UNION ALL SELECT 5, 'update_preimage', doc_id, text FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0 "
+       + "UNION ALL SELECT 6, 'insert', doc_id + 3000000000, text FROM documents WHERE doc_id % 13 = 0) "
+       + "SELECT version, change_type, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM f GROUP BY version, change_type ORDER BY version, change_type"),
+    "q323_txlog_skipping" ->
+      ("WITH r AS (SELECT 'range' AS probe, doc_id, text FROM documents WHERE doc_id >= 10 AND doc_id <= 99 "
+       + "UNION ALL SELECT 'in_list', doc_id, text FROM documents WHERE doc_id IN (5, 500, 5000) "
+       + "UNION ALL SELECT 'mixed', doc_id, text FROM documents WHERE (doc_id < 8 OR doc_id > 4000) AND lang <> ''), "
+       + "p AS (SELECT 'range' AS probe UNION ALL SELECT 'in_list' UNION ALL SELECT 'mixed') "
+       + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe ORDER BY p.probe"),
+    // replays the seeded packing bit-for-bit: same md5 shard/order,
+    // same running offsets, same chunk spans
+    "q324_seq_packing" ->
+      ("WITH ws AS (" + wordsCte + "), "
+       + "d AS (SELECT doc_id, len(ws)::BIGINT AS n_tok FROM ws WHERE len(ws) > 0), "
+       + "k AS (SELECT doc_id, n_tok, md5('pack11|' || doc_id::VARCHAR) AS skey FROM d), "
+       + "sh AS (SELECT *, CAST(('0x' || substring(skey, 1, 15)) AS BIGINT) % 8 AS shard FROM k), "
+       + "o AS (SELECT *, SUM(n_tok) OVER (PARTITION BY shard ORDER BY skey ROWS UNBOUNDED PRECEDING) - n_tok AS start_off FROM sh), "
+       + "c AS (SELECT *, start_off // 2048 AS chunk_first, (start_off + n_tok - 1) // 2048 AS chunk_last FROM o) "
+       + "SELECT shard, COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS total_tokens, "
+       + "(MAX(chunk_last) + 1)::BIGINT AS n_chunks, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || start_off::VARCHAR || '|' || chunk_first::VARCHAR), 1, 15)) AS BIGINT))::BIGINT AS pack_ck, "
+       + "SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END)::BIGINT AS n_straddlers "
+       + "FROM c GROUP BY shard ORDER BY shard"),
+    // the TRUE v6 state recomputed from scratch — the incremental
+    // path must land on it exactly
+    "q321_txlog_ivm" ->
+      ("WITH m AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text, lang "
+       + "FROM documents WHERE doc_id % 7 <> 0 "
+       + "UNION ALL SELECT text, lang FROM documents WHERE doc_id % 11 = 0 "
+       + "UNION ALL SELECT text, lang FROM documents WHERE doc_id % 13 = 0) "
+       + "SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(length(text))::BIGINT AS sum_len "
+       + "FROM m GROUP BY lang ORDER BY lang"),
     "q311_epoch_shuffle" ->
       ("WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1), "
        + "a AS (SELECT e.epoch, d.doc_id, d.text, "

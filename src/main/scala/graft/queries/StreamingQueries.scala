@@ -1468,8 +1468,40 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** Streaming change-data-feed read (`format("txlog-cdf")`): the
+    * commit log is the WAL, versions are offsets, and each micro-batch
+    * IS [[graft.operators.TxTable.changes]] over the newly-committed
+    * range ([[graft.sources.TxLogCdfSource]]) — the Delta-streaming-
+    * source shape. The drained append-mode feed, re-aggregated per
+    * (version, change_type), must equal the batch CDF exactly (shared
+    * q319 oracle): stream == batch by construction, since both paths
+    * run the same per-commit diff.
+    */
+  def q322StreamCdf(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val tdir = AnalyticsQueries.txTableDir(s, dir)
+      val name = s"q322_cdf_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q322")
+      val q = s.readStream.format("txlog-cdf")
+        .option("fromVersion", "2")
+        .load(tdir)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.table(name)
+        .groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .orderBy("version", "change_type")
+    }
+
   val queries: Map[String, Q] = Map(
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
+    "q322_stream_cdf" -> (q322StreamCdf(_, _)),
     "q308_stream_warc" -> (q308StreamWarc(_, _)),
     "q301_stream_classifier" -> (q301StreamClassifier(_, _)),
     "q197_sessionize_tws" -> (q197SessionizeTws(_, _)),
@@ -1505,6 +1537,8 @@ object StreamingQueries {
     "q308_stream_warc" -> AnalyticsQueries.oracles("q298_warc_ingest"),
     // the exactly-once txlog snapshot must equal the batch relation
     // despite every batch being replayed once
+    // the streamed change feed must equal the batch CDF exactly
+    "q322_stream_cdf" -> AnalyticsQueries.oracles("q319_txlog_cdf"),
     "q313_stream_txlog" ->
       ("SELECT event_type, COUNT(*)::BIGINT AS n, "
        + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "

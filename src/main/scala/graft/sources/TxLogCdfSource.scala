@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.operators.TxTable
+
+/** Streaming CHANGE DATA FEED over a transaction-log table: the
+  * Delta-streaming-source shape — the commit log IS the write-ahead
+  * log, so version numbers are the stream's offsets and each micro-batch
+  * is exactly [[TxTable.changes]] over the newly-committed version
+  * range. Downstream incremental consumers (the q321 IVM shape) can
+  * then run CONTINUOUSLY: every trigger processes only the data that
+  * changed, never the table.
+  *
+  * V1 `Source` on purpose: `getBatch` returns the change-feed
+  * DataFrame itself, so the batch CDF path and the streaming path are
+  * THE SAME CODE — the twin-certification principle (stream == batch
+  * bit-for-bit) holds by construction, and the feed's scale property
+  * (per-commit diffs read only that commit's files) carries over
+  * unchanged. Offsets serialize as the plain version number, so a
+  * restart resumes from the last committed version in the checkpoint
+  * (exactly-once downstream with an idempotent sink, at-least-once
+  * otherwise — the standard source contract).
+  *
+  * Options: `path` (table root), `fromVersion` (exclusive lower bound,
+  * default 0 = the full history since table creation).
+  */
+class TxLogCdfSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "txlog-cdf"
+
+  private def tableRoot(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path",
+      throw new IllegalArgumentException("txlog-cdf requires a path"))
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+  }
+
+  private def cdfSchema(sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType = {
+    // latest snapshot schema under mergeSchema (schema evolution means
+    // later commits may carry columns earlier ones lack) + the two
+    // feed columns
+    val base = TxTable.snapshot(sqlContext.sparkSession,
+      tableRoot(parameters), mergeSchema = true).schema
+    base.add("_change_type", StringType).add("_commit_version", LongType)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(cdfSchema(sqlContext, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxLogCdfSource(sqlContext,
+      tableRoot(parameters),
+      parameters.get("fromVersion").map(_.trim.toInt).getOrElse(0),
+      schema.getOrElse(cdfSchema(sqlContext, parameters)))
+}
+
+/** Offset = committed version number; `json` is the bare number so a
+  * checkpointed offset round-trips through [[SerializedOffset]].
+  */
+case class TxVersionOffset(version: Int) extends Offset {
+  override def json(): String = version.toString
+}
+
+class TxLogCdfSource(sqlContext: SQLContext, dir: String,
+    fromVersion: Int, declaredSchema: StructType) extends Source {
+
+  override def schema: StructType = declaredSchema
+
+  override def getOffset: Option[Offset] = {
+    val v = TxTable.currentVersion(dir)
+    if (v <= fromVersion) None else Some(TxVersionOffset(v))
+  }
+
+  private def versionOf(o: Offset): Int = o match {
+    case TxVersionOffset(v) => v
+    case other => other.json().trim.toInt // SerializedOffset on restart
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(fromVersion)
+    val cdf = TxTable.changes(sqlContext.sparkSession, dir, from,
+      Some(versionOf(end)))
+    // align to the declared schema: a batch whose range predates a
+    // schema-evolution commit lacks the evolved columns — NULL them in
+    val aligned = declaredSchema.fields.foldLeft(cdf) { (df, f) =>
+      if (df.columns.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(declaredSchema.fieldNames.map(col).toIndexedSeq: _*)
+    // Source.getBatch must return an isStreaming=true frame
+    org.apache.spark.sql.GraftBridge.asMicroBatch(aligned)
+  }
+
+  override def stop(): Unit = ()
+}

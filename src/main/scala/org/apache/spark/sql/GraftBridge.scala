@@ -19,6 +19,17 @@ object GraftBridge {
     */
   def observedOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
 
+  /** Re-tag a batch plan as a streaming micro-batch (`isStreaming =
+    * true`): the V1 `Source.getBatch` contract. The batch plan is
+    * planned once here and its InternalRow RDD becomes the
+    * micro-batch's leaf — exactly `FileStreamSource`'s shape.
+    */
+  def asMicroBatch(df: Dataset[Row]): Dataset[Row] = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Clamp the statistics a checkpointed Dataset inherits from its
     * origin plan. Spark 4's `Dataset.(local)checkpoint` copies the
     * pre-checkpoint plan's estimated `Statistics` onto the resulting

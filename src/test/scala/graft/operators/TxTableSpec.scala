@@ -201,4 +201,166 @@ class TxTableSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(orphan))
     assert(TxTable.snapshot(spark, dir).count() == 1)
   }
+
+  test("per-file stats skip files; snapshotWhere == snapshot.filter always") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-skip-")
+      .toString
+    // three appends with DISJOINT id ranges → per-file [min,max] are
+    // tight and a selective predicate should touch one file
+    TxTable.commitAppend(
+      spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS s")
+        .coalesce(1), dir, statsCols = Seq("id"))
+    TxTable.commitAppend(
+      spark.range(100, 200).selectExpr("id", "CAST(id AS STRING) AS s")
+        .coalesce(1), dir, statsCols = Seq("id"))
+    TxTable.commitAppend(
+      spark.range(200, 300).selectExpr("id", "CAST(id AS STRING) AS s")
+        .coalesce(1), dir, statsCols = Seq("id"))
+    def check(pred: org.apache.spark.sql.Column,
+        expectSkipped: Int): Unit = {
+      val (kept, skipped) = TxTable.pruneFiles(spark, dir, pred)
+      assert(skipped.size == expectSkipped,
+        s"pred $pred: kept=$kept skipped=$skipped")
+      val got = TxTable.snapshotWhere(spark, dir, pred)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val want = TxTable.snapshot(spark, dir).filter(pred)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(got == want)
+    }
+    check(col("id") === 150L, 2) // one file holds it
+    check(col("id") < 50L, 2)
+    check(col("id") >= 250L, 2)
+    check(col("id") === 150L && col("s") =!= "x", 2) // AND: stats side prunes
+    check(col("id") === 50L || col("id") === 250L, 1) // OR: both translate
+    check(col("id").isin(10L, 20L), 2)
+    check(col("s") === "150", 0) // uncovered column: keep everything
+    check(lower(col("s")) === "150", 0) // untranslatable: keep everything
+    check(lit(5L) > col("id"), 2) // literal-first comparison
+    // all files pruned → empty result, schema intact
+    val none = TxTable.snapshotWhere(spark, dir, col("id") === 999L)
+    assert(none.count() == 0 && none.columns.contains("s"))
+    // clustered OPTIMIZE: range-repartition on id keeps stats tight
+    // after compaction (plain repartition would smear [min,max])
+    TxTable.commitCompact(spark, dir, targetFiles = 3,
+      statsCols = Seq("id"), clusterBy = Seq("id"))
+    val (kept2, skipped2) = TxTable.pruneFiles(spark, dir, col("id") === 10L)
+    assert(kept2.size == 1 && skipped2.size == 2)
+    check(col("id") === 150L, 2)
+    // a delete rewrite carries stats through
+    TxTable.commitDelete(spark, dir, col("id") === 10L,
+      statsCols = Seq("id"))
+    check(col("id") === 11L, 2)
+    // orphan stats sidecars are vacuumed with their stages
+    val orphanStats = java.nio.file.Paths.get(dir, "_txlog",
+      "stats-v00099-deadbeef")
+    java.nio.file.Files.createDirectories(orphanStats)
+    java.nio.file.Files.write(orphanStats.resolve("x.parquet"),
+      Array[Byte](1))
+    TxTable.vacuum(dir, retainFrom = TxTable.currentVersion(dir))
+    assert(!java.nio.file.Files.exists(orphanStats))
+    check(col("id") === 11L, 2) // committed sidecars survived
+  }
+
+  test("streaming CDF source: drained stream == batch change feed") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("txtable-scdf-")
+      .toString
+    TxTable.commitAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), dir)
+    TxTable.commitAppend(Seq((3L, "c")).toDF("id", "s"), dir)
+    TxTable.commitDelete(spark, dir, col("id") === 2L)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("txtable-scdf-ckpt-").toString
+    val name = s"scdf_${System.nanoTime()}"
+    val q = spark.readStream.format("txlog-cdf").load(dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+      .select(col("_commit_version"), col("_change_type"), col("id"),
+        col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    val batch = TxTable.changes(spark, dir, 0)
+      .select(col("_commit_version"), col("_change_type"), col("id"),
+        col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // resume from the checkpoint: a NEW commit arrives, a second
+    // AvailableNow drain processes ONLY it (offsets persisted)
+    TxTable.commitAppend(Seq((9L, "z")).toDF("id", "s"), dir)
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    val q2 = spark.readStream.format("txlog-cdf").load(dir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("_commit_version"), col("id")).collect()
+          .foreach(r => got.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == Set((4L, 9L)))
+  }
+
+  test("change feed: net per-commit diffs, OPTIMIZE silent, updates keyed") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-cdf-")
+      .toString
+    // v1 append, v2 append, v3 delete id<=2, v4 compact, v5 merge
+    TxTable.commitAppend(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+        .repartition(2), dir)
+    TxTable.commitAppend(Seq((4L, "d")).toDF("id", "s"), dir)
+    TxTable.commitDelete(spark, dir, col("id") <= 2L)
+    TxTable.commitCompact(spark, dir, targetFiles = 1)
+    TxTable.commitMerge(spark, dir,
+      Seq((3L, "C2"), (9L, "new")).toDF("id", "s"), "id")
+
+    def feed(from: Int, to: Option[Int] = None) =
+      TxTable.changes(spark, dir, from, to)
+        .select(col("_commit_version"), col("_change_type"),
+          col("id"), col("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getString(3))).toSet
+
+    // full feed: v1/v2 inserts, v3 net deletes (survivor id=3 of the
+    // rewritten file CANCELS), v4 (dataChange=false) absent entirely,
+    // v5 old/new rows of the merged key + the brand-new key
+    assert(feed(0) == Set(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"),
+      (1L, "insert", 3L, "c"), (2L, "insert", 4L, "d"),
+      (3L, "delete", 1L, "a"), (3L, "delete", 2L, "b"),
+      (5L, "delete", 3L, "c"), (5L, "insert", 3L, "C2"),
+      (5L, "insert", 9L, "new")))
+    assert(!feed(0).exists(_._1 == 4L))
+    // range reads slice the same feed
+    assert(feed(3) == feed(0).filter(_._1 > 3))
+    // a range covering only the compaction is empty, with the schema
+    val only4 = TxTable.changes(spark, dir, 3, Some(4))
+    assert(only4.count() == 0 &&
+      only4.columns.contains("_change_type"))
+    // keyed reclassification: v5's same-key pair becomes an update,
+    // the brand-new key stays an insert
+    val up = TxTable.changesWithUpdates(spark, dir, 4, keyCol = "id")
+      .select(col("_change_type"), col("id"), col("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(up == Set(("update_preimage", 3L, "c"),
+      ("update_postimage", 3L, "C2"), ("insert", 9L, "new")))
+    // replaying the feed from empty reconstructs the latest snapshot
+    // (the CDF-consumer invariant): inserts minus deletes == table
+    val replayed = TxTable.changes(spark, dir, 0)
+      .filter(col("_change_type") === "insert").select(col("id"), col("s"))
+      .exceptAll(TxTable.changes(spark, dir, 0)
+        .filter(col("_change_type") === "delete")
+        .select(col("id"), col("s")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val snap = TxTable.snapshot(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed == snap)
+  }
 }
