@@ -337,10 +337,12 @@ object TxTable {
     */
   def commitAppend(df: DataFrame, dir: String,
       checkpointEvery: Int = DefaultCheckpointEvery,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
     val v0 = currentVersion(dir) + 1
     val added = stage(df, dir, v0)
-    writeStats(df.sparkSession, dir, stageRelOf(added), added, statsCols)
+    writeStats(df.sparkSession, dir, stageRelOf(added), added, statsCols,
+      bloomCols)
     val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts)
     maybeCheckpoint(df.sparkSession, dir, v, checkpointEvery)
     v
@@ -532,6 +534,35 @@ object TxTable {
   private def statsDir(dir: String, stageRel: String): Path =
     logDir(dir).resolve(s"stats-$stageRel")
 
+  /** Per-file Bloom parameters: 8192 bit positions × 4 probes. The
+    * sidecar stores each file's SET of occupied positions as a sorted
+    * int array (the sparse representation — ≤ bits entries, parquet-
+    * encoded), so membership checks are plain `array_contains` in the
+    * pruning predicate: no binary bit-twiddling, no UDF, and the false
+    * -positive rate at n distinct values per file is the textbook
+    * (1 - e^(-kn/m))^k. Position j of value v is
+    * md5(j || cast(v as string)) — identical on the executor (Spark
+    * `md5(concat(...))` during the stats pass) and on the driver
+    * (when a query's literal is hashed to probe positions), so a
+    * bloom check can never diverge from the data.
+    */
+  private val BloomBits = 8192
+  private val BloomK = 4
+
+  private[operators] def bloomPositions(v: Any): Seq[Int] =
+    (0 until BloomK).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest((j.toString + v.toString).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % BloomBits).toInt
+    }
+
+  private def bloomPosArray(c: String): org.apache.spark.sql.Column =
+    array((0 until BloomK).map(j =>
+      pmod(conv(substring(md5(concat(lit(j.toString),
+          col(c).cast("string"))), 1, 15), 16, 10).cast("bigint"),
+        lit(BloomBits.toLong)).cast("int")): _*)
+
   /** Write per-file (n_rows, min/max per stats column) for one staged
     * commit as a tiny parquet sidecar keyed by the unique stage-dir
     * name — Delta's stats-in-the-add-action contract, kept out of the
@@ -544,17 +575,33 @@ object TxTable {
     */
   private def writeStats(spark: SparkSession, dir: String,
       stageRel: String, files: Seq[String],
-      statsCols: Seq[String]): Unit = {
-    if (statsCols.isEmpty || files.isEmpty) return
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
+    if ((statsCols.isEmpty && bloomCols.isEmpty) || files.isEmpty) return
     val base = dataDir(dir).toString
+    // "__sfile" avoids clobbering a user column named "file"; the
+    // sidecar's key is renamed to "file" at the end
+    val staged = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+      .withColumn("__sfile",
+        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
     val aggs = count(lit(1)).as("n_rows") +:
       statsCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    spark.read.parquet(files.map(f => s"$base/$f"): _*)
-      .groupBy(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1)
-        .as("file"))
+    val mm = staged.groupBy(col("__sfile").as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
+    // bloom = the SET of occupied positions per file, built via
+    // explode + distinct so per-group state is bounded by BloomBits
+    // ints, never by row count (a collect over raw rows would hold
+    // k·n_rows elements per file pre-dedup)
+    val withBlooms = bloomCols.foldLeft(mm) { (acc, c) =>
+      acc.join(
+        staged.select(col("__sfile").as("file"),
+            explode(bloomPosArray(c)).as("pos"))
+          .distinct()
+          .groupBy(col("file"))
+          .agg(sort_array(collect_set(col("pos"))).as(s"bloom_$c")),
+        Seq("file"), "left")
+    }
+    withBlooms.coalesce(1)
       .write.mode("overwrite").parquet(statsDir(dir, stageRel).toString)
   }
 
@@ -581,37 +628,69 @@ object TxTable {
     * an OR both sides must translate (else the OR can't prune at all).
     */
   private def statsPredicate(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      covered: Set[String]): Option[org.apache.spark.sql.Column] = {
+      covered: Set[String], bloomCovered: Set[String] = Set.empty)
+      : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
-    def name(x: Expression): Option[String] = x match {
-      case a: UnresolvedAttribute if covered.contains(a.name) => Some(a.name)
-      case a: AttributeReference if covered.contains(a.name) => Some(a.name)
+    def attName(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
       case _ => None
     }
+    def name(x: Expression): Option[String] =
+      attName(x).filter(covered.contains)
     def value(x: Expression): Option[Any] = x match {
       case Literal(v, dt) =>
         Some(CatalystTypeConverters.convertToScala(v, dt))
       case _ => None
     }
+    // bloom probing is sound only for types whose driver-side
+    // toString is byte-identical to Spark's cast-to-string (the hash
+    // input on the stats pass) — integers, strings, booleans; floats
+    // format differently at the edges and are never bloom-probed
+    def bloomSafe(v: Any): Boolean = v match {
+      case _: String | _: Long | _: java.lang.Long | _: Int |
+           _: java.lang.Integer | _: Short | _: Byte | _: Boolean => true
+      case _ => false
+    }
+    // equality can consult BOTH sidecars: the [min,max] containment
+    // AND the bloom membership (all k positions present) — a file must
+    // pass every test it has stats for
+    def eqCond(c0: Option[String], v0: Option[Any])
+        : Option[org.apache.spark.sql.Column] =
+      for { c <- c0; v <- v0
+            cond <- {
+              val mm =
+                if (covered.contains(c))
+                  Some(col(s"min_$c") <= v && col(s"max_$c") >= v)
+                else None
+              val bl =
+                if (bloomCovered.contains(c) && bloomSafe(v))
+                  Some(bloomPositions(v)
+                    .map(p => array_contains(col(s"bloom_$c"), p))
+                    .reduce(_ && _))
+                else None
+              (mm, bl) match {
+                case (Some(a), Some(b)) => Some(a && b)
+                case (a, b) => a.orElse(b)
+              }
+            } } yield cond
     def range(c: String, v: Any, lowOp: (org.apache.spark.sql.Column, Any)
         => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       lowOp(col(s"min_$c"), v)
     e match {
       case And(l, r) =>
-        (statsPredicate(l, covered), statsPredicate(r, covered)) match {
+        (statsPredicate(l, covered, bloomCovered),
+            statsPredicate(r, covered, bloomCovered)) match {
           case (Some(a), Some(b)) => Some(a && b)
           case (a, b) => a.orElse(b)
         }
       case Or(l, r) =>
-        for { a <- statsPredicate(l, covered)
-              b <- statsPredicate(r, covered) } yield a || b
+        for { a <- statsPredicate(l, covered, bloomCovered)
+              b <- statsPredicate(r, covered, bloomCovered) } yield a || b
       case EqualTo(a, b) =>
-        name(a).flatMap(c => value(b).map(v =>
-            col(s"min_$c") <= v && col(s"max_$c") >= v))
-          .orElse(name(b).flatMap(c => value(a).map(v =>
-            col(s"min_$c") <= v && col(s"max_$c") >= v)))
+        eqCond(attName(a), value(b)).orElse(eqCond(attName(b), value(a)))
       case LessThan(a, b) =>
         name(a).flatMap(c => value(b).map(v => range(c, v, _ < _)))
           .orElse(name(b).flatMap(c => value(a).map(v =>
@@ -629,10 +708,10 @@ object TxTable {
           .orElse(name(b).flatMap(c => value(a).map(v =>
             col(s"min_$c") <= v)))
       case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        name(a).map { c =>
-          vs.flatMap(value).map(v =>
-              col(s"min_$c") <= v && col(s"max_$c") >= v)
-            .reduce(_ || _)
+        attName(a).flatMap { c =>
+          val conds = vs.map(v => eqCond(Some(c), value(v)))
+          if (conds.forall(_.isDefined)) Some(conds.flatten.reduce(_ || _))
+          else None
         }
       case _ => None
     }
@@ -654,6 +733,8 @@ object TxTable {
       case Some(st) =>
         val covered = st.columns.filter(_.startsWith("min_"))
           .map(_.stripPrefix("min_")).toSet
+        val bloomCovered = st.columns.filter(_.startsWith("bloom_"))
+          .map(_.stripPrefix("bloom_")).toSet
         // resolve the predicate against the table schema (inserts the
         // implicit casts, binds attributes) and walk the ANALYZED tree
         // — matching the unanalyzed ColumnNode surface would miss
@@ -664,7 +745,7 @@ object TxTable {
             Some(f.condition)
           case _ => None
         }
-        cond.flatMap(statsPredicate(_, covered)) match {
+        cond.flatMap(statsPredicate(_, covered, bloomCovered)) match {
           case None => (live, Seq.empty)
           case Some(sp) =>
             // skippable ⇔ stats exist AND the stats predicate is

@@ -4295,6 +4295,27 @@ object AnalyticsQueries {
         .orderBy("shard")
     }),
 
+    // Bloom file skipping: equality pruning on a HASH-RANDOM layout,
+    // where every file's [min,max] spans the id domain and minmax
+    // skipping is provably useless — per-file Bloom position-sets
+    // (sparse bitsets, md5-positioned identically on executor and
+    // driver) admit only the files that might hold the probed keys.
+    // Result must equal the plain filter exactly; the files-skipped
+    // pin lives in TxTableSpec
+    "q325_txlog_bloom" -> ((s, d) => {
+      val dir2 = txBloomDir(s, d)
+      def roll(label: String, pred: org.apache.spark.sql.Column) =
+        graft.operators.TxTable.snapshotWhere(s, dir2, pred)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(label).as("probe"), col("n_rows"), col("checksum"))
+      roll("point", col("doc_id") === 77L)
+        .unionAll(roll("in_list", col("doc_id").isin(5L, 77L, 4001L)))
+        .unionAll(roll("miss", col("doc_id") === -1L))
+        .orderBy("probe")
+    }),
+
     // Hybrid retrieval over the index: q211's RRF fusion with the
     // LEXICAL leg answered by the postings artifact (q305's path)
     // instead of a corpus scan — the hybrid-search deployment shape,
@@ -4628,6 +4649,24 @@ object AnalyticsQueries {
         t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
           .repartitionByRange(8, col("doc_id")),
         tmp, statsCols = Seq("doc_id"))
+      tmp
+    })
+
+  /** Bloom-sidecar transaction-log table (q325): documents in a
+    * HASH-random 8-file layout (per-file [min,max] spans the whole id
+    * domain — minmax pruning is useless by construction) with a
+    * per-file Bloom position-set on doc_id.
+    */
+  private val txBloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txBloomDir(s: SparkSession, dir: String): String =
+    txBloomCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txbloom-")
+        .toString
+      graft.operators.TxTable.commitAppend(
+        t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+          .repartition(8),
+        tmp, statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
       tmp
     })
 
@@ -6688,6 +6727,14 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || start_off::VARCHAR || '|' || chunk_first::VARCHAR), 1, 15)) AS BIGINT))::BIGINT AS pack_ck, "
        + "SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END)::BIGINT AS n_straddlers "
        + "FROM c GROUP BY shard ORDER BY shard"),
+    "q325_txlog_bloom" ->
+      ("WITH r AS (SELECT 'point' AS probe, doc_id, text FROM documents WHERE doc_id = 77 "
+       + "UNION ALL SELECT 'in_list', doc_id, text FROM documents WHERE doc_id IN (5, 77, 4001) "
+       + "UNION ALL SELECT 'miss', doc_id, text FROM documents WHERE doc_id = -1), "
+       + "p AS (SELECT 'point' AS probe UNION ALL SELECT 'in_list' UNION ALL SELECT 'miss') "
+       + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe ORDER BY p.probe"),
     // the TRUE v6 state recomputed from scratch — the incremental
     // path must land on it exactly
     "q321_txlog_ivm" ->

@@ -261,6 +261,50 @@ class TxTableSpec extends SparkSpec {
     check(col("id") === 11L, 2) // committed sidecars survived
   }
 
+  test("bloom sidecars prune equality on random layouts minmax cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-bloom-")
+      .toString
+    // HASH-random layout: every file's [min,max] spans ~the whole id
+    // domain, so minmax pruning is useless — the bloom's case
+    TxTable.commitAppend(
+      spark.range(0, 4000)
+        .selectExpr("id", "CAST(id AS STRING) AS s")
+        .repartition(8), dir,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    // an id lives in exactly one file: bloom keeps that file (never
+    // false-negative) and at 500 ids/file vs 8192 positions the other
+    // 7 should essentially always prune
+    val (kept, skipped) = TxTable.pruneFiles(spark, dir, col("id") === 77L)
+    assert(kept.size <= 2 && skipped.size >= 6,
+      s"kept=${kept.size} skipped=${skipped.size}")
+    val got = TxTable.snapshotWhere(spark, dir, col("id") === 77L)
+      .select(col("s")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("77"))
+    // IN-list: union of per-value admissions, still mostly pruned
+    val (kept2, skipped2) = TxTable.pruneFiles(spark, dir,
+      col("id").isin(77L, 3999L))
+    assert(skipped2.size >= 5 && kept2.size >= 1)
+    assert(TxTable.snapshotWhere(spark, dir, col("id").isin(77L, 3999L))
+      .count() == 2)
+    // string bloom: same machinery on a VARCHAR column
+    val dir2 = java.nio.file.Files.createTempDirectory("txtable-bloom2-")
+      .toString
+    TxTable.commitAppend(
+      spark.range(0, 4000)
+        .selectExpr("id", "concat('k', id) AS s")
+        .repartition(8), dir2, bloomCols = Seq("s"))
+    val (kept3, skipped3) = TxTable.pruneFiles(spark, dir2,
+      col("s") === "k2345")
+    assert(skipped3.size >= 6)
+    assert(TxTable.snapshotWhere(spark, dir2, col("s") === "k2345")
+      .count() == 1)
+    // a non-bloom-safe comparison (range) on a bloom-only column
+    // cannot prune — soundness over eagerness
+    val (kept4, skipped4) = TxTable.pruneFiles(spark, dir2,
+      col("s") > "k999")
+    assert(skipped4.isEmpty && kept4.size == 8)
+  }
+
   test("streaming CDF source: drained stream == batch change feed") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("txtable-scdf-")
