@@ -834,6 +834,13 @@ object ScaleProbe {
           .filter(col("doc_id") >= 100L && col("doc_id") < 200L).count())
       }
     }
+    // q326/q327: train collapses to the word multiset (corpus-size-
+    // independent EM); apply is a narrow memoized pass — linear
+    t("unigram")({
+      val pieces = graft.operators.Unigram.train(d, "text", 24)
+      graft.operators.Unigram.tokenize(d, "doc_id", "text", pieces)
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+    })
     // q324: ONE shuffle + per-shard running sums — linear in docs
     t("seq_packing")({
       val toks = d.select(col("doc_id"),

@@ -4316,6 +4316,43 @@ object AnalyticsQueries {
         .orderBy("probe")
     }),
 
+    // Unigram-LM tokenizer TRAINING (SentencePiece's unigram
+    // algorithm, hard-EM variant — BPE's counterpart, completing the
+    // tokenizer-trainer family): seed vocab of frequent substrings,
+    // Viterbi E-step / count M-step, shrink-toward-target pruning,
+    // single chars kept for segmentability. Distributed word count →
+    // in-memory EM over the word multiset (Bpe.train's exact
+    // two-phase shape). The piece table is golden-pinned (scores are
+    // engine floats); the APPLY path is cross-engine certified via
+    // q327's independent SQL replay of the Viterbi DP
+    "q326_unigram_vocab" -> ((s, d) => {
+      val rows = unigramPieces(s, d)
+      s.createDataFrame(rows).toDF("piece", "log_prob")
+        .orderBy(col("log_prob").desc, col("piece"))
+    }),
+
+    // Unigram tokenizer APPLY, certified cross-engine: the DuckDB
+    // oracle independently replays the Viterbi DP over the SAME
+    // frozen piece table (an unrolled per-position argmax chain with
+    // the identical tie-break: score desc, tokens asc, split start
+    // asc) and must reproduce every document's segmentation
+    // bit-for-bit — dp sums combine the same rounded doubles in the
+    // same structural order, so float drift is impossible. The
+    // engine side is the distributed broadcast + memoized narrow
+    // pass (Bpe.tokenize's shape)
+    "q327_unigram_tokenize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Unigram
+        .tokenize(docs, "doc_id", "text", unigramPieces(s, d))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "toks)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .orderBy("lang")
+    }),
+
     // Hybrid retrieval over the index: q211's RRF fusion with the
     // LEXICAL leg answered by the postings artifact (q305's path)
     // instead of a corpus scan — the hybrid-search deployment shape,
@@ -4670,6 +4707,19 @@ object AnalyticsQueries {
       tmp
     })
 
+  /** Trained unigram-LM piece table per sf dir (q326/q327), trained
+    * once per JVM: 24-multi-piece target, maxPieceLen 6, 4 hard-EM
+    * iterations — a pure function of the corpus word multiset.
+    */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+  private[queries] def unigramPieces(s: SparkSession,
+      dir: String): Seq[(String, Double)] =
+    unigramCache.computeIfAbsent(dir, { d =>
+      graft.operators.Unigram.train(t(s, d, "documents"), "text",
+        targetVocab = 24, maxPieceLen = 6, emIters = 4)
+    })
+
   /** Z-ordered events layout per sf dir, written once per JVM (the
     * artifact-cache pattern of the ANN indexes): events clustered by
     * zValue(user_id, value) into 16 range-partitioned files, so
@@ -4742,6 +4792,35 @@ object AnalyticsQueries {
     */
   private def golden(q: String, cols: String, order: String): String =
     s"SELECT $cols FROM read_parquet('/root/repo/golden/sf0.01/$q/*.parquet') ORDER BY $order"
+
+  /** q327's independent Viterbi replay: the per-position argmax DP
+    * unrolled as a CTE chain (one `b<j>`/`a<j>` pair per position up
+    * to `maxLen`), reading the golden q326 piece table. `b<j>` extends
+    * every reachable split `pos < j` by the piece `word[pos+1 .. j]`
+    * and keeps the argmax per word with the ENGINE's exact tie-break
+    * (score desc, tokens asc, split start asc); `a<j>` accumulates
+    * reached positions. dp sums combine the same stored doubles in
+    * the same structural order as the engine's DP, so the replay is
+    * bit-exact, not approximately equal. Ends with `seg(w, nt, toks)`.
+    */
+  private def unigramDpChain(maxLen: Int, maxPieceLen: Int = 6): String = {
+    val sb = new StringBuilder
+    sb ++= "p AS (SELECT piece, log_prob FROM read_parquet('/root/repo/golden/sf0.01/q326_unigram_vocab/*.parquet')), "
+    sb ++= "dw AS (SELECT DISTINCT unnest(ws) AS w FROM words), "
+    sb ++= "a0 AS (SELECT w, 0 AS pos, 0.0::DOUBLE AS sc, 0 AS nt, '' AS toks FROM dw), "
+    for (j <- 1 to maxLen) {
+      val lo = math.max(0, j - maxPieceLen)
+      sb ++= s"b$j AS (SELECT w, $j AS pos, sc, nt, toks FROM ("
+      sb ++= "SELECT d.w, d.sc + p.log_prob AS sc, d.nt + 1 AS nt, "
+      sb ++= "CASE WHEN d.pos = 0 THEN p.piece ELSE d.toks || ' ' || p.piece END AS toks, "
+      sb ++= "ROW_NUMBER() OVER (PARTITION BY d.w ORDER BY d.sc + p.log_prob DESC, d.nt + 1 ASC, d.pos ASC) AS rn "
+      sb ++= s"FROM a${j - 1} d JOIN p ON d.pos >= $lo AND d.pos < $j AND length(d.w) >= $j "
+      sb ++= s"AND substring(d.w, d.pos + 1, $j - d.pos) = p.piece) WHERE rn = 1), "
+      sb ++= s"a$j AS (SELECT * FROM a${j - 1} UNION ALL SELECT * FROM b$j), "
+    }
+    sb ++= s"seg AS (SELECT w, nt, toks FROM a$maxLen WHERE pos = length(w))"
+    sb.toString
+  }
 
   /** q125's oracle: the 5 fixed-point power iterations unrolled as a
     * CTE chain — expressible in plain SQL precisely because the engine
@@ -6727,6 +6806,23 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || start_off::VARCHAR || '|' || chunk_first::VARCHAR), 1, 15)) AS BIGINT))::BIGINT AS pack_ck, "
        + "SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END)::BIGINT AS n_straddlers "
        + "FROM c GROUP BY shard ORDER BY shard"),
+    // golden-pinned trainer artifact (scores are engine floats); the
+    // apply path is independently certified by q327's DP replay
+    "q326_unigram_vocab" ->
+      golden("q326_unigram_vocab", "piece, log_prob",
+        "log_prob DESC, piece"),
+    "q327_unigram_tokenize" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + unigramDpChain(12) + ", "
+       + "wsx AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words), "
+       + "dt AS (SELECT x.doc_id, SUM(seg.nt)::BIGINT AS n_tokens, "
+       + "string_agg(seg.toks, ' ' ORDER BY x.i) AS toks "
+       + "FROM wsx x JOIN seg ON seg.w = x.w GROUP BY x.doc_id), "
+       + "fl AS (SELECT doc.doc_id, doc.lang, COALESCE(dt.n_tokens, 0) AS n_tokens, "
+       + "COALESCE(dt.toks, '') AS toks FROM documents doc LEFT JOIN dt USING (doc_id)) "
+       + "SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || toks), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM fl GROUP BY lang ORDER BY lang"),
     "q325_txlog_bloom" ->
       ("WITH r AS (SELECT 'point' AS probe, doc_id, text FROM documents WHERE doc_id = 77 "
        + "UNION ALL SELECT 'in_list', doc_id, text FROM documents WHERE doc_id IN (5, 77, 4001) "
