@@ -477,6 +477,13 @@ object TxTable {
   def history(dir: String): Seq[(Int, Int, Int)] =
     readEntries(dir).map(e => (e.version, e.adds.size, e.removes.size))
 
+  /** History with the dataChange flag — the SQL audit surface's row
+    * shape (`txlog.`root#history``).
+    */
+  def historyFull(dir: String): Seq[(Int, Int, Int, Boolean)] =
+    readEntries(dir).map(e =>
+      (e.version, e.adds.size, e.removes.size, e.dataChange))
+
   /** VACUUM: physically delete data files no longer referenced by any
     * version ≥ `retainFrom` — the storage-reclaim step that TRADES
     * AWAY time travel older than the horizon (exactly Delta's

@@ -4241,6 +4241,20 @@ object AnalyticsQueries {
         .orderBy("lang")
     }),
 
+    // DESCRIBE HISTORY through SQL: the commit log as a relation via
+    // the txlog catalog's `#history` identifier (a LocalScan — audit
+    // queries launch no job; the log is driver-sized by construction).
+    // The fixture's shape is closed-form: v3 delete and v5 merge carry
+    // removes, v4 OPTIMIZE is the one dataChange=false commit, v6 is
+    // a plain append. File COUNTS are layout-dependent (write
+    // coalescing), so the certified surface is the boolean shape
+    "q329_txlog_history" -> ((s, d) => {
+      val dir2 = txTableDir(s, d)
+      s.sql("SELECT CAST(version AS BIGINT) AS version, " +
+        "n_adds > 0 AS has_adds, n_removes > 0 AS has_removes, " +
+        s"data_change FROM txlog.`$dir2#history` ORDER BY version")
+    }),
+
     // Data skipping on the transaction-log table: per-file min/max
     // stats (written as a parquet sidecar at commit time — Delta's
     // stats-in-the-log contract) let a selective predicate scan only
@@ -6806,6 +6820,13 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || start_off::VARCHAR || '|' || chunk_first::VARCHAR), 1, 15)) AS BIGINT))::BIGINT AS pack_ck, "
        + "SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END)::BIGINT AS n_straddlers "
        + "FROM c GROUP BY shard ORDER BY shard"),
+    // the fixture's closed-form commit shape
+    "q329_txlog_history" ->
+      ("SELECT * FROM (VALUES (1::BIGINT, TRUE, FALSE, TRUE), "
+       + "(2::BIGINT, TRUE, FALSE, TRUE), (3::BIGINT, TRUE, TRUE, TRUE), "
+       + "(4::BIGINT, TRUE, TRUE, FALSE), (5::BIGINT, TRUE, TRUE, TRUE), "
+       + "(6::BIGINT, TRUE, FALSE, TRUE)) "
+       + "AS t(version, has_adds, has_removes, data_change) ORDER BY version"),
     // golden-pinned trainer artifact (scores are engine floats); the
     // apply path is independently certified by q327's DP replay
     "q326_unigram_vocab" ->

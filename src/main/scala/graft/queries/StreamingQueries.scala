@@ -1499,9 +1499,52 @@ object StreamingQueries {
         .orderBy("version", "change_type")
     }
 
+  /** The q321 incremental view MAINTAINED BY A STREAM: the txlog-cdf
+    * source feeds a stateful streaming aggregation (sum of +1/-1 row
+    * signs and signed char counts per lang — both retractable), so the
+    * state store IS the incrementally-maintained view, advancing per
+    * micro-batch as commits land; the drained state combined with the
+    * v2 base must equal the from-scratch v6 state (shared q321
+    * oracle). This is the continuous deployment shape of the CDF
+    * consumer: refresh cost per trigger rides |changes|, never table
+    * size, and restarts resume from checkpointed offsets.
+    */
+  def q328StreamIvm(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val tdir = AnalyticsQueries.txTableDir(s, dir)
+      val name = s"q328_ivm_${System.nanoTime()}"
+      val ckpt = scratchCheckpoint("q328")
+      val q = s.readStream.format("txlog-cdf")
+        .option("fromVersion", "2")
+        .load(tdir)
+        .withColumn("sign",
+          when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .groupBy(col("lang"))
+        .agg(sum(col("sign")).as("dn"),
+          sum(col("sign") * length(col("text"))).as("dlen"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      val state2 = graft.operators.TxTable.snapshot(s, tdir, Some(2))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n0"),
+          sum(length(col("text")).cast("long")).as("len0"))
+      state2.join(s.table(name), Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("len0"), lit(0L)) + coalesce(col("dlen"), lit(0L)))
+            .as("sum_len"))
+        .filter(col("n_docs") > 0)
+        .orderBy("lang")
+    }
+
   val queries: Map[String, Q] = Map(
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
     "q322_stream_cdf" -> (q322StreamCdf(_, _)),
+    "q328_stream_ivm" -> (q328StreamIvm(_, _)),
     "q308_stream_warc" -> (q308StreamWarc(_, _)),
     "q301_stream_classifier" -> (q301StreamClassifier(_, _)),
     "q197_sessionize_tws" -> (q197SessionizeTws(_, _)),
@@ -1539,6 +1582,8 @@ object StreamingQueries {
     // despite every batch being replayed once
     // the streamed change feed must equal the batch CDF exactly
     "q322_stream_cdf" -> AnalyticsQueries.oracles("q319_txlog_cdf"),
+    // the stream-maintained view must equal the from-scratch state
+    "q328_stream_ivm" -> AnalyticsQueries.oracles("q321_txlog_ivm"),
     "q313_stream_txlog" ->
       ("SELECT event_type, COUNT(*)::BIGINT AS n, "
        + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "

@@ -59,19 +59,60 @@ class TxLogCatalog extends TableCatalog {
       classOf[ParquetFileFormat])
   }
 
+  /** DESCRIBE-HISTORY as a SQL relation: the commit log itself,
+    * one row per version — driver-sized by construction (the log is
+    * bounded by commit count), served as a [[LocalScan]] so no job
+    * is launched for an audit query.
+    *
+    * {{{ SELECT * FROM txlog.`/tables/docs#history` }}}
+    */
+  private def historyTable(root: String): Table = {
+    import org.apache.spark.sql.connector.catalog.{SupportsRead, TableCapability}
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+    import org.apache.spark.sql.types.{BooleanType, IntegerType, StructType}
+    val hist = TxTable.historyFull(root)
+    if (hist.isEmpty) throw new NoSuchTableException(Seq(root))
+    val histSchema = new StructType()
+      .add("version", IntegerType).add("n_adds", IntegerType)
+      .add("n_removes", IntegerType).add("data_change", BooleanType)
+    new Table with SupportsRead {
+      override def name(): String = s"txlog history $root"
+      override def schema(): StructType = histSchema
+      override def capabilities(): java.util.Set[org.apache.spark.sql
+          .connector.catalog.TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(opts: CaseInsensitiveStringMap)
+          : ScanBuilder = new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = histSchema
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            hist.map { case (v, a, r, dc) =>
+              org.apache.spark.sql.catalyst.InternalRow(v, a, r, dc)
+            }.toArray
+        }
+      }
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
-    val root = rootFor(ident)
-    if (TxTable.currentVersion(root) == 0)
+    val raw = rootFor(ident)
+    if (raw.endsWith("#history"))
+      return historyTable(raw.stripSuffix("#history"))
+    if (TxTable.currentVersion(raw) == 0)
       throw new NoSuchTableException(ident)
-    parquetTable(root, None)
+    parquetTable(raw, None)
   }
 
   /** `VERSION AS OF v` — Spark's time-travel resolution hook. */
   override def loadTable(ident: Identifier, version: String): Table =
     parquetTable(rootFor(ident), Some(version.trim.toInt))
 
-  override def tableExists(ident: Identifier): Boolean =
-    TxTable.currentVersion(rootFor(ident)) > 0
+  override def tableExists(ident: Identifier): Boolean = {
+    val raw = rootFor(ident)
+    TxTable.currentVersion(
+      if (raw.endsWith("#history")) raw.stripSuffix("#history") else raw) > 0
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // roots are paths; there is no namespace to enumerate
