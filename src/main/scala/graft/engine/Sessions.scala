@@ -24,6 +24,14 @@ object Sessions {
       // events.parquet carries TIMESTAMP(NANOS) — read as long, then
       // Tables normalizes to TimestampType (µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, default 100: a session running hundreds of
+      // DISTINCT queries (the inventory, a multi-tenant endpoint)
+      // evicts every generated class between visits and pays full
+      // Janino recompilation per query per pass — measured as a
+      // steady ~1.7× on sub-second queries once the round-11 bench
+      // moved to pass-major iteration order. 4096 keeps every plan's
+      // codegen hot (entries are compiled classes, tens of KB each)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
