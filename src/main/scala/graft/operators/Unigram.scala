@@ -171,6 +171,51 @@ object Unigram {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Per-document LM score for PERPLEXITY FILTERING (the CCNet/
+    * FineWeb quality-gate shape): (idCol, n_tokens, score_micro)
+    * where score_micro = Σ over words of
+    * floor(word_viterbi_logprob × 10⁶) — an exact INTEGER, so
+    * per-document and per-group sums are order-independent and an
+    * independent replay lands on the identical value (a float sum
+    * across words would be aggregation-order-dependent; floor of a
+    * bit-identical double is not). A document's mean log-prob per
+    * token is then score_micro / n_tokens / 10⁶, computed identically
+    * anywhere. Same distributed shape as [[tokenize]].
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Double)], maxPieceLen: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(pieces.toMap)
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("score_micro", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    graft.engine.Par.widen(docs).select(col(idCol), col(textCol))
+      .mapPartitions { it =>
+        val score = bc.value
+        val memo = new scala.collection.mutable.HashMap[String, (Int, Long)]
+        it.map { row =>
+          var n = 0L
+          var micro = 0L
+          row.getString(1).split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              val (nt, m) = memo.getOrElseUpdate(w, {
+                val toks = viterbi(w, score, maxPieceLen)
+                // left-to-right fold = the DP's own addition order,
+                // so the double is bit-identical to dp(n)
+                var s = 0.0
+                toks.foreach(t => s += score.getOrElse(t, 0.0))
+                (toks.length, math.floor(s * 1e6).toLong)
+              })
+              n += nt; micro += m
+            }
+          }
+          Row(row.getLong(0), n, micro)
+        }
+      }(enc)
+  }
+
   /** Distributed apply: (idCol, n_tokens, toks) per document under the
     * frozen piece table — [[Bpe.tokenize]]'s exact shape (broadcast
     * table, narrow pass, per-partition word memo).

@@ -4367,6 +4367,35 @@ object AnalyticsQueries {
         .orderBy("lang")
     }),
 
+    // LM perplexity filtering (the CCNet/FineWeb quality gate): each
+    // doc scored by its mean unigram log-prob per token under the
+    // trained piece table; low-likelihood docs (gibberish, wrong
+    // domain) fall below the threshold. Integer-exact by design:
+    // per-word scores floor to micro-units so per-doc and per-lang
+    // sums are order-independent longs, and the oracle replays the
+    // SAME Viterbi DP to the same integers — every count and mean is
+    // exact cross-engine, no float aggregation anywhere
+    "q330_perplexity_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Unigram
+        .scoreDocs(docs, "doc_id", "text", unigramPieces(s, d))
+        .filter(col("n_tokens") > 0)
+        .withColumn("mean_lp",
+          round(col("score_micro").cast("double") / col("n_tokens") / 1e6,
+            4))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mean_lp") >= -3.6, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(col("score_micro")).as("sum_micro"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          round(col("sum_micro").cast("double") / col("sum_tokens") / 1e6,
+            4).as("mean_lp_overall"))
+        .orderBy("lang")
+    }),
+
     // Hybrid retrieval over the index: q211's RRF fusion with the
     // LEXICAL leg answered by the postings artifact (q305's path)
     // instead of a corpus scan — the hybrid-search deployment shape,
@@ -4830,9 +4859,11 @@ object AnalyticsQueries {
       sb ++= "ROW_NUMBER() OVER (PARTITION BY d.w ORDER BY d.sc + p.log_prob DESC, d.nt + 1 ASC, d.pos ASC) AS rn "
       sb ++= s"FROM a${j - 1} d JOIN p ON d.pos >= $lo AND d.pos < $j AND length(d.w) >= $j "
       sb ++= s"AND substring(d.w, d.pos + 1, $j - d.pos) = p.piece) WHERE rn = 1), "
-      sb ++= s"a$j AS (SELECT * FROM a${j - 1} UNION ALL SELECT * FROM b$j), "
+      // MATERIALIZED: each a<j> is referenced twice (by b<j+1> and
+      // a<j+1>); an inlined chain re-evaluates exponentially (2^len)
+      sb ++= s"a$j AS MATERIALIZED (SELECT * FROM a${j - 1} UNION ALL SELECT * FROM b$j), "
     }
-    sb ++= s"seg AS (SELECT w, nt, toks FROM a$maxLen WHERE pos = length(w))"
+    sb ++= s"seg AS (SELECT w, nt, toks, sc FROM a$maxLen WHERE pos = length(w))"
     sb.toString
   }
 
@@ -6820,6 +6851,21 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || start_off::VARCHAR || '|' || chunk_first::VARCHAR), 1, 15)) AS BIGINT))::BIGINT AS pack_ck, "
        + "SUM(CASE WHEN chunk_first <> chunk_last THEN 1 ELSE 0 END)::BIGINT AS n_straddlers "
        + "FROM c GROUP BY shard ORDER BY shard"),
+    // same DP replay as q327, reduced to integer micro-scores
+    "q330_perplexity_filter" ->
+      ("WITH words AS (" + wordsCte + "), "
+       + unigramDpChain(12) + ", "
+       + "segm AS (SELECT w, nt, FLOOR(sc * 1000000)::BIGINT AS micro FROM seg), "
+       + "wsx AS (SELECT doc_id, unnest(ws) AS w FROM words), "
+       + "dt AS (SELECT x.doc_id, SUM(segm.nt)::BIGINT AS n_tokens, SUM(segm.micro)::BIGINT AS score_micro "
+       + "FROM wsx x JOIN segm ON segm.w = x.w GROUP BY x.doc_id HAVING SUM(segm.nt) > 0), "
+       + "m AS (SELECT dt.doc_id, doc.lang, dt.n_tokens, dt.score_micro, "
+       + "ROUND(dt.score_micro::DOUBLE / dt.n_tokens / 1000000, 4) AS mean_lp "
+       + "FROM dt JOIN documents doc USING (doc_id)) "
+       + "SELECT lang, COUNT(*)::BIGINT AS n_docs, "
+       + "SUM(CASE WHEN mean_lp >= -3.6 THEN 1 ELSE 0 END)::BIGINT AS n_kept, "
+       + "ROUND(SUM(score_micro)::DOUBLE / SUM(n_tokens) / 1000000, 4) AS mean_lp_overall "
+       + "FROM m GROUP BY lang ORDER BY lang"),
     // the fixture's closed-form commit shape
     "q329_txlog_history" ->
       ("SELECT * FROM (VALUES (1::BIGINT, TRUE, FALSE, TRUE), "
