@@ -814,7 +814,10 @@ object ScaleProbe {
       if (only.forall(o => txNames.exists(o.contains))) {
         val tdir = java.nio.file.Files
           .createTempDirectory("probe-txlog").toString
-        t("tx_build")({
+        // the build runs UNCONDITIONALLY (every tx probe depends on
+        // the table existing — PROBE_ONLY=tx_cdf alone must not run
+        // against an empty log); it is only TIMED when requested
+        def buildTx(): Long = {
           // range-clustered on doc_id with stats, then a small delete
           // (0.1% of ids) whose rewrite defines the change feed
           graft.operators.TxTable.commitAppend(
@@ -823,7 +826,11 @@ object ScaleProbe {
           graft.operators.TxTable.commitDelete(spark, tdir,
             col("doc_id") % 997 === 0, statsCols = Seq("doc_id"))
           graft.operators.TxTable.currentVersion(tdir).toLong
-        })
+        }
+        val txProbeRuns = Seq("tx_build", "tx_cdf", "tx_skip_scan",
+          "tx_full_scan").exists(n => only.forall(_.contains(n)))
+        if (only.forall(_.contains("tx_build"))) t("tx_build")(buildTx())
+        else if (txProbeRuns) buildTx()
         t("tx_cdf")(graft.operators.TxTable
           .changes(spark, tdir, 1).count())
         t("tx_skip_scan")(graft.operators.TxTable

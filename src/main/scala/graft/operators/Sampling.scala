@@ -437,6 +437,14 @@ object Sampling {
     * parallel — exactly how per-worker packing runs on a cluster).
     * Every output column is a pure function of (seed, ids, token
     * counts), so the oracle replays the packing bit-for-bit.
+    *
+    * Precondition: `idCol` must be unique — skey = md5(seed|id) is the
+    * total order, and a duplicate id would make two rows peers whose
+    * relative packing order is undefined in any engine. The frame is
+    * pinned to ROWS UNBOUNDED PRECEDING..CURRENT ROW so the running
+    * sum matches the oracle's ROWS frame even on tied keys (the
+    * default RANGE frame would hand both peers the sum INCLUDING each
+    * other).
     */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int, nShards: Int, seed: String): DataFrame = {
@@ -444,6 +452,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val key = md5(concat_ws("|", lit(seed), col(idCol).cast("string")))
     val w = Window.partitionBy(col("shard")).orderBy(col("skey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("skey", key)
       .withColumn("shard",
         pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("bigint"),

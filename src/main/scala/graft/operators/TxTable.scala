@@ -825,11 +825,23 @@ object TxTable {
           case (true, false) => Seq(tag(readFiles(e.adds), "insert"))
           case (false, true) => Seq(tag(readFiles(e.removes), "delete"))
           case (true, true) =>
-            val a = readFiles(e.adds)
-            // within one commit adds and removes share a schema
-            // (rewrites re-land the affected files' own columns);
-            // align order so exceptAll compares by position safely
-            val r = readFiles(e.removes).select(a.columns.map(col): _*)
+            val a0 = readFiles(e.adds)
+            val r0 = readFiles(e.removes)
+            // a rewrite normally re-lands the affected files' own
+            // columns, but schema evolution can add OR drop a column
+            // within the commit; align both sides on the column
+            // SUPERSET (absent side typed NULL) so rows differing only
+            // in an evolved column cannot cancel in the exceptAll
+            val allCols =
+              (a0.columns ++ r0.columns.filterNot(a0.columns.contains)).toSeq
+            val colType = (a0.schema.fields ++ r0.schema.fields)
+              .map(f => f.name -> f.dataType).toMap
+            def widen(df: DataFrame): DataFrame =
+              df.select(allCols.map(c =>
+                if (df.columns.contains(c)) col(c)
+                else lit(null).cast(colType(c)).as(c)): _*)
+            val a = widen(a0)
+            val r = widen(r0)
             Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
           case _ => Seq.empty
         }

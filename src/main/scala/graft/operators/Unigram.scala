@@ -186,6 +186,15 @@ object Unigram {
       pieces: Seq[(String, Double)], maxPieceLen: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext.broadcast(pieces.toMap)
+    // An UNSEGMENTABLE word (a char outside the trained vocab) falls
+    // back to one whole-word token; scoring that token 0.0 would hand
+    // a fully out-of-vocab document mean_lp = 0 — trivially PASSING a
+    // perplexity gate it should fail. Penalize it below every real
+    // piece instead: min piece score minus a wide margin. (min − 10.0)
+    // is two plain IEEE ops on a stored round9 double, so an
+    // independent SQL replay lands on the identical micro integer.
+    val unkPenalty =
+      if (pieces.isEmpty) -100.0 else pieces.map(_._2).min - 10.0
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("n_tokens", LongType, nullable = false),
@@ -205,7 +214,7 @@ object Unigram {
                 // left-to-right fold = the DP's own addition order,
                 // so the double is bit-identical to dp(n)
                 var s = 0.0
-                toks.foreach(t => s += score.getOrElse(t, 0.0))
+                toks.foreach(t => s += score.getOrElse(t, unkPenalty))
                 (toks.length, math.floor(s * 1e6).toLong)
               })
               n += nt; micro += m

@@ -4849,7 +4849,14 @@ object AnalyticsQueries {
   private def unigramDpChain(maxLen: Int, maxPieceLen: Int = 6): String = {
     val sb = new StringBuilder
     sb ++= "p AS (SELECT piece, log_prob FROM read_parquet('/root/repo/golden/sf0.01/q326_unigram_vocab/*.parquet')), "
-    sb ++= "dw AS (SELECT DISTINCT unnest(ws) AS w FROM words), "
+    // LOUD guard: the DP is unrolled to maxLen positions, so a word
+    // longer than that would silently never reach pos = length(w) and
+    // be treated as out-of-vocab while the engine segments it — fail
+    // the oracle instead of certifying a divergence.
+    sb ++= ("dw AS (SELECT w FROM (SELECT DISTINCT unnest(ws) AS w FROM words) dwi "
+      + s"WHERE CASE WHEN length(w) > $maxLen THEN "
+      + s"error('unigram DP chain unrolled to $maxLen; corpus word exceeds it') "
+      + "ELSE TRUE END), ")
     sb ++= "a0 AS (SELECT w, 0 AS pos, 0.0::DOUBLE AS sc, 0 AS nt, '' AS toks FROM dw), "
     for (j <- 1 to maxLen) {
       val lo = math.max(0, j - maxPieceLen)
@@ -6854,11 +6861,16 @@ object AnalyticsQueries {
     // same DP replay as q327, reduced to integer micro-scores
     "q330_perplexity_filter" ->
       ("WITH words AS (" + wordsCte + "), "
-       + unigramDpChain(12) + ", "
+       + unigramDpChain(16) + ", "
        + "segm AS (SELECT w, nt, FLOOR(sc * 1000000)::BIGINT AS micro FROM seg), "
+       // unsegmentable word = 1 whole-word token at the engine's OOV
+       // penalty (min piece score - 10, floored to micro units)
+       + "pen AS (SELECT FLOOR((MIN(log_prob) - 10.0) * 1000000)::BIGINT AS pmicro FROM p), "
        + "wsx AS (SELECT doc_id, unnest(ws) AS w FROM words), "
-       + "dt AS (SELECT x.doc_id, SUM(segm.nt)::BIGINT AS n_tokens, SUM(segm.micro)::BIGINT AS score_micro "
-       + "FROM wsx x JOIN segm ON segm.w = x.w GROUP BY x.doc_id HAVING SUM(segm.nt) > 0), "
+       + "dt AS (SELECT x.doc_id, SUM(COALESCE(segm.nt, 1))::BIGINT AS n_tokens, "
+       + "SUM(COALESCE(segm.micro, pen.pmicro))::BIGINT AS score_micro "
+       + "FROM wsx x LEFT JOIN segm ON segm.w = x.w CROSS JOIN pen "
+       + "GROUP BY x.doc_id HAVING SUM(COALESCE(segm.nt, 1)) > 0), "
        + "m AS (SELECT dt.doc_id, doc.lang, dt.n_tokens, dt.score_micro, "
        + "ROUND(dt.score_micro::DOUBLE / dt.n_tokens / 1000000, 4) AS mean_lp "
        + "FROM dt JOIN documents doc USING (doc_id)) "
@@ -6880,11 +6892,12 @@ object AnalyticsQueries {
         "log_prob DESC, piece"),
     "q327_unigram_tokenize" ->
       ("WITH words AS (" + wordsCte + "), "
-       + unigramDpChain(12) + ", "
+       + unigramDpChain(16) + ", "
        + "wsx AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i FROM words), "
-       + "dt AS (SELECT x.doc_id, SUM(seg.nt)::BIGINT AS n_tokens, "
-       + "string_agg(seg.toks, ' ' ORDER BY x.i) AS toks "
-       + "FROM wsx x JOIN seg ON seg.w = x.w GROUP BY x.doc_id), "
+       // unsegmentable word = the engine's whole-word fallback token
+       + "dt AS (SELECT x.doc_id, SUM(COALESCE(seg.nt, 1))::BIGINT AS n_tokens, "
+       + "string_agg(COALESCE(seg.toks, x.w), ' ' ORDER BY x.i) AS toks "
+       + "FROM wsx x LEFT JOIN seg ON seg.w = x.w GROUP BY x.doc_id), "
        + "fl AS (SELECT doc.doc_id, doc.lang, COALESCE(dt.n_tokens, 0) AS n_tokens, "
        + "COALESCE(dt.toks, '') AS toks FROM documents doc LEFT JOIN dt USING (doc_id)) "
        + "SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens, "

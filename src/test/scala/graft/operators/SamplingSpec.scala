@@ -316,4 +316,32 @@ class SamplingSpec extends SparkSpec {
       .orderBy("shard").collect().map(_.toString).toSeq
     assert(inc1 == full)
   }
+
+  test("packSequences tiles each shard exactly, even on tied sort keys") {
+    import spark.implicits._
+    // duplicate ids ⇒ duplicate skeys (the documented tied-key edge):
+    // the pinned ROWS frame must still hand every row a DISTINCT
+    // start_off so the per-shard intervals tile [0, total) exactly —
+    // the default RANGE frame gives peers the sum INCLUDING each
+    // other, which overlaps the tiles and breaks conservation
+    val df = Seq.tabulate(200)(i => (i.toLong % 50, 3L + i % 5))
+      .toDF("doc_id", "n_tok")
+    val packed = Sampling.packSequences(df, "doc_id", "n_tok",
+      seqLen = 16, nShards = 4, seed = "tied").cache()
+    val perShard = packed.groupBy("shard")
+      .agg(sum("n_tok").as("tot"),
+        max(col("start_off") + col("n_tok")).as("hi"),
+        count(lit(1)).as("n"),
+        countDistinct("start_off").as("nd"))
+      .collect()
+    assert(perShard.nonEmpty)
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("tot"),
+        s"shard ${r.get(0)}: intervals must end exactly at the token total")
+      assert(r.getAs[Long]("nd") == r.getAs[Long]("n"),
+        s"shard ${r.get(0)}: tied keys must still get distinct offsets")
+    }
+    // chunk bounds stay consistent with the offsets
+    assert(packed.filter(col("chunk_last") < col("chunk_first")).count() == 0)
+  }
 }

@@ -407,4 +407,38 @@ class TxTableSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(replayed == snap)
   }
+
+  test("change feed: rewrite that DROPS a column cannot cancel its rows") {
+    // schema evolution inside one rewrite commit: the removed files
+    // carry `extra`, the added files don't. Aligning removes to the
+    // adds' columns (the old behavior) would project BOTH wide rows to
+    // (1, 'a') and let one cancel the re-landed survivor — silently
+    // eating a delete. The feed must align on the column SUPERSET.
+    val dir = java.nio.file.Files
+      .createTempDirectory("txtable-evo-").toString
+    val data = java.nio.file.Paths.get(dir, "data")
+    def writeRel(df: org.apache.spark.sql.DataFrame,
+        sub: String): Seq[String] = {
+      df.coalesce(1).write.parquet(data.resolve(sub).toString)
+      data.resolve(sub).toFile.list().toSeq
+        .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
+    }
+    // v1: two rows that differ ONLY in the soon-dropped column
+    val wide = writeRel(
+      Seq((1L, "a", "x1"), (1L, "a", "x2")).toDF("id", "s", "extra"), "w")
+    // v2 rewrite: drops `extra`, re-lands one surviving row
+    val narrow = writeRel(Seq((1L, "a")).toDF("id", "s"), "n")
+    TxTable.writeEntry(dir, TxTable.Entry(1, wide, Nil))
+    TxTable.writeEntry(dir, TxTable.Entry(2, narrow, wide))
+    val feed = TxTable.changes(spark, dir, 1, Some(2))
+      .select(col("_change_type"), col("id"), col("s"), col("extra"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(feed == Set(
+      ("delete", 1L, "a", Some("x1")),
+      ("delete", 1L, "a", Some("x2")),
+      ("insert", 1L, "a", None)),
+      s"rows differing only in the dropped column must not cancel: $feed")
+  }
 }

@@ -110,6 +110,32 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("out-of-vocab words score BELOW every in-vocab doc (quality gate)") {
+    import spark.implicits._
+    val docs = t("documents")
+    val pieces = Unigram.train(docs, "text", targetVocab = 24)
+    // a fully out-of-vocab document (chars the training corpus never
+    // saw) must FAIL a perplexity gate, not trivially pass it with a
+    // 0.0 mean log-prob
+    val oov = Seq((900001L, "Ω≠∑ Ω≠∑ Ω≠∑"),
+      (900002L, "慶應義塾 ᚠᚢᚦᚨ ʘʘʘ")).toDF("doc_id", "text")
+    val scored = Unigram.scoreDocs(oov, "doc_id", "text", pieces)
+      .withColumn("mean_lp",
+        col("score_micro").cast("double") / col("n_tokens") / 1e6)
+      .collect()
+    val minPiece = pieces.map(_._2).min
+    scored.foreach { r =>
+      val lp = r.getAs[Double]("mean_lp")
+      assert(lp <= minPiece - 10.0 + 1e-9,
+        s"OOV doc must score below every real piece, got $lp")
+    }
+    // and below the WORST in-vocab document from the real corpus
+    val worstReal = Unigram.scoreDocs(docs, "doc_id", "text", pieces)
+      .agg(min(col("score_micro").cast("double") / col("n_tokens") / 1e6))
+      .head().getDouble(0)
+    assert(scored.forall(_.getAs[Double]("mean_lp") < worstReal))
+  }
+
   private def t(name: String) =
     graft.engine.Tables(spark, "/root/testdata/sf0.001", name)
 }
