@@ -45,6 +45,22 @@ final class AmqpConnection(url: AmqpUrl) {
 
   private def connectOnce(): Socket = {
     val plain = new Socket()
+    // pika tcp_options → JVM socket options. Keepalive TUNING keys
+    // are inert without SO_KEEPALIVE itself, so any of them implies
+    // it on (pika relies on the caller setting it; implying it here
+    // is the only honest reading of "I asked for a 60 s keepidle").
+    if (url.tcpOptions.nonEmpty) {
+      import java.net.StandardSocketOptions.SO_KEEPALIVE
+      import jdk.net.ExtendedSocketOptions._
+      plain.setOption[java.lang.Boolean](SO_KEEPALIVE,
+        url.tcpOptions.get("SO_KEEPALIVE").forall(_ != 0))
+      url.tcpOptions.get("TCP_KEEPIDLE")
+        .foreach(v => plain.setOption[Integer](TCP_KEEPIDLE, v))
+      url.tcpOptions.get("TCP_KEEPINTVL")
+        .foreach(v => plain.setOption[Integer](TCP_KEEPINTERVAL, v))
+      url.tcpOptions.get("TCP_KEEPCNT")
+        .foreach(v => plain.setOption[Integer](TCP_KEEPCOUNT, v))
+    }
     plain.connect(new java.net.InetSocketAddress(host, port),
       math.max(1, (url.socketTimeout * 1000).toInt))
     if (tls) {
@@ -97,8 +113,12 @@ final class AmqpConnection(url: AmqpUrl) {
   expectSync[ConnectionStart]()
   // SASL PLAIN response: NUL authcid NUL passwd (RFC 4616), from the
   // connection URL exactly as pika builds it from URLParameters
+  // client_properties: URL-supplied entries merge OVER the defaults
+  // (pika URLParameters semantics) and ride connection.start-ok as a
+  // plain AMQP field table — the codec already speaks tables
   sendFrames(methodFrame(0, ConnectionStartOk(
-    Map("product" -> "graft-spark", "version" -> "0-9-1"),
+    Map[String, Any]("product" -> "graft-spark", "version" -> "0-9-1")
+      ++ url.clientProperties,
     "PLAIN", ("\u0000" + user + "\u0000" + password).getBytes(UTF_8),
     url.locale)))
   private val tune = expectSync[ConnectionTune]()

@@ -73,8 +73,15 @@ final class AmqpServer(port: Int, walDir: Option[Path],
   server.setReuseAddress(true)
   server.bind(new java.net.InetSocketAddress(port))
   @volatile private var running = true
+  // the most recent connection's client_properties field table from
+  // connection.start-ok — observable so tests can assert the client
+  // actually SENT what the URL promised
+  @volatile private var lastClientProps: Map[String, Any] = Map.empty
 
   def boundPort: Int = server.getLocalPort
+
+  /** client_properties of the most recent connection (tests). */
+  def lastClientProperties: Map[String, Any] = lastClientProps
 
   /** Kwargs recorded by the first declare of an exchange (tests). */
   def declared(exchange: String): Map[String, String] =
@@ -195,6 +202,7 @@ final class AmqpServer(port: Int, walDir: Option[Path],
           Map("product" -> "graft-amqp", "version" -> "0-9-1"),
           "PLAIN", "en_US")))
         val startOk = expect[ConnectionStartOk](0)
+        lastClientProps = startOk.clientProps
         // SASL PLAIN: NUL authcid NUL passwd → split gives ["", user, pw]
         val cred = new String(startOk.response,
           java.nio.charset.StandardCharsets.UTF_8).split("\u0000", -1)

@@ -23,19 +23,31 @@ package graft.sources.amqp
   * 'server_hostname': ...}`) whose keys map onto the JVM TLS context
   * ([[Tls.context]]): ca_certs → trust store, certfile/keyfile →
   * key store (mutual TLS), server_hostname → SNI/verification name.
+  * Also honored: `client_properties` — a dict literal of extra
+  * properties merged over the client defaults and sent as the AMQP
+  * field table in connection.start-ok (pika URLParameters semantics:
+  * user entries win on key collision); and `tcp_options` — a dict of
+  * socket options mapped onto the JVM equivalents (`TCP_KEEPIDLE`/
+  * `TCP_KEEPINTVL`/`TCP_KEEPCNT` → `jdk.net.ExtendedSocketOptions`,
+  * `SO_KEEPALIVE` → `StandardSocketOptions`; any keepalive tuning key
+  * implies SO_KEEPALIVE on, since the tuning is inert without it).
+  *
   * Unknown keys raise, exactly as pika's
   * `ValueError("Unknown URL parameter")`; the pika keys this client
-  * has no machinery for (`tcp_options`, `client_properties`,
-  * `blocked_connection_timeout`, `stack_timeout`, and unsupported
-  * ssl_options sub-keys) raise a distinct "not supported" error
-  * rather than being silently dropped.
+  * has no machinery for (`blocked_connection_timeout`,
+  * `stack_timeout`, `tcp_options` sub-keys like TCP_USER_TIMEOUT with
+  * no JVM socket option, and unsupported ssl_options sub-keys) raise
+  * a distinct "not supported" error rather than being silently
+  * dropped.
   */
 final case class AmqpUrl(host: String, port: Int, user: String,
     password: String, vhost: String, tls: Boolean,
     heartbeat: Option[Int] = None, connectionAttempts: Int = 1,
     retryDelay: Double = 2.0, socketTimeout: Double = 10.0,
     frameMax: Int = 0, channelMax: Int = 0, locale: String = "en_US",
-    sslOptions: Option[SslOptions] = None)
+    sslOptions: Option[SslOptions] = None,
+    clientProperties: Map[String, Any] = Map.empty,
+    tcpOptions: Map[String, Int] = Map.empty)
 
 /** Parsed pika `ssl_options` dict — only keys with a JVM-native
   * equivalent; the rest are rejected at parse time.
@@ -48,8 +60,12 @@ object AmqpUrl {
   /** pika keys that exist but this client cannot honor — rejected
     * loudly (a silently-ignored TLS option would be a security bug).
     */
-  private val Unsupported = Set("tcp_options",
-    "client_properties", "blocked_connection_timeout", "stack_timeout")
+  private val Unsupported =
+    Set("blocked_connection_timeout", "stack_timeout")
+
+  /** tcp_options keys with a JVM socket-option equivalent. */
+  private val TcpOptionKeys =
+    Set("TCP_KEEPIDLE", "TCP_KEEPINTVL", "TCP_KEEPCNT", "SO_KEEPALIVE")
 
   def parse(url: String): AmqpUrl = {
     val u = new java.net.URI(url)
@@ -115,11 +131,64 @@ object AmqpUrl {
       case "channel_max" => a.copy(channelMax = int(k, v, 0, 65535))
       case "locale" => a.copy(locale = v)
       case "ssl_options" => a.copy(sslOptions = Some(parseSsl(v, url)))
+      case "client_properties" =>
+        a.copy(clientProperties = parseDict(v, url, "client_properties"))
+      case "tcp_options" =>
+        val d = parseDict(v, url, "tcp_options").map {
+          case (k, _) if !TcpOptionKeys(k) =>
+            throw new IllegalArgumentException(
+              s"tcp_options key '$k' in '$url' is recognized by pika but has no JVM socket-option equivalent")
+          case (k, i: Int) => k -> i
+          case (k, b: Boolean) => k -> (if (b) 1 else 0)
+          case (k, other) => throw new IllegalArgumentException(
+            s"tcp_options value for '$k' in '$url' must be an integer, got '$other'")
+        }
+        a.copy(tcpOptions = d)
       case key if Unsupported(key) => throw new IllegalArgumentException(
         s"URL parameter '$key' in '$url' is recognized by pika but not supported by this client")
       case key => throw new IllegalArgumentException(
         s"Unknown URL parameter: '$key' in '$url'")
     }
+
+  /** Parse a flat Python-ish dict literal (the pika URLParameters
+    * query-string shape, e.g. `{'product': 'svc', 'attempts': 3,
+    * 'beta': true}`) into typed values: quoted → String, true/false
+    * (any case) → Boolean, integral → Int (Long when out of Int
+    * range), decimal → Double. Nested dicts raise — pika accepts them
+    * for client_properties but the URL surface the reference exposes
+    * never uses one, and silently flattening would corrupt the table.
+    */
+  private[amqp] def parseDict(v: String, url: String,
+      what: String): Map[String, Any] = {
+    val body = v.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").map { kv =>
+      val i = kv.indexOf(':')
+      if (i <= 0) throw new IllegalArgumentException(
+        s"$what entry '$kv' in '$url' is not a key: value pair")
+      val k = unquote(kv.take(i))
+      val raw = kv.drop(i + 1).trim
+      if (raw.startsWith("{")) throw new IllegalArgumentException(
+        s"$what value for '$k' in '$url': nested dicts are not supported")
+      val value: Any =
+        if ((raw.startsWith("'") && raw.endsWith("'")) ||
+            (raw.startsWith("\"") && raw.endsWith("\""))) unquote(raw)
+        else if (raw.equalsIgnoreCase("true")) true
+        else if (raw.equalsIgnoreCase("false")) false
+        else raw.toIntOption.getOrElse(
+          raw.toLongOption.getOrElse(
+            raw.toDoubleOption.getOrElse(raw)))
+      k -> value
+    }.toMap
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+      t.substring(1, t.length - 1)
+    else t
+  }
 
   /** Parse pika's ssl_options dict literal (single- or double-quoted
     * keys/values). Keys without a JVM equivalent raise — honoring a
