@@ -860,6 +860,13 @@ object ScaleProbe {
         .agg(max(col("chunk_last"))).count()
     })
 
+    // q331: the doubling-round count is FIXED by the window
+    // (ceil(log2 32) = 5), never by corpus size — per-round cost is
+    // linear in character positions, so the probe should read ~linear
+    // in mult with no round-count term
+    t("suffix_spans")(graft.operators.SuffixDedup
+      .duplicatedSpans(d, "doc_id", "text", window = 32).count())
+
     spark.stop()
   }
 }

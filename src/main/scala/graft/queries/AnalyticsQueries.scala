@@ -4396,6 +4396,21 @@ object AnalyticsQueries {
         .orderBy("lang")
     }),
 
+    // EXACT substring dedup via distributed prefix doubling (the Lee
+    // et al. deduplicate-text-datasets capability): maximal duplicated
+    // regions = union-merged islands of duplicated 32-gram starts,
+    // where gram identity comes from ceil(log2 32) = 5 Manber-Myers
+    // class-doubling rounds (integer keys, n·16 bytes per shuffle)
+    // instead of grouping 32-char strings (n·32 bytes once) — and NO
+    // hashing, so a repeat longer than the window surfaces as ONE
+    // full-length span, exact and collision-free. Oracle recomputes
+    // the spans from literal substrings in SQL.
+    "q331_suffix_spans" -> ((s, d) =>
+      graft.operators.SuffixDedup
+        .duplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+          window = 32)
+        .orderBy("doc_id", "span_start")),
+
     // Hybrid retrieval over the index: q211's RRF fusion with the
     // LEXICAL leg answered by the postings artifact (q305's path)
     // instead of a corpus scan — the hybrid-search deployment shape,
@@ -6878,6 +6893,22 @@ object AnalyticsQueries {
        + "SUM(CASE WHEN mean_lp >= -3.6 THEN 1 ELSE 0 END)::BIGINT AS n_kept, "
        + "ROUND(SUM(score_micro)::DOUBLE / SUM(n_tokens) / 1000000, 4) AS mean_lp_overall "
        + "FROM m GROUP BY lang ORDER BY lang"),
+    // exact duplicated spans from literal 32-char substrings: dup
+    // grams -> island merge; string equality on both sides (engine:
+    // prefix-doubling classes; oracle: the substrings themselves) so
+    // the spans are integer-exact cross-engine
+    "q331_suffix_spans" ->
+      ("WITH g AS (SELECT doc_id, i, substring(text, i, 32) AS gram "
+       + "FROM documents, LATERAL unnest(generate_series(1, greatest(length(text) - 31, 0))) AS t(i)), "
+       + "dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1), "
+       + "m AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)), "
+       + "f AS (SELECT doc_id, i, MAX(i + 32) OVER (PARTITION BY doc_id ORDER BY i "
+       + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m), "
+       + "r AS (SELECT doc_id, i, SUM(CASE WHEN prev_end IS NULL OR i > prev_end THEN 1 ELSE 0 END) "
+       + "OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS isl FROM f) "
+       + "SELECT doc_id, MIN(i)::BIGINT AS span_start, "
+       + "(MAX(i) + 32 - MIN(i))::BIGINT AS span_len "
+       + "FROM r GROUP BY doc_id, isl ORDER BY doc_id, span_start"),
     // the fixture's closed-form commit shape
     "q329_txlog_history" ->
       ("SELECT * FROM (VALUES (1::BIGINT, TRUE, FALSE, TRUE), "

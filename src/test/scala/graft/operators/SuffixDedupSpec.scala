@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SuffixDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference: duplicated W-gram starts, merged islands. */
+  private def bruteSpans(texts: Seq[(Long, String)], w: Int,
+      minCount: Int = 2): Set[(Long, Long, Long)] = {
+    val grams = texts.flatMap { case (id, t) =>
+      (0 to t.length - w).map(i => (id, i + 1, t.substring(i, i + w)))
+    }
+    val counts = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val dupPos = grams.filter(g => counts(g._3) >= minCount)
+      .map(g => (g._1, g._2)).groupBy(_._1)
+    dupPos.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
+      sorted.foreach { p =>
+        if (spans.nonEmpty && p <= spans.last._2) {
+          val (s, e) = spans.remove(spans.length - 1)
+          spans += ((s, math.max(e, p + w)))
+        } else spans += ((p, p + w))
+      }
+      spans.map { case (s, e) => (id, s.toLong, (e - s).toLong) }
+    }.toSet
+  }
+
+  test("windowClasses: class equality == exact substring equality") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen quick brown foxes"),
+      (3L, "the quick brown fox naps; the quick brown fox naps"))
+    for (w <- Seq(2, 3, 5, 8, 11)) {
+      // cls is an opaque equality-comparable id (long or struct,
+      // depending on the re-rank schedule) — compare it as a value
+      val cls = SuffixDedup.windowClasses(texts.toDF("doc_id", "text"),
+          "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.get(2)))
+      val byText = texts.toMap
+      // exactly one row per window start
+      assert(cls.length == texts.map(_._2.length - w + 1).sum)
+      val grouped = cls.groupBy(_._3).values
+      grouped.foreach { rows =>
+        val subs = rows.map { case (id, p, _) =>
+          byText(id).substring(p - 1, p - 1 + w) }.toSet
+        assert(subs.size == 1, s"w=$w: one class, two substrings: $subs")
+      }
+      // and distinct classes never share a substring
+      val bySub = cls.groupBy { case (id, p, _) =>
+        byText(id).substring(p - 1, p - 1 + w) }.values
+      bySub.foreach { rows =>
+        assert(rows.map(_._3).distinct.length == 1,
+          s"w=$w: equal substrings split across classes")
+      }
+    }
+  }
+
+  test("planted repeat LONGER than the window surfaces as ONE full span") {
+    val repeat = "abcdefghijklmnopqrstuvwxyz0123456789" * 3 // 108 chars
+    // APERIODIC filler (multiplicative hash of the index) — a linear
+    // congruence mod 26 would repeat with period 26 < window and make
+    // the filler itself a duplicated span
+    def filler(seed: Int, n: Int): String =
+      (0 until n).map { i =>
+        ((((i + seed * 1000) * 2654435761L >>> 16) % 26) + 'A').toChar
+      }.mkString
+    val docs = Seq(
+      (10L, filler('a', 61) + repeat + filler('b', 47)),
+      (20L, filler('c', 31) + repeat + filler('d', 83)),
+      (30L, filler('e', 97))).toDF("doc_id", "text")
+    val got = SuffixDedup.duplicatedSpans(docs, "doc_id", "text", window = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the whole 108-char repeat, at its exact offset in each doc —
+    // not a 32-char clip (1-based starts: 62 and 32)
+    assert(got == Set((10L, 62L, 108L), (20L, 32L, 108L)), got.toString)
+  }
+
+  test("spans == brute force on the real corpus, windows 17 and 32") {
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    for (w <- Seq(17, 32)) {
+      val got = SuffixDedup.duplicatedSpans(docs, "doc_id", "text", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == bruteSpans(texts, w), s"w=$w mismatch")
+      assert(got.nonEmpty, s"w=$w: fixture has no duplicated spans")
+    }
+  }
+
+  test("minCount raises the duplication bar") {
+    val docs = Seq(
+      (1L, "xxTRIPLExx"), (2L, "yyTRIPLEyy"), (3L, "zzTRIPLEzz"),
+      (4L, "aaDOUBLEaa"), (5L, "bbDOUBLEbb")).toDF("doc_id", "text")
+    val twoPlus = SuffixDedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 6, minCount = 2).collect().map(_.getLong(0)).toSet
+    val threePlus = SuffixDedup.duplicatedSpans(docs, "doc_id", "text",
+      window = 6, minCount = 3).collect().map(_.getLong(0)).toSet
+    assert(twoPlus == Set(1L, 2L, 3L, 4L, 5L))
+    assert(threePlus == Set(1L, 2L, 3L))
+  }
+
+  test("deterministic under repartitioning") {
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SuffixDedup.duplicatedSpans(df, "doc_id", "text", 32)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+}
