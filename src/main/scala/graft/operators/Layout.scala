@@ -41,6 +41,41 @@ object Layout {
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions(col("zval"))
 
+  /** [[zOrdered]] with per-dimension NORMALIZATION: each key is
+    * first mapped to an equal-width bucket id in [0, 2^bits) over its
+    * own [min, max], and the interleave runs on the bucket ids. Raw
+    * interleaving silently degrades when the dimensions have
+    * mismatched magnitudes — the wider key's high bits dominate every
+    * z-boundary and the layout collapses to a one-axis sort (a
+    * doc_id in the millions against a length in the hundreds makes
+    * "z-order" just doc_id order). Normalizing first is what Delta's
+    * OPTIMIZE ZORDER does with per-column range ids; equal-width over
+    * the observed [min, max] costs ONE tiny aggregate (a one-row
+    * broadcast scalar) instead of a per-column global sort, and is
+    * exact for the pruning purpose — file boxes only need to be tight,
+    * not equi-populated.
+    */
+  def zOrderedScaled(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 8): DataFrame = {
+    val stats = df.agg(
+      min(col(xCol)).cast("double").as("_zxmn"),
+      max(col(xCol)).cast("double").as("_zxmx"),
+      min(col(yCol)).cast("double").as("_zymn"),
+      max(col(yCol)).cast("double").as("_zymx"))
+    val n = (1 << bits).toDouble
+    def bucket(v: Column, mn: Column, mx: Column): Column =
+      when(mx <= mn, lit(0L)).otherwise(
+        least(floor((v.cast("double") - mn) / ((mx - mn) / n)),
+          lit(n - 1)).cast("long"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("zval", zValue(
+        bucket(col(xCol), col("_zxmn"), col("_zxmx")),
+        bucket(col(yCol), col("_zymn"), col("_zymx")), bits))
+      .drop("_zxmn", "_zxmx", "_zymn", "_zymx")
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+  }
+
   /** Zone map: per-file (count, min, max) statistics for `keyCols`
     * over a parquet directory — the file-skipping index a lakehouse
     * keeps beside a z-ordered table. One narrow pass grouped by

@@ -449,7 +449,13 @@ object TxTable {
       targetFiles: Int,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil,
+      zOrderBy: Seq[String] = Nil,
+      zBits: Int = 16): Int = {
+    require(zOrderBy.isEmpty || zOrderBy.size == 2,
+      "zOrderBy takes exactly two columns (Morton interleave)")
+    require(zOrderBy.isEmpty || clusterBy.isEmpty,
+      "choose clusterBy (one axis) or zOrderBy (two axes), not both")
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val v0 = currentVersion(dir) + 1
@@ -457,9 +463,16 @@ object TxTable {
     // clusterBy = OPTIMIZE's clustering axis: range-partition so each
     // output file owns a tight [min,max] slice of the cluster columns
     // — what makes the per-file stats actually selective (Delta's
-    // OPTIMIZE ZORDER intent on one axis)
+    // OPTIMIZE ZORDER intent on one axis). zOrderBy = the TWO-axis
+    // variant: range-partition on the Morton interleave so each file
+    // owns a tight box in BOTH dimensions and the per-file min/max
+    // sidecars prune on either key (OPTIMIZE ZORDER proper —
+    // [[Layout.zOrdered]] composed with the commit protocol).
     val arranged =
-      if (clusterBy.isEmpty) current.repartition(targetFiles)
+      if (zOrderBy.nonEmpty)
+        Layout.zOrderedScaled(current, zOrderBy.head, zOrderBy(1),
+          targetFiles, zBits).drop("zval")
+      else if (clusterBy.isEmpty) current.repartition(targetFiles)
       else current.repartitionByRange(targetFiles,
         clusterBy.map(col).toIndexedSeq: _*)
     val added = stage(arranged, dir, v0)

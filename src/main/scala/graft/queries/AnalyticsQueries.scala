@@ -4280,6 +4280,49 @@ object AnalyticsQueries {
         .orderBy("probe")
     }),
 
+    // OPTIMIZE ZORDER (q323's two-axis sibling): after z-order
+    // compaction each file owns a tight box in BOTH (doc_id, n_chars),
+    // so the minmax sidecars prune on EITHER key — a pure-length
+    // predicate skips files the v1 doc_id-clustered layout must read
+    // (that layout's every file spans the whole length domain). Rows +
+    // checksum certify skip==filter in SQL; the pruning claims ride as
+    // booleans (file counts depend on sampled range boundaries, the
+    // INEQUALITIES do not): z_pruned = the z layout skipped at least
+    // one file; z_beats_linear = it kept strictly fewer files than
+    // time-traveling to the v1 linear layout (claimed only where the
+    // one-axis layout provably cannot prune)
+    "q332_txlog_zorder" -> ((s, d) => {
+      val dir2 = txZorderDir(s, d)
+      import org.apache.spark.sql.Column
+      def probe(label: String, pred: Column,
+          claimBeats: Boolean): org.apache.spark.sql.DataFrame = {
+        val (keptZ, skippedZ) =
+          graft.operators.TxTable.pruneFiles(s, dir2, pred)
+        val (keptL, _) =
+          graft.operators.TxTable.pruneFiles(s, dir2, pred, Some(1))
+        val beats: Column =
+          if (claimBeats) lit(keptZ.size < keptL.size)
+          else lit(null).cast("boolean")
+        graft.operators.TxTable.snapshotWhere(s, dir2, pred)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(label).as("probe"), col("n_rows"), col("checksum"),
+            lit(skippedZ.nonEmpty).as("z_pruned"),
+            beats.as("z_beats_linear"))
+      }
+      probe("x_range", col("doc_id") >= 10L && col("doc_id") <= 25L,
+          claimBeats = false)
+        .unionAll(probe("y_range",
+          col("n_chars") >= 100L && col("n_chars") <= 140L,
+          claimBeats = true))
+        .unionAll(probe("box",
+          col("doc_id") > 5L &&
+            col("n_chars") >= 100L && col("n_chars") <= 140L,
+          claimBeats = true))
+        .orderBy("probe")
+    }),
+
     // Sequence packing (concat-and-chunk): the LLM-pretraining
     // dataloader op — docs dealt to 8 shards by seeded md5, laid
     // end-to-end in seeded order, token stream cut every 2048; each
@@ -4744,6 +4787,32 @@ object AnalyticsQueries {
         t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
           .repartitionByRange(8, col("doc_id")),
         tmp, statsCols = Seq("doc_id"))
+      tmp
+    })
+
+  /** Z-order compaction table (q332): v1 lands documents
+    * range-clustered on doc_id ALONE (the one-axis OPTIMIZE layout —
+    * per-file n_chars spans the whole domain, so a length predicate
+    * prunes nothing); v2 is `commitCompact(zOrderBy = (doc_id,
+    * n_chars))`, after which each file owns a tight BOX in both
+    * dimensions. Time travel to v1 preserves the linear layout, so
+    * one table carries its own before/after comparison.
+    */
+  private val txZorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txZorderDir(s: SparkSession, dir: String): String =
+    txZorderCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txzorder-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(8, col("doc_id")), tmp,
+        statsCols = Seq("doc_id", "n_chars"))
+      graft.operators.TxTable.commitCompact(s, tmp, targetFiles = 8,
+        statsCols = Seq("doc_id", "n_chars"),
+        zOrderBy = Seq("doc_id", "n_chars"))
       tmp
     })
 
@@ -6858,6 +6927,21 @@ object AnalyticsQueries {
        + "p AS (SELECT 'range' AS probe UNION ALL SELECT 'in_list' UNION ALL SELECT 'mixed') "
        + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe ORDER BY p.probe"),
+    // z-order compaction: rows + checksum replay skip==filter; the
+    // pruning claims are engine invariants emitted as booleans
+    // (pruned at all; fewer files than the v1 one-axis layout where
+    // that layout provably cannot prune)
+    "q332_txlog_zorder" ->
+      ("WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM documents), "
+       + "r AS (SELECT 'x_range' AS probe, doc_id, text FROM d WHERE doc_id >= 10 AND doc_id <= 25 "
+       + "UNION ALL SELECT 'y_range', doc_id, text FROM d WHERE n_chars >= 100 AND n_chars <= 140 "
+       + "UNION ALL SELECT 'box', doc_id, text FROM d WHERE doc_id > 5 AND n_chars >= 100 AND n_chars <= 140), "
+       + "p AS (SELECT 'x_range' AS probe, NULL::BOOLEAN AS z_beats_linear "
+       + "UNION ALL SELECT 'y_range', TRUE UNION ALL SELECT 'box', TRUE) "
+       + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum, "
+       + "TRUE AS z_pruned, ANY_VALUE(p.z_beats_linear) AS z_beats_linear "
        + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe ORDER BY p.probe"),
     // replays the seeded packing bit-for-bit: same md5 shard/order,
     // same running offsets, same chunk spans

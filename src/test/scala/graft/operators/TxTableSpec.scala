@@ -408,6 +408,44 @@ class TxTableSpec extends SparkSpec {
     assert(replayed == snap)
   }
 
+  test("OPTIMIZE ZORDER: two-key boxes prune where one-axis cannot") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("txtable-zorder-").toString
+    // 4096 rows on a 64x64 integer grid: x uniform, y = a reshuffle
+    // of x (so x-clustered files each span the WHOLE y domain)
+    val grid = spark.range(4096)
+      .select(col("id").as("x"), ((col("id") * 2654435761L) % 4096).as("y"),
+        col("id").as("payload"))
+    TxTable.commitAppend(grid.repartitionByRange(16, col("x")), dir,
+      statsCols = Seq("x", "y"))
+    val vz = TxTable.commitCompact(spark, dir, targetFiles = 16,
+      statsCols = Seq("x", "y"), zOrderBy = Seq("x", "y"))
+    // dataChange=false: readers at v1 still see the linear layout
+    val pred = col("y") >= 1000L && col("y") <= 1100L
+    val (keptZ, skippedZ) = TxTable.pruneFiles(spark, dir, pred)
+    val (keptL, _) = TxTable.pruneFiles(spark, dir, pred, Some(1))
+    assert(keptL.size == 16, "x-clustered files all span the y domain")
+    assert(skippedZ.nonEmpty && keptZ.size < keptL.size,
+      s"z layout must prune a pure-y predicate: ${keptZ.size} vs ${keptL.size}")
+    // a two-key box prunes harder than either axis alone
+    val box = col("x") >= 512L && col("x") <= 1023L && pred
+    val (keptBox, _) = TxTable.pruneFiles(spark, dir, box)
+    assert(keptBox.size <= keptZ.size)
+    // skipping is SOUND: snapshotWhere == snapshot.filter, both
+    // layouts, and compaction changed no row
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(TxTable.snapshotWhere(spark, dir, pred)) ==
+      rows(TxTable.snapshot(spark, dir).filter(pred)))
+    assert(rows(TxTable.snapshotWhere(spark, dir, pred, Some(1))) ==
+      rows(TxTable.snapshot(spark, dir, Some(vz)).filter(pred)))
+    // zOrderBy and clusterBy are mutually exclusive; arity enforced
+    assertThrows[IllegalArgumentException](TxTable.commitCompact(
+      spark, dir, 4, zOrderBy = Seq("x")))
+    assertThrows[IllegalArgumentException](TxTable.commitCompact(
+      spark, dir, 4, clusterBy = Seq("x"), zOrderBy = Seq("x", "y")))
+  }
+
   test("change feed: rewrite that DROPS a column cannot cancel its rows") {
     // schema evolution inside one rewrite commit: the removed files
     // carry `extra`, the added files don't. Aligning removes to the
