@@ -27,7 +27,8 @@ object MakeGolden {
       "q91_ann_int8", "q93_survivors", "q96_hll", "q147_cms",
       "q168_pq_topk", "q169_pca_components", "q175_ivfpq", "q182_mmr",
       "q198_ivf_append", "q221_ann_tombstones", "q246_hll_rollup",
-      "q271_image_phash", "q273_audio_fingerprint", "q326_unigram_vocab")
+      "q271_image_phash", "q273_audio_fingerprint", "q326_unigram_vocab",
+      "q333_neardup_sigs")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -663,7 +663,7 @@ object Dedup {
   /** Signature-level core of [[minHashPairsAgainst]]: both sides are
     * already (id, sig).
     */
-  private def pairsAgainstSigs(idxSig: DataFrame, batchSig: DataFrame,
+  private[operators] def pairsAgainstSigs(idxSig: DataFrame, batchSig: DataFrame,
       threshold: Double, bands: Int, rowsPerBand: Int): DataFrame = {
     val candidates = bandBuckets(idxSig, bands, rowsPerBand).as("x")
       .join(bandBuckets(batchSig, bands, rowsPerBand).as("y"),

@@ -440,6 +440,72 @@ object TxTable {
     v
   }
 
+  /** Near-dup-aware MERGE (the Dedup x txlog composition): append
+    * ONLY the batch rows that are near-duplicates of nothing — the
+    * corpus is consulted through its persisted MinHash signature
+    * index at `sigDir` ([[Dedup.minHashIndex]]'s (id, sig) store),
+    * never re-read, never re-shingled. Keep-first semantics,
+    * SQL-replayable by construction:
+    *
+    *  - a batch row whose ID is already indexed is dropped (replaying
+    *    the same batch is a no-op — idempotent ingest);
+    *  - a batch row banding with ANY indexed signature at
+    *    `estimated jaccard >= threshold` is dropped (the corpus copy
+    *    arrived first);
+    *  - within the batch, the GREEDY pair rule: row b is dropped when
+    *    some smaller-id batch row a matches it — non-recursive (b
+    *    stays dropped even if a was itself dropped), which is the Lee
+    *    et al. style approximation that an independent replay can
+    *    re-derive without computing connected components.
+    *
+    * Survivors land as one atomic append and THEIR signatures extend
+    * the index, so the next batch dedups against them too. The index
+    * write is not transactional with the commit — it is a DERIVED
+    * artifact, rebuildable from the table; a crash between the two
+    * at worst re-admits a duplicate that the next OPTIMIZE-side
+    * rebuild removes. Cost per ingest rides |batch| + the bucket
+    * join against |index| narrow (id, sig) rows — the table's text
+    * is never touched.
+    */
+  def commitMergeNearDup(spark: SparkSession, dir: String,
+      sigDir: String, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, bands: Int = 16, rowsPerBand: Int = 4,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
+    val batchSig = Dedup
+      .minHashSignature(batch, idCol, textCol, n, bands * rowsPerBand)
+      .cache()
+    val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+    val sigFs = sigPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val index =
+      if (sigFs.exists(sigPath))
+        Some(spark.read.parquet(sigDir).select(col("id"), col("sig")))
+      else None
+    val internalDrops = Dedup
+      .pairsAgainstSigs(batchSig, batchSig, threshold, bands, rowsPerBand)
+      .filter(col("a") < col("b")).select(col("b").as("id"))
+    val drops = index match {
+      case None => internalDrops
+      case Some(idx) =>
+        val exactIdDrops = batchSig.select(col("id"))
+          .join(idx.select(col("id")), Seq("id"), "left_semi")
+        val corpusDrops = Dedup
+          .pairsAgainstSigs(idx, batchSig, threshold, bands, rowsPerBand)
+          .select(col("b").as("id"))
+        exactIdDrops.unionAll(corpusDrops).unionAll(internalDrops)
+    }
+    val dropIds = drops.distinct().cache()
+    val survivors = batch
+      .join(dropIds.withColumnRenamed("id", idCol), Seq(idCol),
+        "left_anti")
+    if (survivors.isEmpty) return currentVersion(dir)
+    val v = commitAppend(survivors, dir, checkpointEvery, statsCols)
+    batchSig.join(dropIds, Seq("id"), "left_anti")
+      .write.mode("append").parquet(sigDir)
+    v
+  }
+
   /** Compaction commit (OPTIMIZE): rewrite the current live set into
     * `targetFiles` files and swap atomically — readers at older
     * versions still see the old files (they are removed from the

@@ -4280,6 +4280,32 @@ object AnalyticsQueries {
         .orderBy("probe")
     }),
 
+    // the MinHash signature table UNDER q334, exploded to scalar
+    // (id, position, hash) rows and golden-pinned (xxhash64-defined)
+    // — the stored artifact q334's SQL oracle re-derives the merge
+    // from, making the near-dup MERGE a cross-engine replay rather
+    // than a pin read-back
+    "q333_neardup_sigs" -> ((s, d) =>
+      graft.operators.Dedup
+        .minHashSignature(t(s, d, "documents"), "doc_id", "text",
+          n = 3, numHashes = 64)
+        .select(col("id"), posexplode(col("sig")).as(Seq("i0", "h")))
+        .select(col("id"), (col("i0") + 1).cast("long").as("i"), col("h"))
+        .orderBy("id", "i")),
+
+    // near-dup-aware MERGE into the txlog table (the two flagship
+    // layers composed): even docs ingest first, the same batch
+    // REPLAYS as a version no-op (asserted in the fixture), then odd
+    // docs ingest against the persisted signature index — corpus
+    // near-dups (banded LSH >= 0.5 estimated jaccard) and
+    // batch-internal greedy-pair dups drop; the table ends with
+    // exactly the keep-first survivors. Oracle re-derives the whole
+    // merge in SQL from the stored signatures (band = 4-slice full
+    // agreement, est jaccard = agreeing positions >= 32/64)
+    "q334_neardup_merge" -> ((s, d) =>
+      graft.operators.TxTable.snapshot(s, nearDupMergeDir(s, d))
+        .select(col("doc_id")).orderBy("doc_id")),
+
     // OPTIMIZE ZORDER (q323's two-axis sibling): after z-order
     // compaction each file owns a tight box in BOTH (doc_id, n_chars),
     // so the minmax sidecars prune on EITHER key — a pure-length
@@ -4814,6 +4840,32 @@ object AnalyticsQueries {
         statsCols = Seq("doc_id", "n_chars"),
         zOrderBy = Seq("doc_id", "n_chars"))
       tmp
+    })
+
+  /** Near-dup-aware MERGE table (q334): even-id documents ingest
+    * first (building the signature index from empty), the SAME batch
+    * replays (must be a version no-op), then the odd-id batch ingests
+    * against the index — corpus near-dups and batch-internal
+    * greedy-pair dups are dropped, survivors extend the index.
+    */
+  private val nearDupMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupMergeDir(s: SparkSession, dir: String): String =
+    nearDupMergeCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ndmerge-")
+        .toString
+      val (tdir, sdir) = (s"$tmp/table", s"$tmp/sigs")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      def ingest(b: org.apache.spark.sql.DataFrame) =
+        graft.operators.TxTable.commitMergeNearDup(s, tdir, sdir, b,
+          "doc_id", "text", n = 3, threshold = 0.5,
+          statsCols = Seq("doc_id"))
+      val v1 = ingest(even)
+      val v2 = ingest(even) // replay: must not commit
+      require(v2 == v1, s"replayed batch committed: v$v1 -> v$v2")
+      ingest(docs.filter(col("doc_id") % 2 === 1))
+      tdir
     })
 
   /** Bloom-sidecar transaction-log table (q325): documents in a
@@ -6928,6 +6980,35 @@ object AnalyticsQueries {
        + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
        + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe ORDER BY p.probe"),
+    // xxhash64-defined signature artifact: golden pin (q29's rule)
+    "q333_neardup_sigs" ->
+      golden("q333_neardup_sigs", "id, i, h", "id, i"),
+    // full SQL replay of the near-dup MERGE from the stored
+    // signatures: candidates = pairs sharing ALL 4 positions of some
+    // band; matches = candidates agreeing on >= 32 of 64 positions
+    // (est jaccard >= 0.5, integer-exact); then keep-first — even
+    // batch drops greedy internal pairs, odd batch drops corpus
+    // matches against the SURVIVING evens plus its own internal pairs
+    "q334_neardup_merge" ->
+      ("WITH s AS (SELECT id, i, h FROM read_parquet('/root/repo/golden/sf0.01/q333_neardup_sigs/*.parquet')), "
+       + "ag AS (SELECT a.id AS a, b.id AS b, ((a.i - 1) // 4) AS band, COUNT(*) AS c "
+       + "FROM s a JOIN s b ON a.i = b.i AND a.h = b.h AND a.id < b.id GROUP BY 1, 2, 3), "
+       + "cand AS (SELECT a, b FROM ag GROUP BY a, b HAVING MAX(c) = 4), "
+       + "matched AS (SELECT cand.a, cand.b FROM cand "
+       + "JOIN (SELECT a, b, SUM(c) AS k FROM ag GROUP BY a, b) t USING (a, b) WHERE t.k >= 32), "
+       + "evens AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0), "
+       + "odds AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1), "
+       + "drop1 AS (SELECT DISTINCT m.b AS doc_id FROM matched m "
+       + "JOIN evens ea ON ea.doc_id = m.a JOIN evens eb ON eb.doc_id = m.b), "
+       + "surv1 AS (SELECT doc_id FROM evens WHERE doc_id NOT IN (SELECT doc_id FROM drop1)), "
+       + "drop3c AS (SELECT DISTINCT o.doc_id FROM odds o JOIN matched m "
+       + "ON (m.a = o.doc_id AND m.b IN (SELECT doc_id FROM surv1)) "
+       + "OR (m.b = o.doc_id AND m.a IN (SELECT doc_id FROM surv1))), "
+       + "drop3i AS (SELECT DISTINCT m.b AS doc_id FROM matched m "
+       + "JOIN odds oa ON oa.doc_id = m.a JOIN odds ob ON ob.doc_id = m.b), "
+       + "surv3 AS (SELECT doc_id FROM odds WHERE doc_id NOT IN (SELECT doc_id FROM drop3c) "
+       + "AND doc_id NOT IN (SELECT doc_id FROM drop3i)) "
+       + "SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv3 ORDER BY doc_id"),
     // z-order compaction: rows + checksum replay skip==filter; the
     // pruning claims are engine invariants emitted as booleans
     // (pruned at all; fewer files than the v1 one-axis layout where

@@ -446,6 +446,44 @@ class TxTableSpec extends SparkSpec {
       spark, dir, 4, clusterBy = Seq("x"), zOrderBy = Seq("x", "y")))
   }
 
+  test("near-dup MERGE: index-backed keep-first, replay is a no-op") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("txtable-ndmerge-").toString
+    val (tdir, sdir) = (s"$tmp/table", s"$tmp/sigs")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val fresh = "red orange yellow green blue indigo violet cyan " +
+      "magenta teal maroon olive navy silver gold bronze copper"
+    def ingest(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      TxTable.commitMergeNearDup(spark, tdir, sdir,
+        rows.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }
+    // batch 1: 1 keeps, 3 keeps (unrelated), 5 = near-dup of 1 ->
+    // dropped by the greedy internal pair rule (1 < 5)
+    val v1 = ingest(Seq((1L, base), (3L, other),
+      (5L, base + " tango")))
+    assert(TxTable.snapshot(spark, tdir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // replaying the identical batch commits NOTHING (idempotent)
+    assert(ingest(Seq((1L, base), (3L, other), (5L, base + " tango"))) == v1)
+    assert(TxTable.currentVersion(tdir) == v1)
+    // batch 2: 2 = near-dup of indexed 1 -> dropped via the persisted
+    // signature index (the corpus text is never re-read); 4 is new ->
+    // kept; 6 = near-dup of 4 (same batch) -> greedy-dropped
+    ingest(Seq((2L, base + " uniform"), (4L, fresh),
+      (6L, fresh + " zulu")))
+    assert(TxTable.snapshot(spark, tdir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // the index mirrors the table's survivors exactly
+    val idx = spark.read.parquet(sdir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 3L, 4L))
+  }
+
   test("change feed: rewrite that DROPS a column cannot cancel its rows") {
     // schema evolution inside one rewrite commit: the removed files
     // carry `extra`, the added files don't. Aligning removes to the
