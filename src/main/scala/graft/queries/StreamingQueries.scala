@@ -1541,7 +1541,58 @@ object StreamingQueries {
         .orderBy("lang")
     }
 
+  /** Streaming twin of q327's unigram tokenizer APPLY — the
+    * production ingest shape: train once, tokenize every arriving
+    * batch forever. Each micro-batch runs the same broadcast-pieces
+    * narrow pass the batch path uses ([[graft.operators.Unigram
+    * .tokenize]]) inside `foreachBatch`, landing per-doc rows in its
+    * own `batch=<id>` partition (overwrite — replay-idempotent, the
+    * versioned-state convention); the drained output re-aggregates
+    * to q327's exact per-lang rollup, and stream == batch is
+    * certified by the SHARED oracle (the DuckDB Viterbi DP replay),
+    * not by comparing the engine to itself.
+    */
+  def q335StreamTokenize(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val pieces = AnalyticsQueries.unigramPieces(s, dir)
+      val ckpt = scratchCheckpoint("q335")
+      val out = java.nio.file.Files
+        .createTempDirectory("q335-tokens-").toString
+      val docs =
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, "documents.parquet")))
+          s.readStream.schema(raw).parquet(dir + "/documents.parquet")
+        else
+          s.readStream.schema(raw)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.Unigram
+            .tokenize(batch.select(col("doc_id"), col("text")),
+              "doc_id", "text", pieces)
+            .join(batch.select(col("doc_id"), col("lang")), "doc_id")
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "toks)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .orderBy("lang")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q335_stream_tokenize" -> (q335StreamTokenize(_, _)),
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
     "q322_stream_cdf" -> (q322StreamCdf(_, _)),
     "q328_stream_ivm" -> (q328StreamIvm(_, _)),
@@ -1574,6 +1625,10 @@ object StreamingQueries {
 
   /** Same oracle as the batch form — that IS the equivalence contract. */
   val oracles: Map[String, String] = Map(
+    // the streamed tokenizer apply must equal the batch apply — both
+    // certified by the same independent DuckDB Viterbi DP replay
+    "q335_stream_tokenize" ->
+      AnalyticsQueries.oracles("q327_unigram_tokenize"),
     // the streamed classifier rollup must equal the batch inference
     "q301_stream_classifier" -> AnalyticsQueries.oracles("q296_hash_classifier"),
     // the streamed WARC ingest must equal the batch ingest bit-for-bit
