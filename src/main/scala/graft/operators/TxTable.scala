@@ -366,12 +366,21 @@ object TxTable {
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val matches = coalesce(pred, lit(false))
-    // which files hold a matching row? one distributed scan
-    val withFile = spark.read.parquet(files.map(f => s"$base/$f"): _*)
-      .withColumn("_f", input_file_name())
-    val affectedPaths = withFile.filter(matches)
-      .select(col("_f")).distinct().collect().map(_.getString(0)).toSet
-    val affected = files.filter(f => affectedPaths.exists(_.endsWith(f)))
+    // which files hold a matching row? one distributed scan; the
+    // distinct aggregation and full-path -> relative-name mapping run
+    // DISTRIBUTED, so the driver receives only the bounded set of
+    // affected names it must write into the log entry anyway (never
+    // row data, and never an O(files^2) suffix scan — at 10^6 live
+    // files that scan was the wide-delete bottleneck)
+    val affectedRel = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+      // the rel-name projection rides the SCAN (input_file_name is
+      // single-source only — it cannot be computed after a join)
+      .withColumn("_f",
+        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+      .filter(matches)
+      .select(col("_f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = files.filter(affectedRel.contains)
     if (affected.isEmpty) return currentVersion(dir)
     val v0 = currentVersion(dir) + 1
     val added = stage(
@@ -419,13 +428,19 @@ object TxTable {
       statsCols: Seq[String] = Nil): Int = {
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
+    // the rel-name projection rides the SCAN (input_file_name is
+    // single-source only); distinct + mapping stay distributed, so
+    // the driver receives only the affected names the log entry must
+    // carry (commitDelete's contract — no O(files^2) suffix scan)
     val current = spark.read.parquet(files.map(f => s"$base/$f"): _*)
-      .withColumn("_f", input_file_name())
+      .withColumn("_f",
+        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
     val keys = source.select(col(keyCol)).distinct()
-    val affectedPaths = current
+    val affectedRel = current
       .join(broadcast(keys), Seq(keyCol), "left_semi")
-      .select(col("_f")).distinct().collect().map(_.getString(0)).toSet
-    val affected = files.filter(f => affectedPaths.exists(_.endsWith(f)))
+      .select(col("_f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = files.filter(affectedRel.contains)
     val survivors =
       if (affected.isEmpty) source
       else spark.read.parquet(affected.map(f => s"$base/$f"): _*)

@@ -446,6 +446,34 @@ class TxTableSpec extends SparkSpec {
       spark, dir, 4, clusterBy = Seq("x"), zOrderBy = Seq("x", "y")))
   }
 
+  test("wide delete: affected-file resolution is exact at many files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("txtable-wide-").toString
+    // 256 files, each owning a contiguous id slice
+    TxTable.commitAppend(
+      spark.range(0, 25600).select(col("id"))
+        .repartitionByRange(256, col("id")),
+      dir, statsCols = Seq("id"))
+    val before = TxTable.liveFiles(dir).toSet
+    assert(before.size == 256)
+    // a point delete touches exactly ONE of the 256 files
+    TxTable.commitDelete(spark, dir, col("id") === 12345L)
+    val after = TxTable.liveFiles(dir).toSet
+    assert((before -- after).size == 1,
+      s"exactly one file rewritten, got ${(before -- after).size}")
+    assert(TxTable.snapshot(spark, dir).count() == 25599L)
+    assert(TxTable.snapshot(spark, dir)
+      .filter(col("id") === 12345L).count() == 0L)
+    // a merge against a handful of keys touches only their files
+    import spark.implicits._
+    TxTable.commitMerge(spark, dir,
+      Seq(100L, 20000L).toDF("id"), "id")
+    val after2 = TxTable.liveFiles(dir).toSet
+    assert((after -- after2).size == 2,
+      s"exactly two files rewritten, got ${(after -- after2).size}")
+    assert(TxTable.snapshot(spark, dir).count() == 25599L)
+  }
+
   test("near-dup MERGE: index-backed keep-first, replay is a no-op") {
     val tmp = java.nio.file.Files
       .createTempDirectory("txtable-ndmerge-").toString
