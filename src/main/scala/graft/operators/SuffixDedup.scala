@@ -133,16 +133,65 @@ object SuffixDedup {
     * rounds' document partitioning, and the merge output is
     * span-sized, not corpus-sized.
     */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      window: Int = 32, minCount: Long = 2L): DataFrame = {
-    val cls = windowClasses(docs, idCol, textCol, window)
-      .cache() // read twice: the dup aggregate and the semi join
-    val dup = cls.groupBy(col("cls"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-      .select(col("cls"))
-    val marked = cls.join(dup, Seq("cls"), "left_semi")
+  /** The REMOVAL transform (what [[duplicatedSpans]] only reports):
+    * cleaned text with every duplicated region cut, KEEP-FIRST — the
+    * occurrence at each duplicated window's minimum (doc<<20|pos)
+    * keeps its characters; all other occurrences lose theirs. The
+    * per-character rule is exact and engine-independent: character c
+    * of doc d is removed iff SOME duplicated window covering c starts
+    * at a non-canonical occurrence — so an independent SQL replay
+    * reconstructs the identical cleaned string. Output:
+    * (doc_id, clean_text, n_removed).
+    *
+    * Cost shape: one extra aggregate over the class table for the
+    * canonical member, then the island machinery of
+    * [[duplicatedSpans]] on the non-canonical starts only; the final
+    * string surgery is a narrow per-doc fold over its own (span)
+    * list — no per-character rows ever materialize.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 32,
+      minCount: Long = 2L): DataFrame = {
+    val cls = windowClasses(docs, idCol, textCol, window).cache()
+    val stats = cls.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"), minMember().as("keeper"))
+    val removeStarts = cls.join(stats, Seq("cls"))
+      .filter(col("n") >= minCount &&
+        (shiftleft(col("did"), 20) + col("pos")) =!= col("keeper"))
       .select(col("did"), col("pos"))
+    val spans = mergeIslands(removeStarts, window)
+    val byDoc = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"),
+        (col("span_start") + col("span_len")).as("e")))).as("spans"))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("_t"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_t"),
+        when(col("spans").isNull, col("_t")).otherwise(
+          // fold the sorted spans: emit [cur, s), jump cur to e;
+          // finish with the tail [cur, len]
+          aggregate(col("spans"),
+            struct(lit(1L).as("cur"), lit("").as("sb")),
+            (acc, sp) => struct(
+              sp.getField("e").as("cur"),
+              concat(acc.getField("sb"),
+                substring(col("_t"),
+                  acc.getField("cur").cast("int"),
+                  greatest(sp.getField("s") - acc.getField("cur"),
+                    lit(0L)).cast("int"))).as("sb")),
+            acc => concat(acc.getField("sb"),
+              col("_t").substr(acc.getField("cur").cast("int"),
+                length(col("_t"))))))
+          .as("clean_text"))
+      .withColumn("n_removed",
+        (length(col("_t")) - length(col("clean_text"))).cast("long"))
+      .drop("_t")
+  }
+
+  /** Union-merge [pos, pos+window) intervals per doc into maximal
+    * spans: (doc_id, span_start, span_len).
+    */
+  private def mergeIslands(marked: DataFrame, window: Int): DataFrame = {
     val prevW = ByDoc.rowsBetween(Window.unboundedPreceding, -1)
     val runW = ByDoc.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
@@ -158,5 +207,18 @@ object SuffixDedup {
         (max(col("pos")) + lit(window) - min(col("pos")))
           .cast("long").as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
+  }
+
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 32, minCount: Long = 2L): DataFrame = {
+    val cls = windowClasses(docs, idCol, textCol, window)
+      .cache() // read twice: the dup aggregate and the semi join
+    val dup = cls.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .select(col("cls"))
+    val marked = cls.join(dup, Seq("cls"), "left_semi")
+      .select(col("did"), col("pos"))
+    mergeIslands(marked, window)
   }
 }

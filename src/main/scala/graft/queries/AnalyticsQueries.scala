@@ -4280,6 +4280,18 @@ object AnalyticsQueries {
         .orderBy("probe")
     }),
 
+    // q331's REMOVAL transform (the Lee et al. dedup applied, not
+    // just reported): cleaned text with every duplicated region cut
+    // keep-first — the window occurrence at the minimum (doc<<20|pos)
+    // keeps its characters, every other occurrence (including a
+    // doc's own internal repeats) loses them; the per-character rule
+    // is exact, so the oracle reconstructs the identical strings
+    "q336_suffix_removal" -> ((s, d) =>
+      graft.operators.SuffixDedup
+        .removeDuplicatedSpans(t(s, d, "documents"), "doc_id", "text",
+          window = 32)
+        .orderBy("doc_id")),
+
     // the MinHash signature table UNDER q334, exploded to scalar
     // (id, position, hash) rows and golden-pinned (xxhash64-defined)
     // — the stored artifact q334's SQL oracle re-derives the merge
@@ -6980,6 +6992,27 @@ object AnalyticsQueries {
        + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
        + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe ORDER BY p.probe"),
+    // keep-first removal replayed from literal substrings: canonical
+    // occurrence = min(doc_id<<20 + pos), removed chars = union of
+    // windows at non-canonical duplicated starts, cleaned text
+    // re-assembled char-by-char
+    "q336_suffix_removal" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents), "
+       + "g AS (SELECT doc_id, i, substring(text, i, 32) AS gram FROM d, "
+       + "LATERAL unnest(generate_series(1, greatest(length(text) - 31, 0))) AS t(i)), "
+       + "cnt AS (SELECT gram, COUNT(*) AS n, MIN(doc_id * 1048576 + i) AS keeper FROM g GROUP BY gram), "
+       + "rs AS (SELECT g.doc_id, g.i FROM g JOIN cnt USING (gram) "
+       + "WHERE cnt.n >= 2 AND (g.doc_id * 1048576 + g.i) <> cnt.keeper), "
+       + "ch AS (SELECT d.doc_id, c AS p, substring(d.text, c, 1) AS s FROM d, "
+       + "LATERAL unnest(generate_series(1, length(d.text))) AS t(c)), "
+       + "cov AS (SELECT DISTINCT r.doc_id, c AS p FROM rs r, "
+       + "LATERAL unnest(generate_series(r.i, r.i + 31)) AS t(c)), "
+       + "k AS (SELECT ch.doc_id, string_agg(ch.s, '' ORDER BY ch.p) AS clean_text "
+       + "FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.p = ch.p "
+       + "WHERE cov.p IS NULL GROUP BY ch.doc_id) "
+       + "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, "
+       + "(length(d.text) - length(COALESCE(k.clean_text, '')))::BIGINT AS n_removed "
+       + "FROM d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id"),
     // xxhash64-defined signature artifact: golden pin (q29's rule)
     "q333_neardup_sigs" ->
       golden("q333_neardup_sigs", "id, i, h", "id, i"),

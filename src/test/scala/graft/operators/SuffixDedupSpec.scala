@@ -102,6 +102,65 @@ class SuffixDedupSpec extends SparkSpec {
     assert(threePlus == Set(1L, 2L, 3L))
   }
 
+  /** Brute-force keep-first removal: char c of doc d is removed iff
+    * some duplicated w-gram covering c starts at a non-canonical
+    * occurrence (canonical = minimum (did, pos)).
+    */
+  private def bruteRemove(texts: Seq[(Long, String)], w: Int)
+      : Map[Long, String] = {
+    val grams = texts.flatMap { case (id, t) =>
+      (0 to t.length - w).map(i => (id, i + 1, t.substring(i, i + w)))
+    }
+    val byGram = grams.groupBy(_._3).filter(_._2.size > 1)
+    val removedStarts = byGram.values.flatMap { occ =>
+      occ.sortBy(o => (o._1, o._2)).tail.map(o => (o._1, o._2))
+    }.toSet
+    texts.map { case (id, t) =>
+      val gone = (1 to t.length).filter(c =>
+        (math.max(1, c - w + 1) to c).exists(p =>
+          removedStarts.contains((id, p)) && p + w - 1 <= t.length)).toSet
+      id -> t.zipWithIndex.collect {
+        case (ch, i) if !gone.contains(i + 1) => ch
+      }.mkString
+    }.toMap
+  }
+
+  test("removeDuplicatedSpans: keep-first surgery matches brute force") {
+    // 72 chars, NON-periodic — a repeated block would self-duplicate
+    // at the window level and correctly lose its own second half
+    val repeat = "abcdefghijklmnopqrstuvwxyz0123456789" +
+      "zyxwvutsrqponmlkjihgfedcba9876543210"
+    def filler(seed: Int, n: Int): String =
+      (0 until n).map { i =>
+        ((((i + seed * 1000) * 2654435761L >>> 16) % 26) + 'A').toChar
+      }.mkString
+    val texts = Seq(
+      (1L, filler(1, 40) + repeat + filler(2, 30)),
+      (2L, filler(3, 25) + repeat + filler(4, 50)),
+      (3L, repeat + filler(5, 45) + repeat),
+      (4L, filler(6, 80)))
+    import spark.implicits._
+    val got = SuffixDedup.removeDuplicatedSpans(
+        texts.toDF("doc_id", "text"), "doc_id", "text", window = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = bruteRemove(texts, 32)
+    assert(got == want)
+    // doc 1 holds the canonical copy (smallest doc id, earliest pos):
+    // its repeat survives; docs 2 and 3 lose theirs
+    assert(got(1L).contains(repeat))
+    assert(!got(2L).contains(repeat) && !got(3L).contains(repeat))
+    assert(got(4L) == texts(3)._2, "dup-free doc unchanged")
+    // and on the real corpus
+    val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+      "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq
+    val gotC = SuffixDedup.removeDuplicatedSpans(docs, "doc_id", "text",
+        window = 32)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotC == bruteRemove(corpus, 32))
+  }
+
   test("deterministic under repartitioning") {
     val docs = graft.engine.Tables(spark, "/root/testdata/sf0.001",
       "documents").select(col("doc_id"), col("text"))
