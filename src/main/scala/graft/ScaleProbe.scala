@@ -860,6 +860,22 @@ object ScaleProbe {
         .agg(max(col("chunk_last"))).count()
     })
 
+    // q338/q339: index build is one window pass (linear); the delta
+    // probe cost rides |batch| + matches, not corpus — batch fixed at
+    // the UNSCALED sf0.1 odd docs while the index grows with mult
+    t("winnow_idx")(graft.operators.Winnow
+      .fingerprints(d, "doc_id", "text").count())
+    t("winnow_probe")({
+      val idx = graft.operators.Winnow
+        .fingerprints(d.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text").cache()
+      idx.count()
+      graft.operators.Winnow.matchesAgainst(idx,
+        docs0.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text").count()
+    })
+
     // q331: the doubling-round count is FIXED by the window
     // (ceil(log2 32) = 5), never by corpus size — per-round cost is
     // linear in character positions, so the probe should read ~linear

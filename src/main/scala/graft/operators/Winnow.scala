@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003; the
+  * MOSS index): the INCREMENTAL exact-substring detection store.
+  *
+  * Where [[SuffixDedup]] finds every duplicated region inside a
+  * corpus it can re-rank wholesale, winnowing answers the DELTA
+  * question — "does this arriving batch share a run of >= t
+  * characters with anything already ingested?" — against a persisted
+  * index of ~2n/(t-k) narrow (fingerprint, doc, pos) rows, never
+  * re-reading corpus text (the [[Dedup.minHashIndex]] incremental
+  * contract, on the exact-match axis instead of the jaccard axis).
+  *
+  * The guarantee (the paper's theorem): every window of w = t-k+1
+  * consecutive k-gram hashes selects its minimum (rightmost on
+  * ties), so ANY exact match of length >= t between two documents
+  * shares at least one selected fingerprint — detection has no
+  * false negatives at the t threshold, and density is provably
+  * <= 2/(w+1) of positions in expectation.
+  *
+  * Spark shape: ONE window pass per document computes each
+  * window's rightmost-argmin as `min(struct(hash, -pos))` over a
+  * sliding ROWS frame (the struct ordering implements the
+  * tie-break), then a distinct dedupes positions selected by
+  * several windows. Partitioned by document — no corpus-wide
+  * anything; the index grows by |batch| rows per ingest.
+  */
+object Winnow {
+
+  /** Fingerprint table: (did, pos, fp) — `pos` is the 1-based start
+    * of the selected k-gram, `fp` its xxhash64. Selection is
+    * winnowing over windows of `t - k + 1` consecutive k-grams.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, t: Int = 32): DataFrame = {
+    require(k >= 2 && t > k, "need k >= 2 and t > k")
+    val w = t - k + 1
+    val grams = graft.engine.Par.widen(docs)
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol).cast("long").as("did"),
+        posexplode(transform(
+          sequence(lit(1), length(col(textCol)) - lit(k - 1)),
+          i => xxhash64(col(textCol).substr(i, lit(k)))))
+          .as(Seq("p0", "h")))
+      .select(col("did"), (col("p0") + 1).cast("int").as("pos"), col("h"))
+    val win = Window.partitionBy(col("did")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("sel",
+        min(struct(col("h").as("h"), (-col("pos")).as("np"))).over(win))
+      // windows shorter than w (the first w-1 per doc) would
+      // under-constrain the min — winnowing starts at the first FULL
+      // window, i.e. selections are valid from pos >= w
+      .filter(col("pos") >= w)
+      .select(col("did"),
+        (-col("sel.np")).cast("int").as("pos"),
+        col("sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** Candidate matches between a NEW batch and the persisted index
+    * (`fingerprints` output read back): (a = index doc, b = batch
+    * doc, n_shared, diag_runs) where n_shared counts shared
+    * (fingerprint, alignment-agnostic) selections and diag_runs the
+    * distinct diagonals (posA - posB) — a long exact match shows up
+    * as many shared fingerprints on ONE diagonal. By the winnowing
+    * guarantee, any >= t-char exact overlap yields n_shared >= 1;
+    * thresholding on `minShared` trades recall below t for
+    * precision. The join ships only narrow integer rows and the
+    * batch side is small — the q68 incremental plan shape.
+    */
+  def matchesAgainst(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, t: Int = 32,
+      minShared: Long = 1L): DataFrame = {
+    val bfp = fingerprints(batch, idCol, textCol, k, t)
+    index.select(col("did").as("a"), col("pos").as("pa"), col("fp"))
+      .join(bfp.select(col("did").as("b"), col("pos").as("pb"),
+        col("fp")), Seq("fp"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        countDistinct(col("pa") - col("pb")).as("diag_runs"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -4292,6 +4292,34 @@ object AnalyticsQueries {
           window = 32)
         .orderBy("doc_id")),
 
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003,
+    // the MOSS index): ~2n/(t-k) selected k-gram hashes per corpus,
+    // with the paper's guarantee that any exact match >= t chars
+    // shares a fingerprint — the INCREMENTAL exact-substring
+    // detection store (q331 answers the wholesale question, this one
+    // the delta question). Golden-pinned (xxhash64-defined selection)
+    "q338_winnow_fp" -> ((s, d) =>
+      graft.operators.Winnow
+        .fingerprints(t(s, d, "documents"), "doc_id", "text",
+          k = 8, t = 32)
+        .select(col("did").as("doc_id"), col("pos"), col("fp"))
+        .orderBy("doc_id", "pos")),
+
+    // delta detection against the persisted fingerprint index: odd
+    // docs probe the even-doc store — shared-fingerprint counts and
+    // distinct diagonals per candidate pair, corpus text never
+    // re-read. Oracle re-derives the whole join from the q338 pin
+    "q339_winnow_matches" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = graft.operators.Winnow
+        .fingerprints(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", k = 8, t = 32)
+      graft.operators.Winnow
+        .matchesAgainst(idx, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", k = 8, t = 32)
+        .orderBy("a", "b")
+    }),
+
     // the MinHash signature table UNDER q334, exploded to scalar
     // (id, position, hash) rows and golden-pinned (xxhash64-defined)
     // — the stored artifact q334's SQL oracle re-derives the merge
@@ -7013,6 +7041,19 @@ object AnalyticsQueries {
        + "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, "
        + "(length(d.text) - length(COALESCE(k.clean_text, '')))::BIGINT AS n_removed "
        + "FROM d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id"),
+    // xxhash64-defined fingerprint selection: golden pin (q29's rule)
+    "q338_winnow_fp" ->
+      golden("q338_winnow_fp", "doc_id, pos, fp", "doc_id, pos"),
+    // the delta detection replayed in SQL from the pinned store:
+    // evens are the index, odds the batch; counts and diagonals are
+    // integer-exact
+    "q339_winnow_matches" ->
+      ("WITH f AS (SELECT doc_id, pos, fp FROM read_parquet('/root/repo/golden/sf0.01/q338_winnow_fp/*.parquet')) "
+       + "SELECT ia.doc_id AS a, ib.doc_id AS b, COUNT(*)::BIGINT AS n_shared, "
+       + "COUNT(DISTINCT ia.pos - ib.pos)::BIGINT AS diag_runs "
+       + "FROM f ia JOIN f ib ON ia.fp = ib.fp "
+       + "WHERE ia.doc_id % 2 = 0 AND ib.doc_id % 2 = 1 "
+       + "GROUP BY ia.doc_id, ib.doc_id ORDER BY a, b"),
     // xxhash64-defined signature artifact: golden pin (q29's rule)
     "q333_neardup_sigs" ->
       golden("q333_neardup_sigs", "id, i, h", "id, i"),

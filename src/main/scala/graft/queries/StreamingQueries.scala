@@ -1591,7 +1591,63 @@ object StreamingQueries {
         .orderBy("lang")
     }
 
+  /** Streaming twin of q330's LM perplexity gate — the ingest-time
+    * quality filter: every arriving micro-batch is scored under the
+    * frozen broadcast piece table (integer micro-unit scores, so the
+    * drained per-lang sums are order- and batching-independent
+    * LONGs), landed replay-idempotent, then rolled up to q330's
+    * exact output. Stream == batch certified by SHARING q330's
+    * independent DuckDB DP-replay oracle.
+    */
+  def q337StreamPerplexity(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val pieces = AnalyticsQueries.unigramPieces(s, dir)
+      val ckpt = scratchCheckpoint("q337")
+      val out = java.nio.file.Files
+        .createTempDirectory("q337-scores-").toString
+      val docs =
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, "documents.parquet")))
+          s.readStream.schema(raw).parquet(dir + "/documents.parquet")
+        else
+          s.readStream.schema(raw)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.Unigram
+            .scoreDocs(batch.select(col("doc_id"), col("text")),
+              "doc_id", "text", pieces)
+            .join(batch.select(col("doc_id"), col("lang")), "doc_id")
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.read.parquet(out)
+        .filter(col("n_tokens") > 0)
+        .withColumn("mean_lp",
+          round(col("score_micro").cast("double") / col("n_tokens") / 1e6,
+            4))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mean_lp") >= -3.6, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(col("score_micro")).as("sum_micro"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_kept"),
+          round(col("sum_micro").cast("double") / col("sum_tokens") / 1e6,
+            4).as("mean_lp_overall"))
+        .orderBy("lang")
+    }
+
   val queries: Map[String, Q] = Map(
+    "q337_stream_perplexity" -> (q337StreamPerplexity(_, _)),
     "q335_stream_tokenize" -> (q335StreamTokenize(_, _)),
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
     "q322_stream_cdf" -> (q322StreamCdf(_, _)),
@@ -1629,6 +1685,10 @@ object StreamingQueries {
     // certified by the same independent DuckDB Viterbi DP replay
     "q335_stream_tokenize" ->
       AnalyticsQueries.oracles("q327_unigram_tokenize"),
+    // the streamed perplexity gate must equal the batch gate — the
+    // integer micro-unit scores make the rollup batching-independent
+    "q337_stream_perplexity" ->
+      AnalyticsQueries.oracles("q330_perplexity_filter"),
     // the streamed classifier rollup must equal the batch inference
     "q301_stream_classifier" -> AnalyticsQueries.oracles("q296_hash_classifier"),
     // the streamed WARC ingest must equal the batch ingest bit-for-bit
