@@ -521,6 +521,61 @@ object TxTable {
     v
   }
 
+  /** [[commitMergeNearDup]]'s sibling on the EXACT-MATCH axis:
+    * append only batch rows that share no exact run of >= t chars
+    * with the corpus, consulted through its persisted winnowing
+    * fingerprint index at `fpDir` ([[Winnow.fingerprints]] output) —
+    * never re-reading table text. Same SQL-replayable keep-first
+    * protocol: already-indexed ids drop (idempotent replay), corpus
+    * fingerprint matches (>= minShared shared selections) drop, and
+    * within the batch the greedy smaller-id-wins pair rule applies;
+    * survivors land atomically and THEIR fingerprints extend the
+    * index. Detection has no false negatives at the t threshold (the
+    * winnowing guarantee); the fp join ships narrow integer rows.
+    *
+    * Precondition for idempotent replay: rows shorter than t chars
+    * carry no fingerprints, so they always survive — replaying a
+    * batch containing them would re-append them. Gate such rows
+    * upstream (a < t-char document is below the dedup threshold by
+    * definition).
+    */
+  def commitMergeExactSub(spark: SparkSession, dir: String,
+      fpDir: String, batch: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, t: Int = 32, minShared: Long = 1L,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
+    val batchFp = Winnow.fingerprints(batch, idCol, textCol, k, t)
+      .cache()
+    val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+    val fpFs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val index =
+      if (fpFs.exists(fpPath)) Some(spark.read.parquet(fpDir))
+      else None
+    val internalDrops = Winnow.matchesSigs(batchFp, batchFp, minShared)
+      .filter(col("a") < col("b")).select(col("b").as("id"))
+    val drops = index match {
+      case None => internalDrops
+      case Some(idx) =>
+        val exactIdDrops = batch
+          .select(col(idCol).cast("long").as("id")).distinct()
+          .join(idx.select(col("did").as("id")).distinct(),
+            Seq("id"), "left_semi")
+        val corpusDrops = Winnow.matchesSigs(idx, batchFp, minShared)
+          .select(col("b").as("id"))
+        exactIdDrops.unionAll(corpusDrops).unionAll(internalDrops)
+    }
+    val dropIds = drops.distinct().cache()
+    val survivors = batch
+      .join(dropIds.withColumnRenamed("id", idCol), Seq(idCol),
+        "left_anti")
+    if (survivors.isEmpty) return currentVersion(dir)
+    val v = commitAppend(survivors, dir, checkpointEvery, statsCols)
+    batchFp.join(dropIds.withColumnRenamed("id", "did"), Seq("did"),
+        "left_anti")
+      .write.mode("append").parquet(fpDir)
+    v
+  }
+
   /** Compaction commit (OPTIMIZE): rewrite the current live set into
     * `targetFiles` files and swap atomically — readers at older
     * versions still see the old files (they are removed from the

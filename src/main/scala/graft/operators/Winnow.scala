@@ -76,15 +76,22 @@ object Winnow {
     */
   def matchesAgainst(index: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 8, t: Int = 32,
-      minShared: Long = 1L): DataFrame = {
-    val bfp = fingerprints(batch, idCol, textCol, k, t)
-    index.select(col("did").as("a"), col("pos").as("pa"), col("fp"))
-      .join(bfp.select(col("did").as("b"), col("pos").as("pb"),
+      minShared: Long = 1L): DataFrame =
+    matchesSigs(index, fingerprints(batch, idCol, textCol, k, t),
+      minShared)
+
+  /** [[matchesAgainst]] on two ALREADY-FINGERPRINTED sides —
+    * the shape a caller uses when it needs the batch fingerprints
+    * again afterwards (e.g. to extend the index with survivors).
+    */
+  def matchesSigs(indexFp: DataFrame, batchFp: DataFrame,
+      minShared: Long = 1L): DataFrame =
+    indexFp.select(col("did").as("a"), col("pos").as("pa"), col("fp"))
+      .join(batchFp.select(col("did").as("b"), col("pos").as("pb"),
         col("fp")), Seq("fp"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"),
         countDistinct(col("pa") - col("pb")).as("diag_runs"))
       .filter(col("n_shared") >= minShared)
-  }
 }

@@ -4320,6 +4320,17 @@ object AnalyticsQueries {
         .orderBy("a", "b")
     }),
 
+    // exact-substring-aware MERGE (q334's protocol on the exact-match
+    // axis): odd docs ingest against the persisted winnowing index of
+    // the surviving evens — any batch row sharing an exact >= 32-char
+    // run with the corpus drops (no false negatives at the threshold,
+    // the winnowing guarantee), greedy smaller-id-wins within the
+    // batch, replay is a version no-op (asserted). Oracle re-derives
+    // the whole merge from the q338 fingerprint pin
+    "q340_winnow_merge" -> ((s, d) =>
+      graft.operators.TxTable.snapshot(s, exactMergeDir(s, d))
+        .select(col("doc_id")).orderBy("doc_id")),
+
     // the MinHash signature table UNDER q334, exploded to scalar
     // (id, position, hash) rows and golden-pinned (xxhash64-defined)
     // — the stored artifact q334's SQL oracle re-derives the merge
@@ -4901,6 +4912,30 @@ object AnalyticsQueries {
         graft.operators.TxTable.commitMergeNearDup(s, tdir, sdir, b,
           "doc_id", "text", n = 3, threshold = 0.5,
           statsCols = Seq("doc_id"))
+      val v1 = ingest(even)
+      val v2 = ingest(even) // replay: must not commit
+      require(v2 == v1, s"replayed batch committed: v$v1 -> v$v2")
+      ingest(docs.filter(col("doc_id") % 2 === 1))
+      tdir
+    })
+
+  /** Exact-substring MERGE table (q340): q334's protocol on the
+    * exact-match axis — even docs ingest first (building the
+    * fingerprint index from empty), the same batch replays (version
+    * no-op, asserted), then odd docs ingest against the index.
+    */
+  private val exactMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def exactMergeDir(s: SparkSession, dir: String): String =
+    exactMergeCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-exmerge-")
+        .toString
+      val (tdir, fdir) = (s"$tmp/table", s"$tmp/fps")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      def ingest(b: org.apache.spark.sql.DataFrame) =
+        graft.operators.TxTable.commitMergeExactSub(s, tdir, fdir, b,
+          "doc_id", "text", k = 8, t = 32, statsCols = Seq("doc_id"))
+      val even = docs.filter(col("doc_id") % 2 === 0)
       val v1 = ingest(even)
       val v2 = ingest(even) // replay: must not commit
       require(v2 == v1, s"replayed batch committed: v$v1 -> v$v2")
@@ -7041,6 +7076,25 @@ object AnalyticsQueries {
        + "SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text, "
        + "(length(d.text) - length(COALESCE(k.clean_text, '')))::BIGINT AS n_removed "
        + "FROM d LEFT JOIN k USING (doc_id) ORDER BY d.doc_id"),
+    // the exact-substring merge replayed in SQL from the q338 pin:
+    // match = any shared fingerprint; keep-first both stages
+    "q340_winnow_merge" ->
+      ("WITH f AS (SELECT doc_id, fp FROM read_parquet('/root/repo/golden/sf0.01/q338_winnow_fp/*.parquet')), "
+       + "m AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM f a JOIN f b "
+       + "ON a.fp = b.fp AND a.doc_id < b.doc_id), "
+       + "evens AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0), "
+       + "odds AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1), "
+       + "drop1 AS (SELECT DISTINCT m.b AS doc_id FROM m "
+       + "JOIN evens ea ON ea.doc_id = m.a JOIN evens eb ON eb.doc_id = m.b), "
+       + "surv1 AS (SELECT doc_id FROM evens WHERE doc_id NOT IN (SELECT doc_id FROM drop1)), "
+       + "drop3c AS (SELECT DISTINCT o.doc_id FROM odds o JOIN m "
+       + "ON (m.a = o.doc_id AND m.b IN (SELECT doc_id FROM surv1)) "
+       + "OR (m.b = o.doc_id AND m.a IN (SELECT doc_id FROM surv1))), "
+       + "drop3i AS (SELECT DISTINCT m.b AS doc_id FROM m "
+       + "JOIN odds oa ON oa.doc_id = m.a JOIN odds ob ON ob.doc_id = m.b), "
+       + "surv3 AS (SELECT doc_id FROM odds WHERE doc_id NOT IN (SELECT doc_id FROM drop3c) "
+       + "AND doc_id NOT IN (SELECT doc_id FROM drop3i)) "
+       + "SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv3 ORDER BY doc_id"),
     // xxhash64-defined fingerprint selection: golden pin (q29's rule)
     "q338_winnow_fp" ->
       golden("q338_winnow_fp", "doc_id, pos, fp", "doc_id, pos"),

@@ -512,6 +512,48 @@ class TxTableSpec extends SparkSpec {
     assert(idx == Set(1L, 3L, 4L))
   }
 
+  test("exact-substring MERGE: winnow-indexed keep-first, replay no-op") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("txtable-exmerge-").toString
+    val (tdir, fdir) = (s"$tmp/table", s"$tmp/fps")
+    // seeded PRNG filler: a weaker arithmetic-hash filler produced
+    // REAL shared 32-char runs between "unrelated" docs (its mod-26
+    // increments are near-constant), which this operator correctly
+    // detected — the test needs genuinely incompressible filler
+    def filler(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('A' + r.nextInt(26)).toChar).mkString
+    }
+    val run = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 > t=32
+    def ingest(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      TxTable.commitMergeExactSub(spark, tdir, fdir,
+        rows.toDF("doc_id", "text"), "doc_id", "text", k = 8, t = 32)
+    }
+    // 1 keeps; 3 keeps (no shared 32-run); 5 embeds the same run -> dropped
+    val v1 = ingest(Seq(
+      (1L, filler(1, 40) + run + filler(2, 30)),
+      (3L, filler(3, 90)),
+      (5L, filler(4, 21) + run + filler(5, 44))))
+    assert(TxTable.snapshot(spark, tdir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // replay: no commit
+    assert(ingest(Seq(
+      (1L, filler(1, 40) + run + filler(2, 30)),
+      (3L, filler(3, 90)),
+      (5L, filler(4, 21) + run + filler(5, 44)))) == v1)
+    // batch 2: 2 shares the indexed run -> dropped via the store;
+    // 4 is clean -> kept
+    ingest(Seq(
+      (2L, filler(6, 11) + run + filler(7, 70)),
+      (4L, filler(8, 95))))
+    assert(TxTable.snapshot(spark, tdir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // the index mirrors the survivors
+    assert(spark.read.parquet(fdir).select("did")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+  }
+
   test("change feed: rewrite that DROPS a column cannot cancel its rows") {
     // schema evolution inside one rewrite commit: the removed files
     // carry `extra`, the added files don't. Aligning removes to the
