@@ -620,4 +620,36 @@ class PlanShapeSpec extends SparkSpec {
       s"cells x cohorts must ride broadcasts:\n$s")
     assert(!s.contains("CartesianProduct"), s)
   }
+
+  test("q331 suffix rounds: equi-joins only, bounded exchange count") {
+    val s = planString(q("q331_suffix_spans"))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"doubling rounds must stay equi-keyed:\n$s")
+    // the printed tree re-embeds every cached round's BUILD plan
+    // (InMemoryRelation children), so the textual count includes each
+    // cache's upstream exchanges once per reader — 21 today; the
+    // join-per-round formulation this pin guards against printed ~2x
+    // that. The rounds must also BE windows (lead), not joins.
+    val exchanges = s.linesIterator
+      .count(l => l.contains("Exchange hash") ||
+        l.contains("Exchange range"))
+    assert(exchanges <= 26, s"round structure leaked exchanges ($exchanges):\n$s")
+    assert(s.contains("Window"), s"rounds must pair via lead():\n$s")
+  }
+
+  test("q338 winnowing is one window pass per doc, no self-join") {
+    val df = graft.operators.Winnow.fingerprints(
+      graft.engine.Tables(spark, sf, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      "doc_id", "text")
+    val s = planString(df)
+    assert(s.contains("Window"), s"selection must be a window:\n$s")
+    assert(!s.contains("Join"), s"selection must not join:\n$s")
+    val exchanges = s.linesIterator
+      .count(l => l.contains("Exchange hash"))
+    assert(exchanges <= 3,
+      s"widen + per-doc window + distinct only ($exchanges):\n$s")
+  }
 }
