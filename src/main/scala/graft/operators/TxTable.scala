@@ -541,7 +541,7 @@ object TxTable {
     */
   def commitMergeExactSub(spark: SparkSession, dir: String,
       fpDir: String, batch: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, t: Int = 32, minShared: Long = 1L,
+      k: Int = 8, t: Int = 32, minShared: Long = 1L, maxDf: Long = 64L,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
     val batchFp = Winnow.fingerprints(batch, idCol, textCol, k, t)
@@ -551,7 +551,8 @@ object TxTable {
     val index =
       if (fpFs.exists(fpPath)) Some(spark.read.parquet(fpDir))
       else None
-    val internalDrops = Winnow.matchesSigs(batchFp, batchFp, minShared)
+    val internalDrops = Winnow
+      .matchesSigs(batchFp, batchFp, minShared, maxDf)
       .filter(col("a") < col("b")).select(col("b").as("id"))
     val drops = index match {
       case None => internalDrops
@@ -560,7 +561,8 @@ object TxTable {
           .select(col(idCol).cast("long").as("id")).distinct()
           .join(idx.select(col("did").as("id")).distinct(),
             Seq("id"), "left_semi")
-        val corpusDrops = Winnow.matchesSigs(idx, batchFp, minShared)
+        val corpusDrops = Winnow
+          .matchesSigs(idx, batchFp, minShared, maxDf)
           .select(col("b").as("id"))
         exactIdDrops.unionAll(corpusDrops).unionAll(internalDrops)
     }

@@ -76,22 +76,37 @@ object Winnow {
     */
   def matchesAgainst(index: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 8, t: Int = 32,
-      minShared: Long = 1L): DataFrame =
+      minShared: Long = 1L, maxDf: Long = 64L): DataFrame =
     matchesSigs(index, fingerprints(batch, idCol, textCol, k, t),
-      minShared)
+      minShared, maxDf)
 
   /** [[matchesAgainst]] on two ALREADY-FINGERPRINTED sides —
     * the shape a caller uses when it needs the batch fingerprints
     * again afterwards (e.g. to extend the index with survivors).
+    *
+    * `maxDf` is MOSS's stop-fingerprint rule and the scale bound: a
+    * fingerprint present in more than `maxDf` distinct INDEX documents
+    * is boilerplate (license headers, templates) and is excluded from
+    * pairing — without it one hot fingerprint shared by thousands of
+    * docs makes the join quadratic (measured at sf0.1: a single df-
+    * 3745 fingerprint contributed 18.4M of 29.8M candidate pairs).
+    * The trade is explicit: matches consisting ONLY of over-common
+    * text are not reported — which is the detector's intent.
     */
   def matchesSigs(indexFp: DataFrame, batchFp: DataFrame,
-      minShared: Long = 1L): DataFrame =
-    indexFp.select(col("did").as("a"), col("pos").as("pa"), col("fp"))
-      .join(batchFp.select(col("did").as("b"), col("pos").as("pb"),
-        col("fp")), Seq("fp"))
+      minShared: Long = 1L, maxDf: Long = 64L): DataFrame = {
+    val hot = indexFp.groupBy(col("fp"))
+      .agg(countDistinct(col("did")).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    indexFp.join(hot, Seq("fp"), "left_anti")
+      .select(col("did").as("a"), col("pos").as("pa"), col("fp"))
+      .join(batchFp.join(hot, Seq("fp"), "left_anti")
+        .select(col("did").as("b"), col("pos").as("pb"), col("fp")),
+        Seq("fp"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"),
         countDistinct(col("pa") - col("pb")).as("diag_runs"))
       .filter(col("n_shared") >= minShared)
+  }
 }

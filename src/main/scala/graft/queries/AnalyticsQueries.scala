@@ -7079,19 +7079,26 @@ object AnalyticsQueries {
     // the exact-substring merge replayed in SQL from the q338 pin:
     // match = any shared fingerprint; keep-first both stages
     "q340_winnow_merge" ->
+      // each ingest stage applies the MOSS stop-fp rule over ITS OWN
+      // index side (>64 distinct docs), exactly as the engine does:
+      // evens-internal over all evens, corpus over the SURVIVING
+      // evens, odds-internal over all odds
       ("WITH f AS (SELECT doc_id, fp FROM read_parquet('/root/repo/golden/sf0.01/q338_winnow_fp/*.parquet')), "
-       + "m AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM f a JOIN f b "
-       + "ON a.fp = b.fp AND a.doc_id < b.doc_id), "
        + "evens AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0), "
        + "odds AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1), "
-       + "drop1 AS (SELECT DISTINCT m.b AS doc_id FROM m "
-       + "JOIN evens ea ON ea.doc_id = m.a JOIN evens eb ON eb.doc_id = m.b), "
+       + "fe AS (SELECT f.doc_id, f.fp FROM f JOIN evens USING (doc_id)), "
+       + "fo AS (SELECT f.doc_id, f.fp FROM f JOIN odds USING (doc_id)), "
+       + "hot1 AS (SELECT fp FROM fe GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 64), "
+       + "drop1 AS (SELECT DISTINCT b.doc_id FROM fe a JOIN fe b "
+       + "ON a.fp = b.fp AND a.doc_id < b.doc_id WHERE a.fp NOT IN (SELECT fp FROM hot1)), "
        + "surv1 AS (SELECT doc_id FROM evens WHERE doc_id NOT IN (SELECT doc_id FROM drop1)), "
-       + "drop3c AS (SELECT DISTINCT o.doc_id FROM odds o JOIN m "
-       + "ON (m.a = o.doc_id AND m.b IN (SELECT doc_id FROM surv1)) "
-       + "OR (m.b = o.doc_id AND m.a IN (SELECT doc_id FROM surv1))), "
-       + "drop3i AS (SELECT DISTINCT m.b AS doc_id FROM m "
-       + "JOIN odds oa ON oa.doc_id = m.a JOIN odds ob ON ob.doc_id = m.b), "
+       + "fs AS (SELECT f.doc_id, f.fp FROM f JOIN surv1 USING (doc_id)), "
+       + "hot2 AS (SELECT fp FROM fs GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 64), "
+       + "drop3c AS (SELECT DISTINCT b.doc_id FROM fs a JOIN fo b "
+       + "ON a.fp = b.fp WHERE a.fp NOT IN (SELECT fp FROM hot2)), "
+       + "hot3 AS (SELECT fp FROM fo GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 64), "
+       + "drop3i AS (SELECT DISTINCT b.doc_id FROM fo a JOIN fo b "
+       + "ON a.fp = b.fp AND a.doc_id < b.doc_id WHERE a.fp NOT IN (SELECT fp FROM hot3)), "
        + "surv3 AS (SELECT doc_id FROM odds WHERE doc_id NOT IN (SELECT doc_id FROM drop3c) "
        + "AND doc_id NOT IN (SELECT doc_id FROM drop3i)) "
        + "SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv3 ORDER BY doc_id"),
@@ -7102,11 +7109,14 @@ object AnalyticsQueries {
     // evens are the index, odds the batch; counts and diagonals are
     // integer-exact
     "q339_winnow_matches" ->
-      ("WITH f AS (SELECT doc_id, pos, fp FROM read_parquet('/root/repo/golden/sf0.01/q338_winnow_fp/*.parquet')) "
+      ("WITH f AS (SELECT doc_id, pos, fp FROM read_parquet('/root/repo/golden/sf0.01/q338_winnow_fp/*.parquet')), "
+       // MOSS stop-fingerprints: drop fps in > 64 distinct INDEX docs
+       + "hot AS (SELECT fp FROM f WHERE doc_id % 2 = 0 GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 64) "
        + "SELECT ia.doc_id AS a, ib.doc_id AS b, COUNT(*)::BIGINT AS n_shared, "
        + "COUNT(DISTINCT ia.pos - ib.pos)::BIGINT AS diag_runs "
        + "FROM f ia JOIN f ib ON ia.fp = ib.fp "
        + "WHERE ia.doc_id % 2 = 0 AND ib.doc_id % 2 = 1 "
+       + "AND ia.fp NOT IN (SELECT fp FROM hot) "
        + "GROUP BY ia.doc_id, ib.doc_id ORDER BY a, b"),
     // xxhash64-defined signature artifact: golden pin (q29's rule)
     "q333_neardup_sigs" ->
