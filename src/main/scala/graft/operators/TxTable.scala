@@ -578,6 +578,54 @@ object TxTable {
     v
   }
 
+  /** Rebuild the derived MinHash signature index from the table
+    * snapshot — the recovery path for a crash between a
+    * [[commitMergeNearDup]] commit and its index append: the index
+    * is DERIVED state, so consistency is restored by one pass over
+    * the live rows (never the log). Run it like OPTIMIZE —
+    * occasionally, or after a suspected partial ingest.
+    */
+  def rebuildNearDupIndex(spark: SparkSession, dir: String,
+      sigDir: String, idCol: String, textCol: String, n: Int,
+      bands: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val tmp = sigDir + ".rebuild"
+    Dedup.minHashSignature(
+        snapshot(spark, dir).select(col(idCol), col(textCol)),
+        idCol, textCol, n, bands * rowsPerBand)
+      .write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, sigDir)
+  }
+
+  /** [[rebuildNearDupIndex]]'s sibling for the winnowing fingerprint
+    * store behind [[commitMergeExactSub]].
+    */
+  def rebuildWinnowIndex(spark: SparkSession, dir: String,
+      fpDir: String, idCol: String, textCol: String,
+      k: Int = 8, t: Int = 32): Unit = {
+    val tmp = fpDir + ".rebuild"
+    Winnow.fingerprints(
+        snapshot(spark, dir).select(col(idCol), col(textCol)),
+        idCol, textCol, k, t)
+      .write.mode("overwrite").parquet(tmp)
+    swapDir(spark, tmp, fpDir)
+  }
+
+  /** Replace `dst` with `tmp` via rename — not atomic across both
+    * steps, but the rebuild source is the TABLE, so re-running after
+    * any crash converges; writing to a side dir first means a failed
+    * rebuild never leaves a half-written index in place.
+    */
+  private def swapDir(spark: SparkSession, tmp: String,
+      dst: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(conf)
+    val (tp, dp) = (new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dst))
+    if (fs.exists(dp)) { fs.delete(dp, true); () }
+    fs.rename(tp, dp)
+    ()
+  }
+
   /** Compaction commit (OPTIMIZE): rewrite the current live set into
     * `targetFiles` files and swap atomically — readers at older
     * versions still see the old files (they are removed from the

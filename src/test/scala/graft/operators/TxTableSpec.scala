@@ -554,6 +554,46 @@ class TxTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
   }
 
+  test("index rebuild converges to the incrementally-built store") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("txtable-rebuild-").toString
+    val (tdir, sdir, fdir) =
+      (s"$tmp/table", s"$tmp/sigs", s"$tmp/fps")
+    def filler(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    import spark.implicits._
+    val rows = (1L to 12L).map(i => (i, filler(i.toInt, 120) +
+      " alpha bravo charlie delta echo foxtrot golf hotel"))
+    TxTable.commitMergeNearDup(spark, tdir, sdir,
+      rows.take(6).toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, threshold = 0.9)
+    TxTable.commitMergeNearDup(spark, tdir, sdir,
+      rows.drop(6).toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, threshold = 0.9)
+    def sigRows(d: String) = spark.read.parquet(d)
+      .selectExpr("id", "cast(sig as string)")
+      .collect().map(_.toString).sorted.toSeq
+    val incremental = sigRows(sdir)
+    // simulate the crash-recovery path: rebuild from the TABLE
+    TxTable.rebuildNearDupIndex(spark, tdir, sdir, "doc_id", "text", 3)
+    assert(sigRows(sdir) == incremental,
+      "rebuilt sig index must equal the incrementally-built one")
+    // same for the winnowing store
+    val t2 = s"$tmp/table2"
+    TxTable.commitMergeExactSub(spark, t2, fdir,
+      rows.take(6).toDF("doc_id", "text"), "doc_id", "text")
+    TxTable.commitMergeExactSub(spark, t2, fdir,
+      rows.drop(6).toDF("doc_id", "text"), "doc_id", "text")
+    def fpRows(d: String) = spark.read.parquet(d)
+      .collect().map(_.toString).sorted.toSeq
+    val incFp = fpRows(fdir)
+    TxTable.rebuildWinnowIndex(spark, t2, fdir, "doc_id", "text")
+    assert(fpRows(fdir) == incFp,
+      "rebuilt fp index must equal the incrementally-built one")
+  }
+
   test("change feed: rewrite that DROPS a column cannot cancel its rows") {
     // schema evolution inside one rewrite commit: the removed files
     // carry `extra`, the added files don't. Aligning removes to the
