@@ -4331,6 +4331,23 @@ object AnalyticsQueries {
       graft.operators.TxTable.snapshot(s, exactMergeDir(s, d))
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // duplicate GROUPS from the winnow matches: shared-fingerprint
+    // pairs (stop-fp rule applied over the whole corpus) closed into
+    // connected components by the pointer-doubling pack — the
+    // "which documents form one template family" rollup on the
+    // exact-match axis (q52's shape over q339's edges). Oracle walks
+    // the same edges from the q338 pin with a recursive CTE
+    "q341_winnow_groups" -> ((s, d) => {
+      val fp = graft.operators.Winnow
+        .fingerprints(t(s, d, "documents"), "doc_id", "text",
+          k = 8, t = 32).cache()
+      val edges = graft.operators.Winnow.matchesSigs(fp, fp)
+        .filter(col("a") < col("b")).select(col("a"), col("b"))
+      graft.operators.Components
+        .connectedComponents(edges, "a", "b")
+        .orderBy("id")
+    }),
+
     // the MinHash signature table UNDER q334, exploded to scalar
     // (id, position, hash) rows and golden-pinned (xxhash64-defined)
     // — the stored artifact q334's SQL oracle re-derives the merge
@@ -7102,6 +7119,17 @@ object AnalyticsQueries {
        + "surv3 AS (SELECT doc_id FROM odds WHERE doc_id NOT IN (SELECT doc_id FROM drop3c) "
        + "AND doc_id NOT IN (SELECT doc_id FROM drop3i)) "
        + "SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv3 ORDER BY doc_id"),
+    // component closure over the pinned winnow edges (q52's recursive
+    // CTE; min-id labels match the engine's pointer doubling exactly)
+    "q341_winnow_groups" ->
+      ("WITH RECURSIVE f AS (SELECT doc_id, fp FROM read_parquet('/root/repo/golden/sf0.01/q338_winnow_fp/*.parquet')), "
+       + "hot AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 64), "
+       + "pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM f a JOIN f b "
+       + "ON a.fp = b.fp AND a.doc_id < b.doc_id WHERE a.fp NOT IN (SELECT fp FROM hot)), "
+       + "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs), "
+       + "reach(id, comp) AS (SELECT src, src FROM edges "
+       + "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id) "
+       + "SELECT id, MIN(comp)::BIGINT AS comp FROM reach GROUP BY id ORDER BY id"),
     // xxhash64-defined fingerprint selection: golden pin (q29's rule)
     "q338_winnow_fp" ->
       golden("q338_winnow_fp", "doc_id, pos, fp", "doc_id, pos"),
