@@ -841,6 +841,45 @@ object ScaleProbe {
           .filter(col("doc_id") >= 100L && col("doc_id") < 200L).count())
       }
     }
+    // round-12 deletion-vector probes: a merge-on-read delete must
+    // cost the DV WRITE (rides matching rows), never the affected
+    // files' rewrite — the two deletes run the SAME predicate on
+    // identically-built tables; the DV-applied read adds one
+    // anti-join over the narrow (file, pos) sidecar; purge rewrites
+    // only DV'd files
+    {
+      val dvNames = Seq("tx_dv_delete", "tx_rewrite_delete",
+        "tx_dv_read", "tx_dv_purge")
+      if (only.forall(o => dvNames.exists(o.contains))) {
+        def buildDvTable(): String = {
+          val dir2 = java.nio.file.Files
+            .createTempDirectory("probe-txdv").toString
+          graft.operators.TxTable.commitAppend(
+            d.repartitionByRange(32, col("doc_id")), dir2,
+            statsCols = Seq("doc_id"))
+          dir2
+        }
+        val dvDir = buildDvTable()
+        // the DV delete runs UNCONDITIONALLY (read/purge depend on a
+        // DV existing — PROBE_ONLY=tx_dv_read alone must not measure
+        // a DV-less plain scan); it is only TIMED when requested
+        if (only.forall(_.contains("tx_dv_delete")))
+          t("tx_dv_delete")(graft.operators.TxTable
+            .commitDeleteDV(spark, dvDir, col("doc_id") % 997 === 0)
+            .toLong)
+        else graft.operators.TxTable
+          .commitDeleteDV(spark, dvDir, col("doc_id") % 997 === 0)
+        t("tx_rewrite_delete")({
+          val dir3 = buildDvTable()
+          graft.operators.TxTable.commitDelete(spark, dir3,
+            col("doc_id") % 997 === 0, statsCols = Seq("doc_id")).toLong
+        })
+        t("tx_dv_read")(graft.operators.TxTable
+          .snapshot(spark, dvDir).count())
+        t("tx_dv_purge")(graft.operators.TxTable
+          .commitPurgeDVs(spark, dvDir).toLong)
+      }
+    }
     // q326/q327: train collapses to the word multiset (corpus-size-
     // independent EM); apply is a narrow memoized pass — linear
     t("unigram")({

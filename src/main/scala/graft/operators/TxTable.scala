@@ -59,15 +59,41 @@ object TxTable {
   private def logDir(dir: String) = Paths.get(dir, "_txlog")
   private def dataDir(dir: String) = Paths.get(dir, "data")
 
+  /** Resolve a log file name against the table's data dir. Names are
+    * normally stage-relative; a shallow CLONE's entries reference the
+    * SOURCE table's files by absolute path (Delta's shallow-clone
+    * contract) and pass through untouched.
+    */
+  private def absPath(base: String, f: String): String =
+    if (f.startsWith("/") || f.contains("://")) f else s"$base/$f"
+
+  /** The last two path segments (`stage/part.parquet`) — the identity
+    * under which scans report a file (`_metadata.file_path` suffix)
+    * and deletion vectors address it. Unique across tables because
+    * every stage dir carries a random token, so a clone's absolute
+    * reference and a local name can never collide.
+    */
+  private[operators] def relSuffix(f: String): String =
+    f.split('/').takeRight(2).mkString("/")
+
   /** One commit. `dataChange=false` marks a pure data-reorganization
     * commit (OPTIMIZE): the file set changes but no row's content or
     * liveness does — the change feed skips it entirely, exactly
     * Delta's `dataChange` flag on add/remove actions (without it a
     * compaction would force the feed to diff the whole table just to
     * prove the diff is empty).
+    *
+    * `dvs` names deletion-vector parquet dirs (under `_txlog/`) this
+    * commit puts IN FORCE — a merge-on-read delete adds one without
+    * touching a data file (Delta's deletion-vector actions).
+    * `dvReset` clears every previously accumulated DV before this
+    * commit's own `dvs` apply — RESTORE (reinstates the target
+    * version's exact DV state) and PURGE (materializes DVs into
+    * rewritten files) both carry it.
     */
   private[operators] final case class Entry(version: Int, adds: Seq[String],
-      removes: Seq[String], dataChange: Boolean = true)
+      removes: Seq[String], dataChange: Boolean = true,
+      dvs: Seq[String] = Nil, dvReset: Boolean = false)
 
   /** Raised when an optimistic retry finds a real conflict (Delta's
     * `ConcurrentModificationException` contract).
@@ -93,6 +119,8 @@ object TxTable {
     val json = s"""{"version":${e.version},""" +
       s""""adds":[${e.adds.map(a => "\"" + esc(a) + "\"").mkString(",")}],""" +
       s""""removes":[${e.removes.map(r => "\"" + esc(r) + "\"").mkString(",")}],""" +
+      s""""dvs":[${e.dvs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
+      s""""dvReset":${e.dvReset},""" +
       s""""dataChange":${e.dataChange}}"""
     // CREATE_NEW is the commit point: the version file either appears
     // fully or the commit fails — a concurrent writer of the same
@@ -122,6 +150,7 @@ object TxTable {
       val s = new String(Files.readAllBytes(entryFile(dir, v)), "UTF-8")
       def arr(key: String): Seq[String] = {
         val i = s.indexOf("\"" + key + "\":[")
+        if (i < 0) return Seq.empty // field absent in pre-DV entries
         val j = s.indexOf(']', i)
         val body = s.substring(i + key.length + 4, j)
         if (body.trim.isEmpty) Seq.empty
@@ -132,7 +161,9 @@ object TxTable {
       // entries written before the flag existed default to
       // dataChange=true (the conservative reading: include in the feed)
       Entry(v, arr("adds"), arr("removes"),
-        dataChange = !s.contains("\"dataChange\":false"))
+        dataChange = !s.contains("\"dataChange\":false"),
+        dvs = arr("dvs"),
+        dvReset = s.contains("\"dvReset\":true"))
     }
 
   /** Current highest committed version (0 = empty table). */
@@ -266,12 +297,16 @@ object TxTable {
   private[operators] def commitWithRetry(dir: String, adds: Seq[String],
       removes: Seq[String], firstV: Int,
       conflicts: Seq[Entry] => Option[String],
-      maxAttempts: Int = 20, dataChange: Boolean = true): Int = {
+      maxAttempts: Int = 20, dataChange: Boolean = true,
+      dvs: Seq[String] = Nil, dvReset: Boolean = false): Int = {
     var v = firstV
     var validatedThrough = firstV - 1
     var attempt = 0
     while (true) {
-      try { writeEntry(dir, Entry(v, adds, removes, dataChange)); return v }
+      try {
+        writeEntry(dir, Entry(v, adds, removes, dataChange, dvs, dvReset))
+        return v
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         attempt += 1
         if (attempt >= maxAttempts)
@@ -307,6 +342,11 @@ object TxTable {
     val removed = es.flatMap(_.removes).toSet
     if (added.nonEmpty)
       Some(s"${added.size} file(s) added concurrently (unscanned rows)")
+    else if (es.exists(e => e.dvs.nonEmpty || e.dvReset))
+      // an interleaved DV commit (or restore/purge) changed row
+      // visibility AFTER we read: our staged survivors would
+      // resurrect its deleted rows (or re-delete restored ones)
+      Some("deletion-vector state changed concurrently")
     else {
       val hit = removed.intersect(ourRemoves)
       if (hit.nonEmpty) Some(s"input file(s) removed concurrently: " +
@@ -324,7 +364,33 @@ object TxTable {
     val hit = es.flatMap(_.removes).toSet.intersect(inputs)
     if (hit.nonEmpty) Some(s"compaction input(s) removed concurrently: " +
       hit.take(3).mkString(", "))
+    else if (es.exists(e => e.dvs.nonEmpty || e.dvReset))
+      // the compacted output materialized the OLD DV state; an
+      // interleaved DV delete on an input would be silently undone
+      Some("deletion-vector state changed concurrently")
     else None
+  }
+
+  /** A merge-on-read delete's own matrix: interleaved adds carry
+    * unscanned rows (abort) and removes/restores of its input files
+    * invalidate its positions (abort) — but an interleaved PURE DV
+    * commit is safe: two position sets union commutatively (deleting
+    * an already-deleted row is a no-op), so concurrent DV deletes all
+    * land, Delta's DV-vs-DV concurrency win.
+    */
+  private[operators] def dvDeleteConflicts(ourInputs: Set[String])
+      : Seq[Entry] => Option[String] = es => {
+    val added = es.flatMap(_.adds)
+    if (added.nonEmpty)
+      Some(s"${added.size} file(s) added concurrently (unscanned rows)")
+    else if (es.exists(_.dvReset))
+      Some("restore/purge interleaved with a DV delete")
+    else {
+      val hit = es.flatMap(_.removes).toSet.intersect(ourInputs)
+      if (hit.nonEmpty) Some(s"input file(s) removed concurrently: " +
+        hit.take(3).mkString(", "))
+      else None
+    }
   }
 
   private def maybeCheckpoint(spark: SparkSession, dir: String, v: Int,
@@ -339,6 +405,7 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Int = {
+    enforceConstraints(df, dir)
     val v0 = currentVersion(dir) + 1
     val added = stage(df, dir, v0)
     writeStats(df.sparkSession, dir, stageRelOf(added), added, statsCols,
@@ -366,26 +433,33 @@ object TxTable {
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val matches = coalesce(pred, lit(false))
+    val dvs = dvRefsAt(dir)
     // which files hold a matching row? one distributed scan; the
-    // distinct aggregation and full-path -> relative-name mapping run
+    // distinct aggregation and full-path -> suffix mapping run
     // DISTRIBUTED, so the driver receives only the bounded set of
     // affected names it must write into the log entry anyway (never
     // row data, and never an O(files^2) suffix scan — at 10^6 live
-    // files that scan was the wide-delete bottleneck)
-    val affectedRel = spark.read.parquet(files.map(f => s"$base/$f"): _*)
-      // the rel-name projection rides the SCAN (input_file_name is
-      // single-source only — it cannot be computed after a join)
-      .withColumn("_f",
-        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+    // files that scan was the wide-delete bottleneck). DV-deleted
+    // rows are invisible: a file whose only matches are already
+    // deleted is not rewritten, and its survivors re-land WITHOUT
+    // them (a rewrite materializes the file's DV, Delta's rule).
+    val raw = withMeta(
+      spark.read.parquet(files.map(absPath(base, _)): _*))
+    val visible =
+      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    val affectedRel = visible
       .filter(matches)
       .select(col("_f"))
       .distinct().collect().map(_.getString(0)).toSet
-    val affected = files.filter(affectedRel.contains)
+    val affected = files.filter(f => affectedRel.contains(relSuffix(f)))
     if (affected.isEmpty) return currentVersion(dir)
     val v0 = currentVersion(dir) + 1
-    val added = stage(
-      spark.read.parquet(affected.map(f => s"$base/$f"): _*)
-        .filter(!matches),
+    val affRaw = withMeta(
+      spark.read.parquet(affected.map(absPath(base, _)): _*))
+    val affVisible =
+      if (dvs.isEmpty) affRaw
+      else applyDv(affRaw, readDv(spark, dir, dvs))
+    val added = stage(affVisible.filter(!matches).drop("_f", "_pos"),
       dir, v0)
     writeStats(spark, dir, stageRelOf(added), added, statsCols)
     val v = commitWithRetry(dir, added, affected, v0,
@@ -407,6 +481,7 @@ object TxTable {
   def commitAppendAt(df: DataFrame, dir: String, version: Int,
       checkpointEvery: Int = DefaultCheckpointEvery): Boolean = {
     if (Files.exists(entryFile(dir, version))) return false
+    enforceConstraints(df, dir)
     val added = stage(df, dir, version)
     try {
       writeEntry(dir, Entry(version, added, Seq.empty))
@@ -426,24 +501,30 @@ object TxTable {
       keyCol: String,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
+    // only the SOURCE rows are new — survivors already passed at
+    // their own commit (Delta enforces on written data)
+    enforceConstraints(source, dir)
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
-    // the rel-name projection rides the SCAN (input_file_name is
-    // single-source only); distinct + mapping stay distributed, so
-    // the driver receives only the affected names the log entry must
-    // carry (commitDelete's contract — no O(files^2) suffix scan)
-    val current = spark.read.parquet(files.map(f => s"$base/$f"): _*)
-      .withColumn("_f",
-        regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1))
+    val dvs = dvRefsAt(dir)
+    def visible(fs: Seq[String]): DataFrame = {
+      val raw = withMeta(spark.read.parquet(fs.map(absPath(base, _)): _*))
+      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    }
+    // the suffix projection rides the SCAN; distinct + mapping stay
+    // distributed, so the driver receives only the affected names the
+    // log entry must carry (commitDelete's contract — no O(files^2)
+    // suffix scan). DV-deleted rows are invisible to the key match
+    // and never re-land (the rewrite materializes the file's DV).
     val keys = source.select(col(keyCol)).distinct()
-    val affectedRel = current
+    val affectedRel = visible(files)
       .join(broadcast(keys), Seq(keyCol), "left_semi")
       .select(col("_f"))
       .distinct().collect().map(_.getString(0)).toSet
-    val affected = files.filter(affectedRel.contains)
+    val affected = files.filter(f => affectedRel.contains(relSuffix(f)))
     val survivors =
       if (affected.isEmpty) source
-      else spark.read.parquet(affected.map(f => s"$base/$f"): _*)
+      else visible(affected).drop("_f", "_pos")
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .unionByName(source)
     val v0 = currentVersion(dir) + 1
@@ -643,9 +724,12 @@ object TxTable {
     require(zOrderBy.isEmpty || clusterBy.isEmpty,
       "choose clusterBy (one axis) or zOrderBy (two axes), not both")
     val files = liveFilesFast(spark, dir)
-    val base = dataDir(dir).toString
     val v0 = currentVersion(dir) + 1
-    val current = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+    // compaction reads VISIBLE rows (DVs applied) — it materializes
+    // any deletion vectors on its inputs, which then become inert
+    // because the inputs leave the live set; row visibility is
+    // unchanged, so dataChange=false stays truthful
+    val current = readApplyingDv(spark, dir, files, dvRefsAt(dir))
     // clusterBy = OPTIMIZE's clustering axis: range-partition so each
     // output file owns a tight [min,max] slice of the cluster columns
     // — what makes the per-file stats actually selective (Delta's
@@ -699,7 +783,11 @@ object TxTable {
     val keep = (retainFrom to latest)
       .flatMap(v => liveFiles(dir, Some(v))).toSet
     val all = entries.flatMap(_.adds).toSet
+    // absolute references (a shallow clone's view of its SOURCE's
+    // files) are never this table's to delete — Paths.resolve with an
+    // absolute arg would otherwise reach straight into the source
     val dead = (all -- keep).toSeq.sorted
+      .filterNot(f => f.startsWith("/") || f.contains("://"))
     dead.foreach { f =>
       Files.deleteIfExists(dataDir(dir).resolve(f)); ()
     }
@@ -731,6 +819,368 @@ object TxTable {
       .filter(p => Files.isDirectory(p) && listDir(p).isEmpty)
       .foreach(d => { Files.deleteIfExists(d); () })
     dead ++ orphans.map(o => o.getFileName.toString + "/")
+  }
+
+  // ---------------------------------------------------------------
+  // Deletion vectors (merge-on-read deletes), RESTORE, CLONE
+  // ---------------------------------------------------------------
+
+  /** Resolve a DV reference against this table's log dir; absolute
+    * references (a shallow clone inheriting the source's DVs) pass
+    * through.
+    */
+  private def dvPath(dir: String, name: String): String =
+    if (name.startsWith("/") || name.contains("://")) name
+    else s"${logDir(dir)}/$name"
+
+  /** DV references in force as of `upTo` — one full log replay
+    * (driver-bounded like the log itself; checkpoints accelerate the
+    * FILE set, the term that actually grows). `dvReset` entries
+    * (RESTORE, PURGE) clear the accumulated list before contributing
+    * their own.
+    */
+  def dvRefsAt(dir: String,
+      upTo: Int = Int.MaxValue): Seq[String] = {
+    var dvs = Vector.empty[String]
+    readEntries(dir, upTo = upTo).foreach { e =>
+      if (e.dvReset) dvs = Vector.empty
+      dvs = dvs ++ e.dvs
+    }
+    dvs
+  }
+
+  /** Union of DV rows — `(file: 2-segment suffix, pos: row index)`. */
+  private def readDv(spark: SparkSession, dir: String,
+      refs: Seq[String]): DataFrame =
+    spark.read.parquet(refs.map(dvPath(dir, _)): _*)
+      .select(col("file"), col("pos"))
+
+  /** Attach the identity a DV keys on: `_f` = the file's 2-segment
+    * path suffix, `_pos` = the parquet row index (`_metadata
+    * .row_index` — stable per immutable file, which is what makes
+    * position-based DVs sound on a table whose files never mutate).
+    */
+  private def withMeta(df: DataFrame): DataFrame =
+    df.withColumn("_f",
+        regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1))
+      .withColumn("_pos", col("_metadata.row_index"))
+
+  /** The merge-on-read step: drop rows whose (file, pos) a DV holds.
+    * A plain anti-join — distributed, keyed narrow rows; AQE
+    * broadcasts it when the DV is small (the usual case).
+    */
+  private def applyDv(rows: DataFrame, dv: DataFrame): DataFrame =
+    rows.join(dv.select(col("file").as("_f"), col("pos").as("_pos")),
+      Seq("_f", "_pos"), "left_anti")
+
+  /** Read `files` applying the given DV refs; the no-DV fast path is
+    * byte-identical to a plain scan (no metadata columns, no join) so
+    * DV support costs nothing on tables that never used it.
+    */
+  private def readApplyingDv(spark: SparkSession, dir: String,
+      files: Seq[String], dvs: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val base = dataDir(dir).toString
+    val raw = spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(absPath(base, _)): _*)
+    if (dvs.isEmpty) raw
+    else {
+      val cols = raw.columns.toSeq
+      applyDv(withMeta(raw), readDv(spark, dir, dvs))
+        .select(cols.map(col): _*)
+    }
+  }
+
+  private def deleteDirRec(p: Path): Unit = {
+    listDir(p).foreach { c =>
+      if (Files.isDirectory(c)) deleteDirRec(c)
+      else { Files.deleteIfExists(c); () }
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Merge-on-read DELETE: record matching rows' (file, pos) in a
+    * deletion-vector parquet and commit ONLY the DV reference — no
+    * data file is rewritten, so a 0.1% delete on a 100 TB table
+    * writes kilobytes instead of re-staging terabytes (Delta's
+    * deletion vectors / Iceberg's position deletes). Readers
+    * anti-join the DV at scan time ([[snapshot]]); [[commitPurgeDVs]]
+    * materializes accumulated DVs back into clean files. Already
+    * DV-deleted rows are invisible to the predicate scan, so stacked
+    * DV deletes never double-record a row. Same conflict matrix as
+    * the rewriting delete: interleaved adds carry unscanned rows,
+    * interleaved removes of a file we DV'd would resurrect/lose rows.
+    */
+  def commitDeleteDV(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      checkpointEvery: Int = DefaultCheckpointEvery): Int =
+    commitDvOf(spark, dir, checkpointEvery,
+      visible => visible.filter(coalesce(pred, lit(false))))
+
+  /** Merge-on-read delete by KEY SET — the erasure-request shape
+    * (GDPR right-to-be-forgotten over a 100 TB table): the key batch
+    * semi-joins the visible rows to their (file, pos) positions, so
+    * the request stream never collects to the driver and the table
+    * never rewrites a file. A replayed batch finds its rows already
+    * DV-deleted (invisible) and becomes a version no-op — idempotent
+    * by construction, the streaming-ingest requirement.
+    */
+  def commitDeleteDVKeys(spark: SparkSession, dir: String,
+      keys: DataFrame, keyCol: String,
+      checkpointEvery: Int = DefaultCheckpointEvery): Int =
+    commitDvOf(spark, dir, checkpointEvery,
+      visible => visible.join(
+        broadcast(keys.select(col(keyCol)).distinct()),
+        Seq(keyCol), "left_semi"))
+
+  /** Shared DV-commit tail: `matchRows` maps the VISIBLE rows (with
+    * `_f`/`_pos` attached, prior DVs applied) to the rows to delete.
+    */
+  private def commitDvOf(spark: SparkSession, dir: String,
+      checkpointEvery: Int,
+      matchRows: DataFrame => DataFrame): Int = {
+    val files = liveFilesFast(spark, dir)
+    val base = dataDir(dir).toString
+    val dvs = dvRefsAt(dir)
+    val raw = withMeta(
+      spark.read.parquet(files.map(absPath(base, _)): _*))
+    val visible =
+      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    val v0 = currentVersion(dir) + 1
+    val name = f"dv-v$v0%05d-" +
+      java.util.UUID.randomUUID.toString.take(8)
+    matchRows(visible)
+      .select(col("_f").as("file"), col("_pos").cast("long").as("pos"))
+      .write.parquet(dvPath(dir, name))
+    val written = spark.read.parquet(dvPath(dir, name))
+    val affectedSuffix = written.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedSuffix.isEmpty) {
+      deleteDirRec(Paths.get(dvPath(dir, name)))
+      return currentVersion(dir)
+    }
+    val affected = files.filter(f => affectedSuffix.contains(relSuffix(f)))
+    try {
+      val v = commitWithRetry(dir, Seq.empty, Seq.empty, v0,
+        dvDeleteConflicts(affected.toSet), dvs = Seq(name))
+      maybeCheckpoint(spark, dir, v, checkpointEvery)
+      v
+    } catch {
+      case e: CommitConflictException =>
+        deleteDirRec(Paths.get(dvPath(dir, name))); throw e
+    }
+  }
+
+  /** Materialize every in-force DV into rewritten files and clear the
+    * DV state (Delta's `REORG TABLE ... APPLY (PURGE)`): files with a
+    * DV row re-land minus their deleted positions; untouched files
+    * survive. `dataChange=false` — no row's VISIBILITY changes, so
+    * the change feed skips it, exactly like OPTIMIZE.
+    */
+  def commitPurgeDVs(spark: SparkSession, dir: String,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
+    val dvs = dvRefsAt(dir)
+    if (dvs.isEmpty) return currentVersion(dir)
+    val files = liveFilesFast(spark, dir)
+    val base = dataDir(dir).toString
+    val dv = readDv(spark, dir, dvs)
+    val affectedSuffix = dv.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = files.filter(f => affectedSuffix.contains(relSuffix(f)))
+    val v0 = currentVersion(dir) + 1
+    if (affected.isEmpty)
+      // every DV'd file is already dead (rewritten since) — the DVs
+      // are inert; just clear the references
+      return commitWithRetry(dir, Seq.empty, Seq.empty, v0,
+        AppendConflicts, dataChange = false, dvReset = true)
+    val raw = withMeta(
+      spark.read.parquet(affected.map(absPath(base, _)): _*))
+    val rewritten = applyDv(raw, dv).drop("_f", "_pos")
+    val added = stage(rewritten, dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val v = commitWithRetry(dir, added, affected, v0,
+      compactConflicts(affected.toSet), dataChange = false,
+      dvReset = true)
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
+    v
+  }
+
+  /** RESTORE TABLE ... TO VERSION: one commit whose adds/removes set
+    * the live file list back to `toVersion`'s, and whose DV state is
+    * reset to `toVersion`'s exact DV refs — time travel made the
+    * WRITABLE head (Delta's RESTORE). No data moves: the old files
+    * still exist unless VACUUM passed, which is checked loudly. The
+    * restore commit is itself dataChange history — versions after it
+    * remain queryable, and the change feed reports its NET row diff.
+    */
+  def commitRestore(spark: SparkSession, dir: String, toVersion: Int,
+      checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+    val target = liveFiles(dir, Some(toVersion))
+    require(target.nonEmpty,
+      s"nothing to restore: version $toVersion has no live files")
+    val current = liveFilesFast(spark, dir)
+    val curSet = current.toSet
+    val tgtSet = target.toSet
+    val adds = target.filterNot(curSet)
+    val removes = current.filterNot(tgtSet)
+    val base = dataDir(dir).toString
+    val conf = spark.sessionState.newHadoopConf()
+    val missing = adds.filterNot { f =>
+      val p = new org.apache.hadoop.fs.Path(absPath(base, f))
+      p.getFileSystem(conf).exists(p)
+    }
+    require(missing.isEmpty,
+      s"cannot RESTORE to v$toVersion past the vacuum horizon: " +
+        missing.take(3).mkString(", ") + " no longer exist")
+    val targetDvs = dvRefsAt(dir, toVersion)
+    if (adds.isEmpty && removes.isEmpty && targetDvs == dvRefsAt(dir))
+      return currentVersion(dir)
+    val v = commitWithRetry(dir, adds, removes,
+      currentVersion(dir) + 1, rewriteConflicts(removes.toSet),
+      dvs = targetDvs, dvReset = true)
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
+    v
+  }
+
+  // ---------------------------------------------------------------
+  // CHECK constraints (commit-time validation)
+  // ---------------------------------------------------------------
+
+  /** Raised when a commit would land rows violating a CHECK
+    * constraint (Delta's `InvariantViolationException` contract).
+    */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  private def constraintsFile(dir: String): Path =
+    logDir(dir).resolve("_constraints.jsonl")
+
+  /** Active CHECK constraints: (name, SQL expression). The registry
+    * is an append-only JSONL (adds and drops replayed in order) —
+    * driver-sized like the log.
+    */
+  def checkConstraints(dir: String): Seq[(String, String)] = {
+    val f = constraintsFile(dir)
+    if (!Files.exists(f)) return Seq.empty
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    new String(Files.readAllBytes(f), "UTF-8").split('\n')
+      .filter(_.nonEmpty).foreach { line =>
+        def field(k: String): Option[String] = {
+          val i = line.indexOf("\"" + k + "\":\"")
+          if (i < 0) None
+          else {
+            val start = i + k.length + 4
+            val j = line.indexOf('"', start)
+            Some(line.substring(start, j)
+              .replace("\\\"", "\"").replace("\\\\", "\\"))
+          }
+        }
+        val name = field("name").getOrElse("")
+        if (line.contains("\"drop\":true")) { acc.remove(name); () }
+        else field("expr").foreach(e => acc(name) = e)
+      }
+    acc.toSeq
+  }
+
+  /** ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): validates the
+    * CURRENT snapshot first (a constraint the existing data violates
+    * is rejected, Delta's rule), then registers the expression so
+    * every future append/merge enforces it. SQL CHECK semantics: a
+    * row violates only when the expression is FALSE — NULL passes.
+    */
+  def addCheckConstraint(spark: SparkSession, dir: String, name: String,
+      exprSql: String): Unit = {
+    require(!name.contains("\"") && !name.contains("\n"),
+      s"bad constraint name: $name")
+    if (currentVersion(dir) > 0) {
+      val bad = snapshot(spark, dir)
+        .filter(coalesce(expr(exprSql), lit(true)) === false).count()
+      if (bad > 0) throw new ConstraintViolationException(
+        s"cannot add CHECK $name ($exprSql): $bad existing row(s) violate it")
+    }
+    Files.createDirectories(logDir(dir))
+    Files.write(constraintsFile(dir),
+      (s"""{"name":"${esc(name)}","expr":"${esc(exprSql)}"}""" + "\n")
+        .getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT. */
+  def dropCheckConstraint(dir: String, name: String): Unit = {
+    Files.write(constraintsFile(dir),
+      (s"""{"name":"${esc(name)}","drop":true}""" + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** Enforce every active constraint on rows about to land — ONE
+    * distributed aggregation over the batch counting violations per
+    * constraint (never collecting row data); any violation aborts the
+    * whole commit BEFORE staging (all-or-nothing, Delta's contract).
+    * No constraints → no job.
+    */
+  private def enforceConstraints(df: DataFrame, dir: String): Unit = {
+    val cs = checkConstraints(dir)
+    if (cs.isEmpty) return
+    val counts = df.agg(
+      count(lit(1)).as("_n"),
+      cs.map { case (n, e) =>
+        sum(when(coalesce(expr(e), lit(true)) === false, 1L)
+          .otherwise(0L)).as(s"_viol_$n")
+      }: _*).head()
+    val bad = cs.zipWithIndex.flatMap { case ((n, e), i) =>
+      val v = counts.getLong(i + 1)
+      if (v > 0) Some(s"CHECK $n ($e): $v row(s)") else None
+    }
+    if (bad.nonEmpty) throw new ConstraintViolationException(
+      "constraint violation, commit rejected: " + bad.mkString("; "))
+  }
+
+  /** Fully resolved scan paths for the DSv2/SQL surface (handles a
+    * shallow clone's absolute references) — and LOUDLY rejects tables
+    * with in-force deletion vectors: the ParquetTable scan path
+    * cannot apply the DV anti-join, and silently resurrecting deleted
+    * rows would be far worse than failing. Purge first
+    * ([[commitPurgeDVs]]) or read through [[snapshot]].
+    */
+  def resolvedScanPaths(spark: SparkSession, root: String,
+      version: Option[Int] = None): Seq[String] = {
+    val refs = dvRefsAt(root, version.getOrElse(Int.MaxValue))
+    require(refs.isEmpty,
+      s"txlog table at $root has ${refs.size} in-force deletion " +
+        "vector(s); the SQL scan surface cannot apply them — run " +
+        "commitPurgeDVs (REORG APPLY PURGE) first or read via " +
+        "TxTable.snapshot")
+    val base = dataDir(root).toString
+    liveFilesFast(spark, root, version).map(absPath(base, _))
+  }
+
+  /** Shallow CLONE: a new table whose first commit references the
+    * source's live files (and DV refs) by ABSOLUTE path — zero bytes
+    * copied (Delta's shallow clone). The clone owns its own log from
+    * then on: appends land in its own data dir; deletes/merges
+    * rewrite only affected files INTO the clone (copy-on-write), so
+    * the source is never touched; OPTIMIZE localizes everything.
+    * [[vacuum]] on the clone never deletes absolute (source-owned)
+    * files; vacuum on the SOURCE can break clones older than its
+    * horizon — Delta's documented shallow-clone hazard, inherited
+    * deliberately.
+    */
+  def cloneShallow(spark: SparkSession, srcDir: String, dstDir: String,
+      version: Option[Int] = None): Int = {
+    require(currentVersion(dstDir) == 0,
+      s"clone target $dstDir is not an empty table")
+    val upTo = version.getOrElse(currentVersion(srcDir))
+    val srcBase = dataDir(srcDir).toAbsolutePath.toString
+    val adds = liveFiles(srcDir, Some(upTo)).map(absPath(srcBase, _))
+    require(adds.nonEmpty, s"nothing to clone at version $upTo")
+    val dvs = dvRefsAt(srcDir, upTo).map(dvPath(srcDir, _))
+      .map(p => Paths.get(p).toAbsolutePath.toString)
+    writeEntry(dstDir, Entry(1, adds, Seq.empty, dvs = dvs))
+    1
   }
 
   // ---------------------------------------------------------------
@@ -977,10 +1427,9 @@ object TxTable {
       version: Option[Int] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val (kept, _) = pruneFiles(spark, dir, pred, version)
-    val base = dataDir(dir).toString
     if (kept.isEmpty) snapshot(spark, dir, version, mergeSchema).limit(0)
-    else spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(kept.map(f => s"$base/$f"): _*)
+    else readApplyingDv(spark, dir, kept,
+        dvRefsAt(dir, version.getOrElse(Int.MaxValue)), mergeSchema)
       .filter(pred)
   }
 
@@ -1011,40 +1460,79 @@ object TxTable {
   def changes(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
     val upTo = toVersion.getOrElse(currentVersion(dir))
-    val base = dataDir(dir).toString
-    def readFiles(fs: Seq[String]): DataFrame =
-      spark.read.parquet(fs.map(f => s"$base/$f"): _*)
-    val perVersion = readEntries(dir, after = fromVersion, upTo = upTo)
-      .filter(_.dataChange)
-      .flatMap { e =>
+    // visible rows of `fs` under DV refs `dvs` (plain scan when none)
+    def vis(fs: Seq[String], dvs: Seq[String]): DataFrame =
+      readApplyingDv(spark, dir, fs, dvs)
+    // align two sides on the column SUPERSET (absent side typed NULL)
+    // so rows differing only in a schema-evolved column cannot cancel
+    // in the exceptAll, then emit the net insert/delete diff
+    def diff(a0: DataFrame, r0: DataFrame): (DataFrame, DataFrame) = {
+      val allCols =
+        (a0.columns ++ r0.columns.filterNot(a0.columns.contains)).toSeq
+      val colType = (a0.schema.fields ++ r0.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+      def widen(df: DataFrame): DataFrame =
+        df.select(allCols.map(c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(colType(c)).as(c)): _*)
+      val a = widen(a0)
+      val r = widen(r0)
+      (a.exceptAll(r), r.exceptAll(a))
+    }
+    // replay from v1 to carry the DV state into the feed window; the
+    // pre-window entries cost JSON reads only (no data is scanned)
+    var dvState = Vector.empty[String]
+    val perVersion = readEntries(dir, upTo = upTo).flatMap { e =>
+      val preDvs = dvState
+      if (e.dvReset) dvState = Vector.empty
+      dvState = dvState ++ e.dvs
+      if (e.version <= fromVersion || !e.dataChange) Seq.empty
+      else {
         def tag(df: DataFrame, ct: String): DataFrame =
           df.withColumn("_change_type", lit(ct))
             .withColumn("_commit_version", lit(e.version.toLong))
-        (e.adds.nonEmpty, e.removes.nonEmpty) match {
-          case (true, false) => Seq(tag(readFiles(e.adds), "insert"))
-          case (false, true) => Seq(tag(readFiles(e.removes), "delete"))
+        if (e.dvReset) {
+          // RESTORE: the one commit whose net effect cannot be read
+          // off its own files (it changes liveness via the file set
+          // AND the DV state at once) — diff the two adjacent visible
+          // snapshots. Restore is rare and explicitly audit-worthy;
+          // this is the one full-table term in the feed, same trade
+          // Delta documents for CDF-over-RESTORE
+          val before = vis(liveFiles(dir, Some(e.version - 1)), preDvs)
+          val after = vis(liveFiles(dir, Some(e.version)), dvState)
+          val (ins, del) = diff(after, before)
+          Seq(tag(ins, "insert"), tag(del, "delete"))
+        } else if (e.dvs.nonEmpty && e.adds.isEmpty && e.removes.isEmpty) {
+          // merge-on-read DELETE: this commit's deleted rows ARE the
+          // new DV's positions — read only the files it references
+          val dv = readDv(spark, dir, e.dvs)
+          val affectedSuffix = dv.select(col("file")).distinct()
+            .collect().map(_.getString(0)).toSet
+          val fs = liveFiles(dir, Some(e.version))
+            .filter(f => affectedSuffix.contains(relSuffix(f)))
+          if (fs.isEmpty) Seq.empty
+          else {
+            val raw = withMeta(vis(fs, Seq.empty))
+            val rows = raw.join(
+                dv.select(col("file").as("_f"), col("pos").as("_pos")),
+                Seq("_f", "_pos"), "left_semi")
+              .drop("_f", "_pos")
+            Seq(tag(rows, "delete"))
+          }
+        } else (e.adds.nonEmpty, e.removes.nonEmpty) match {
+          // adds are newborn files — no DV can reference them yet;
+          // removes are read under the PRE-commit DV state so rows a
+          // DV already hid are not re-reported as deletes
+          case (true, false) => Seq(tag(vis(e.adds, Seq.empty), "insert"))
+          case (false, true) => Seq(tag(vis(e.removes, preDvs), "delete"))
           case (true, true) =>
-            val a0 = readFiles(e.adds)
-            val r0 = readFiles(e.removes)
-            // a rewrite normally re-lands the affected files' own
-            // columns, but schema evolution can add OR drop a column
-            // within the commit; align both sides on the column
-            // SUPERSET (absent side typed NULL) so rows differing only
-            // in an evolved column cannot cancel in the exceptAll
-            val allCols =
-              (a0.columns ++ r0.columns.filterNot(a0.columns.contains)).toSeq
-            val colType = (a0.schema.fields ++ r0.schema.fields)
-              .map(f => f.name -> f.dataType).toMap
-            def widen(df: DataFrame): DataFrame =
-              df.select(allCols.map(c =>
-                if (df.columns.contains(c)) col(c)
-                else lit(null).cast(colType(c)).as(c)): _*)
-            val a = widen(a0)
-            val r = widen(r0)
-            Seq(tag(a.exceptAll(r), "insert"), tag(r.exceptAll(a), "delete"))
+            val (ins, del) =
+              diff(vis(e.adds, Seq.empty), vis(e.removes, preDvs))
+            Seq(tag(ins, "insert"), tag(del, "delete"))
           case _ => Seq.empty
         }
       }
+    }
     if (perVersion.isEmpty)
       snapshot(spark, dir).limit(0)
         .withColumn("_change_type", lit(""))
@@ -1081,15 +1569,16 @@ object TxTable {
   }
 
   /** Snapshot read as of `version` (None = latest): scan exactly the
-    * live file list, resolved through the newest usable checkpoint.
+    * live file list, resolved through the newest usable checkpoint,
+    * minus any rows a deletion vector holds. Without DVs this is a
+    * plain multi-file scan, byte-identical to the pre-DV plan.
     */
   def snapshot(spark: SparkSession, dir: String,
       version: Option[Int] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val files = liveFilesFast(spark, dir, version)
     require(files.nonEmpty, s"no live files at version $version")
-    val base = dataDir(dir).toString
-    spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(files.map(f => s"$base/$f"): _*)
+    readApplyingDv(spark, dir, files,
+      dvRefsAt(dir, version.getOrElse(Int.MaxValue)), mergeSchema)
   }
 }

@@ -4417,6 +4417,114 @@ object AnalyticsQueries {
         .orderBy("probe")
     }),
 
+    // Deletion vectors (merge-on-read delete — Delta's DVs / Iceberg
+    // position deletes): v2/v3 delete by writing ONLY (file, pos)
+    // sidecars, the fixture asserts the data-file set is untouched,
+    // and snapshots anti-join the DV at scan time; v4 PURGE
+    // materializes the DVs into rewritten files without changing a
+    // visible row. At 100 TB this is the difference between a 0.1%
+    // delete writing kilobytes and re-staging terabytes. The oracle
+    // recomputes every version's visible rows from the base table
+    "q342_txlog_dv" -> ((s, d) => {
+      val dir2 = txDvDir(s, d)
+      def roll(v: Int): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("checksum"))
+      roll(1).unionAll(roll(2)).unionAll(roll(3)).unionAll(roll(4))
+        .orderBy("version")
+    }),
+
+    // RESTORE TABLE ... TO VERSION (Delta's RESTORE): v5 rolls the
+    // live file set AND the deletion-vector state back to v2's as ONE
+    // new commit — no data moves, versions after the restore point
+    // stay queryable, and the restore itself is history. The oracle
+    // recomputes v3 (rewriting delete), v4 (merge-on-read delete),
+    // and v5 (= v2's full content) from the base table
+    "q343_txlog_restore" -> ((s, d) => {
+      val dir2 = txRestoreDir(s, d)
+      def roll(v: Int): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2, Some(v))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("checksum"))
+      roll(3).unionAll(roll(4)).unionAll(roll(5)).orderBy("version")
+    }),
+
+    // Shallow CLONE (zero-copy): the clone's first commit references
+    // the source's live files (and its DV) by absolute path — no byte
+    // copied; a delete on the clone rewrites affected files INTO the
+    // clone (copy-on-write) while the source stays untouched. The
+    // oracle recomputes both sides' visible rows from the base table
+    "q344_txlog_clone" -> ((s, d) => {
+      val (src, dst) = txCloneDirs(s, d)
+      def roll(side: String, dir2: String): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(side).as("side"), col("n_rows"), col("checksum"))
+      roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
+    }),
+
+    // CHECK constraints (Delta's table invariants): registered before
+    // any data, enforced at COMMIT time as one distributed violation
+    // count per constraint — a batch with any violating row is
+    // rejected WHOLE before staging (all-or-nothing; the fixture
+    // asserts the rejection and that no version lands), NULL passes
+    // (SQL CHECK semantics). The surviving table is certified against
+    // the closed-form valid subset
+    "q348_txlog_constraints" -> ((s, d) => {
+      val dir2 = txConstraintDir(s, d)
+      val nCs = graft.operators.TxTable.checkConstraints(dir2).size.toLong
+      graft.operators.TxTable.snapshot(s, dir2)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .select(col("n_rows"), col("checksum"),
+          lit(nCs).as("n_constraints"))
+    }),
+
+    // Interpolated Kneser–Ney bigram model — the COUNT relation: per
+    // seen bigram its count plus the per-history total, forward/
+    // backward continuation counts and the global continuation total
+    // (exact integers, so the model table is fully cross-engine
+    // certifiable — no pin). Trained on the 90% split; top-1000 by
+    // (count desc, w1, w2) keeps the report bounded and total-ordered
+    "q346_kn_model" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.KneserNey
+        .model(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .orderBy(col("c2").desc, col("w1"), col("w2")).limit(1000)
+    }),
+
+    // KN scoring of the HELD-OUT 10% under the 90%-trained model —
+    // the quality-filter deployment shape with real unseen bigrams
+    // and OOV words. Scores are order-independent LONG sums of
+    // micro-unit components with a FIXED decomposition (seen pair =
+    // one quantized term; unseen pair = quantized backoff weight +
+    // quantized continuation; unseen history/continuation = the fixed
+    // OOV penalty), so the oracle's independent replay adds the same
+    // integers. The one cross-engine double op is ln over
+    // bit-identical rational operands; a 1-ulp libm divergence flips
+    // a floor(1e6·x) only within 1e-10 of an integer boundary —
+    // ~1e-5 aggregate risk at this model size, accepted and monitored
+    // by the three-scale sweep
+    "q347_kn_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = graft.operators.KneserNey
+        .model(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      graft.operators.KneserNey
+        .scoreDocs(docs.filter(col("doc_id") % 10 === 0), "doc_id",
+          "text", m)
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing (concat-and-chunk): the LLM-pretraining
     // dataloader op — docs dealt to 8 shards by seeded md5, laid
     // end-to-end in seeded order, token stream cut every 2048; each
@@ -4907,6 +5015,119 @@ object AnalyticsQueries {
       graft.operators.TxTable.commitCompact(s, tmp, targetFiles = 8,
         statsCols = Seq("doc_id", "n_chars"),
         zOrderBy = Seq("doc_id", "n_chars"))
+      tmp
+    })
+
+  /** Deletion-vector table (q342): v1 lands documents in 4 files;
+    * v2 and v3 are MERGE-ON-READ deletes (doc_id % 7, then lang='de')
+    * that write only position sidecars — the fixture asserts no data
+    * file changed; v4 is PURGE, which materializes both DVs and must
+    * not change a visible row.
+    */
+  private val txDvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txDvDir(s: SparkSession, dir: String): String =
+    txDvCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txdv-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(4, col("doc_id")), tmp)
+      val filesV1 = graft.operators.TxTable.liveFiles(tmp).toSet
+      graft.operators.TxTable.commitDeleteDV(s, tmp,
+        col("doc_id") % 7 === 0)
+      graft.operators.TxTable.commitDeleteDV(s, tmp, col("lang") === "de")
+      require(graft.operators.TxTable.liveFiles(tmp).toSet == filesV1,
+        "a DV delete must not touch the data file set")
+      graft.operators.TxTable.commitPurgeDVs(s, tmp)
+      require(graft.operators.TxTable.dvRefsAt(tmp).isEmpty,
+        "purge must clear the DV state")
+      tmp
+    })
+
+  /** RESTORE table (q343): v1+v2 land documents split even/odd, v3 is
+    * a rewriting delete, v4 a merge-on-read delete — then v5 RESTOREs
+    * to v2, rolling back the file set AND the DV state in one commit
+    * with no data movement.
+    */
+  private val txRestoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txRestoreDir(s: SparkSession, dir: String): String =
+    txRestoreCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txrestore-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.filter(col("doc_id") % 2 === 0).repartition(4), tmp)
+      graft.operators.TxTable.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1).repartition(2), tmp)
+      graft.operators.TxTable.commitDelete(s, tmp, col("doc_id") % 3 === 0)
+      graft.operators.TxTable.commitDeleteDV(s, tmp, col("lang") === "fr")
+      val rv = graft.operators.TxTable.commitRestore(s, tmp, toVersion = 2)
+      require(rv == 5, s"restore expected at v5, committed v$rv")
+      tmp
+    })
+
+  /** Shallow-clone pair (q344): the SOURCE lands documents and a
+    * merge-on-read delete (so the clone inherits a DV reference by
+    * absolute path); the CLONE then rewrites under its own log
+    * (copy-on-write delete) while the source stays byte-untouched.
+    * Returns `src|dst` — both roots, one fixture.
+    */
+  private val txCloneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txCloneDirs(s: SparkSession, dir: String): (String, String) = {
+    val packed = txCloneCache.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files.createTempDirectory("graft-txclone-")
+        .toString
+      val (src, dst) = (s"$root/src", s"$root/dst")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(3, col("doc_id")), src)
+      graft.operators.TxTable.commitDeleteDV(s, src,
+        col("doc_id") % 11 === 0)
+      graft.operators.TxTable.cloneShallow(s, src, dst)
+      graft.operators.TxTable.commitDelete(s, dst, col("lang") === "en")
+      s"$src|$dst"
+    })
+    val Array(src, dst) = packed.split('|')
+    (src, dst)
+  }
+
+  /** CHECK-constrained table (q348): two constraints registered
+    * before any data; the full corpus (with planted violations —
+    * doc_id % 13 rows get an unknown lang) is REJECTED whole, then
+    * the valid subset lands. The loud rejection is asserted right
+    * here; the query certifies the surviving content.
+    */
+  private val txConstraintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txConstraintDir(s: SparkSession, dir: String): String =
+    txConstraintCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txck-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.addCheckConstraint(s, tmp, "len_pos",
+        "length(text) > 0")
+      graft.operators.TxTable.addCheckConstraint(s, tmp, "lang_known",
+        "lang IN ('de','en','es','fr','zh')")
+      val tainted = docs.withColumn("lang",
+        when(col("doc_id") % 13 === 0, lit("xx")).otherwise(col("lang")))
+      val rejected =
+        try { graft.operators.TxTable.commitAppend(tainted, tmp); false }
+        catch {
+          case _: graft.operators.TxTable.ConstraintViolationException =>
+            true
+        }
+      require(rejected, "the tainted append must be rejected whole")
+      require(graft.operators.TxTable.currentVersion(tmp) == 0,
+        "a rejected commit must leave no version behind")
+      graft.operators.TxTable.commitAppend(
+        tainted.filter(col("doc_id") % 13 =!= 0), tmp)
       tmp
     })
 
@@ -7072,6 +7293,78 @@ object AnalyticsQueries {
        + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
        + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe ORDER BY p.probe"),
+    // every version's visible rows recomputed from the base table:
+    // v2/v3 = the two stacked merge-on-read deletes, v4 = purge (must
+    // equal v3 exactly)
+    "q342_txlog_dv" ->
+      ("WITH v1 AS (SELECT 1::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "v2 AS (SELECT 2::BIGINT, COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT FROM documents WHERE doc_id % 7 <> 0), "
+       + "v3 AS (SELECT 3::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 7 <> 0 AND lang <> 'de'), "
+       + "v4 AS (SELECT 4::BIGINT, n_rows, checksum FROM v3) "
+       + "SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3 "
+       + "UNION ALL SELECT * FROM v4 ORDER BY version"),
+    // v3 = rewriting delete, v4 = + merge-on-read delete, v5 = the
+    // RESTORE back to v2 (the full table again)
+    "q343_txlog_restore" ->
+      ("WITH v3 AS (SELECT 3::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 3 <> 0), "
+       + "v4 AS (SELECT 4::BIGINT, COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT FROM documents WHERE doc_id % 3 <> 0 AND lang <> 'fr'), "
+       + "v5 AS (SELECT 5::BIGINT, COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT FROM documents) "
+       + "SELECT * FROM v3 UNION ALL SELECT * FROM v4 UNION ALL SELECT * FROM v5 "
+       + "ORDER BY version"),
+    // src = the source after its merge-on-read delete; clone = the
+    // same minus the copy-on-write delete it ran under its own log
+    "q344_txlog_clone" ->
+      ("WITH s AS (SELECT 'src' AS side, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0), "
+       + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
+       + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // the surviving constrained table = the closed-form valid subset
+    "q348_txlog_constraints" ->
+      ("SELECT COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum, "
+       + "2::BIGINT AS n_constraints FROM documents WHERE doc_id % 13 <> 0"),
+    // the KN count relation recomputed from scratch — bigrams via the
+    // shared whitespace tokenization, three grouped counts, all BIGINT
+    "q346_kn_model" ->
+      ("WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents), "
+       + "bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM words, "
+       + "LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i) WHERE doc_id % 10 <> 0), "
+       + "c2t AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY 1, 2), "
+       + "w1t AS (SELECT w1, SUM(c2)::BIGINT AS c1, COUNT(*)::BIGINT AS n1p_fwd FROM c2t GROUP BY 1), "
+       + "w2t AS (SELECT w2, COUNT(*)::BIGINT AS n1p_bwd FROM c2t GROUP BY 1), "
+       + "alln AS (SELECT COUNT(*)::BIGINT AS n1p_all FROM c2t) "
+       + "SELECT w1, w2, c2, c1, n1p_fwd, n1p_bwd, n1p_all "
+       + "FROM c2t JOIN w1t USING (w1) JOIN w2t USING (w2) CROSS JOIN alln "
+       + "ORDER BY c2 DESC, w1, w2 LIMIT 1000"),
+    // the held-out scoring replayed: identical operand structure per
+    // component ((c2-0.75)/c1 + 0.75*n1p_fwd/c1*n1p_bwd/n1p_all, then
+    // floor(1e6*ln(...))), identical fixed decomposition for unseen
+    // pairs, identical OOV penalty expression
+    "q347_kn_score" ->
+      ("WITH words AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws FROM documents), "
+       + "bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM words, "
+       + "LATERAL unnest(generate_series(1, len(ws) - 1)) AS t(i)), "
+       + "c2t AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM bg WHERE doc_id % 10 <> 0 GROUP BY 1, 2), "
+       + "w1t AS (SELECT w1, SUM(c2)::BIGINT AS c1, COUNT(*)::BIGINT AS n1p_fwd FROM c2t GROUP BY 1), "
+       + "w2t AS (SELECT w2, COUNT(*)::BIGINT AS n1p_bwd FROM c2t GROUP BY 1), "
+       + "alln AS (SELECT COUNT(*)::BIGINT AS n1p_all FROM c2t), "
+       + "seen AS (SELECT w1, w2, floor(1e6 * ln((c2 - 0.75) / c1 + 0.75 * n1p_fwd / c1 * n1p_bwd / n1p_all))::BIGINT AS lp_seen "
+       + "FROM c2t JOIN w1t USING (w1) JOIN w2t USING (w2) CROSS JOIN alln), "
+       + "bw AS (SELECT w1, floor(1e6 * ln(0.75 * n1p_fwd / c1))::BIGINT AS bw_micro FROM w1t), "
+       + "cont AS (SELECT w2, floor(1e6 * ln(n1p_bwd * 1.0 / n1p_all))::BIGINT AS cont_micro FROM w2t CROSS JOIN alln), "
+       + "ho AS (SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS tf FROM bg WHERE doc_id % 10 = 0 GROUP BY 1, 2, 3), "
+       + "sc AS (SELECT ho.doc_id, ho.tf, COALESCE(seen.lp_seen, bw.bw_micro + cont.cont_micro, floor(1e6 * ln(1e-9))::BIGINT) AS lp "
+       + "FROM ho LEFT JOIN seen ON seen.w1 = ho.w1 AND seen.w2 = ho.w2 "
+       + "LEFT JOIN bw ON bw.w1 = ho.w1 LEFT JOIN cont ON cont.w2 = ho.w2) "
+       + "SELECT doc_id, SUM(tf)::BIGINT AS n_bigrams, SUM(tf * lp)::BIGINT AS score_micro "
+       + "FROM sc GROUP BY doc_id ORDER BY doc_id"),
     // keep-first removal replayed from literal substrings: canonical
     // occurrence = min(doc_id<<20 + pos), removed chars = union of
     // windows at non-canonical duplicated starts, cleaned text

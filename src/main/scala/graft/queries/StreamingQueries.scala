@@ -1591,6 +1591,126 @@ object StreamingQueries {
         .orderBy("lang")
     }
 
+  /** Streaming twin of q34c's BPE tokenizer APPLY — the other
+    * production tokenizer streamed: merges train once on the frozen
+    * corpus (the same 48-merge table q34b pins), then every arriving
+    * micro-batch runs the identical broadcast-merges narrow pass
+    * ([[graft.operators.Bpe.tokenize]]) inside `foreachBatch`,
+    * landing per-doc rows replay-idempotent in `batch=<id>`
+    * partitions. The drained output is per-doc — EXACTLY q34c's row
+    * shape — so stream == batch is certified by SHARING q34c's
+    * independent DuckDB recursive-CTE replay of the tokenizer, not by
+    * comparing the engine to itself.
+    */
+  def q345StreamBpe(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val staticDocs =
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, "documents.parquet")))
+          s.read.parquet(dir + "/documents.parquet")
+        else s.read.option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+      val merges = graft.operators.Bpe
+        .train(staticDocs, "text", numMerges = 48)
+        .map { case (l, r, _) => (l, r) }
+      val ckpt = scratchCheckpoint("q345")
+      val out = java.nio.file.Files
+        .createTempDirectory("q345-tokens-").toString
+      val docs =
+        if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, "documents.parquet")))
+          s.readStream.schema(raw).parquet(dir + "/documents.parquet")
+        else
+          s.readStream.schema(raw)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = docs.writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          graft.operators.Bpe
+            .tokenize(batch.select(col("doc_id"), col("text")),
+              "doc_id", "text", merges)
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("n_tokens"), col("toks"))
+        .orderBy("doc_id")
+    }
+
+  /** Streaming erasure feed (the GDPR right-to-be-forgotten shape at
+    * 100 TB): delete REQUESTS arrive as a key stream; each micro-batch
+    * becomes one merge-on-read DV commit (`commitDeleteDVKeys` — the
+    * key batch semi-joins visible rows to positions, no file
+    * rewritten, no driver collect), a replayed batch finds its rows
+    * already invisible and no-ops, and a final PURGE materializes the
+    * accumulated DVs without changing a visible row. Output certifies
+    * BOTH stages (post-stream and post-purge) against the closed-form
+    * surviving set.
+    */
+  def q349StreamGdpr(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft-gdpr-").toString
+      val staticDocs =
+        (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, "documents.parquet")))
+          s.read.parquet(dir + "/documents.parquet")
+        else s.read.option("pathGlobFilter", "documents.parquet")
+          .parquet(dir))
+          .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        staticDocs.repartitionByRange(4, col("doc_id")), tdir)
+      val ckpt = scratchCheckpoint("q349")
+      val requests =
+        (if (java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(dir, "documents.parquet")))
+          s.readStream.schema(raw).parquet(dir + "/documents.parquet")
+        else s.readStream.schema(raw)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
+          .filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id"))
+      val q = requests.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.TxTable
+            .commitDeleteDVKeys(s, tdir, batch, "doc_id")
+          // the restart replay: the same requests arrive again — rows
+          // are already invisible, so the commit must be a version
+          // no-op (idempotent erasure)
+          val v = graft.operators.TxTable.currentVersion(tdir)
+          val v2 = graft.operators.TxTable
+            .commitDeleteDVKeys(s, tdir, batch, "doc_id")
+          require(v2 == v, s"replayed erasure batch committed: v$v -> v$v2")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      deleteRecursively(ckpt)
+      val vPre = graft.operators.TxTable.currentVersion(tdir)
+      graft.operators.TxTable.commitPurgeDVs(s, tdir)
+      def roll(stage: String, v: Option[Int]): DataFrame =
+        graft.operators.TxTable.snapshot(s, tdir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(stage).as("stage"), col("n_rows"), col("checksum"))
+      // the pre-purge state stays reachable by time travel (purge is
+      // dataChange=false reorganization) — one table, both stages
+      roll("dv", Some(vPre)).unionAll(roll("purged", None))
+        .orderBy("stage")
+    }
+
   /** Streaming twin of q330's LM perplexity gate — the ingest-time
     * quality filter: every arriving micro-batch is scored under the
     * frozen broadcast piece table (integer micro-unit scores, so the
@@ -1647,6 +1767,8 @@ object StreamingQueries {
     }
 
   val queries: Map[String, Q] = Map(
+    "q349_stream_gdpr" -> (q349StreamGdpr(_, _)),
+    "q345_stream_bpe" -> (q345StreamBpe(_, _)),
     "q337_stream_perplexity" -> (q337StreamPerplexity(_, _)),
     "q335_stream_tokenize" -> (q335StreamTokenize(_, _)),
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
@@ -1685,6 +1807,18 @@ object StreamingQueries {
     // certified by the same independent DuckDB Viterbi DP replay
     "q335_stream_tokenize" ->
       AnalyticsQueries.oracles("q327_unigram_tokenize"),
+    // the streamed BPE apply must equal the batch apply per doc —
+    // both certified by the same DuckDB recursive-CTE tokenizer replay
+    "q345_stream_bpe" -> AnalyticsQueries.oracles("q34c_bpe_tokens"),
+    // the erasure stream's survivors (both before and after PURGE) =
+    // the closed-form complement of the request keys
+    "q349_stream_gdpr" ->
+      ("WITH k AS (SELECT 'dv' AS stage UNION ALL SELECT 'purged'), "
+       + "sv AS (SELECT COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM documents WHERE doc_id % 9 <> 0) "
+       + "SELECT k.stage, sv.n_rows, sv.checksum FROM k CROSS JOIN sv "
+       + "ORDER BY k.stage"),
     // the streamed perplexity gate must equal the batch gate — the
     // integer micro-unit scores make the rollup batching-independent
     "q337_stream_perplexity" ->

@@ -52,10 +52,10 @@ class TxLogCatalog extends TableCatalog {
 
   private def parquetTable(root: String, version: Option[Int]): Table = {
     val spark = SparkSession.active
-    val files = TxTable.liveFilesFast(spark, root, version)
+    val files = TxTable.resolvedScanPaths(spark, root, version)
     if (files.isEmpty) throw new NoSuchTableException(Seq(root))
     ParquetTable(s"txlog $root", spark, tableOptions,
-      files.map(f => s"$root/data/$f"), None,
+      files, None,
       classOf[ParquetFileFormat])
   }
 

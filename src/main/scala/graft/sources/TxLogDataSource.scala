@@ -37,12 +37,12 @@ class TxLogDataSource extends ParquetDataSourceV2 {
         new java.net.URI(roots.head).getPath
       else roots.head
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
-    val files = graft.operators.TxTable.liveFilesFast(
+    val files = graft.operators.TxTable.resolvedScanPaths(
       SparkSession.active, root, version)
     require(files.nonEmpty,
       s"txlog table at $root has no live files" +
         version.map(v => s" at version $v").getOrElse(""))
-    files.map(f => s"$root/data/$f")
+    files
   }
 
   override def getTable(options: CaseInsensitiveStringMap): Table =

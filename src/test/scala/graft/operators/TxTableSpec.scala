@@ -627,4 +627,193 @@ class TxTableSpec extends SparkSpec {
       ("insert", 1L, "a", None)),
       s"rows differing only in the dropped column must not cancel: $feed")
   }
+
+  test("deletion vectors: merge-on-read delete touches no data file; purge materializes") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-dv-")
+      .toString
+    val rows = (1L to 20L).map(i => (i, s"s$i")).toDF("id", "s")
+    TxTable.commitAppend(rows.repartition(4), dir) // v1
+    val filesV1 = TxTable.liveFiles(dir).toSet
+    def ids(v: Option[Int] = None) = TxTable.snapshot(spark, dir, v)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // v2: DV delete of multiples of 5 — NO file changes
+    assert(TxTable.commitDeleteDV(spark, dir, col("id") % 5 === 0) == 2)
+    assert(TxTable.liveFiles(dir).toSet == filesV1,
+      "a DV delete must not rewrite any data file")
+    assert(ids() == (1L to 20L).filterNot(_ % 5 == 0).toSet)
+    assert(ids(Some(1)) == (1L to 20L).toSet, "time travel past the DV")
+    // v3: stacked DV delete — already-deleted rows invisible to it
+    assert(TxTable.commitDeleteDV(spark, dir, col("id") <= 6L) == 3)
+    assert(ids() == (7L to 20L).filterNot(_ % 5 == 0).toSet)
+    assert(TxTable.liveFiles(dir).toSet == filesV1)
+    // a no-match DV delete is a no-op (no commit, no leaked DV dir)
+    assert(TxTable.commitDeleteDV(spark, dir, col("id") === 99L) == 3)
+    // snapshotWhere sees through DVs too
+    assert(TxTable.snapshotWhere(spark, dir, col("id") < 10L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet ==
+      Set(7L, 8L, 9L))
+    // the change feed reports each DV commit's own deleted rows
+    val feed = TxTable.changes(spark, dir, 1)
+      .select(col("_commit_version"), col("_change_type"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(feed == (Seq(5L, 10L, 15L, 20L).map(i => (2L, "delete", i)) ++
+      Seq(1L, 2L, 3L, 4L, 6L).map(i => (3L, "delete", i))).toSet,
+      s"DV feed mismatch: $feed")
+    // SQL surface is loud while DVs are in force
+    intercept[IllegalArgumentException] {
+      TxTable.resolvedScanPaths(spark, dir)
+    }
+    // v4: PURGE — content identical, DV state cleared, only DV'd
+    // files rewritten, dataChange=false (feed must skip it)
+    val visBefore = ids()
+    assert(TxTable.commitPurgeDVs(spark, dir) == 4)
+    assert(ids() == visBefore, "purge may not change visibility")
+    assert(TxTable.dvRefsAt(dir).isEmpty, "purge clears the DV state")
+    assert(TxTable.resolvedScanPaths(spark, dir).nonEmpty)
+    assert(TxTable.changes(spark, dir, 3).count() == 0,
+      "purge is dataChange=false: the feed skips it")
+    // a rewriting delete AFTER a fresh DV materializes it: deleted
+    // rows may never resurrect through the rewrite path
+    TxTable.commitDeleteDV(spark, dir, col("id") === 7L) // v5
+    TxTable.commitDelete(spark, dir, col("id") === 8L) // v6 rewrites
+    assert(!ids().contains(7L) && !ids().contains(8L),
+      "rewrite must materialize the file's DV, not resurrect rows")
+    ()
+  }
+
+  test("DV concurrency matrix: DV∥DV lands, DV∥rewrite aborts") {
+    // pure conflict-function checks (the matrix itself)
+    val dvEntry = TxTable.Entry(5, Nil, Nil, dvs = Seq("dv-x"))
+    val resetEntry = TxTable.Entry(5, Nil, Nil, dvReset = true)
+    assert(TxTable.rewriteConflicts(Set("f"))(Seq(dvEntry)).nonEmpty,
+      "a rewrite racing a DV commit would resurrect its deleted rows")
+    assert(TxTable.compactConflicts(Set("f"))(Seq(dvEntry)).nonEmpty)
+    assert(TxTable.dvDeleteConflicts(Set("f"))(Seq(dvEntry)).isEmpty,
+      "two DV position sets union commutatively — both must land")
+    assert(TxTable.dvDeleteConflicts(Set("f"))(Seq(resetEntry)).nonEmpty)
+    assert(TxTable.dvDeleteConflicts(Set("f"))(
+      Seq(TxTable.Entry(5, Seq("g/x.parquet"), Nil))).nonEmpty)
+    // end-to-end: two DV deletes racing the same version — the loser
+    // retries at the next version and lands; both predicates' rows
+    // end up deleted
+    val dir = java.nio.file.Files.createTempDirectory("txtable-dvrace-")
+      .toString
+    val rows = (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s")
+    TxTable.commitAppend(rows.repartition(2), dir) // v1
+    // simulate the interleave: steal v2 with a pure DV entry between
+    // the racer's scan and its commit — the racer must retry to v3
+    val stolen = TxTable.Entry(2, Nil, Nil, dvs = Seq.empty)
+    TxTable.writeEntry(dir, stolen)
+    val v = TxTable.commitDeleteDV(spark, dir, col("id") === 9L)
+    assert(v == 3, s"DV delete must retry past the stolen version, got v$v")
+    assert(!TxTable.snapshot(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).contains(9L))
+    ()
+  }
+
+  test("restore: live set and DV state roll back as one new commit") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-restore-")
+      .toString
+    val a = (1L to 6L).map(i => (i, s"a$i")).toDF("id", "s")
+    val b = (7L to 9L).map(i => (i, s"b$i")).toDF("id", "s")
+    TxTable.commitAppend(a.repartition(2), dir) // v1
+    TxTable.commitAppend(b.repartition(1), dir) // v2
+    TxTable.commitDelete(spark, dir, col("id") % 3 === 0) // v3
+    TxTable.commitDeleteDV(spark, dir, col("id") === 1L) // v4
+    def ids(v: Option[Int] = None) = TxTable.snapshot(spark, dir, v)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(2L, 4L, 5L, 7L, 8L))
+    // v5: RESTORE to v2 — files AND DV state back; no data moved
+    val rv = TxTable.commitRestore(spark, dir, toVersion = 2)
+    assert(rv == 5)
+    assert(ids() == (1L to 9L).toSet)
+    assert(ids(Some(4)) == Set(2L, 4L, 5L, 7L, 8L),
+      "versions after the restore point stay queryable")
+    assert(TxTable.dvRefsAt(dir).isEmpty)
+    // the feed reports the restore's NET effect: the rows that came
+    // back (deleted by v3's rewrite and v4's DV)
+    val feed = TxTable.changes(spark, dir, 4)
+      .select(col("_change_type"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("insert", 3L), ("insert", 6L), ("insert", 9L),
+      ("insert", 1L)), s"restore feed mismatch: $feed")
+    // restoring to the DV version reinstates the DV refs
+    TxTable.commitRestore(spark, dir, toVersion = 4) // v6
+    assert(ids() == Set(2L, 4L, 5L, 7L, 8L))
+    assert(TxTable.dvRefsAt(dir).nonEmpty,
+      "restore must reinstate the target's DV state")
+    // restore past the vacuum horizon fails loudly
+    TxTable.commitCompact(spark, dir, targetFiles = 1) // v7
+    TxTable.vacuum(dir, retainFrom = 7)
+    intercept[IllegalArgumentException] {
+      TxTable.commitRestore(spark, dir, toVersion = 1)
+    }
+    ()
+  }
+
+  test("CHECK constraints: all-or-nothing enforcement, NULL passes, drop lifts") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-ck-")
+      .toString
+    TxTable.addCheckConstraint(spark, dir, "pos", "id > 0")
+    val bad = Seq((1L, "a"), (-2L, "b")).toDF("id", "s")
+    intercept[TxTable.ConstraintViolationException] {
+      TxTable.commitAppend(bad, dir)
+    }
+    assert(TxTable.currentVersion(dir) == 0,
+      "a rejected commit leaves nothing behind")
+    // NULL passes (SQL CHECK three-valued semantics)
+    val withNull = Seq((Some(3L), "c"), (None: Option[Long], "d"))
+      .toDF("id", "s")
+    assert(TxTable.commitAppend(withNull, dir) == 1)
+    // MERGE enforces on its source
+    intercept[TxTable.ConstraintViolationException] {
+      TxTable.commitMerge(spark, dir, bad, "id")
+    }
+    // the streaming commit path enforces too
+    intercept[TxTable.ConstraintViolationException] {
+      TxTable.commitAppendAt(bad, dir, version = 2)
+    }
+    // adding a constraint the EXISTING data violates is rejected
+    intercept[TxTable.ConstraintViolationException] {
+      TxTable.addCheckConstraint(spark, dir, "short", "length(s) > 5")
+    }
+    // drop lifts enforcement
+    TxTable.dropCheckConstraint(dir, "pos")
+    assert(TxTable.checkConstraints(dir).isEmpty)
+    assert(TxTable.commitAppend(bad, dir) == 2)
+    ()
+  }
+
+  test("shallow clone: zero-copy, copy-on-write, vacuum-safe") {
+    val root = java.nio.file.Files.createTempDirectory("txtable-clone-")
+      .toString
+    val (src, dst) = (s"$root/src", s"$root/dst")
+    val rows = (1L to 12L).map(i => (i, s"s$i")).toDF("id", "s")
+    TxTable.commitAppend(rows.repartition(3), src) // src v1
+    TxTable.commitDeleteDV(spark, src, col("id") === 12L) // src v2
+    assert(TxTable.cloneShallow(spark, src, dst) == 1)
+    def ids(dir: String) = TxTable.snapshot(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // the clone sees the source's rows (incl. its DV) with no copy
+    assert(ids(dst) == (1L to 11L).toSet)
+    assert(graft.operators.TxTable.liveFiles(dst).forall(_.startsWith("/")),
+      "a shallow clone's first commit references files absolutely")
+    // copy-on-write: deleting on the clone rewrites INTO the clone,
+    // the source is untouched
+    TxTable.commitDelete(spark, dst, col("id") <= 3L)
+    assert(ids(dst) == (4L to 11L).toSet)
+    assert(ids(src) == (1L to 11L).toSet, "source must be untouched")
+    // appends land locally; vacuum on the clone never deletes
+    // source-owned (absolute) files
+    TxTable.commitAppend(Seq((100L, "x")).toDF("id", "s"), dst)
+    TxTable.commitCompact(spark, dst, targetFiles = 1) // localizes all
+    assert(TxTable.liveFiles(dst).forall(!_.startsWith("/")),
+      "compaction localizes the clone")
+    TxTable.vacuum(dst, retainFrom = TxTable.currentVersion(dst))
+    assert(ids(src) == (1L to 11L).toSet,
+      "vacuum on the clone must not reach into the source")
+    assert(ids(dst) == (4L to 11L).toSet + 100L)
+    ()
+  }
 }
