@@ -753,6 +753,45 @@ object TxTable {
     v
   }
 
+  /** Incremental OPTIMIZE: compact ONLY live files smaller than
+    * `smallBytes` into ~`targetBytes` outputs; files already at size
+    * survive untouched — the form of OPTIMIZE that works at 100 TB,
+    * where rewriting the whole live set (what [[commitCompact]] does)
+    * is a non-starter and the steady-state job is sweeping up the
+    * small files streaming ingest leaves behind (Delta's
+    * minFileSize/maxFileSize bin-packing). Needs at least two small
+    * files to be worth a commit. Reads VISIBLE rows (DVs on the
+    * inputs are materialized, same as [[commitCompact]]);
+    * `dataChange=false` — the feed skips it. File sizes come from one
+    * filesystem listing of the live set (driver-bounded, the same
+    * O(files) contract as the log itself).
+    */
+  def commitCompactSmall(spark: SparkSession, dir: String,
+      smallBytes: Long, targetBytes: Long = 128L * 1024 * 1024,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
+    val files = liveFilesFast(spark, dir)
+    val base = dataDir(dir).toString
+    val conf = spark.sessionState.newHadoopConf()
+    val sized = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(absPath(base, f))
+      f -> p.getFileSystem(conf).getFileStatus(p).getLen
+    }
+    val small = sized.filter(_._2 < smallBytes)
+    if (small.size < 2) return currentVersion(dir)
+    val inputs = small.map(_._1)
+    val outFiles = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val v0 = currentVersion(dir) + 1
+    val current = readApplyingDv(spark, dir, inputs, dvRefsAt(dir))
+    val added = stage(current.repartition(outFiles), dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val v = commitWithRetry(dir, added, inputs, v0,
+      compactConflicts(inputs.toSet), dataChange = false)
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
+    v
+  }
+
   /** Commit history (DESCRIBE HISTORY): one row per version with add/
     * remove counts — the audit surface; driver-side, bounded by
     * commit count like the log itself.

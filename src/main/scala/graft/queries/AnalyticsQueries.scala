@@ -4472,6 +4472,26 @@ object AnalyticsQueries {
       roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
     }),
 
+    // Incremental OPTIMIZE (Delta's bin-packing minFileSize sweep):
+    // compact ONLY under-sized files — the steady-state maintenance
+    // job at 100 TB, where whole-live-set compaction is a non-starter
+    // and streaming ingest continuously leaves small files behind.
+    // Content must be identical (OPTIMIZE may never change a row),
+    // the at-size file must survive BYTE-UNTOUCHED (same log name),
+    // and 17 files must become 2 — file-level claims emitted as
+    // engine-invariant booleans, the q332 convention
+    "q350_txlog_optimize_small" -> ((s, d) => {
+      val (dir2, big) = txSmallCompactDir(s, d)
+      val live = graft.operators.TxTable.liveFiles(dir2)
+      graft.operators.TxTable.snapshot(s, dir2)
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .select(col("n_rows"), col("checksum"),
+          lit(live.contains(big)).as("big_survived"),
+          lit(live.size == 2).as("swept_to_two"))
+    }),
+
     // CHECK constraints (Delta's table invariants): registered before
     // any data, enforced at COMMIT time as one distributed violation
     // count per constraint — a batch with any violating row is
@@ -5095,6 +5115,39 @@ object AnalyticsQueries {
     })
     val Array(src, dst) = packed.split('|')
     (src, dst)
+  }
+
+  /** Incremental-OPTIMIZE table (q350): one at-size file (the even
+    * half, coalesced) plus 16 small files from 8 streaming-style
+    * appends; `commitCompactSmall` with the big file's own size as
+    * the threshold must sweep the 16 into one and leave the big file
+    * byte-untouched. Returns `dir|bigFileName`.
+    */
+  private val txSmallCompactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txSmallCompactDir(s: SparkSession, dir: String)
+      : (String, String) = {
+    val packed = txSmallCompactCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txsmall-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.filter(col("doc_id") % 2 === 0).coalesce(1), tmp)
+      val big = graft.operators.TxTable.liveFiles(tmp).head
+      val bigSize = java.nio.file.Files.size(
+        java.nio.file.Paths.get(tmp, "data", big))
+      (0 to 7).foreach { r =>
+        graft.operators.TxTable.commitAppend(
+          docs.filter(col("doc_id") % 16 === (2 * r + 1).toLong)
+            .repartition(2), tmp)
+      }
+      graft.operators.TxTable.commitCompactSmall(s, tmp,
+        smallBytes = bigSize, targetBytes = Long.MaxValue)
+      s"$tmp|$big"
+    })
+    val Array(tmp, big) = packed.split('|')
+    (tmp, big)
   }
 
   /** CHECK-constrained table (q348): two constraints registered
@@ -7325,6 +7378,12 @@ object AnalyticsQueries {
        + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
        + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // incremental OPTIMIZE changes no row: full corpus + the pinned
+    // file-level booleans
+    "q350_txlog_optimize_small" ->
+      ("SELECT COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum, "
+       + "TRUE AS big_survived, TRUE AS swept_to_two FROM documents"),
     // the surviving constrained table = the closed-form valid subset
     "q348_txlog_constraints" ->
       ("SELECT COUNT(*)::BIGINT AS n_rows, "

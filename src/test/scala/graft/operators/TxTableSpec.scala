@@ -752,6 +752,38 @@ class TxTableSpec extends SparkSpec {
     ()
   }
 
+  test("incremental OPTIMIZE: sweeps small files only, content and big files untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-small-")
+      .toString
+    val big = (1L to 200L).map(i => (i, "x" * 50 + i)).toDF("id", "s")
+    TxTable.commitAppend(big.coalesce(1), dir) // v1: one at-size file
+    val bigFile = TxTable.liveFiles(dir).head
+    val bigSize = java.nio.file.Files.size(
+      java.nio.file.Paths.get(dir, "data", bigFile))
+    (0 until 4).foreach { r =>
+      TxTable.commitAppend(
+        Seq((1000L + r, s"t$r")).toDF("id", "s").coalesce(1), dir)
+    }
+    // a DV on one small input must be materialized by the sweep
+    TxTable.commitDeleteDV(spark, dir, col("id") === 1001L)
+    val pre = TxTable.snapshot(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val v = TxTable.commitCompactSmall(spark, dir, smallBytes = bigSize)
+    assert(v > 0)
+    val live = TxTable.liveFiles(dir)
+    assert(live.contains(bigFile), "the at-size file must survive")
+    assert(live.size == 2, s"4 small files must sweep into 1: $live")
+    assert(TxTable.snapshot(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).toSet == pre,
+      "OPTIMIZE may never change a row")
+    assert(!pre.contains(1001L), "the DV'd row stays deleted")
+    assert(TxTable.changes(spark, dir, v - 1).count() == 0,
+      "dataChange=false: the feed skips the sweep")
+    // all-at-size table → no-op
+    assert(TxTable.commitCompactSmall(spark, dir, smallBytes = 1L) == v)
+    ()
+  }
+
   test("CHECK constraints: all-or-nothing enforcement, NULL passes, drop lifts") {
     val dir = java.nio.file.Files.createTempDirectory("txtable-ck-")
       .toString
