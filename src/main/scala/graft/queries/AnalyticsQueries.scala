@@ -4472,6 +4472,42 @@ object AnalyticsQueries {
       roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
     }),
 
+    // Incremental maintenance of a JOIN view off TWO change feeds —
+    // the bilinear delta rule (Blakeley 1986; the DBSP/Materialize
+    // algebra): Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB with signs
+    // multiplying across the join, consumed by a retractable count.
+    // A = the documents txlog (delete/merge/append churn, v2→v6),
+    // B = the lang-dim txlog (delete + update + unmatched insert,
+    // v1→v3); the view (docs per region) materializes at the OLD pair
+    // and advances purely from the feeds — every term is
+    // |changes|-sized against a snapshot, never |A|×|B| — and must
+    // land EXACTLY on the oracle's from-scratch join of the final
+    // versions
+    "q351_txlog_ivm_join" -> ((s, d) => {
+      val adir = txTableDir(s, d)
+      val bdir = langDimDir(s, d)
+      val aOld = graft.operators.TxTable.snapshot(s, adir, Some(2))
+        .select(col("doc_id"), col("lang"))
+      val bOld = graft.operators.TxTable.snapshot(s, bdir, Some(1))
+      val vOld = aOld.join(bOld, Seq("lang"))
+        .groupBy(col("region")).agg(count(lit(1)).as("n0"))
+      val dA = graft.operators.Ivm
+        .signedFeed(graft.operators.TxTable.changes(s, adir, 2))
+        .select(col("doc_id"), col("lang"), col("_sign"))
+      val dB = graft.operators.Ivm
+        .signedFeed(graft.operators.TxTable.changes(s, bdir, 1))
+        .select(col("lang"), col("region"), col("_sign"))
+      val delta = graft.operators.Ivm
+        .deltaJoin(aOld, dA, bOld, dB, Seq("lang"))
+        .groupBy(col("region")).agg(sum(col("_sign")).as("dn"))
+      vOld.join(delta, Seq("region"), "full_outer")
+        .select(col("region"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"))
+        .filter(col("n_docs") > 0)
+        .orderBy("region")
+    }),
+
     // Incremental OPTIMIZE (Delta's bin-packing minFileSize sweep):
     // compact ONLY under-sized files — the steady-state maintenance
     // job at 100 TB, where whole-live-set compaction is a non-starter
@@ -5116,6 +5152,27 @@ object AnalyticsQueries {
     val Array(src, dst) = packed.split('|')
     (src, dst)
   }
+
+  /** Lang-dimension txlog table (q351's B side): v1 all five langs →
+    * regions, v2 deletes fr, v3 MERGE updates en's region and inserts
+    * an A-unmatched lang — the dimension churn a join view must
+    * absorb incrementally.
+    */
+  private val langDimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def langDimDir(s: SparkSession, dir: String): String =
+    langDimCache.computeIfAbsent(dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-langdim-")
+        .toString
+      import s.implicits._
+      graft.operators.TxTable.commitAppend(
+        Seq(("de", "eu"), ("en", "na"), ("es", "ib"), ("fr", "eu"),
+          ("zh", "as")).toDF("lang", "region").coalesce(1), tmp)
+      graft.operators.TxTable.commitDelete(s, tmp, col("lang") === "fr")
+      graft.operators.TxTable.commitMerge(s, tmp,
+        Seq(("en", "amer"), ("xx", "zz")).toDF("lang", "region"), "lang")
+      tmp
+    })
 
   /** Incremental-OPTIMIZE table (q350): one at-size file (the even
     * half, coalesced) plus 16 small files from 8 streaming-style
@@ -7378,6 +7435,15 @@ object AnalyticsQueries {
        + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
        + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // the from-scratch join of the FINAL versions: A-final langs from
+    // the fixture's closed form, B-final dim as literal VALUES
+    "q351_txlog_ivm_join" ->
+      ("WITH af AS (SELECT lang FROM documents WHERE doc_id % 7 <> 0 "
+       + "UNION ALL SELECT lang FROM documents WHERE doc_id % 11 = 0 "
+       + "UNION ALL SELECT lang FROM documents WHERE doc_id % 13 = 0), "
+       + "dim AS (SELECT * FROM (VALUES ('de','eu'), ('es','ib'), ('zh','as'), ('en','amer'), ('xx','zz')) AS t(lang, region)) "
+       + "SELECT region, COUNT(*)::BIGINT AS n_docs FROM af JOIN dim USING (lang) "
+       + "GROUP BY region ORDER BY region"),
     // incremental OPTIMIZE changes no row: full corpus + the pinned
     // file-level booleans
     "q350_txlog_optimize_small" ->
