@@ -313,6 +313,9 @@ class TxTableSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")).toDF("id", "s").coalesce(1), dir)
     TxTable.commitAppend(Seq((3L, "c")).toDF("id", "s"), dir)
     TxTable.commitDelete(spark, dir, col("id") === 2L)
+    // a merge-on-read delete must flow through the streamed feed
+    // exactly like a rewriting one (changes() serves both)
+    TxTable.commitDeleteDV(spark, dir, col("id") === 3L)
     val ckpt = java.nio.file.Files
       .createTempDirectory("txtable-scdf-ckpt-").toString
     val name = s"scdf_${System.nanoTime()}"
@@ -348,7 +351,7 @@ class TxTableSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     import scala.jdk.CollectionConverters._
-    assert(got.asScala.toSet == Set((4L, 9L)))
+    assert(got.asScala.toSet == Set((5L, 9L)))
   }
 
   test("change feed: net per-commit diffs, OPTIMIZE silent, updates keyed") {
