@@ -41,6 +41,53 @@ object Layout {
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions(col("zval"))
 
+  /** Morton interleave of N non-negative integer columns: bit i of
+    * column j lands at position i·N + j — the same unrolled codegen
+    * fold as [[zValue]], generalized. `bits · N` must fit a long.
+    */
+  def zValueN(cs: Seq[Column], bits: Int): Column = {
+    val n = cs.size
+    require(n >= 2 && bits * n <= 62,
+      s"zValueN: need >= 2 columns and bits*n <= 62, got n=$n bits=$bits")
+    cs.zipWithIndex.foldLeft(lit(0L)) { case (acc0, (c, j)) =>
+      val cl = c.cast("long")
+      (0 until bits).foldLeft(acc0) { (acc, i) =>
+        acc.bitwiseOR(
+          shiftleft(shiftright(cl, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
+  /** [[zOrderedScaled]] for N key columns (the (tenant, date, key)
+    * clustering shape): each key normalized to an equal-width bucket
+    * id over its own [min, max] (one broadcast one-row aggregate),
+    * then range-partitioned on the N-way interleave so every file
+    * owns a tight box in EVERY dimension.
+    */
+  def zOrderedScaledN(df: DataFrame, keyCols: Seq[String],
+      numFiles: Int, bits: Int = 8): DataFrame = {
+    val aggs = keyCols.zipWithIndex.flatMap { case (k, i) =>
+      Seq(min(col(k)).cast("double").as(s"_zmn$i"),
+        max(col(k)).cast("double").as(s"_zmx$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val n = (1 << bits).toDouble
+    def bucket(v: Column, mn: Column, mx: Column): Column =
+      when(mx <= mn, lit(0L)).otherwise(
+        least(floor((v.cast("double") - mn) / ((mx - mn) / n)),
+          lit(n - 1)).cast("long"))
+    val buckets = keyCols.zipWithIndex.map { case (k, i) =>
+      bucket(col(k), col(s"_zmn$i"), col(s"_zmx$i"))
+    }
+    val statCols = keyCols.indices.flatMap(i =>
+      Seq(s"_zmn$i", s"_zmx$i"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("zval", zValueN(buckets, bits))
+      .drop(statCols: _*)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+  }
+
   /** [[zOrdered]] with per-dimension NORMALIZATION: each key is
     * first mapped to an equal-width bucket id in [0, 2^bits) over its
     * own [min, max], and the interleave runs on the bucket ids. Raw

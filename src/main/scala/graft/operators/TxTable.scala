@@ -719,10 +719,10 @@ object TxTable {
       clusterBy: Seq[String] = Nil,
       zOrderBy: Seq[String] = Nil,
       zBits: Int = 16): Int = {
-    require(zOrderBy.isEmpty || zOrderBy.size == 2,
-      "zOrderBy takes exactly two columns (Morton interleave)")
+    require(zOrderBy.isEmpty || (zOrderBy.size >= 2 && zOrderBy.size <= 6),
+      "zOrderBy takes 2..6 columns (Morton interleave)")
     require(zOrderBy.isEmpty || clusterBy.isEmpty,
-      "choose clusterBy (one axis) or zOrderBy (two axes), not both")
+      "choose clusterBy (one axis) or zOrderBy (multi-axis), not both")
     val files = liveFilesFast(spark, dir)
     val v0 = currentVersion(dir) + 1
     // compaction reads VISIBLE rows (DVs applied) — it materializes
@@ -739,7 +739,12 @@ object TxTable {
     // sidecars prune on either key (OPTIMIZE ZORDER proper —
     // [[Layout.zOrdered]] composed with the commit protocol).
     val arranged =
-      if (zOrderBy.nonEmpty)
+      if (zOrderBy.size > 2)
+        // N-way interleave: per-key bucket width shrinks so the total
+        // z stays in a long — tight boxes in EVERY dimension
+        Layout.zOrderedScaledN(current, zOrderBy, targetFiles,
+          math.min(zBits, 62 / zOrderBy.size)).drop("zval")
+      else if (zOrderBy.nonEmpty)
         Layout.zOrderedScaled(current, zOrderBy.head, zOrderBy(1),
           targetFiles, zBits).drop("zval")
       else if (clusterBy.isEmpty) current.repartition(targetFiles)

@@ -4472,6 +4472,49 @@ object AnalyticsQueries {
       roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
     }),
 
+    // OPTIMIZE ZORDER on THREE keys (the (tenant, date, key)
+    // clustering shape): the N-way Morton interleave gives every file
+    // a box in ALL dimensions, so a predicate on the SECOND or THIRD
+    // key — useless under the v1 doc_id-linear layout — prunes files
+    // by min/max stats alone. Result must equal the plain filter
+    // (skip==filter is the oracle); pruning claims ride as
+    // engine-invariant booleans, the q332 convention
+    "q352_txlog_zorder3" -> ((s, d) => {
+      val dir2 = txZorder3Dir(s, d)
+      import org.apache.spark.sql.Column
+      def probe(label: String, pred: Column,
+          claimBeats: Boolean): org.apache.spark.sql.DataFrame = {
+        val (keptZ, skippedZ) =
+          graft.operators.TxTable.pruneFiles(s, dir2, pred)
+        val (keptL, _) =
+          graft.operators.TxTable.pruneFiles(s, dir2, pred, Some(1))
+        val beats: Column =
+          if (claimBeats) lit(keptZ.size < keptL.size)
+          else lit(null).cast("boolean")
+        graft.operators.TxTable.snapshotWhere(s, dir2, pred)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(label).as("probe"), col("n_rows"), col("checksum"),
+            lit(skippedZ.nonEmpty).as("z_pruned"),
+            beats.as("z_beats_linear"))
+      }
+      // 'zh' = the third key's top bucket; the box probe hits all
+      // three dimensions at once
+      val zh = lit(('z'.toInt * 256 + 'h'.toInt).toLong)
+      probe("x_range", col("doc_id") >= 10L && col("doc_id") <= 25L,
+          claimBeats = false)
+        .unionAll(probe("y_range",
+          col("n_chars") >= 100L && col("n_chars") <= 140L,
+          claimBeats = true))
+        .unionAll(probe("z_eq", col("lang_b") === zh, claimBeats = true))
+        .unionAll(probe("box",
+          col("doc_id") > 5L && col("n_chars") >= 100L &&
+            col("n_chars") <= 140L && col("lang_b") === zh,
+          claimBeats = true))
+        .orderBy("probe")
+    }),
+
     // Incremental maintenance of a JOIN view off TWO change feeds —
     // the bilinear delta rule (Blakeley 1986; the DBSP/Materialize
     // algebra): Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB with signs
@@ -5152,6 +5195,32 @@ object AnalyticsQueries {
     val Array(src, dst) = packed.split('|')
     (src, dst)
   }
+
+  /** Three-key z-order table (q352): doc_id × n_chars × lang code —
+    * the (tenant, date, key) clustering shape. v1 is doc_id-linear;
+    * v2 `commitCompact(zOrderBy = 3 keys)` re-clusters on the 3-way
+    * Morton interleave so each file owns a box in ALL THREE
+    * dimensions.
+    */
+  private val txZorder3Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txZorder3Dir(s: SparkSession, dir: String): String =
+    txZorder3Cache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txz3-")
+        .toString
+      val keys = Seq("doc_id", "n_chars", "lang_b")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          (ascii(substring(col("lang"), 1, 1)) * 256 +
+            ascii(substring(col("lang"), 2, 1))).cast("long").as("lang_b"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(8, col("doc_id")), tmp,
+        statsCols = keys)
+      graft.operators.TxTable.commitCompact(s, tmp, targetFiles = 8,
+        statsCols = keys, zOrderBy = keys)
+      tmp
+    })
 
   /** Lang-dimension txlog table (q351's B side): v1 all five langs →
     * regions, v2 deletes fr, v3 MERGE updates en's region and inserts
@@ -7435,6 +7504,21 @@ object AnalyticsQueries {
        + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
        + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // three-key skip==filter replays: rows from the base table under
+    // the same predicates; the lang code = ascii pair, 'zh' literal
+    "q352_txlog_zorder3" ->
+      ("WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n_chars, "
+       + "(ascii(substring(lang, 1, 1)) * 256 + ascii(substring(lang, 2, 1)))::BIGINT AS lang_b FROM documents), "
+       + "r AS (SELECT 'x_range' AS probe, doc_id, text FROM d WHERE doc_id >= 10 AND doc_id <= 25 "
+       + "UNION ALL SELECT 'y_range', doc_id, text FROM d WHERE n_chars >= 100 AND n_chars <= 140 "
+       + "UNION ALL SELECT 'z_eq', doc_id, text FROM d WHERE lang_b = 31336 "
+       + "UNION ALL SELECT 'box', doc_id, text FROM d WHERE doc_id > 5 AND n_chars >= 100 AND n_chars <= 140 AND lang_b = 31336), "
+       + "p AS (SELECT 'x_range' AS probe, CAST(NULL AS BOOLEAN) AS z_beats_linear "
+       + "UNION ALL SELECT 'y_range', TRUE UNION ALL SELECT 'z_eq', TRUE UNION ALL SELECT 'box', TRUE) "
+       + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum, "
+       + "TRUE AS z_pruned, p.z_beats_linear "
+       + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe, p.z_beats_linear ORDER BY p.probe"),
     // the from-scratch join of the FINAL versions: A-final langs from
     // the fixture's closed form, B-final dim as literal VALUES
     "q351_txlog_ivm_join" ->

@@ -16,6 +16,59 @@ class LayoutSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
   }
 
+  test("zValueN generalizes: n=2 equals zValue; n=3 known codes") {
+    val two = Seq((3L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y")).as("a"),
+        Layout.zValueN(Seq(col("x"), col("y")), 16).as("b"))
+      .head()
+    assert(two.getLong(0) == two.getLong(1))
+    // n=3: bit i of col j lands at 3i+j. (1,1,1) -> 0b111 = 7;
+    // (2,0,0) -> x bit1 at position 3 -> 8; (0,0,2) -> bit1 of col2
+    // at position 3*1+2=5 -> 32
+    val got = Seq((1L, 1L, 1L), (2L, 0L, 0L), (0L, 0L, 2L))
+      .toDF("x", "y", "z")
+      .select(Layout.zValueN(
+        Seq(col("x"), col("y"), col("z")), 8).as("m"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 8L, 32L), s"got $got")
+  }
+
+  test("zOrderedScaledN: every file owns a tight box in all three dimensions") {
+    // 16x16x16 uniform grid -> 8 z-range partitions must each cover
+    // well under the full extent on every axis (a linear sort would
+    // give full-extent boxes on the two non-sorted axes)
+    val grid = spark.range(4096).select(
+      expr("id % 16").as("a"),
+      expr("(id div 16) % 16").as("b"),
+      expr("(id div 256) % 16").as("c"))
+    // the property that matters is PRUNING POWER: how many partition
+    // boxes admit an equality on a non-leading axis. (Per-box width
+    // is not it: a SAMPLED range boundary can straddle two octants
+    // and legally span one axis fully.) Under z-order some partitions
+    // sit wholly in the other half of axis b / axis c and must be
+    // prunable; under a linear sort on `a`, EVERY partition spans the
+    // full b and c extents and nothing prunes.
+    def admitting(df: org.apache.spark.sql.DataFrame,
+        axis: String, v: Long): Long =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg(min(col(axis)).as("mn"), max(col(axis)).as("mx"))
+        .filter(col("mn") <= v && col("mx") >= v)
+        .count()
+    val z = Layout.zOrderedScaledN(grid, Seq("a", "b", "c"),
+      numFiles = 8, bits = 4).cache()
+    val linear = grid.repartitionByRange(8, col("a")).cache()
+    assert(admitting(linear, "b", 3L) == 8 &&
+      admitting(linear, "c", 12L) == 8,
+      "control: the linear layout must admit everywhere")
+    assert(admitting(z, "b", 3L) <= 6,
+      "z-order must let a b-equality prune partitions")
+    assert(admitting(z, "c", 12L) <= 6,
+      "z-order must let a c-equality prune partitions")
+    z.unpersist(); linear.unpersist()
+    ()
+  }
+
   test("zValue is monotone under coordinate domination") {
     // if x1 <= x2 and y1 <= y2 (not both equal) then z1 < z2 is NOT
     // guaranteed in general, but it IS along each axis with the other
