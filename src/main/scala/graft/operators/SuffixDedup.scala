@@ -221,4 +221,39 @@ object SuffixDedup {
       .select(col("did"), col("pos"))
     mergeIslands(marked, window)
   }
+
+  /** Cross-corpus contamination SPANS: the maximal regions of `train`
+    * whose `window`-char substrings also occur anywhere in `eval` —
+    * the Lee et al. decontamination question at span granularity
+    * (q51/q69 answer it per document; this answers WHERE, so the
+    * span-removal transform can cut the leaked text instead of
+    * dropping the whole document). Both corpora ride ONE suffix
+    * ranking (class equality IS substring equality — exact, no
+    * hashing); a class is contaminated iff it has an eval member, and
+    * spans are reported on the train side only. `idCol` values must
+    * be disjoint across the two inputs (they share one (did, pos)
+    * space). Cost: the shared ranking is the q331 plan over
+    * |train| + |eval| positions; everything after is one aggregate +
+    * one semi join.
+    */
+  def contaminationSpans(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, window: Int = 32): DataFrame = {
+    val both = train.select(col(idCol), col(textCol))
+      .unionByName(eval.select(col(idCol), col(textCol)))
+    val cls = windowClasses(both, idCol, textCol, window)
+      .cache() // read twice: the contamination aggregate and the mark
+    val evalIds = eval.select(col(idCol).cast("long").as("did"))
+      .distinct()
+    val tagged = cls
+      .join(evalIds.withColumn("_e", lit(1L)), Seq("did"), "left")
+      .withColumn("_e", coalesce(col("_e"), lit(0L)))
+    val contaminated = tagged.groupBy(col("cls"))
+      .agg(max(col("_e")).as("he"))
+      .filter(col("he") === 1L)
+      .select(col("cls"))
+    val marked = tagged.filter(col("_e") === 0L)
+      .join(contaminated, Seq("cls"), "left_semi")
+      .select(col("did"), col("pos"))
+    mergeIslands(marked, window)
+  }
 }

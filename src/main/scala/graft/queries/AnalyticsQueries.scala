@@ -4472,6 +4472,22 @@ object AnalyticsQueries {
       roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
     }),
 
+    // Cross-corpus contamination SPANS (Lee et al. decontamination at
+    // span granularity): maximal train-side regions whose 32-char
+    // substrings occur anywhere in the held-out eval split — q51/q69
+    // flag whole documents, this answers WHERE the leak is so q336's
+    // removal transform can cut it instead of dropping the document.
+    // One shared suffix ranking over train ∪ eval; exact (class
+    // equality IS substring equality, no hashing)
+    "q353_contamination_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.SuffixDedup.contaminationSpans(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", window = 32)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // OPTIMIZE ZORDER on THREE keys (the (tenant, date, key)
     // clustering shape): the N-way Morton interleave gives every file
     // a box in ALL dimensions, so a predicate on the SECOND or THIRD
@@ -7504,6 +7520,21 @@ object AnalyticsQueries {
        + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
        + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // contamination spans replayed from literal substrings: a train
+    // gram is contaminated iff the same 32-char string occurs in the
+    // eval split; islands merge exactly as in q331's replay
+    "q353_contamination_spans" ->
+      ("WITH g AS (SELECT doc_id, i, substring(text, i, 32) AS gram "
+       + "FROM documents, LATERAL unnest(generate_series(1, greatest(length(text) - 31, 0))) AS t(i)), "
+       + "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0), "
+       + "m AS (SELECT g.doc_id, g.i FROM g JOIN ev USING (gram) WHERE g.doc_id % 10 <> 0), "
+       + "f AS (SELECT doc_id, i, MAX(i + 32) OVER (PARTITION BY doc_id ORDER BY i "
+       + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM m), "
+       + "r AS (SELECT doc_id, i, SUM(CASE WHEN prev_end IS NULL OR i > prev_end THEN 1 ELSE 0 END) "
+       + "OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS isl FROM f) "
+       + "SELECT doc_id, MIN(i)::BIGINT AS span_start, "
+       + "(MAX(i) + 32 - MIN(i))::BIGINT AS span_len "
+       + "FROM r GROUP BY doc_id, isl ORDER BY doc_id, span_start"),
     // three-key skip==filter replays: rows from the base table under
     // the same predicates; the lang code = ascii pair, 'zh' literal
     "q352_txlog_zorder3" ->

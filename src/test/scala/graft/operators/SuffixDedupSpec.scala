@@ -169,4 +169,46 @@ class SuffixDedupSpec extends SparkSpec {
         .collect().map(_.toString).sorted.toSeq
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  test("contaminationSpans: train-side regions shared with eval, brute-force match") {
+    import spark.implicits._
+    val w = 16
+    val leak = "THE QUICK BROWN FOX JUMPS OVER"
+    val train = Seq(
+      (1L, s"aaaa $leak bbbb"),               // one contaminated span
+      (2L, "totally clean text with no overlap at all here"),
+      (3L, s"$leak and later again $leak ok")) // two spans (merged if close)
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"prefix $leak suffix"),
+      (101L, "other eval content"))
+      .toDF("doc_id", "text")
+    val got = SuffixDedup
+      .contaminationSpans(train, eval, "doc_id", "text", w)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force: train position i contaminated iff its w-gram occurs
+    // anywhere in eval; merge overlapping windows into spans
+    val evalGrams = eval.collect().map(_.getString(1))
+      .flatMap(t => t.sliding(w)).toSet
+    val expect = train.collect().flatMap { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      val hits = (0 to t.length - w)
+        .filter(i => evalGrams.contains(t.substring(i, i + w)))
+        .map(_ + 1) // 1-based
+      val spans = hits.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, p) =>
+          if (acc.nonEmpty && p <= acc.last._1 + acc.last._2)
+            acc.init :+ ((acc.last._1,
+              math.max(acc.last._2, p + w - acc.last._1)))
+          else acc :+ ((p.toLong, w.toLong))
+      }
+      spans.map { case (st, ln) => (id, st, ln) }
+    }.toSet
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 3L) &&
+      !got.exists(_._1 == 2L))
+    // eval-side rows are never reported
+    assert(!got.exists(_._1 >= 100L))
+  }
 }
