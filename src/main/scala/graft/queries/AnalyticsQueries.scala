@@ -4472,6 +4472,22 @@ object AnalyticsQueries {
       roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
     }),
 
+    // Differentially-private histogram release (Laplace mechanism
+    // with the two production ingredients: per-user CONTRIBUTION
+    // BOUNDING — without it sensitivity is unbounded and no finite
+    // noise is private — and τ-thresholding to suppress rare buckets)
+    // — completes the privacy set beside q161/q244/q272. Noise is
+    // seeded (pure md5 function of (seed, bucket), inverse-CDF'd to
+    // Laplace — the q154/q174 deterministic-randomness contract), so
+    // the oracle replays the whole release bit-for-bit
+    "q354_dp_histogram" -> ((s, d) =>
+      graft.operators.Privacy.dpHistogram(
+          t(s, d, "events").select(col("user_id"), col("event_id"),
+            floor(col("value") * 10).cast("long").as("vb")),
+          "user_id", "vb", "event_id", maxPerUser = 20, epsilon = 1.0,
+          tau = 15.0, seed = "dp12")
+        .orderBy("bucket")),
+
     // Cross-corpus contamination SPANS (Lee et al. decontamination at
     // span granularity): maximal train-side regions whose 32-char
     // substrings occur anywhere in the held-out eval split — q51/q69
@@ -7520,6 +7536,17 @@ object AnalyticsQueries {
        + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
        + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // the whole DP release replayed: same per-user rank cut, same
+    // md5-uniform, same inverse-CDF Laplace, same threshold
+    "q354_dp_histogram" ->
+      ("WITH e AS (SELECT user_id, event_id, floor(value * 10)::BIGINT AS vb FROM events), "
+       + "b AS (SELECT user_id, vb, ROW_NUMBER() OVER (PARTITION BY user_id "
+       + "ORDER BY md5(user_id::VARCHAR || '|' || event_id::VARCHAR)) AS rk FROM e), "
+       + "c AS (SELECT vb AS bucket, COUNT(*)::BIGINT AS n FROM b WHERE rk <= 20 GROUP BY 1), "
+       + "z AS (SELECT bucket, n, (CAST(('0x' || substring(md5('dp12' || '|' || bucket::VARCHAR), 1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0 AS u FROM c), "
+       + "ny AS (SELECT bucket, n + (-20.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS noisy FROM z) "
+       + "SELECT bucket, ROUND(noisy, 4) AS noisy_count FROM ny "
+       + "WHERE noisy >= 15.0 ORDER BY bucket"),
     // contamination spans replayed from literal substrings: a train
     // gram is contaminated iff the same 32-char string occurs in the
     // eval split; islands merge exactly as in q331's replay
