@@ -922,6 +922,19 @@ object ScaleProbe {
     t("suffix_spans")(graft.operators.SuffixDedup
       .duplicatedSpans(d, "doc_id", "text", window = 32).count())
 
+    // q353: decontamination spans of the replicated train corpus
+    // against an UNSCALED eval split (ids offset past every replica)
+    // — cost must track the shared suffix ranking (q331's bound),
+    // the contamination step itself rides |classes touched by eval|
+    t("contam_spans")({
+      val eval = graft.engine.Tables(spark, base, "documents")
+        .select((col("doc_id") + (mult + 1).toLong * nDocs * 10)
+          .as("doc_id"), col("text"))
+      graft.operators.SuffixDedup
+        .contaminationSpans(d, eval, "doc_id", "text", window = 32)
+        .count()
+    })
+
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance for JOIN views off change feeds —
@@ -52,4 +52,51 @@ object Ivm {
         when(col("_change_type").isin("insert", "update_postimage"), 1L)
           .otherwise(-1L))
       .drop("_change_type", "_commit_version")
+
+  /** MIN/MAX view maintenance — the classic NON-RETRACTABLE
+    * aggregate: an insert folds into the old extreme for free
+    * (max is insert-monotone), but a delete may remove the extreme
+    * itself, and no amount of bookkeeping short of the full multiset
+    * can say what the new one is. The standard trade (Gupta &
+    * Mumick's "self-maintainability" boundary): refresh
+    * GROUP-SELECTIVELY — groups untouched by deletes advance from the
+    * old view + the feed's inserts alone (never re-scanned); only
+    * groups with a delete recompute from the current snapshot, so
+    * refresh cost rides |delete-touched groups|' rows, not the table.
+    *
+    * `view` = (key, agg) at the OLD version; `feed` = the change
+    * feed over the window; `snapshot` = the NEW version (scanned only
+    * for delete-touched groups via one semi join). `maxAgg=false`
+    * maintains MIN.
+    */
+  def maintainExtreme(view: DataFrame, feed: DataFrame,
+      snapshot: DataFrame, keyCol: String, valCol: String,
+      maxAgg: Boolean = true): DataFrame = {
+    val ext: Column => Column = if (maxAgg) max else min
+    val deletedKeys = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(keyCol)).distinct()
+    // clean groups: old extreme + the feed's inserted values
+    val insExt = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .groupBy(col(keyCol)).agg(ext(col(valCol)).as("_ins"))
+    val clean = view
+      .join(deletedKeys, Seq(keyCol), "left_anti")
+      .join(insExt, Seq(keyCol), "left")
+      .select(col(keyCol),
+        when(col("_ins").isNotNull && (
+            if (maxAgg) col("_ins") > col(valCol)
+            else col("_ins") < col(valCol)),
+          col("_ins")).otherwise(col(valCol)).as(valCol))
+    // delete-touched groups (plus brand-new keys): recompute from the
+    // snapshot, restricted by one semi join
+    val touched = snapshot
+      .join(deletedKeys, Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(ext(col(valCol)).as(valCol))
+    val newKeys = insExt
+      .join(view, Seq(keyCol), "left_anti")
+      .join(deletedKeys, Seq(keyCol), "left_anti")
+      .select(col(keyCol), col("_ins").as(valCol))
+    clean.unionByName(touched).unionByName(newKeys)
+  }
 }

@@ -862,7 +862,28 @@ object TxTable {
     listDir(dataDir(dir))
       .filter(p => Files.isDirectory(p) && listDir(p).isEmpty)
       .foreach(d => { Files.deleteIfExists(d); () })
-    dead ++ orphans.map(o => o.getFileName.toString + "/")
+    // deletion-vector sidecars: a DV dir is dead when NO retained
+    // version's DV state references it (purged, restored-over, or
+    // past the horizon) — one incremental replay over the log, the
+    // same O(commits) contract as the file-set pass above
+    val retainedDvs = {
+      var dvs = Vector.empty[String]
+      val acc = scala.collection.mutable.Set.empty[String]
+      entries.foreach { e =>
+        if (e.dvReset) dvs = Vector.empty
+        dvs = dvs ++ e.dvs
+        if (e.version >= retainFrom) acc ++= dvs
+      }
+      if (latest >= retainFrom) acc ++= dvs
+      acc.toSet
+    }
+    val deadDvs = listDir(logDir(dir))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("dv-") &&
+        !retainedDvs.contains(p.getFileName.toString))
+    deadDvs.foreach(deleteDirRec)
+    dead ++ orphans.map(o => o.getFileName.toString + "/") ++
+      deadDvs.map(_.getFileName.toString + "/")
   }
 
   // ---------------------------------------------------------------

@@ -4472,6 +4472,30 @@ object AnalyticsQueries {
       roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
     }),
 
+    // MIN/MAX view maintenance — the classic NON-retractable
+    // aggregate (Gupta & Mumick's self-maintainability boundary):
+    // inserts fold into the old extreme for free; only groups a
+    // DELETE touched recompute, restricted to their rows by one semi
+    // join against the new snapshot — refresh rides |delete-touched
+    // groups|, never the table. Must land exactly on the oracle's
+    // from-scratch extreme of the final version
+    "q355_ivm_minmax" -> ((s, d) => {
+      val adir = txTableDir(s, d)
+      val view = graft.operators.TxTable.snapshot(s, adir, Some(2))
+        .groupBy(col("lang"))
+        .agg(max(length(col("text")).cast("long")).as("len"))
+      val feed = graft.operators.TxTable.changes(s, adir, 2)
+        .select(col("_change_type"), col("lang"),
+          length(col("text")).cast("long").as("len"))
+      val snap = graft.operators.TxTable
+        .snapshot(s, adir, mergeSchema = true)
+        .select(col("lang"), length(col("text")).cast("long").as("len"))
+      graft.operators.Ivm
+        .maintainExtreme(view, feed, snap, "lang", "len", maxAgg = true)
+        .select(col("lang"), col("len").as("max_len"))
+        .orderBy("lang")
+    }),
+
     // Differentially-private histogram release (Laplace mechanism
     // with the two production ingredients: per-user CONTRIBUTION
     // BOUNDING — without it sensitivity is unbounded and no finite
@@ -7536,6 +7560,14 @@ object AnalyticsQueries {
        + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
        + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // from-scratch MAX over the fixture's closed-form final rows
+    "q355_ivm_minmax" ->
+      ("WITH af AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text "
+       + "FROM documents WHERE doc_id % 7 <> 0 "
+       + "UNION ALL SELECT lang, text FROM documents WHERE doc_id % 11 = 0 "
+       + "UNION ALL SELECT lang, text FROM documents WHERE doc_id % 13 = 0) "
+       + "SELECT lang, MAX(length(text))::BIGINT AS max_len FROM af "
+       + "GROUP BY lang ORDER BY lang"),
     // the whole DP release replayed: same per-user rank cut, same
     // md5-uniform, same inverse-CDF Laplace, same threshold
     "q354_dp_histogram" ->

@@ -38,6 +38,33 @@ class IvmSpec extends SparkSpec {
       s"incremental $incremental != from-scratch $scratch")
   }
 
+  test("maintainExtreme: group-selective refresh, clean groups never touch the snapshot") {
+    // old view: a->10, b->20, c->5
+    val view = Seq(("a", 10L), ("b", 20L), ("c", 5L)).toDF("k", "len")
+    // feed: insert a:15 (new max, no delete); delete b:20 (the max
+    // itself); delete ALL of c; insert d:7 (brand-new group)
+    val feed = Seq(
+      ("insert", "a", 15L), ("delete", "b", 20L),
+      ("delete", "c", 5L), ("insert", "d", 7L))
+      .toDF("_change_type", "k", "len")
+    // the new snapshot RESTRICTED to delete-touched groups only — a
+    // clean-group implementation bug (consulting the snapshot for
+    // group a) would produce a wrong answer here, which is the point
+    val snapTouchedOnly = Seq(("b", 12L), ("b", 3L)).toDF("k", "len")
+    val got = Ivm.maintainExtreme(view, feed, snapTouchedOnly, "k", "len")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 15L, "b" -> 12L, "d" -> 7L),
+      s"got $got") // c vanished (all rows deleted)
+    // MIN variant: an insert below the old min wins without a rescan
+    val gotMin = Ivm.maintainExtreme(
+      Seq(("a", 10L)).toDF("k", "len"),
+      Seq(("insert", "a", 4L)).toDF("_change_type", "k", "len"),
+      Seq.empty[(String, Long)].toDF("k", "len"),
+      "k", "len", maxAgg = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotMin == Map("a" -> 4L))
+  }
+
   test("signedFeed maps the four change types to ±1") {
     val cdf = Seq(
       (1L, "insert", 5L), (2L, "delete", 5L),

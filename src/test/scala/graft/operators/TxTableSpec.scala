@@ -715,6 +715,33 @@ class TxTableSpec extends SparkSpec {
     ()
   }
 
+  test("vacuum reclaims dead DV sidecars, keeps in-force ones") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-dvvac-")
+      .toString
+    val rows = (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s")
+    TxTable.commitAppend(rows.repartition(2), dir) // v1
+    TxTable.commitDeleteDV(spark, dir, col("id") === 3L) // v2
+    TxTable.commitPurgeDVs(spark, dir) // v3: v2's DV now dead past v2
+    TxTable.commitDeleteDV(spark, dir, col("id") === 5L) // v4: in force
+    import scala.jdk.CollectionConverters._
+    def dvCount = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "_txlog"))
+      try st.iterator().asScala
+        .count(_.getFileName.toString.startsWith("dv-"))
+      finally st.close()
+    }
+    assert(dvCount == 2)
+    val reclaimed = TxTable.vacuum(dir, retainFrom = 3)
+    assert(reclaimed.exists(_.startsWith("dv-")),
+      s"the purged-over DV must be reclaimed: $reclaimed")
+    assert(dvCount == 1, "the in-force DV must survive")
+    assert(TxTable.snapshot(spark, dir).select(col("id"))
+      .collect().map(_.getLong(0)).toSet ==
+      (1L to 10L).toSet -- Set(3L, 5L))
+    ()
+  }
+
   test("restore: live set and DV state roll back as one new commit") {
     val dir = java.nio.file.Files.createTempDirectory("txtable-restore-")
       .toString
