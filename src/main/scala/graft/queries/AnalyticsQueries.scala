@@ -4472,6 +4472,27 @@ object AnalyticsQueries {
       roll("clone", dst).unionAll(roll("src", src)).orderBy("side")
     }),
 
+    // Lakehouse maintenance through SQL stored procedures (Spark 4's
+    // DSv2 ProcedureCatalog): after a rewriting delete (v2) and a
+    // merge-on-read delete (v3), `CALL txlog.restore` rolls both back,
+    // `CALL txlog.optimize_small` sweeps, `CALL txlog.checkpoint`
+    // snapshots the log — no Scala API touched. Certified: v2/v3
+    // still time-travel; the post-maintenance table equals v1's
+    // content exactly (maintenance may never change a row)
+    "q356_txlog_call" -> ((s, d) => {
+      val dir2 = txSqlCallDir(s, d)
+      def roll(label: String, v: Option[Int]): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2, v)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(label).as("stage"), col("n_rows"), col("checksum"))
+      roll("a_deleted", Some(2))
+        .unionAll(roll("b_dv", Some(3)))
+        .unionAll(roll("c_final", None))
+        .orderBy("stage")
+    }),
+
     // MIN/MAX view maintenance — the classic NON-retractable
     // aggregate (Gupta & Mumick's self-maintainability boundary):
     // inserts fold into the old extreme for free; only groups a
@@ -5331,6 +5352,37 @@ object AnalyticsQueries {
     val Array(tmp, big) = packed.split('|')
     (tmp, big)
   }
+
+  /** SQL-maintenance table (q356): mutations through the operator
+    * API, then the ENTIRE repair driven through `CALL` stored
+    * procedures — restore to v1, sweep, checkpoint — proving a
+    * SQL-only operator can run the upkeep cycle without a line of
+    * Scala.
+    */
+  private val txSqlCallCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txSqlCallDir(s: SparkSession, dir: String): String =
+    txSqlCallCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txcall-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(4, col("doc_id")), tmp) // v1
+      graft.operators.TxTable.commitDelete(s, tmp,
+        col("doc_id") % 3 === 0) // v2
+      graft.operators.TxTable.commitDeleteDV(s, tmp,
+        col("lang") === "es") // v3
+      val rv = s.sql(s"CALL txlog.restore('$tmp', 1)")
+        .collect().head.getLong(0)
+      require(rv == 4L, s"SQL restore expected v4, got v$rv")
+      val ov = s.sql(
+          s"CALL txlog.optimize_small('$tmp', ${Long.MaxValue}L)")
+        .collect().head.getLong(0)
+      require(ov == 5L, s"SQL sweep expected v5, got v$ov")
+      s.sql(s"CALL txlog.checkpoint('$tmp')").collect()
+      tmp
+    })
 
   /** CHECK-constrained table (q348): two constraints registered
     * before any data; the full corpus (with planted violations —
@@ -7560,6 +7612,17 @@ object AnalyticsQueries {
        + "c AS (SELECT 'clone' AS side, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 11 <> 0 AND lang <> 'en') "
        + "SELECT * FROM c UNION ALL SELECT * FROM s ORDER BY side"),
+    // the SQL-maintained table replayed: v2 = rewriting delete, v3 =
+    // + merge-on-read delete, final = restored v1 (the full corpus)
+    "q356_txlog_call" ->
+      ("WITH a AS (SELECT 'a_deleted' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 3 <> 0), "
+       + "b AS (SELECT 'b_dv' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents WHERE doc_id % 3 <> 0 AND lang <> 'es'), "
+       + "c AS (SELECT 'c_final' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c "
+       + "ORDER BY stage"),
     // from-scratch MAX over the fixture's closed-form final rows
     "q355_ivm_minmax" ->
       ("WITH af AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text "

@@ -23,10 +23,22 @@ import graft.operators.TxTable
   * `loadTable(ident, version)` — Spark's own time-travel hook — and
   * resolution is the checkpoint-accelerated log replay; the returned
   * table is a stock [[ParquetTable]] over the live file list, so scans
-  * keep vectorized reads, pushdown, and pruning. Read-only by design:
-  * writes go through the operator's commit protocol, never around it.
+  * keep vectorized reads, pushdown, and pruning. Read-only by design
+  * for DATA: writes go through the operator's commit protocol, never
+  * around it — but the MAINTENANCE verbs are exposed as DSv2 stored
+  * procedures (Spark 4's ProcedureCatalog), so a SQL-only operator
+  * can run the whole upkeep cycle:
+  *
+  * {{{
+  *   CALL txlog.restore('/tables/docs', 3)
+  *   CALL txlog.vacuum('/tables/docs', 5)
+  *   CALL txlog.purge_dvs('/tables/docs')
+  *   CALL txlog.optimize_small('/tables/docs', 134217728)
+  *   CALL txlog.checkpoint('/tables/docs')
+  * }}}
   */
-class TxLogCatalog extends TableCatalog {
+class TxLogCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var base: Option[String] = None
@@ -116,6 +128,85 @@ class TxLogCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // roots are paths; there is no namespace to enumerate
+
+  // -----------------------------------------------------------------
+  // Stored procedures (maintenance verbs)
+  // -----------------------------------------------------------------
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+
+  /** One single-row result relation — procedures report what they did
+    * (the committed version / reclaimed count) as a queryable row.
+    */
+  private def resultScan(schema: StructType,
+      row: InternalRow): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  private def proc(pname: String, params: Seq[(String, DataType)],
+      outName: String)(run: InternalRow => Long): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = s"txlog maintenance: $pname"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String =
+            s"txlog maintenance: $pname"
+          override def parameters(): Array[ProcedureParameter] =
+            params.map { case (n, t) =>
+              ProcedureParameter.in(n, t).build()
+            }.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] =
+            resultScan(new StructType().add(outName, LongType),
+              InternalRow(run(input)))
+        }
+    }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    def spark = SparkSession.active
+    def path(in: InternalRow) = in.getUTF8String(0).toString
+    ident.name() match {
+      case "restore" =>
+        proc("restore",
+          Seq("table" -> StringType, "version" -> IntegerType),
+          "version")(in =>
+          TxTable.commitRestore(spark, path(in), in.getInt(1)).toLong)
+      case "vacuum" =>
+        proc("vacuum",
+          Seq("table" -> StringType, "retain_from" -> IntegerType),
+          "reclaimed")(in =>
+          TxTable.vacuum(path(in), in.getInt(1)).size.toLong)
+      case "purge_dvs" =>
+        proc("purge_dvs", Seq("table" -> StringType), "version")(in =>
+          TxTable.commitPurgeDVs(spark, path(in)).toLong)
+      case "optimize_small" =>
+        proc("optimize_small",
+          Seq("table" -> StringType, "small_bytes" -> LongType),
+          "version")(in =>
+          TxTable.commitCompactSmall(spark, path(in),
+            in.getLong(1)).toLong)
+      case "checkpoint" =>
+        proc("checkpoint", Seq("table" -> StringType), "version")(in =>
+          TxTable.checkpoint(spark, path(in)).toLong)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"no such txlog procedure: $other (have restore, vacuum, " +
+            "purge_dvs, optimize_small, checkpoint)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    Array("restore", "vacuum", "purge_dvs", "optimize_small",
+      "checkpoint").map(Identifier.of(namespace, _))
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

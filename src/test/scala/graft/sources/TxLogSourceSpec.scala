@@ -83,4 +83,43 @@ class TxLogSourceSpec extends SparkSpec {
     assert(withQ == Seq((6L, 60L)))
     assert(df.filter(col("q").isNull).count() == 4)
   }
+
+  test("CALL: the maintenance verbs run through SQL stored procedures") {
+    val tmp = java.nio.file.Files.createTempDirectory("txlog-call-")
+      .toString
+    TxTable.commitAppend(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s").repartition(2),
+      tmp) // v1
+    TxTable.commitDelete(spark, tmp, col("id") <= 3L) // v2
+    def ids = spark.read.format("txlog").load(tmp)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == (4L to 10L).toSet)
+    // RESTORE through SQL — the returned row reports the new version
+    val rv = spark.sql(s"CALL txlog.restore('$tmp', 1)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rv == Seq(3L), s"restore must report v3, got $rv")
+    assert(ids == (1L to 10L).toSet)
+    // small-file sweep + checkpoint + vacuum, all through CALL
+    val ov = spark.sql(
+      s"CALL txlog.optimize_small('$tmp', ${Long.MaxValue}L)")
+      .collect().head.getLong(0)
+    assert(ov == 4L)
+    assert(spark.sql(s"CALL txlog.checkpoint('$tmp')")
+      .collect().head.getLong(0) == 4L)
+    val reclaimed = spark.sql(s"CALL txlog.vacuum('$tmp', 4)")
+      .collect().head.getLong(0)
+    assert(reclaimed > 0L, "vacuum must reclaim the pre-horizon files")
+    assert(ids == (1L to 10L).toSet)
+    // purge_dvs: a DV delete through the operator, purged through SQL
+    TxTable.commitDeleteDV(spark, tmp, col("id") === 9L) // v5
+    assert(spark.sql(s"CALL txlog.purge_dvs('$tmp')")
+      .collect().head.getLong(0) == 6L)
+    assert(TxTable.dvRefsAt(tmp).isEmpty)
+    assert(ids == (1L to 10L).toSet - 9L)
+    // SHOW PROCEDURES lists the surface
+    val listed = spark.sql("SHOW PROCEDURES IN txlog")
+      .collect().map(_.toString).mkString(",")
+    assert(listed.contains("restore") && listed.contains("vacuum"))
+    ()
+  }
 }
