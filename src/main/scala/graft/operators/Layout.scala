@@ -103,25 +103,10 @@ object Layout {
     * not equi-populated.
     */
   def zOrderedScaled(df: DataFrame, xCol: String, yCol: String,
-      numFiles: Int, bits: Int = 8): DataFrame = {
-    val stats = df.agg(
-      min(col(xCol)).cast("double").as("_zxmn"),
-      max(col(xCol)).cast("double").as("_zxmx"),
-      min(col(yCol)).cast("double").as("_zymn"),
-      max(col(yCol)).cast("double").as("_zymx"))
-    val n = (1 << bits).toDouble
-    def bucket(v: Column, mn: Column, mx: Column): Column =
-      when(mx <= mn, lit(0L)).otherwise(
-        least(floor((v.cast("double") - mn) / ((mx - mn) / n)),
-          lit(n - 1)).cast("long"))
-    df.crossJoin(broadcast(stats))
-      .withColumn("zval", zValue(
-        bucket(col(xCol), col("_zxmn"), col("_zxmx")),
-        bucket(col(yCol), col("_zymn"), col("_zymx")), bits))
-      .drop("_zxmn", "_zxmx", "_zymn", "_zymx")
-      .repartitionByRange(numFiles, col("zval"))
-      .sortWithinPartitions(col("zval"))
-  }
+      numFiles: Int, bits: Int = 8): DataFrame =
+    // zValueN's layout at n=2 (bit i of key j at 2i+j) IS zValue's —
+    // one implementation, pinned equal in LayoutSpec
+    zOrderedScaledN(df, Seq(xCol, yCol), numFiles, bits)
 
   /** Zone map: per-file (count, min, max) statistics for `keyCols`
     * over a parquet directory — the file-skipping index a lakehouse

@@ -148,15 +148,35 @@ object TxTable {
       upTo: Int = Int.MaxValue): Seq[Entry] =
     logVersions(dir).filter(v => v > after && v <= upTo).map { v =>
       val s = new String(Files.readAllBytes(entryFile(dir, v)), "UTF-8")
+      // escape-aware array parse: generated stage names are benign,
+      // but a shallow CLONE logs arbitrary absolute SOURCE paths — a
+      // legal path containing ',' ']' or '"' must round-trip (esc()
+      // writes \" and \\; this undoes them, and never splits inside
+      // a quoted string)
       def arr(key: String): Seq[String] = {
         val i = s.indexOf("\"" + key + "\":[")
         if (i < 0) return Seq.empty // field absent in pre-DV entries
-        val j = s.indexOf(']', i)
-        val body = s.substring(i + key.length + 4, j)
-        if (body.trim.isEmpty) Seq.empty
-        else body.split(",").toSeq
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-            .replace("\\\"", "\"").replace("\\\\", "\\"))
+        var j = i + key.length + 4
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var done = false
+        while (!done) {
+          s.charAt(j) match {
+            case ']' => done = true
+            case '"' =>
+              j += 1
+              val sb = new StringBuilder
+              var inStr = true
+              while (inStr) {
+                val c = s.charAt(j)
+                if (c == '\\') { sb.append(s.charAt(j + 1)); j += 2 }
+                else if (c == '"') { inStr = false; j += 1 }
+                else { sb.append(c); j += 1 }
+              }
+              out += sb.toString
+            case _ => j += 1 // comma, whitespace
+          }
+        }
+        out.toSeq
       }
       // entries written before the flag existed default to
       // dataChange=true (the conservative reading: include in the feed)
@@ -370,6 +390,18 @@ object TxTable {
       Some("deletion-vector state changed concurrently")
     else None
   }
+
+  /** A bare DV-state RESET (purge with no live DV'd files): clearing
+    * a DV an interleaved commit added — one this reset never saw —
+    * would silently resurrect its deleted rows, so any interleaved
+    * DV activity aborts; plain appends interleave freely (new files
+    * carry no DVs to clear).
+    */
+  private[operators] val dvResetConflicts: Seq[Entry] => Option[String] =
+    es =>
+      if (es.exists(e => e.dvs.nonEmpty || e.dvReset))
+        Some("deletion-vector state changed concurrently")
+      else None
 
   /** A merge-on-read delete's own matrix: interleaved adds carry
     * unscanned rows (abort) and removes/restores of its input files
@@ -739,14 +771,11 @@ object TxTable {
     // sidecars prune on either key (OPTIMIZE ZORDER proper —
     // [[Layout.zOrdered]] composed with the commit protocol).
     val arranged =
-      if (zOrderBy.size > 2)
-        // N-way interleave: per-key bucket width shrinks so the total
-        // z stays in a long — tight boxes in EVERY dimension
+      if (zOrderBy.nonEmpty)
+        // N-way interleave (n=2 is the classic pair layout); per-key
+        // bucket width shrinks with n so the total z stays in a long
         Layout.zOrderedScaledN(current, zOrderBy, targetFiles,
           math.min(zBits, 62 / zOrderBy.size)).drop("zval")
-      else if (zOrderBy.nonEmpty)
-        Layout.zOrderedScaled(current, zOrderBy.head, zOrderBy(1),
-          targetFiles, zBits).drop("zval")
       else if (clusterBy.isEmpty) current.repartition(targetFiles)
       else current.repartitionByRange(targetFiles,
         clusterBy.map(col).toIndexedSeq: _*)
@@ -778,9 +807,18 @@ object TxTable {
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val conf = spark.sessionState.newHadoopConf()
-    val sized = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(absPath(base, f))
-      f -> p.getFileSystem(conf).getFileStatus(p).getLen
+    // sizes via ONE listStatus per stage DIRECTORY, not one RPC per
+    // file — at 10^6 live files a per-file getFileStatus loop is
+    // minutes of serial NameNode round-trips before any work starts
+    val byDir = files.groupBy { f =>
+      val p = absPath(base, f)
+      p.substring(0, p.lastIndexOf('/'))
+    }
+    val sized = byDir.toSeq.flatMap { case (d, fs) =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      val lens = dp.getFileSystem(conf).listStatus(dp)
+        .map(st => st.getPath.getName -> st.getLen).toMap
+      fs.map(f => f -> lens(f.substring(f.lastIndexOf('/') + 1)))
     }
     val small = sized.filter(_._2 < smallBytes)
     if (small.size < 2) return currentVersion(dir)
@@ -1057,9 +1095,11 @@ object TxTable {
     val v0 = currentVersion(dir) + 1
     if (affected.isEmpty)
       // every DV'd file is already dead (rewritten since) — the DVs
-      // are inert; just clear the references
+      // are inert; just clear the references. The reset still
+      // CONFLICTS with an interleaved DV commit: clearing a DV this
+      // purge never saw would silently resurrect its deleted rows
       return commitWithRetry(dir, Seq.empty, Seq.empty, v0,
-        AppendConflicts, dataChange = false, dvReset = true)
+        dvResetConflicts, dataChange = false, dvReset = true)
     val raw = withMeta(
       spark.read.parquet(affected.map(absPath(base, _)): _*))
     val rewritten = applyDv(raw, dv).drop("_f", "_pos")
@@ -1100,6 +1140,17 @@ object TxTable {
       s"cannot RESTORE to v$toVersion past the vacuum horizon: " +
         missing.take(3).mkString(", ") + " no longer exist")
     val targetDvs = dvRefsAt(dir, toVersion)
+    // the horizon applies to DV SIDECARS too: vacuum reclaims DV dirs
+    // no retained version references, and re-pointing at a reclaimed
+    // one would break every subsequent snapshot
+    val missingDvs = targetDvs.filterNot { r =>
+      val p = new org.apache.hadoop.fs.Path(dvPath(dir, r))
+      p.getFileSystem(conf).exists(p)
+    }
+    require(missingDvs.isEmpty,
+      s"cannot RESTORE to v$toVersion past the vacuum horizon: " +
+        s"deletion vector(s) ${missingDvs.take(3).mkString(", ")} " +
+        "no longer exist")
     if (adds.isEmpty && removes.isEmpty && targetDvs == dvRefsAt(dir))
       return currentVersion(dir)
     val v = commitWithRetry(dir, adds, removes,
@@ -1132,14 +1183,24 @@ object TxTable {
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, String]
     new String(Files.readAllBytes(f), "UTF-8").split('\n')
       .filter(_.nonEmpty).foreach { line =>
+        // escape-aware string field: a constraint EXPRESSION often
+        // contains double quotes (string literals) — scanning to the
+        // first raw '"' would truncate at the escaped one and leave
+        // an unparseable expr poisoning every later commit
         def field(k: String): Option[String] = {
           val i = line.indexOf("\"" + k + "\":\"")
           if (i < 0) None
           else {
-            val start = i + k.length + 4
-            val j = line.indexOf('"', start)
-            Some(line.substring(start, j)
-              .replace("\\\"", "\"").replace("\\\\", "\\"))
+            var j = i + k.length + 4
+            val sb = new StringBuilder
+            var inStr = true
+            while (inStr) {
+              val c = line.charAt(j)
+              if (c == '\\') { sb.append(line.charAt(j + 1)); j += 2 }
+              else if (c == '"') inStr = false
+              else { sb.append(c); j += 1 }
+            }
+            Some(sb.toString)
           }
         }
         val name = field("name").getOrElse("")
@@ -1193,8 +1254,10 @@ object TxTable {
     val counts = df.agg(
       count(lit(1)).as("_n"),
       cs.map { case (n, e) =>
-        sum(when(coalesce(expr(e), lit(true)) === false, 1L)
-          .otherwise(0L)).as(s"_viol_$n")
+        // coalesce: sum over an EMPTY batch is NULL, and an empty
+        // batch (a zero-row streaming micro-batch) is violation-free
+        coalesce(sum(when(coalesce(expr(e), lit(true)) === false, 1L)
+          .otherwise(0L)), lit(0L)).as(s"_viol_$n")
       }: _*).head()
     val bad = cs.zipWithIndex.flatMap { case ((n, e), i) =>
       val v = counts.getLong(i + 1)
@@ -1585,14 +1648,17 @@ object TxTable {
             Seq(tag(rows, "delete"))
           }
         } else (e.adds.nonEmpty, e.removes.nonEmpty) match {
-          // adds are newborn files — no DV can reference them yet;
-          // removes are read under the PRE-commit DV state so rows a
-          // DV already hid are not re-reported as deletes
-          case (true, false) => Seq(tag(vis(e.adds, Seq.empty), "insert"))
+          // adds are read under the commit's OWN dvs: an ordinary
+          // append carries none, but a shallow CLONE's first entry
+          // adds the source's files together with its inherited DV
+          // refs — rows the source had deleted must not surface as
+          // inserts. Removes are read under the PRE-commit DV state
+          // so rows a DV already hid are not re-reported as deletes
+          case (true, false) => Seq(tag(vis(e.adds, e.dvs), "insert"))
           case (false, true) => Seq(tag(vis(e.removes, preDvs), "delete"))
           case (true, true) =>
             val (ins, del) =
-              diff(vis(e.adds, Seq.empty), vis(e.removes, preDvs))
+              diff(vis(e.adds, e.dvs), vis(e.removes, preDvs))
             Seq(tag(ins, "insert"), tag(del, "delete"))
           case _ => Seq.empty
         }

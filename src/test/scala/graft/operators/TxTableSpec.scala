@@ -715,6 +715,76 @@ class TxTableSpec extends SparkSpec {
     ()
   }
 
+  test("review fixes: purge-reset race, clone feed, empty batch, quoted exprs, DV horizon, hostile paths") {
+    // (1) a purge whose DV'd files are all dead must STILL conflict
+    // with an interleaved DV commit (clearing an unseen DV would
+    // resurrect its rows) — the matrix itself, plus the benign-retry
+    // path end-to-end (an interleaved plain append serializes fine)
+    assert(TxTable.dvResetConflicts(
+      Seq(TxTable.Entry(9, Nil, Nil, dvs = Seq("dv-x")))).nonEmpty)
+    assert(TxTable.dvResetConflicts(
+      Seq(TxTable.Entry(9, Nil, Nil, dvReset = true))).nonEmpty)
+    assert(TxTable.dvResetConflicts(
+      Seq(TxTable.Entry(9, Seq("g/x.parquet"), Nil))).isEmpty)
+    val d1 = java.nio.file.Files.createTempDirectory("txfix1-").toString
+    TxTable.commitAppend(
+      (1L to 8L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1), d1)
+    TxTable.commitDeleteDV(spark, d1, col("id") === 2L) // v2
+    TxTable.commitDelete(spark, d1, col("id") === 3L) // v3 rewrites all
+    // steal the purge's first version with a PLAIN append — the
+    // empty-affected reset must retry past it and land
+    TxTable.writeEntry(d1, TxTable.Entry(4, Nil, Nil))
+    assert(TxTable.commitPurgeDVs(spark, d1) == 5)
+    assert(TxTable.dvRefsAt(d1).isEmpty)
+    // (2) the change feed of a shallow clone applies the inherited DV
+    // to the clone's first (adds+dvs) entry
+    val root2 = java.nio.file.Files.createTempDirectory("txfix2-")
+      .toString
+    val (src2, dst2) = (s"$root2/src", s"$root2/dst")
+    TxTable.commitAppend(
+      (1L to 6L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1), src2)
+    TxTable.commitDeleteDV(spark, src2, col("id") === 5L)
+    TxTable.cloneShallow(spark, src2, dst2)
+    val feedIds = TxTable.changes(spark, dst2, 0)
+      .filter(col("_change_type") === "insert")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(feedIds == (1L to 6L).toSet - 5L,
+      s"the clone feed must not resurrect DV-deleted rows: $feedIds")
+    // (3) an empty batch under a CHECK constraint is violation-free,
+    // not an NPE
+    val d3 = java.nio.file.Files.createTempDirectory("txfix3-").toString
+    TxTable.addCheckConstraint(spark, d3, "pos", "id > 0")
+    assert(TxTable.commitAppendAt(
+      Seq.empty[(Long, String)].toDF("id", "s"), d3, version = 1))
+    // (4) a constraint expression CONTAINING double quotes survives
+    // the registry round-trip
+    TxTable.addCheckConstraint(spark, d3, "notx", "s <> \"x\"")
+    assert(TxTable.checkConstraints(d3).toMap.apply("notx") ==
+      "s <> \"x\"")
+    assert(TxTable.commitAppend(Seq((2L, "ok")).toDF("id", "s"), d3) == 2)
+    intercept[TxTable.ConstraintViolationException] {
+      TxTable.commitAppend(Seq((3L, "x")).toDF("id", "s"), d3)
+    }
+    // (5) RESTORE refuses to re-point at a vacuumed DV sidecar
+    val d5 = java.nio.file.Files.createTempDirectory("txfix5-").toString
+    TxTable.commitAppend(
+      (1L to 6L).map(i => (i, s"s$i")).toDF("id", "s").coalesce(1), d5)
+    TxTable.commitDeleteDV(spark, d5, col("id") === 2L) // v2
+    TxTable.commitRestore(spark, d5, toVersion = 1) // v3 clears DVs
+    TxTable.vacuum(d5, retainFrom = 3) // reclaims v2's DV dir
+    intercept[IllegalArgumentException] {
+      TxTable.commitRestore(spark, d5, toVersion = 2)
+    }
+    // (6) a logged name containing ',' ']' and '"' round-trips the
+    // hand-rolled JSON (a clone may reference such a source path)
+    val d6 = java.nio.file.Files.createTempDirectory("txfix6-").toString
+    val weird = "/weird,dir/a\"b]c.parquet"
+    TxTable.writeEntry(d6, TxTable.Entry(1, Seq(weird, "n/p.parquet"),
+      Seq.empty))
+    assert(TxTable.liveFiles(d6) == Seq(weird, "n/p.parquet"))
+    ()
+  }
+
   test("vacuum reclaims dead DV sidecars, keeps in-force ones") {
     val dir = java.nio.file.Files.createTempDirectory("txtable-dvvac-")
       .toString
