@@ -93,13 +93,126 @@ object TxTable {
     */
   private[operators] final case class Entry(version: Int, adds: Seq[String],
       removes: Seq[String], dataChange: Boolean = true,
-      dvs: Seq[String] = Nil, dvReset: Boolean = false)
+      dvs: Seq[String] = Nil, dvReset: Boolean = false,
+      protocol: Option[Protocol] = None)
 
   /** Raised when an optimistic retry finds a real conflict (Delta's
     * `ConcurrentModificationException` contract).
     */
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
+
+  // ---------------------------------------------------------------
+  // Log protocol versioning (Delta's minReader/minWriter contract)
+  // ---------------------------------------------------------------
+
+  /** The table's compatibility contract: an engine may READ only if
+    * `minReader` ≤ its supported reader version AND it understands
+    * every reader feature; it may WRITE only if it may read AND
+    * `minWriter` ≤ its writer version AND it understands every writer
+    * feature. Tables whose log carries no protocol record are
+    * implicitly version 1/1 (the pre-protocol era reads unchanged).
+    */
+  final case class Protocol(minReader: Int, minWriter: Int,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty) {
+    def upgradedWith(mr: Int, mw: Int, rf: Set[String],
+        wf: Set[String]): Protocol =
+      Protocol(math.max(minReader, mr), math.max(minWriter, mw),
+        readerFeatures ++ rf, writerFeatures ++ wf)
+  }
+
+  /** What THIS engine supports. Feature flags name capabilities whose
+    * on-disk state an unaware engine would misread (deletion vectors:
+    * silently resurrected rows) or corrupt (check constraints:
+    * unvalidated appends; column mapping: physical-name writes).
+    */
+  val EngineProtocol: Protocol = Protocol(2, 2,
+    readerFeatures = Set("deletion-vectors", "column-mapping"),
+    writerFeatures = Set("deletion-vectors", "column-mapping",
+      "check-constraints"))
+
+  /** Raised when the table's protocol requires a newer engine —
+    * failing LOUDLY instead of misreading is the entire point
+    * (Delta's InvalidProtocolVersionException contract).
+    */
+  final class UnsupportedProtocolException(msg: String)
+    extends RuntimeException(msg)
+
+  private def assertReadable(dir: String, p: Protocol): Unit = {
+    val unknownR = p.readerFeatures -- EngineProtocol.readerFeatures
+    if (p.minReader > EngineProtocol.minReader || unknownR.nonEmpty)
+      throw new UnsupportedProtocolException(
+        s"table at $dir requires reader version ${p.minReader} with " +
+          s"features ${p.readerFeatures.mkString(",")}; this engine " +
+          s"supports ${EngineProtocol.minReader} with " +
+          s"${EngineProtocol.readerFeatures.mkString(",")}")
+  }
+
+  /** Writer gate — every commit verb passes through here. */
+  private def assertWritable(dir: String): Protocol = {
+    val p = protocolAt(dir)
+    assertReadable(dir, p)
+    val unknownW = p.writerFeatures -- EngineProtocol.writerFeatures
+    if (p.minWriter > EngineProtocol.minWriter || unknownW.nonEmpty)
+      throw new UnsupportedProtocolException(
+        s"table at $dir requires writer version ${p.minWriter} with " +
+          s"features ${p.writerFeatures.mkString(",")}; this engine " +
+          s"writes ${EngineProtocol.minWriter} with " +
+          s"${EngineProtocol.writerFeatures.mkString(",")}")
+    p
+  }
+
+  /** Protocol in force as of `upTo`: the LAST protocol record ≤ upTo
+    * wins (records are monotone upgrades by construction), seeded
+    * from the newest checkpoint sidecar like [[dvRefsAt]] so the
+    * happy path replays only the log suffix.
+    */
+  def protocolAt(dir: String, upTo: Int = Int.MaxValue): Protocol = {
+    val seedV = ckptVersions(dir)
+      .filter(v => v <= upTo && Files.exists(ckptDvFile(dir, v)))
+      .lastOption
+    val seed = seedV match {
+      case None => Protocol(1, 1)
+      case Some(cv) =>
+        val s = new String(Files.readAllBytes(ckptDvFile(dir, cv)),
+          "UTF-8")
+        sidecarProtocol(s)
+    }
+    readEntries(dir, after = seedV.getOrElse(0), upTo = upTo)
+      .foldLeft(seed)((p, e) => e.protocol.getOrElse(p))
+  }
+
+  private def sidecarProtocol(s: String): Protocol =
+    Protocol(
+      jsonInt(s, "minReader").getOrElse(1),
+      jsonInt(s, "minWriter").getOrElse(1),
+      jsonArr(s, "readerFeatures").toSet,
+      jsonArr(s, "writerFeatures").toSet)
+
+  private def jsonInt(s: String, key: String): Option[Int] = {
+    val i = s.indexOf("\"" + key + "\":")
+    if (i < 0) None
+    else Some(s.substring(i + key.length + 3).takeWhile(_.isDigit).toInt)
+  }
+
+  /** ALTER TABLE ... SET PROTOCOL: commit a metadata-only entry that
+    * raises the table's requirements — monotone (no downgrade), and
+    * concurrent protocol changes conflict rather than silently
+    * last-write-win.
+    */
+  def upgradeProtocol(dir: String, minReader: Int, minWriter: Int,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty): Int = {
+    val cur = assertWritable(dir)
+    val next = cur.upgradedWith(minReader, minWriter, readerFeatures,
+      writerFeatures)
+    commitWithRetry(dir, Seq.empty, Seq.empty,
+      currentVersion(dir) + 1,
+      es => if (es.exists(_.protocol.nonEmpty))
+        Some("concurrent protocol change") else None,
+      dataChange = false, protocol = Some(next))
+  }
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
@@ -114,6 +227,13 @@ object TxTable {
   private def entryFile(dir: String, v: Int): Path =
     logDir(dir).resolve(f"v$v%05d.json")
 
+  private def protocolJson(p: Protocol): String =
+    s""""minReader":${p.minReader},"minWriter":${p.minWriter},""" +
+      s""""readerFeatures":[${p.readerFeatures.toSeq.sorted
+        .map(f => "\"" + esc(f) + "\"").mkString(",")}],""" +
+      s""""writerFeatures":[${p.writerFeatures.toSeq.sorted
+        .map(f => "\"" + esc(f) + "\"").mkString(",")}]"""
+
   private[operators] def writeEntry(dir: String, e: Entry): Unit = {
     Files.createDirectories(logDir(dir))
     val json = s"""{"version":${e.version},""" +
@@ -121,6 +241,7 @@ object TxTable {
       s""""removes":[${e.removes.map(r => "\"" + esc(r) + "\"").mkString(",")}],""" +
       s""""dvs":[${e.dvs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
       s""""dvReset":${e.dvReset},""" +
+      e.protocol.map(p => protocolJson(p) + ",").getOrElse("") +
       s""""dataChange":${e.dataChange}}"""
     // CREATE_NEW is the commit point: the version file either appears
     // fully or the commit fails — a concurrent writer of the same
@@ -140,6 +261,38 @@ object TxTable {
       .map(_.stripPrefix("v").stripSuffix(".json").toInt)
       .sorted
 
+  /** Escape-aware JSON string-array parse: generated stage names are
+    * benign, but a shallow CLONE logs arbitrary absolute SOURCE paths
+    * — a legal path containing ',' ']' or '"' must round-trip (esc()
+    * writes \" and \\; this undoes them, and never splits inside a
+    * quoted string). Missing key ⇒ empty (field absent in old entries).
+    */
+  private def jsonArr(s: String, key: String): Seq[String] = {
+    val i = s.indexOf("\"" + key + "\":[")
+    if (i < 0) return Seq.empty
+    var j = i + key.length + 4
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done) {
+      s.charAt(j) match {
+        case ']' => done = true
+        case '"' =>
+          j += 1
+          val sb = new StringBuilder
+          var inStr = true
+          while (inStr) {
+            val c = s.charAt(j)
+            if (c == '\\') { sb.append(s.charAt(j + 1)); j += 2 }
+            else if (c == '"') { inStr = false; j += 1 }
+            else { sb.append(c); j += 1 }
+          }
+          out += sb.toString
+        case _ => j += 1 // comma, whitespace
+      }
+    }
+    out.toSeq
+  }
+
   /** Parse log entries with version in (`after`, `upTo`] — the
     * checkpoint-suffix read path; `after = 0, upTo = MaxValue` is the
     * full replay.
@@ -148,42 +301,19 @@ object TxTable {
       upTo: Int = Int.MaxValue): Seq[Entry] =
     logVersions(dir).filter(v => v > after && v <= upTo).map { v =>
       val s = new String(Files.readAllBytes(entryFile(dir, v)), "UTF-8")
-      // escape-aware array parse: generated stage names are benign,
-      // but a shallow CLONE logs arbitrary absolute SOURCE paths — a
-      // legal path containing ',' ']' or '"' must round-trip (esc()
-      // writes \" and \\; this undoes them, and never splits inside
-      // a quoted string)
-      def arr(key: String): Seq[String] = {
-        val i = s.indexOf("\"" + key + "\":[")
-        if (i < 0) return Seq.empty // field absent in pre-DV entries
-        var j = i + key.length + 4
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var done = false
-        while (!done) {
-          s.charAt(j) match {
-            case ']' => done = true
-            case '"' =>
-              j += 1
-              val sb = new StringBuilder
-              var inStr = true
-              while (inStr) {
-                val c = s.charAt(j)
-                if (c == '\\') { sb.append(s.charAt(j + 1)); j += 2 }
-                else if (c == '"') { inStr = false; j += 1 }
-                else { sb.append(c); j += 1 }
-              }
-              out += sb.toString
-            case _ => j += 1 // comma, whitespace
-          }
-        }
-        out.toSeq
-      }
       // entries written before the flag existed default to
       // dataChange=true (the conservative reading: include in the feed)
-      Entry(v, arr("adds"), arr("removes"),
+      val e = Entry(v, jsonArr(s, "adds"), jsonArr(s, "removes"),
         dataChange = !s.contains("\"dataChange\":false"),
-        dvs = arr("dvs"),
-        dvReset = s.contains("\"dvReset\":true"))
+        dvs = jsonArr(s, "dvs"),
+        dvReset = s.contains("\"dvReset\":true"),
+        protocol = jsonInt(s, "minReader").map(_ => sidecarProtocol(s)))
+      // the READ gate: parsing an entry that demands a newer reader
+      // hard-fails right here — every read and write path funnels
+      // through this parser, so no caller can misread a protected
+      // table (Delta's protocol contract)
+      e.protocol.foreach(assertReadable(dir, _))
+      e
     }
 
   /** Current highest committed version (0 = empty table). */
@@ -236,6 +366,21 @@ object TxTable {
         StructType(Seq(StructField("file", StringType))))
       .coalesce(1)
       .write.mode("overwrite").parquet(ckptDir(dir, v).toString)
+    // the DV refs (and implicitly the last reset) in force at v ride
+    // the checkpoint as an underscore-prefixed sidecar INSIDE the
+    // checkpoint dir (parquet readers skip '_' files), so dvRefsAt
+    // replays only the post-checkpoint suffix — mirroring how Delta
+    // checkpoints carry DV descriptors; without it every snapshot of
+    // a 10^5-commit table pays a full JSON replay just to learn the
+    // table never used DVs
+    // the sidecar carries the full non-file log state at v: DV refs
+    // AND the protocol, so both resolve from ckpt + suffix
+    val dvs = dvRefsAt(dir, v) // itself seeded from the prior sidecar
+    val prot = protocolAt(dir, v)
+    Files.write(ckptDvFile(dir, v),
+      (s"""{"dvs":[${dvs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
+        protocolJson(prot) + "}")
+        .getBytes("UTF-8"))
     // _last_checkpoint is advisory (the one overwritten file, exactly
     // Delta's shape); a stale or missing pointer falls back to the
     // checkpoint-directory listing
@@ -318,13 +463,15 @@ object TxTable {
       removes: Seq[String], firstV: Int,
       conflicts: Seq[Entry] => Option[String],
       maxAttempts: Int = 20, dataChange: Boolean = true,
-      dvs: Seq[String] = Nil, dvReset: Boolean = false): Int = {
+      dvs: Seq[String] = Nil, dvReset: Boolean = false,
+      protocol: Option[Protocol] = None): Int = {
     var v = firstV
     var validatedThrough = firstV - 1
     var attempt = 0
     while (true) {
       try {
-        writeEntry(dir, Entry(v, adds, removes, dataChange, dvs, dvReset))
+        writeEntry(dir, Entry(v, adds, removes, dataChange, dvs, dvReset,
+          protocol))
         return v
       }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -437,9 +584,9 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Int = {
-    enforceConstraints(df, dir)
+    assertWritable(dir)
     val v0 = currentVersion(dir) + 1
-    val added = stage(df, dir, v0)
+    val added = stageValidated(df, dir, v0)
     writeStats(df.sparkSession, dir, stageRelOf(added), added, statsCols,
       bloomCols)
     val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts)
@@ -462,6 +609,7 @@ object TxTable {
       pred: org.apache.spark.sql.Column,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
+    assertWritable(dir)
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val matches = coalesce(pred, lit(false))
@@ -513,8 +661,8 @@ object TxTable {
   def commitAppendAt(df: DataFrame, dir: String, version: Int,
       checkpointEvery: Int = DefaultCheckpointEvery): Boolean = {
     if (Files.exists(entryFile(dir, version))) return false
-    enforceConstraints(df, dir)
-    val added = stage(df, dir, version)
+    assertWritable(dir)
+    val added = stageValidated(df, dir, version)
     try {
       writeEntry(dir, Entry(version, added, Seq.empty))
       maybeCheckpoint(df.sparkSession, dir, version, checkpointEvery)
@@ -533,9 +681,7 @@ object TxTable {
       keyCol: String,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
-    // only the SOURCE rows are new — survivors already passed at
-    // their own commit (Delta enforces on written data)
-    enforceConstraints(source, dir)
+    assertWritable(dir)
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val dvs = dvRefsAt(dir)
@@ -560,7 +706,10 @@ object TxTable {
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .unionByName(source)
     val v0 = currentVersion(dir) + 1
-    val added = stage(survivors, dir, v0)
+    // staged rows = survivors + source; validating the union is a
+    // superset of Delta's written-data rule (survivors passed at
+    // their own commit and pass again for free)
+    val added = stageValidated(survivors, dir, v0)
     writeStats(spark, dir, stageRelOf(added), added, statsCols)
     val v = commitWithRetry(dir, added, affected, v0,
       rewriteConflicts(affected.toSet))
@@ -755,6 +904,7 @@ object TxTable {
       "zOrderBy takes 2..6 columns (Morton interleave)")
     require(zOrderBy.isEmpty || clusterBy.isEmpty,
       "choose clusterBy (one axis) or zOrderBy (multi-axis), not both")
+    assertWritable(dir)
     val files = liveFilesFast(spark, dir)
     val v0 = currentVersion(dir) + 1
     // compaction reads VISIBLE rows (DVs applied) — it materializes
@@ -804,6 +954,7 @@ object TxTable {
       smallBytes: Long, targetBytes: Long = 128L * 1024 * 1024,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
+    assertWritable(dir)
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val conf = spark.sessionState.newHadoopConf()
@@ -818,7 +969,12 @@ object TxTable {
       val dp = new org.apache.hadoop.fs.Path(d)
       val lens = dp.getFileSystem(conf).listStatus(dp)
         .map(st => st.getPath.getName -> st.getLen).toMap
-      fs.map(f => f -> lens(f.substring(f.lastIndexOf('/') + 1)))
+      // a logged live file absent from the listing (racing vacuum, an
+      // external delete) is skipped, not crashed on: it cannot be
+      // compacted, and any SNAPSHOT will already fail loudly on it —
+      // a maintenance sweep should not be the thing that dies
+      fs.flatMap(f =>
+        lens.get(f.substring(f.lastIndexOf('/') + 1)).map(f -> _))
     }
     val small = sized.filter(_._2 < smallBytes)
     if (small.size < 2) return currentVersion(dir)
@@ -874,8 +1030,11 @@ object TxTable {
       Files.deleteIfExists(dataDir(dir).resolve(f)); ()
     }
     // orphaned staging dirs: under data/ but absent from every log
-    // entry's adds (prefix before '/')
-    val referenced = all.map(_.takeWhile(_ != '/'))
+    // entry's adds. Stage names come off the 2-segment suffix so an
+    // ABSOLUTE reference (a clone's inherited file) contributes its
+    // stage dir too — otherwise the clone's vacuum would reclaim the
+    // inherited stats sidecars (keyed by source stage name) as orphans
+    val referenced = all.map(f => relSuffix(f).takeWhile(_ != '/'))
     val orphans = listDir(dataDir(dir))
       .filter(p => Files.isDirectory(p) &&
         !referenced.contains(p.getFileName.toString))
@@ -936,20 +1095,45 @@ object TxTable {
     if (name.startsWith("/") || name.contains("://")) name
     else s"${logDir(dir)}/$name"
 
-  /** DV references in force as of `upTo` — one full log replay
-    * (driver-bounded like the log itself; checkpoints accelerate the
-    * FILE set, the term that actually grows). `dvReset` entries
-    * (RESTORE, PURGE) clear the accumulated list before contributing
-    * their own.
+  private def ckptDvFile(dir: String, v: Int): Path =
+    ckptDir(dir, v).resolve("_dvrefs.json")
+
+  /** Fold the DV state forward over the log suffix (`after`, `upTo`]:
+    * `dvReset` entries (RESTORE, PURGE) clear the accumulated list
+    * before contributing their own.
     */
-  def dvRefsAt(dir: String,
-      upTo: Int = Int.MaxValue): Seq[String] = {
-    var dvs = Vector.empty[String]
-    readEntries(dir, upTo = upTo).foreach { e =>
+  private def dvRefsFrom(dir: String, seed: Vector[String],
+      after: Int, upTo: Int): Vector[String] = {
+    var dvs = seed
+    readEntries(dir, after = after, upTo = upTo).foreach { e =>
       if (e.dvReset) dvs = Vector.empty
       dvs = dvs ++ e.dvs
     }
     dvs
+  }
+
+  /** DV references in force as of `upTo`, seeded from the newest
+    * checkpoint ≤ `upTo` that carries a DV sidecar, then replaying
+    * only the log suffix — same O(suffix) contract as
+    * [[liveFilesFast]] (pre-sidecar checkpoints fall back to the full
+    * replay, which stays the semantic oracle).
+    */
+  def dvRefsAt(dir: String,
+      upTo: Int = Int.MaxValue): Seq[String] = {
+    val seedV = ckptVersions(dir)
+      .filter(v => v <= upTo && Files.exists(ckptDvFile(dir, v)))
+      .lastOption
+    seedV match {
+      case None => dvRefsFrom(dir, Vector.empty, after = 0, upTo = upTo)
+      case Some(cv) =>
+        val s = new String(Files.readAllBytes(ckptDvFile(dir, cv)),
+          "UTF-8")
+        // suffix reads never parse pre-checkpoint entries, so the
+        // read gate must fire off the sidecar's recorded protocol
+        assertReadable(dir, sidecarProtocol(s))
+        dvRefsFrom(dir, jsonArr(s, "dvs").toVector, after = cv,
+          upTo = upTo)
+    }
   }
 
   /** Union of DV rows — `(file: 2-segment suffix, pos: row index)`. */
@@ -1043,6 +1227,14 @@ object TxTable {
   private def commitDvOf(spark: SparkSession, dir: String,
       checkpointEvery: Int,
       matchRows: DataFrame => DataFrame): Int = {
+    val prot = assertWritable(dir)
+    // the FIRST deletion vector upgrades the table's protocol in the
+    // SAME commit: from then on a DV-unaware engine hard-fails on
+    // read instead of silently resurrecting deleted rows
+    val protUp =
+      if (prot.readerFeatures.contains("deletion-vectors")) None
+      else Some(prot.upgradedWith(2, 2, Set("deletion-vectors"),
+        Set("deletion-vectors")))
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
     val dvs = dvRefsAt(dir)
@@ -1066,7 +1258,8 @@ object TxTable {
     val affected = files.filter(f => affectedSuffix.contains(relSuffix(f)))
     try {
       val v = commitWithRetry(dir, Seq.empty, Seq.empty, v0,
-        dvDeleteConflicts(affected.toSet), dvs = Seq(name))
+        dvDeleteConflicts(affected.toSet), dvs = Seq(name),
+        protocol = protUp)
       maybeCheckpoint(spark, dir, v, checkpointEvery)
       v
     } catch {
@@ -1084,6 +1277,7 @@ object TxTable {
   def commitPurgeDVs(spark: SparkSession, dir: String,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
+    assertWritable(dir)
     val dvs = dvRefsAt(dir)
     if (dvs.isEmpty) return currentVersion(dir)
     val files = liveFilesFast(spark, dir)
@@ -1122,6 +1316,7 @@ object TxTable {
     */
   def commitRestore(spark: SparkSession, dir: String, toVersion: Int,
       checkpointEvery: Int = DefaultCheckpointEvery): Int = {
+    assertWritable(dir)
     val target = liveFiles(dir, Some(toVersion))
     require(target.nonEmpty,
       s"nothing to restore: version $toVersion has no live files")
@@ -1220,6 +1415,7 @@ object TxTable {
       exprSql: String): Unit = {
     require(!name.contains("\"") && !name.contains("\n"),
       s"bad constraint name: $name")
+    assertWritable(dir)
     if (currentVersion(dir) > 0) {
       val bad = snapshot(spark, dir)
         .filter(coalesce(expr(exprSql), lit(true)) === false).count()
@@ -1242,16 +1438,24 @@ object TxTable {
     ()
   }
 
-  /** Enforce every active constraint on rows about to land — ONE
-    * distributed aggregation over the batch counting violations per
-    * constraint (never collecting row data); any violation aborts the
-    * whole commit BEFORE staging (all-or-nothing, Delta's contract).
-    * No constraints → no job.
+  /** Enforce every active constraint on the rows that ACTUALLY landed
+    * in the staged files — ONE distributed aggregation over the staged
+    * parquet counting violations per constraint (never collecting row
+    * data); any violation deletes the stage and aborts the commit
+    * (all-or-nothing). Validating the staged bytes instead of the
+    * input DataFrame closes the non-determinism hole (a df built on
+    * rand() or a re-read of changing input could pass a pre-stage
+    * check yet stage violating rows — Delta enforces invariants on
+    * the data actually written) AND drops the second full computation
+    * of the input's lineage. No constraints → no job.
     */
-  private def enforceConstraints(df: DataFrame, dir: String): Unit = {
+  private def enforceConstraintsStaged(spark: SparkSession, dir: String,
+      files: Seq[String]): Unit = {
     val cs = checkConstraints(dir)
-    if (cs.isEmpty) return
-    val counts = df.agg(
+    if (cs.isEmpty || files.isEmpty) return
+    val base = dataDir(dir).toString
+    val staged = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+    val counts = staged.agg(
       count(lit(1)).as("_n"),
       cs.map { case (n, e) =>
         // coalesce: sum over an EMPTY batch is NULL, and an empty
@@ -1265,6 +1469,26 @@ object TxTable {
     }
     if (bad.nonEmpty) throw new ConstraintViolationException(
       "constraint violation, commit rejected: " + bad.mkString("; "))
+  }
+
+  /** Stage `df`, then validate the STAGED files against the table's
+    * CHECK constraints; a violation removes the stage (and its never-
+    * committed sidecar slot) before rethrowing, so a rejected commit
+    * leaves no version and no bytes behind. The path every verb that
+    * lands NEW row content takes (append / merge / update); pure
+    * survivor re-arrangements (delete, compact, purge) keep plain
+    * [[stage]] — their rows were validated when they first landed.
+    */
+  private def stageValidated(df: DataFrame, dir: String,
+      v: Int): Seq[String] = {
+    val added = stage(df, dir, v)
+    try { enforceConstraintsStaged(df.sparkSession, dir, added); added }
+    catch {
+      case e: ConstraintViolationException =>
+        if (added.nonEmpty)
+          deleteDirRec(dataDir(dir).resolve(stageRelOf(added)))
+        throw e
+    }
   }
 
   /** Fully resolved scan paths for the DSv2/SQL surface (handles a
@@ -1308,7 +1532,38 @@ object TxTable {
     val dvs = dvRefsAt(srcDir, upTo).map(dvPath(srcDir, _))
       .map(p => Paths.get(p).toAbsolutePath.toString)
     writeEntry(dstDir, Entry(1, adds, Seq.empty, dvs = dvs))
+    // a clone inherits the TABLE METADATA, not just the file refs
+    // (Delta's shallow clone copies metadata): the source's CHECK
+    // constraints travel — otherwise the clone would silently accept
+    // rows the source rejects — and its stats/bloom sidecars are
+    // copied (tiny parquet, O(files) rows) so file skipping keeps
+    // pruning the inherited files: sidecars key on the 2-segment path
+    // suffix, which is identical under an absolute reference
+    val srcCf = constraintsFile(srcDir)
+    if (Files.exists(srcCf)) {
+      Files.copy(srcCf, constraintsFile(dstDir),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    listDir(logDir(srcDir))
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("stats-"))
+      .foreach { sd =>
+        copyDirRec(sd, logDir(dstDir).resolve(sd.getFileName.toString))
+      }
     1
+  }
+
+  private def copyDirRec(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    listDir(src).foreach { c =>
+      if (Files.isDirectory(c)) copyDirRec(c, dst.resolve(c.getFileName))
+      else {
+        Files.copy(c, dst.resolve(c.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
   }
 
   // ---------------------------------------------------------------
@@ -1537,7 +1792,10 @@ object TxTable {
             val skippable = st
               .filter(!coalesce(sp, lit(true)))
               .select(col("file")).collect().map(_.getString(0)).toSet
-            (live.filterNot(skippable), live.filter(skippable))
+            // match on the 2-segment suffix: sidecars always key on
+            // it, and a clone's live names are ABSOLUTE source paths
+            (live.filterNot(f => skippable.contains(relSuffix(f))),
+              live.filter(f => skippable.contains(relSuffix(f))))
         }
     }
   }
@@ -1640,8 +1898,19 @@ object TxTable {
             .filter(f => affectedSuffix.contains(relSuffix(f)))
           if (fs.isEmpty) Seq.empty
           else {
-            val raw = withMeta(vis(fs, Seq.empty))
-            val rows = raw.join(
+            // deletes are the rows visible BEFORE this commit (prior
+            // DVs applied) that the new DV hides: two concurrent DV
+            // deletes may legally record the SAME (file, pos) — both
+            // scanned visibility before the other landed — and a raw
+            // read here would emit that row as a delete at BOTH
+            // versions, over-retracting in any signed consumer
+            val base2 = dataDir(dir).toString
+            val rawM = withMeta(
+              spark.read.parquet(fs.map(absPath(base2, _)): _*))
+            val preVis =
+              if (preDvs.isEmpty) rawM
+              else applyDv(rawM, readDv(spark, dir, preDvs))
+            val rows = preVis.join(
                 dv.select(col("file").as("_f"), col("pos").as("_pos")),
                 Seq("_f", "_pos"), "left_semi")
               .drop("_f", "_pos")

@@ -948,4 +948,178 @@ class TxTableSpec extends SparkSpec {
     assert(ids(dst) == (4L to 11L).toSet + 100L)
     ()
   }
+
+  test("r13 advice fixes: DV checkpoint sidecar, overlapping-DV feed, clone metadata, staged validation") {
+    // (1) dvRefsAt rides the checkpoint sidecar: after the ckpt at
+    // v10, resolution must need NOTHING before it — proven by
+    // deleting the pre-checkpoint JSON entries outright
+    val dir1 = java.nio.file.Files.createTempDirectory("tx-r13-ckpt-")
+      .toString
+    TxTable.commitAppend(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("id", "s").repartition(2),
+      dir1) // v1
+    TxTable.commitDeleteDV(spark, dir1, col("id") % 5 === 0) // v2
+    (3 to 10).foreach { v =>
+      TxTable.commitAppend(Seq((100L + v, "x")).toDF("id", "s"), dir1)
+    } // v3..v10 — the v10 checkpoint carries the DV sidecar
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      dir1, "_txlog", "ckpt-v00010", "_dvrefs.json")))
+    TxTable.commitAppend(Seq((111L, "x")).toDF("id", "s"), dir1) // v11
+    def ids1() = TxTable.snapshot(spark, dir1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val expect1 = (1L to 20L).filterNot(_ % 5 == 0).toSet ++
+      (103L to 111L)
+    assert(ids1() == expect1)
+    (1 to 10).foreach { v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir1, "_txlog", f"v$v%05d.json"))
+    }
+    assert(ids1() == expect1,
+      "snapshot must resolve files AND DV state from ckpt + suffix only")
+
+    // (2) two DVs recording the SAME (file, pos) — the overlapping
+    // concurrent-delete shape — must emit the delete at the FIRST
+    // version only (signed consumers would over-retract otherwise)
+    val dir2 = java.nio.file.Files.createTempDirectory("tx-r13-dvdup-")
+      .toString
+    TxTable.commitAppend(
+      (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s").repartition(1),
+      dir2) // v1
+    TxTable.commitDeleteDV(spark, dir2, col("id") === 3L) // v2
+    val log2 = java.nio.file.Paths.get(dir2, "_txlog")
+    val dvDir = java.nio.file.Files.list(log2).iterator()
+    val firstDv = {
+      import scala.jdk.CollectionConverters._
+      dvDir.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("dv-")).toSeq.head
+    }
+    val dup = log2.resolve("dv-overlap")
+    java.nio.file.Files.createDirectories(dup)
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(log2.resolve(firstDv)).iterator().asScala
+        .foreach { f =>
+          java.nio.file.Files.copy(f, dup.resolve(f.getFileName.toString))
+          ()
+        }
+    }
+    TxTable.writeEntry(dir2,
+      TxTable.Entry(3, Nil, Nil, dvs = Seq("dv-overlap"))) // v3 overlaps
+    assert(TxTable.snapshot(spark, dir2).count() == 9)
+    val feed2 = TxTable.changes(spark, dir2, 1)
+      .select(col("_commit_version"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(feed2 == Set((2L, 3L)),
+      s"the overlapping DV must not re-emit the delete: $feed2")
+
+    // (3) a shallow clone inherits CHECK constraints and stats
+    // sidecars (skipping keeps pruning the inherited files, through
+    // the clone's own vacuum)
+    val root3 = java.nio.file.Files.createTempDirectory("tx-r13-clone-")
+      .toString
+    val (src3, dst3) = (s"$root3/src", s"$root3/dst")
+    TxTable.addCheckConstraint(spark, src3, "id_pos", "id > 0")
+    TxTable.commitAppend(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")),
+      src3, statsCols = Seq("id"))
+    TxTable.cloneShallow(spark, src3, dst3)
+    intercept[TxTable.ConstraintViolationException] {
+      TxTable.commitAppend(Seq((-1L, "bad")).toDF("id", "s"), dst3)
+    }
+    val (_, skipped3) = TxTable.pruneFiles(spark, dst3, col("id") === 1L)
+    assert(skipped3.size == 3,
+      s"clone must prune via inherited stats, skipped $skipped3")
+    TxTable.vacuum(dst3, retainFrom = 1)
+    val (_, skipped3b) = TxTable.pruneFiles(spark, dst3, col("id") === 1L)
+    assert(skipped3b.size == 3,
+      "the clone's vacuum must keep the inherited sidecars")
+
+    // (4) a rejected commit validates the STAGED bytes and leaves no
+    // stage behind — no version, no orphan data dir
+    val dir4 = java.nio.file.Files.createTempDirectory("tx-r13-stage-")
+      .toString
+    TxTable.addCheckConstraint(spark, dir4, "id_pos", "id > 0")
+    intercept[TxTable.ConstraintViolationException] {
+      TxTable.commitAppend(
+        Seq((1L, "ok"), (-1L, "bad")).toDF("id", "s"), dir4)
+    }
+    assert(TxTable.currentVersion(dir4) == 0)
+    val data4 = java.nio.file.Paths.get(dir4, "data")
+    val leftover = if (!java.nio.file.Files.isDirectory(data4)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(data4).iterator().asScala.size
+      }
+    assert(leftover == 0, "a rejected commit must clean its stage")
+    ()
+  }
+
+  test("protocol versioning: implicit v1 reads unchanged, DV auto-upgrade, doctored future log fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("tx-r13-proto-")
+      .toString
+    val rows = (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s")
+    TxTable.commitAppend(rows.repartition(2), dir) // v1
+    // a pre-protocol table is implicitly 1/1 and fully usable
+    assert(TxTable.protocolAt(dir) == TxTable.Protocol(1, 1))
+    // the FIRST DV delete upgrades the protocol in the SAME commit
+    assert(TxTable.commitDeleteDV(spark, dir, col("id") === 5L) == 2)
+    val p2 = TxTable.protocolAt(dir)
+    assert(p2.minReader == 2 && p2.minWriter == 2 &&
+      p2.readerFeatures.contains("deletion-vectors"))
+    assert(TxTable.snapshot(spark, dir).count() == 9)
+    // a SECOND DV delete does not re-record the protocol
+    TxTable.commitDeleteDV(spark, dir, col("id") === 6L) // v3
+    // explicit upgrade is monotone (union, never downgrade) and is
+    // itself a metadata commit
+    val v4 = TxTable.upgradeProtocol(dir, 1, 2,
+      writerFeatures = Set("check-constraints"))
+    assert(v4 == 4)
+    val p4 = TxTable.protocolAt(dir)
+    assert(p4.minReader == 2, "upgrade must never downgrade")
+    assert(p4.writerFeatures.contains("check-constraints") &&
+      p4.writerFeatures.contains("deletion-vectors"))
+    // a writer-only future feature blocks writes but NOT reads
+    TxTable.writeEntry(dir, TxTable.Entry(5, Nil, Nil,
+      dataChange = false, protocol = Some(p4.upgradedWith(2, 3,
+        Set.empty, Set("exotic-writer")))))
+    assert(TxTable.snapshot(spark, dir).count() == 8)
+    intercept[TxTable.UnsupportedProtocolException] {
+      TxTable.commitAppend(rows.limit(1), dir)
+    }
+    intercept[TxTable.UnsupportedProtocolException] {
+      TxTable.commitDelete(spark, dir, col("id") === 1L)
+    }
+    // a doctored FUTURE reader version fails loudly on read AND write
+    TxTable.writeEntry(dir, TxTable.Entry(6, Nil, Nil,
+      dataChange = false,
+      protocol = Some(TxTable.Protocol(9, 9, Set("time-crystals")))))
+    intercept[TxTable.UnsupportedProtocolException] {
+      TxTable.snapshot(spark, dir).count()
+    }
+    intercept[TxTable.UnsupportedProtocolException] {
+      TxTable.commitAppend(rows.limit(1), dir)
+    }
+    intercept[TxTable.UnsupportedProtocolException] {
+      TxTable.vacuum(dir, 1)
+    }
+    // the protocol rides the checkpoint sidecar: a table whose ckpt
+    // records 2/2+dv still gates correctly with the JSON prefix gone
+    val dir2 = java.nio.file.Files.createTempDirectory("tx-r13-proto2-")
+      .toString
+    TxTable.commitAppend(rows.repartition(1), dir2) // v1
+    TxTable.commitDeleteDV(spark, dir2, col("id") === 1L) // v2
+    (3 to 10).foreach { v =>
+      TxTable.commitAppend(Seq((100L + v, "x")).toDF("id", "s"), dir2)
+    } // ckpt at v10
+    (1 to 9).foreach { v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir2, "_txlog", f"v$v%05d.json"))
+    }
+    val pCkpt = TxTable.protocolAt(dir2)
+    assert(pCkpt.minReader == 2 &&
+      pCkpt.readerFeatures.contains("deletion-vectors"),
+      s"protocol must survive through the sidecar: $pCkpt")
+    ()
+  }
 }
