@@ -73,5 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // fuse the SQL-idiom aggregate/zip_with dot product into the
     // codegen'd kernel — SQL-only users get the native loop for free
     ext.injectOptimizerRule(_ => graft.plans.VecFusion)
+    // SQL DELETE/UPDATE/MERGE on txlog tables, routed into the commit
+    // protocol (resolution-batch interception, the DeltaAnalysis
+    // pattern — fires before Spark's row-level rewrite would reject
+    // the stock ParquetTable)
+    ext.injectResolutionRule(_ => graft.plans.TxSqlDml)
   }
 }

@@ -648,6 +648,218 @@ object TxTable {
     v
   }
 
+  /** Predicate UPDATE (copy-on-write): rewrite ONLY the files holding
+    * a matching row, applying `sets` to the matching rows; untouched
+    * files stay live under their old names — the same affected-file
+    * contract as [[commitDelete]], so update cost rides the matched
+    * data, never table size. Assigned values are cast to the column's
+    * declared type (SQL UPDATE stores the cast); a NULL predicate row
+    * is NOT updated (three-valued logic: only TRUE matches). CHECK
+    * constraints validate the staged rows — an update that would land
+    * a violating row aborts whole.
+    */
+  def commitUpdate(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
+    assertWritable(dir)
+    val files = liveFilesFast(spark, dir)
+    val base = dataDir(dir).toString
+    val matches = coalesce(pred, lit(false))
+    val dvs = dvRefsAt(dir)
+    val raw = withMeta(
+      spark.read.parquet(files.map(absPath(base, _)): _*))
+    val visible =
+      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    val affectedRel = visible
+      .filter(matches)
+      .select(col("_f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = files.filter(f => affectedRel.contains(relSuffix(f)))
+    if (affected.isEmpty) return currentVersion(dir)
+    val v0 = currentVersion(dir) + 1
+    val affRaw = withMeta(
+      spark.read.parquet(affected.map(absPath(base, _)): _*))
+    val affVisible =
+      if (dvs.isEmpty) affRaw
+      else applyDv(affRaw, readDv(spark, dir, dvs))
+    val setMap = sets.toMap
+    val unknown = setMap.keySet -- affVisible.columns.toSet
+    require(unknown.isEmpty, s"UPDATE SET of unknown column(s): " +
+      unknown.mkString(", "))
+    val updated = affVisible.select(
+      affVisible.schema.fields
+        .filterNot(f => f.name == "_f" || f.name == "_pos")
+        .map { f =>
+          setMap.get(f.name) match {
+            case Some(v) =>
+              when(matches, v.cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }.toIndexedSeq: _*)
+    val added = stageValidated(updated, dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val v = commitWithRetry(dir, added, affected, v0,
+      rewriteConflicts(affected.toSet))
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
+    v
+  }
+
+  /** One WHEN clause of a SQL MERGE: `kind` ∈ update | delete |
+    * insert; `cond` the optional AND-condition; `sets` the
+    * assignments (update/insert). Column expressions reference target
+    * columns by their plain names and source columns under the
+    * `__src_` prefix — [[commitMergeDml]] renames the source side
+    * before joining, so the two sides can never collide.
+    */
+  final case class MergeClause(kind: String,
+      cond: Option[org.apache.spark.sql.Column],
+      sets: Seq[(String, org.apache.spark.sql.Column)])
+
+  /** Full SQL MERGE semantics (SQL:2003 / Delta's contract) on the
+    * copy-on-write path:
+    *
+    *  - WHEN MATCHED clauses fire in order, first TRUE condition
+    *    wins; a target row matching MORE THAN ONE source row with
+    *    any matched clause present is a cardinality violation and
+    *    aborts (Delta's `MERGE_CARDINALITY_VIOLATION`);
+    *  - WHEN NOT MATCHED (by target) inserts source rows, first
+    *    applicable clause wins, unassigned target columns NULL;
+    *  - WHEN NOT MATCHED BY SOURCE updates/deletes target rows with
+    *    no match — present ⇒ every live file is affected (the clause
+    *    reads the whole table by definition);
+    *
+    * Only files holding a row the merge TOUCHES are rewritten;
+    * survivors of those files re-land beside the new rows in ONE
+    * atomic commit under the serializable rewrite conflict matrix.
+    * CHECK constraints validate the staged rows.
+    */
+  def commitMergeDml(spark: SparkSession, dir: String,
+      source: DataFrame, cond: org.apache.spark.sql.Column,
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil): Int = {
+    assertWritable(dir)
+    require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    val files = liveFilesFast(spark, dir)
+    val base = dataDir(dir).toString
+    val dvs = dvRefsAt(dir)
+    val raw = withMeta(
+      spark.read.parquet(files.map(absPath(base, _)): _*))
+    val visible =
+      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    // source side renamed up front: __src_<name> everywhere, plus the
+    // match marker no real column can collide with
+    val src = source.columns.foldLeft(source)((df, c) =>
+      if (c.startsWith("__src_")) df
+      else df.withColumnRenamed(c, s"__src_$c"))
+      .withColumn("__src_exists", lit(true))
+    val dataFields = visible.schema.fields
+      .filterNot(f => f.name == "_f" || f.name == "_pos").toIndexedSeq
+    val dataCols = dataFields.map(_.name)
+    // which files does the merge touch? NOT-MATCHED-BY-SOURCE reads
+    // every row by definition; otherwise one distributed semi join
+    val affected =
+      if (notMatchedBySource.nonEmpty) files
+      else {
+        val affectedRel = visible
+          .join(src, cond, "left_semi")
+          .select(col("_f"))
+          .distinct().collect().map(_.getString(0)).toSet
+        files.filter(f => affectedRel.contains(relSuffix(f)))
+      }
+    val aff =
+      if (affected.isEmpty) visible.limit(0)
+      else {
+        val r = withMeta(
+          spark.read.parquet(affected.map(absPath(base, _)): _*))
+        if (dvs.isEmpty) r else applyDv(r, readDv(spark, dir, dvs))
+      }
+    // first-applicable-clause index (-1 = none): when() chains give
+    // natural first-TRUE-wins evaluation
+    def actIdx(clauses: Seq[MergeClause]): org.apache.spark.sql.Column =
+      clauses.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case ((cl, i), acc) =>
+          when(coalesce(cl.cond.getOrElse(lit(true)), lit(false)),
+            lit(i)).otherwise(acc)
+      }
+    // apply an update/delete clause chain to rows: drop rows whose
+    // first clause is a delete, rewrite columns per the first update
+    def applyChain(rows: DataFrame,
+        clauses: Seq[MergeClause]): DataFrame = {
+      if (clauses.isEmpty) return rows.select(dataCols.map(col): _*)
+      val tagged = rows.withColumn("__act", actIdx(clauses))
+      val delIdx = clauses.zipWithIndex.collect {
+        case (c, i) if c.kind == "delete" => i
+      }
+      val kept =
+        if (delIdx.isEmpty) tagged
+        else tagged.filter(!col("__act").isin(delIdx.map(Integer.valueOf): _*))
+      kept.select(dataFields.map { f =>
+        clauses.zipWithIndex.collect {
+          case (c, i) if c.kind == "update" =>
+            (i, c.sets.toMap.get(f.name))
+        }.foldRight(col(f.name)) {
+          case ((i, setV), acc) => setV match {
+            case Some(v) =>
+              when(col("__act") === i, v.cast(f.dataType)).otherwise(acc)
+            case None => acc
+          }
+        }.as(f.name)
+      }.toIndexedSeq: _*)
+    }
+    // matched target rows: cardinality-checked inner join when any
+    // matched clause exists; a bare semi join (no duplication, no
+    // rewrite) when only the other clause kinds are present
+    val matchedRows =
+      if (matched.isEmpty) aff.join(src, cond, "left_semi")
+        .select(dataCols.map(col): _*)
+      else {
+        val m = aff.join(src, cond, "inner")
+        val dup = m.groupBy(col("_f"), col("_pos"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).count()
+        if (dup > 0) throw new IllegalArgumentException(
+          "MERGE cardinality violation: a target row matched more " +
+            "than one source row")
+        applyChain(m, matched)
+      }
+    val unmatchedRows = applyChain(
+      aff.join(src, cond, "left_anti"), notMatchedBySource)
+    // inserts: source rows matching NOTHING in the whole table
+    val insertRows =
+      if (notMatched.isEmpty) None
+      else {
+        val miss = src.join(visible, cond, "left_anti")
+          .withColumn("__act", actIdx(notMatched))
+          .filter(col("__act") =!= -1)
+        Some(miss.select(dataFields.map { f =>
+          notMatched.zipWithIndex.foldRight(
+              lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+            case ((c, i), acc) => c.sets.toMap.get(f.name) match {
+              case Some(v) =>
+                when(col("__act") === i, v.cast(f.dataType)).otherwise(acc)
+              case None => acc
+            }
+          }.as(f.name)
+        }.toIndexedSeq: _*))
+      }
+    val staged = insertRows
+      .foldLeft(matchedRows.unionByName(unmatchedRows))(_ unionByName _)
+    val v0 = currentVersion(dir) + 1
+    val added = stageValidated(staged, dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val v = commitWithRetry(dir, added, affected, v0,
+      rewriteConflicts(affected.toSet))
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
+    v
+  }
+
   /** Idempotent append at an EXPLICIT version — the exactly-once
     * streaming-sink protocol: `foreachBatch` maps micro-batch N to
     * version base+N+1; on restart a replayed batch finds its version

@@ -4988,8 +4988,113 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("host")).as("n_hosts"))
         .orderBy("verdict")
+    }),
+
+    // SQL row-level mutation, part 1: `DELETE FROM txlog.`root``
+    // through the analyzer bridge (graft.plans.TxSqlDml — the
+    // DeltaAnalysis interception pattern) into the certified
+    // affected-file-only rewrite. The predicate (doc_id % 3) is NOT
+    // filter-pushable, exactly what the SupportsDelete route could
+    // never serve. The oracle recomputes every version from the base
+    // table
+    "q357_sql_delete" -> ((s, d) => {
+      val dir2 = txSqlDmlDir(s, d)
+      txRoll3(s, dir2, Seq(1, 2, 3))
+    }),
+
+    // SQL row-level mutation, part 2: `UPDATE ... SET` — assignments
+    // cast to the column's type, only files holding a matching row
+    // rewritten, CHECK constraints on the staged rows. Runs against
+    // the SAME fixture table after its deletes (v4, v5)
+    "q358_sql_update" -> ((s, d) => {
+      val dir2 = txSqlDmlDir(s, d)
+      txRoll3(s, dir2, Seq(4, 5))
+    }),
+
+    // SQL row-level mutation, part 3: `MERGE INTO` with the full
+    // clause surface — WHEN MATCHED AND <cond> THEN DELETE, WHEN
+    // MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT — one atomic
+    // commit (v6) under the serializable rewrite matrix
+    "q359_sql_merge" -> ((s, d) => {
+      val dir2 = txSqlDmlDir(s, d)
+      txRoll3(s, dir2, Seq(6))
     })
   )
+
+  /** Version-checksum roll over the SQL-DML fixture table — one row
+    * per version: (version, n_rows, bit_xor md5 checksum over
+    * doc_id|text|lang).
+    */
+  private def txRoll3(s: SparkSession, dir2: String,
+      versions: Seq[Int]): DataFrame = {
+    def roll(v: Int): DataFrame =
+      graft.operators.TxTable.snapshot(s, dir2, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "text, '|', lang)), 1, 15), 16, 10) AS BIGINT))")
+            .as("checksum"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("checksum"))
+    versions.map(roll).reduce(_ unionAll _).orderBy("version")
+  }
+
+  /** SQL-DML fixture (q357/q358/q359): ONE table mutated purely
+    * through `spark.sql` statements —
+    *   v1 append (operator API, the only non-SQL step),
+    *   v2 `DELETE ... WHERE doc_id % 3 = 0`,
+    *   v3 `DELETE ... WHERE lang = 'de'`,
+    *   v4 `UPDATE SET text = concat('u:', text) WHERE doc_id % 5 = 0`,
+    *   v5 `UPDATE SET lang = 'yy', text = concat(text, '#z')
+    *        WHERE lang = 'zh'`,
+    *   v6 `MERGE INTO` (matched-delete / matched-update /
+    *        not-matched-insert in one commit).
+    * Every version stays time-travelable; the oracle recomputes each
+    * from the base relation.
+    */
+  private val txSqlDmlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txSqlDmlDir(s: SparkSession, dir: String): String =
+    txSqlDmlCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txsqldml-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(4, col("doc_id")), tmp) // v1
+      def sql1(q: String): Long = s.sql(q).collect().head.getLong(0)
+      val v2 = sql1(s"DELETE FROM txlog.`$tmp` WHERE doc_id % 3 = 0")
+      require(v2 == 2L, s"SQL DELETE expected v2, got v$v2")
+      val v3 = sql1(s"DELETE FROM txlog.`$tmp` WHERE lang = 'de'")
+      require(v3 == 3L, s"SQL DELETE expected v3, got v$v3")
+      val v4 = sql1(s"UPDATE txlog.`$tmp` " +
+        "SET text = concat('u:', text) WHERE doc_id % 5 = 0")
+      require(v4 == 4L, s"SQL UPDATE expected v4, got v$v4")
+      val v5 = sql1(s"UPDATE txlog.`$tmp` " +
+        "SET lang = 'yy', text = concat(text, '#z') WHERE lang = 'zh'")
+      require(v5 == 5L, s"SQL UPDATE expected v5, got v$v5")
+      // merge source derived deterministically from the base table:
+      // matched updates (%7, odd), matched deletes (%7, even), new
+      // keys offset far past any real doc_id
+      docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(lit("m:"), col("text")).as("text"), col("lang"),
+          (col("doc_id") % 2 === 0).as("del"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("n:"), col("text")).as("text"), col("lang"),
+            lit(false).as("del")))
+        .createOrReplaceTempView("graft_q359_src")
+      val v6 = sql1(
+        s"""MERGE INTO txlog.`$tmp` t USING graft_q359_src u
+           |ON t.doc_id = u.doc_id
+           |WHEN MATCHED AND u.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET text = u.text
+           |WHEN NOT MATCHED THEN
+           |  INSERT (doc_id, text, lang) VALUES (u.doc_id, u.text, u.lang)
+           |""".stripMargin)
+      require(v6 == 6L, s"SQL MERGE expected v6, got v$v6")
+      tmp
+    })
 
   /** Two-generation events layout per sf dir (schema evolution
     * fixture): generation 1 (even event_ids) written WITHOUT
@@ -7623,6 +7728,44 @@ object AnalyticsQueries {
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents) "
        + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c "
        + "ORDER BY stage"),
+    // the SQL-DML fixture's delete versions recomputed from the base
+    // table (v1 full, v2 minus doc_id%3, v3 minus lang='de')
+    "q357_sql_delete" ->
+      ("WITH c1 AS (SELECT 1::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "c2 AS (SELECT 2::BIGINT, COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM documents WHERE doc_id % 3 <> 0), "
+       + "c3 AS (SELECT 3::BIGINT, COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM documents WHERE doc_id % 3 <> 0 AND lang <> 'de') "
+       + "SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 "
+       + "ORDER BY version"),
+    // the update versions: v4 prefixes u: on doc_id%5 rows, v5 moves
+    // zh rows to lang yy with a #z suffix — all over the v3 survivors
+    "q358_sql_update" ->
+      ("WITH t3 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0 AND lang <> 'de'), "
+       + "t4 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'u:' || text ELSE text END AS text, lang FROM t3), "
+       + "t5 AS (SELECT doc_id, CASE WHEN lang = 'zh' THEN text || '#z' ELSE text END AS text, "
+       + "CASE WHEN lang = 'zh' THEN 'yy' ELSE lang END AS lang FROM t4), "
+       + "c4 AS (SELECT 4::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM t4), "
+       + "c5 AS (SELECT 5::BIGINT, COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM t5) "
+       + "SELECT * FROM c4 UNION ALL SELECT * FROM c5 ORDER BY version"),
+    // the merge commit: matched %7 rows delete (even) or take the
+    // source text m:<base> (odd); unmatched source rows — including
+    // %7 keys the deletes removed — insert; +10M keys always insert
+    "q359_sql_merge" ->
+      ("WITH t3 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 <> 0 AND lang <> 'de'), "
+       + "t4 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'u:' || text ELSE text END AS text, lang FROM t3), "
+       + "t5 AS (SELECT doc_id, CASE WHEN lang = 'zh' THEN text || '#z' ELSE text END AS text, "
+       + "CASE WHEN lang = 'zh' THEN 'yy' ELSE lang END AS lang FROM t4), "
+       + "kept AS (SELECT t5.doc_id, CASE WHEN t5.doc_id % 7 = 0 THEN 'm:' || b.text ELSE t5.text END AS text, t5.lang "
+       + "FROM t5 JOIN documents b USING (doc_id) WHERE NOT (t5.doc_id % 7 = 0 AND t5.doc_id % 2 = 0)), "
+       + "ins1 AS (SELECT doc_id, 'm:' || text AS text, lang FROM documents WHERE doc_id % 7 = 0 AND (doc_id % 3 = 0 OR lang = 'de')), "
+       + "ins2 AS (SELECT doc_id + 10000000 AS doc_id, 'n:' || text AS text, lang FROM documents WHERE doc_id % 11 = 0), "
+       + "fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins1 UNION ALL SELECT * FROM ins2) "
+       + "SELECT 6::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM fin"),
     // from-scratch MAX over the fixture's closed-form final rows
     "q355_ivm_minmax" ->
       ("WITH af AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text "

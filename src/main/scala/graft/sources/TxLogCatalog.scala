@@ -57,7 +57,12 @@ class TxLogCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
-  private def rootFor(ident: Identifier): String = {
+  /** The table-root path an identifier denotes — public so the DML
+    * bridge ([[graft.plans.TxSqlDml]]) can route DELETE/UPDATE/MERGE
+    * on a relation loaded from this catalog back into the commit
+    * protocol.
+    */
+  def rootFor(ident: Identifier): String = {
     val local = (ident.namespace() :+ ident.name()).mkString("/")
     base.map(b => s"$b/$local").getOrElse(local)
   }
