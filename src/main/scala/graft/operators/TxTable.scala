@@ -94,7 +94,9 @@ object TxTable {
   private[operators] final case class Entry(version: Int, adds: Seq[String],
       removes: Seq[String], dataChange: Boolean = true,
       dvs: Seq[String] = Nil, dvReset: Boolean = false,
-      protocol: Option[Protocol] = None)
+      protocol: Option[Protocol] = None,
+      renameFrom: Seq[String] = Nil, renameTo: Seq[String] = Nil,
+      dropCols: Seq[String] = Nil)
 
   /** Raised when an optimistic retry finds a real conflict (Delta's
     * `ConcurrentModificationException` contract).
@@ -196,6 +198,152 @@ object TxTable {
     else Some(s.substring(i + key.length + 3).takeWhile(_.isDigit).toInt)
   }
 
+  // ---------------------------------------------------------------
+  // Column mapping (RENAME / DROP without rewrite)
+  // ---------------------------------------------------------------
+
+  /** The logical↔physical column map (Delta's column mapping): the
+    * PHYSICAL name a column was first written under never changes —
+    * RENAME only re-points the logical name (a metadata commit, zero
+    * bytes moved) and DROP hides the physical column (data removed
+    * lazily, whenever a rewrite next touches a file). Replayed from
+    * `renameFrom`/`renameTo`/`dropCols` entry fields in commit order,
+    * so time travel resolves the names in force AT that version.
+    */
+  final case class ColumnMapping(renames: Map[String, String],
+      dropped: Set[String]) {
+    def active: Boolean = renames.nonEmpty || dropped.nonEmpty
+    /** Current logical name of a physical column; None = dropped. */
+    def logicalOf(p: String): Option[String] =
+      if (dropped.contains(p)) None else Some(renames.getOrElse(p, p))
+    /** Physical name behind a logical column. */
+    def physicalOf(l: String): String =
+      renames.collectFirst { case (p, ll) if ll == l => p }.getOrElse(l)
+    private[operators] def applyOps(renFrom: Seq[String],
+        renTo: Seq[String], drops: Seq[String]): ColumnMapping = {
+      var m = this
+      renFrom.zip(renTo).foreach { case (o, n) =>
+        val p = m.physicalOf(o)
+        m = m.copy(renames = m.renames + (p -> n))
+      }
+      drops.foreach { l =>
+        val p = m.physicalOf(l)
+        m = m.copy(dropped = m.dropped + p)
+      }
+      m
+    }
+  }
+
+  val NoMapping: ColumnMapping = ColumnMapping(Map.empty, Set.empty)
+
+  /** Mapping state as of `upTo`, checkpoint-sidecar-seeded like
+    * [[dvRefsAt]].
+    */
+  def mappingAt(dir: String, upTo: Int = Int.MaxValue): ColumnMapping = {
+    val seedV = ckptVersions(dir)
+      .filter(v => v <= upTo && Files.exists(ckptDvFile(dir, v)))
+      .lastOption
+    val seed = seedV match {
+      case None => NoMapping
+      case Some(cv) =>
+        val s = new String(Files.readAllBytes(ckptDvFile(dir, cv)),
+          "UTF-8")
+        ColumnMapping(
+          jsonArr(s, "cmFrom").zip(jsonArr(s, "cmTo")).toMap,
+          jsonArr(s, "cmDrop").toSet)
+    }
+    readEntries(dir, after = seedV.getOrElse(0), upTo = upTo)
+      .foldLeft(seed)((m, e) =>
+        m.applyOps(e.renameFrom, e.renameTo, e.dropCols))
+  }
+
+  /** Project a PHYSICAL scan (optionally carrying `_f`/`_pos` meta)
+    * to the logical view: dropped columns vanish, renamed columns
+    * take their logical name, meta passes through.
+    */
+  private def toLogical(df: DataFrame, m: ColumnMapping): DataFrame =
+    if (!m.active) df
+    else df.select(df.columns.flatMap {
+      case c @ ("_f" | "_pos") => Some(col(c))
+      case p => m.logicalOf(p).map(l => col(p).as(l))
+    }.toIndexedSeq: _*)
+
+  /** Rename a LOGICAL view back to physical names for staging. */
+  private def toPhysical(df: DataFrame, m: ColumnMapping): DataFrame =
+    if (!m.active) df
+    else df.select(df.columns.map(l =>
+      col(l).as(m.physicalOf(l))).toIndexedSeq: _*)
+
+  /** Guard a batch about to land: a NEW logical column whose name is
+    * already a physical name in use (renamed-away or dropped) would
+    * collide in the files — rejected loudly (Delta avoids this with
+    * UUID physical names; we keep readable physicals and refuse the
+    * one ambiguous case instead).
+    */
+  private def assertNoPhysicalCollision(df: DataFrame,
+      m: ColumnMapping): Unit = {
+    if (!m.active) return
+    val taken = m.renames.keySet ++ m.dropped
+    val bad = df.columns.filter(l =>
+      m.physicalOf(l) == l && taken.contains(l))
+    require(bad.isEmpty,
+      s"column(s) ${bad.mkString(", ")} collide with physical names " +
+        "already in use by a renamed or dropped column; pick another " +
+        "name")
+  }
+
+  private def schemaOpConflicts: Seq[Entry] => Option[String] =
+    es =>
+      if (es.exists(e => e.renameFrom.nonEmpty || e.dropCols.nonEmpty))
+        Some("concurrent schema change")
+      else None
+
+  /** The protocol rider a schema-op commit carries when the table has
+    * never used column mapping: older readers must hard-fail rather
+    * than serve physical names.
+    */
+  private def mappingProtocolRider(dir: String): Option[Protocol] = {
+    val p = assertWritable(dir)
+    if (p.readerFeatures.contains("column-mapping")) None
+    else Some(p.upgradedWith(2, 2, Set("column-mapping"),
+      Set("column-mapping")))
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN old TO new — one metadata commit,
+    * no data rewritten; reads at older versions keep the old name.
+    */
+  def renameColumn(spark: SparkSession, dir: String, oldName: String,
+      newName: String): Int = {
+    val rider = mappingProtocolRider(dir)
+    val m = mappingAt(dir)
+    val logical = snapshot(spark, dir).columns.toSet
+    require(logical.contains(oldName), s"no such column: $oldName")
+    require(!logical.contains(newName),
+      s"column $newName already exists")
+    // the new logical name must not shadow a physical name in use —
+    // the same collision rule appends obey
+    val taken = (m.renames.keySet ++ m.dropped) - m.physicalOf(oldName)
+    require(!taken.contains(newName),
+      s"column name $newName collides with a physical name in use")
+    commitWithRetry(dir, Seq.empty, Seq.empty, currentVersion(dir) + 1,
+      schemaOpConflicts, dataChange = false, protocol = rider,
+      renameFrom = Seq(oldName), renameTo = Seq(newName))
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — hides the column now; bytes are
+    * reclaimed lazily when rewrites touch the files.
+    */
+  def dropColumn(spark: SparkSession, dir: String,
+      name: String): Int = {
+    val rider = mappingProtocolRider(dir)
+    val logical = snapshot(spark, dir).columns.toSet
+    require(logical.contains(name), s"no such column: $name")
+    require(logical.size > 1, "cannot drop the last column")
+    commitWithRetry(dir, Seq.empty, Seq.empty, currentVersion(dir) + 1,
+      schemaOpConflicts, dataChange = false, protocol = rider,
+      dropCols = Seq(name))
+  }
+
   /** ALTER TABLE ... SET PROTOCOL: commit a metadata-only entry that
     * raises the table's requirements — monotone (no downgrade), and
     * concurrent protocol changes conflict rather than silently
@@ -242,6 +390,14 @@ object TxTable {
       s""""dvs":[${e.dvs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
       s""""dvReset":${e.dvReset},""" +
       e.protocol.map(p => protocolJson(p) + ",").getOrElse("") +
+      (if (e.renameFrom.isEmpty) "" else
+        s""""renameFrom":[${e.renameFrom.map(x => "\"" + esc(x) + "\"")
+          .mkString(",")}],""" +
+        s""""renameTo":[${e.renameTo.map(x => "\"" + esc(x) + "\"")
+          .mkString(",")}],""") +
+      (if (e.dropCols.isEmpty) "" else
+        s""""dropCols":[${e.dropCols.map(x => "\"" + esc(x) + "\"")
+          .mkString(",")}],""") +
       s""""dataChange":${e.dataChange}}"""
     // CREATE_NEW is the commit point: the version file either appears
     // fully or the commit fails — a concurrent writer of the same
@@ -307,7 +463,10 @@ object TxTable {
         dataChange = !s.contains("\"dataChange\":false"),
         dvs = jsonArr(s, "dvs"),
         dvReset = s.contains("\"dvReset\":true"),
-        protocol = jsonInt(s, "minReader").map(_ => sidecarProtocol(s)))
+        protocol = jsonInt(s, "minReader").map(_ => sidecarProtocol(s)),
+        renameFrom = jsonArr(s, "renameFrom"),
+        renameTo = jsonArr(s, "renameTo"),
+        dropCols = jsonArr(s, "dropCols"))
       // the READ gate: parsing an entry that demands a newer reader
       // hard-fails right here — every read and write path funnels
       // through this parser, so no caller can misread a protected
@@ -377,8 +536,15 @@ object TxTable {
     // AND the protocol, so both resolve from ckpt + suffix
     val dvs = dvRefsAt(dir, v) // itself seeded from the prior sidecar
     val prot = protocolAt(dir, v)
+    val cm = mappingAt(dir, v)
+    def arr(xs: Seq[String]) =
+      xs.map(x => "\"" + esc(x) + "\"").mkString(",")
+    val cmPairs = cm.renames.toSeq.sortBy(_._1)
     Files.write(ckptDvFile(dir, v),
-      (s"""{"dvs":[${dvs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
+      (s"""{"dvs":[${arr(dvs)}],""" +
+        s""""cmFrom":[${arr(cmPairs.map(_._1))}],""" +
+        s""""cmTo":[${arr(cmPairs.map(_._2))}],""" +
+        s""""cmDrop":[${arr(cm.dropped.toSeq.sorted)}],""" +
         protocolJson(prot) + "}")
         .getBytes("UTF-8"))
     // _last_checkpoint is advisory (the one overwritten file, exactly
@@ -464,14 +630,16 @@ object TxTable {
       conflicts: Seq[Entry] => Option[String],
       maxAttempts: Int = 20, dataChange: Boolean = true,
       dvs: Seq[String] = Nil, dvReset: Boolean = false,
-      protocol: Option[Protocol] = None): Int = {
+      protocol: Option[Protocol] = None,
+      renameFrom: Seq[String] = Nil, renameTo: Seq[String] = Nil,
+      dropCols: Seq[String] = Nil): Int = {
     var v = firstV
     var validatedThrough = firstV - 1
     var attempt = 0
     while (true) {
       try {
         writeEntry(dir, Entry(v, adds, removes, dataChange, dvs, dvReset,
-          protocol))
+          protocol, renameFrom, renameTo, dropCols))
         return v
       }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -585,10 +753,12 @@ object TxTable {
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
+    val m = mappingAt(dir)
+    assertNoPhysicalCollision(df, m)
     val v0 = currentVersion(dir) + 1
-    val added = stageValidated(df, dir, v0)
-    writeStats(df.sparkSession, dir, stageRelOf(added), added, statsCols,
-      bloomCols)
+    val added = stageValidated(toPhysical(df, m), dir, v0)
+    writeStats(df.sparkSession, dir, stageRelOf(added), added,
+      statsCols.map(m.physicalOf), bloomCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts)
     maybeCheckpoint(df.sparkSession, dir, v, checkpointEvery)
     v
@@ -611,9 +781,9 @@ object TxTable {
       statsCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
     val files = liveFilesFast(spark, dir)
-    val base = dataDir(dir).toString
     val matches = coalesce(pred, lit(false))
     val dvs = dvRefsAt(dir)
+    val m = mappingAt(dir)
     // which files hold a matching row? one distributed scan; the
     // distinct aggregation and full-path -> suffix mapping run
     // DISTRIBUTED, so the driver receives only the bounded set of
@@ -623,25 +793,19 @@ object TxTable {
     // rows are invisible: a file whose only matches are already
     // deleted is not rewritten, and its survivors re-land WITHOUT
     // them (a rewrite materializes the file's DV, Delta's rule).
-    val raw = withMeta(
-      spark.read.parquet(files.map(absPath(base, _)): _*))
-    val visible =
-      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
-    val affectedRel = visible
+    val affectedRel = visibleWithMeta(spark, dir, files, dvs, m)
       .filter(matches)
       .select(col("_f"))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = files.filter(f => affectedRel.contains(relSuffix(f)))
     if (affected.isEmpty) return currentVersion(dir)
     val v0 = currentVersion(dir) + 1
-    val affRaw = withMeta(
-      spark.read.parquet(affected.map(absPath(base, _)): _*))
-    val affVisible =
-      if (dvs.isEmpty) affRaw
-      else applyDv(affRaw, readDv(spark, dir, dvs))
-    val added = stage(affVisible.filter(!matches).drop("_f", "_pos"),
+    val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
+    val added = stage(
+      toPhysical(affVisible.filter(!matches).drop("_f", "_pos"), m),
       dir, v0)
-    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    writeStats(spark, dir, stageRelOf(added), added,
+      statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
       rewriteConflicts(affected.toSet))
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -665,25 +829,17 @@ object TxTable {
       statsCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
     val files = liveFilesFast(spark, dir)
-    val base = dataDir(dir).toString
     val matches = coalesce(pred, lit(false))
     val dvs = dvRefsAt(dir)
-    val raw = withMeta(
-      spark.read.parquet(files.map(absPath(base, _)): _*))
-    val visible =
-      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
-    val affectedRel = visible
+    val m = mappingAt(dir)
+    val affectedRel = visibleWithMeta(spark, dir, files, dvs, m)
       .filter(matches)
       .select(col("_f"))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = files.filter(f => affectedRel.contains(relSuffix(f)))
     if (affected.isEmpty) return currentVersion(dir)
     val v0 = currentVersion(dir) + 1
-    val affRaw = withMeta(
-      spark.read.parquet(affected.map(absPath(base, _)): _*))
-    val affVisible =
-      if (dvs.isEmpty) affRaw
-      else applyDv(affRaw, readDv(spark, dir, dvs))
+    val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
     val setMap = sets.toMap
     val unknown = setMap.keySet -- affVisible.columns.toSet
     require(unknown.isEmpty, s"UPDATE SET of unknown column(s): " +
@@ -699,8 +855,9 @@ object TxTable {
             case None => col(f.name)
           }
         }.toIndexedSeq: _*)
-    val added = stageValidated(updated, dir, v0)
-    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val added = stageValidated(toPhysical(updated, m), dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added,
+      statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
       rewriteConflicts(affected.toSet))
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -747,12 +904,9 @@ object TxTable {
     require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
       "MERGE needs at least one WHEN clause")
     val files = liveFilesFast(spark, dir)
-    val base = dataDir(dir).toString
     val dvs = dvRefsAt(dir)
-    val raw = withMeta(
-      spark.read.parquet(files.map(absPath(base, _)): _*))
-    val visible =
-      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    val m = mappingAt(dir)
+    val visible = visibleWithMeta(spark, dir, files, dvs, m)
     // source side renamed up front: __src_<name> everywhere, plus the
     // match marker no real column can collide with
     val src = source.columns.foldLeft(source)((df, c) =>
@@ -775,11 +929,7 @@ object TxTable {
       }
     val aff =
       if (affected.isEmpty) visible.limit(0)
-      else {
-        val r = withMeta(
-          spark.read.parquet(affected.map(absPath(base, _)): _*))
-        if (dvs.isEmpty) r else applyDv(r, readDv(spark, dir, dvs))
-      }
+      else visibleWithMeta(spark, dir, affected, dvs, m)
     // first-applicable-clause index (-1 = none): when() chains give
     // natural first-TRUE-wins evaluation
     def actIdx(clauses: Seq[MergeClause]): org.apache.spark.sql.Column =
@@ -852,8 +1002,9 @@ object TxTable {
     val staged = insertRows
       .foldLeft(matchedRows.unionByName(unmatchedRows))(_ unionByName _)
     val v0 = currentVersion(dir) + 1
-    val added = stageValidated(staged, dir, v0)
-    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val added = stageValidated(toPhysical(staged, m), dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added,
+      statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
       rewriteConflicts(affected.toSet))
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -874,7 +1025,9 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery): Boolean = {
     if (Files.exists(entryFile(dir, version))) return false
     assertWritable(dir)
-    val added = stageValidated(df, dir, version)
+    val m = mappingAt(dir)
+    assertNoPhysicalCollision(df, m)
+    val added = stageValidated(toPhysical(df, m), dir, version)
     try {
       writeEntry(dir, Entry(version, added, Seq.empty))
       maybeCheckpoint(df.sparkSession, dir, version, checkpointEvery)
@@ -895,12 +1048,11 @@ object TxTable {
       statsCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
     val files = liveFilesFast(spark, dir)
-    val base = dataDir(dir).toString
     val dvs = dvRefsAt(dir)
-    def visible(fs: Seq[String]): DataFrame = {
-      val raw = withMeta(spark.read.parquet(fs.map(absPath(base, _)): _*))
-      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
-    }
+    val m = mappingAt(dir)
+    assertNoPhysicalCollision(source, m)
+    def visible(fs: Seq[String]): DataFrame =
+      visibleWithMeta(spark, dir, fs, dvs, m)
     // the suffix projection rides the SCAN; distinct + mapping stay
     // distributed, so the driver receives only the affected names the
     // log entry must carry (commitDelete's contract — no O(files^2)
@@ -921,8 +1073,9 @@ object TxTable {
     // staged rows = survivors + source; validating the union is a
     // superset of Delta's written-data rule (survivors passed at
     // their own commit and pass again for free)
-    val added = stageValidated(survivors, dir, v0)
-    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val added = stageValidated(toPhysical(survivors, m), dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added,
+      statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
       rewriteConflicts(affected.toSet))
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -1122,8 +1275,12 @@ object TxTable {
     // compaction reads VISIBLE rows (DVs applied) — it materializes
     // any deletion vectors on its inputs, which then become inert
     // because the inputs leave the live set; row visibility is
-    // unchanged, so dataChange=false stays truthful
-    val current = readApplyingDv(spark, dir, files, dvRefsAt(dir))
+    // unchanged, so dataChange=false stays truthful. On a mapped
+    // table it reads the LOGICAL view (cluster keys are user-facing
+    // names; dropped columns materialize away) and stages physical
+    val m = mappingAt(dir)
+    val current = readApplyingDv(spark, dir, files, dvRefsAt(dir),
+      mapping = m)
     // clusterBy = OPTIMIZE's clustering axis: range-partition so each
     // output file owns a tight [min,max] slice of the cluster columns
     // — what makes the per-file stats actually selective (Delta's
@@ -1141,8 +1298,9 @@ object TxTable {
       else if (clusterBy.isEmpty) current.repartition(targetFiles)
       else current.repartitionByRange(targetFiles,
         clusterBy.map(col).toIndexedSeq: _*)
-    val added = stage(arranged, dir, v0)
-    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val added = stage(toPhysical(arranged, m), dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added,
+      statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, files, v0,
       compactConflicts(files.toSet), dataChange = false)
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -1194,9 +1352,13 @@ object TxTable {
     val outFiles = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
     val v0 = currentVersion(dir) + 1
-    val current = readApplyingDv(spark, dir, inputs, dvRefsAt(dir))
-    val added = stage(current.repartition(outFiles), dir, v0)
-    writeStats(spark, dir, stageRelOf(added), added, statsCols)
+    val m = mappingAt(dir)
+    val current = readApplyingDv(spark, dir, inputs, dvRefsAt(dir),
+      mapping = m)
+    val added = stage(toPhysical(current.repartition(outFiles), m),
+      dir, v0)
+    writeStats(spark, dir, stageRelOf(added), added,
+      statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, inputs, v0,
       compactConflicts(inputs.toSet), dataChange = false)
     maybeCheckpoint(spark, dir, v, checkpointEvery)
@@ -1372,22 +1534,44 @@ object TxTable {
     rows.join(dv.select(col("file").as("_f"), col("pos").as("_pos")),
       Seq("_f", "_pos"), "left_anti")
 
+  /** Raw scan of `files` with `_f`/`_pos` attached, prior DVs
+    * applied, projected to the LOGICAL view (meta passes through) —
+    * the shared read every rewriting verb starts from.
+    */
+  private def visibleWithMeta(spark: SparkSession, dir: String,
+      files: Seq[String], dvs: Seq[String],
+      m: ColumnMapping): DataFrame = {
+    val base = dataDir(dir).toString
+    val raw = withMeta(spark.read
+      .option("mergeSchema", m.active.toString)
+      .parquet(files.map(absPath(base, _)): _*))
+    val vis =
+      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    toLogical(vis, m)
+  }
+
   /** Read `files` applying the given DV refs; the no-DV fast path is
     * byte-identical to a plain scan (no metadata columns, no join) so
     * DV support costs nothing on tables that never used it.
     */
   private def readApplyingDv(spark: SparkSession, dir: String,
       files: Seq[String], dvs: Seq[String],
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      mapping: ColumnMapping = NoMapping): DataFrame = {
     val base = dataDir(dir).toString
-    val raw = spark.read.option("mergeSchema", mergeSchema.toString)
+    // a mapped table's files can span schema eras (a rewrite after a
+    // DROP omits the physical column) — always merge their schemas
+    val raw = spark.read
+      .option("mergeSchema", (mergeSchema || mapping.active).toString)
       .parquet(files.map(absPath(base, _)): _*)
-    if (dvs.isEmpty) raw
-    else {
-      val cols = raw.columns.toSeq
-      applyDv(withMeta(raw), readDv(spark, dir, dvs))
-        .select(cols.map(col): _*)
-    }
+    val vis =
+      if (dvs.isEmpty) raw
+      else {
+        val cols = raw.columns.toSeq
+        applyDv(withMeta(raw), readDv(spark, dir, dvs))
+          .select(cols.map(col): _*)
+      }
+    toLogical(vis, mapping)
   }
 
   private def deleteDirRec(p: Path): Unit = {
@@ -1448,12 +1632,11 @@ object TxTable {
       else Some(prot.upgradedWith(2, 2, Set("deletion-vectors"),
         Set("deletion-vectors")))
     val files = liveFilesFast(spark, dir)
-    val base = dataDir(dir).toString
     val dvs = dvRefsAt(dir)
-    val raw = withMeta(
-      spark.read.parquet(files.map(absPath(base, _)): _*))
-    val visible =
-      if (dvs.isEmpty) raw else applyDv(raw, readDv(spark, dir, dvs))
+    // DVs key on (file, pos) — name-independent — but the PREDICATE
+    // speaks logical names, so match on the logical view
+    val visible = visibleWithMeta(spark, dir, files, dvs,
+      mappingAt(dir))
     val v0 = currentVersion(dir) + 1
     val name = f"dv-v$v0%05d-" +
       java.util.UUID.randomUUID.toString.take(8)
@@ -1506,8 +1689,11 @@ object TxTable {
       // purge never saw would silently resurrect its deleted rows
       return commitWithRetry(dir, Seq.empty, Seq.empty, v0,
         dvResetConflicts, dataChange = false, dvReset = true)
-    val raw = withMeta(
-      spark.read.parquet(affected.map(absPath(base, _)): _*))
+    // purge is a PHYSICAL rewrite (no projection — lossless, keeps
+    // every era's columns); mapped tables merge schemas across eras
+    val raw = withMeta(spark.read
+      .option("mergeSchema", mappingAt(dir).active.toString)
+      .parquet(affected.map(absPath(base, _)): _*))
     val rewritten = applyDv(raw, dv).drop("_f", "_pos")
     val added = stage(rewritten, dir, v0)
     writeStats(spark, dir, stageRelOf(added), added, statsCols)
@@ -1666,7 +1852,11 @@ object TxTable {
     val cs = checkConstraints(dir)
     if (cs.isEmpty || files.isEmpty) return
     val base = dataDir(dir).toString
-    val staged = spark.read.parquet(files.map(f => s"$base/$f"): _*)
+    // constraint expressions speak logical names; staged files are
+    // physical
+    val staged = toLogical(
+      spark.read.parquet(files.map(f => s"$base/$f"): _*),
+      mappingAt(dir))
     val counts = staged.agg(
       count(lit(1)).as("_n"),
       cs.map { case (n, e) =>
@@ -1717,6 +1907,10 @@ object TxTable {
       s"txlog table at $root has ${refs.size} in-force deletion " +
         "vector(s); the SQL scan surface cannot apply them — run " +
         "commitPurgeDVs (REORG APPLY PURGE) first or read via " +
+        "TxTable.snapshot")
+    require(!mappingAt(root, version.getOrElse(Int.MaxValue)).active,
+      s"txlog table at $root uses column mapping (rename/drop); the " +
+        "SQL scan surface would serve physical names — read via " +
         "TxTable.snapshot")
     val base = dataDir(root).toString
     liveFilesFast(spark, root, version).map(absPath(base, _))
@@ -1879,14 +2073,17 @@ object TxTable {
     * an OR both sides must translate (else the OR can't prune at all).
     */
   private def statsPredicate(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      covered: Set[String], bloomCovered: Set[String] = Set.empty)
+      covered: Set[String], bloomCovered: Set[String] = Set.empty,
+      toPhys: String => String = identity)
       : Option[org.apache.spark.sql.Column] = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
+    // predicates speak LOGICAL names; sidecars key on PHYSICAL ones
+    // (stats ride the staged files) — translate at the attribute
     def attName(x: Expression): Option[String] = x match {
-      case a: UnresolvedAttribute => Some(a.name)
-      case a: AttributeReference => Some(a.name)
+      case a: UnresolvedAttribute => Some(toPhys(a.name))
+      case a: AttributeReference => Some(toPhys(a.name))
       case _ => None
     }
     def name(x: Expression): Option[String] =
@@ -1932,14 +2129,14 @@ object TxTable {
       lowOp(col(s"min_$c"), v)
     e match {
       case And(l, r) =>
-        (statsPredicate(l, covered, bloomCovered),
-            statsPredicate(r, covered, bloomCovered)) match {
+        (statsPredicate(l, covered, bloomCovered, toPhys),
+            statsPredicate(r, covered, bloomCovered, toPhys)) match {
           case (Some(a), Some(b)) => Some(a && b)
           case (a, b) => a.orElse(b)
         }
       case Or(l, r) =>
-        for { a <- statsPredicate(l, covered, bloomCovered)
-              b <- statsPredicate(r, covered, bloomCovered) } yield a || b
+        for { a <- statsPredicate(l, covered, bloomCovered, toPhys)
+              b <- statsPredicate(r, covered, bloomCovered, toPhys) } yield a || b
       case EqualTo(a, b) =>
         eqCond(attName(a), value(b)).orElse(eqCond(attName(b), value(a)))
       case LessThan(a, b) =>
@@ -1996,7 +2193,9 @@ object TxTable {
             Some(f.condition)
           case _ => None
         }
-        cond.flatMap(statsPredicate(_, covered, bloomCovered)) match {
+        val m = mappingAt(dir, version.getOrElse(Int.MaxValue))
+        cond.flatMap(
+          statsPredicate(_, covered, bloomCovered, m.physicalOf)) match {
           case None => (live, Seq.empty)
           case Some(sp) =>
             // skippable ⇔ stats exist AND the stats predicate is
@@ -2027,7 +2226,8 @@ object TxTable {
     val (kept, _) = pruneFiles(spark, dir, pred, version)
     if (kept.isEmpty) snapshot(spark, dir, version, mergeSchema).limit(0)
     else readApplyingDv(spark, dir, kept,
-        dvRefsAt(dir, version.getOrElse(Int.MaxValue)), mergeSchema)
+        dvRefsAt(dir, version.getOrElse(Int.MaxValue)), mergeSchema,
+        mappingAt(dir, version.getOrElse(Int.MaxValue)))
       .filter(pred)
   }
 
@@ -2058,9 +2258,13 @@ object TxTable {
   def changes(spark: SparkSession, dir: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
     val upTo = toVersion.getOrElse(currentVersion(dir))
+    // the feed speaks the names in force at the END of the window —
+    // physical schemas are era-stable, so one mapping serves all
+    // versions read here
+    val mUp = mappingAt(dir, upTo)
     // visible rows of `fs` under DV refs `dvs` (plain scan when none)
     def vis(fs: Seq[String], dvs: Seq[String]): DataFrame =
-      readApplyingDv(spark, dir, fs, dvs)
+      readApplyingDv(spark, dir, fs, dvs, mapping = mUp)
     // align two sides on the column SUPERSET (absent side typed NULL)
     // so rows differing only in a schema-evolved column cannot cancel
     // in the exceptAll, then emit the net insert/delete diff
@@ -2116,12 +2320,7 @@ object TxTable {
             // scanned visibility before the other landed — and a raw
             // read here would emit that row as a delete at BOTH
             // versions, over-retracting in any signed consumer
-            val base2 = dataDir(dir).toString
-            val rawM = withMeta(
-              spark.read.parquet(fs.map(absPath(base2, _)): _*))
-            val preVis =
-              if (preDvs.isEmpty) rawM
-              else applyDv(rawM, readDv(spark, dir, preDvs))
+            val preVis = visibleWithMeta(spark, dir, fs, preDvs, mUp)
             val rows = preVis.join(
                 dv.select(col("file").as("_f"), col("pos").as("_pos")),
                 Seq("_f", "_pos"), "left_semi")
@@ -2190,7 +2389,8 @@ object TxTable {
       mergeSchema: Boolean = false): DataFrame = {
     val files = liveFilesFast(spark, dir, version)
     require(files.nonEmpty, s"no live files at version $version")
-    readApplyingDv(spark, dir, files,
-      dvRefsAt(dir, version.getOrElse(Int.MaxValue)), mergeSchema)
+    val upTo = version.getOrElse(Int.MaxValue)
+    readApplyingDv(spark, dir, files, dvRefsAt(dir, upTo), mergeSchema,
+      mappingAt(dir, upTo))
   }
 }

@@ -5018,8 +5018,82 @@ object AnalyticsQueries {
     "q359_sql_merge" -> ((s, d) => {
       val dir2 = txSqlDmlDir(s, d)
       txRoll3(s, dir2, Seq(6))
+    }),
+
+    // Column mapping (Delta's rename/drop without rewrite): physical
+    // names in the parquet files never change — RENAME re-points the
+    // logical name in a metadata commit, DROP hides the physical
+    // column, and appends after a rename keep writing the stable
+    // physical name. Certified: time travel resolves the names in
+    // force AT each version (v1 shows lang, v3 shows language, final
+    // shows body only), rows survive every schema op bit-for-bit,
+    // and min/max skipping still prunes on the RENAMED key (the
+    // `pruned` claim is engine-computed from pruneFiles, the q352
+    // convention)
+    "q360_txlog_colmap" -> ((s, d) => {
+      val dir2 = txColMapDir(s, d)
+      def ck(cols: String*) = expr(
+        "bit_xor(CAST(conv(substring(md5(concat(" +
+          cols.mkString(", '|', ") +
+          ")), 1, 15), 16, 10) AS BIGINT))")
+      def stage(label: String, v: Option[Int], cs: Seq[String],
+          pruned: org.apache.spark.sql.Column): DataFrame = {
+        val snap = graft.operators.TxTable.snapshot(s, dir2, v)
+        snap.agg(count(lit(1)).as("n_rows"),
+            ck(cs: _*).as("checksum"))
+          .select(lit(label).as("stage"), col("n_rows"),
+            col("checksum"), lit(snap.columns.length.toLong)
+              .as("n_cols"), pruned.as("pruned"))
+      }
+      val (_, skipped) = graft.operators.TxTable.pruneFiles(
+        s, dir2, col("doc_id") === 1L)
+      stage("a_v1", Some(1), Seq("doc_id", "text", "lang"),
+          lit(null).cast("boolean"))
+        .unionAll(stage("b_v3", Some(3),
+          Seq("doc_id", "text", "language"), lit(null).cast("boolean")))
+        .unionAll(stage("c_final", None, Seq("doc_id", "body"),
+          lit(skipped.nonEmpty)))
+        .orderBy("stage")
     })
   )
+
+  /** Column-mapping fixture (q360): v1 appends documents with doc_id
+    * stats; v2 RENAMEs lang→language; v3 appends derived rows UNDER
+    * THE NEW LOGICAL SCHEMA (written with the stable physical name);
+    * v4 DROPs language; v5 RENAMEs text→body. File set only ever
+    * changes at the two appends.
+    */
+  private val txColMapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txColMapDir(s: SparkSession, dir: String): String =
+    txColMapCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txcm-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(4, col("doc_id")), tmp,
+        statsCols = Seq("doc_id")) // v1
+      val files1 = graft.operators.TxTable.liveFiles(tmp).toSet
+      require(graft.operators.TxTable
+        .renameColumn(s, tmp, "lang", "language") == 2)
+      require(graft.operators.TxTable.liveFiles(tmp).toSet == files1,
+        "a rename must move zero bytes")
+      graft.operators.TxTable.commitAppend(
+        docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("r:"), col("text")).as("text"),
+            col("lang").as("language")),
+        tmp, statsCols = Seq("doc_id")) // v3
+      val files3 = graft.operators.TxTable.liveFiles(tmp).toSet
+      require(graft.operators.TxTable
+        .dropColumn(s, tmp, "language") == 4)
+      require(graft.operators.TxTable
+        .renameColumn(s, tmp, "text", "body") == 5)
+      require(graft.operators.TxTable.liveFiles(tmp).toSet == files3,
+        "drop/rename must move zero bytes")
+      tmp
+    })
 
   /** Version-checksum roll over the SQL-DML fixture table — one row
     * per version: (version, n_rows, bit_xor md5 checksum over
@@ -7766,6 +7840,23 @@ object AnalyticsQueries {
        + "fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins1 UNION ALL SELECT * FROM ins2) "
        + "SELECT 6::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM fin"),
+    // the column-mapped table recomputed: v1 = base under old names,
+    // v3 = base + derived appends, final = the same rows under
+    // (doc_id, body) with language dropped
+    "q360_txlog_colmap" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
+       + "b3 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM der), "
+       + "a AS (SELECT 'a_v1' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum, "
+       + "3::BIGINT AS n_cols, CAST(NULL AS BOOLEAN) AS pruned FROM documents), "
+       + "b AS (SELECT 'b_v3', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT, "
+       + "3::BIGINT, CAST(NULL AS BOOLEAN) FROM (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id, text, lang FROM der)), "
+       + "c AS (SELECT 'c_final', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT, "
+       + "2::BIGINT, TRUE FROM b3) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c "
+       + "ORDER BY stage"),
     // from-scratch MAX over the fixture's closed-form final rows
     "q355_ivm_minmax" ->
       ("WITH af AS (SELECT lang, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text "

@@ -1122,4 +1122,79 @@ class TxTableSpec extends SparkSpec {
       s"protocol must survive through the sidecar: $pCkpt")
     ()
   }
+
+  test("column mapping: rename/drop are metadata commits, time travel keeps old names, stats prune renamed columns") {
+    val dir = java.nio.file.Files.createTempDirectory("tx-r13-cm-")
+      .toString
+    TxTable.commitAppend(
+      (1L to 20L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")),
+      dir, statsCols = Seq("id")) // v1
+    val filesV1 = TxTable.liveFiles(dir).toSet
+    // v2: RENAME id -> doc_id — zero data movement, protocol upgraded
+    assert(TxTable.renameColumn(spark, dir, "id", "doc_id") == 2)
+    assert(TxTable.liveFiles(dir).toSet == filesV1,
+      "a rename must not touch the file set")
+    assert(TxTable.snapshot(spark, dir).columns.toSeq ==
+      Seq("doc_id", "s"))
+    assert(TxTable.protocolAt(dir).readerFeatures
+      .contains("column-mapping"))
+    // time travel resolves the OLD name at the old version
+    assert(TxTable.snapshot(spark, dir, Some(1)).columns.toSeq ==
+      Seq("id", "s"))
+    // stats written under the PHYSICAL name keep pruning the RENAMED
+    // logical column
+    val (_, skipped) = TxTable.pruneFiles(spark, dir,
+      col("doc_id") === 1L)
+    assert(skipped.size == 3, s"expected 3 skipped, got $skipped")
+    assert(TxTable.snapshotWhere(spark, dir, col("doc_id") === 1L)
+      .count() == 1)
+    // v3: appends AFTER the rename write the stable physical name
+    TxTable.commitAppend(Seq((100L, "x")).toDF("doc_id", "s"), dir)
+    assert(TxTable.snapshot(spark, dir).count() == 21)
+    // v4: DROP s — hidden immediately, no rewrite
+    val before4 = TxTable.liveFiles(dir).toSet
+    assert(TxTable.dropColumn(spark, dir, "s") == 4)
+    assert(TxTable.liveFiles(dir).toSet == before4)
+    assert(TxTable.snapshot(spark, dir).columns.toSeq == Seq("doc_id"))
+    assert(TxTable.snapshot(spark, dir, Some(3)).columns.toSeq ==
+      Seq("doc_id", "s"), "time travel keeps the dropped column")
+    assert(TxTable.snapshot(spark, dir, Some(1)).columns.toSeq ==
+      Seq("id", "s"))
+    // rewriting DELETE under the logical name
+    TxTable.commitDelete(spark, dir, col("doc_id") % 2 === 0L) // v5
+    val ids5 = TxTable.snapshot(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids5 == (1L to 20L).filterNot(_ % 2 == 0).toSet)
+    // CDF across the rename window speaks the current names
+    val feed = TxTable.changes(spark, dir, 4)
+    assert(feed.columns.contains("doc_id"))
+    assert(feed.filter(col("_change_type") === "delete").count() == 11)
+    // name-collision guards: a new column may not shadow a physical
+    // name in use
+    intercept[IllegalArgumentException] {
+      TxTable.commitAppend(Seq((1L, "y")).toDF("doc_id", "s"), dir)
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, dir, "doc_id", "s")
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, dir, "missing", "x")
+    }
+    // renaming BACK to the original (its own physical) is legal
+    TxTable.renameColumn(spark, dir, "doc_id", "id")
+    assert(TxTable.snapshot(spark, dir).columns.toSeq == Seq("id"))
+    TxTable.renameColumn(spark, dir, "id", "doc_id")
+    // OPTIMIZE localizes the logical view; content unchanged
+    TxTable.commitCompact(spark, dir, targetFiles = 1)
+    assert(TxTable.snapshot(spark, dir)
+      .collect().map(_.getLong(0)).toSet == ids5)
+    assert(TxTable.snapshot(spark, dir).columns.toSeq == Seq("doc_id"))
+    // UPDATE under the logical name
+    TxTable.commitUpdate(spark, dir, col("doc_id") === 1L,
+      Seq("doc_id" -> lit(1000L)))
+    assert(TxTable.snapshot(spark, dir)
+      .collect().map(_.getLong(0)).toSet == ids5 - 1L + 1000L)
+    ()
+  }
 }
