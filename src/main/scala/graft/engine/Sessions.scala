@@ -21,6 +21,11 @@ object Sessions {
       // SQL surface for transaction-log tables: SELECT ... FROM
       // txlog.`/table/root` [VERSION AS OF v]
       .config("spark.sql.catalog.txlog", "graft.sources.TxLogCatalog")
+      // writeStream.format("txlog") routes to the V1 sink (one atomic
+      // commit per micro-batch with a SetTransaction watermark); batch
+      // READS of the format keep the V2 parquet table
+      .config("spark.sql.streaming.disabledV2Writers",
+        "graft.sources.TxLogDataSource")
       // events.parquet carries TIMESTAMP(NANOS) — read as long, then
       // Tables normalizes to TimestampType (µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

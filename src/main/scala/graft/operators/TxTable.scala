@@ -96,7 +96,8 @@ object TxTable {
       dvs: Seq[String] = Nil, dvReset: Boolean = false,
       protocol: Option[Protocol] = None,
       renameFrom: Seq[String] = Nil, renameTo: Seq[String] = Nil,
-      dropCols: Seq[String] = Nil)
+      dropCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None)
 
   /** Raised when an optimistic retry finds a real conflict (Delta's
     * `ConcurrentModificationException` contract).
@@ -198,6 +199,28 @@ object TxTable {
     else Some(s.substring(i + key.length + 3).takeWhile(_.isDigit).toInt)
   }
 
+  private def jsonLong(s: String, key: String): Option[Long] = {
+    val i = s.indexOf("\"" + key + "\":")
+    if (i < 0) None
+    else Some(s.substring(i + key.length + 3).takeWhile(_.isDigit).toLong)
+  }
+
+  /** Escape-aware single string field (None if absent). */
+  private def jsonStr(s: String, key: String): Option[String] = {
+    val i = s.indexOf("\"" + key + "\":\"")
+    if (i < 0) return None
+    var j = i + key.length + 4
+    val sb = new StringBuilder
+    var inStr = true
+    while (inStr) {
+      val c = s.charAt(j)
+      if (c == '\\') { sb.append(s.charAt(j + 1)); j += 2 }
+      else if (c == '"') inStr = false
+      else { sb.append(c); j += 1 }
+    }
+    Some(sb.toString)
+  }
+
   // ---------------------------------------------------------------
   // Column mapping (RENAME / DROP without rewrite)
   // ---------------------------------------------------------------
@@ -235,6 +258,40 @@ object TxTable {
   }
 
   val NoMapping: ColumnMapping = ColumnMapping(Map.empty, Set.empty)
+
+  /** Per-application transaction watermarks (Delta's SetTransaction):
+    * commit entries may carry `(txnApp, txnVer)`; a streaming sink
+    * skips any batch whose version is ≤ the app's recorded watermark,
+    * which makes replays idempotent EVEN WITH interleaved external
+    * writers (the version-number scheme of [[commitAppendAt]] cannot
+    * survive those). Checkpoint-sidecar-seeded like [[dvRefsAt]].
+    */
+  def txnsAt(dir: String,
+      upTo: Int = Int.MaxValue): Map[String, Long] = {
+    val seedV = ckptVersions(dir)
+      .filter(v => v <= upTo && Files.exists(ckptDvFile(dir, v)))
+      .lastOption
+    val seed: Map[String, Long] = seedV match {
+      case None => Map.empty
+      case Some(cv) =>
+        val s = new String(Files.readAllBytes(ckptDvFile(dir, cv)),
+          "UTF-8")
+        jsonArr(s, "txnApps")
+          .zip(jsonArr(s, "txnVers").map(_.toLong)).toMap
+    }
+    readEntries(dir, after = seedV.getOrElse(0), upTo = upTo)
+      .foldLeft(seed) { (m, e) =>
+        e.txn match {
+          case Some((app, ver)) =>
+            m + (app -> math.max(ver, m.getOrElse(app, Long.MinValue)))
+          case None => m
+        }
+      }
+  }
+
+  /** The newest batch version committed under `appId`, if any. */
+  def lastTxn(dir: String, appId: String): Option[Long] =
+    txnsAt(dir).get(appId)
 
   /** Mapping state as of `upTo`, checkpoint-sidecar-seeded like
     * [[dvRefsAt]].
@@ -398,6 +455,8 @@ object TxTable {
       (if (e.dropCols.isEmpty) "" else
         s""""dropCols":[${e.dropCols.map(x => "\"" + esc(x) + "\"")
           .mkString(",")}],""") +
+      e.txn.map { case (app, ver) =>
+        s""""txnApp":"${esc(app)}","txnVer":$ver,""" }.getOrElse("") +
       s""""dataChange":${e.dataChange}}"""
     // CREATE_NEW is the commit point: the version file either appears
     // fully or the commit fails — a concurrent writer of the same
@@ -466,7 +525,9 @@ object TxTable {
         protocol = jsonInt(s, "minReader").map(_ => sidecarProtocol(s)),
         renameFrom = jsonArr(s, "renameFrom"),
         renameTo = jsonArr(s, "renameTo"),
-        dropCols = jsonArr(s, "dropCols"))
+        dropCols = jsonArr(s, "dropCols"),
+        txn = jsonStr(s, "txnApp").map(app =>
+          (app, jsonLong(s, "txnVer").getOrElse(0L))))
       // the READ gate: parsing an entry that demands a newer reader
       // hard-fails right here — every read and write path funnels
       // through this parser, so no caller can misread a protected
@@ -537,6 +598,7 @@ object TxTable {
     val dvs = dvRefsAt(dir, v) // itself seeded from the prior sidecar
     val prot = protocolAt(dir, v)
     val cm = mappingAt(dir, v)
+    val txns = txnsAt(dir, v).toSeq.sortBy(_._1)
     def arr(xs: Seq[String]) =
       xs.map(x => "\"" + esc(x) + "\"").mkString(",")
     val cmPairs = cm.renames.toSeq.sortBy(_._1)
@@ -545,6 +607,8 @@ object TxTable {
         s""""cmFrom":[${arr(cmPairs.map(_._1))}],""" +
         s""""cmTo":[${arr(cmPairs.map(_._2))}],""" +
         s""""cmDrop":[${arr(cm.dropped.toSeq.sorted)}],""" +
+        s""""txnApps":[${arr(txns.map(_._1))}],""" +
+        s""""txnVers":[${arr(txns.map(_._2.toString))}],""" +
         protocolJson(prot) + "}")
         .getBytes("UTF-8"))
     // _last_checkpoint is advisory (the one overwritten file, exactly
@@ -632,14 +696,15 @@ object TxTable {
       dvs: Seq[String] = Nil, dvReset: Boolean = false,
       protocol: Option[Protocol] = None,
       renameFrom: Seq[String] = Nil, renameTo: Seq[String] = Nil,
-      dropCols: Seq[String] = Nil): Int = {
+      dropCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
     var v = firstV
     var validatedThrough = firstV - 1
     var attempt = 0
     while (true) {
       try {
         writeEntry(dir, Entry(v, adds, removes, dataChange, dvs, dvReset,
-          protocol, renameFrom, renameTo, dropCols))
+          protocol, renameFrom, renameTo, dropCols, txn))
         return v
       }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -751,7 +816,8 @@ object TxTable {
   def commitAppend(df: DataFrame, dir: String,
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil,
-      bloomCols: Seq[String] = Nil): Int = {
+      bloomCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
     assertWritable(dir)
     val m = mappingAt(dir)
     assertNoPhysicalCollision(df, m)
@@ -759,7 +825,8 @@ object TxTable {
     val added = stageValidated(toPhysical(df, m), dir, v0)
     writeStats(df.sparkSession, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf), bloomCols.map(m.physicalOf))
-    val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts)
+    val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts,
+      txn = txn)
     maybeCheckpoint(df.sparkSession, dir, v, checkpointEvery)
     v
   }

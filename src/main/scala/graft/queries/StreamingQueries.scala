@@ -1468,6 +1468,45 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** The native `writeStream.format("txlog")` sink — q313's
+    * exactly-once contract re-certified through the idiomatic format
+    * path. Each micro-batch is ONE atomic commit carrying a
+    * SetTransaction watermark; the restart replay is exercised the
+    * HARD way: the checkpoint is wiped and the whole stream re-run at
+    * the same location, so every batch re-delivers and every one must
+    * no-op on the watermark (the version-keyed foreachBatch protocol
+    * cannot survive this when other writers interleave; the watermark
+    * can). Same oracle as q313: the final snapshot equals the batch
+    * relation exactly, despite the double run.
+    */
+  def q361StreamTxlogSink(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val raw = eventsSchema(s, dir)
+      val ckpt = scratchCheckpoint("q361")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft-txsink-").toString
+      def drain(): Unit = {
+        val q = eventsStream(s, dir, raw)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+          .writeStream.format("txlog")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start(tdir)
+        q.awaitTermination()
+      }
+      drain()
+      val v1 = graft.operators.TxTable.currentVersion(tdir)
+      deleteRecursively(ckpt) // wipe the checkpoint: full replay
+      drain()
+      require(graft.operators.TxTable.currentVersion(tdir) == v1,
+        "a replayed batch must not even commit a version")
+      deleteRecursively(ckpt)
+      graft.operators.TxTable.snapshot(s, tdir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("event_type")
+    }
+
   /** Streaming change-data-feed read (`format("txlog-cdf")`): the
     * commit log is the WAL, versions are offsets, and each micro-batch
     * IS [[graft.operators.TxTable.changes]] over the newly-committed
@@ -1772,6 +1811,7 @@ object StreamingQueries {
     "q337_stream_perplexity" -> (q337StreamPerplexity(_, _)),
     "q335_stream_tokenize" -> (q335StreamTokenize(_, _)),
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
+    "q361_stream_txlog_sink" -> (q361StreamTxlogSink(_, _)),
     "q322_stream_cdf" -> (q322StreamCdf(_, _)),
     "q328_stream_ivm" -> (q328StreamIvm(_, _)),
     "q308_stream_warc" -> (q308StreamWarc(_, _)),
@@ -1834,6 +1874,12 @@ object StreamingQueries {
     // the stream-maintained view must equal the from-scratch state
     "q328_stream_ivm" -> AnalyticsQueries.oracles("q321_txlog_ivm"),
     "q313_stream_txlog" ->
+      ("SELECT event_type, COUNT(*)::BIGINT AS n, "
+       + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "
+       + "FROM events GROUP BY event_type ORDER BY event_type"),
+    // the format("txlog") sink drained TWICE (checkpoint wiped in
+    // between) must still equal the batch relation exactly once
+    "q361_stream_txlog_sink" ->
       ("SELECT event_type, COUNT(*)::BIGINT AS n, "
        + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "
        + "FROM events GROUP BY event_type ORDER BY event_type"),

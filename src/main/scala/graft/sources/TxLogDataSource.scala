@@ -2,7 +2,11 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.Table
-import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetDataSourceV2, ParquetTable}
+import org.apache.spark.sql.connector.catalog.TableProvider
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -13,46 +17,123 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the lakehouse layer: every capability reachable from the Scala API
   * must be reachable from SQL.
   *
-  * The implementation is deliberately thin: the commit log resolves to
-  * a live file list (checkpoint-accelerated), and those files become
-  * the paths of a stock [[ParquetTable]] — so column pruning, filter
-  * pushdown, vectorized reads, and `mergeSchema` evolution are the
-  * battle-tested parquet V2 paths, not re-implementations. The only
-  * txlog-specific work is WHICH files to scan, exactly the division of
-  * labor in the underlying operator.
+  * The READ implementation is deliberately thin: the commit log
+  * resolves to a live file list (checkpoint-accelerated), and those
+  * files become the paths of a stock [[ParquetTable]] — so column
+  * pruning, filter pushdown, vectorized reads, and `mergeSchema`
+  * evolution are the battle-tested parquet V2 paths, not
+  * re-implementations. The only txlog-specific work is WHICH files to
+  * scan, exactly the division of labor in the underlying operator.
+  *
+  * Deliberately a plain [[TableProvider]], NOT a `FileDataSourceV2`:
+  * the V1 `DataSource` machinery unconditionally swaps a file-based
+  * V2 provider for its fallback `FileFormat`, which would route
+  * `writeStream.format("txlog")` into a bare parquet `FileSink` —
+  * data files landing with NO commit entry, invisible to every
+  * snapshot. Staying a plain provider keeps [[createSink]] in charge.
   */
-class TxLogDataSource extends ParquetDataSourceV2 {
+class TxLogDataSource extends TableProvider
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "txlog"
 
-  private def resolvedDataPaths(options: CaseInsensitiveStringMap)
-      : Seq[String] = {
-    val roots = getPaths(options)
-    require(roots.size == 1,
-      s"txlog expects exactly one table root path, got: $roots")
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
+  private def rootOf(options: CaseInsensitiveStringMap): String = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "txlog expects exactly one table root path (.load(root))"))
     // the commit log is read driver-side via java.nio — strip a
     // file: scheme so a qualified path resolves too
-    val root =
-      if (roots.head.startsWith("file:"))
-        new java.net.URI(roots.head).getPath
-      else roots.head
+    stripScheme(path)
+  }
+
+  private def makeTable(options: CaseInsensitiveStringMap,
+      schema: Option[StructType]): Table = {
+    val root = rootOf(options)
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
     val files = graft.operators.TxTable.resolvedScanPaths(
       SparkSession.active, root, version)
     require(files.nonEmpty,
       s"txlog table at $root has no live files" +
         version.map(v => s" at version $v").getOrElse(""))
-    files
+    val rest = new java.util.HashMap[String, String](options)
+    rest.remove("path")
+    ParquetTable(s"txlog $root", SparkSession.active,
+      new CaseInsensitiveStringMap(rest), files, schema,
+      classOf[ParquetFileFormat])
   }
 
-  override def getTable(options: CaseInsensitiveStringMap): Table =
-    ParquetTable(s"txlog ${getPaths(options).mkString(",")}",
-      sparkSession, getOptionsWithoutPaths(options),
-      resolvedDataPaths(options), None, fallbackFileFormat)
+  override def inferSchema(options: CaseInsensitiveStringMap)
+      : StructType = makeTable(options, None).schema()
 
-  override def getTable(options: CaseInsensitiveStringMap,
-      schema: StructType): Table =
-    ParquetTable(s"txlog ${getPaths(options).mkString(",")}",
-      sparkSession, getOptionsWithoutPaths(options),
-      resolvedDataPaths(options), Some(schema), fallbackFileFormat)
+  override def getTable(schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    makeTable(new CaseInsensitiveStringMap(properties), Some(schema))
+
+  /** `writeStream.format("txlog")` — the native streaming sink: each
+    * micro-batch lands as ONE atomic commit carrying a
+    * `(txnApp, txnVer)` transaction record (Delta's SetTransaction),
+    * so a replayed batch — stream restart, or even a checkpoint wiped
+    * and rebuilt at the same location — finds its watermark already
+    * recorded and no-ops. Unlike the foreachBatch version-number
+    * protocol (q313), the watermark survives INTERLEAVED writers: an
+    * external append between two batches shifts version numbers but
+    * not the per-app watermark. The V1 Sink API is deliberate: the
+    * micro-batch arrives as a driver-side DataFrame that the commit
+    * protocol stages exactly like any other append (Sessions sets
+    * `spark.sql.streaming.disabledV2Writers` to route streaming
+    * writes here while batch reads keep the V2 parquet table).
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txlog sink needs a table root: .start(path) or option(\"path\", ...)"))
+    val root = stripScheme(path)
+    // the app identity must survive restarts: the checkpoint location
+    // is the one string that names THIS stream across its lifetime
+    val appId = parameters.get("txnAppId").orElse(
+        parameters.get("checkpointLocation").map { c =>
+          "ckpt-" + java.security.MessageDigest.getInstance("MD5")
+            .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        })
+      .getOrElse(throw new IllegalArgumentException(
+        "txlog sink needs option(\"checkpointLocation\", ...) or an " +
+          "explicit option(\"txnAppId\", ...) for exactly-once replay"))
+    new TxLogSink(root, appId)
+  }
+}
+
+/** One commit per micro-batch; replays skip via the per-app
+  * transaction watermark.
+  */
+private[sources] class TxLogSink(root: String, appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import graft.operators.TxTable
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    if (TxTable.lastTxn(root, appId).exists(_ >= batchId)) return
+    // the V1 sink contract hands a DataFrame bound to the CURRENT
+    // micro-batch's incremental execution — re-planning it (df.write)
+    // would reject the streaming sources, so rebuild a batch frame
+    // from the already-planned RDD (rows copied: unsafe-row reuse)
+    val spark = data.sparkSession
+    val batchDf = org.apache.spark.sql.graftshim.Bridges
+      .internalCreateDataFrame(spark,
+        data.queryExecution.toRdd.map(_.copy()), data.schema)
+    TxTable.commitAppend(batchDf, root, txn = Some((appId, batchId)))
+    ()
+  }
+
+  override def toString: String = s"TxLogSink[$root]"
 }
