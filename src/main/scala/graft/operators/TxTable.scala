@@ -1390,7 +1390,11 @@ object TxTable {
   def commitCompactSmall(spark: SparkSession, dir: String,
       smallBytes: Long, targetBytes: Long = 128L * 1024 * 1024,
       checkpointEvery: Int = DefaultCheckpointEvery,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      zOrderBy: Seq[String] = Nil, zBits: Int = 16,
+      targetFiles: Option[Int] = None): Int = {
+    require(zOrderBy.isEmpty || (zOrderBy.size >= 2 && zOrderBy.size <= 6),
+      "zOrderBy takes 2..6 columns (Morton interleave)")
     assertWritable(dir)
     val files = liveFilesFast(spark, dir)
     val base = dataDir(dir).toString
@@ -1416,14 +1420,23 @@ object TxTable {
     val small = sized.filter(_._2 < smallBytes)
     if (small.size < 2) return currentVersion(dir)
     val inputs = small.map(_._1)
-    val outFiles = math.max(1,
-      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val outFiles = targetFiles.getOrElse(math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt))
     val v0 = currentVersion(dir) + 1
     val m = mappingAt(dir)
     val current = readApplyingDv(spark, dir, inputs, dvRefsAt(dir),
       mapping = m)
-    val added = stage(toPhysical(current.repartition(outFiles), m),
-      dir, v0)
+    // incremental ZORDER: the steady-state sweep re-clusters ONLY the
+    // swept bin's rows on the Morton interleave, so clustering
+    // SURVIVES continuous ingest without ever paying a full-table
+    // OPTIMIZE — each swept output owns a tight box in every z key
+    // and the per-file min/max stats prune on any of them
+    val arranged =
+      if (zOrderBy.nonEmpty)
+        Layout.zOrderedScaledN(current, zOrderBy, outFiles,
+          math.min(zBits, 62 / zOrderBy.size)).drop("zval")
+      else current.repartition(outFiles)
+    val added = stage(toPhysical(arranged, m), dir, v0)
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, inputs, v0,

@@ -5030,6 +5030,45 @@ object AnalyticsQueries {
     // and min/max skipping still prunes on the RENAMED key (the
     // `pruned` claim is engine-computed from pruneFiles, the q352
     // convention)
+    // Incremental ZORDER maintenance: the steady-state small-file
+    // sweep (q350's verb) re-clusters ONLY the swept rows on the
+    // 2-key Morton interleave, so clustering survives continuous
+    // ingest WITHOUT a full-table OPTIMIZE. A and B receive identical
+    // streaming-style small appends; A sweeps with zOrderBy, the
+    // control B sweeps hash-random. Certified: skip==filter on every
+    // probe (the checksums), every probe prunes files on A
+    // (z_pruned), and on the SECOND axis and the box A prunes
+    // strictly more than the unclustered control (z_beats_linear) —
+    // engine-computed booleans, the q352 convention
+    "q362_txlog_zorder_sweep" -> ((s, d) => {
+      val (aDir, bDir) = txZSweepDirs(s, d)
+      def probe(label: String, pred: org.apache.spark.sql.Column,
+          claimBeats: Boolean): DataFrame = {
+        val (_, skA) = graft.operators.TxTable.pruneFiles(s, aDir, pred)
+        val (_, skB) = graft.operators.TxTable.pruneFiles(s, bDir, pred)
+        val beats =
+          if (claimBeats) lit(skA.size > skB.size)
+          else lit(null).cast("boolean")
+        graft.operators.TxTable.snapshotWhere(s, aDir, pred)
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+              + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(label).as("probe"), col("n_rows"),
+            col("checksum"), lit(skA.nonEmpty).as("z_pruned"),
+            beats.as("z_beats_linear"))
+      }
+      probe("x_range", col("doc_id") >= 10L && col("doc_id") <= 25L,
+          claimBeats = false)
+        .unionAll(probe("y_range",
+          col("n_chars") >= 100L && col("n_chars") <= 140L,
+          claimBeats = true))
+        .unionAll(probe("box",
+          col("doc_id") > 5L &&
+            col("n_chars") >= 100L && col("n_chars") <= 140L,
+          claimBeats = true))
+        .orderBy("probe")
+    }),
+
     "q360_txlog_colmap" -> ((s, d) => {
       val dir2 = txColMapDir(s, d)
       def ck(cols: String*) = expr(
@@ -5056,6 +5095,46 @@ object AnalyticsQueries {
         .orderBy("stage")
     })
   )
+
+  /** Z-sweep fixture pair (q362): six streaming-style small appends
+    * into BOTH tables; A's sweep re-clusters the swept rows on the
+    * (doc_id, n_chars) Morton interleave, B's sweep is the
+    * hash-random control. Same rows, same file count, different
+    * layout — the sweep itself is dataChange=false in both.
+    */
+  private val txZSweepCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txZSweepDirs(s: SparkSession, dir: String)
+      : (String, String) = {
+    val packed = txZSweepCache.computeIfAbsent(dir, { d =>
+      val root = java.nio.file.Files.createTempDirectory("graft-txzsw-")
+        .toString
+      val (a, b) = (s"$root/a", s"$root/b")
+      val keys = Seq("doc_id", "n_chars")
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"))
+      (0 to 5).foreach { k =>
+        val slice = docs.filter(col("doc_id") % 6 === k).coalesce(1)
+        graft.operators.TxTable.commitAppend(slice, a, statsCols = keys)
+        graft.operators.TxTable.commitAppend(slice, b, statsCols = keys)
+      }
+      graft.operators.TxTable.commitCompactSmall(s, a,
+        smallBytes = Long.MaxValue, statsCols = keys,
+        zOrderBy = keys, targetFiles = Some(8))
+      graft.operators.TxTable.commitCompactSmall(s, b,
+        smallBytes = Long.MaxValue, statsCols = keys,
+        targetFiles = Some(8))
+      require(graft.operators.TxTable.liveFiles(a).size == 8 &&
+        graft.operators.TxTable.liveFiles(b).size == 8,
+        "both sweeps must land exactly the target file count")
+      require(graft.operators.TxTable.changes(s, a, 6).count() == 0,
+        "the z-sweep must be dataChange=false (feed skips it)")
+      s"$a|$b"
+    })
+    val Array(a, b) = packed.split('|')
+    (a, b)
+  }
 
   /** Column-mapping fixture (q360): v1 appends documents with doc_id
     * stats; v2 RENAMEs lang→language; v3 appends derived rows UNDER
@@ -7840,6 +7919,20 @@ object AnalyticsQueries {
        + "fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins1 UNION ALL SELECT * FROM ins2) "
        + "SELECT 6::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM fin"),
+    // z-sweep skip==filter replays from the base table; pruning
+    // claims are pinned booleans (x claims pruning only, y/box claim
+    // beating the unclustered control too)
+    "q362_txlog_zorder_sweep" ->
+      ("WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM documents), "
+       + "r AS (SELECT 'x_range' AS probe, doc_id, text FROM d WHERE doc_id >= 10 AND doc_id <= 25 "
+       + "UNION ALL SELECT 'y_range', doc_id, text FROM d WHERE n_chars >= 100 AND n_chars <= 140 "
+       + "UNION ALL SELECT 'box', doc_id, text FROM d WHERE doc_id > 5 AND n_chars >= 100 AND n_chars <= 140), "
+       + "p AS (SELECT 'x_range' AS probe, CAST(NULL AS BOOLEAN) AS z_beats_linear "
+       + "UNION ALL SELECT 'y_range', TRUE UNION ALL SELECT 'box', TRUE) "
+       + "SELECT p.probe, COUNT(r.doc_id)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(r.doc_id::VARCHAR || '|' || r.text), 1, 15)) AS BIGINT))::BIGINT AS checksum, "
+       + "TRUE AS z_pruned, p.z_beats_linear "
+       + "FROM p LEFT JOIN r USING (probe) GROUP BY p.probe, p.z_beats_linear ORDER BY p.probe"),
     // the column-mapped table recomputed: v1 = base under old names,
     // v3 = base + derived appends, final = the same rows under
     // (doc_id, body) with language dropped
