@@ -730,6 +730,36 @@ object Multimodal {
     * first_cut) scalars leave the scan. `first_cut` is the index of
     * the first frame that starts a new shot, −1 when single-shot.
     */
+  /** Decode every stored AVI frame (RIFF walk + DIB pixels) and
+    * fingerprint each with [[dHash64]] — the shared front half of
+    * [[sceneCuts]] and [[shotSignatures]]. Empty for undecodable
+    * bytes.
+    */
+  private def aviFrameHashes(bytes: Array[Byte]): Seq[Long] = {
+    val avi = readAvi(bytes)
+    val frames = readAviFrames(bytes)
+    if (avi == null || frames.isEmpty) return Nil
+    val stride = (avi.width * 3 + 3) & ~3
+    frames.map { fb =>
+      val img = new java.awt.image.BufferedImage(avi.width,
+        avi.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < avi.height) {
+        val ro = (avi.height - 1 - y) * stride // DIB bottom-up
+        var x = 0
+        while (x < avi.width) {
+          val b = fb(ro + 3 * x) & 0xff
+          val g = fb(ro + 3 * x + 1) & 0xff
+          val rr = fb(ro + 3 * x + 2) & 0xff
+          img.setRGB(x, y, (rr << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      dHash64(img)
+    }
+  }
+
   def sceneCuts(media: DataFrame, cutHamming: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("media_id", LongType),
@@ -738,30 +768,9 @@ object Multimodal {
       StructField("first_cut", LongType))))
     media.select("media_id", "content").mapPartitions { it =>
       it.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        val avi = readAvi(bytes)
-        val frames = readAviFrames(bytes)
-        if (avi == null || frames.isEmpty) Iterator.empty
+        val hashes = aviFrameHashes(r.getAs[Array[Byte]](1))
+        if (hashes.isEmpty) Iterator.empty
         else {
-          val stride = (avi.width * 3 + 3) & ~3
-          val hashes = frames.map { fb =>
-            val img = new java.awt.image.BufferedImage(avi.width,
-              avi.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < avi.height) {
-              val ro = (avi.height - 1 - y) * stride // DIB bottom-up
-              var x = 0
-              while (x < avi.width) {
-                val b = fb(ro + 3 * x) & 0xff
-                val g = fb(ro + 3 * x + 1) & 0xff
-                val rr = fb(ro + 3 * x + 2) & 0xff
-                img.setRGB(x, y, (rr << 16) | (g << 8) | b)
-                x += 1
-              }
-              y += 1
-            }
-            dHash64(img)
-          }
           var cuts = 0L; var first = -1L; var i = 1
           while (i < hashes.length) {
             if (java.lang.Long.bitCount(hashes(i - 1) ^ hashes(i)) >
@@ -775,6 +784,83 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Per-shot representative fingerprints over uncompressed AVI: the
+    * [[sceneCuts]] boundary pass, but instead of counting cuts each
+    * shot contributes its FIRST frame's dHash — the video-level
+    * signature a near-dup pipeline indexes. Rows out:
+    * `(media_id, shot_idx, shot_hash)` — a narrow partition-wise
+    * decode; video bytes never shuffle, 24 bytes leave per shot.
+    */
+  def shotSignatures(media: DataFrame, cutHamming: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("shot_idx", LongType),
+      StructField("shot_hash", LongType))))
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val hashes = aviFrameHashes(r.getAs[Array[Byte]](1))
+        if (hashes.isEmpty) Iterator.empty
+        else {
+          val reps = scala.collection.mutable.ArrayBuffer(hashes.head)
+          var i = 1
+          while (i < hashes.length) {
+            if (java.lang.Long.bitCount(hashes(i - 1) ^ hashes(i)) >
+                cutHamming) reps += hashes(i)
+            i += 1
+          }
+          reps.zipWithIndex.iterator.map { case (h, idx) =>
+            Row(r.getLong(0), idx.toLong, h)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Video-level perceptual near-dup pairs (the video axis of the
+    * image/audio/text dedup matrix): two videos pair when ≥
+    * `minShared` of their shots match within `maxHamming` dHash bits.
+    * Shots pair by CONTENT, not index, so a TRIMMED copy (missing
+    * leading shots) still aligns; a RE-ENCODED copy matches through
+    * the Hamming budget. Candidates come from a pigeonhole band join
+    * — the 64-bit shot hash splits into `maxHamming + 1` bands, so
+    * any pair within budget shares at least one intact band (FULL
+    * recall, the q48 guarantee) and the plan is bucketed, never
+    * all-pairs: shuffle rows are (band, value) integers, candidate
+    * volume rides real collisions.
+    */
+  def videoNearDupPairs(sigs: DataFrame, maxHamming: Int = 7,
+      minShared: Long = 3L): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0,
+      s"maxHamming + 1 must divide 64, got $bands bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val banded = sigs.select(col("media_id"), col("shot_idx"),
+        col("shot_hash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("shot_hash"), b * width)
+              .bitwiseAND(lit(mask)).as("bv"))): _*)).as("bk"))
+      .select(col("media_id"), col("shot_idx"), col("shot_hash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val a = banded.select(col("media_id").as("id_a"),
+      col("shot_idx").as("shot_a"), col("shot_hash").as("hash_a"),
+      col("band"), col("bv"))
+    val b = banded.select(col("media_id").as("id_b"),
+      col("shot_idx").as("shot_b"), col("shot_hash").as("hash_b"),
+      col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("shot_a"), col("hash_a"),
+        col("id_b"), col("shot_b"), col("hash_b"))
+      .distinct() // a pair can collide in several bands — once only
+      .filter(expr(s"bit_count(hash_a ^ hash_b) <= $maxHamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("shot_a")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Deterministic uncompressed AVI with a PLANTED scene cut: 6 stored
@@ -829,6 +915,131 @@ object Multimodal {
       f += 1
     }
     bb.array()
+  }
+
+  /** Uncompressed AVI from per-frame grayscale fields (row-major,
+    * top-down; written bottom-up with DIB stride padding) — the shared
+    * writer behind the planted-fixture generators.
+    */
+  private def aviFromGray(frames: Seq[Array[Int]], w: Int,
+      h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
+    val ascii = java.nio.charset.StandardCharsets.ISO_8859_1
+    val hdrlSize = 68
+    val moviSize = 4 + frames.size * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(riffSize)
+      .put("AVI ".getBytes(ascii))
+    bb.put("LIST".getBytes(ascii)).putInt(hdrlSize)
+      .put("hdrl".getBytes(ascii))
+    bb.put("avih".getBytes(ascii)).putInt(48)
+      .putInt(40000).putInt(0).putInt(0).putInt(0)
+      .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.put("LIST".getBytes(ascii)).putInt(moviSize)
+      .put("movi".getBytes(ascii))
+    frames.foreach { g =>
+      bb.put("00db".getBytes(ascii)).putInt(frameBytes)
+      var row = h - 1 // DIB rows are bottom-up
+      while (row >= 0) {
+        var x = 0
+        while (x < w) {
+          val v = g(row * w + x).toByte
+          bb.put(v).put(v).put(v) // gray: B = G = R
+          x += 1
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+    }
+    bb.array()
+  }
+
+  /** The per-shot luminance field: a sinusoid family plus dHash-grid
+    * block noise, keyed per SHOT. Unlike [[syntheticPngNear]]'s mix,
+    * the NOISE is the dominant term (±64 against 25/18/12 sinusoid
+    * amplitudes): at high drawn frequencies a sinusoid-dominated
+    * field degenerates to its periodic sign pattern and two keys
+    * sharing a frequency bucket land within a few dHash bits
+    * (measured: cross-group collisions at 5k videos) — iid per-cell
+    * noise keeps every key ~32 independent bits. The range
+    * 128 ± 119 never clamps, so no saturation plateaus either.
+    */
+  private def shotField(key: Long, w: Int, h: Int): Array[Int] = {
+    var hsh = key * 6364136223846793005L + 1442695040888963407L
+    hsh ^= hsh >>> 32
+    val fx = 1 + (hsh & 7).toInt
+    val fy = 1 + ((hsh >>> 3) & 7).toInt
+    val fd = 1 + ((hsh >>> 6) & 7).toInt
+    val p1 = ((hsh >>> 9) & 255).toInt / 255.0 * 2 * StrictMath.PI
+    val p2 = ((hsh >>> 17) & 255).toInt / 255.0 * 2 * StrictMath.PI
+    val p3 = ((hsh >>> 25) & 255).toInt / 255.0 * 2 * StrictMath.PI
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var nz = (key * 0x9E3779B97F4A7C15L) ^
+          ((x / 2).toLong * 0xC2B2AE3D27D4EB4FL) ^
+          ((y / 2).toLong * 0x165667B19E3779F9L)
+        nz *= 0xFF51AFD7ED558CCDL; nz ^= nz >>> 33
+        val v0 = 128 +
+          25 * StrictMath.sin(2 * StrictMath.PI * fx * x / w + p1) +
+          18 * StrictMath.cos(2 * StrictMath.PI * fy * y / h + p2) +
+          12 * StrictMath.sin(2 * StrictMath.PI * fd * (x + y) / (w + h) + p3) +
+          ((nz & 127) - 64)
+        out(y * w + x) = math.max(0, math.min(255, v0.toInt))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Deterministic uncompressed AVI with PLANTED video-level
+    * near-duplicates: ids sharing `id div 3` render the same four
+    * per-(group, shot) fields, two frames per shot. Variant 0 is the
+    * original; variant 1 is a TRIMMED copy (the first shot cut —
+    * shots shift, content survives); variant 2 is a RE-ENCODED copy
+    * (per-id ±1 pixel noise — the few dHash bits a lossy round-trip
+    * moves). Distinct groups get independent fields, so their shot
+    * hashes differ in ~half the bits.
+    */
+  def syntheticAviNearDup(id: Long): Array[Byte] = {
+    val group = id / 3; val variant = (id % 3).toInt
+    val w = 18; val h = 16
+    val shots = if (variant == 1) 1 to 3 else 0 to 3
+    val frames = shots.flatMap { s =>
+      val base = shotField(group * 0x100000001B3L + s, w, h)
+      val g =
+        if (variant != 2) base
+        else base.zipWithIndex.map { case (v, i) =>
+          var nz = (id * 0xD6E8FEB86659FD93L) ^
+            (i.toLong * 0xA0761D6478BD642FL)
+          nz ^= nz >>> 32
+          math.max(0, math.min(255, v + (((nz & 1) << 1) - 1).toInt)) // ±1
+        }
+      Seq(g, g) // two identical frames per shot
+    }
+    aviFromGray(frames, w, h)
+  }
+
+  /** Video-only media table with [[syntheticAviNearDup]] content —
+    * the fixture for video-level perceptual dedup (every 3 ids form a
+    * planted original/trimmed/re-encoded group).
+    */
+  def syntheticNearDupVideos(docs: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType))))
+    docs.select(col("doc_id")).mapPartitions { it =>
+      it.map { r => Row(r.getLong(0), syntheticAviNearDup(r.getLong(0))) }
+    }(enc)
   }
 
   /** Video-only media table with [[syntheticAviScenes]] content. */

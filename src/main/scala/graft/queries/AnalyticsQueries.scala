@@ -184,6 +184,23 @@ object AnalyticsQueries {
     s.read.parquet(out)
   }
 
+  /** Near-dup video fixture per sf dir (q363) — AVI fabrication is
+    * fixture work, same disk-backed discipline as the scene videos.
+    */
+  private val nearVideoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupVideos(s: SparkSession, dir: String): DataFrame = {
+    val out = nearVideoCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-nearavi-")
+        .toString
+      graft.multimodal.Multimodal.syntheticNearDupVideos(
+          graft.engine.Par.widen(Tables(s, d, "documents")))
+        .write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+    s.read.parquet(out)
+  }
+
   /** Near-dup audio fixture per sf dir (q273) — WAV encoding is
     * fixture fabrication, same disk-backed discipline.
     */
@@ -5030,6 +5047,27 @@ object AnalyticsQueries {
     // and min/max skipping still prunes on the RENAMED key (the
     // `pruned` claim is engine-computed from pruneFiles, the q352
     // convention)
+    // Video-level perceptual near-dup (the video axis of the
+    // image/audio/text dedup matrix): per-shot dHash signatures
+    // (q278's boundary pass) pair through the q48 pigeonhole band
+    // join — shots match by CONTENT within a Hamming budget, so a
+    // TRIMMED copy (first shot cut) and a RE-ENCODED copy (per-pixel
+    // noise) both pair with their original while distinct groups
+    // never do. Bucketed band join, never all-pairs. Closed-form
+    // oracle: every 3 ids form a planted group
+    // minShared = 2: a missed shot boundary (two adjacent fields
+    // landing within the cut threshold — observed ~8 times in 15k
+    // videos) merges two shots and would drop a 3-shot trimmed copy
+    // below 3; two INDEPENDENT ≤7-bit shot collisions across groups
+    // remain astronomically unlikely, so precision stays exact
+    "q363_video_neardup" -> ((s, d) => {
+      val sigs = graft.multimodal.Multimodal.shotSignatures(
+        nearDupVideos(s, d), cutHamming = 10)
+      graft.multimodal.Multimodal
+        .videoNearDupPairs(sigs, maxHamming = 7, minShared = 2L)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Incremental ZORDER maintenance: the steady-state small-file
     // sweep (q350's verb) re-clusters ONLY the swept rows on the
     // 2-key Morton interleave, so clustering survives continuous
@@ -7919,6 +7957,13 @@ object AnalyticsQueries {
        + "fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins1 UNION ALL SELECT * FROM ins2) "
        + "SELECT 6::BIGINT AS version, COUNT(*)::BIGINT AS n_rows, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM fin"),
+    // planted near-dup groups: every 3 consecutive ids pair with each
+    // other (original / trimmed / re-encoded), nothing else pairs
+    "q363_video_neardup" ->
+      ("SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+       + "FROM documents a JOIN documents b "
+       + "ON a.doc_id // 3 = b.doc_id // 3 AND a.doc_id < b.doc_id "
+       + "ORDER BY id_a, id_b"),
     // z-sweep skip==filter replays from the base table; pruning
     // claims are pinned booleans (x claims pruning only, y/box claim
     // beating the unclustered control too)

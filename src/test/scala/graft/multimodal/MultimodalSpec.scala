@@ -411,4 +411,38 @@ class MultimodalSpec extends SparkSpec {
     assert(s0.getLong(2) == 0L && s0.getLong(3) == -1L,
       s"drifting single-shot clip must have no cuts: $s0")
   }
+
+  test("video near-dup: banded pairs == brute force; trimmed and re-encoded copies pair") {
+    import spark.implicits._
+    val docs = spark.range(60).select(col("id").as("doc_id"))
+    val media = Multimodal.syntheticNearDupVideos(docs)
+    val sigDf = Multimodal.shotSignatures(media, cutHamming = 10)
+    val sigs = sigDf.collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byId = sigs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // the trim variant has one fewer shot than its siblings
+    assert(byId(1L).length == byId(0L).length - 1)
+    // brute force: count a-shots with ANY b-shot within the budget —
+    // the exact semantics of the banded operator's countDistinct
+    val ids = byId.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      shared = byId(a).count(ha =>
+        byId(b).exists(hb => java.lang.Long.bitCount(ha ^ hb) <= 7))
+      if shared >= 2
+    } yield (a, b)).toSet
+    val banded = Multimodal
+      .videoNearDupPairs(sigDf, maxHamming = 7, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banded != brute: extra=${banded -- brute} missing=${brute -- banded}")
+    // every planted group pairs fully: original↔trimmed↔re-encoded
+    val planted = (for {
+      g <- 0L until 20L
+      a <- 0 to 2; b <- 0 to 2 if a < b
+    } yield (g * 3 + a, g * 3 + b)).toSet
+    assert(banded == planted,
+      s"extra=${banded -- planted} missing=${planted -- banded}")
+    ()
+  }
 }
