@@ -35,6 +35,21 @@ final class AmqpConnection(url: AmqpUrl) {
   @volatile private var deadFlag = false
   def isDead: Boolean = deadFlag
 
+  // connection.blocked state (RabbitMQ extension, pika semantics):
+  // the broker told us it stopped reading publishes. Publishes stall
+  // until unblocked; with blocked_connection_timeout set, a watchdog
+  // tears the connection down past the deadline exactly like pika's
+  // ConnectionBlockedTimeout.
+  @volatile private var blockedFlag = false
+  @volatile private var blockedAtNanos = 0L
+  @volatile private var deathReason: Option[String] = None
+  private val blockLock = new Object
+  def isBlocked: Boolean = blockedFlag
+  /** Why the connection died, when the death was protocol-initiated
+    * (blocked-timeout) rather than an IO failure.
+    */
+  def deadReason: Option[String] = deathReason
+
   /** Called for each assembled delivery: (deliveryTag, contentType,
     * body, redelivered). Set before [[consume]].
     */
@@ -116,8 +131,12 @@ final class AmqpConnection(url: AmqpUrl) {
   // client_properties: URL-supplied entries merge OVER the defaults
   // (pika URLParameters semantics) and ride connection.start-ok as a
   // plain AMQP field table — the codec already speaks tables
+  // capabilities ride as a nested table; advertising
+  // connection.blocked is what makes a RabbitMQ-shaped broker send
+  // the blocked/unblocked frames at all (pika advertises it too)
   sendFrames(methodFrame(0, ConnectionStartOk(
-    Map[String, Any]("product" -> "graft-spark", "version" -> "0-9-1")
+    Map[String, Any]("product" -> "graft-spark", "version" -> "0-9-1",
+      "capabilities" -> Map[String, Any]("connection.blocked" -> true))
       ++ url.clientProperties,
     "PLAIN", ("\u0000" + user + "\u0000" + password).getBytes(UTF_8),
     url.locale)))
@@ -190,6 +209,15 @@ final class AmqpConnection(url: AmqpUrl) {
           case FrameHeartbeat => ()
           case FrameMethod => parseMethod(f.payload) match {
             case d: BasicDeliver => pendingDeliver = Some(d)
+            case _: ConnectionBlocked => blockLock.synchronized {
+              blockedFlag = true
+              blockedAtNanos = System.nanoTime()
+              blockLock.notifyAll()
+            }
+            case _: ConnectionUnblocked => blockLock.synchronized {
+              blockedFlag = false
+              blockLock.notifyAll()
+            }
             case c: ConnectionClose =>
               sendFrames(methodFrame(0, ConnectionCloseOk()))
               throw new java.io.IOException(
@@ -240,6 +268,30 @@ final class AmqpConnection(url: AmqpUrl) {
     }, s"graft-amqp-heartbeat-$host-$port")
     hb.setDaemon(true)
     hb.start()
+  }
+
+  // blocked_connection_timeout watchdog (pika URLParameters): armed
+  // off the broker's connection.blocked frame; past the deadline the
+  // connection is torn down with pika's ConnectionBlockedTimeout
+  // message. Polling at 25 ms keeps the thread trivial; the deadline
+  // itself is measured from the blocked frame's arrival.
+  url.blockedConnectionTimeout.foreach { secs =>
+    val wd = new Thread(() => {
+      try {
+        while (!deadFlag) {
+          Thread.sleep(25)
+          if (blockedFlag && !deadFlag &&
+              System.nanoTime() - blockedAtNanos > (secs * 1e9).toLong) {
+            deathReason = Some("Blocked connection timeout expired")
+            deadFlag = true
+            try sock.close() catch { case _: Exception => () }
+            blockLock.synchronized(blockLock.notifyAll())
+          }
+        }
+      } catch { case _: Throwable => () }
+    }, s"graft-amqp-blocked-watchdog-$host-$port")
+    wd.setDaemon(true)
+    wd.start()
   }
 
   private def rpc[M <: Method](m: Method)(implicit ct: ClassTag[M]): M = {
@@ -301,6 +353,14 @@ final class AmqpConnection(url: AmqpUrl) {
       Map.empty)).consumerTag
 
   def publish(exchange: String, body: String, contentType: String): Unit = {
+    // a blocked broker has stopped reading: stall the publish until
+    // connection.unblocked (or death — including the blocked-timeout
+    // teardown) instead of stuffing the socket buffer
+    blockLock.synchronized {
+      while (blockedFlag && !deadFlag) blockLock.wait(50)
+    }
+    if (deadFlag) throw new java.io.IOException(
+      deathReason.getOrElse("connection is dead"))
     val bytes = body.getBytes(UTF_8)
     val frames =
       methodFrame(1, BasicPublish(exchange, routingKey = "",

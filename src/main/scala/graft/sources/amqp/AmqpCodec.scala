@@ -206,6 +206,18 @@ object Amqp {
     val classId = 10; val methodId = 51
     def writeArgs(w: Writer): Unit = ()
   }
+  /** RabbitMQ's connection.blocked extension (sent only to clients
+    * advertising the `connection.blocked` capability): the broker is
+    * under a resource alarm and will stop reading publishes.
+    */
+  final case class ConnectionBlocked(reason: String) extends Method {
+    val classId = 10; val methodId = 60
+    def writeArgs(w: Writer): Unit = w.shortStr(reason): Unit
+  }
+  final case class ConnectionUnblocked() extends Method {
+    val classId = 10; val methodId = 61
+    def writeArgs(w: Writer): Unit = ()
+  }
 
   final case class ChannelOpen() extends Method {
     val classId = 20; val methodId = 10
@@ -328,6 +340,8 @@ object Amqp {
       case (10, 41) => ConnectionOpenOk()
       case (10, 50) => ConnectionClose(r.short(), r.shortStr(), r.short(), r.short())
       case (10, 51) => ConnectionCloseOk()
+      case (10, 60) => ConnectionBlocked(r.shortStr())
+      case (10, 61) => ConnectionUnblocked()
       case (20, 10) => ChannelOpen()
       case (20, 11) => ChannelOpenOk()
       case (20, 40) => ChannelClose(r.short(), r.shortStr(), r.short(), r.short())

@@ -121,6 +121,59 @@ final class AmqpServer(port: Int, walDir: Option[Path],
 
   private val liveSockets =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  private val liveConns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Conn]()
+
+  // -----------------------------------------------------------------
+  // Resource alarm (RabbitMQ's connection.blocked extension)
+  // -----------------------------------------------------------------
+  @volatile private var blockedReason: Option[String] = None
+  @volatile private var backlogWatermark: Long = Long.MaxValue
+
+  /** Is the broker currently under a resource alarm? (tests) */
+  def isBlocked: Boolean = blockedReason.isDefined
+
+  /** Raise (Some(reason)) or clear (None) the resource alarm: every
+    * live connection that advertised the `connection.blocked`
+    * capability gets the connection.blocked/unblocked frame, and
+    * connections arriving while alarmed are told right after open-ok
+    * — RabbitMQ's memory/disk-alarm behavior.
+    */
+  def setBlocked(reason: Option[String]): Unit = {
+    val prev = blockedReason
+    blockedReason = reason
+    (prev, reason) match {
+      case (None, Some(r)) => liveConns.forEach(_.notifyBlocked(r))
+      case (Some(_), None) => liveConns.forEach(_.notifyUnblocked())
+      case _ => ()
+    }
+  }
+
+  /** Settable memory/WAL watermark: when the total un-acked backlog
+    * across exchanges exceeds `n` messages the broker raises the
+    * alarm, and clears it once acks bring the backlog back under —
+    * the vm_memory_high_watermark shape reduced to the one resource
+    * this broker actually accumulates.
+    */
+  def setBacklogWatermark(n: Long): Unit = {
+    backlogWatermark = n
+    recheckWatermark()
+  }
+
+  private def totalBacklog: Long = {
+    var t = 0L
+    exchanges.forEach((_, lg) => t += lg.latest - lg.committed)
+    t
+  }
+
+  private def recheckWatermark(): Unit =
+    if (backlogWatermark != Long.MaxValue) {
+      if (totalBacklog > backlogWatermark && blockedReason.isEmpty)
+        setBlocked(Some(
+          "low on memory: message backlog over the watermark"))
+      else if (totalBacklog <= backlogWatermark && blockedReason.isDefined)
+        setBlocked(None)
+    }
 
   private val acceptor = new Thread(() => {
     while (running) {
@@ -203,6 +256,13 @@ final class AmqpServer(port: Int, walDir: Option[Path],
           "PLAIN", "en_US")))
         val startOk = expect[ConnectionStartOk](0)
         lastClientProps = startOk.clientProps
+        // RabbitMQ sends blocked/unblocked frames ONLY to clients
+        // that advertised the capability in start-ok
+        capBlocked = startOk.clientProps.get("capabilities").exists {
+          case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+            .get("connection.blocked").contains(true)
+          case _ => false
+        }
         // SASL PLAIN: NUL authcid NUL passwd → split gives ["", user, pw]
         val cred = new String(startOk.response,
           java.nio.charset.StandardCharsets.UTF_8).split("\u0000", -1)
@@ -244,12 +304,16 @@ final class AmqpServer(port: Int, walDir: Option[Path],
         }
         connVhost = open.vhost
         send(methodFrame(0, ConnectionOpenOk()))
+        liveConns.add(this)
+        // a connection arriving during an alarm learns immediately
+        blockedReason.foreach(notifyBlocked)
         loop()
       } catch {
         case _: java.io.IOException => ()
         case _: IllegalArgumentException => () // malformed frame: drop conn
       } finally {
         alive = false
+        liveConns.remove(this)
         channels.forEach((_, st) => st.open = false)
         consumedExchanges.forEach(ex => releaseConsumer(ex))
         consumedExchanges.clear()
@@ -257,6 +321,17 @@ final class AmqpServer(port: Int, walDir: Option[Path],
       }
 
     @volatile private var connVhost = "/"
+    @volatile private var capBlocked = false
+
+    private[AmqpServer] def notifyBlocked(reason: String): Unit =
+      if (capBlocked)
+        try send(methodFrame(0, ConnectionBlocked(reason)))
+        catch { case _: Exception => () }
+
+    private[AmqpServer] def notifyUnblocked(): Unit =
+      if (capBlocked)
+        try send(methodFrame(0, ConnectionUnblocked()))
+        catch { case _: Exception => () }
 
     /** Handshake-time refusal: connection.close with the reply code,
       * a short grace for the client's close-ok, then drop the socket —
@@ -319,6 +394,7 @@ final class AmqpServer(port: Int, walDir: Option[Path],
           st.pendingPublish = None
           st.pendingHeader = None
           st.bodyBuf.reset()
+          recheckWatermark()
         case _ => ()
       }
 
@@ -404,6 +480,7 @@ final class AmqpServer(port: Int, walDir: Option[Path],
           st.singleAcked.add(a.deliveryTag - 1)
           while (st.singleAcked.remove(lg.committed)) lg.ack(lg.committed + 1)
         }
+        recheckWatermark()
 
       case other =>
         throw new IllegalArgumentException(s"unhandled method $other")

@@ -47,7 +47,8 @@ final case class AmqpUrl(host: String, port: Int, user: String,
     frameMax: Int = 0, channelMax: Int = 0, locale: String = "en_US",
     sslOptions: Option[SslOptions] = None,
     clientProperties: Map[String, Any] = Map.empty,
-    tcpOptions: Map[String, Int] = Map.empty)
+    tcpOptions: Map[String, Int] = Map.empty,
+    blockedConnectionTimeout: Option[Double] = None)
 
 /** Parsed pika `ssl_options` dict — only keys with a JVM-native
   * equivalent; the rest are rejected at parse time.
@@ -59,9 +60,10 @@ final case class SslOptions(caCerts: Option[String] = None,
 object AmqpUrl {
   /** pika keys that exist but this client cannot honor — rejected
     * loudly (a silently-ignored TLS option would be a security bug).
+    * `stack_timeout` is genuinely ioloop-internal; everything else
+    * pika's URLParameters accepts is honored.
     */
-  private val Unsupported =
-    Set("blocked_connection_timeout", "stack_timeout")
+  private val Unsupported = Set("stack_timeout")
 
   /** tcp_options keys with a JVM socket-option equivalent. */
   private val TcpOptionKeys =
@@ -126,6 +128,11 @@ object AmqpUrl {
       case "connection_attempts" => a.copy(connectionAttempts = int(k, v, 1, Int.MaxValue))
       case "retry_delay" => a.copy(retryDelay = num(k, v))
       case "socket_timeout" => a.copy(socketTimeout = num(k, v))
+      // pika arms this off the broker's connection.blocked frame
+      // (AMQP 0-9-1 extension): past the timeout the connection is
+      // torn down with ConnectionBlockedTimeout
+      case "blocked_connection_timeout" =>
+        a.copy(blockedConnectionTimeout = Some(num(k, v)))
       // AMQP 0-9-1 frame-min-size .. pika's default max
       case "frame_max" => a.copy(frameMax = int(k, v, 4096, Amqp.DefaultFrameMax))
       case "channel_max" => a.copy(channelMax = int(k, v, 0, 65535))
