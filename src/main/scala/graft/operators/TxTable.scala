@@ -76,6 +76,60 @@ object TxTable {
   private[operators] def relSuffix(f: String): String =
     f.split('/').takeRight(2).mkString("/")
 
+  // ---------------------------------------------------------------
+  // Hive-partitioned staging (partition values live in file PATHS)
+  // ---------------------------------------------------------------
+
+  /** Partition-directory prefix. A partitioned append stages through
+    * DUPLICATE write-side columns named `__p_<col>` so the hive
+    * `partitionBy` writer lays files out under `__p_<col>=<value>/`
+    * directories while the REAL column stays in the data file —
+    * every existing read path (snapshots, DV row addressing, CDF
+    * diffs, clones) keeps working on self-contained files, and the
+    * path segment gives the log partition values for free: no entry
+    * schema change, and checkpoints/clones carry the values because
+    * they carry the paths. (Delta records partitionValues in the add
+    * action and strips the columns from data files; keeping the
+    * column costs a few dictionary-encoded bytes per row and buys
+    * total independence from reconstitution logic — the right trade
+    * for an engine whose DV/CDF/stats machinery addresses raw files.)
+    */
+  private val PartPrefix = "__p_"
+
+  /** Undo the hive writer's %xx path escaping (space, '=', '/', …). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Partition values carried by a file's path: every `__p_col=value`
+    * segment, unescaped; the hive null marker maps to None. Files
+    * staged without `partitionBy` (or re-landed by a non-partition
+    * rewrite) simply have none and are never partition-pruned —
+    * graceful degradation, stats skipping still applies to them.
+    */
+  def partitionValuesOf(f: String): Map[String, Option[String]] =
+    f.split('/').iterator.filter(_.startsWith(PartPrefix)).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) Iterator.empty
+      else {
+        val c = seg.substring(PartPrefix.length, i)
+        val raw = unescapePathName(seg.substring(i + 1))
+        Iterator.single(c ->
+          (if (raw == "__HIVE_DEFAULT_PARTITION__") None else Some(raw)))
+      }
+    }.toMap
+
   /** One commit. `dataChange=false` marks a pure data-reorganization
     * commit (OPTIMIZE): the file set changes but no row's content or
     * liveness does — the change feed skips it entirely, exactly
@@ -681,6 +735,52 @@ object TxTable {
       .map(n => s"$rel/$n")
   }
 
+  /** Stage `df` hive-partitioned on `partitionBy`: the writer splits
+    * on duplicate `__p_<col>` columns (dropped from the files by
+    * `partitionBy` itself) so the data files KEEP the real columns
+    * while landing under `__p_col=value/` directories whose names
+    * [[partitionValuesOf]] reads back. One shuffle on the partition
+    * keys first, so each partition's rows land in few files instead
+    * of one-per-task fragmentation.
+    */
+  private def stagePartitioned(df: DataFrame, dir: String, v: Int,
+      partitionBy: Seq[String]): Seq[String] = {
+    if (partitionBy.isEmpty) return stage(df, dir, v)
+    require(!df.columns.exists(_.startsWith(PartPrefix)),
+      s"column names may not start with the reserved '$PartPrefix' " +
+        "partition prefix")
+    val sd = newStageDir(dir, v)
+    val dup = partitionBy.foldLeft(df)((d, c) =>
+      d.withColumn(s"$PartPrefix$c", col(c)))
+    dup.repartition(partitionBy.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionBy.map(PartPrefix + _): _*)
+      .parquet(sd.toString)
+    val rel = sd.getFileName.toString
+    def walk(p: Path, pre: String): Seq[String] = listDir(p).flatMap { c =>
+      val n = c.getFileName.toString
+      if (Files.isDirectory(c)) walk(c, s"$pre$n/")
+      else if (n.endsWith(".parquet")) Seq(s"$pre$n")
+      else Seq.empty
+    }
+    walk(sd, s"$rel/").sorted
+  }
+
+  /** [[stagePartitioned]] + CHECK-constraint validation of the staged
+    * bytes, the partitioned twin of [[stageValidated]].
+    */
+  private def stageValidatedPartitioned(df: DataFrame, dir: String,
+      v: Int, partitionBy: Seq[String]): Seq[String] = {
+    val added = stagePartitioned(df, dir, v, partitionBy)
+    try { enforceConstraintsStaged(df.sparkSession, dir, added); added }
+    catch {
+      case e: ConstraintViolationException =>
+        if (added.nonEmpty)
+          deleteDirRec(dataDir(dir).resolve(stageRelOf(added)))
+        throw e
+    }
+  }
+
   /** The optimistic commit loop: try `CREATE_NEW` at `firstV`; on
     * loss, re-read ONLY the interleaved entries, ask `conflicts`
     * whether they invalidate what this commit read, and retry at the
@@ -817,12 +917,14 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil): Int = {
     assertWritable(dir)
     val m = mappingAt(dir)
     assertNoPhysicalCollision(df, m)
     val v0 = currentVersion(dir) + 1
-    val added = stageValidated(toPhysical(df, m), dir, v0)
+    val added = stageValidatedPartitioned(toPhysical(df, m), dir, v0,
+      partitionBy.map(m.physicalOf))
     writeStats(df.sparkSession, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf), bloomCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts,
@@ -860,21 +962,104 @@ object TxTable {
     // rows are invisible: a file whose only matches are already
     // deleted is not rewritten, and its survivors re-land WITHOUT
     // them (a rewrite materializes the file's DV, Delta's rule).
-    val affectedRel = visibleWithMeta(spark, dir, files, dvs, m)
-      .filter(matches)
-      .select(col("_f"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val affected = files.filter(f => affectedRel.contains(relSuffix(f)))
-    if (affected.isEmpty) return currentVersion(dir)
+    // metadata-only fast path (Delta's partition delete): a file whose
+    // PATH partition values prove every row matches drops straight out
+    // of the log — no scan, no rewrite, no DV; DELETE WHERE p = v on a
+    // 100 TB partitioned table is one log write. Sound with DVs: the
+    // already-hidden rows were not visible before either, and the
+    // change feed diffs the removed files under the PRE-commit DV
+    // state, so only still-visible rows are reported deleted.
+    val whole = whollyMatchingFiles(spark, dir, files, pred, m)
+    val rest = files.filterNot(whole.toSet)
+    val affected =
+      if (rest.isEmpty) Seq.empty[String]
+      else {
+        val affectedRel = visibleWithMeta(spark, dir, rest, dvs, m)
+          .filter(matches)
+          .select(col("_f"))
+          .distinct().collect().map(_.getString(0)).toSet
+        rest.filter(f => affectedRel.contains(relSuffix(f)))
+      }
+    if (whole.isEmpty && affected.isEmpty) return currentVersion(dir)
     val v0 = currentVersion(dir) + 1
-    val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
-    val added = stage(
-      toPhysical(affVisible.filter(!matches).drop("_f", "_pos"), m),
-      dir, v0)
-    writeStats(spark, dir, stageRelOf(added), added,
-      statsCols.map(m.physicalOf))
-    val v = commitWithRetry(dir, added, affected, v0,
-      rewriteConflicts(affected.toSet))
+    val added =
+      if (affected.isEmpty) Seq.empty[String]
+      else {
+        val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
+        stage(
+          toPhysical(affVisible.filter(!matches).drop("_f", "_pos"), m),
+          dir, v0)
+      }
+    if (added.nonEmpty)
+      writeStats(spark, dir, stageRelOf(added), added,
+        statsCols.map(m.physicalOf))
+    val removes = whole ++ affected
+    val v = commitWithRetry(dir, added, removes, v0,
+      rewriteConflicts(removes.toSet))
+    maybeCheckpoint(spark, dir, v, checkpointEvery)
+    v
+  }
+
+  /** Atomic INSERT OVERWRITE WHERE (Delta's replaceWhere): ONE commit
+    * removes every current row matching `pred` and lands `df` in its
+    * place — the idempotent batch-reload shape (recompute a partition
+    * or date range, swap it in atomically; a reader sees the old or
+    * the new rows, never both, never neither). Every incoming row must
+    * itself satisfy `pred` (checked BEFORE any bytes land, Delta's
+    * rule — otherwise a replay would not be idempotent). Files whose
+    * PATH partition values prove a total match drop metadata-only;
+    * partially-matching files rewrite survivors — exactly the
+    * [[commitDelete]] contract, plus the new data in the same commit.
+    */
+  def commitReplaceWhere(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column, df: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      checkpointEvery: Int = DefaultCheckpointEvery,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Int = {
+    assertWritable(dir)
+    val m = mappingAt(dir)
+    assertNoPhysicalCollision(df, m)
+    val matches = coalesce(pred, lit(false))
+    val bad = df.filter(!matches).limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      "replaceWhere: input rows do not all satisfy the predicate")
+    val files = liveFilesFast(spark, dir)
+    val dvs = dvRefsAt(dir)
+    val whole = whollyMatchingFiles(spark, dir, files, pred, m)
+    val rest = files.filterNot(whole.toSet)
+    val affected =
+      if (rest.isEmpty) Seq.empty[String]
+      else {
+        val affectedRel = visibleWithMeta(spark, dir, rest, dvs, m)
+          .filter(matches)
+          .select(col("_f"))
+          .distinct().collect().map(_.getString(0)).toSet
+        rest.filter(f => affectedRel.contains(relSuffix(f)))
+      }
+    val v0 = currentVersion(dir) + 1
+    // the new data first (constraint-validated; a rejection leaves
+    // nothing staged), then survivors of partially-matching files
+    val newAdds = stageValidatedPartitioned(toPhysical(df, m), dir, v0,
+      partitionBy.map(m.physicalOf))
+    if (newAdds.nonEmpty)
+      writeStats(spark, dir, stageRelOf(newAdds), newAdds,
+        statsCols.map(m.physicalOf), bloomCols.map(m.physicalOf))
+    val survivorAdds =
+      if (affected.isEmpty) Seq.empty[String]
+      else {
+        val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
+        val s = stage(
+          toPhysical(affVisible.filter(!matches).drop("_f", "_pos"), m),
+          dir, v0)
+        if (s.nonEmpty)
+          writeStats(spark, dir, stageRelOf(s), s,
+            statsCols.map(m.physicalOf))
+        s
+      }
+    val removes = whole ++ affected
+    val v = commitWithRetry(dir, newAdds ++ survivorAdds, removes, v0,
+      rewriteConflicts(removes.toSet))
     maybeCheckpoint(spark, dir, v, checkpointEvery)
     v
   }
@@ -1426,6 +1611,16 @@ object TxTable {
     val m = mappingAt(dir)
     val current = readApplyingDv(spark, dir, inputs, dvRefsAt(dir),
       mapping = m)
+    // a partitioned table's sweep must re-land rows under their
+    // partition directories (mixing partitions into one output file
+    // would silently strip partition pruning from the swept rows) —
+    // stagePartitioned recreates the layout from the data columns,
+    // one output file per partition per sweep
+    val pvalCols = inputs.flatMap(f => partitionValuesOf(f).keys)
+      .distinct // physical names
+    require(zOrderBy.isEmpty || pvalCols.isEmpty,
+      "zOrderBy sweep on hive-partitioned files is not supported " +
+        "(the partition layout already bounds each output file)")
     // incremental ZORDER: the steady-state sweep re-clusters ONLY the
     // swept bin's rows on the Morton interleave, so clustering
     // SURVIVES continuous ingest without ever paying a full-table
@@ -1435,8 +1630,11 @@ object TxTable {
       if (zOrderBy.nonEmpty)
         Layout.zOrderedScaledN(current, zOrderBy, outFiles,
           math.min(zBits, 62 / zOrderBy.size)).drop("zval")
+      else if (pvalCols.nonEmpty) current
       else current.repartition(outFiles)
-    val added = stage(toPhysical(arranged, m), dir, v0)
+    val added =
+      if (pvalCols.isEmpty) stage(toPhysical(arranged, m), dir, v0)
+      else stagePartitioned(toPhysical(arranged, m), dir, v0, pvalCols)
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, inputs, v0,
@@ -2256,39 +2454,143 @@ object TxTable {
       pred: org.apache.spark.sql.Column,
       version: Option[Int] = None): (Seq[String], Seq[String]) = {
     val live = liveFilesFast(spark, dir, version)
-    statsTable(spark, dir) match {
-      case None => (live, Seq.empty)
-      case Some(st) =>
-        val covered = st.columns.filter(_.startsWith("min_"))
-          .map(_.stripPrefix("min_")).toSet
-        val bloomCovered = st.columns.filter(_.startsWith("bloom_"))
-          .map(_.stripPrefix("bloom_")).toSet
-        // resolve the predicate against the table schema (inserts the
-        // implicit casts, binds attributes) and walk the ANALYZED tree
-        // — matching the unanalyzed ColumnNode surface would miss
-        // every operator Spark rewrites during analysis
-        val cond = snapshot(spark, dir, version).filter(pred)
-          .queryExecution.analyzed match {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            Some(f.condition)
-          case _ => None
-        }
-        val m = mappingAt(dir, version.getOrElse(Int.MaxValue))
-        cond.flatMap(
-          statsPredicate(_, covered, bloomCovered, m.physicalOf)) match {
-          case None => (live, Seq.empty)
-          case Some(sp) =>
-            // skippable ⇔ stats exist AND the stats predicate is
-            // definitely false (NULL = unknown = keep)
-            val skippable = st
-              .filter(!coalesce(sp, lit(true)))
-              .select(col("file")).collect().map(_.getString(0)).toSet
-            // match on the 2-segment suffix: sidecars always key on
-            // it, and a clone's live names are ABSOLUTE source paths
-            (live.filterNot(f => skippable.contains(relSuffix(f))),
-              live.filter(f => skippable.contains(relSuffix(f))))
-        }
+    if (live.isEmpty) return (live, Seq.empty)
+    // resolve the predicate against the table schema (inserts the
+    // implicit casts, binds attributes) and walk the ANALYZED tree
+    // — matching the unanalyzed ColumnNode surface would miss
+    // every operator Spark rewrites during analysis
+    val snap = snapshot(spark, dir, version)
+    val cond = snap.filter(pred).queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        Some(f.condition)
+      case _ => None
     }
+    val m = mappingAt(dir, version.getOrElse(Int.MaxValue))
+    // skippable ⇔ stats exist AND the stats predicate is definitely
+    // false (NULL = unknown = keep)
+    def skippedBy(st: DataFrame): Set[String] = {
+      val covered = st.columns.filter(_.startsWith("min_"))
+        .map(_.stripPrefix("min_")).toSet
+      val bloomCovered = st.columns.filter(_.startsWith("bloom_"))
+        .map(_.stripPrefix("bloom_")).toSet
+      cond.flatMap(
+        statsPredicate(_, covered, bloomCovered, m.physicalOf)) match {
+        case None => Set.empty
+        case Some(sp) => st.filter(!coalesce(sp, lit(true)))
+          .select(col("file")).collect().map(_.getString(0)).toSet
+      }
+    }
+    // two independent stats sources feed the SAME skipping rule:
+    // the per-file min/max sidecars, and the PATH partition values
+    // (a partition value is a min==max stat that costs zero I/O —
+    // it was parsed off the live-file list the snapshot needs anyway)
+    val skippable =
+      statsTable(spark, dir).map(skippedBy).getOrElse(Set.empty) ++
+        partitionStats(spark, snap.schema, m, live)
+          .map(skippedBy).getOrElse(Set.empty)
+    // match on the 2-segment suffix: sidecars always key on
+    // it, and a clone's live names are ABSOLUTE source paths
+    (live.filterNot(f => skippable.contains(relSuffix(f))),
+      live.filter(f => skippable.contains(relSuffix(f))))
+  }
+
+  /** Types whose hive path string round-trips EXACTLY through
+    * cast-to-string-and-back — the soundness requirement for treating
+    * a parsed path value as a file-skipping stat (floats/timestamps
+    * can format differently than they re-parse; never prune on them).
+    */
+  private def exactPathRoundTrip(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case StringType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  /** The PATH partition values of `live` files as a synthetic stats
+    * table (`file`, `min_c`, `max_c` with min == max == the value,
+    * typed per the table schema) — so partition pruning reuses the
+    * exact min/max translation and three-valued-logic rules of
+    * [[statsPredicate]] instead of a second pruning engine. Columns
+    * are restricted to [[exactPathRoundTrip]] types; files without a
+    * value for a column carry NULL stats there (= never skipped by
+    * it). None when no live file carries partition values at all.
+    */
+  private def partitionStats(spark: SparkSession,
+      logicalSchema: StructType, m: ColumnMapping,
+      live: Seq[String]): Option[DataFrame] = {
+    val pvals = live.map(f => f -> partitionValuesOf(f))
+    if (!pvals.exists(_._2.nonEmpty)) return None
+    // physical path names -> (physical, logical type), exact types only
+    val typed = pvals.flatMap(_._2.keys).distinct.flatMap { p =>
+      val lname = m.logicalOf(p).getOrElse(p)
+      logicalSchema.fields.find(_.name == lname)
+        .filter(f => exactPathRoundTrip(f.dataType))
+        .map(f => p -> f.dataType)
+    }
+    if (typed.isEmpty) return None
+    val rows = pvals.map { case (f, vs) =>
+      Row.fromSeq(relSuffix(f) +:
+        typed.map { case (p, _) => vs.get(p).flatten.orNull })
+    }.asJava
+    val raw = spark.createDataFrame(rows, StructType(
+      StructField("file", StringType) +:
+        typed.map { case (p, _) => StructField(s"__raw_$p", StringType) }))
+    Some(raw.select((col("file") +: typed.flatMap { case (p, dt) =>
+      Seq(col(s"__raw_$p").cast(dt).as(s"min_$p"),
+        col(s"__raw_$p").cast(dt).as(s"max_$p"))
+    }): _*))
+  }
+
+  /** Live files whose PATH partition values PROVE every row matches
+    * `pred` — the lift from row truth to file truth that makes a
+    * whole-partition DELETE metadata-only: the predicate must
+    * reference ONLY columns that are partition values of the file
+    * (constant within it, exact-round-trip typed), and must evaluate
+    * TRUE on them. Evaluation is delegated to Catalyst itself over a
+    * one-row-per-file local relation, so every operator the predicate
+    * may use behaves exactly as it would on the data.
+    */
+  private def whollyMatchingFiles(spark: SparkSession, dir: String,
+      files: Seq[String], pred: org.apache.spark.sql.Column,
+      m: ColumnMapping, version: Option[Int] = None): Seq[String] = {
+    if (files.isEmpty) return Seq.empty
+    val pvals = files.map(f => f -> partitionValuesOf(f))
+    if (!pvals.exists(_._2.nonEmpty)) return Seq.empty
+    try {
+      val snap = snapshot(spark, dir, version)
+      val cond = snap.filter(pred).queryExecution.analyzed match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+        case _ => return Seq.empty
+      }
+      if (!cond.deterministic) return Seq.empty
+      val refs = cond.references.map(_.name).toSeq.distinct // logical
+      if (refs.isEmpty) return Seq.empty
+      val typed = refs.map { l =>
+        val f = snap.schema.fields.find(_.name == l)
+          .getOrElse(return Seq.empty)
+        if (!exactPathRoundTrip(f.dataType)) return Seq.empty
+        (l, m.physicalOf(l), f.dataType)
+      }
+      // only files carrying a value for EVERY referenced column
+      val cands = pvals.filter { case (_, vs) =>
+        typed.forall { case (_, p, _) => vs.contains(p) } }
+      if (cands.isEmpty) return Seq.empty
+      val rows = cands.map { case (f, vs) =>
+        Row.fromSeq(f +: typed.map { case (_, p, _) => vs(p).orNull })
+      }.asJava
+      val raw = spark.createDataFrame(rows, StructType(
+        StructField("__file", StringType) +:
+          typed.map { case (l, _, _) => StructField(s"__raw_$l", StringType) }))
+      val evalDf = typed.foldLeft(raw) { case (acc, (l, _, dt)) =>
+        acc.withColumn(l, col(s"__raw_$l").cast(dt)) }
+      evalDf.filter(coalesce(pred, lit(false)))
+        .select(col("__file")).collect().map(_.getString(0)).toSeq
+    } catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty }
   }
 
   /** Predicate snapshot read WITH file skipping: scan only the files

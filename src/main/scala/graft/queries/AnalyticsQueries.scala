@@ -5131,8 +5131,82 @@ object AnalyticsQueries {
         .unionAll(stage("c_final", None, Seq("doc_id", "body"),
           lit(skipped.nonEmpty)))
         .orderBy("stage")
+    }),
+
+    /** Hive-partitioned txlog table: append partitioned by lang,
+      * whole-partition DELETE as a METADATA-ONLY commit (zero files
+      * staged or scanned — one log write drops a partition of a
+      * 100 TB table), replaceWhere atomic partition overwrite, and
+      * partition pruning off the file PATHS with no stats sidecars
+      * anywhere. Content at every version recomputed by the oracle
+      * from the base relation; the pruning/metadata claims ride as
+      * engine-invariant booleans.
+      */
+    "q364_txlog_partitioned" -> ((s, d) => {
+      val dir2 = txPartDir(s, d)
+      val T = graft.operators.TxTable
+      def ck(cols: String*) = expr(
+        "bit_xor(CAST(conv(substring(md5(concat(" +
+          cols.mkString(", '|', ") +
+          ")), 1, 15), 16, 10) AS BIGINT))")
+      def stage(label: String, v: Option[Int],
+          claims: Option[(Boolean, Boolean)]): DataFrame = {
+        val snap = T.snapshot(s, dir2, v)
+        snap.agg(count(lit(1)).as("n_rows"),
+            ck("doc_id", "text", "lang").as("checksum"))
+          .select(lit(label).as("stage"), col("n_rows"), col("checksum"),
+            claims.map(c => lit(c._1))
+              .getOrElse(lit(null).cast("boolean")).as("pruned"),
+            claims.map(c => lit(c._2))
+              .getOrElse(lit(null).cast("boolean")).as("meta_only"))
+      }
+      val (kept, skipped) = T.pruneFiles(s, dir2, col("lang") === "en")
+      val pruned = kept.nonEmpty &&
+        kept.forall(_.contains("__p_lang=en")) && skipped.nonEmpty
+      val metaOnly = T.history(dir2).find(_._1 == 3)
+        .exists(h => h._2 == 0 && h._3 > 0)
+      stage("a_v1", Some(1), None)
+        .unionAll(stage("b_v2", Some(2), None))
+        .unionAll(stage("c_v3", Some(3), None))
+        .unionAll(stage("d_final", None, Some((pruned, metaOnly))))
+        .orderBy("stage")
     })
   )
+
+  /** Partitioned-table fixture (q364): v1 appends documents hive-
+    * partitioned by lang; v2 appends derived rows (doc_id+10M, 'r:'
+    * prefix) under the same layout; v3 DELETEs the whole de
+    * partition — REQUIRED metadata-only (zero files staged); v4
+    * replaceWhere swaps the fr partition for derived replacement
+    * rows (doc_id+20M, 'f:' prefix) in ONE atomic commit, validated
+    * input-side. Partition pruning is asserted sidecar-free.
+    */
+  private val txPartCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txPartDir(s: SparkSession, dir: String): String =
+    txPartCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txpart-")
+        .toString
+      val T = graft.operators.TxTable
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      T.commitAppend(docs, tmp, partitionBy = Seq("lang")) // v1
+      val der = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("r:"), col("text")).as("text"), col("lang"))
+      T.commitAppend(der, tmp, partitionBy = Seq("lang")) // v2
+      val v3 = T.commitDelete(s, tmp, col("lang") === "de") // v3
+      val h3 = T.history(tmp).find(_._1 == v3).get
+      require(h3._2 == 0 && h3._3 > 0,
+        "whole-partition DELETE must be metadata-only (no file staged)")
+      val repl = docs.filter(col("lang") === "fr")
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(lit("f:"), col("text")).as("text"), col("lang"))
+      val v4 = T.commitReplaceWhere(s, tmp, col("lang") === "fr", repl,
+        partitionBy = Seq("lang")) // v4
+      require(v4 == 4, s"replaceWhere landed at v$v4, expected v4")
+      tmp
+    })
 
   /** Z-sweep fixture pair (q362): six streaming-style small appends
     * into BOTH tables; A's sweep re-clusters the swept rows on the
@@ -7981,6 +8055,28 @@ object AnalyticsQueries {
     // the column-mapped table recomputed: v1 = base under old names,
     // v3 = base + derived appends, final = the same rows under
     // (doc_id, body) with language dropped
+    // every version's content recomputed from the base relation; the
+    // engine-invariant pruning/metadata-only booleans are constants
+    "q364_txlog_partitioned" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
+       + "v2 AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id, text, lang FROM der), "
+       + "v3 AS (SELECT * FROM v2 WHERE lang <> 'de'), "
+       + "fin AS (SELECT * FROM v3 WHERE lang <> 'fr' UNION ALL "
+       + "SELECT doc_id + 20000000, 'f:' || text, lang FROM documents WHERE lang = 'fr'), "
+       + "a AS (SELECT 'a_v1' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum, "
+       + "CAST(NULL AS BOOLEAN) AS pruned, CAST(NULL AS BOOLEAN) AS meta_only FROM documents), "
+       + "b AS (SELECT 'b_v2', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT, "
+       + "CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN) FROM v2), "
+       + "c AS (SELECT 'c_v3', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT, "
+       + "CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN) FROM v3), "
+       + "dd AS (SELECT 'd_final', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT, "
+       + "TRUE, TRUE FROM fin) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c UNION ALL SELECT * FROM dd "
+       + "ORDER BY stage"),
     "q360_txlog_colmap" ->
       ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
        + "b3 AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM der), "

@@ -1197,4 +1197,176 @@ class TxTableSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == ids5 - 1L + 1000L)
     ()
   }
+
+  test("partitioned append: hive layout, partition pruning, columns kept in data") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-part-")
+      .toString
+    val df = Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "de", "c"),
+      (4L, "fr", "d"), (5L, "de", "e")).toDF("id", "lang", "s")
+    TxTable.commitAppend(df, dir, partitionBy = Seq("lang"))
+    // layout: every file sits under a __p_lang=<v> directory and the
+    // data files KEEP the lang column (self-contained files)
+    val files = TxTable.liveFiles(dir)
+    assert(files.nonEmpty && files.forall(_.contains("/__p_lang=")))
+    assert(TxTable.partitionValuesOf(files.head).contains("lang"))
+    val snap = TxTable.snapshot(spark, dir)
+    assert(snap.columns.toSeq == Seq("id", "lang", "s"))
+    assert(snap.count() == 5)
+    // partition pruning with NO stats sidecars: lang = 'de' keeps only
+    // the de file(s); result always == full filter
+    val (kept, skipped) = TxTable.pruneFiles(spark, dir,
+      col("lang") === "de")
+    assert(kept.forall(_.contains("__p_lang=de")) && skipped.nonEmpty)
+    assert(TxTable.snapshotWhere(spark, dir, col("lang") === "de")
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(3L, 5L))
+    // IN / OR / mixed-AND prune too (via the statsPredicate rules)
+    val (k2, _) = TxTable.pruneFiles(spark, dir,
+      col("lang").isin("en", "fr"))
+    assert(k2.forall(f => f.contains("=en") || f.contains("=fr")))
+    val (k3, s3) = TxTable.pruneFiles(spark, dir,
+      col("lang") === "de" && col("s") =!= "zz")
+    assert(k3.forall(_.contains("=de")) && s3.nonEmpty)
+    // a second partitioned append accumulates per-partition files
+    TxTable.commitAppend(Seq((6L, "de", "f")).toDF("id", "lang", "s"),
+      dir, partitionBy = Seq("lang"))
+    assert(TxTable.snapshotWhere(spark, dir, col("lang") === "de")
+      .count() == 3)
+    // values with path-hostile characters round-trip (hive %xx escape)
+    TxTable.commitAppend(
+      Seq((7L, "x=1/y 2", "g")).toDF("id", "lang", "s"),
+      dir, partitionBy = Seq("lang"))
+    assert(TxTable.snapshotWhere(spark, dir, col("lang") === "x=1/y 2")
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(7L))
+    // null partition values land in the hive default dir, never pruned
+    // wrongly, and read back as NULL
+    TxTable.commitAppend(
+      Seq((8L, null.asInstanceOf[String], "h")).toDF("id", "lang", "s"),
+      dir, partitionBy = Seq("lang"))
+    assert(TxTable.snapshot(spark, dir).filter(col("lang").isNull)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(8L))
+    // reserved prefix is rejected
+    intercept[IllegalArgumentException] {
+      TxTable.commitAppend(
+        Seq((9L, "en")).toDF("id", "__p_lang"), dir,
+        partitionBy = Seq("__p_lang"))
+    }
+    ()
+  }
+
+  test("metadata-only DELETE: whole-partition drop stages nothing, CDF exact") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-mdel-")
+      .toString
+    val df = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+      .toDF("id", "lang")
+    TxTable.commitAppend(df, dir, partitionBy = Seq("lang"))
+    val before = TxTable.liveFiles(dir).toSet
+    // DELETE a whole partition: the commit must REMOVE files and ADD
+    // none (no scan of the dropped data, no rewrite)
+    val v = TxTable.commitDelete(spark, dir, col("lang") === "en")
+    val h = TxTable.history(dir).find(_._1 == v).get
+    assert(h._2 == 0, s"metadata-only delete staged ${h._2} file(s)")
+    assert(h._3 > 0)
+    val after = TxTable.liveFiles(dir).toSet
+    assert(after.subsetOf(before) && after.forall(!_.contains("=en")))
+    assert(TxTable.snapshot(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // the change feed reports exactly the dropped partition's rows
+    val feed = TxTable.changes(spark, dir, fromVersion = v - 1)
+      .filter(col("_commit_version") === v)
+      .select(col("_change_type"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("delete", 1L), ("delete", 2L)))
+    // a DV-hidden row is NOT re-reported when its partition drops
+    TxTable.commitDeleteDV(spark, dir, col("id") === 3L)
+    val v2 = TxTable.commitDelete(spark, dir, col("lang") === "de")
+    assert(TxTable.history(dir).find(_._1 == v2).get._2 == 0)
+    val feed2 = TxTable.changes(spark, dir, fromVersion = v2 - 1)
+      .filter(col("_commit_version") === v2).collect()
+    assert(feed2.isEmpty) // id=3 was already deleted by the DV
+    // mixed predicate (partition + data column) falls back to the
+    // scan path and stays exact
+    TxTable.commitAppend(Seq((5L, "it"), (6L, "it")).toDF("id", "lang"),
+      dir, partitionBy = Seq("lang"))
+    val v3 = TxTable.commitDelete(spark, dir,
+      col("lang") === "it" && col("id") === 5L)
+    assert(TxTable.history(dir).find(_._1 == v3).get._2 > 0) // rewrite
+    assert(TxTable.snapshot(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(4L, 6L))
+    // non-deterministic predicates never take the metadata path
+    val v4 = TxTable.commitDelete(spark, dir,
+      col("lang") === "fr" && rand() >= -1.0)
+    assert(TxTable.history(dir).find(_._1 == v4).get._2 == 0 ||
+      TxTable.snapshot(spark, dir).filter(col("lang") === "fr").count() == 0)
+    ()
+  }
+
+  test("replaceWhere: atomic partition overwrite, input validation, survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-rw-")
+      .toString
+    TxTable.commitAppend(
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "de", 30L))
+        .toDF("id", "lang", "x"),
+      dir, partitionBy = Seq("lang"))
+    // input rows violating the predicate abort BEFORE anything lands
+    val pre = TxTable.currentVersion(dir)
+    intercept[IllegalArgumentException] {
+      TxTable.commitReplaceWhere(spark, dir, col("lang") === "de",
+        Seq((9L, "en", 90L)).toDF("id", "lang", "x"))
+    }
+    assert(TxTable.currentVersion(dir) == pre)
+    // whole-partition overwrite: metadata-only remove + new adds
+    val v = TxTable.commitReplaceWhere(spark, dir, col("lang") === "de",
+      Seq((7L, "de", 70L)).toDF("id", "lang", "x"),
+      partitionBy = Seq("lang"))
+    assert(TxTable.snapshot(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(1L, 7L))
+    // time travel still sees the pre-overwrite rows
+    assert(TxTable.snapshot(spark, dir, Some(pre))
+      .select(col("id")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // CDF: net change = de rows swapped
+    val feed = TxTable.changes(spark, dir, fromVersion = v - 1)
+      .select(col("_change_type"), col("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed == Set(("delete", 2L), ("delete", 3L), ("insert", 7L)))
+    // non-partition predicate: survivors of partially-matching files
+    // re-land beside the new rows in ONE commit
+    TxTable.commitAppend(
+      Seq((10L, "fr", 1L), (11L, "fr", 2L)).toDF("id", "lang", "x")
+        .coalesce(1), dir)
+    TxTable.commitReplaceWhere(spark, dir, col("x") === 1L,
+      Seq((12L, "fr", 1L)).toDF("id", "lang", "x"))
+    assert(TxTable.snapshot(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 7L, 11L, 12L))
+    ()
+  }
+
+  test("partitioned sweep: small files re-land under their partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-psw-")
+      .toString
+    // four tiny partitioned appends → many small per-partition files
+    (0 until 4).foreach { i =>
+      TxTable.commitAppend(
+        Seq((i.toLong, "en"), (i + 100L, "de")).toDF("id", "lang"),
+        dir, partitionBy = Seq("lang"))
+    }
+    val preCount = TxTable.snapshot(spark, dir).count()
+    val preFiles = TxTable.liveFiles(dir).size
+    val v = TxTable.commitCompactSmall(spark, dir,
+      smallBytes = 10L * 1024 * 1024)
+    assert(v > 4)
+    val files = TxTable.liveFiles(dir)
+    // fewer files, every one still under a partition dir, content same
+    assert(files.size < preFiles)
+    assert(files.forall(_.contains("/__p_lang=")))
+    assert(TxTable.snapshot(spark, dir).count() == preCount)
+    // partition pruning still works on the swept layout
+    val (kept, skipped) = TxTable.pruneFiles(spark, dir,
+      col("lang") === "de")
+    assert(kept.forall(_.contains("=de")) && skipped.nonEmpty)
+    assert(TxTable.snapshotWhere(spark, dir, col("lang") === "de")
+      .count() == 4)
+    ()
+  }
 }
