@@ -151,7 +151,17 @@ object TxTable {
       protocol: Option[Protocol] = None,
       renameFrom: Seq[String] = Nil, renameTo: Seq[String] = Nil,
       dropCols: Seq[String] = Nil,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      ts: Long = 0L)
+
+  /** Commit clock (millis). Injectable so tests and oracle fixtures
+    * get DETERMINISTIC in-commit timestamps; production keeps the
+    * wall clock. [[writeEntry]] enforces monotonicity on top
+    * (Delta's in-commit-timestamp rule: ts(v) > ts(v-1) always, even
+    * under clock skew between writers).
+    */
+  @volatile private[graft] var clock: () => Long =
+    () => System.currentTimeMillis()
 
   /** Raised when an optimistic retry finds a real conflict (Delta's
     * `ConcurrentModificationException` contract).
@@ -495,7 +505,18 @@ object TxTable {
 
   private[operators] def writeEntry(dir: String, e: Entry): Unit = {
     Files.createDirectories(logDir(dir))
-    val json = s"""{"version":${e.version},""" +
+    // in-commit timestamp: explicit ts wins (replays/tests), else the
+    // clock — always bumped past the previous commit's ts so the
+    // version order IS the timestamp order (TIMESTAMP AS OF needs a
+    // total order even when racing writers have skewed clocks)
+    val prevTs =
+      if (e.version <= 1) 0L
+      else try jsonLong(new String(
+          Files.readAllBytes(entryFile(dir, e.version - 1)), "UTF-8"),
+          "ts").getOrElse(0L)
+        catch { case _: Exception => 0L }
+    val ts = math.max(if (e.ts > 0) e.ts else clock(), prevTs + 1)
+    val json = s"""{"version":${e.version},"ts":$ts,""" +
       s""""adds":[${e.adds.map(a => "\"" + esc(a) + "\"").mkString(",")}],""" +
       s""""removes":[${e.removes.map(r => "\"" + esc(r) + "\"").mkString(",")}],""" +
       s""""dvs":[${e.dvs.map(d => "\"" + esc(d) + "\"").mkString(",")}],""" +
@@ -581,7 +602,8 @@ object TxTable {
         renameTo = jsonArr(s, "renameTo"),
         dropCols = jsonArr(s, "dropCols"),
         txn = jsonStr(s, "txnApp").map(app =>
-          (app, jsonLong(s, "txnVer").getOrElse(0L))))
+          (app, jsonLong(s, "txnVer").getOrElse(0L))),
+        ts = jsonLong(s, "ts").getOrElse(0L))
       // the READ gate: parsing an entry that demands a newer reader
       // hard-fails right here — every read and write path funnels
       // through this parser, so no caller can misread a protected
@@ -593,6 +615,37 @@ object TxTable {
   /** Current highest committed version (0 = empty table). */
   def currentVersion(dir: String): Int =
     logVersions(dir).lastOption.getOrElse(0)
+
+  /** In-commit timestamp (millis) of a committed version; 0 for
+    * pre-timestamp-era entries.
+    */
+  def commitTimestamp(dir: String, v: Int): Long =
+    try jsonLong(new String(Files.readAllBytes(entryFile(dir, v)),
+        "UTF-8"), "ts").getOrElse(0L)
+    catch { case _: Exception => 0L }
+
+  /** TIMESTAMP AS OF resolution (Delta's rule): the greatest version
+    * whose in-commit timestamp is <= `tsMillis`; a timestamp before
+    * the first commit errors loudly, one past the last resolves to
+    * the head. Timestamps are monotone in version by construction
+    * ([[writeEntry]]), so this is a binary search reading
+    * O(log commits) entry files — no full log replay.
+    */
+  def versionAt(dir: String, tsMillis: Long): Int = {
+    val vs = logVersions(dir)
+    require(vs.nonEmpty, s"no commits in $dir")
+    require(commitTimestamp(dir, vs.head) <= tsMillis,
+      s"timestamp $tsMillis is before the table's first commit " +
+        s"(${commitTimestamp(dir, vs.head)})")
+    var lo = 0
+    var hi = vs.size - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (commitTimestamp(dir, vs(mid)) <= tsMillis) lo = mid
+      else hi = mid - 1
+    }
+    vs(lo)
+  }
 
   private def replay(live: scala.collection.mutable.LinkedHashSet[String],
       entries: Seq[Entry]): Unit =

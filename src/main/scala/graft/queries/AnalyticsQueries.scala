@@ -5170,8 +5170,77 @@ object AnalyticsQueries {
         .unionAll(stage("c_v3", Some(3), None))
         .unionAll(stage("d_final", None, Some((pruned, metaOnly))))
         .orderBy("stage")
+    }),
+
+    /** TIMESTAMP AS OF time travel through Spark's own SQL syntax:
+      * the fixture commits under an injected deterministic clock
+      * (in-commit timestamps, monotone by construction), and the
+      * query reads the table back at three literal timestamps —
+      * between-commits resolves to the version at-or-before, exactly
+      * Delta's rule. The oracle recomputes each version's content
+      * from the base relation.
+      */
+    "q365_txlog_timestamp" -> ((s, d) => {
+      val dir2 = txTsDir(s, d)
+      def ck(cols: String*) = expr(
+        "bit_xor(CAST(conv(substring(md5(concat(" +
+          cols.mkString(", '|', ") +
+          ")), 1, 15), 16, 10) AS BIGINT))")
+      def sqlLit(ms: Long) = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      def stage(label: String, ms: Long): DataFrame =
+        s.sql(s"SELECT * FROM txlog.`$dir2` " +
+            s"TIMESTAMP AS OF '${sqlLit(ms)}'")
+          .agg(count(lit(1)).as("n_rows"),
+            ck("doc_id", "text", "lang").as("checksum"))
+          .select(lit(label).as("stage"), col("n_rows"), col("checksum"))
+      // t0 = v1's clock; 30s past t0 is still v1; v2 at t0+60s; a far
+      // future timestamp resolves to the head (v3)
+      stage("a_v1", TxTsBase)
+        .unionAll(stage("b_between", TxTsBase + 30000L))
+        .unionAll(stage("c_v2", TxTsBase + 60000L))
+        .unionAll(stage("d_head", TxTsBase + 3600000L))
+        .orderBy("stage")
     })
   )
+
+  /** Deterministic commit-clock base for the q365 fixture. */
+  private val TxTsBase = 1700000000000L
+
+  /** Timestamped-table fixture (q365): three commits under an
+    * injected clock ticking 60 s per commit — v1 documents, v2 +
+    * derived rows, v3 a predicate delete — so the SQL literals in
+    * the query resolve identically on every run and every scale.
+    */
+  private val txTsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txTsDir(s: SparkSession, dir: String): String =
+    txTsCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txts-")
+        .toString
+      val T = graft.operators.TxTable
+      val saved = T.clock
+      try {
+        var now = TxTsBase
+        T.clock = () => now
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"), col("lang"))
+        T.commitAppend(docs, tmp) // v1 @ base
+        now += 60000
+        T.commitAppend(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(lit("r:"), col("text")).as("text"), col("lang")),
+          tmp) // v2 @ base+60s
+        now += 60000
+        T.commitDelete(s, tmp, col("doc_id") % 7 === 0) // v3 @ base+120s
+        require(T.versionAt(tmp, TxTsBase + 30000L) == 1 &&
+          T.versionAt(tmp, TxTsBase + 60000L) == 2,
+          "in-commit timestamps must resolve between-commit reads")
+      } finally T.clock = saved
+      tmp
+    })
 
   /** Partitioned-table fixture (q364): v1 appends documents hive-
     * partitioned by lang; v2 appends derived rows (doc_id+10M, 'r:'
@@ -8055,6 +8124,23 @@ object AnalyticsQueries {
     // the column-mapped table recomputed: v1 = base under old names,
     // v3 = base + derived appends, final = the same rows under
     // (doc_id, body) with language dropped
+    // each timestamp's version content recomputed from the base
+    // relation: v1 = documents, between-commits still v1, v2 adds the
+    // derived rows, head applies the doc_id%7 delete
+    "q365_txlog_timestamp" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
+       + "v2 AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id, text, lang FROM der), "
+       + "v3 AS (SELECT * FROM v2 WHERE doc_id % 7 <> 0), "
+       + "a AS (SELECT 'a_v1' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "b AS (SELECT 'b_between', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM documents), "
+       + "c AS (SELECT 'c_v2', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v2), "
+       + "dd AS (SELECT 'd_head', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v3) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c UNION ALL SELECT * FROM dd "
+       + "ORDER BY stage"),
     // every version's content recomputed from the base relation; the
     // engine-invariant pruning/metadata-only booleans are constants
     "q364_txlog_partitioned" ->

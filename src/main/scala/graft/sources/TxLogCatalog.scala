@@ -125,6 +125,17 @@ class TxLogCatalog extends TableCatalog
   override def loadTable(ident: Identifier, version: String): Table =
     parquetTable(rootFor(ident), Some(version.trim.toInt))
 
+  /** `TIMESTAMP AS OF t` — Spark hands MICROseconds since epoch;
+    * resolution delegates to the in-commit timestamps
+    * ([[graft.operators.TxTable.versionAt]], Delta's greatest-
+    * version-at-or-before rule).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootFor(ident)
+    parquetTable(root,
+      Some(TxTable.versionAt(root, Math.floorDiv(timestamp, 1000L))))
+  }
+
   override def tableExists(ident: Identifier): Boolean = {
     val raw = rootFor(ident)
     TxTable.currentVersion(

@@ -122,4 +122,46 @@ class TxLogSourceSpec extends SparkSpec {
     assert(listed.contains("restore") && listed.contains("vacuum"))
     ()
   }
+
+  test("TIMESTAMP AS OF resolves through monotone in-commit timestamps") {
+    val d2 = java.nio.file.Files.createTempDirectory("txlog-ts-")
+      .toString
+    val saved = TxTable.clock
+    try {
+      var now = 1700000000000L // deterministic epoch millis
+      TxTable.clock = () => now
+      TxTable.commitAppend(Seq(1L).toDF("id"), d2) // v1 @ t0
+      now += 60000
+      TxTable.commitAppend(Seq(2L).toDF("id"), d2) // v2 @ t0+60s
+      now += 60000
+      TxTable.commitDelete(spark, d2, col("id") === 1L) // v3 @ t0+120s
+      // operator resolution: greatest version at-or-before
+      assert(TxTable.versionAt(d2, 1700000000000L) == 1)
+      assert(TxTable.versionAt(d2, 1700000059999L) == 1)
+      assert(TxTable.versionAt(d2, 1700000060000L) == 2)
+      assert(TxTable.versionAt(d2, now + 1) == 3)
+      intercept[IllegalArgumentException] {
+        TxTable.versionAt(d2, 1699999999999L)
+      }
+      // SQL surface (UTC session; Spark hands micros to the catalog)
+      def sqlLit(ms: Long) = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      def idsAt(ms: Long) = spark.sql(
+          s"SELECT id FROM txlog.`$d2` TIMESTAMP AS OF '${sqlLit(ms)}'")
+        .collect().map(_.getLong(0)).toSet
+      assert(idsAt(1700000000000L) == Set(1L))
+      assert(idsAt(1700000060000L) == Set(1L, 2L))
+      assert(idsAt(now) == Set(2L))
+      // concurrent-writer clock skew: a LATER commit with an EARLIER
+      // wall clock still gets a STRICTLY LATER in-commit timestamp,
+      // so version order == timestamp order always
+      now -= 3600000
+      TxTable.commitAppend(Seq(3L).toDF("id"), d2) // v4, skewed clock
+      assert(TxTable.commitTimestamp(d2, 4) >
+        TxTable.commitTimestamp(d2, 3))
+      assert(TxTable.versionAt(d2, TxTable.commitTimestamp(d2, 4)) == 4)
+    } finally TxTable.clock = saved
+  }
 }
