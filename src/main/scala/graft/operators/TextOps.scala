@@ -20,6 +20,40 @@ object TextOps {
   def regexTokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= "")
 
+  /** Fixed-size token-window chunking with overlap — the RAG/embedding
+    * ingestion shape (LangChain/LlamaIndex's token splitter): each
+    * document becomes ⌈n/(maxTokens−overlap)⌉ windows of at most
+    * `maxTokens` whitespace tokens, consecutive windows sharing
+    * `overlap` tokens so no phrase is cut without context on either
+    * side. Chunk text is the tokens re-joined with single spaces (the
+    * canonical form — exact, replayable cross-engine).
+    *
+    * Plan shape for 100 TB: one narrow codegen projection per row
+    * (split / sequence / posexplode / slice / array_join — no UDF, no
+    * shuffle at all); output partitioning inherits the scan, and the
+    * per-doc fan-out is bounded by n/step.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap,
+      "need maxTokens > overlap >= 0")
+    val step = maxTokens - overlap
+    docs.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__ts"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(step)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(maxTokens), col("__n") - col("start_tok"))
+          .cast("long").as("n_tok"),
+        array_join(slice(col("__ts"), col("start_tok") + 1,
+          lit(maxTokens)), " ").as("chunk_text"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed bag of query
     * terms (Robertson/Okapi, Lucene-style idf) — the quality-retrieval
     * primitive a training-data pipeline uses to mine topical documents.

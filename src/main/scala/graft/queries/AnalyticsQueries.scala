@@ -5203,7 +5203,17 @@ object AnalyticsQueries {
         .unionAll(stage("c_v2", TxTsBase + 60000L))
         .unionAll(stage("d_head", TxTsBase + 3600000L))
         .orderBy("stage")
-    })
+    }),
+
+    /** Token-window chunking with overlap (the RAG/embedding ingest
+      * transform): 64-token windows, 16 shared — every chunk row
+      * string-exact against the oracle's replay.
+      */
+    "q366_chunk_overlap" -> ((s, d) =>
+      graft.operators.TextOps.chunkTokens(
+          t(s, d, "documents"), "doc_id", "text",
+          maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx")))
   )
 
   /** Deterministic commit-clock base for the q365 fixture. */
@@ -8124,6 +8134,15 @@ object AnalyticsQueries {
     // the column-mapped table recomputed: v1 = base under old names,
     // v3 = base + derived appends, final = the same rows under
     // (doc_id, body) with language dropped
+    // the chunker replayed: same whitespace split, same stride, same
+    // 1-based inclusive slice, chunk text string-exact
+    "q366_chunk_overlap" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts FROM documents), "
+       + "ch AS (SELECT doc_id, ts, u.start FROM tok, UNNEST(range(0, len(ts), 48)) AS u(start) WHERE len(ts) > 0) "
+       + "SELECT doc_id, (start // 48)::BIGINT AS chunk_idx, start::BIGINT AS start_tok, "
+       + "least(64, len(ts) - start)::BIGINT AS n_tok, "
+       + "array_to_string(ts[start+1 : least(start+64, len(ts))], ' ') AS chunk_text "
+       + "FROM ch ORDER BY doc_id, chunk_idx"),
     // each timestamp's version content recomputed from the base
     // relation: v1 = documents, between-commits still v1, v2 adds the
     // derived rows, head applies the doc_id%7 delete

@@ -450,4 +450,48 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getBoolean(3)).toSeq
     assert(got == Seq(false, true, false, true, true, true))
   }
+
+  test("chunkTokens: stride, overlap, and lossless coverage") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val out = TextOps.chunkTokens(docs(1L -> text, 2L -> "a b c",
+        3L -> "", 4L -> "  "), "doc_id", "text",
+        maxTokens = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // stride 7: starts 0,7,...,98; last chunk short
+    assert(d1.map(_.getLong(2)).toSeq == (0L to 98L by 7L))
+    assert(d1.forall(_.getLong(3) <= 10L))
+    assert(d1.last.getLong(3) == 2L) // tokens 99..100
+    // every chunk's text is exactly its token window
+    d1.foreach { r =>
+      val start = r.getLong(2).toInt
+      val want = (start + 1 to math.min(start + 10, 100))
+        .map(i => s"t$i").mkString(" ")
+      assert(r.getString(4) == want)
+    }
+    // consecutive chunks share exactly `overlap` tokens (the tail
+    // chunk may be shorter than the overlap; its window-exactness is
+    // already pinned above)
+    d1.sliding(2).foreach { case Array(a, b) =>
+      val at = a.getString(4).split(" ")
+      val bt = b.getString(4).split(" ")
+      if (bt.length >= 3) assert(at.takeRight(3).sameElements(bt.take(3)))
+    case _ => ()
+    }
+    // a short doc is one whole chunk; empty/whitespace docs vanish
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getString(4) == "a b c")
+    assert(!out.exists(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+    // coverage: dropping each chunk's first `overlap` tokens (except
+    // chunk 0) and concatenating reconstructs the token stream
+    val recon = d1.zipWithIndex.flatMap { case (r, i) =>
+      val ts = r.getString(4).split(" ").toSeq
+      if (i == 0) ts else ts.drop(3)
+    }
+    assert(recon.toSeq == (1 to 100).map(i => s"t$i"))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(docs(1L -> "x"), "doc_id", "text", 5, 5)
+    }
+    ()
+  }
 }
