@@ -1905,6 +1905,26 @@ object TxTable {
     toLogical(vis, mapping)
   }
 
+  /** Logical-view read of specific log files — the streaming source's
+    * per-commit adds (raw file contents as-at-commit-time, Delta's
+    * streaming-read contract: later DVs never retro-change an already
+    * emitted batch).
+    */
+  private[graft] def readAddedFiles(spark: SparkSession, dir: String,
+      files: Seq[String]): DataFrame =
+    readApplyingDv(spark, dir, files, Seq.empty,
+      mergeSchema = false, mapping = mappingAt(dir))
+
+  /** Entry metadata the streaming source needs, per version in
+    * (`after`, `upTo`]: (version, adds, hasRemoves, hasDvs,
+    * dataChange).
+    */
+  private[graft] def entrySummaries(dir: String, after: Int, upTo: Int)
+      : Seq[(Int, Seq[String], Boolean, Boolean, Boolean)] =
+    readEntries(dir, after = after, upTo = upTo).map(e =>
+      (e.version, e.adds, e.removes.nonEmpty,
+        e.dvs.nonEmpty || e.dvReset, e.dataChange))
+
   private def deleteDirRec(p: Path): Unit = {
     listDir(p).foreach { c =>
       if (Files.isDirectory(c)) deleteDirRec(c)

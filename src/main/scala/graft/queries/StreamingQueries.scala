@@ -1507,6 +1507,66 @@ object StreamingQueries {
         .orderBy("event_type")
     }
 
+  /** The native `readStream.format("txlog")` SOURCE (Delta's
+    * streaming read): the first drain delivers the INITIAL SNAPSHOT
+    * of the table, a commit landing between drains is delivered
+    * incrementally from the checkpointed version offset — certified
+    * by requiring the second drain's row count to equal exactly the
+    * new commit's rows. Per-batch rollups accumulate driver-side and
+    * combine by sum/xor (both associative), so the drained total must
+    * equal the batch relation per lang — the stream==batch twin
+    * contract on the source side.
+    */
+  def q367StreamTxlogSource(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val T = graft.operators.TxTable
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft-txsrc-").toString
+      val docs = graft.engine.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      T.commitAppend(docs.filter(col("doc_id") % 3 === 0), tdir)
+      T.commitAppend(docs.filter(col("doc_id") % 3 === 1), tdir)
+      val ckpt = scratchCheckpoint("q367")
+      val acc = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, Long, Long)]())
+      def drain(): Long = {
+        val n = new java.util.concurrent.atomic.AtomicLong()
+        val q = s.readStream.format("txlog").load(tdir)
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.groupBy(col("lang"))
+              .agg(count(lit(1)).as("n"),
+                expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, "
+                  + "'|', text)), 1, 15), 16, 10) AS BIGINT))").as("ck"))
+              .collect().foreach { r =>
+                acc.add((r.getString(0), r.getLong(1), r.getLong(2)))
+                n.addAndGet(r.getLong(1))
+                ()
+              }
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        n.get()
+      }
+      drain() // initial snapshot (v1+v2)
+      val tail = docs.filter(col("doc_id") % 3 === 2)
+      T.commitAppend(tail, tdir)
+      val second = drain()
+      require(second == tail.count(),
+        s"the resumed drain must deliver exactly the new commit's " +
+          s"rows, got $second")
+      deleteRecursively(ckpt)
+      import scala.jdk.CollectionConverters._
+      val partials = acc.asScala.toSeq
+      s.createDataFrame(partials).toDF("lang", "n", "ck")
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_docs"),
+          expr("bit_xor(ck)").as("checksum"))
+        .orderBy("lang")
+    }
+
   /** Streaming change-data-feed read (`format("txlog-cdf")`): the
     * commit log is the WAL, versions are offsets, and each micro-batch
     * IS [[graft.operators.TxTable.changes]] over the newly-committed
@@ -1812,6 +1872,7 @@ object StreamingQueries {
     "q335_stream_tokenize" -> (q335StreamTokenize(_, _)),
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
     "q361_stream_txlog_sink" -> (q361StreamTxlogSink(_, _)),
+    "q367_stream_txlog_source" -> (q367StreamTxlogSource(_, _)),
     "q322_stream_cdf" -> (q322StreamCdf(_, _)),
     "q328_stream_ivm" -> (q328StreamIvm(_, _)),
     "q308_stream_warc" -> (q308StreamWarc(_, _)),
@@ -1883,6 +1944,12 @@ object StreamingQueries {
       ("SELECT event_type, COUNT(*)::BIGINT AS n, "
        + "SUM(ROUND(value * 100)::BIGINT)::BIGINT AS total_cents "
        + "FROM events GROUP BY event_type ORDER BY event_type"),
+    // the txlog streaming source's drained rollup (initial snapshot +
+    // incremental tail) must equal the batch relation per lang
+    "q367_stream_txlog_source" ->
+      ("SELECT lang, COUNT(*)::BIGINT AS n_docs, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM documents GROUP BY lang ORDER BY lang"),
     // the streamed A/B readout must equal the batch assignment + rollup
     "q253_stream_ab" -> AnalyticsQueries.oracles("q243_ab_assign"),
     // the streamed quantile sketch must equal the batch sketch exactly

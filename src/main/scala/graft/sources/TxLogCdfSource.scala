@@ -71,6 +71,104 @@ case class TxVersionOffset(version: Int) extends Offset {
   override def json(): String = version.toString
 }
 
+/** Plain streaming READ of a transaction-log table (Delta's streaming
+  * source): the initial batch is the table's snapshot at stream start,
+  * every later batch is exactly the rows APPENDED by the newly
+  * committed versions — the commit log is the write-ahead log, version
+  * numbers are the offsets.
+  *
+  * Contract on non-append commits (Delta's, verbatim): a data-changing
+  * commit that removes files or installs deletion vectors fails the
+  * stream by default — a row-level delete/update cannot be represented
+  * in an append-only stream. `ignoreDeletes` permits PURE delete
+  * commits (file removes / DV installs with no adds — the partition-
+  * retention shape), emitting nothing for them; `ignoreChanges`
+  * subsumes it and re-emits the rewritten files' rows (survivors
+  * included — downstream must tolerate duplicates, exactly Delta's
+  * documented semantics). `dataChange=false` commits (OPTIMIZE, sweeps)
+  * are always silent. Later DVs never retro-change an already-emitted
+  * batch (adds are read as-at-commit-time).
+  *
+  * Options: `path`; `startingVersion` (exclusive — skip the initial
+  * snapshot and tail from there); `maxVersionsPerTrigger` (admission
+  * control: at most this many commits per micro-batch after the
+  * initial one); `ignoreDeletes`; `ignoreChanges`.
+  */
+class TxLogAppendSource(sqlContext: SQLContext, dir: String,
+    startingVersion: Option[Int], maxVersionsPerTrigger: Option[Int],
+    ignoreDeletes: Boolean, ignoreChanges: Boolean,
+    declaredSchema: StructType) extends Source {
+
+  override def schema: StructType = declaredSchema
+
+  // last end-version handed to getBatch (admission-control base);
+  // -1 = no batch planned yet this run
+  @volatile private var lastEnd: Int = -1
+
+  override def getOffset: Option[Offset] = {
+    val cur = TxTable.currentVersion(dir)
+    val floor = startingVersion.getOrElse(0)
+    if (cur <= math.max(lastEnd, floor)) None
+    else {
+      // the cap applies from the first tail batch; an initial
+      // snapshot (no startingVersion, no batch yet) is ONE batch by
+      // definition and is never split
+      val base = math.max(lastEnd,
+        startingVersion.map(_.toLong).getOrElse(-1L).toInt)
+      val capped = maxVersionsPerTrigger match {
+        case Some(k) if base >= 0 => math.min(cur, base + k)
+        case _ => cur
+      }
+      Some(TxVersionOffset(capped))
+    }
+  }
+
+  private def versionOf(o: Offset): Int = o match {
+    case TxVersionOffset(v) => v
+    case other => other.json().trim.toInt
+  }
+
+  private def align(df: DataFrame): DataFrame = {
+    val aligned = declaredSchema.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(declaredSchema.fieldNames.map(col).toIndexedSeq: _*)
+    org.apache.spark.sql.GraftBridge.asMicroBatch(aligned)
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    lastEnd = math.max(lastEnd, endV)
+    val spark = sqlContext.sparkSession
+    start.map(versionOf).orElse(startingVersion) match {
+      case None =>
+        // initial snapshot: the whole table as of stream start
+        align(TxTable.snapshot(spark, dir, Some(endV),
+          mergeSchema = true))
+      case Some(from) =>
+        val adds = TxTable.entrySummaries(dir, from, endV).flatMap {
+          case (_, _, _, _, false) => Seq.empty // OPTIMIZE et al.
+          case (v, a, hasRemoves, hasDvs, _) =>
+            val isChange = hasRemoves || hasDvs
+            if (!isChange) a
+            else if (ignoreChanges) a // re-emits survivors, documented
+            else if (ignoreDeletes && a.isEmpty) Seq.empty // pure delete
+            else throw new IllegalStateException(
+              s"streaming read of $dir hit a data-changing " +
+                s"${if (a.isEmpty) "delete" else "rewrite"} at version " +
+                s"$v; set ignoreDeletes (pure deletes skipped) or " +
+                "ignoreChanges (rewritten files re-emitted) to proceed")
+        }
+        if (adds.isEmpty)
+          align(TxTable.snapshot(spark, dir, Some(endV),
+            mergeSchema = true).limit(0))
+        else align(TxTable.readAddedFiles(spark, dir, adds))
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
 class TxLogCdfSource(sqlContext: SQLContext, dir: String,
     fromVersion: Int, declaredSchema: StructType) extends Source {
 

@@ -34,7 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class TxLogDataSource extends TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "txlog"
 
@@ -90,6 +91,38 @@ class TxLogDataSource extends TableProvider
     * `spark.sql.streaming.disabledV2Writers` to route streaming
     * writes here while batch reads keep the V2 parquet table).
     */
+  /** `readStream.format("txlog")` — the native streaming SOURCE:
+    * initial snapshot then per-commit appends, version numbers as
+    * offsets (see [[TxLogAppendSource]] for the non-append-commit
+    * contract and options).
+    */
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = stripScheme(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txlog source needs a table root: .load(root)")))
+    (shortName(), schema.getOrElse(graft.operators.TxTable
+      .snapshot(sqlContext.sparkSession, root, mergeSchema = true)
+      .schema))
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = stripScheme(parameters("path"))
+    new TxLogAppendSource(sqlContext, root,
+      parameters.get("startingVersion").map(_.trim.toInt),
+      parameters.get("maxVersionsPerTrigger").map(_.trim.toInt),
+      ignoreDeletes =
+        parameters.get("ignoreDeletes").exists(_.trim.toBoolean),
+      ignoreChanges =
+        parameters.get("ignoreChanges").exists(_.trim.toBoolean),
+      schema.getOrElse(sourceSchema(sqlContext, None, providerName,
+        parameters)._2))
+  }
+
   override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String],
       partitionColumns: Seq[String],

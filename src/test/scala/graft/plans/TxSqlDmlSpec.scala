@@ -148,4 +148,27 @@ class TxSqlDmlSpec extends SparkSpec {
     assert(h.map(_._1) == Seq(1, 2))
     ()
   }
+
+  test("SQL DELETE on a partition predicate takes the metadata-only path") {
+    val dir = java.nio.file.Files.createTempDirectory("txsql-part-")
+      .toString
+    TxTable.commitAppend(
+      Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"))
+        .toDF("id", "lang"),
+      dir, partitionBy = Seq("lang"))
+    // a SQL-only user typing the most natural partition delete gets
+    // the scan-free drop: zero files staged, whole files removed
+    val v = spark.sql(s"DELETE FROM txlog.`$dir` WHERE lang = 'en'")
+      .collect().head.getLong(0)
+    val h = TxTable.history(dir).find(_._1 == v.toInt).get
+    assert(h._2 == 0 && h._3 > 0,
+      s"SQL partition delete staged ${h._2} file(s)")
+    assert(TxTable.snapshot(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // mixed predicate through SQL still exact (falls back to rewrite)
+    spark.sql(s"DELETE FROM txlog.`$dir` WHERE lang = 'de' AND id = 3")
+    assert(TxTable.snapshot(spark, dir)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == Set(4L))
+    ()
+  }
 }

@@ -123,6 +123,110 @@ class TxLogSourceSpec extends SparkSpec {
     ()
   }
 
+  test("streaming source: initial snapshot + appends, delete contract, rate cap") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d2 = java.nio.file.Files.createTempDirectory("txlog-src-")
+      .toString
+    TxTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d2)
+    TxTable.commitAppend(Seq((3L, "c")).toDF("id", "s"), d2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("txlog-src-ckpt-").toString
+    val name = s"txsrc_${System.nanoTime()}"
+    // initial snapshot: first drain delivers the WHOLE table
+    val q = spark.readStream.format("txlog").load(d2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def drained = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(drained == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // appends tail incrementally from the checkpoint (foreachBatch —
+    // the memory sink cannot RECOVER a checkpoint)
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, String)]())
+    def drainInto(reader: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.streaming.StreamingQuery =
+      reader.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add((r.getLong(0),
+            r.getString(1))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    TxTable.commitAppend(Seq((4L, "d")).toDF("id", "s"), d2)
+    val q2 = drainInto(spark.readStream.format("txlog").load(d2))
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == Set((4L, "d")),
+      s"resume must deliver ONLY the new commit: ${got.asScala}")
+    // OPTIMIZE is silent; a rewriting DELETE fails the stream by
+    // default (Delta's contract)...
+    TxTable.commitCompact(spark, d2, targetFiles = 1)
+    TxTable.commitDelete(spark, d2, col("id") === 1L)
+    TxTable.commitAppend(Seq((5L, "e")).toDF("id", "s"), d2)
+    val q3 = drainInto(spark.readStream.format("txlog").load(d2))
+    val failed = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q3.awaitTermination() }
+    assert(failed.getMessage.contains("ignoreChanges") ||
+      failed.cause.getMessage.contains("ignoreChanges"))
+    // ...and proceeds under ignoreChanges (survivors re-emitted —
+    // duplicates allowed, Delta's documented semantics)
+    got.clear()
+    val q4 = drainInto(spark.readStream.format("txlog")
+      .option("ignoreChanges", "true").load(d2))
+    q4.awaitTermination()
+    val rows = got.asScala.toSet
+    assert(rows.contains((5L, "e")) &&
+      rows.exists(_._1 == 2L)) // survivor of the rewritten file
+    // metadata-only partition delete under ignoreDeletes: silent
+    val d3 = java.nio.file.Files.createTempDirectory("txlog-src3-")
+      .toString
+    TxTable.commitAppend(Seq((1L, "en"), (2L, "de")).toDF("id", "lang"),
+      d3, partitionBy = Seq("lang"))
+    TxTable.commitDelete(spark, d3, col("lang") === "de")
+    TxTable.commitAppend(Seq((3L, "fr")).toDF("id", "lang"), d3,
+      partitionBy = Seq("lang"))
+    val n3 = s"txsrc3_${System.nanoTime()}"
+    val q5 = spark.readStream.format("txlog")
+      .option("startingVersion", "1") // tail-only: skip the snapshot
+      .option("ignoreDeletes", "true").load(d3)
+      .writeStream.format("memory").queryName(n3)
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("txlog-src3-ckpt-").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q5.awaitTermination()
+    assert(spark.table(n3).collect().map(_.getLong(0)).toSet == Set(3L))
+    // maxVersionsPerTrigger: commits arrive in bounded batches
+    val d4 = java.nio.file.Files.createTempDirectory("txlog-src4-")
+      .toString
+    (1L to 6L).foreach(i =>
+      TxTable.commitAppend(Seq((i, s"v$i")).toDF("id", "s"), d4))
+    val batches = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    // default trigger + processAllAvailable: the V1 source's
+    // admission control caps each planned batch (AvailableNow falls
+    // back to single-batch execution on V1 sources)
+    val q6 = spark.readStream.format("txlog")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2").load(d4)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(df.count()); ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("txlog-src4-ckpt-").toString)
+      .start()
+    q6.processAllAvailable()
+    q6.stop()
+    val sizes = batches.asScala.toSeq
+    assert(sizes.sum == 6L && sizes.forall(_ <= 2L),
+      s"rate cap violated: $sizes")
+    ()
+  }
+
   test("TIMESTAMP AS OF resolves through monotone in-commit timestamps") {
     val d2 = java.nio.file.Files.createTempDirectory("txlog-ts-")
       .toString
