@@ -880,6 +880,38 @@ object ScaleProbe {
           .commitPurgeDVs(spark, dvDir).toLong)
       }
     }
+    // round-13 partition probes: a whole-partition DELETE on a
+    // hive-partitioned table is METADATA-ONLY (no scan, no rewrite,
+    // no DV — one log write regardless of data size), against the
+    // rewrite-path control deleting the same rows from an identical
+    // unpartitioned table; the partition-pruned read touches only the
+    // target partition's files with zero stats sidecars
+    {
+      val pNames = Seq("tx_part_delete", "tx_part_delete_ctl",
+        "tx_part_read")
+      if (only.forall(o => pNames.exists(o.contains))) {
+        val dp = d.withColumn("lang",
+          concat(lit("l"), pmod(col("doc_id"), lit(5L))))
+        def buildPart(partitioned: Boolean): String = {
+          val dir2 = java.nio.file.Files
+            .createTempDirectory("probe-txpart").toString
+          graft.operators.TxTable.commitAppend(
+            dp.repartitionByRange(32, col("doc_id")), dir2,
+            partitionBy = if (partitioned) Seq("lang") else Nil)
+          dir2
+        }
+        val pDir = buildPart(true)
+        t("tx_part_read")(graft.operators.TxTable
+          .snapshotWhere(spark, pDir, col("lang") === "l3").count())
+        t("tx_part_delete")(graft.operators.TxTable
+          .commitDelete(spark, pDir, col("lang") === "l3").toLong)
+        t("tx_part_delete_ctl")({
+          val cDir = buildPart(false)
+          graft.operators.TxTable
+            .commitDelete(spark, cDir, col("lang") === "l3").toLong
+        })
+      }
+    }
     // q326/q327: train collapses to the word multiset (corpus-size-
     // independent EM); apply is a narrow memoized pass — linear
     t("unigram")({

@@ -142,14 +142,18 @@ class TxLogDataSource extends TableProvider
       .getOrElse(throw new IllegalArgumentException(
         "txlog sink needs option(\"checkpointLocation\", ...) or an " +
           "explicit option(\"txnAppId\", ...) for exactly-once replay"))
-    new TxLogSink(root, appId)
+    // writeStream.partitionBy(...) flows through: every micro-batch
+    // commit lands hive-partitioned, so the table stays partition-
+    // prunable under continuous ingest
+    new TxLogSink(root, appId, partitionColumns)
   }
 }
 
 /** One commit per micro-batch; replays skip via the per-app
   * transaction watermark.
   */
-private[sources] class TxLogSink(root: String, appId: String)
+private[sources] class TxLogSink(root: String, appId: String,
+    partitionBy: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
   import graft.operators.TxTable
 
@@ -164,7 +168,8 @@ private[sources] class TxLogSink(root: String, appId: String)
     val batchDf = org.apache.spark.sql.graftshim.Bridges
       .internalCreateDataFrame(spark,
         data.queryExecution.toRdd.map(_.copy()), data.schema)
-    TxTable.commitAppend(batchDf, root, txn = Some((appId, batchId)))
+    TxTable.commitAppend(batchDf, root, txn = Some((appId, batchId)),
+      partitionBy = partitionBy)
     ()
   }
 

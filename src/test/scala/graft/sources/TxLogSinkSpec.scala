@@ -83,4 +83,32 @@ class TxLogSinkSpec extends SparkSpec {
 
   private def exCause(e: Throwable): Seq[Throwable] =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("writeStream.partitionBy lands hive-partitioned commits") {
+    val in = tmp("txsink-pin-")
+    val table = tmp("txsink-ptbl-")
+    val ckpt = tmp("txsink-pckpt-") + "/c1"
+    Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "fr"))
+      .toDF("id", "lang")
+      .repartitionByRange(2, col("id"))
+      .write.mode("overwrite").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream.format("txlog")
+      .partitionBy("lang")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(table)
+    q.awaitTermination()
+    // every committed file carries its partition segment; pruning
+    // works on the streamed table with zero stats sidecars
+    val files = TxTable.liveFiles(table)
+    assert(files.nonEmpty && files.forall(_.contains("/__p_lang=")))
+    val (kept, skipped) = TxTable.pruneFiles(spark, table,
+      col("lang") === "de")
+    assert(kept.forall(_.contains("=de")) && skipped.nonEmpty)
+    assert(TxTable.snapshot(spark, table).count() == 4L)
+    ()
+  }
 }
