@@ -76,7 +76,12 @@ object CoreQueries {
       o.join(c.hint("merge"), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 4).as("total"))
+          // prices are cents-valued: sum EXACT decimal cents (the
+          // q130 convention) — ROUND(SUM(double)) diverged from the
+          // oracle at sf1 where 6M-row accumulation order moved the
+          // 4th decimal (the round-12 q212 fragility class)
+          sum(expr("CAST(round(o_totalprice * 100) AS DECIMAL(38,0))"))
+            .cast("long").as("total_c"))
         .orderBy("c_mktsegment")
     }),
 
@@ -368,11 +373,24 @@ object CoreQueries {
     // pure rank arithmetic over a total order, so the doubles agree
     // bit-for-bit across engines (no sum-order sensitivity)
     "q124_percent_rank" -> ((s, d) => {
+      // distribution windows emitted as EXACT integer basis points
+      // (half-up in pure integer arithmetic): at sf1, n = 5600 made
+      // rk/n an exact .xxxx5 rational whose ROUND(double) is engine-
+      // dependent (Spark rounds the shortest decimal repr, DuckDB the
+      // binary value) — integers cannot disagree. Keys are unique
+      // under the c_custkey tiebreak, so row_number IS the
+      // peers-inclusive rank both functions are defined on.
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wp = Window.partitionBy(col("c_nationkey"))
       t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
-        round(percent_rank().over(w), 4).as("pr"),
-        round(cume_dist().over(w), 4).as("cd"))
+          row_number().over(w).as("rk"),
+          count(lit(1)).over(wp).as("n"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST((20000 * (rk - 1) + (n - 1)) DIV (2 * (n - 1)) " +
+            "AS BIGINT)").as("pr_bp"),
+          expr("CAST((20000 * rk + n) DIV (2 * n) AS BIGINT)")
+            .as("cd_bp"))
         .orderBy("c_custkey")
     }),
 
@@ -800,7 +818,8 @@ object CoreQueries {
     // the bucketed layout only changes the physical plan — the oracle
     // is the plain join
     "q103_bucketed_join" ->
-      ("SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total "
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, "
+       + "SUM(CAST(round(o_totalprice * 100) AS HUGEINT))::BIGINT AS total_c "
        + "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
        + "GROUP BY 1 ORDER BY 1"),
     "q01_scan" ->
@@ -880,10 +899,13 @@ object CoreQueries {
        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
        "GROUP BY 1 ORDER BY 1"),
     "q124_percent_rank" ->
-      ("SELECT c_custkey, c_nationkey, " +
-       "ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS pr, " +
-       "ROUND(CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 4) AS cd " +
-       "FROM customer ORDER BY c_custkey"),
+      ("WITH r AS (SELECT c_custkey, c_nationkey, " +
+       "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rk, " +
+       "COUNT(*) OVER (PARTITION BY c_nationkey) AS n FROM customer) " +
+       "SELECT c_custkey, c_nationkey, " +
+       "((20000 * (rk - 1) + (n - 1)) // (2 * (n - 1)))::BIGINT AS pr_bp, " +
+       "((20000 * rk + n) // (2 * n))::BIGINT AS cd_bp " +
+       "FROM r ORDER BY c_custkey"),
     "q130_pareto" ->
       ("WITH g AS (SELECT o_orderpriority, SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))) AS cents FROM orders GROUP BY 1), "
        + "t AS (SELECT SUM(cents) AS tot FROM g), "

@@ -302,8 +302,14 @@ object TpchQueries {
             col("l_quantity").between(10, 40)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
             col("l_quantity").between(20, 50)))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-          .as("revenue"))
+        // revenue in EXACT 10^-4 units: both factors are 2-decimal
+        // values, so cents x (100 - discount-percent) is an integer —
+        // ROUND(SUM(double)) moved in the 4th decimal at sf1 under
+        // 6M-row accumulation order (the q212 fragility class)
+        .agg(sum(expr(
+            "CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) * " +
+              "CAST(100 - round(l_discount * 100) AS DECIMAL(38,0))"))
+          .cast("long").as("revenue_u"))
     }),
 
     // Q20 shape — suppliers who shipped in bulk from a part-name family
@@ -503,7 +509,7 @@ object TpchQueries {
        "WHERE p.p_brand = 'Brand#2' " +
        "AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)"),
     "q119_tpch19" ->
-      ("SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue " +
+      ("SELECT SUM(CAST(round(l.l_extendedprice * 100) AS HUGEINT) * CAST(100 - round(l.l_discount * 100) AS HUGEINT))::BIGINT AS revenue_u " +
        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey " +
        "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20) " +
        "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 40) " +

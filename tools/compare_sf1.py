@@ -22,10 +22,14 @@ import duckdb, pandas as pd
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 TIMEOUT_S = int(os.environ.get("SF1_ORACLE_TIMEOUT", "600"))
 
-GRAPH_CTES = {  # 20-iteration fixed points; DuckDB-impractical at 6M rows
+GRAPH_CTES = {  # iterated graph fixed points; DuckDB-impractical at 6M rows
     "q125_pagerank", "q132_pagerank_weighted", "q140_bfs",
     "q141_pagerank_push", "q142_pagerank_dangling", "q143_kcore",
     "q179_sssp",
+    # unrolled LPA over the 6M-row bipartite pair graph: the oracle
+    # replay ran past the 600 s DuckDB budget in the round-13 sweep
+    # (certified at driver scales like the rest of the graph family)
+    "q263_modularity",
 }
 
 con = duckdb.connect()
