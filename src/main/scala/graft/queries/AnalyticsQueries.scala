@@ -5205,6 +5205,29 @@ object AnalyticsQueries {
         .orderBy("stage")
     }),
 
+    /** SQL INSERT INTO on a txlog table — the batch-write half of the
+      * SQL surface (DELETE/UPDATE/MERGE landed as q357–q359): an
+      * `INSERT INTO txlog.`root` SELECT ...` statement lands as ONE
+      * atomic commit through the same protocol as the Scala API
+      * (constraints, concurrency, CDF, time travel), never a bare
+      * parquet write behind the log's back. The oracle recomputes
+      * both versions from the base relation.
+      */
+    "q368_sql_insert" -> ((s, d) => {
+      val dir2 = txInsDir(s, d)
+      def ck(cols: String*) = expr(
+        "bit_xor(CAST(conv(substring(md5(concat(" +
+          cols.mkString(", '|', ") +
+          ")), 1, 15), 16, 10) AS BIGINT))")
+      def stage(label: String, v: Option[Int]): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2, v)
+          .agg(count(lit(1)).as("n_rows"),
+            ck("doc_id", "text", "lang").as("checksum"))
+          .select(lit(label).as("stage"), col("n_rows"), col("checksum"))
+      stage("a_v1", Some(1)).unionAll(stage("b_v2", None))
+        .orderBy("stage")
+    }),
+
     /** Token-window chunking with overlap (the RAG/embedding ingest
       * transform): 64-token windows, 16 shared — every chunk row
       * string-exact against the oracle's replay.
@@ -5215,6 +5238,27 @@ object AnalyticsQueries {
           maxTokens = 64, overlap = 16)
         .orderBy(col("doc_id"), col("chunk_idx")))
   )
+
+  /** SQL-insert fixture (q368): v1 appends documents through the API;
+    * v2 lands the derived rows via a pure SQL `INSERT INTO ...
+    * SELECT` against the txlog catalog.
+    */
+  private val txInsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txInsDir(s: SparkSession, dir: String): String =
+    txInsCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txins-")
+        .toString
+      graft.operators.TxTable.commitAppend(
+        t(s, d, "documents").select(col("doc_id"), col("text"),
+          col("lang")), tmp) // v1
+      s.sql(s"INSERT INTO txlog.`$tmp` " +
+        s"SELECT doc_id + 10000000, 'r:' || text, lang " +
+        s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0")
+      require(graft.operators.TxTable.currentVersion(tmp) == 2,
+        "the SQL INSERT must land as exactly one commit")
+      tmp
+    })
 
   /** Deterministic commit-clock base for the q365 fixture. */
   private val TxTsBase = 1700000000000L
@@ -8134,6 +8178,15 @@ object AnalyticsQueries {
     // the column-mapped table recomputed: v1 = base under old names,
     // v3 = base + derived appends, final = the same rows under
     // (doc_id, body) with language dropped
+    // v1 = documents, v2 = + the SQL-inserted derived rows
+    "q368_sql_insert" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
+       + "v2 AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id, text, lang FROM der), "
+       + "a AS (SELECT 'a_v1' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "b AS (SELECT 'b_v2', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v2) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY stage"),
     // the chunker replayed: same whitespace split, same stride, same
     // 1-based inclusive slice, chunk text string-exact
     "q366_chunk_overlap" ->

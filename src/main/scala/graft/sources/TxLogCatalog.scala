@@ -71,9 +71,12 @@ class TxLogCatalog extends TableCatalog
     val spark = SparkSession.active
     val files = TxTable.resolvedScanPaths(spark, root, version)
     if (files.isEmpty) throw new NoSuchTableException(Seq(root))
-    ParquetTable(s"txlog $root", spark, tableOptions,
+    val pt = ParquetTable(s"txlog $root", spark, tableOptions,
       files, None,
       classOf[ParquetFileFormat])
+    // head loads accept INSERT INTO through the commit protocol;
+    // version-pinned loads are read-only snapshots
+    if (version.isEmpty) new TxLogWritableTable(root, pt) else pt
   }
 
   /** DESCRIBE-HISTORY as a SQL relation: the commit log itself,

@@ -64,9 +64,17 @@ class TxLogDataSource extends TableProvider
         version.map(v => s" at version $v").getOrElse(""))
     val rest = new java.util.HashMap[String, String](options)
     rest.remove("path")
-    ParquetTable(s"txlog $root", SparkSession.active,
+    val pt = ParquetTable(s"txlog $root", SparkSession.active,
       new CaseInsensitiveStringMap(rest), files, schema,
       classOf[ParquetFileFormat])
+    // head loads are WRITABLE (appends route through the commit
+    // protocol — TxLogWritableTable); a version-pinned load is a
+    // read-only snapshot by definition. Crucially the stock
+    // ParquetTable must NEVER surface bare: it advertises
+    // BATCH_WRITE, and a df.write.format("txlog") routed into it
+    // would land parquet files behind the log's back — invisible to
+    // every snapshot and unrecoverable corruption.
+    if (version.isEmpty) new TxLogWritableTable(root, pt) else pt
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap)
@@ -147,6 +155,67 @@ class TxLogDataSource extends TableProvider
     // prunable under continuous ingest
     new TxLogSink(root, appId, partitionColumns)
   }
+}
+
+/** A txlog table the SQL layer can WRITE: reads delegate to the stock
+  * parquet table (pushdown, pruning, vectorization untouched); writes
+  * — `INSERT INTO txlog.`root`` and `df.write.format("txlog")
+  * .mode("append")` — cross back into the driver as one DataFrame via
+  * Spark's [[org.apache.spark.sql.connector.write.V1Write]] fallback
+  * and land as ONE atomic [[graft.operators.TxTable.commitAppend]]:
+  * CHECK constraints, column-mapping guards, optimistic concurrency
+  * and the CDF all hold because there is no path around the protocol.
+  * INSERT OVERWRITE is rejected loudly (replaceWhere is the atomic
+  * overwrite verb, with its input-validation contract). An optional
+  * `partitionBy` write option lands the commit hive-partitioned.
+  */
+private[sources] class TxLogWritableTable(root: String, delegate: Table)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    delegate.partitioning()
+  override def properties(): java.util.Map[String, String] =
+    delegate.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    delegate.asInstanceOf[org.apache.spark.sql.connector.catalog
+      .SupportsRead].newScanBuilder(options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "txlog rejects INSERT OVERWRITE: use " +
+                    "TxTable.commitReplaceWhere (atomic, validated) " +
+                    "or DELETE + INSERT")
+                val parts = Option(info.options.get("partitionBy"))
+                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                  .getOrElse(Seq.empty)
+                graft.operators.TxTable.commitAppend(data, root,
+                  partitionBy = parts)
+                ()
+              }
+            }
+        }
+    }
 }
 
 /** One commit per micro-batch; replays skip via the per-app

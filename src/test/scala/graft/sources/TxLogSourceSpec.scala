@@ -123,6 +123,48 @@ class TxLogSourceSpec extends SparkSpec {
     ()
   }
 
+  test("INSERT INTO and df.write route through the commit protocol") {
+    val d2 = java.nio.file.Files.createTempDirectory("txlog-ins-")
+      .toString
+    TxTable.commitAppend(Seq((1L, "a")).toDF("id", "s"), d2)
+    // SQL INSERT INTO: one atomic commit, time travel intact
+    spark.sql(s"INSERT INTO txlog.`$d2` VALUES (2, 'b'), (3, 'c')")
+    assert(TxTable.currentVersion(d2) == 2)
+    assert(TxTable.snapshot(spark, d2)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(TxTable.snapshot(spark, d2, Some(1)).count() == 1)
+    // column-list insert resolves by name
+    spark.sql(s"INSERT INTO txlog.`$d2` (s, id) VALUES ('d', 4)")
+    assert(TxTable.snapshot(spark, d2).filter(col("id") === 4L)
+      .collect().head.getString(1) == "d")
+    // df.write.format("txlog").mode("append") is the same commit path
+    Seq((5L, "e")).toDF("id", "s").write.format("txlog")
+      .mode("append").save(d2)
+    assert(TxTable.currentVersion(d2) == 4)
+    assert(TxTable.snapshot(spark, d2).count() == 5)
+    // the optional partitionBy write option lands hive-partitioned
+    val d3 = java.nio.file.Files.createTempDirectory("txlog-insp-")
+      .toString
+    TxTable.commitAppend(Seq((1L, "en")).toDF("id", "lang"), d3,
+      partitionBy = Seq("lang"))
+    Seq((2L, "de")).toDF("id", "lang").write.format("txlog")
+      .mode("append").option("partitionBy", "lang").save(d3)
+    assert(TxTable.liveFiles(d3).forall(_.contains("/__p_lang=")))
+    // INSERT OVERWRITE is rejected loudly, nothing committed
+    val pre = TxTable.currentVersion(d2)
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE txlog.`$d2` VALUES (9, 'z')")
+    }
+    assert(TxTable.currentVersion(d2) == pre)
+    // CHECK constraints gate the SQL insert path too
+    TxTable.addCheckConstraint(spark, d2, "pos_id", "id > 0")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO txlog.`$d2` VALUES (-1, 'bad')")
+    }
+    assert(TxTable.snapshot(spark, d2).filter(col("id") < 0).count() == 0)
+    ()
+  }
+
   test("streaming source: initial snapshot + appends, delete contract, rate cap") {
     import org.apache.spark.sql.streaming.Trigger
     val d2 = java.nio.file.Files.createTempDirectory("txlog-src-")
