@@ -5228,6 +5228,30 @@ object AnalyticsQueries {
         .orderBy("stage")
     }),
 
+    /** The pure-SQL table lifecycle: CTAS creates the table and lands
+      * version 1 in one statement, INSERT INTO ... SELECT appends,
+      * DELETE FROM mutates through the DML bridge — a user who knows
+      * only SQL runs the entire flow, every statement one atomic
+      * commit with time travel intact. Oracle recomputes each
+      * version's content from the base relation.
+      */
+    "q369_sql_lifecycle" -> ((s, d) => {
+      val dir2 = txDdlDir(s, d)
+      def ck(cols: String*) = expr(
+        "bit_xor(CAST(conv(substring(md5(concat(" +
+          cols.mkString(", '|', ") +
+          ")), 1, 15), 16, 10) AS BIGINT))")
+      def stage(label: String, v: Option[Int]): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2, v)
+          .agg(count(lit(1)).as("n_rows"),
+            ck("doc_id", "text", "lang").as("checksum"))
+          .select(lit(label).as("stage"), col("n_rows"), col("checksum"))
+      stage("a_ctas", Some(1))
+        .unionAll(stage("b_insert", Some(2)))
+        .unionAll(stage("c_delete", None))
+        .orderBy("stage")
+    }),
+
     /** Token-window chunking with overlap (the RAG/embedding ingest
       * transform): 64-token windows, 16 shared — every chunk row
       * string-exact against the oracle's replay.
@@ -5257,6 +5281,26 @@ object AnalyticsQueries {
         s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0")
       require(graft.operators.TxTable.currentVersion(tmp) == 2,
         "the SQL INSERT must land as exactly one commit")
+      tmp
+    })
+
+  /** Pure-SQL lifecycle fixture (q369): every statement is SQL-only —
+    * CTAS (v1), INSERT INTO ... SELECT (v2), DELETE FROM (v3).
+    */
+  private val txDdlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txDdlDir(s: SparkSession, dir: String): String =
+    txDdlCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txddl-")
+        .toString + "/t"
+      s.sql(s"CREATE TABLE txlog.`$tmp` AS " +
+        s"SELECT doc_id, text, lang FROM parquet.`$d/documents.parquet`")
+      s.sql(s"INSERT INTO txlog.`$tmp` " +
+        s"SELECT doc_id + 10000000, 'r:' || text, lang " +
+        s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0")
+      s.sql(s"DELETE FROM txlog.`$tmp` WHERE lang = 'zh'")
+      require(graft.operators.TxTable.currentVersion(tmp) == 3,
+        "CTAS + INSERT + DELETE must land as exactly three commits")
       tmp
     })
 
@@ -8178,6 +8222,19 @@ object AnalyticsQueries {
     // the column-mapped table recomputed: v1 = base under old names,
     // v3 = base + derived appends, final = the same rows under
     // (doc_id, body) with language dropped
+    // v1 = documents (CTAS), v2 = + SQL-inserted derived rows,
+    // v3 = minus the zh partition of rows (SQL DELETE)
+    "q369_sql_lifecycle" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
+       + "v2 AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id, text, lang FROM der), "
+       + "v3 AS (SELECT * FROM v2 WHERE lang <> 'zh'), "
+       + "a AS (SELECT 'a_ctas' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "b AS (SELECT 'b_insert', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v2), "
+       + "c AS (SELECT 'c_delete', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v3) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c ORDER BY stage"),
     // v1 = documents, v2 = + the SQL-inserted derived rows
     "q368_sql_insert" ->
       ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "

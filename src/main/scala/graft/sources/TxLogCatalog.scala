@@ -120,7 +120,14 @@ class TxLogCatalog extends TableCatalog
     if (raw.endsWith("#history"))
       return historyTable(raw.stripSuffix("#history"))
     if (TxTable.currentVersion(raw) == 0)
-      throw new NoSuchTableException(ident)
+      return markerSchema(raw) // created by DDL, no commits yet
+        .map(sch => new EmptyTxLogTable(raw, sch): Table)
+        .getOrElse(throw new NoSuchTableException(ident))
+    // a column-mapped table resolves (so DDL and the DML bridge keep
+    // working, under LOGICAL names) but refuses to build a SCAN: the
+    // raw parquet scan would serve physical names (the q360 trade)
+    if (TxTable.mappingAt(raw).active)
+      return new MappedTxLogTable(raw)
     parquetTable(raw, None)
   }
 
@@ -140,9 +147,10 @@ class TxLogCatalog extends TableCatalog
   }
 
   override def tableExists(ident: Identifier): Boolean = {
-    val raw = rootFor(ident)
-    TxTable.currentVersion(
-      if (raw.endsWith("#history")) raw.stripSuffix("#history") else raw) > 0
+    val raw0 = rootFor(ident)
+    val raw =
+      if (raw0.endsWith("#history")) raw0.stripSuffix("#history") else raw0
+    TxTable.currentVersion(raw) > 0 || markerSchema(raw).isDefined
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -229,20 +237,200 @@ class TxLogCatalog extends TableCatalog
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"txlog catalog is read-only ($op); use TxTable commits")
+      s"txlog catalog does not support $op")
+
+  // -----------------------------------------------------------------
+  // DDL: CREATE TABLE / CTAS / DROP TABLE / ALTER TABLE column ops
+  // -----------------------------------------------------------------
+
+  /** A created-but-still-empty table's declared schema, persisted as
+    * a marker INSIDE the (otherwise empty) log dir so `CREATE TABLE`
+    * followed by `INSERT INTO` works across statements and sessions.
+    * Once data lands the marker is advisory history: the log and the
+    * staged files govern (schema-on-write), exactly like every other
+    * txlog table.
+    */
+  private def schemaMarker(root: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "_txlog", "_created_schema.json")
+
+  private def markerSchema(root: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (!java.nio.file.Files.exists(schemaMarker(root))) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.nio.file.Files.readAllBytes(schemaMarker(root)),
+        "UTF-8")).asInstanceOf[org.apache.spark.sql.types.StructType])
 
   override def createTable(ident: Identifier,
       schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: java.util.Map[String, String]): Table =
-    readOnly("createTable")
+      properties: java.util.Map[String, String]): Table = {
+    val root = rootFor(ident)
+    if (TxTable.currentVersion(root) > 0 || markerSchema(root).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "txlog CREATE TABLE takes no PARTITIONED BY clause; pass the " +
+        "partitionBy write option on insert (hive layout is a " +
+        "per-commit write property here)")
+    java.nio.file.Files.createDirectories(
+      schemaMarker(root).getParent)
+    java.nio.file.Files.write(schemaMarker(root),
+      schema.json.getBytes("UTF-8"))
+    new EmptyTxLogTable(root, schema)
+  }
 
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootFor(ident)
+    if (TxTable.currentVersion(root) == 0 && markerSchema(root).isEmpty)
+      return false
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.list(p))(
+          _.iterator().asScala.toList).foreach(rm)
+      }
+      java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    rm(java.nio.file.Paths.get(root))
+    true
+  }
+
+  /** ALTER TABLE column DDL routes into the column-mapping commits:
+    * RENAME COLUMN is a metadata-only log entry, DROP COLUMN hides
+    * the physical column without rewriting a byte — the SQL spelling
+    * of [[TxTable.renameColumn]]/[[TxTable.dropColumn]] (q360). Other
+    * changes are rejected loudly (ADD COLUMN is implicit here:
+    * schema-on-write, certified by q314). NOTE the documented
+    * mapped-table trade: once a table uses column mapping, the raw
+    * DSv2 scan surface refuses it (it would serve PHYSICAL names) —
+    * reads go through [[TxTable.snapshot]], which resolves the
+    * mapping; the returned handle here is a metadata stub, not a
+    * scannable relation.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("alterTable")
-
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("dropTable")
+      changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "txlog columns are top-level; nested renames unsupported")
+        TxTable.renameColumn(spark, root, r.fieldNames.head, r.newName)
+        ()
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "txlog columns are top-level; nested drops unsupported")
+        TxTable.dropColumn(spark, root, d.fieldNames.head)
+        ()
+      case other => readOnly(s"alterTable change $other")
+    }
+    new MappedTxLogTable(root)
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("renameTable")
+}
+
+/** A COLUMN-MAPPED table's SQL handle: resolvable (logical-name
+  * schema, so ALTER TABLE and the DML bridge work) and writable
+  * (appends guard against physical-name shadowing inside the commit
+  * protocol), but any attempt to build a SCAN fails with the
+  * documented pointer — the raw parquet scan would serve PHYSICAL
+  * names, and silently wrong column names are worse than a loud
+  * error. Reads of mapped tables go through
+  * [[graft.operators.TxTable.snapshot]], which resolves the mapping.
+  */
+private[sources] class MappedTxLogTable(root: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = s"txlog $root (column-mapped)"
+  override def schema(): org.apache.spark.sql.types.StructType =
+    TxTable.snapshot(SparkSession.active, root).schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new IllegalArgumentException(
+      s"txlog table at $root uses column mapping (rename/drop); the " +
+        "SQL scan surface would serve physical names — read via " +
+        "TxTable.snapshot")
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                if (overwrite) throw new UnsupportedOperationException(
+                  "txlog rejects INSERT OVERWRITE")
+                TxTable.commitAppend(data, root)
+                ()
+              }
+            }
+        }
+    }
+}
+
+/** A table created by DDL that has no commits yet: reads are an empty
+  * LocalScan of the declared schema; the first INSERT/CTAS write
+  * lands version 1 through the commit protocol and the table becomes
+  * an ordinary txlog table.
+  */
+private[sources] class EmptyTxLogTable(root: String,
+    declared: org.apache.spark.sql.types.StructType)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = s"txlog $root (empty)"
+  override def schema(): org.apache.spark.sql.types.StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema()
+              : org.apache.spark.sql.types.StructType = declared
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Array.empty
+        }
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val parts = Option(info.options.get("partitionBy"))
+                  .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                  .getOrElse(Seq.empty)
+                TxTable.commitAppend(data, root, partitionBy = parts)
+                ()
+              }
+            }
+        }
+    }
 }

@@ -123,6 +123,54 @@ class TxLogSourceSpec extends SparkSpec {
     ()
   }
 
+  test("CREATE TABLE / CTAS / ALTER COLUMN / DROP TABLE: the full SQL lifecycle") {
+    val base = java.nio.file.Files.createTempDirectory("txlog-ddl-")
+      .toString
+    val t1 = s"$base/t1"
+    // CREATE then INSERT across statements: the declared schema
+    // persists in the (still-commitless) log dir
+    spark.sql(s"CREATE TABLE txlog.`$t1` (id BIGINT, s STRING)")
+    assert(spark.sql(s"SELECT * FROM txlog.`$t1`").count() == 0)
+    spark.sql(s"INSERT INTO txlog.`$t1` VALUES (1, 'a'), (2, 'b')")
+    assert(TxTable.currentVersion(t1) == 1)
+    assert(spark.sql(s"SELECT * FROM txlog.`$t1`").count() == 2)
+    // creating over an existing table fails loudly
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException] {
+      spark.sql(s"CREATE TABLE txlog.`$t1` (x INT)")
+    }
+    // CTAS: create + first commit in one statement
+    val t2 = s"$base/t2"
+    spark.sql(s"CREATE TABLE txlog.`$t2` AS " +
+      s"SELECT id * 10 AS id2, s FROM txlog.`$t1`")
+    assert(spark.sql(s"SELECT * FROM txlog.`$t2`")
+      .collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+    assert(TxTable.currentVersion(t2) == 1)
+    // ALTER TABLE RENAME/DROP COLUMN = the column-mapping commits;
+    // the mapped table then reads through TxTable.snapshot (the raw
+    // DSv2 scan refuses mapped tables LOUDLY — it would serve
+    // physical names; the q360/q342 documented trade)
+    spark.sql(s"ALTER TABLE txlog.`$t2` RENAME COLUMN id2 TO ident")
+    assert(TxTable.snapshot(spark, t2).columns.toSeq ==
+      Seq("ident", "s"))
+    spark.sql(s"ALTER TABLE txlog.`$t2` DROP COLUMN s")
+    assert(TxTable.snapshot(spark, t2).columns.toSeq == Seq("ident"))
+    assert(TxTable.snapshot(spark, t2)
+      .collect().map(_.getLong(0)).toSet == Set(10L, 20L))
+    val loud = intercept[Exception] {
+      spark.sql(s"SELECT * FROM txlog.`$t2`").collect()
+    }
+    assert(loud.getMessage.contains("column mapping") ||
+      Option(loud.getCause).exists(_.getMessage.contains("column mapping")))
+    // DROP TABLE removes it; a second drop reports not-found
+    spark.sql(s"DROP TABLE txlog.`$t2`")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t2)))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM txlog.`$t2`").collect()
+    }
+    ()
+  }
+
   test("INSERT INTO and df.write route through the commit protocol") {
     val d2 = java.nio.file.Files.createTempDirectory("txlog-ins-")
       .toString
