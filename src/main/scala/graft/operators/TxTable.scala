@@ -819,6 +819,13 @@ object TxTable {
     walk(sd, s"$rel/").sorted
   }
 
+  /** Partition columns (physical names) carried by any of `files` —
+    * the layout a rewrite must re-land its survivors under, or
+    * pruning would silently degrade on every DELETE/UPDATE/MERGE.
+    */
+  private def pvalColsOf(files: Seq[String]): Seq[String] =
+    files.flatMap(f => partitionValuesOf(f).keys).distinct
+
   /** [[stagePartitioned]] + CHECK-constraint validation of the staged
     * bytes, the partitioned twin of [[stageValidated]].
     */
@@ -1039,9 +1046,10 @@ object TxTable {
       if (affected.isEmpty) Seq.empty[String]
       else {
         val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
-        stage(
+        // survivors re-land under their partition directories
+        stagePartitioned(
           toPhysical(affVisible.filter(!matches).drop("_f", "_pos"), m),
-          dir, v0)
+          dir, v0, pvalColsOf(affected))
       }
     if (added.nonEmpty)
       writeStats(spark, dir, stageRelOf(added), added,
@@ -1102,9 +1110,9 @@ object TxTable {
       if (affected.isEmpty) Seq.empty[String]
       else {
         val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
-        val s = stage(
+        val s = stagePartitioned(
           toPhysical(affVisible.filter(!matches).drop("_f", "_pos"), m),
-          dir, v0)
+          dir, v0, pvalColsOf(affected))
         if (s.nonEmpty)
           writeStats(spark, dir, stageRelOf(s), s,
             statsCols.map(m.physicalOf))
@@ -1160,7 +1168,9 @@ object TxTable {
             case None => col(f.name)
           }
         }.toIndexedSeq: _*)
-    val added = stageValidated(toPhysical(updated, m), dir, v0)
+    // survivors + updated rows re-land under their partition dirs
+    val added = stageValidatedPartitioned(toPhysical(updated, m),
+      dir, v0, pvalColsOf(affected))
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
@@ -1307,7 +1317,10 @@ object TxTable {
     val staged = insertRows
       .foldLeft(matchedRows.unionByName(unmatchedRows))(_ unionByName _)
     val v0 = currentVersion(dir) + 1
-    val added = stageValidated(toPhysical(staged, m), dir, v0)
+    // rewritten survivors AND new rows land under the partition
+    // layout the touched files carried
+    val added = stageValidatedPartitioned(toPhysical(staged, m),
+      dir, v0, pvalColsOf(affected))
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,

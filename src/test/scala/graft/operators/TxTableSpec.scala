@@ -1292,6 +1292,9 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.history(dir).find(_._1 == v3).get._2 > 0) // rewrite
     assert(TxTable.snapshot(spark, dir)
       .select(col("id")).collect().map(_.getLong(0)).toSet == Set(4L, 6L))
+    // the rewrite re-landed its survivors UNDER their partition dirs
+    // (a bare re-stage would silently strip pruning from them)
+    assert(TxTable.liveFiles(dir).forall(_.contains("/__p_lang=")))
     // non-deterministic predicates never take the metadata path
     val v4 = TxTable.commitDelete(spark, dir,
       col("lang") === "fr" && rand() >= -1.0)
