@@ -905,11 +905,13 @@ object ScaleProbe {
           .snapshotWhere(spark, pDir, col("lang") === "l3").count())
         t("tx_part_delete")(graft.operators.TxTable
           .commitDelete(spark, pDir, col("lang") === "l3").toLong)
-        t("tx_part_delete_ctl")({
+        // the control table builds OUTSIDE the timer — only the
+        // delete itself is under comparison
+        if (only.forall(_.contains("tx_part_delete_ctl"))) {
           val cDir = buildPart(false)
-          graft.operators.TxTable
-            .commitDelete(spark, cDir, col("lang") === "l3").toLong
-        })
+          t("tx_part_delete_ctl")(graft.operators.TxTable
+            .commitDelete(spark, cDir, col("lang") === "l3").toLong)
+        }
       }
     }
     // q326/q327: train collapses to the word multiset (corpus-size-

@@ -935,7 +935,7 @@ object Multimodal {
       .put("AVI ".getBytes(ascii))
     bb.put("LIST".getBytes(ascii)).putInt(hdrlSize)
       .put("hdrl".getBytes(ascii))
-    bb.put("avih".getBytes(ascii)).putInt(48)
+    bb.put("avih".getBytes(ascii)).putInt(56) // 14 dwords follow
       .putInt(40000).putInt(0).putInt(0).putInt(0)
       .putInt(frames.size).putInt(0).putInt(1).putInt(0)
       .putInt(w).putInt(h)

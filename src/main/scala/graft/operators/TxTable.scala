@@ -826,13 +826,41 @@ object TxTable {
   private def pvalColsOf(files: Seq[String]): Seq[String] =
     files.flatMap(f => partitionValuesOf(f).keys).distinct
 
+  /** Split live files for a predicate mutation: `whole` = files whose
+    * path partition values PROVE a total match (the metadata-only
+    * drop), `affected` = files among the rest holding at least one
+    * matching visible row (one distributed scan; the distinct and the
+    * suffix mapping stay distributed, the driver receives only the
+    * names the log entry must carry). Shared by DELETE and
+    * replaceWhere so the fast-path/scan split can never diverge
+    * between the two verbs.
+    */
+  private def resolveAffected(spark: SparkSession, dir: String,
+      files: Seq[String], pred: org.apache.spark.sql.Column,
+      matches: org.apache.spark.sql.Column, dvs: Seq[String],
+      m: ColumnMapping): (Seq[String], Seq[String]) = {
+    val whole = whollyMatchingFiles(spark, dir, files, pred, m)
+    val rest = files.filterNot(whole.toSet)
+    val affected =
+      if (rest.isEmpty) Seq.empty[String]
+      else {
+        val affectedRel = visibleWithMeta(spark, dir, rest, dvs, m)
+          .filter(matches)
+          .select(col("_f"))
+          .distinct().collect().map(_.getString(0)).toSet
+        rest.filter(f => affectedRel.contains(relSuffix(f)))
+      }
+    (whole, affected)
+  }
+
   /** [[stagePartitioned]] + CHECK-constraint validation of the staged
     * bytes, the partitioned twin of [[stageValidated]].
     */
   private def stageValidatedPartitioned(df: DataFrame, dir: String,
-      v: Int, partitionBy: Seq[String]): Seq[String] = {
+      v: Int, partitionBy: Seq[String],
+      m: ColumnMapping): Seq[String] = {
     val added = stagePartitioned(df, dir, v, partitionBy)
-    try { enforceConstraintsStaged(df.sparkSession, dir, added); added }
+    try { enforceConstraintsStaged(df.sparkSession, dir, added, m); added }
     catch {
       case e: ConstraintViolationException =>
         if (added.nonEmpty)
@@ -984,7 +1012,7 @@ object TxTable {
     assertNoPhysicalCollision(df, m)
     val v0 = currentVersion(dir) + 1
     val added = stageValidatedPartitioned(toPhysical(df, m), dir, v0,
-      partitionBy.map(m.physicalOf))
+      partitionBy.map(m.physicalOf), m)
     writeStats(df.sparkSession, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf), bloomCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, Seq.empty, v0, AppendConflicts,
@@ -1029,17 +1057,8 @@ object TxTable {
     // already-hidden rows were not visible before either, and the
     // change feed diffs the removed files under the PRE-commit DV
     // state, so only still-visible rows are reported deleted.
-    val whole = whollyMatchingFiles(spark, dir, files, pred, m)
-    val rest = files.filterNot(whole.toSet)
-    val affected =
-      if (rest.isEmpty) Seq.empty[String]
-      else {
-        val affectedRel = visibleWithMeta(spark, dir, rest, dvs, m)
-          .filter(matches)
-          .select(col("_f"))
-          .distinct().collect().map(_.getString(0)).toSet
-        rest.filter(f => affectedRel.contains(relSuffix(f)))
-      }
+    val (whole, affected) =
+      resolveAffected(spark, dir, files, pred, matches, dvs, m)
     if (whole.isEmpty && affected.isEmpty) return currentVersion(dir)
     val v0 = currentVersion(dir) + 1
     val added =
@@ -1087,22 +1106,13 @@ object TxTable {
       "replaceWhere: input rows do not all satisfy the predicate")
     val files = liveFilesFast(spark, dir)
     val dvs = dvRefsAt(dir)
-    val whole = whollyMatchingFiles(spark, dir, files, pred, m)
-    val rest = files.filterNot(whole.toSet)
-    val affected =
-      if (rest.isEmpty) Seq.empty[String]
-      else {
-        val affectedRel = visibleWithMeta(spark, dir, rest, dvs, m)
-          .filter(matches)
-          .select(col("_f"))
-          .distinct().collect().map(_.getString(0)).toSet
-        rest.filter(f => affectedRel.contains(relSuffix(f)))
-      }
+    val (whole, affected) =
+      resolveAffected(spark, dir, files, pred, matches, dvs, m)
     val v0 = currentVersion(dir) + 1
     // the new data first (constraint-validated; a rejection leaves
     // nothing staged), then survivors of partially-matching files
     val newAdds = stageValidatedPartitioned(toPhysical(df, m), dir, v0,
-      partitionBy.map(m.physicalOf))
+      partitionBy.map(m.physicalOf), m)
     if (newAdds.nonEmpty)
       writeStats(spark, dir, stageRelOf(newAdds), newAdds,
         statsCols.map(m.physicalOf), bloomCols.map(m.physicalOf))
@@ -1170,7 +1180,7 @@ object TxTable {
         }.toIndexedSeq: _*)
     // survivors + updated rows re-land under their partition dirs
     val added = stageValidatedPartitioned(toPhysical(updated, m),
-      dir, v0, pvalColsOf(affected))
+      dir, v0, pvalColsOf(affected), m)
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
@@ -1232,9 +1242,14 @@ object TxTable {
       .filterNot(f => f.name == "_f" || f.name == "_pos").toIndexedSeq
     val dataCols = dataFields.map(_.name)
     // which files does the merge touch? NOT-MATCHED-BY-SOURCE reads
-    // every row by definition; otherwise one distributed semi join
+    // every row by definition; an INSERT-ONLY merge (no matched, no
+    // not-matched-by-source clause) touches NONE — it is a pure
+    // append, and rewriting every matched file byte-identically would
+    // waste a full scan and abort concurrent rewrites for nothing;
+    // otherwise one distributed semi join
     val affected =
       if (notMatchedBySource.nonEmpty) files
+      else if (matched.isEmpty) Seq.empty[String]
       else {
         val affectedRel = visible
           .join(src, cond, "left_semi")
@@ -1320,7 +1335,7 @@ object TxTable {
     // rewritten survivors AND new rows land under the partition
     // layout the touched files carried
     val added = stageValidatedPartitioned(toPhysical(staged, m),
-      dir, v0, pvalColsOf(affected))
+      dir, v0, pvalColsOf(affected), m)
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
@@ -1345,7 +1360,7 @@ object TxTable {
     assertWritable(dir)
     val m = mappingAt(dir)
     assertNoPhysicalCollision(df, m)
-    val added = stageValidated(toPhysical(df, m), dir, version)
+    val added = stageValidated(toPhysical(df, m), dir, version, m)
     try {
       writeEntry(dir, Entry(version, added, Seq.empty))
       maybeCheckpoint(df.sparkSession, dir, version, checkpointEvery)
@@ -1391,7 +1406,9 @@ object TxTable {
     // staged rows = survivors + source; validating the union is a
     // superset of Delta's written-data rule (survivors passed at
     // their own commit and pass again for free)
-    val added = stageValidated(toPhysical(survivors, m), dir, v0)
+    // survivors + new rows re-land under the affected partition dirs
+    val added = stageValidatedPartitioned(toPhysical(survivors, m),
+      dir, v0, pvalColsOf(affected), m)
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, affected, v0,
@@ -1607,16 +1624,25 @@ object TxTable {
     // owns a tight box in BOTH dimensions and the per-file min/max
     // sidecars prune on either key (OPTIMIZE ZORDER proper —
     // [[Layout.zOrdered]] composed with the commit protocol).
+    // a partitioned table's OPTIMIZE must re-land rows under their
+    // partition directories or it would silently strip pruning from
+    // the whole table (the sweep/DML verbs preserve the layout too)
+    val pvalCols = pvalColsOf(files)
+    require(pvalCols.isEmpty || (clusterBy.isEmpty && zOrderBy.isEmpty),
+      "clusterBy/zOrderBy OPTIMIZE on hive-partitioned files is not " +
+        "supported (the partition layout already bounds each file)")
     val arranged =
       if (zOrderBy.nonEmpty)
         // N-way interleave (n=2 is the classic pair layout); per-key
         // bucket width shrinks with n so the total z stays in a long
         Layout.zOrderedScaledN(current, zOrderBy, targetFiles,
           math.min(zBits, 62 / zOrderBy.size)).drop("zval")
+      else if (pvalCols.nonEmpty) current
       else if (clusterBy.isEmpty) current.repartition(targetFiles)
       else current.repartitionByRange(targetFiles,
         clusterBy.map(col).toIndexedSeq: _*)
-    val added = stage(toPhysical(arranged, m), dir, v0)
+    val added = stagePartitioned(toPhysical(arranged, m), dir, v0,
+      pvalCols)
     writeStats(spark, dir, stageRelOf(added), added,
       statsCols.map(m.physicalOf))
     val v = commitWithRetry(dir, added, files, v0,
@@ -1748,18 +1774,20 @@ object TxTable {
       Files.deleteIfExists(dataDir(dir).resolve(f)); ()
     }
     // orphaned staging dirs: under data/ but absent from every log
-    // entry's adds. Stage names come off the 2-segment suffix so an
-    // ABSOLUTE reference (a clone's inherited file) contributes its
-    // stage dir too — otherwise the clone's vacuum would reclaim the
-    // inherited stats sidecars (keyed by source stage name) as orphans
-    val referenced = all.map(f => relSuffix(f).takeWhile(_ != '/'))
+    // entry's adds. Referenced names are EVERY non-basename path
+    // segment of every add: the first segment is a local add's stage
+    // dir, intermediate segments cover hive partition dirs
+    // (stage/__p_c=v/part.parquet — keying off the 2-segment suffix
+    // here once misclassified every partitioned stage as an orphan),
+    // and an ABSOLUTE reference (a clone's inherited file)
+    // contributes its source stage name too — otherwise the clone's
+    // vacuum would reclaim the inherited stats sidecars (keyed by
+    // source stage name) as orphans
+    val referenced = all.flatMap(f => f.split('/').dropRight(1))
     val orphans = listDir(dataDir(dir))
       .filter(p => Files.isDirectory(p) &&
         !referenced.contains(p.getFileName.toString))
-    orphans.foreach { d =>
-      listDir(d).foreach(f => { Files.deleteIfExists(f); () })
-      Files.deleteIfExists(d); ()
-    }
+    orphans.foreach(deleteDirRec) // may hold partition subdirs
     // stats sidecars of orphaned stages go with them (a committed
     // stage's sidecar stays even if some of its files were vacuumed —
     // pruning filters by live files, so stale rows are inert)
@@ -1773,10 +1801,15 @@ object TxTable {
         listDir(d).foreach(f => { Files.deleteIfExists(f); () })
         Files.deleteIfExists(d); ()
       }
-    // now-empty referenced dirs (all files vacuumed) go too
-    listDir(dataDir(dir))
-      .filter(p => Files.isDirectory(p) && listDir(p).isEmpty)
-      .foreach(d => { Files.deleteIfExists(d); () })
+    // now-empty referenced dirs (all files vacuumed) go too —
+    // bottom-up so an emptied partition dir empties its stage dir
+    def sweepEmpty(p: Path): Unit = {
+      listDir(p).filter(Files.isDirectory(_)).foreach(sweepEmpty)
+      if (p != dataDir(dir) && listDir(p).isEmpty) {
+        Files.deleteIfExists(p); ()
+      }
+    }
+    sweepEmpty(dataDir(dir))
     // deletion-vector sidecars: a DV dir is dead when NO retained
     // version's DV state references it (purged, restored-over, or
     // past the horizon) — one incremental replay over the log, the
@@ -2059,7 +2092,10 @@ object TxTable {
       .option("mergeSchema", mappingAt(dir).active.toString)
       .parquet(affected.map(absPath(base, _)): _*))
     val rewritten = applyDv(raw, dv).drop("_f", "_pos")
-    val added = stage(rewritten, dir, v0)
+    // purged files re-land under their partition dirs (pruning must
+    // survive REORG APPLY PURGE like every other rewrite)
+    val added = stagePartitioned(rewritten, dir, v0,
+      pvalColsOf(affected))
     writeStats(spark, dir, stageRelOf(added), added, statsCols)
     val v = commitWithRetry(dir, added, affected, v0,
       compactConflicts(affected.toSet), dataChange = false,
@@ -2212,15 +2248,14 @@ object TxTable {
     * of the input's lineage. No constraints → no job.
     */
   private def enforceConstraintsStaged(spark: SparkSession, dir: String,
-      files: Seq[String]): Unit = {
+      files: Seq[String], m: ColumnMapping): Unit = {
     val cs = checkConstraints(dir)
     if (cs.isEmpty || files.isEmpty) return
     val base = dataDir(dir).toString
     // constraint expressions speak logical names; staged files are
     // physical
     val staged = toLogical(
-      spark.read.parquet(files.map(f => s"$base/$f"): _*),
-      mappingAt(dir))
+      spark.read.parquet(files.map(f => s"$base/$f"): _*), m)
     val counts = staged.agg(
       count(lit(1)).as("_n"),
       cs.map { case (n, e) =>
@@ -2246,9 +2281,9 @@ object TxTable {
     * [[stage]] — their rows were validated when they first landed.
     */
   private def stageValidated(df: DataFrame, dir: String,
-      v: Int): Seq[String] = {
+      v: Int, m: ColumnMapping): Seq[String] = {
     val added = stage(df, dir, v)
-    try { enforceConstraintsStaged(df.sparkSession, dir, added); added }
+    try { enforceConstraintsStaged(df.sparkSession, dir, added, m); added }
     catch {
       case e: ConstraintViolationException =>
         if (added.nonEmpty)

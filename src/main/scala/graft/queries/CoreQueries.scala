@@ -387,7 +387,9 @@ object CoreQueries {
           row_number().over(w).as("rk"),
           count(lit(1)).over(wp).as("n"))
         .select(col("c_custkey"), col("c_nationkey"),
-          expr("CAST((20000 * (rk - 1) + (n - 1)) DIV (2 * (n - 1)) " +
+          // n = 1: PERCENT_RANK is defined as 0 (the DIV would be /0)
+          expr("CAST(CASE WHEN n = 1 THEN 0 ELSE " +
+            "(20000 * (rk - 1) + (n - 1)) DIV (2 * (n - 1)) END " +
             "AS BIGINT)").as("pr_bp"),
           expr("CAST((20000 * rk + n) DIV (2 * n) AS BIGINT)")
             .as("cd_bp"))
@@ -903,7 +905,7 @@ object CoreQueries {
        "ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS rk, " +
        "COUNT(*) OVER (PARTITION BY c_nationkey) AS n FROM customer) " +
        "SELECT c_custkey, c_nationkey, " +
-       "((20000 * (rk - 1) + (n - 1)) // (2 * (n - 1)))::BIGINT AS pr_bp, " +
+       "(CASE WHEN n = 1 THEN 0 ELSE (20000 * (rk - 1) + (n - 1)) // (2 * (n - 1)) END)::BIGINT AS pr_bp, " +
        "((20000 * rk + n) // (2 * n))::BIGINT AS cd_bp " +
        "FROM r ORDER BY c_custkey"),
     "q130_pareto" ->

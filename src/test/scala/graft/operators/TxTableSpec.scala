@@ -1345,6 +1345,62 @@ class TxTableSpec extends SparkSpec {
     ()
   }
 
+  test("partitioned tables: vacuum keeps live stages; OPTIMIZE/purge/merge preserve layout; insert-only MERGE appends") {
+    val dir = java.nio.file.Files.createTempDirectory("txtable-pfix-")
+      .toString
+    TxTable.commitAppend(
+      Seq((1L, "en"), (2L, "de"), (3L, "fr")).toDF("id", "lang"),
+      dir, partitionBy = Seq("lang"), statsCols = Seq("id"))
+    // vacuum on a freshly partitioned table: the live stage (3-segment
+    // add paths) must NOT be classified as an orphan — this crashed
+    // with DirectoryNotEmptyException and marked the live stats
+    // sidecar for deletion before the round-13 review fix
+    TxTable.vacuum(dir, retainFrom = 1)
+    assert(TxTable.snapshot(spark, dir).count() == 3)
+    val (k0, s0) = TxTable.pruneFiles(spark, dir, col("id") === 2L)
+    assert(s0.nonEmpty, "stats sidecar must survive the vacuum")
+    // full OPTIMIZE re-lands rows under their partition dirs
+    TxTable.commitCompact(spark, dir, targetFiles = 1)
+    assert(TxTable.liveFiles(dir).forall(_.contains("/__p_lang=")))
+    assert(TxTable.snapshotWhere(spark, dir, col("lang") === "de")
+      .count() == 1)
+    // clusterBy/zOrderBy on a partitioned table is rejected loudly
+    intercept[IllegalArgumentException] {
+      TxTable.commitCompact(spark, dir, targetFiles = 1,
+        clusterBy = Seq("id"))
+    }
+    // REORG APPLY PURGE preserves the layout too
+    TxTable.commitDeleteDV(spark, dir, col("id") === 1L)
+    TxTable.commitPurgeDVs(spark, dir)
+    assert(TxTable.liveFiles(dir).forall(_.contains("/__p_lang=")))
+    assert(TxTable.snapshot(spark, dir).count() == 2)
+    // key-MERGE survivors re-land partitioned
+    TxTable.commitMerge(spark, dir,
+      Seq((2L, "de2"), (9L, "it")).toDF("id", "lang"), "id")
+    assert(TxTable.liveFiles(dir).forall(_.contains("/__p_lang=")))
+    // an INSERT-ONLY DML merge is a pure append: zero files removed,
+    // no byte-identical rewrite, no conflict footprint
+    val pre = TxTable.currentVersion(dir)
+    val v = TxTable.commitMergeDml(spark, dir,
+      Seq((9L, "xx"), (100L, "zz")).toDF("id", "lang"),
+      col("id") === col("__src_id"),
+      notMatched = Seq(TxTable.MergeClause("insert", None,
+        Seq("id" -> col("__src_id"), "lang" -> col("__src_lang")))))
+    assert(v == pre + 1)
+    val h = TxTable.history(dir).find(_._1 == v).get
+    assert(h._3 == 0, s"insert-only merge removed ${h._3} file(s)")
+    assert(TxTable.snapshot(spark, dir).filter(col("id") === 100L)
+      .count() == 1)
+    assert(TxTable.snapshot(spark, dir).filter(col("lang") === "xx")
+      .count() == 0) // id=9 matched: not re-inserted, not rewritten
+    // vacuum after the mutations reclaims dead partitioned stages
+    // without touching live ones (bottom-up empty-dir sweep);
+    // rows: (2,de2), (3,fr), (9,it), (100,zz)
+    TxTable.vacuum(dir, retainFrom = TxTable.currentVersion(dir))
+    assert(TxTable.snapshot(spark, dir).count() == 4)
+    ()
+  }
+
   test("partitioned sweep: small files re-land under their partitions") {
     val dir = java.nio.file.Files.createTempDirectory("txtable-psw-")
       .toString
