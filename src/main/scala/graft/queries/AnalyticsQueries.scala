@@ -5252,6 +5252,41 @@ object AnalyticsQueries {
         .orderBy("stage")
     }),
 
+    /** Cluster-representative selection — the FineWeb/SemDeDup "keep
+      * the best document per duplicate cluster" curation step (min-id
+      * keep-first is a POLICY, not the only one): q28's exact Jaccard
+      * pair relation closed into components, then ONE representative
+      * per cluster by quality (most words wins, doc_id breaks ties);
+      * un-paired documents are their own cluster and survive. Output
+      * is the full per-document verdict so the kept set AND the
+      * assignment are both pinned. Scale: pairs ride the q28 posting-
+      * cut inverted index, the closure is the pointer-doubling pack,
+      * the argmax is one window over |docs| rows.
+      */
+    "q370_cluster_rep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 5)
+      val comps = graft.operators.Components
+        .connectedComponents(pairs, "a", "b") // (id, comp = min id)
+      val q = docs.select(col("doc_id"),
+        size(graft.operators.TextOps.words(col("text"))).cast("long")
+          .as("n_words"))
+      val assigned = q
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"),
+          col("n_words"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_words").desc, col("doc_id"))
+      assigned
+        .withColumn("is_rep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster"), col("is_rep"))
+        .orderBy("doc_id")
+    }),
+
     /** Token-window chunking with overlap (the RAG/embedding ingest
       * transform): 64-token windows, 16 shared — every chunk row
       * string-exact against the oracle's replay.
@@ -8222,6 +8257,27 @@ object AnalyticsQueries {
     // the column-mapped table recomputed: v1 = base under old names,
     // v3 = base + derived appends, final = the same rows under
     // (doc_id, body) with language dropped
+    // the q28 pair relation re-derived, closed by a recursive CTE,
+    // reps picked by the same (n_words desc, doc_id) rule
+    "q370_cluster_rep" ->
+      ("WITH RECURSIVE words AS (" + wordsCte + "), "
+       + "sh AS (SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle "
+       + "FROM words, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2)) AS i) g), "
+       + "df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1), "
+       + "cut AS (SELECT sh.id, sh.shingle FROM sh JOIN df USING (shingle) WHERE df.c <= 5), "
+       + "sz AS (SELECT id, COUNT(*) AS sz FROM cut GROUP BY id), "
+       + "inter AS (SELECT x.id AS a, y.id AS b, COUNT(*) AS i FROM cut x JOIN cut y USING (shingle) WHERE x.id < y.id GROUP BY 1, 2), "
+       + "pairs AS (SELECT a, b FROM inter JOIN sz sa ON a = sa.id JOIN sz sb ON b = sb.id "
+       + "WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5), "
+       + "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs), "
+       + "reach(id, comp) AS (SELECT src, src FROM edges "
+       + "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id), "
+       + "cmp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id), "
+       + "asg AS (SELECT w.doc_id, COALESCE(c.comp, w.doc_id) AS cluster, len(w.ws) AS n_words "
+       + "FROM words w LEFT JOIN cmp c ON c.id = w.doc_id) "
+       + "SELECT doc_id, cluster, "
+       + "(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_words DESC, doc_id) = 1) AS is_rep "
+       + "FROM asg ORDER BY doc_id"),
     // v1 = documents (CTAS), v2 = + SQL-inserted derived rows,
     // v3 = minus the zh partition of rows (SQL DELETE)
     "q369_sql_lifecycle" ->
