@@ -54,6 +54,18 @@ object ScaleProbe {
     println(s"[scale] docs=${d.count()} embeddings=${e.count()} (${mult}x sf0.1)")
 
     t("exact_dedup")(graft.operators.Dedup.exact(d, "doc_id", "text").count())
+    // q366: one narrow codegen projection per row, no shuffle — must
+    // ride corpus bytes linearly
+    t("chunk_overlap")(graft.operators.TextOps
+      .chunkTokens(d, "doc_id", "text", 64, 16).count())
+    // q370: q28's posting-cut pairs + pointer-doubling closure + one
+    // window — the pair stage bounds the cost, never |docs|^2
+    t("cluster_rep")({
+      val pairs = graft.operators.Dedup.jaccardPairs(
+        d, "doc_id", "text", n = 3, threshold = 0.5, maxDocFreq = 5)
+      graft.operators.Components.connectedComponents(pairs, "a", "b")
+        .count()
+    })
     t("minhash_pairs")(graft.operators.Dedup.minHashPairs(
       d, "doc_id", "text", 3, 0.5).count())
     t("simhash")(graft.operators.Dedup.simHash(d, "doc_id", "text").count())

@@ -435,8 +435,9 @@ object TxTable {
     */
   def renameColumn(spark: SparkSession, dir: String, oldName: String,
       newName: String): Int = {
+    val readV = currentVersion(dir) // see commitDelete: the anchor
     val rider = mappingProtocolRider(dir)
-    val m = mappingAt(dir)
+    val m = mappingAt(dir, readV)
     val logical = snapshot(spark, dir).columns.toSet
     require(logical.contains(oldName), s"no such column: $oldName")
     require(!logical.contains(newName),
@@ -446,7 +447,7 @@ object TxTable {
     val taken = (m.renames.keySet ++ m.dropped) - m.physicalOf(oldName)
     require(!taken.contains(newName),
       s"column name $newName collides with a physical name in use")
-    commitWithRetry(dir, Seq.empty, Seq.empty, currentVersion(dir) + 1,
+    commitWithRetry(dir, Seq.empty, Seq.empty, readV + 1,
       schemaOpConflicts, dataChange = false, protocol = rider,
       renameFrom = Seq(oldName), renameTo = Seq(newName))
   }
@@ -456,11 +457,12 @@ object TxTable {
     */
   def dropColumn(spark: SparkSession, dir: String,
       name: String): Int = {
+    val readV = currentVersion(dir) // see commitDelete: the anchor
     val rider = mappingProtocolRider(dir)
     val logical = snapshot(spark, dir).columns.toSet
     require(logical.contains(name), s"no such column: $name")
     require(logical.size > 1, "cannot drop the last column")
-    commitWithRetry(dir, Seq.empty, Seq.empty, currentVersion(dir) + 1,
+    commitWithRetry(dir, Seq.empty, Seq.empty, readV + 1,
       schemaOpConflicts, dataChange = false, protocol = rider,
       dropCols = Seq(name))
   }
@@ -473,11 +475,12 @@ object TxTable {
   def upgradeProtocol(dir: String, minReader: Int, minWriter: Int,
       readerFeatures: Set[String] = Set.empty,
       writerFeatures: Set[String] = Set.empty): Int = {
+    val readV = currentVersion(dir) // see commitDelete: the anchor
     val cur = assertWritable(dir)
     val next = cur.upgradedWith(minReader, minWriter, readerFeatures,
       writerFeatures)
     commitWithRetry(dir, Seq.empty, Seq.empty,
-      currentVersion(dir) + 1,
+      readV + 1,
       es => if (es.exists(_.protocol.nonEmpty))
         Some("concurrent protocol change") else None,
       dataChange = false, protocol = Some(next))
@@ -533,11 +536,30 @@ object TxTable {
       e.txn.map { case (app, ver) =>
         s""""txnApp":"${esc(app)}","txnVer":$ver,""" }.getOrElse("") +
       s""""dataChange":${e.dataChange}}"""
-    // CREATE_NEW is the commit point: the version file either appears
-    // fully or the commit fails — a concurrent writer of the same
-    // version loses with FileAlreadyExistsException
-    Files.write(entryFile(dir, e.version),
-      json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    // The commit point must be ATOMIC AND COMPLETE: a bare
+    // CREATE_NEW write exposes a window where a concurrent reader
+    // sees the version file existing with partial JSON — the
+    // cross-process stress caught exactly that (a truncated adds
+    // array read as garbage paths, or a missing add making a racing
+    // DELETE silently skip rows). So the entry is written fully to a
+    // unique temp file and HARD-LINKED into place: POSIX link() is
+    // atomic and fails with FileAlreadyExistsException when the
+    // target exists, which keeps the exclusive same-version
+    // commit-point semantics while guaranteeing readers only ever
+    // see fully-formed entries.
+    val tmp = logDir(dir).resolve(
+      f".v${e.version}%05d.tmp-" + java.util.UUID.randomUUID.toString)
+    Files.write(tmp, json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+    try Files.createLink(entryFile(dir, e.version), tmp)
+    catch {
+      case _: UnsupportedOperationException =>
+        // no hard links on this filesystem: fall back to the direct
+        // CREATE_NEW write (single-writer deployments keep working;
+        // multi-writer needs a link-capable store)
+        Files.write(entryFile(dir, e.version),
+          json.getBytes("UTF-8"), StandardOpenOption.CREATE_NEW)
+        ()
+    } finally { Files.deleteIfExists(tmp); () }
     ()
   }
 
@@ -689,10 +711,21 @@ object TxTable {
     val v = currentVersion(dir)
     val live = liveFiles(dir, Some(v))
     val rows = live.map(Row(_)).asJava
+    // the checkpoint must appear ATOMICALLY: latestCkptUpTo's
+    // directory-listing fallback would otherwise see a concurrent
+    // writer's half-written parquet dir — observed in the
+    // cross-process stress as either UNABLE_TO_INFER_SCHEMA or,
+    // worse, an INCOMPLETE live-file base that made a racing DELETE
+    // silently skip rows. Build everything (parquet + sidecar) in a
+    // hidden temp dir, then one atomic rename; a same-version loser
+    // just discards its copy (the content is identical by
+    // construction).
+    val tmpD = logDir(dir).resolve(
+      f".ckpt-v$v%05d.tmp-" + java.util.UUID.randomUUID.toString.take(8))
     spark.createDataFrame(rows,
         StructType(Seq(StructField("file", StringType))))
       .coalesce(1)
-      .write.mode("overwrite").parquet(ckptDir(dir, v).toString)
+      .write.mode("overwrite").parquet(tmpD.toString)
     // the DV refs (and implicitly the last reset) in force at v ride
     // the checkpoint as an underscore-prefixed sidecar INSIDE the
     // checkpoint dir (parquet readers skip '_' files), so dvRefsAt
@@ -709,7 +742,7 @@ object TxTable {
     def arr(xs: Seq[String]) =
       xs.map(x => "\"" + esc(x) + "\"").mkString(",")
     val cmPairs = cm.renames.toSeq.sortBy(_._1)
-    Files.write(ckptDvFile(dir, v),
+    Files.write(tmpD.resolve(CkptSidecarName),
       (s"""{"dvs":[${arr(dvs)}],""" +
         s""""cmFrom":[${arr(cmPairs.map(_._1))}],""" +
         s""""cmTo":[${arr(cmPairs.map(_._2))}],""" +
@@ -718,6 +751,13 @@ object TxTable {
         s""""txnVers":[${arr(txns.map(_._2.toString))}],""" +
         protocolJson(prot) + "}")
         .getBytes("UTF-8"))
+    try Files.move(tmpD, ckptDir(dir, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      // a racing checkpoint of the SAME version won: identical
+      // content by construction — drop ours
+      case _: java.nio.file.FileSystemException => deleteDirRec(tmpD)
+    }
     // _last_checkpoint is advisory (the one overwritten file, exactly
     // Delta's shape); a stale or missing pointer falls back to the
     // checkpoint-directory listing
@@ -838,8 +878,9 @@ object TxTable {
   private def resolveAffected(spark: SparkSession, dir: String,
       files: Seq[String], pred: org.apache.spark.sql.Column,
       matches: org.apache.spark.sql.Column, dvs: Seq[String],
-      m: ColumnMapping): (Seq[String], Seq[String]) = {
-    val whole = whollyMatchingFiles(spark, dir, files, pred, m)
+      m: ColumnMapping,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val whole = whollyMatchingFiles(spark, dir, files, pred, m, version)
     val rest = files.filterNot(whole.toSet)
     val affected =
       if (rest.isEmpty) Seq.empty[String]
@@ -1037,10 +1078,18 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
-    val files = liveFilesFast(spark, dir)
+    // the READ VERSION anchors the whole operation: files/DVs/mapping
+    // resolve AS OF readV and the commit conflict-checks EVERYTHING
+    // after it — computing v0 from currentVersion after the
+    // distributed scans left a window where an interleaved rewrite of
+    // the same file was never validated (two racing deletes could
+    // both rewrite one file and resurrect each other's deleted rows;
+    // caught by the cross-process stress)
+    val readV = currentVersion(dir)
+    val files = liveFilesFast(spark, dir, Some(readV))
     val matches = coalesce(pred, lit(false))
-    val dvs = dvRefsAt(dir)
-    val m = mappingAt(dir)
+    val dvs = dvRefsAt(dir, readV)
+    val m = mappingAt(dir, readV)
     // which files hold a matching row? one distributed scan; the
     // distinct aggregation and full-path -> suffix mapping run
     // DISTRIBUTED, so the driver receives only the bounded set of
@@ -1058,9 +1107,10 @@ object TxTable {
     // change feed diffs the removed files under the PRE-commit DV
     // state, so only still-visible rows are reported deleted.
     val (whole, affected) =
-      resolveAffected(spark, dir, files, pred, matches, dvs, m)
+      resolveAffected(spark, dir, files, pred, matches, dvs, m,
+        Some(readV))
     if (whole.isEmpty && affected.isEmpty) return currentVersion(dir)
-    val v0 = currentVersion(dir) + 1
+    val v0 = readV + 1
     val added =
       if (affected.isEmpty) Seq.empty[String]
       else {
@@ -1104,11 +1154,13 @@ object TxTable {
     val bad = df.filter(!matches).limit(1).count()
     if (bad > 0) throw new IllegalArgumentException(
       "replaceWhere: input rows do not all satisfy the predicate")
-    val files = liveFilesFast(spark, dir)
-    val dvs = dvRefsAt(dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val files = liveFilesFast(spark, dir, Some(readV))
+    val dvs = dvRefsAt(dir, readV)
     val (whole, affected) =
-      resolveAffected(spark, dir, files, pred, matches, dvs, m)
-    val v0 = currentVersion(dir) + 1
+      resolveAffected(spark, dir, files, pred, matches, dvs, m,
+        Some(readV))
+    val v0 = readV + 1
     // the new data first (constraint-validated; a rejection leaves
     // nothing staged), then survivors of partially-matching files
     val newAdds = stageValidatedPartitioned(toPhysical(df, m), dir, v0,
@@ -1151,17 +1203,18 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
-    val files = liveFilesFast(spark, dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val files = liveFilesFast(spark, dir, Some(readV))
     val matches = coalesce(pred, lit(false))
-    val dvs = dvRefsAt(dir)
-    val m = mappingAt(dir)
+    val dvs = dvRefsAt(dir, readV)
+    val m = mappingAt(dir, readV)
     val affectedRel = visibleWithMeta(spark, dir, files, dvs, m)
       .filter(matches)
       .select(col("_f"))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = files.filter(f => affectedRel.contains(relSuffix(f)))
     if (affected.isEmpty) return currentVersion(dir)
-    val v0 = currentVersion(dir) + 1
+    val v0 = readV + 1
     val affVisible = visibleWithMeta(spark, dir, affected, dvs, m)
     val setMap = sets.toMap
     val unknown = setMap.keySet -- affVisible.columns.toSet
@@ -1228,9 +1281,10 @@ object TxTable {
     assertWritable(dir)
     require((matched ++ notMatched ++ notMatchedBySource).nonEmpty,
       "MERGE needs at least one WHEN clause")
-    val files = liveFilesFast(spark, dir)
-    val dvs = dvRefsAt(dir)
-    val m = mappingAt(dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val files = liveFilesFast(spark, dir, Some(readV))
+    val dvs = dvRefsAt(dir, readV)
+    val m = mappingAt(dir, readV)
     val visible = visibleWithMeta(spark, dir, files, dvs, m)
     // source side renamed up front: __src_<name> everywhere, plus the
     // match marker no real column can collide with
@@ -1331,7 +1385,7 @@ object TxTable {
       }
     val staged = insertRows
       .foldLeft(matchedRows.unionByName(unmatchedRows))(_ unionByName _)
-    val v0 = currentVersion(dir) + 1
+    val v0 = readV + 1
     // rewritten survivors AND new rows land under the partition
     // layout the touched files carried
     val added = stageValidatedPartitioned(toPhysical(staged, m),
@@ -1380,9 +1434,10 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
-    val files = liveFilesFast(spark, dir)
-    val dvs = dvRefsAt(dir)
-    val m = mappingAt(dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val files = liveFilesFast(spark, dir, Some(readV))
+    val dvs = dvRefsAt(dir, readV)
+    val m = mappingAt(dir, readV)
     assertNoPhysicalCollision(source, m)
     def visible(fs: Seq[String]): DataFrame =
       visibleWithMeta(spark, dir, fs, dvs, m)
@@ -1402,7 +1457,7 @@ object TxTable {
       else visible(affected).drop("_f", "_pos")
         .join(broadcast(keys), Seq(keyCol), "left_anti")
         .unionByName(source)
-    val v0 = currentVersion(dir) + 1
+    val v0 = readV + 1
     // staged rows = survivors + source; validating the union is a
     // superset of Delta's written-data rule (survivors passed at
     // their own commit and pass again for free)
@@ -1605,16 +1660,17 @@ object TxTable {
     require(zOrderBy.isEmpty || clusterBy.isEmpty,
       "choose clusterBy (one axis) or zOrderBy (multi-axis), not both")
     assertWritable(dir)
-    val files = liveFilesFast(spark, dir)
-    val v0 = currentVersion(dir) + 1
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val files = liveFilesFast(spark, dir, Some(readV))
+    val v0 = readV + 1
     // compaction reads VISIBLE rows (DVs applied) — it materializes
     // any deletion vectors on its inputs, which then become inert
     // because the inputs leave the live set; row visibility is
     // unchanged, so dataChange=false stays truthful. On a mapped
     // table it reads the LOGICAL view (cluster keys are user-facing
     // names; dropped columns materialize away) and stages physical
-    val m = mappingAt(dir)
-    val current = readApplyingDv(spark, dir, files, dvRefsAt(dir),
+    val m = mappingAt(dir, readV)
+    val current = readApplyingDv(spark, dir, files, dvRefsAt(dir, readV),
       mapping = m)
     // clusterBy = OPTIMIZE's clustering axis: range-partition so each
     // output file owns a tight [min,max] slice of the cluster columns
@@ -1673,7 +1729,8 @@ object TxTable {
     require(zOrderBy.isEmpty || (zOrderBy.size >= 2 && zOrderBy.size <= 6),
       "zOrderBy takes 2..6 columns (Morton interleave)")
     assertWritable(dir)
-    val files = liveFilesFast(spark, dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val files = liveFilesFast(spark, dir, Some(readV))
     val base = dataDir(dir).toString
     val conf = spark.sessionState.newHadoopConf()
     // sizes via ONE listStatus per stage DIRECTORY, not one RPC per
@@ -1699,9 +1756,9 @@ object TxTable {
     val inputs = small.map(_._1)
     val outFiles = targetFiles.getOrElse(math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt))
-    val v0 = currentVersion(dir) + 1
-    val m = mappingAt(dir)
-    val current = readApplyingDv(spark, dir, inputs, dvRefsAt(dir),
+    val v0 = readV + 1
+    val m = mappingAt(dir, readV)
+    val current = readApplyingDv(spark, dir, inputs, dvRefsAt(dir, readV),
       mapping = m)
     // a partitioned table's sweep must re-land rows under their
     // partition directories (mixing partitions into one output file
@@ -1810,6 +1867,12 @@ object TxTable {
       }
     }
     sweepEmpty(dataDir(dir))
+    // stale commit-attempt temp files and checkpoint temp dirs (a
+    // writer that crashed between write and link/rename) are orphans
+    listDir(logDir(dir))
+      .filter(_.getFileName.toString.startsWith("."))
+      .filterNot(_.getFileName.toString == "_last_checkpoint")
+      .foreach(deleteDirRec)
     // deletion-vector sidecars: a DV dir is dead when NO retained
     // version's DV state references it (purged, restored-over, or
     // past the horizon) — one incremental replay over the log, the
@@ -1846,8 +1909,10 @@ object TxTable {
     if (name.startsWith("/") || name.contains("://")) name
     else s"${logDir(dir)}/$name"
 
+  private val CkptSidecarName = "_dvrefs.json"
+
   private def ckptDvFile(dir: String, v: Int): Path =
-    ckptDir(dir, v).resolve("_dvrefs.json")
+    ckptDir(dir, v).resolve(CkptSidecarName)
 
   /** Fold the DV state forward over the log suffix (`after`, `upTo`]:
     * `dvReset` entries (RESTORE, PURGE) clear the accumulated list
@@ -2028,13 +2093,14 @@ object TxTable {
       if (prot.readerFeatures.contains("deletion-vectors")) None
       else Some(prot.upgradedWith(2, 2, Set("deletion-vectors"),
         Set("deletion-vectors")))
-    val files = liveFilesFast(spark, dir)
-    val dvs = dvRefsAt(dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val files = liveFilesFast(spark, dir, Some(readV))
+    val dvs = dvRefsAt(dir, readV)
     // DVs key on (file, pos) — name-independent — but the PREDICATE
     // speaks logical names, so match on the logical view
     val visible = visibleWithMeta(spark, dir, files, dvs,
-      mappingAt(dir))
-    val v0 = currentVersion(dir) + 1
+      mappingAt(dir, readV))
+    val v0 = readV + 1
     val name = f"dv-v$v0%05d-" +
       java.util.UUID.randomUUID.toString.take(8)
     matchRows(visible)
@@ -2070,15 +2136,16 @@ object TxTable {
       checkpointEvery: Int = DefaultCheckpointEvery,
       statsCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
-    val dvs = dvRefsAt(dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    val dvs = dvRefsAt(dir, readV)
     if (dvs.isEmpty) return currentVersion(dir)
-    val files = liveFilesFast(spark, dir)
+    val files = liveFilesFast(spark, dir, Some(readV))
     val base = dataDir(dir).toString
     val dv = readDv(spark, dir, dvs)
     val affectedSuffix = dv.select(col("file")).distinct()
       .collect().map(_.getString(0)).toSet
     val affected = files.filter(f => affectedSuffix.contains(relSuffix(f)))
-    val v0 = currentVersion(dir) + 1
+    val v0 = readV + 1
     if (affected.isEmpty)
       // every DV'd file is already dead (rewritten since) — the DVs
       // are inert; just clear the references. The reset still
@@ -2089,7 +2156,7 @@ object TxTable {
     // purge is a PHYSICAL rewrite (no projection — lossless, keeps
     // every era's columns); mapped tables merge schemas across eras
     val raw = withMeta(spark.read
-      .option("mergeSchema", mappingAt(dir).active.toString)
+      .option("mergeSchema", mappingAt(dir, readV).active.toString)
       .parquet(affected.map(absPath(base, _)): _*))
     val rewritten = applyDv(raw, dv).drop("_f", "_pos")
     // purged files re-land under their partition dirs (pruning must
@@ -2115,10 +2182,11 @@ object TxTable {
   def commitRestore(spark: SparkSession, dir: String, toVersion: Int,
       checkpointEvery: Int = DefaultCheckpointEvery): Int = {
     assertWritable(dir)
+    val readV = currentVersion(dir) // see commitDelete: the anchor
     val target = liveFiles(dir, Some(toVersion))
     require(target.nonEmpty,
       s"nothing to restore: version $toVersion has no live files")
-    val current = liveFilesFast(spark, dir)
+    val current = liveFilesFast(spark, dir, Some(readV))
     val curSet = current.toSet
     val tgtSet = target.toSet
     val adds = target.filterNot(curSet)
@@ -2144,10 +2212,11 @@ object TxTable {
       s"cannot RESTORE to v$toVersion past the vacuum horizon: " +
         s"deletion vector(s) ${missingDvs.take(3).mkString(", ")} " +
         "no longer exist")
-    if (adds.isEmpty && removes.isEmpty && targetDvs == dvRefsAt(dir))
+    if (adds.isEmpty && removes.isEmpty &&
+        targetDvs == dvRefsAt(dir, readV))
       return currentVersion(dir)
     val v = commitWithRetry(dir, adds, removes,
-      currentVersion(dir) + 1, rewriteConflicts(removes.toSet),
+      readV + 1, rewriteConflicts(removes.toSet),
       dvs = targetDvs, dvReset = true)
     maybeCheckpoint(spark, dir, v, checkpointEvery)
     v

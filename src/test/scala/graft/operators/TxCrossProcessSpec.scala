@@ -53,9 +53,11 @@ class TxCrossProcessSpec extends AnyFunSuite {
     }
     val (p1, o1) = launch(1)
     val (p2, o2) = launch(2)
-    assert(p1.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+    // generous: under the full parallel suite (or a concurrent bench)
+    // the box is oversubscribed and two extra Spark JVMs start slowly
+    assert(p1.waitFor(900, java.util.concurrent.TimeUnit.SECONDS),
       s"writer 1 hung:\n$o1")
-    assert(p2.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+    assert(p2.waitFor(900, java.util.concurrent.TimeUnit.SECONDS),
       s"writer 2 hung:\n$o2")
     assert(p1.exitValue() == 0, s"writer 1 failed:\n$o1")
     assert(p2.exitValue() == 0, s"writer 2 failed:\n$o2")

@@ -42,7 +42,14 @@ object TxStressWriter {
           col("writer") === id && col("seq") % 5 === 0)
         deleted = true
       } catch {
+        // a REAL conflict retries; so does optimistic-attempt
+        // exhaustion under heavy interleaving (a starved JVM can lose
+        // more races than the in-commit retry budget covers)
         case _: TxTable.CommitConflictException =>
+          conflicts += 1
+          Thread.sleep(100)
+        case e: RuntimeException
+            if String.valueOf(e.getMessage).contains("attempts") =>
           conflicts += 1
           Thread.sleep(100)
       }
