@@ -755,8 +755,30 @@ object TxTable {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
       // a racing checkpoint of the SAME version won: identical
-      // content by construction — drop ours
-      case _: java.nio.file.FileSystemException => deleteDirRec(tmpD)
+      // content by construction — drop ours. Only exceptions that
+      // PROVE the race (target exists) are benign; swallowing every
+      // FileSystemException here once silently and permanently
+      // disabled checkpointing on filesystems without atomic dir
+      // rename while still advancing _last_checkpoint
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteDirRec(tmpD)
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        // no atomic rename on this fs: fall back to a plain move
+        // (rename where possible, copy+delete cross-device). A reader
+        // listing mid-move can see a torn dir, but latestCkptUpTo
+        // falls back past an unreadable checkpoint — strictly better
+        // than never checkpointing
+        try Files.move(tmpD, ckptDir(dir, v))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            deleteDirRec(tmpD)
+        }
+      case e: java.nio.file.FileSystemException =>
+        deleteDirRec(tmpD)
+        // some filesystems report the lost race as a generic
+        // FileSystemException — the target existing is the proof
+        if (!Files.isDirectory(ckptDir(dir, v))) throw e
     }
     // _last_checkpoint is advisory (the one overwritten file, exactly
     // Delta's shape); a stale or missing pointer falls back to the
@@ -1148,13 +1170,18 @@ object TxTable {
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Int = {
     assertWritable(dir)
-    val m = mappingAt(dir)
+    // the anchor comes FIRST — before mapping resolution and before
+    // the input-validation Spark job — matching commitDelete/Update/
+    // Merge: every byte of state this verb reads is AS OF readV, so a
+    // commit (incl. a schema op) landing during validation surfaces as
+    // a conflict instead of being half-seen
+    val readV = currentVersion(dir)
+    val m = mappingAt(dir, readV)
     assertNoPhysicalCollision(df, m)
     val matches = coalesce(pred, lit(false))
     val bad = df.filter(!matches).limit(1).count()
     if (bad > 0) throw new IllegalArgumentException(
       "replaceWhere: input rows do not all satisfy the predicate")
-    val readV = currentVersion(dir) // see commitDelete: the anchor
     val files = liveFilesFast(spark, dir, Some(readV))
     val dvs = dvRefsAt(dir, readV)
     val (whole, affected) =
@@ -1816,7 +1843,8 @@ object TxTable {
     * not run concurrently with an in-flight writer (whose stage is
     * indistinguishable from an orphan until its log entry lands).
     */
-  def vacuum(dir: String, retainFrom: Int): Seq[String] = {
+  def vacuum(dir: String, retainFrom: Int,
+      tempRetainMillis: Long = 3600000L): Seq[String] = {
     val entries = readEntries(dir)
     val latest = entries.lastOption.map(_.version).getOrElse(0)
     val keep = (retainFrom to latest)
@@ -1868,10 +1896,22 @@ object TxTable {
     }
     sweepEmpty(dataDir(dir))
     // stale commit-attempt temp files and checkpoint temp dirs (a
-    // writer that crashed between write and link/rename) are orphans
+    // writer that crashed between write and link/rename) are orphans —
+    // but ONLY past a retention window: a LIVE writer mid-writeEntry
+    // (tmp written, hard link not yet created) or a checkpoint
+    // mid-build is byte-identical to a crash leftover, and reclaiming
+    // it fails the in-flight commit with a non-retryable
+    // NoSuchFileException. Age is the only separator (Delta's
+    // uncommitted-file retention takes the same view); an in-flight
+    // temp lives milliseconds, a crash leftover forever.
+    val tempHorizon = System.currentTimeMillis() - tempRetainMillis
     listDir(logDir(dir))
       .filter(_.getFileName.toString.startsWith("."))
       .filterNot(_.getFileName.toString == "_last_checkpoint")
+      .filter { p =>
+        try Files.getLastModifiedTime(p).toMillis < tempHorizon
+        catch { case _: java.io.IOException => false } // just vanished
+      }
       .foreach(deleteDirRec)
     // deletion-vector sidecars: a DV dir is dead when NO retained
     // version's DV state references it (purged, restored-over, or

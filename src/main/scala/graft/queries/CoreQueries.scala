@@ -387,12 +387,16 @@ object CoreQueries {
           row_number().over(w).as("rk"),
           count(lit(1)).over(wp).as("n"))
         .select(col("c_custkey"), col("c_nationkey"),
-          // n = 1: PERCENT_RANK is defined as 0 (the DIV would be /0)
+          // n = 1: PERCENT_RANK is defined as 0 (the DIV would be /0).
+          // rk is row_number's IntegerType: widen BEFORE the multiply —
+          // 20000 * (rk - 1) in 32-bit silently overflows past ~107k
+          // rows per partition under non-ANSI Spark while the DuckDB
+          // oracle computes in BIGINT
           expr("CAST(CASE WHEN n = 1 THEN 0 ELSE " +
-            "(20000 * (rk - 1) + (n - 1)) DIV (2 * (n - 1)) END " +
-            "AS BIGINT)").as("pr_bp"),
-          expr("CAST((20000 * rk + n) DIV (2 * n) AS BIGINT)")
-            .as("cd_bp"))
+            "(20000 * (CAST(rk AS BIGINT) - 1) + (n - 1)) DIV " +
+            "(2 * (n - 1)) END AS BIGINT)").as("pr_bp"),
+          expr("CAST((20000 * CAST(rk AS BIGINT) + n) DIV (2 * n) " +
+            "AS BIGINT)").as("cd_bp"))
         .orderBy("c_custkey")
     }),
 

@@ -97,7 +97,9 @@ case class TxVersionOffset(version: Int) extends Offset {
 class TxLogAppendSource(sqlContext: SQLContext, dir: String,
     startingVersion: Option[Int], maxVersionsPerTrigger: Option[Int],
     ignoreDeletes: Boolean, ignoreChanges: Boolean,
-    declaredSchema: StructType) extends Source {
+    declaredSchema: StructType) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
 
   override def schema: StructType = declaredSchema
 
@@ -105,23 +107,50 @@ class TxLogAppendSource(sqlContext: SQLContext, dir: String,
   // -1 = no batch planned yet this run
   @volatile private var lastEnd: Int = -1
 
-  override def getOffset: Option[Offset] = {
+  /** Admission base: everything this run has learned — the restored
+    * offset Spark passes (committed, survives restarts), the last end
+    * this run planned, and the configured floor. Keying off in-memory
+    * `lastEnd` alone made the first post-restart micro-batch drain the
+    * whole backlog uncapped (Spark's V1 `getOffset` cannot see the
+    * checkpoint); SupportsAdmissionControl is the sanctioned channel
+    * for the committed offset — the same route Delta's and Kafka's V1
+    * sources take.
+    */
+  private def plannedEnd(committedBase: Int): Option[TxVersionOffset] = {
     val cur = TxTable.currentVersion(dir)
     val floor = startingVersion.getOrElse(0)
-    if (cur <= math.max(lastEnd, floor)) None
+    val known = math.max(math.max(lastEnd, committedBase),
+      startingVersion.getOrElse(-1))
+    if (cur <= math.max(known, floor)) None
     else {
       // the cap applies from the first tail batch; an initial
-      // snapshot (no startingVersion, no batch yet) is ONE batch by
-      // definition and is never split
-      val base = math.max(lastEnd,
-        startingVersion.map(_.toLong).getOrElse(-1L).toInt)
+      // snapshot (no startingVersion, nothing committed, no batch yet
+      // this run) is ONE batch by definition and is never split
       val capped = maxVersionsPerTrigger match {
-        case Some(k) if base >= 0 => math.min(cur, base + k)
+        case Some(k) if known >= 0 => math.min(cur, known + k)
         case _ => cur
       }
       Some(TxVersionOffset(capped))
     }
   }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val committed =
+      Option(start).map(_.json().trim.toInt).getOrElse(-1)
+    plannedEnd(committed).orNull
+  }
+
+  // V1 fallback (not called once SupportsAdmissionControl is seen);
+  // kept because the Source trait demands it
+  override def getOffset: Option[Offset] = plannedEnd(-1)
 
   private def versionOf(o: Offset): Int = o match {
     case TxVersionOffset(v) => v

@@ -317,6 +317,65 @@ class TxLogSourceSpec extends SparkSpec {
     ()
   }
 
+  test("restart honors maxVersionsPerTrigger from the committed offset") {
+    import scala.jdk.CollectionConverters._
+    // a fresh source instance starts with lastEnd = -1; before the
+    // SupportsAdmissionControl fix the first post-restart batch either
+    // drained the whole backlog uncapped (no startingVersion) or
+    // stalled behind the committed offset (startingVersion set) — the
+    // committed offset Spark passes to latestOffset is the only
+    // restart-safe admission base
+    def run(d: String, ckpt: String, opts: Map[String, String],
+        sink: java.util.List[Long]): Unit = {
+      val q = opts.foldLeft(spark.readStream.format("txlog")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(d).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = df.count(); if (n > 0) sink.add(n); ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    // variant A: no startingVersion (initial snapshot, then tail)
+    val dA = java.nio.file.Files.createTempDirectory("txlog-src5-")
+      .toString
+    (1L to 2L).foreach(i =>
+      TxTable.commitAppend(Seq((i, s"v$i")).toDF("id", "s"), dA))
+    val ckptA = java.nio.file.Files
+      .createTempDirectory("txlog-src5-ckpt-").toString
+    val bA = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    run(dA, ckptA, Map("maxVersionsPerTrigger" -> "2"), bA)
+    val snapshotBatches = bA.asScala.toVector // the one-batch snapshot
+    (3L to 8L).foreach(i =>
+      TxTable.commitAppend(Seq((i, s"v$i")).toDF("id", "s"), dA))
+    run(dA, ckptA, Map("maxVersionsPerTrigger" -> "2"), bA)
+    val tailA = bA.asScala.toVector.drop(snapshotBatches.size)
+    assert(tailA.sum == 6L && tailA.forall(_ <= 2L),
+      s"post-restart cap violated: $tailA")
+    // variant B: startingVersion set — pre-fix the admission base
+    // regressed to startingVersion and the stream STALLED (latest
+    // offset <= committed), leaving the backlog unprocessed
+    val dB = java.nio.file.Files.createTempDirectory("txlog-src6-")
+      .toString
+    (1L to 2L).foreach(i =>
+      TxTable.commitAppend(Seq((i, s"v$i")).toDF("id", "s"), dB))
+    val ckptB = java.nio.file.Files
+      .createTempDirectory("txlog-src6-ckpt-").toString
+    val bB = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val optsB = Map("startingVersion" -> "0",
+      "maxVersionsPerTrigger" -> "2")
+    run(dB, ckptB, optsB, bB)
+    (3L to 8L).foreach(i =>
+      TxTable.commitAppend(Seq((i, s"v$i")).toDF("id", "s"), dB))
+    run(dB, ckptB, optsB, bB)
+    val sizesB = bB.asScala.toVector
+    assert(sizesB.sum == 8L && sizesB.forall(_ <= 2L),
+      s"restart with startingVersion mishandled: $sizesB")
+    ()
+  }
+
   test("TIMESTAMP AS OF resolves through monotone in-commit timestamps") {
     val d2 = java.nio.file.Files.createTempDirectory("txlog-ts-")
       .toString
