@@ -58,6 +58,24 @@ final class AmqpConnection(url: AmqpUrl) {
   /** Called once when the connection dies (reader IOException). */
   @volatile var onDead: () => Unit = () => ()
 
+  // pika Parameters.stack_timeout: ONE overall deadline for the full
+  // protocol-stack bring-up — TCP connect (retries included), TLS,
+  // and the AMQP handshake through connection.open-ok. Handshake
+  // reads ride a shrinking SO_TIMEOUT derived from the remaining
+  // budget; past the deadline the bring-up fails with a pika-shaped
+  // error instead of hanging on a silent or slow-lorising broker.
+  private val stackDeadline: Option[Long] =
+    url.stackTimeout.map(t => System.nanoTime + (t * 1e9).toLong)
+  private def stackRemainingMs(): Option[Int] = stackDeadline.map { d =>
+    val ms = (d - System.nanoTime) / 1000000L
+    if (ms <= 0) throw stackTimeoutError()
+    math.min(ms, Int.MaxValue.toLong).toInt
+  }
+  private def stackTimeoutError(): java.io.IOException =
+    new java.io.IOException("protocol stack bring-up exceeded " +
+      s"stack_timeout=${url.stackTimeout.get}s " +
+      "(pika Parameters.stack_timeout)")
+
   private def connectOnce(): Socket = {
     val plain = new Socket()
     // pika tcp_options → JVM socket options. Keepalive TUNING keys
@@ -76,9 +94,12 @@ final class AmqpConnection(url: AmqpUrl) {
       url.tcpOptions.get("TCP_KEEPCNT")
         .foreach(v => plain.setOption[Integer](TCP_KEEPCOUNT, v))
     }
+    val sockMs = math.max(1, (url.socketTimeout * 1000).toInt)
     plain.connect(new java.net.InetSocketAddress(host, port),
-      math.max(1, (url.socketTimeout * 1000).toInt))
+      stackRemainingMs().map(math.min(_, sockMs)).getOrElse(sockMs))
     if (tls) {
+      // the TLS handshake reads ride the stack budget too
+      stackRemainingMs().foreach(plain.setSoTimeout(_))
       // amqps: wrap the connected socket in a TLS context honoring
       // the URL's ssl_options (ca_certs → trust store, certfile/
       // keyfile → mutual-TLS key store); none given ⇒ the JVM default
@@ -104,14 +125,21 @@ final class AmqpConnection(url: AmqpUrl) {
     while (s == null) {
       try s = connectOnce()
       catch { case e: java.io.IOException =>
-        if (attempt >= url.connectionAttempts) throw e
+        // a blown stack deadline is FINAL — retrying cannot un-spend
+        // the budget (attempts exhausted is final as before)
+        if (attempt >= url.connectionAttempts ||
+            stackDeadline.exists(_ - System.nanoTime <= 0)) throw e
         attempt += 1
         Thread.sleep(math.max(0L, (url.retryDelay * 1000).toLong))
       }
     }
     s
   }
-  sock.setSoTimeout(0) // reader blocks on deliveries indefinitely
+  // reader blocks on deliveries indefinitely (0) — unless a stack
+  // deadline is armed, in which case handshake reads stay bounded
+  // (expectSync re-arms per read; post-handshake code below restores
+  // the steady-state timeout)
+  sock.setSoTimeout(stackRemainingMs().getOrElse(0))
   sock.setTcpNoDelay(true)
   private val in = new DataInputStream(
     new java.io.BufferedInputStream(sock.getInputStream))
@@ -162,8 +190,10 @@ final class AmqpConnection(url: AmqpUrl) {
   // connection dead and fires onDead. The broker's own heartbeats
   // keep an idle-but-alive connection open.
   if (heartbeatSecs > 0) sock.setSoTimeout(heartbeatSecs * 2 * 1000)
+  else sock.setSoTimeout(0) // stack deadline disarms post-handshake
 
-  private def expectSync[M <: Method]()(implicit ct: ClassTag[M]): M = {
+  private def expectSync[M <: Method]()(implicit ct: ClassTag[M]): M = try {
+    stackRemainingMs().foreach(sock.setSoTimeout(_))
     var f = readFrame(in)
     while (f.tpe == FrameHeartbeat) f = readFrame(in)
     parseMethod(f.payload) match {
@@ -179,6 +209,12 @@ final class AmqpConnection(url: AmqpUrl) {
       case other => throw new java.io.IOException(
         s"AMQP handshake: expected ${ct.runtimeClass.getSimpleName}, got $other")
     }
+  } catch {
+    // a handshake read outliving the armed deadline IS the stack
+    // timeout (SO_TIMEOUT is only ever the stack budget here —
+    // heartbeat timeouts arm after the handshake completes)
+    case _: java.net.SocketTimeoutException if stackDeadline.isDefined =>
+      throw stackTimeoutError()
   }
 
   private def sendFrames(frames: Frame*): Unit = out.synchronized {

@@ -48,7 +48,8 @@ final case class AmqpUrl(host: String, port: Int, user: String,
     sslOptions: Option[SslOptions] = None,
     clientProperties: Map[String, Any] = Map.empty,
     tcpOptions: Map[String, Int] = Map.empty,
-    blockedConnectionTimeout: Option[Double] = None)
+    blockedConnectionTimeout: Option[Double] = None,
+    stackTimeout: Option[Double] = None)
 
 /** Parsed pika `ssl_options` dict — only keys with a JVM-native
   * equivalent; the rest are rejected at parse time.
@@ -60,10 +61,12 @@ final case class SslOptions(caCerts: Option[String] = None,
 object AmqpUrl {
   /** pika keys that exist but this client cannot honor — rejected
     * loudly (a silently-ignored TLS option would be a security bug).
-    * `stack_timeout` is genuinely ioloop-internal; everything else
-    * pika's URLParameters accepts is honored.
+    * Empty as of round 14: `stack_timeout` (the last holdout, once
+    * thought ioloop-internal) is honored as an overall bring-up
+    * deadline in [[AmqpClient]]; every key pika's URLParameters
+    * accepts is now honored.
     */
-  private val Unsupported = Set("stack_timeout")
+  private val Unsupported = Set.empty[String]
 
   /** tcp_options keys with a JVM socket-option equivalent. */
   private val TcpOptionKeys =
@@ -133,6 +136,9 @@ object AmqpUrl {
       // torn down with ConnectionBlockedTimeout
       case "blocked_connection_timeout" =>
         a.copy(blockedConnectionTimeout = Some(num(k, v)))
+      // pika Parameters.stack_timeout: overall deadline for the FULL
+      // protocol-stack bring-up (TCP + TLS + AMQP handshake)
+      case "stack_timeout" => a.copy(stackTimeout = Some(num(k, v)))
       // AMQP 0-9-1 frame-min-size .. pika's default max
       case "frame_max" => a.copy(frameMax = int(k, v, 4096, Amqp.DefaultFrameMax))
       case "channel_max" => a.copy(channelMax = int(k, v, 0, 65535))
