@@ -1869,32 +1869,51 @@ object TxTable {
     // vacuum would reclaim the inherited stats sidecars (keyed by
     // source stage name) as orphans
     val referenced = all.flatMap(f => f.split('/').dropRight(1))
+    // an IN-FLIGHT writer's stage (files landed, log entry not yet)
+    // is byte-identical to a crash leftover — the retention window is
+    // the only separator (Delta's uncommitted-file retention), and it
+    // is what makes VACUUM safe to run CONCURRENTLY with writers: a
+    // live stage is milliseconds old, a lost race is not
+    val tmpHorizon = System.currentTimeMillis() - tempRetainMillis
+    def isOld(p: Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < tmpHorizon
+      catch { case _: java.io.IOException => false } // just vanished
     val orphans = listDir(dataDir(dir))
       .filter(p => Files.isDirectory(p) &&
-        !referenced.contains(p.getFileName.toString))
+        !referenced.contains(p.getFileName.toString) && isOld(p))
     orphans.foreach(deleteDirRec) // may hold partition subdirs
     // stats sidecars of orphaned stages go with them (a committed
     // stage's sidecar stays even if some of its files were vacuumed —
-    // pruning filters by live files, so stale rows are inert)
+    // pruning filters by live files, so stale rows are inert). Same
+    // retention guard: an in-flight writer writes its sidecar BEFORE
+    // its log entry lands
     listDir(logDir(dir))
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("stats-") &&
-          !referenced.contains(n.stripPrefix("stats-"))
+          !referenced.contains(n.stripPrefix("stats-")) && isOld(p)
       }
       .foreach { d =>
         listDir(d).foreach(f => { Files.deleteIfExists(f); () })
         Files.deleteIfExists(d); ()
       }
     // now-empty referenced dirs (all files vacuumed) go too —
-    // bottom-up so an emptied partition dir empties its stage dir
-    def sweepEmpty(p: Path): Unit = {
-      listDir(p).filter(Files.isDirectory(_)).foreach(sweepEmpty)
-      if (p != dataDir(dir) && listDir(p).isEmpty) {
+    // bottom-up so an emptied partition dir empties its stage dir.
+    // Stages THIS vacuum deleted from are fair game regardless of
+    // age (the deletions just refreshed their mtime); anything else
+    // empty must be old — a writer's just-created, not-yet-populated
+    // stage dir is empty and NOT ours to reap
+    val touched = dead.map(_.split('/').head).toSet
+    def sweepEmpty(p: Path, inTouched: Boolean): Unit = {
+      listDir(p).filter(Files.isDirectory(_)).foreach(c =>
+        sweepEmpty(c, inTouched ||
+          (p == dataDir(dir) && touched.contains(c.getFileName.toString))))
+      if (p != dataDir(dir) && listDir(p).isEmpty &&
+          (inTouched || isOld(p))) {
         Files.deleteIfExists(p); ()
       }
     }
-    sweepEmpty(dataDir(dir))
+    sweepEmpty(dataDir(dir), inTouched = false)
     // stale commit-attempt temp files and checkpoint temp dirs (a
     // writer that crashed between write and link/rename) are orphans —
     // but ONLY past a retention window: a LIVE writer mid-writeEntry

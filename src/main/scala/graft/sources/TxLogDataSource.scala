@@ -153,7 +153,16 @@ class TxLogDataSource extends TableProvider
     // writeStream.partitionBy(...) flows through: every micro-batch
     // commit lands hive-partitioned, so the table stays partition-
     // prunable under continuous ingest
-    new TxLogSink(root, appId, partitionColumns)
+    new TxLogSink(root, appId, partitionColumns,
+      autoCompactEvery =
+        parameters.get("autoCompactEvery").map(_.trim.toInt)
+          .getOrElse(0),
+      autoCompactSmallBytes =
+        parameters.get("autoCompactSmallBytes").map(_.trim.toLong)
+          .getOrElse(32L * 1024 * 1024),
+      autoCompactTargetBytes =
+        parameters.get("autoCompactTargetBytes").map(_.trim.toLong)
+          .getOrElse(128L * 1024 * 1024))
   }
 }
 
@@ -220,9 +229,22 @@ private[sources] class TxLogWritableTable(root: String, delegate: Table)
 
 /** One commit per micro-batch; replays skip via the per-app
   * transaction watermark.
+  *
+  * Auto-compaction (`autoCompactEvery` > 0): every N committed
+  * batches the sink runs [[graft.operators.TxTable.commitCompactSmall]]
+  * — the OPTIMIZE-less operational mode: steady-state ingest keeps
+  * its own file count bounded instead of depending on an external
+  * maintenance job. The sweep is `dataChange=false` (feeds skip it),
+  * preserves hive layout and stats/skipping, and is BEST-EFFORT: a
+  * concurrent writer winning the conflict check skips this sweep —
+  * the next trigger's sweep picks the files up. A lost sweep is
+  * never a lost batch.
   */
 private[sources] class TxLogSink(root: String, appId: String,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    autoCompactEvery: Int = 0,
+    autoCompactSmallBytes: Long = 32L * 1024 * 1024,
+    autoCompactTargetBytes: Long = 128L * 1024 * 1024)
     extends org.apache.spark.sql.execution.streaming.Sink {
   import graft.operators.TxTable
 
@@ -239,6 +261,15 @@ private[sources] class TxLogSink(root: String, appId: String,
         data.queryExecution.toRdd.map(_.copy()), data.schema)
     TxTable.commitAppend(batchDf, root, txn = Some((appId, batchId)),
       partitionBy = partitionBy)
+    if (autoCompactEvery > 0 && (batchId + 1) % autoCompactEvery == 0) {
+      try {
+        TxTable.commitCompactSmall(spark, root, autoCompactSmallBytes,
+          autoCompactTargetBytes)
+        ()
+      } catch {
+        case _: TxTable.CommitConflictException => () // next trigger
+      }
+    }
     ()
   }
 

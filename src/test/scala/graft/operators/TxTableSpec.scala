@@ -196,7 +196,11 @@ class TxTableSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("part-0.parquet"),
       Array[Byte](1, 2, 3))
-    val reclaimed = TxTable.vacuum(dir, retainFrom = 1)
+    // the fabricated orphan is seconds old; a production vacuum would
+    // (correctly) leave it for the retention window — disable the
+    // window to test the reclaim itself
+    val reclaimed = TxTable.vacuum(dir, retainFrom = 1,
+      tempRetainMillis = -1000L)
     assert(reclaimed.exists(_.startsWith("v00009-deadbeef")))
     assert(!java.nio.file.Files.exists(orphan))
     assert(TxTable.snapshot(spark, dir).count() == 1)
@@ -256,7 +260,8 @@ class TxTableSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(orphanStats)
     java.nio.file.Files.write(orphanStats.resolve("x.parquet"),
       Array[Byte](1))
-    TxTable.vacuum(dir, retainFrom = TxTable.currentVersion(dir))
+    TxTable.vacuum(dir, retainFrom = TxTable.currentVersion(dir),
+      tempRetainMillis = -1000L) // the fabricated orphan is fresh
     assert(!java.nio.file.Files.exists(orphanStats))
     check(col("id") === 11L, 2) // committed sidecars survived
   }
