@@ -28,7 +28,7 @@ object MakeGolden {
       "q168_pq_topk", "q169_pca_components", "q175_ivfpq", "q182_mmr",
       "q198_ivf_append", "q221_ann_tombstones", "q246_hll_rollup",
       "q271_image_phash", "q273_audio_fingerprint", "q326_unigram_vocab",
-      "q333_neardup_sigs", "q338_winnow_fp")
+      "q333_neardup_sigs", "q338_winnow_fp", "q374_graph_ann")
 
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))

@@ -981,6 +981,52 @@ object ScaleProbe {
         .count()
     })
 
+    // q374: graph-ANN build is bounded by the within-cell pair term
+    // (nCells scaled ∝ corpus keeps cell size flat ⇒ build ~linear);
+    // SEARCH cost must ride beam*degree*hops — a fixed query batch
+    // against a mult-times-larger graph should read ~flat, since the
+    // corpus-sized adjacency is probed by a broadcast frontier
+    t("graph_ann_build")({
+      val idx = graft.operators.GraphAnn.graphIndex(
+        e, "vec_id", "embedding",
+        nCells = math.max(16, 16 * mult))
+      idx.adj.count()
+    })
+    t("graph_ann_search")({
+      val idx = graft.operators.GraphAnn.graphIndex(
+        e, "vec_id", "embedding",
+        nCells = math.max(16, 16 * mult))
+      idx.adj.persist().count()
+      val q = e.filter(col("vec_id") < 30)
+      val t0 = System.nanoTime()
+      val n = graft.operators.GraphAnn.graphSearch(idx, q,
+        "vec_id", "embedding", k = 10, beam = 24).count()
+      println(f"[scale]   (search-only: ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      idx.adj.unpersist()
+      n
+    })
+
+    // q373: chunk -> embed -> ivfAppend — the RAG ingest loop; one
+    // narrow chunk pass + one broadcast-centroid assignment pass, so
+    // the pipeline must ride corpus bytes ~linearly
+    t("rag_ingest")({
+      val chunks = graft.operators.TextOps
+        .chunkTokens(d, "doc_id", "text", 64, 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          array((0 until 8).map(i =>
+            (expr(s"conv(substring(md5(chunk_text), ${i * 4 + 1}, 4), 16, 10)")
+              .cast("double") / 65535.0).cast("float")): _*).as("emb"),
+          (col("doc_id") * 100000L + col("chunk_idx")).as("chunk_id"))
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("scaleprobe-rag-").toString
+      graft.operators.Similarity.ivfIndex(
+        chunks.filter(col("doc_id") % 2 === 0), "chunk_id", "emb",
+        nCentroids = 16).write(dir2)
+      graft.operators.Similarity.ivfAppend(spark, dir2,
+        chunks.filter(col("doc_id") % 2 =!= 0), "chunk_id", "emb")
+        .postings.count()
+    })
+
     spark.stop()
   }
 }

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{cosineFromNorms, dot, normSq}
+
+/** Graph-based approximate nearest neighbor (HNSW-lite / Vamana-
+  * flavored) as a PARTITIONED PARQUET ARTIFACT — the recall/latency
+  * frontier beyond IVF-PQ for a 100 TB embedding corpus (Malkov &
+  * Yashunin, "Efficient and robust approximate nearest neighbor
+  * search using HNSW graphs", TPAMI 2018; Subramanya et al.,
+  * "DiskANN", NeurIPS 2019).
+  *
+  * Spark-first re-expression: a literal HNSW traversal is a
+  * sequential pointer chase, which distributes terribly. What
+  * actually makes these indexes work — a bounded-degree neighbor
+  * graph searched by a seeded best-first beam — maps cleanly onto
+  * DataFrame ops with a FIXED hop count:
+  *
+  *  - '''Build''': k-means cells (the same deterministic Lloyd's as
+  *    [[Similarity.ivfIndex]], frozen seed = lowest ids) bound the
+  *    neighbor-candidate space; within each cell every node keeps its
+  *    `degree` nearest neighbors (self-join on the cell key + window
+  *    top-degree — the cell cap bounds the pair term, so build cost
+  *    rides Σ cell², never |corpus|²). One entry point per cell
+  *    (lowest xxhash64, a deterministic spread sample) forms the
+  *    broadcast seed layer — the "upper level" of HNSW collapsed to
+  *    one global layer, which is what a distributed search can
+  *    actually use.
+  *  - '''Search''': seed every query against the broadcast entry
+  *    layer (top-`seeds`), then `hops` rounds of: expand the frontier
+  *    one edge (equi-join on node id against the adjacency — the
+  *    corpus-sized side is PROBED via a broadcast of the tiny
+  *    frontier, never shuffled), score, keep the best `beam` per
+  *    query. Per-query cost rides `beam * degree * hops` — corpus
+  *    size enters only through the (constant-size) entry layer.
+  *
+  * Both tables round-trip parquet exactly, so a search over a
+  * written-and-reread index is bit-identical to an in-memory one —
+  * the same persisted-artifact contract as [[Similarity.IvfIndex]].
+  *
+  * Reference scope note: jcollado/rabbithole has no ANN surface
+  * (src/rabbithole/flow.py:1 is AMQP→SQL plumbing); this operator is
+  * part of the engine's LLM-pipeline extension surface.
+  */
+object GraphAnn {
+
+  /** `entries` (cid, cv, cn) — the broadcast seed layer; `adj`
+    * (cid, cv, cn, nbrs ARRAY<BIGINT>) — bounded-degree neighbor
+    * lists WITH the node vectors, so one equi-join both expands and
+    * scores a frontier.
+    */
+  final case class GraphIndex(entries: DataFrame, adj: DataFrame) {
+    def write(dir: String): Unit = {
+      entries.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/entries")
+      adj.write.mode("overwrite").parquet(s"$dir/adj")
+    }
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession,
+      dir: String): GraphIndex =
+    GraphIndex(spark.read.parquet(s"$dir/entries"),
+      spark.read.parquet(s"$dir/adj"))
+
+  /** Build the bounded-degree neighbor graph. `nCells` bounds the
+    * within-cell pair term (pick ∝ |corpus| / target-cell-size at
+    * scale); `degree` is the out-degree cap (HNSW's M).
+    */
+  def graphIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      degree: Int = 12, nCells: Int = 16, iters: Int = 2): GraphIndex = {
+    val c = graft.engine.Par.widen(corpus)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")).cache()
+    val centroids = Similarity.kmeans(c, nCells, iters)
+    val assigned = Similarity.nearest1(c, centroids, "cid", "cv",
+      Seq("cv", "cn"), "bucket").cache()
+    // within-cell exact top-degree neighbors: the equi-join on the
+    // cell key is the bounded pair space; ties break on neighbor id
+    val a = assigned.select(col("cid"), col("cv"), col("cn"),
+      col("bucket"))
+    val b = assigned.select(col("cid").as("nid"), col("cv").as("nv"),
+      col("cn").as("nn"), col("bucket"))
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("sim").desc, col("nid"))
+    val edges = a.join(b, Seq("bucket"))
+      .filter(col("cid") =!= col("nid"))
+      .withColumn("sim",
+        cosineFromNorms(dot(col("cv"), col("nv")), col("cn"), col("nn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= degree)
+    val nbrs = edges.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("rn"),
+        col("nid")))), s => s.getField("nid")).as("nbrs"))
+    // isolated nodes (singleton cells) keep an empty neighbor list —
+    // they are still reachable through their cell's entry point
+    val adj = assigned
+      .join(nbrs, Seq("cid"), "left")
+      .select(col("cid"), col("cv"), col("cn"),
+        coalesce(col("nbrs"), array().cast("array<bigint>")).as("nbrs"))
+    // one entry per cell, deterministic spread: lowest (xxhash64, id)
+    val we = Window.partitionBy(col("bucket"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+    val entries = assigned.withColumn("ern", row_number().over(we))
+      .filter(col("ern") === 1)
+      .select(col("cid"), col("cv"), col("cn"))
+    GraphIndex(entries, adj)
+  }
+
+  /** Seeded best-first beam search with a fixed hop budget. Returns
+    * (qid, cid, sim, rn) — self-matches excluded, ties on cid.
+    */
+  def graphSearch(index: GraphIndex, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, beam: Int = 32,
+      hops: Int = 4, seeds: Int = 16): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("cid"))
+    def top(df: DataFrame, n: Int): DataFrame =
+      df.withColumn("brn", row_number().over(wq))
+        .filter(col("brn") <= n).drop("brn")
+    // seed layer: score every query against the broadcast entries
+    val seeded = top(
+      q.crossJoin(broadcast(index.entries))
+        .withColumn("sim", cosineFromNorms(dot(col("qv"), col("cv")),
+          col("qn"), col("cn")))
+        .select(col("qid"), col("qv"), col("qn"), col("cid"),
+          col("sim")),
+      seeds)
+    var best = seeded
+    // the seeds' own neighbor lists bootstrap the first expansion
+    var frontier = seeded.join(
+      index.adj.select(col("cid"), col("nbrs").as("nbr_list")),
+      Seq("cid"))
+    for (_ <- 1 to hops) {
+      // expand one edge: the adjacency is PROBED (frontier is tiny —
+      // beam*|queries| rows — so it broadcasts; the corpus-sized adj
+      // never shuffles), then scored with the vectors the adjacency
+      // rows already carry
+      val cand = frontier
+        .select(col("qid"), col("qv"), col("qn"),
+          explode(col("nbr_list")).as("cid"))
+      val scored = cand
+        .join(index.adj.withColumnRenamed("nbrs", "nbr_list"),
+          Seq("cid"))
+        .withColumn("sim", cosineFromNorms(dot(col("qv"), col("cv")),
+          col("qn"), col("cn")))
+        .select(col("qid"), col("qv"), col("qn"), col("cid"),
+          col("sim"), col("nbr_list"))
+      best = top(best.unionByName(scored.drop("nbr_list"))
+        .dropDuplicates("qid", "cid"), beam)
+      frontier = top(scored.dropDuplicates("qid", "cid"), beam)
+    }
+    best.filter(col("qid") =!= col("cid"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
+        col("rn").cast("bigint").as("rn"))
+  }
+}

@@ -254,6 +254,66 @@ object AnalyticsQueries {
     Similarity.ivfIndexRead(s, out)
   }
 
+  /** Graph-ANN artifact (q374): bounded-degree neighbor graph +
+    * broadcast entry layer ([[graft.operators.GraphAnn]]), trained and
+    * WRITTEN once per JVM, searches served from the read-back parquet
+    * — the same persisted-artifact contract as the IVF/PQ indexes.
+    */
+  private val graphAnnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def graphAnnIndexFor(s: SparkSession,
+      dir: String): graft.operators.GraphAnn.GraphIndex = {
+    val out = graphAnnCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-gann-").toString
+      graft.operators.GraphAnn.graphIndex(t(s, d, "embeddings"),
+        "vec_id", "embedding").write(tmp)
+      tmp
+    })
+    graft.operators.GraphAnn.read(s, out)
+  }
+
+  /** RAG-ingest index (q373): token-window chunks → deterministic
+    * synthetic chunk embeddings → persisted IVF artifact grown by
+    * [[Similarity.ivfAppend]] — the chunk→embed→index loop as ONE
+    * composition. `chunk_id = doc_id * 100000 + chunk_idx` keeps
+    * provenance recoverable from the index alone (the lineage the
+    * oracle recomputes). Built once per JVM per sf dir. The synthetic
+    * embedding is a pure function of the chunk TEXT (md5 nibbles),
+    * so the artifact is reproducible across runs and scales — the
+    * image/audio-style decode stub pattern: the Spark-side plumbing
+    * is real, the featurizer is deterministic.
+    */
+  private val ragIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ragChunks(s: SparkSession, dir: String): DataFrame = {
+    val emb = array((0 until 8).map(i =>
+      (expr(s"conv(substring(md5(chunk_text), ${i * 4 + 1}, 4), 16, 10)")
+        .cast("double") / 65535.0).cast("float")): _*)
+    graft.operators.TextOps.chunkTokens(
+        t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 64, overlap = 16)
+      .select((col("doc_id") * 100000L + col("chunk_idx"))
+          .as("chunk_id"),
+        col("doc_id"), col("chunk_idx"), emb.as("emb"))
+  }
+  private def ragIndexFor(s: SparkSession,
+      dir: String): Similarity.IvfIndex = {
+    val out = ragIndexCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ragidx-").toString
+      val chunks = ragChunks(s, d)
+      // train on even docs, APPEND odd docs under frozen centroids —
+      // the living-index ingest loop, O(delta) per increment
+      Similarity.ivfIndex(chunks.filter(col("doc_id") % 2 === 0),
+        "chunk_id", "emb").write(tmp)
+      Similarity.ivfAppend(s, tmp,
+        chunks.filter(col("doc_id") % 2 =!= 0), "chunk_id", "emb")
+      tmp
+    })
+    Similarity.ivfIndexRead(s, out)
+  }
+
   /** PQ index per sf dir — trained and WRITTEN once per JVM, searches
     * served from the read-back parquet artifact (the same
     * train-once/search-many contract as q38's IVF index; k-means over
@@ -662,6 +722,19 @@ object AnalyticsQueries {
         .orderBy("qid", "rn")
     }),
 
+    // graph-based ANN (HNSW-lite): seeded best-first beam search over
+    // the persisted bounded-degree neighbor graph — per-query cost
+    // rides beam*degree*hops, never corpus size. Golden-pinned
+    // (k-means + hash defined); recall >= 0.9@10 vs brute and the
+    // written==in-memory equality are certified in GraphAnnSpec
+    "q374_graph_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.GraphAnn.graphSearch(graphAnnIndexFor(s, d),
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
+        .select(col("qid"), col("cid"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
     // incremental IVF maintenance: train on the even half, APPEND the
     // odd half under the frozen centroids (one broadcast pass, O(delta)
     // — never a retrain), then serve searches from the grown artifact.
@@ -672,6 +745,34 @@ object AnalyticsQueries {
           e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 3)
         .select(col("qid"), col("cid"), col("rn"))
         .orderBy("qid", "rn")
+    }),
+
+    // chunk → embed → index, end to end (the RAG ingest loop):
+    // provenance must survive INTO the artifact — the output is the
+    // per-document lineage recomputed FROM THE INDEX POSTINGS ALONE
+    // (decode doc_id/chunk_idx from chunk_id), which the oracle
+    // replays from the raw documents via the q366 chunker; a
+    // retrieval smoke against the built index guards servability
+    "q373_rag_ingest" -> ((s, d) => {
+      val idx = ragIndexFor(s, d)
+      // retrieval smoke: three known chunk vectors must come back
+      // with in-range similarities from a real probe-limited search
+      val probes = ragChunks(s, d).filter(col("doc_id") <= 3)
+        .limit(3).select(col("chunk_id"), col("emb"))
+      val hits = Similarity.ivfSearch(idx, probes, "chunk_id", "emb",
+        k = 3).collect()
+      require(hits.nonEmpty, "retrieval smoke returned nothing")
+      require(hits.forall(r =>
+        r.getDouble(r.fieldIndex("sim")) <= 1.0001 &&
+          r.getDouble(r.fieldIndex("sim")) >= -1.0001),
+        "cosine out of range against the rag index")
+      idx.postings
+        .select(expr("cid DIV 100000").as("doc_id"),
+          expr("cid % 100000").as("chunk_idx"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          max(col("chunk_idx")).cast("long").as("max_chunk_idx"))
+        .orderBy("doc_id")
     }),
 
     // ANN deletions without a rebuild: the persisted IVF index served
@@ -761,6 +862,63 @@ object AnalyticsQueries {
         .orderBy(col("r").desc, col("node"))
         .limit(20)
         .select(col("node"), col("r").as("rank"))
+    }),
+
+    // sf1-gate twin of q125 (round-14 task 3): the SAME PageRank
+    // operator and exact integer arithmetic, on a 1/16-subsampled
+    // bipartite graph at 3 iterations — small enough that the DuckDB
+    // unrolled-CTE oracle is practical at 6M-row scale, so the graph
+    // family's cross-engine check no longer stops at sf0.1
+    "q375_pagerank_twin" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      graft.operators.PageRank.run(edges, iterations = 3)
+        .orderBy(col("r").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("r").as("rank"))
+    }),
+
+    // sf1-gate twin of q140: the same frontier-relaxation BFS, 2 hops
+    // from the subgraph's lowest part node, on the 1/16-subsampled
+    // co-order part graph — per-distance node counts + an id checksum
+    "q376_bfs_twin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val e0 = a.join(b, Seq("k")).filter(col("u") =!= col("v"))
+        .select(col("u"), col("v")).distinct()
+        .repartition(col("u")).persist()
+      val seed = e0.agg(min(col("u"))).collect()(0).getLong(0)
+      var dist = e0.select(col("u")).distinct()
+        .select(col("u").as("node"),
+          when(col("u") === seed, 0L).otherwise(lit(Long.MaxValue))
+            .as("dd"))
+      for (_ <- 1 to 2) {
+        val relaxed = dist.join(e0, col("node") === col("u"))
+          .filter(col("dd") =!= Long.MaxValue)
+          .select(col("v").as("node"), (col("dd") + 1L).as("dd"))
+        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
+        graft.engine.Checkpoints.release(dist)
+        dist = next
+      }
+      val out = dist.filter(col("dd") =!= Long.MaxValue)
+        .groupBy(col("dd").as("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("bit_xor(node)").as("node_xor"))
+        .orderBy("dist")
+      e0.unpersist()
+      out
     }),
 
     // metadata-only aggregate: COUNT/MIN/MAX answered from parquet
@@ -5252,6 +5410,28 @@ object AnalyticsQueries {
         .orderBy("stage")
     }),
 
+    /** ANSI CHECK-constraint DDL driven end-to-end through
+      * `spark.sql` (q371): ADD CONSTRAINT guards inserts staged-first,
+      * DROP CONSTRAINT lifts the guard — stages pinned by count +
+      * checksum exactly like q369.
+      */
+    "q371_sql_constraint" -> ((s, d) => {
+      val dir2 = txConsDir(s, d)
+      def ck(cols: String*) = expr(
+        "bit_xor(CAST(conv(substring(md5(concat(" +
+          cols.mkString(", '|', ") +
+          ")), 1, 15), 16, 10) AS BIGINT))")
+      def stage(label: String, v: Option[Int]): DataFrame =
+        graft.operators.TxTable.snapshot(s, dir2, v)
+          .agg(count(lit(1)).as("n_rows"),
+            ck("doc_id", "text", "lang").as("checksum"))
+          .select(lit(label).as("stage"), col("n_rows"), col("checksum"))
+      stage("a_create", Some(1))
+        .unionAll(stage("b_guarded", Some(2)))
+        .unionAll(stage("c_dropped", None))
+        .orderBy("stage")
+    }),
+
     /** Cluster-representative selection — the FineWeb/SemDeDup "keep
       * the best document per duplicate cluster" curation step (min-id
       * keep-first is a POLICY, not the only one): q28's exact Jaccard
@@ -5316,6 +5496,54 @@ object AnalyticsQueries {
         s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0")
       require(graft.operators.TxTable.currentVersion(tmp) == 2,
         "the SQL INSERT must land as exactly one commit")
+      tmp
+    })
+
+  /** SQL CHECK-constraint lifecycle fixture (q371): CTAS (v1), then
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK (...)` — the ANSI
+    * spelling a DBA types, routed through Spark 4's constraint
+    * TableChange into the engine's staged-first enforcement — a
+    * violating SQL INSERT is rejected WHOLE (version unchanged, no
+    * partial commit), a conforming INSERT lands (v2), `DROP
+    * CONSTRAINT` lifts the rule, and the previously-rejected rows
+    * land (v3). The registry must read empty at the end.
+    */
+  private val txConsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txConsDir(s: SparkSession, dir: String): String =
+    txConsCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txcons-")
+        .toString + "/t"
+      val T = graft.operators.TxTable
+      s.sql(s"CREATE TABLE txlog.`$tmp` AS " +
+        s"SELECT doc_id, text, lang FROM parquet.`$d/documents.parquet`")
+      s.sql(s"ALTER TABLE txlog.`$tmp` ADD CONSTRAINT lang_known " +
+        "CHECK (lang IS NOT NULL AND length(lang) <= 3)")
+      require(T.checkConstraints(tmp).exists(_._1
+        .equalsIgnoreCase("lang_known")), "ADD CONSTRAINT must register")
+      val bad = s"INSERT INTO txlog.`$tmp` " +
+        s"SELECT doc_id + 20000000, text, 'banned' " +
+        s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 11 = 0"
+      val rejected =
+        try { s.sql(bad); false }
+        catch { case e: Exception =>
+          def hit(t: Throwable): Boolean = t != null &&
+            (String.valueOf(t.getMessage).contains("lang_known") ||
+              hit(t.getCause))
+          require(hit(e), s"wrong rejection: $e"); true
+        }
+      require(rejected, "violating INSERT must be rejected")
+      require(T.currentVersion(tmp) == 1,
+        "a rejected INSERT must not advance the version")
+      s.sql(s"INSERT INTO txlog.`$tmp` " +
+        s"SELECT doc_id + 10000000, 'r:' || text, lang " +
+        s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0")
+      s.sql(s"ALTER TABLE txlog.`$tmp` DROP CONSTRAINT lang_known")
+      require(T.checkConstraints(tmp).isEmpty,
+        "DROP CONSTRAINT must unregister")
+      s.sql(bad) // the same statement now lands
+      require(T.currentVersion(tmp) == 3,
+        "CTAS + guarded INSERT + post-drop INSERT = three commits")
       tmp
     })
 
@@ -6249,6 +6477,42 @@ object AnalyticsQueries {
     base + iters + "SELECT node, r AS rank FROM r5 ORDER BY r DESC, node LIMIT 20"
   }
 
+  /** q375's oracle: q125's unrolled chain at 3 iterations over the
+    * 1/16-subsampled graph — small enough that this replay IS
+    * practical in DuckDB at the sf1 gate (the whole point of the
+    * twin).
+    */
+  private def pagerankTwinOracle: String = {
+    val base =
+      "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey % 16 = 0), " +
+      "edges AS (SELECT c AS src, su AS dst FROM pairs UNION ALL SELECT su, c FROM pairs), " +
+      "outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src), " +
+      "r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM outdeg)"
+    val iters = (1 to 3).map { i =>
+      s"r$i AS (SELECT e.dst AS node, CAST(150000 + (85 * SUM(p.r // o.d)) // 100 AS BIGINT) AS r " +
+      s"FROM r${i - 1} p JOIN outdeg o ON p.node = o.src JOIN edges e ON o.src = e.src GROUP BY e.dst)"
+    }.mkString(", ", ", ", " ")
+    base + iters + "SELECT node, r AS rank FROM r3 ORDER BY r DESC, node LIMIT 20"
+  }
+
+  /** q376's oracle: 2-hop BFS unrolled as frontier sets from the
+    * subgraph's lowest part node.
+    */
+  private def bfsTwinOracle: String =
+    "WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 16 = 0), " +
+    "edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v FROM li a " +
+    "JOIN li b ON a.l_orderkey = b.l_orderkey WHERE a.l_partkey <> b.l_partkey), " +
+    "seed AS (SELECT MIN(u) AS s FROM edges), " +
+    "h1 AS (SELECT DISTINCT e.v AS node FROM edges e WHERE e.u = (SELECT s FROM seed)), " +
+    "h2 AS (SELECT DISTINCT e.v AS node FROM edges e JOIN h1 ON e.u = h1.node), " +
+    "dist AS (SELECT (SELECT s FROM seed) AS node, 0 AS dd " +
+    "UNION ALL SELECT node, 1 FROM h1 WHERE node <> (SELECT s FROM seed) " +
+    "UNION ALL SELECT node, 2 FROM h2 WHERE node <> (SELECT s FROM seed) " +
+    "AND node NOT IN (SELECT node FROM h1)) " +
+    "SELECT dd::BIGINT AS dist, COUNT(*)::BIGINT AS n_nodes, " +
+    "bit_xor(node)::BIGINT AS node_xor FROM dist GROUP BY dd ORDER BY dist"
+
   /** q141's oracle: q125's unrolled fixed-point chain plus, per round,
     * a scalar subquery for the rank parked on sinks (anti-join against
     * outdeg) and its `// N` uniform share — the node universe is
@@ -6854,6 +7118,8 @@ object AnalyticsQueries {
        + "ORDER BY pmi DESC, a, b LIMIT 20"),
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
+    "q375_pagerank_twin" -> pagerankTwinOracle,
+    "q376_bfs_twin" -> bfsTwinOracle,
     "q232_meta_agg" ->
       ("SELECT COUNT(*)::BIGINT AS n_rows, MIN(o_orderkey)::BIGINT AS min_key, "
        + "MAX(o_orderkey)::BIGINT AS max_key FROM orders"),
@@ -6939,6 +7205,7 @@ object AnalyticsQueries {
     "q49_embed_pairs_lsh" -> golden("q49_embed_pairs_lsh", "a, b, sim", "a, b"),
     "q36_lsh_topk" -> golden("q36_lsh_topk", "qid, cid, rn", "qid, rn"),
     "q38_ivf_topk" -> golden("q38_ivf_topk", "qid, cid, rn", "qid, rn"),
+    "q374_graph_ann" -> golden("q374_graph_ann", "qid, cid, rn", "qid, rn"),
     "q198_ivf_append" -> golden("q198_ivf_append", "qid, cid, rn", "qid, rn"),
     "q221_ann_tombstones" -> golden("q221_ann_tombstones", "qid, cid, rn", "qid, rn"),
     "q66_multimodal" -> golden("q66_multimodal",
@@ -8278,6 +8545,21 @@ object AnalyticsQueries {
        + "SELECT doc_id, cluster, "
        + "(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_words DESC, doc_id) = 1) AS is_rep "
        + "FROM asg ORDER BY doc_id"),
+    // v1 = documents (CTAS); v2 = + conforming derived rows (the
+    // 'banned'-lang insert was constraint-rejected, so it contributes
+    // NOTHING to v2); v3 = + the formerly-rejected rows post-DROP
+    "q371_sql_constraint" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
+       + "bad AS (SELECT doc_id + 20000000 AS doc_id, text, 'banned' AS lang FROM documents WHERE doc_id % 11 = 0), "
+       + "v2 AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id, text, lang FROM der), "
+       + "v3 AS (SELECT * FROM v2 UNION ALL SELECT doc_id, text, lang FROM bad), "
+       + "a AS (SELECT 'a_create' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "b AS (SELECT 'b_guarded', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v2), "
+       + "c AS (SELECT 'c_dropped', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v3) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c ORDER BY stage"),
     // v1 = documents (CTAS), v2 = + SQL-inserted derived rows,
     // v3 = minus the zh partition of rows (SQL DELETE)
     "q369_sql_lifecycle" ->
@@ -8300,6 +8582,14 @@ object AnalyticsQueries {
        + "b AS (SELECT 'b_v2', COUNT(*)::BIGINT, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM v2) "
        + "SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY stage"),
+    // chunk→doc lineage recomputed from the IVF index postings must
+    // equal the chunker's replay over the raw documents: every chunk
+    // of every non-empty doc made it into the artifact, none twice
+    "q373_rag_ingest" ->
+      ("WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ts FROM documents) "
+       + "SELECT doc_id, ((len(ts) + 47) // 48)::BIGINT AS n_chunks, "
+       + "((len(ts) + 47) // 48 - 1)::BIGINT AS max_chunk_idx "
+       + "FROM tok WHERE len(ts) > 0 ORDER BY doc_id"),
     // the chunker replayed: same whitespace split, same stride, same
     // 1-based inclusive slice, chunk text string-exact
     "q366_chunk_overlap" ->

@@ -1567,6 +1567,59 @@ object StreamingQueries {
         .orderBy("lang")
     }
 
+  /** Auto-compacting steady-state ingest (q372): the native txlog
+    * sink with `autoCompactEvery` set runs the incremental small-file
+    * sweep ([[graft.operators.TxTable.commitCompactSmall]]) every N
+    * committed batches — the OPTIMIZE-less operational mode a real
+    * pipeline wants: continuous ingest whose file count stays bounded
+    * without any external maintenance job. Six source commits stream
+    * through one-version-per-trigger admission into the sink; the
+    * certification requires (a) every ingested row survives
+    * bit-exact (the oracle readout), (b) the live file count ends
+    * bounded (≤2, vs 6+ without sweeps), (c) the sweeps landed as
+    * `dataChange=false` commits (feeds skip them), and (d) exactly
+    * six data commits — a sweep never loses or duplicates a batch.
+    */
+  def q372StreamAutoCompact(s: SparkSession, dir: String): DataFrame =
+    withShufflePartitions(s, 8) {
+      val T = graft.operators.TxTable
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-txac-src-").toString
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-txac-sink-").toString
+      val docs = graft.engine.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      (0 to 5).foreach(i =>
+        T.commitAppend(docs.filter(col("doc_id") % 6 === i), src))
+      val ckpt = scratchCheckpoint("q372")
+      val q = s.readStream.format("txlog")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("txlog")
+        .option("autoCompactEvery", "2")
+        .option("autoCompactSmallBytes", (256L * 1024 * 1024).toString)
+        .option("autoCompactTargetBytes", (512L * 1024 * 1024).toString)
+        .option("checkpointLocation", ckpt)
+        .start(sink)
+      q.processAllAvailable(); q.stop()
+      deleteRecursively(ckpt)
+      val hist = T.historyFull(sink)
+      val dataCommits = hist.count(_._4)
+      val sweeps = hist.count(h => !h._4)
+      require(dataCommits == 6,
+        s"expected six data commits, got $dataCommits")
+      require(sweeps >= 2, s"auto-compaction never ran: $hist")
+      val live = T.liveFiles(sink).size
+      require(live <= 2,
+        s"auto-compaction left $live live files (bound: 2)")
+      T.snapshot(s, sink)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', "
+            + "text)), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+        .orderBy("lang")
+    }
+
   /** Streaming change-data-feed read (`format("txlog-cdf")`): the
     * commit log is the WAL, versions are offsets, and each micro-batch
     * IS [[graft.operators.TxTable.changes]] over the newly-committed
@@ -1873,6 +1926,7 @@ object StreamingQueries {
     "q313_stream_txlog" -> (q313StreamTxlog(_, _)),
     "q361_stream_txlog_sink" -> (q361StreamTxlogSink(_, _)),
     "q367_stream_txlog_source" -> (q367StreamTxlogSource(_, _)),
+    "q372_stream_autocompact" -> (q372StreamAutoCompact(_, _)),
     "q322_stream_cdf" -> (q322StreamCdf(_, _)),
     "q328_stream_ivm" -> (q328StreamIvm(_, _)),
     "q308_stream_warc" -> (q308StreamWarc(_, _)),
@@ -1947,6 +2001,13 @@ object StreamingQueries {
     // the txlog streaming source's drained rollup (initial snapshot +
     // incremental tail) must equal the batch relation per lang
     "q367_stream_txlog_source" ->
+      ("SELECT lang, COUNT(*)::BIGINT AS n_docs, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
+       + "FROM documents GROUP BY lang ORDER BY lang"),
+    // auto-compacted steady-state ingest: bounded file count is
+    // asserted in-query; the data readout must equal the batch
+    // relation per lang regardless of how many sweeps ran
+    "q372_stream_autocompact" ->
       ("SELECT lang, COUNT(*)::BIGINT AS n_docs, "
        + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum "
        + "FROM documents GROUP BY lang ORDER BY lang"),

@@ -57,6 +57,14 @@ class TxLogCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  // declares ANSI constraint DDL support — without this the analyzer
+  // rejects ALTER TABLE ... ADD/DROP CONSTRAINT before alterTable is
+  // ever called (ResolveTableConstraints.validateCatalogForTableChange)
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** The table-root path an identifier denotes — public so the DML
     * bridge ([[graft.plans.TxSqlDml]]) can route DELETE/UPDATE/MERGE
     * on a relation loaded from this catalog back into the commit
@@ -323,6 +331,30 @@ class TxLogCatalog extends TableCatalog
           "txlog columns are top-level; nested drops unsupported")
         TxTable.dropColumn(spark, root, d.fieldNames.head)
         ()
+      // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — Spark 4's
+      // ANSI constraint DDL routes here as a TableChange; the engine
+      // side (registry, staged-first enforcement, CLONE inheritance)
+      // predates this spelling, so the catalog only translates.
+      // addCheckConstraint re-validates the CURRENT snapshot (Delta's
+      // rule), so a constraint existing data violates is rejected
+      // regardless of what the analyzer already checked.
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints
+              .Check =>
+            TxTable.addCheckConstraint(spark, root, c.name(),
+              c.predicateSql())
+          case other => readOnly(
+            s"constraint kind ${other.getClass.getSimpleName} " +
+              "(only CHECK is supported)")
+        }
+      case d: TableChange.DropConstraint =>
+        val known = TxTable.checkConstraints(root).exists(_._1
+          .equalsIgnoreCase(d.name()))
+        if (!known && !d.ifExists())
+          throw new IllegalArgumentException(
+            s"no such constraint: ${d.name()}")
+        if (known) TxTable.dropCheckConstraint(root, d.name())
       case other => readOnly(s"alterTable change $other")
     }
     new MappedTxLogTable(root)
