@@ -130,11 +130,18 @@ object GraphAnn {
         .select(col("qid"), col("qv"), col("qn"), col("cid"),
           col("sim")),
       seeds)
-    var best = seeded
+    // per-hop lineage cut (the iterative-operator rule, see
+    // [[graft.engine.Checkpoints]]): `best` and `frontier` are tiny
+    // (≤ beam·|queries| rows) but each references the previous hop
+    // TWICE — un-cut, the final plan re-evaluates every earlier hop
+    // 2^hops times (measured 3.9× superlinear at the 20× probe;
+    // ~linear after the cut)
+    var best = graft.engine.Checkpoints.cut(seeded)
     // the seeds' own neighbor lists bootstrap the first expansion
-    var frontier = seeded.join(
+    var frontier = graft.engine.Checkpoints.cut(seeded.join(
       index.adj.select(col("cid"), col("nbrs").as("nbr_list")),
-      Seq("cid"))
+      Seq("cid")))
+    var lastScored: DataFrame = null
     for (_ <- 1 to hops) {
       // expand one edge: the adjacency is PROBED (frontier is tiny —
       // beam*|queries| rows — so it broadcasts; the corpus-sized adj
@@ -143,16 +150,24 @@ object GraphAnn {
       val cand = frontier
         .select(col("qid"), col("qv"), col("qn"),
           explode(col("nbr_list")).as("cid"))
-      val scored = cand
+      val scored = graft.engine.Checkpoints.cut(cand
         .join(index.adj.withColumnRenamed("nbrs", "nbr_list"),
           Seq("cid"))
         .withColumn("sim", cosineFromNorms(dot(col("qv"), col("cv")),
           col("qn"), col("cn")))
         .select(col("qid"), col("qv"), col("qn"), col("cid"),
-          col("sim"), col("nbr_list"))
-      best = top(best.unionByName(scored.drop("nbr_list"))
-        .dropDuplicates("qid", "cid"), beam)
+          col("sim"), col("nbr_list")))
+      // the previous hop's scored fed this one (just materialized)
+      // and the best chain (cut below) — safe to release now
+      if (lastScored != null) graft.engine.Checkpoints.release(lastScored)
+      val nextBest = graft.engine.Checkpoints.cut(
+        top(best.unionByName(scored.drop("nbr_list"))
+          .dropDuplicates("qid", "cid"), beam))
+      graft.engine.Checkpoints.release(best)
+      graft.engine.Checkpoints.release(frontier)
+      best = nextBest
       frontier = top(scored.dropDuplicates("qid", "cid"), beam)
+      lastScored = scored
     }
     best.filter(col("qid") =!= col("cid"))
       .withColumn("rn", row_number().over(wq))
