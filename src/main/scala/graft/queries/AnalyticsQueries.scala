@@ -5519,8 +5519,10 @@ object AnalyticsQueries {
         s"SELECT doc_id, text, lang FROM parquet.`$d/documents.parquet`")
       s.sql(s"ALTER TABLE txlog.`$tmp` ADD CONSTRAINT lang_known " +
         "CHECK (lang IS NOT NULL AND length(lang) <= 3)")
-      require(T.checkConstraints(tmp).exists(_._1
-        .equalsIgnoreCase("lang_known")), "ADD CONSTRAINT must register")
+      // the registry is SQL-visible too (the SHOW-CONSTRAINTS surface)
+      require(s.sql(s"SELECT name FROM txlog.`$tmp#constraints`")
+        .collect().map(_.getString(0)).contains("lang_known"),
+        "ADD CONSTRAINT must register (and be visible via #constraints)")
       val bad = s"INSERT INTO txlog.`$tmp` " +
         s"SELECT doc_id + 20000000, text, 'banned' " +
         s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 11 = 0"
@@ -5539,7 +5541,8 @@ object AnalyticsQueries {
         s"SELECT doc_id + 10000000, 'r:' || text, lang " +
         s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0")
       s.sql(s"ALTER TABLE txlog.`$tmp` DROP CONSTRAINT lang_known")
-      require(T.checkConstraints(tmp).isEmpty,
+      require(T.checkConstraints(tmp).isEmpty &&
+        s.sql(s"SELECT name FROM txlog.`$tmp#constraints`").count() == 0,
         "DROP CONSTRAINT must unregister")
       s.sql(bad) // the same statement now lands
       require(T.currentVersion(tmp) == 3,

@@ -123,10 +123,47 @@ class TxLogCatalog extends TableCatalog
     }
   }
 
+  /** The active CHECK registry as a SQL relation (the SHOW-CONSTRAINTS
+    * surface a DBA expects next to ADD/DROP CONSTRAINT) — driver-sized
+    * like the registry itself, served without a job:
+    *
+    * {{{ SELECT * FROM txlog.`/tables/docs#constraints` }}}
+    */
+  private def constraintsTable(root: String): Table = {
+    import org.apache.spark.sql.connector.catalog.{SupportsRead, TableCapability}
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val cons = TxTable.checkConstraints(root) // empty registry = 0 rows
+    val consSchema = new StructType()
+      .add("name", StringType).add("expr", StringType)
+    new Table with SupportsRead {
+      override def name(): String = s"txlog constraints $root"
+      override def schema(): StructType = consSchema
+      override def capabilities(): java.util.Set[org.apache.spark.sql
+          .connector.catalog.TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(opts: CaseInsensitiveStringMap)
+          : ScanBuilder = new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = consSchema
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            cons.map { case (n, e) =>
+              org.apache.spark.sql.catalyst.InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(n),
+                org.apache.spark.unsafe.types.UTF8String.fromString(e))
+            }.toArray
+        }
+      }
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val raw = rootFor(ident)
     if (raw.endsWith("#history"))
       return historyTable(raw.stripSuffix("#history"))
+    if (raw.endsWith("#constraints"))
+      return constraintsTable(raw.stripSuffix("#constraints"))
     if (TxTable.currentVersion(raw) == 0)
       return markerSchema(raw) // created by DDL, no commits yet
         .map(sch => new EmptyTxLogTable(raw, sch): Table)
@@ -156,8 +193,7 @@ class TxLogCatalog extends TableCatalog
 
   override def tableExists(ident: Identifier): Boolean = {
     val raw0 = rootFor(ident)
-    val raw =
-      if (raw0.endsWith("#history")) raw0.stripSuffix("#history") else raw0
+    val raw = raw0.stripSuffix("#history").stripSuffix("#constraints")
     TxTable.currentVersion(raw) > 0 || markerSchema(raw).isDefined
   }
 

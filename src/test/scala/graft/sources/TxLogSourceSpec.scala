@@ -376,6 +376,46 @@ class TxLogSourceSpec extends SparkSpec {
     ()
   }
 
+  test("ANSI constraint DDL: ADD/DROP CONSTRAINT, IF EXISTS, #constraints view") {
+    val tmp = java.nio.file.Files.createTempDirectory("txlog-cons-")
+      .toString + "/t"
+    spark.sql(s"CREATE TABLE txlog.`$tmp` AS SELECT * FROM VALUES " +
+      "(1, 'en'), (2, 'de') AS t(id, lang)")
+    spark.sql(s"ALTER TABLE txlog.`$tmp` ADD CONSTRAINT lang_len " +
+      "CHECK (length(lang) <= 3)")
+    // registry visible via the #constraints virtual table
+    val reg = spark.sql(s"SELECT name, expr FROM txlog.`$tmp#constraints`")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(reg.map(_._1).toSeq == Seq("lang_len"), reg.mkString(","))
+    assert(reg.head._2.toLowerCase.contains("length"))
+    // enforcement through the SQL insert path: rejected WHOLE
+    val pre = TxTable.currentVersion(tmp)
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO txlog.`$tmp` VALUES (3, 'lengthy')"))
+    def hit(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).contains("lang_len") || hit(t.getCause))
+    assert(hit(e), s"wrong rejection: $e")
+    assert(TxTable.currentVersion(tmp) == pre, "no partial commit")
+    // adding a constraint existing data violates is rejected
+    def hit2(t: Throwable): Boolean = t != null &&
+      (String.valueOf(t.getMessage).toLowerCase.contains("violate") ||
+        hit2(t.getCause))
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE txlog.`$tmp` ADD CONSTRAINT bad CHECK (id > 1)"))
+    assert(hit2(e2), s"existing-data violation not caught: $e2")
+    // DROP of an unknown name fails; IF EXISTS is silent
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE txlog.`$tmp` DROP CONSTRAINT nope"))
+    spark.sql(s"ALTER TABLE txlog.`$tmp` DROP CONSTRAINT IF EXISTS nope")
+    // DROP lifts the guard; the formerly-rejected row lands
+    spark.sql(s"ALTER TABLE txlog.`$tmp` DROP CONSTRAINT lang_len")
+    assert(spark.sql(s"SELECT * FROM txlog.`$tmp#constraints`")
+      .count() == 0)
+    spark.sql(s"INSERT INTO txlog.`$tmp` VALUES (3, 'lengthy')")
+    assert(TxTable.snapshot(spark, tmp).count() == 3)
+    ()
+  }
+
   test("TIMESTAMP AS OF resolves through monotone in-commit timestamps") {
     val d2 = java.nio.file.Files.createTempDirectory("txlog-ts-")
       .toString
