@@ -93,10 +93,18 @@ object Bench {
     Console.out.flush()
     // The driver captures only a tail of stdout, which has truncated the
     // per-query map in past rounds; an explicit artifact file keeps every
-    // number regardless of console buffering. Default: BENCH_LAST.json in
-    // the working dir (the repo when run via sbt), overridable via
-    // SPARK_GRAFT_BENCH_OUT.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    // number regardless of console buffering. Default: a TIMESTAMPED
+    // file under bench_runs/ (gitignored) — ad-hoc probes used to
+    // default to BENCH_LAST.json and silently clobber the round's
+    // record (it cost two rounds of artifact confusion); writing the
+    // record now takes an explicit SPARK_GRAFT_BENCH_OUT=BENCH_LAST.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("bench_runs"))
+      val stamp = new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+        .format(new java.util.Date())
+      s"bench_runs/bench_$stamp.json"
+    })
     // File artifact carries the per-iteration detail (`iters_s`, run order)
     // that would blow the console line past the driver's capture window;
     // `queries` keeps the same medians-only shape in both.

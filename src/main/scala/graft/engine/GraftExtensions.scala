@@ -78,5 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pattern — fires before Spark's row-level rewrite would reject
     // the stock ParquetTable)
     ext.injectResolutionRule(_ => graft.plans.TxSqlDml)
+    // SQL scans over DV'd / column-mapped txlog tables, served from
+    // the certified snapshot plan (the DeltaAnalysis pattern) instead
+    // of the old loud refusal
+    ext.injectResolutionRule(_ => graft.plans.TxSnapshotScan)
   }
 }

@@ -41,9 +41,10 @@ import graft.functions.VectorFunctions.{cosineFromNorms, dot, normSq}
   * written-and-reread index is bit-identical to an in-memory one —
   * the same persisted-artifact contract as [[Similarity.IvfIndex]].
   *
-  * Reference scope note: jcollado/rabbithole has no ANN surface
-  * (src/rabbithole/flow.py:1 is AMQP→SQL plumbing); this operator is
-  * part of the engine's LLM-pipeline extension surface.
+  * Reference scope note: jcollado/rabbithole has no ANN surface (its
+  * four modules — src/rabbithole/amqp.py:1, batcher.py:1, sql.py:1,
+  * cli.py:1 — are AMQP→SQL plumbing); this operator is part of the
+  * engine's LLM-pipeline extension surface.
   */
 object GraphAnn {
 
@@ -106,7 +107,15 @@ object GraphAnn {
     val entries = assigned.withColumn("ern", row_number().over(we))
       .filter(col("ern") === 1)
       .select(col("cid"), col("cv"), col("cn"))
-    GraphIndex(entries, adj)
+    // materialize both artifact tables, then drop the build caches —
+    // without this every build leaks c/assigned blocks for the life
+    // of the JVM. The returned (cut) tables are the caller's to
+    // release ([[graft.engine.Checkpoints.release]]) or write out.
+    val out = GraphIndex(graft.engine.Checkpoints.cut(entries),
+      graft.engine.Checkpoints.cut(adj))
+    assigned.unpersist(blocking = false)
+    c.unpersist(blocking = false)
+    out
   }
 
   /** Seeded best-first beam search with a fixed hop budget. Returns
@@ -169,10 +178,17 @@ object GraphAnn {
       frontier = top(scored.dropDuplicates("qid", "cid"), beam)
       lastScored = scored
     }
-    best.filter(col("qid") =!= col("cid"))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
-        col("rn").cast("bigint").as("rn"))
+    // materialize the (tiny, k·|queries|-row) final top-k, then drop
+    // the last hop's working state — returning a lazy plan over
+    // `best`/`lastScored` would pin their blocks for the JVM's life
+    val result = graft.engine.Checkpoints.cut(
+      best.filter(col("qid") =!= col("cid"))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("cid"), round(col("sim"), 4).as("sim"),
+          col("rn").cast("bigint").as("rn")))
+    graft.engine.Checkpoints.release(best)
+    if (lastScored != null) graft.engine.Checkpoints.release(lastScored)
+    result
   }
 }

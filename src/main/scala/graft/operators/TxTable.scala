@@ -151,6 +151,7 @@ object TxTable {
       protocol: Option[Protocol] = None,
       renameFrom: Seq[String] = Nil, renameTo: Seq[String] = Nil,
       dropCols: Seq[String] = Nil,
+      addColNames: Seq[String] = Nil, addColTypes: Seq[String] = Nil,
       txn: Option[(String, Long)] = None,
       ts: Long = 0L)
 
@@ -298,8 +299,10 @@ object TxTable {
     * so time travel resolves the names in force AT that version.
     */
   final case class ColumnMapping(renames: Map[String, String],
-      dropped: Set[String]) {
-    def active: Boolean = renames.nonEmpty || dropped.nonEmpty
+      dropped: Set[String],
+      added: Seq[(String, String)] = Nil) {
+    def active: Boolean =
+      renames.nonEmpty || dropped.nonEmpty || added.nonEmpty
     /** Current logical name of a physical column; None = dropped. */
     def logicalOf(p: String): Option[String] =
       if (dropped.contains(p)) None else Some(renames.getOrElse(p, p))
@@ -307,7 +310,9 @@ object TxTable {
     def physicalOf(l: String): String =
       renames.collectFirst { case (p, ll) if ll == l => p }.getOrElse(l)
     private[operators] def applyOps(renFrom: Seq[String],
-        renTo: Seq[String], drops: Seq[String]): ColumnMapping = {
+        renTo: Seq[String], drops: Seq[String],
+        addNames: Seq[String] = Nil,
+        addTypes: Seq[String] = Nil): ColumnMapping = {
       var m = this
       renFrom.zip(renTo).foreach { case (o, n) =>
         val p = m.physicalOf(o)
@@ -316,6 +321,12 @@ object TxTable {
       drops.foreach { l =>
         val p = m.physicalOf(l)
         m = m.copy(dropped = m.dropped + p)
+      }
+      // ADD COLUMN (metadata-only): the column's PHYSICAL name is its
+      // name at add time — future appends stage it under that name;
+      // until a file carries it, reads synthesize typed NULLs
+      addNames.zip(addTypes).foreach { case (n, t) =>
+        m = m.copy(added = m.added.filterNot(_._1 == n) :+ (n, t))
       }
       m
     }
@@ -371,11 +382,13 @@ object TxTable {
           "UTF-8")
         ColumnMapping(
           jsonArr(s, "cmFrom").zip(jsonArr(s, "cmTo")).toMap,
-          jsonArr(s, "cmDrop").toSet)
+          jsonArr(s, "cmDrop").toSet,
+          jsonArr(s, "cmAddName").zip(jsonArr(s, "cmAddType")))
     }
     readEntries(dir, after = seedV.getOrElse(0), upTo = upTo)
       .foldLeft(seed)((m, e) =>
-        m.applyOps(e.renameFrom, e.renameTo, e.dropCols))
+        m.applyOps(e.renameFrom, e.renameTo, e.dropCols,
+          e.addColNames, e.addColTypes))
   }
 
   /** Project a PHYSICAL scan (optionally carrying `_f`/`_pos` meta)
@@ -384,10 +397,22 @@ object TxTable {
     */
   private def toLogical(df: DataFrame, m: ColumnMapping): DataFrame =
     if (!m.active) df
-    else df.select(df.columns.flatMap {
-      case c @ ("_f" | "_pos") => Some(col(c))
-      case p => m.logicalOf(p).map(l => col(p).as(l))
-    }.toIndexedSeq: _*)
+    else {
+      val base = df.select(df.columns.flatMap {
+        case c @ ("_f" | "_pos") => Some(col(c))
+        case p => m.logicalOf(p).map(l => col(p).as(l))
+      }.toIndexedSeq: _*)
+      // metadata-only ADD COLUMN: until some file carries the column,
+      // synthesize typed NULLs; once materialized (mergeSchema
+      // surfaces it), the physical projection above serves it
+      val have = df.columns.toSet
+      m.added.filter { case (p, _) =>
+        !have.contains(p) && !m.dropped.contains(p)
+      }.foldLeft(base) { case (acc, (p, t)) =>
+        acc.withColumn(m.logicalOf(p).getOrElse(p),
+          lit(null).cast(t))
+      }
+    }
 
   /** Rename a LOGICAL view back to physical names for staging. */
   private def toPhysical(df: DataFrame, m: ColumnMapping): DataFrame =
@@ -415,7 +440,8 @@ object TxTable {
 
   private def schemaOpConflicts: Seq[Entry] => Option[String] =
     es =>
-      if (es.exists(e => e.renameFrom.nonEmpty || e.dropCols.nonEmpty))
+      if (es.exists(e => e.renameFrom.nonEmpty || e.dropCols.nonEmpty ||
+          e.addColNames.nonEmpty))
         Some("concurrent schema change")
       else None
 
@@ -465,6 +491,34 @@ object TxTable {
     commitWithRetry(dir, Seq.empty, Seq.empty, readV + 1,
       schemaOpConflicts, dataChange = false, protocol = rider,
       dropCols = Seq(name))
+  }
+
+  /** ALTER TABLE ... ADD COLUMN name type — one METADATA-ONLY commit,
+    * zero bytes moved (Delta's add-column): reads synthesize typed
+    * NULLs for the new column until an append materializes it
+    * (mergeSchema then surfaces the real values, NULL on older
+    * files). `ddlType` is a Spark DDL type string (`BIGINT`,
+    * `STRING`, `ARRAY<DOUBLE>`, ...). New columns are nullable by
+    * definition — there is no data to backfill a NOT NULL.
+    */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      ddlType: String): Int = {
+    val readV = currentVersion(dir) // see commitDelete: the anchor
+    assertWritable(dir)
+    // the type must parse NOW — a bad DDL string poisoning every
+    // later read would be far worse than failing the ALTER
+    org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    val m = mappingAt(dir, readV)
+    val logical = snapshot(spark, dir).columns.toSet
+    require(!logical.contains(name), s"column $name already exists")
+    // same collision rule as appends: the new name must not shadow a
+    // physical name a rename/drop left in use
+    val taken = m.renames.keySet ++ m.dropped
+    require(!taken.contains(name),
+      s"column name $name collides with a physical name in use")
+    commitWithRetry(dir, Seq.empty, Seq.empty, readV + 1,
+      schemaOpConflicts, dataChange = false,
+      addColNames = Seq(name), addColTypes = Seq(ddlType))
   }
 
   /** ALTER TABLE ... SET PROTOCOL: commit a metadata-only entry that
@@ -532,6 +586,11 @@ object TxTable {
           .mkString(",")}],""") +
       (if (e.dropCols.isEmpty) "" else
         s""""dropCols":[${e.dropCols.map(x => "\"" + esc(x) + "\"")
+          .mkString(",")}],""") +
+      (if (e.addColNames.isEmpty) "" else
+        s""""addColNames":[${e.addColNames.map(x => "\"" + esc(x) + "\"")
+          .mkString(",")}],""" +
+        s""""addColTypes":[${e.addColTypes.map(x => "\"" + esc(x) + "\"")
           .mkString(",")}],""") +
       e.txn.map { case (app, ver) =>
         s""""txnApp":"${esc(app)}","txnVer":$ver,""" }.getOrElse("") +
@@ -623,6 +682,8 @@ object TxTable {
         renameFrom = jsonArr(s, "renameFrom"),
         renameTo = jsonArr(s, "renameTo"),
         dropCols = jsonArr(s, "dropCols"),
+        addColNames = jsonArr(s, "addColNames"),
+        addColTypes = jsonArr(s, "addColTypes"),
         txn = jsonStr(s, "txnApp").map(app =>
           (app, jsonLong(s, "txnVer").getOrElse(0L))),
         ts = jsonLong(s, "ts").getOrElse(0L))
@@ -747,6 +808,8 @@ object TxTable {
         s""""cmFrom":[${arr(cmPairs.map(_._1))}],""" +
         s""""cmTo":[${arr(cmPairs.map(_._2))}],""" +
         s""""cmDrop":[${arr(cm.dropped.toSeq.sorted)}],""" +
+        s""""cmAddName":[${arr(cm.added.map(_._1))}],""" +
+        s""""cmAddType":[${arr(cm.added.map(_._2))}],""" +
         s""""txnApps":[${arr(txns.map(_._1))}],""" +
         s""""txnVers":[${arr(txns.map(_._2.toString))}],""" +
         protocolJson(prot) + "}")
@@ -770,9 +833,16 @@ object TxTable {
         // than never checkpointing
         try Files.move(tmpD, ckptDir(dir, v))
         catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException =>
+          case _: java.nio.file.FileAlreadyExistsException =>
             deleteDirRec(tmpD)
+          case e: java.nio.file.DirectoryNotEmptyException =>
+            // ambiguous: a lost race (target exists) throws this, but
+            // so does a cross-device move of a non-empty dir (source
+            // needs copying). Only the PROVEN race is benign —
+            // swallowing the other case would silently skip every
+            // checkpoint on such filesystems
+            deleteDirRec(tmpD)
+            if (!Files.isDirectory(ckptDir(dir, v))) throw e
         }
       case e: java.nio.file.FileSystemException =>
         deleteDirRec(tmpD)
@@ -948,6 +1018,7 @@ object TxTable {
       protocol: Option[Protocol] = None,
       renameFrom: Seq[String] = Nil, renameTo: Seq[String] = Nil,
       dropCols: Seq[String] = Nil,
+      addColNames: Seq[String] = Nil, addColTypes: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Int = {
     var v = firstV
     var validatedThrough = firstV - 1
@@ -955,7 +1026,8 @@ object TxTable {
     while (true) {
       try {
         writeEntry(dir, Entry(v, adds, removes, dataChange, dvs, dvReset,
-          protocol, renameFrom, renameTo, dropCols, txn))
+          protocol, renameFrom, renameTo, dropCols, addColNames,
+          addColTypes, txn))
         return v
       }
       catch { case _: java.nio.file.FileAlreadyExistsException =>
@@ -1844,7 +1916,7 @@ object TxTable {
     * indistinguishable from an orphan until its log entry lands).
     */
   def vacuum(dir: String, retainFrom: Int,
-      tempRetainMillis: Long = 3600000L): Seq[String] = {
+      tempRetainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val entries = readEntries(dir)
     val latest = entries.lastOption.map(_.version).getOrElse(0)
     val keep = (retainFrom to latest)
@@ -1878,9 +1950,16 @@ object TxTable {
     def isOld(p: Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < tmpHorizon
       catch { case _: java.io.IOException => false } // just vanished
+    // a DIRECTORY ages by the newest mtime in its TREE, not its own:
+    // a partitioned stage's files land in partition subdirs, so the
+    // top-level stage dir's mtime stays at creation time — aging it
+    // by itself would let a vacuum reclaim the live stage of any
+    // single commit running longer than the retention window
+    def isOldTree(p: Path): Boolean =
+      isOld(p) && (!Files.isDirectory(p) || listDir(p).forall(isOldTree))
     val orphans = listDir(dataDir(dir))
       .filter(p => Files.isDirectory(p) &&
-        !referenced.contains(p.getFileName.toString) && isOld(p))
+        !referenced.contains(p.getFileName.toString) && isOldTree(p))
     orphans.foreach(deleteDirRec) // may hold partition subdirs
     // stats sidecars of orphaned stages go with them (a committed
     // stage's sidecar stays even if some of its files were vacuumed —
@@ -1891,7 +1970,7 @@ object TxTable {
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith("stats-") &&
-          !referenced.contains(n.stripPrefix("stats-")) && isOld(p)
+          !referenced.contains(n.stripPrefix("stats-")) && isOldTree(p)
       }
       .foreach { d =>
         listDir(d).foreach(f => { Files.deleteIfExists(f); () })
@@ -1923,15 +2002,11 @@ object TxTable {
     // NoSuchFileException. Age is the only separator (Delta's
     // uncommitted-file retention takes the same view); an in-flight
     // temp lives milliseconds, a crash leftover forever.
-    val tempHorizon = System.currentTimeMillis() - tempRetainMillis
     listDir(logDir(dir))
       .filter(_.getFileName.toString.startsWith("."))
       .filterNot(_.getFileName.toString == "_last_checkpoint")
-      .filter { p =>
-        try Files.getLastModifiedTime(p).toMillis < tempHorizon
-        catch { case _: java.io.IOException => false } // just vanished
-      }
-      .foreach(deleteDirRec)
+      .filter(isOldTree) // tree-aged: a ckpt temp DIR mid-build has
+      .foreach(deleteDirRec) // fresh children under an old dir mtime
     // deletion-vector sidecars: a DV dir is dead when NO retained
     // version's DV state references it (purged, restored-over, or
     // past the horizon) — one incremental replay over the log, the

@@ -921,6 +921,93 @@ object AnalyticsQueries {
       out
     }),
 
+    // sf1-gate twin of q132 (round-15 task 4): the SAME degree-ordered
+    // triangle count on the 1/16-subsampled co-order part graph —
+    // small enough that the exact wedge-join replay is practical in
+    // DuckDB at 6M rows
+    "q380_triangles_twin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Triangles.count(edges)
+    }),
+
+    // sf1-gate twin of q143: the same peel operator, k=3 at 2 rounds,
+    // on the 1/16-subsampled co-order graph. q143's weight-≥2 edge
+    // filter is DROPPED here — the subsample already thins the graph,
+    // and keeping it left ZERO surviving core nodes at every driver
+    // scale (a 0-row twin certifies nothing); all distinct co-order
+    // pairs keep the peel non-trivial while the 2 unrolled rounds
+    // keep the DuckDB replay inside the sf1 budget
+    "q381_kcore_twin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val und = a.join(b, Seq("k")).filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      graft.operators.KCore.peel(edges, k = 3, rounds = 2)
+        .orderBy("node")
+    }),
+
+    // sf1-gate twin of q179: the same frontier relaxation at 2 rounds,
+    // seeded at the subgraph's LOWEST node (q376's seed rule — the
+    // fixed node 1 need not survive the subsample)
+    "q382_sssp_twin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 16 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val e0 = a.join(b, Seq("k")).filter(col("u") =!= col("v"))
+        .select(col("u"), col("v")).distinct()
+        .withColumn("w", pmod(col("u") + col("v"), lit(97L)) + lit(1L))
+        .repartition(col("u")).persist()
+      val seed = e0.agg(min(col("u"))).collect()(0).getLong(0)
+      var dist = e0.select(col("u")).distinct()
+        .select(col("u").as("node"),
+          when(col("u") === seed, 0L).otherwise(lit(Long.MaxValue))
+            .as("dd"))
+      for (_ <- 1 to 2) {
+        val relaxed = dist.join(e0, col("node") === col("u"))
+          .filter(col("dd") =!= Long.MaxValue)
+          .select(col("v").as("node"), (col("dd") + col("w")).as("dd"))
+        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
+        graft.engine.Checkpoints.release(dist)
+        dist = next
+      }
+      e0.unpersist()
+      dist.filter(col("dd") =!= Long.MaxValue)
+        .orderBy(col("dd"), col("node")).limit(25)
+    }),
+
+    // sf1-gate twin of q261/q263's LPA: 2 synchronous rounds on the
+    // 1/16-subsampled bipartite graph — all-integer label updates, so
+    // the community sizes replay engine-independently
+    "q383_lpa_twin" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderkey") % 16 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"),
+          (col("l_suppkey") + lit(1000000000L)).as("su"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
+        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      graft.operators.Lpa.run(edges, iterations = 2)
+        .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
+    }),
+
     // metadata-only aggregate: COUNT/MIN/MAX answered from parquet
     // FOOTER statistics under aggregatePushdown (PushedAggregation in
     // the scan, plan-pinned) — at 100 TB this is the difference between
@@ -5432,6 +5519,78 @@ object AnalyticsQueries {
         .orderBy("stage")
     }),
 
+    /** Explicit `ALTER TABLE ADD COLUMN` lifecycle, SQL end-to-end
+      * (q379): CTAS (v1) → ADD COLUMN score (v2, METADATA-ONLY — the
+      * fixture pins zero bytes moved) → INSERT rows carrying the new
+      * column (v3). Reads synthesize typed NULLs for pre-add rows;
+      * the insert materializes real values; time travel at v1 has no
+      * such column. Stages pin counts + checksums with score folded
+      * in as coalesce(-1).
+      */
+    "q379_sql_add_column" -> ((s, d) => {
+      val dir2 = txAddColDir(s, d)
+      val ck3 = "bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', " +
+        "text, '|', lang)), 1, 15), 16, 10) AS BIGINT))"
+      val ck4 = "bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', " +
+        "text, '|', lang, '|', coalesce(CAST(score AS BIGINT), -1)" +
+        ")), 1, 15), 16, 10) AS BIGINT))"
+      def st(label: String, ck: String, suffix: String): DataFrame =
+        s.sql(s"SELECT '$label' AS stage, count(*) AS n_rows, " +
+          s"$ck AS checksum FROM txlog.`$dir2` $suffix")
+      st("a_v1", ck3, "VERSION AS OF 1")
+        .unionAll(st("b_added", ck4, "VERSION AS OF 2"))
+        .unionAll(st("c_final", ck4, ""))
+        .orderBy("stage")
+    }),
+
+    /** SQL scans of a table with IN-FORCE deletion vectors (q377) —
+      * every read below goes through `spark.sql` against a table
+      * whose DVs are never purged (the steady state of a GDPR-erasure
+      * feed): the [[graft.plans.TxSnapshotScan]] resolution rule
+      * serves the scan from the certified snapshot plan (parquet scan
+      * + DV anti-join) instead of the old loud refusal. Stages pin
+      * the raw-path version (v1, no DVs), both DV'd versions via
+      * VERSION AS OF, the DV'd HEAD, and a filtered head read (the
+      * predicate applies on top of the anti-join).
+      */
+    "q377_sql_dv_scan" -> ((s, d) => {
+      val dir2 = txSqlDvDir(s, d)
+      val ck = "bit_xor(CAST(conv(substring(md5(concat(doc_id, '|', " +
+        "text)), 1, 15), 16, 10) AS BIGINT))"
+      def st(label: String, suffix: String): DataFrame =
+        s.sql(s"SELECT '$label' AS stage, count(*) AS n_rows, " +
+          s"$ck AS checksum FROM txlog.`$dir2` $suffix")
+      st("a_v1", "VERSION AS OF 1")
+        .unionAll(st("b_v2", "VERSION AS OF 2"))
+        .unionAll(st("c_head", ""))
+        .unionAll(st("d_even", "WHERE doc_id % 2 = 0"))
+        .orderBy("stage")
+    }),
+
+    /** SQL scans of a COLUMN-MAPPED table (q378) — the q360 fixture
+      * (rename lang→language, append, drop language, rename
+      * text→body) read back entirely through `spark.sql`, under
+      * LOGICAL names at every version: v1 pre-mapping takes the raw
+      * parquet path, v3 and head are served from the snapshot plan by
+      * [[graft.plans.TxSnapshotScan]] (the raw scan would surface
+      * PHYSICAL names). One RENAME no longer darkens the SQL surface.
+      */
+    "q378_sql_mapped_scan" -> ((s, d) => {
+      val dir2 = txColMapDir(s, d)
+      def ck(cols: String*) =
+        "bit_xor(CAST(conv(substring(md5(concat(" +
+          cols.mkString(", '|', ") + ")), 1, 15), 16, 10) AS BIGINT))"
+      def st(label: String, suffix: String, cols: Seq[String])
+          : DataFrame =
+        s.sql(s"SELECT '$label' AS stage, count(*) AS n_rows, " +
+          s"${ck(cols: _*)} AS checksum FROM txlog.`$dir2` $suffix")
+      st("a_v1", "VERSION AS OF 1", Seq("doc_id", "text", "lang"))
+        .unionAll(st("b_v3", "VERSION AS OF 3",
+          Seq("doc_id", "text", "language")))
+        .unionAll(st("c_head", "", Seq("doc_id", "body")))
+        .orderBy("stage")
+    }),
+
     /** Cluster-representative selection — the FineWeb/SemDeDup "keep
       * the best document per duplicate cluster" curation step (min-id
       * keep-first is a POLICY, not the only one): q28's exact Jaccard
@@ -5567,6 +5726,34 @@ object AnalyticsQueries {
       s.sql(s"DELETE FROM txlog.`$tmp` WHERE lang = 'zh'")
       require(graft.operators.TxTable.currentVersion(tmp) == 3,
         "CTAS + INSERT + DELETE must land as exactly three commits")
+      tmp
+    })
+
+  /** ADD-COLUMN lifecycle fixture (q379), SQL end-to-end: CTAS (v1),
+    * `ALTER TABLE ADD COLUMN score DOUBLE` (v2 — the fixture pins
+    * that zero bytes moved), INSERT of derived rows carrying the new
+    * column (v3). Base rows read score as NULL; derived rows carry
+    * CAST(doc_id0 % 100 AS DOUBLE) — whole numbers, so the checksum's
+    * BIGINT fold is exact on both engines.
+    */
+  private val txAddColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txAddColDir(s: SparkSession, dir: String): String =
+    txAddColCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txaddcol-")
+        .toString + "/t"
+      s.sql(s"CREATE TABLE txlog.`$tmp` AS " +
+        s"SELECT doc_id, text, lang FROM parquet.`$d/documents.parquet`")
+      val files1 = graft.operators.TxTable.liveFiles(tmp).toSet
+      s.sql(s"ALTER TABLE txlog.`$tmp` ADD COLUMN score DOUBLE")
+      require(graft.operators.TxTable.liveFiles(tmp).toSet == files1,
+        "ADD COLUMN must move zero bytes")
+      s.sql(s"INSERT INTO txlog.`$tmp` " +
+        s"SELECT doc_id + 10000000, 'r:' || text, lang, " +
+        s"CAST(doc_id % 100 AS DOUBLE) " +
+        s"FROM parquet.`$d/documents.parquet` WHERE doc_id % 9 = 0")
+      require(graft.operators.TxTable.currentVersion(tmp) == 3,
+        "CTAS + ADD COLUMN + INSERT must land as exactly three commits")
       tmp
     })
 
@@ -6022,6 +6209,31 @@ object AnalyticsQueries {
       graft.operators.TxTable.commitPurgeDVs(s, tmp)
       require(graft.operators.TxTable.dvRefsAt(tmp).isEmpty,
         "purge must clear the DV state")
+      tmp
+    })
+
+  /** DV'd-at-head table (q377): like [[txDvDir]] but the DVs are
+    * NEVER purged — head carries two in-force deletion vectors, the
+    * steady state of a merge-on-read erasure feed. The fixture pins
+    * that both DVs are live so the SQL reads demonstrably cross the
+    * snapshot-scan rule, not the raw parquet path.
+    */
+  private val txSqlDvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txSqlDvDir(s: SparkSession, dir: String): String =
+    txSqlDvCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-txsqldv-")
+        .toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.TxTable.commitAppend(
+        docs.repartitionByRange(4, col("doc_id")), tmp) // v1
+      graft.operators.TxTable.commitDeleteDV(s, tmp,
+        col("doc_id") % 7 === 0) // v2
+      graft.operators.TxTable.commitDeleteDV(s, tmp,
+        col("lang") === "de") // v3 — head keeps BOTH DVs in force
+      require(graft.operators.TxTable.dvRefsAt(tmp).size == 2,
+        "fixture requires in-force DVs at head")
       tmp
     })
 
@@ -6515,6 +6727,74 @@ object AnalyticsQueries {
     "AND node NOT IN (SELECT node FROM h1)) " +
     "SELECT dd::BIGINT AS dist, COUNT(*)::BIGINT AS n_nodes, " +
     "bit_xor(node)::BIGINT AS node_xor FROM dist GROUP BY dd ORDER BY dist"
+
+  /** q380's oracle: the exact wedge-join triangle count on the
+    * subsampled graph (q132's replay, practical at sf1 because the
+    * 1/16 subsample cuts the wedge volume ~256×).
+    */
+  private def trianglesTwinOracle: String =
+    "WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+    "AND a.l_partkey < b.l_partkey WHERE a.l_orderkey % 16 = 0) " +
+    "SELECT COUNT(*) AS n_triangles FROM e e1 " +
+    "JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v " +
+    "JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v"
+
+  /** q381's oracle: q143's peeling unrolled at 2 rounds over the
+    * subsampled weight-≥2 graph.
+    */
+  private def kcoreTwinOracle: String = {
+    val base =
+      "WITH und AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+      "WHERE a.l_orderkey % 16 = 0), " +
+      "e0 AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)"
+    val iters = (1 to 2).map { i =>
+      s"k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING COUNT(*) >= 3), " +
+      s"e$i AS (SELECT e.src, e.dst FROM e${i - 1} e JOIN k$i a ON e.src = a.src JOIN k$i b ON e.dst = b.src)"
+    }.mkString(", ", ", ", " ")
+    base + iters + "SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src ORDER BY node"
+  }
+
+  /** q382's oracle: q179's relaxation unrolled at 2 rounds, seeded at
+    * the subgraph's lowest node via a scalar subquery.
+    */
+  private def ssspTwinOracle: String = {
+    val base =
+      "WITH e AS (SELECT u, v, (u + v) % 97 + 1 AS w FROM " +
+      "(SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+      "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey " +
+      "WHERE a.l_orderkey % 16 = 0)), " +
+      "seed AS (SELECT MIN(u) AS s FROM e), " +
+      "d0 AS (SELECT u AS node, CASE WHEN u = (SELECT s FROM seed) THEN 0 ELSE NULL END AS dd FROM (SELECT DISTINCT u FROM e))"
+    val iters = (1 to 2).map { i =>
+      s"d$i AS (SELECT node, MIN(dd) AS dd FROM (" +
+      s"SELECT node, dd FROM d${i - 1} UNION ALL " +
+      s"SELECT e.v AS node, p.dd + e.w AS dd FROM d${i - 1} p JOIN e ON p.node = e.u WHERE p.dd IS NOT NULL" +
+      ") GROUP BY 1)"
+    }.mkString(", ", ", ", " ")
+    base + iters +
+      "SELECT node, dd FROM d2 WHERE dd IS NOT NULL ORDER BY dd, node LIMIT 25"
+  }
+
+  /** q383's oracle: 2 unrolled synchronous LPA rounds on the
+    * subsampled bipartite graph (q261's replay shape).
+    */
+  private def lpaTwinOracle: String = {
+    val base =
+      "WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS su " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey % 16 = 0), " +
+      "edges AS (SELECT c AS src, su AS dst FROM pairs UNION ALL SELECT su, c FROM pairs), " +
+      "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)"
+    val iters = (1 to 2).map { i =>
+      s"l$i AS (SELECT node, lbl FROM (SELECT e.dst AS node, p.lbl AS lbl, " +
+      "ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY COUNT(*) DESC, p.lbl) AS rn " +
+      s"FROM l${i - 1} p JOIN edges e ON p.node = e.src GROUP BY e.dst, p.lbl) t WHERE rn = 1)"
+    }.mkString(", ", ", ", " ")
+    base + iters +
+      "SELECT lbl AS community, COUNT(*)::BIGINT AS n_members FROM l2 " +
+      "GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20"
+  }
 
   /** q141's oracle: q125's unrolled fixed-point chain plus, per round,
     * a scalar subquery for the rank parked on sinks (anti-join against
@@ -7122,6 +7402,10 @@ object AnalyticsQueries {
     "q140_bfs" -> bfsOracle,
     "q125_pagerank" -> pagerankOracle,
     "q375_pagerank_twin" -> pagerankTwinOracle,
+    "q380_triangles_twin" -> trianglesTwinOracle,
+    "q381_kcore_twin" -> kcoreTwinOracle,
+    "q382_sssp_twin" -> ssspTwinOracle,
+    "q383_lpa_twin" -> lpaTwinOracle,
     "q376_bfs_twin" -> bfsTwinOracle,
     "q232_meta_agg" ->
       ("SELECT COUNT(*)::BIGINT AS n_rows, MIN(o_orderkey)::BIGINT AS min_key, "
@@ -8548,6 +8832,51 @@ object AnalyticsQueries {
        + "SELECT doc_id, cluster, "
        + "(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n_words DESC, doc_id) = 1) AS is_rep "
        + "FROM asg ORDER BY doc_id"),
+    // the ADD COLUMN lifecycle replayed: v1 = base (3 cols), v2 = the
+    // same rows with score uniformly NULL (folded as -1), final = +
+    // derived rows carrying score = doc_id0 % 100
+    "q379_sql_add_column" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang, "
+       + "(doc_id % 100)::BIGINT AS sc FROM documents WHERE doc_id % 9 = 0), "
+       + "fin AS (SELECT doc_id, text, lang, -1::BIGINT AS sc FROM documents "
+       + "UNION ALL SELECT doc_id, text, lang, sc FROM der), "
+       + "a AS (SELECT 'a_v1' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "b AS (SELECT 'b_added', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang || '|' || '-1'), 1, 15)) AS BIGINT))::BIGINT FROM documents), "
+       + "c AS (SELECT 'c_final', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang || '|' || sc::VARCHAR), 1, 15)) AS BIGINT))::BIGINT FROM fin) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c "
+       + "ORDER BY stage"),
+    // SQL reads of the DV'd-at-head table replayed from the base
+    // relation: v1 full, v2 minus doc_id%7, head minus lang='de' too,
+    // d_even = the head survivors with an even doc_id
+    "q377_sql_dv_scan" ->
+      ("WITH a AS (SELECT 'a_v1' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "b AS (SELECT 'b_v2', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT FROM documents WHERE doc_id % 7 <> 0), "
+       + "c AS (SELECT 'c_head', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT FROM documents WHERE doc_id % 7 <> 0 AND lang <> 'de'), "
+       + "e AS (SELECT 'd_even', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT FROM documents WHERE doc_id % 7 <> 0 AND lang <> 'de' AND doc_id % 2 = 0) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c "
+       + "UNION ALL SELECT * FROM e ORDER BY stage"),
+    // the column-mapping fixture read back through SQL: v1 = base
+    // (pre-mapping), v3 = + derived rows (lang renamed to language —
+    // same VALUES, logical-name projection only), head = doc_id|body
+    // after the drop + second rename
+    "q378_sql_mapped_scan" ->
+      ("WITH der AS (SELECT doc_id + 10000000 AS doc_id, 'r:' || text AS text, lang FROM documents WHERE doc_id % 9 = 0), "
+       + "b3 AS (SELECT doc_id, text, lang FROM documents UNION ALL SELECT doc_id, text, lang FROM der), "
+       + "a AS (SELECT 'a_v1' AS stage, COUNT(*)::BIGINT AS n_rows, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT AS checksum FROM documents), "
+       + "b AS (SELECT 'b_v3', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text || '|' || lang), 1, 15)) AS BIGINT))::BIGINT FROM b3), "
+       + "c AS (SELECT 'c_head', COUNT(*)::BIGINT, "
+       + "bit_xor(CAST(('0x' || substring(md5(doc_id::VARCHAR || '|' || text), 1, 15)) AS BIGINT))::BIGINT FROM b3) "
+       + "SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c "
+       + "ORDER BY stage"),
     // v1 = documents (CTAS); v2 = + conforming derived rows (the
     // 'banned'-lang insert was constraint-rejected, so it contributes
     // NOTHING to v2); v3 = + the formerly-rejected rows post-DROP

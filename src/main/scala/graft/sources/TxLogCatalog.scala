@@ -77,6 +77,14 @@ class TxLogCatalog extends TableCatalog
 
   private def parquetTable(root: String, version: Option[Int]): Table = {
     val spark = SparkSession.active
+    // a table the raw parquet path cannot serve — in-force DVs (the
+    // anti-join must apply) or column mapping (files carry physical
+    // names) — resolves to the snapshot stub; the TxSnapshotScan
+    // resolution rule swaps it for the certified snapshot plan
+    val upTo = version.getOrElse(Int.MaxValue)
+    if (TxTable.dvRefsAt(root, upTo).nonEmpty ||
+        TxTable.mappingAt(root, upTo).active)
+      return new SnapshotTxLogTable(root, version)
     val files = TxTable.resolvedScanPaths(spark, root, version)
     if (files.isEmpty) throw new NoSuchTableException(Seq(root))
     val pt = ParquetTable(s"txlog $root", spark, tableOptions,
@@ -168,11 +176,6 @@ class TxLogCatalog extends TableCatalog
       return markerSchema(raw) // created by DDL, no commits yet
         .map(sch => new EmptyTxLogTable(raw, sch): Table)
         .getOrElse(throw new NoSuchTableException(ident))
-    // a column-mapped table resolves (so DDL and the DML bridge keep
-    // working, under LOGICAL names) but refuses to build a SCAN: the
-    // raw parquet scan would serve physical names (the q360 trade)
-    if (TxTable.mappingAt(raw).active)
-      return new MappedTxLogTable(raw)
     parquetTable(raw, None)
   }
 
@@ -343,14 +346,16 @@ class TxLogCatalog extends TableCatalog
   /** ALTER TABLE column DDL routes into the column-mapping commits:
     * RENAME COLUMN is a metadata-only log entry, DROP COLUMN hides
     * the physical column without rewriting a byte — the SQL spelling
-    * of [[TxTable.renameColumn]]/[[TxTable.dropColumn]] (q360). Other
-    * changes are rejected loudly (ADD COLUMN is implicit here:
-    * schema-on-write, certified by q314). NOTE the documented
-    * mapped-table trade: once a table uses column mapping, the raw
-    * DSv2 scan surface refuses it (it would serve PHYSICAL names) —
-    * reads go through [[TxTable.snapshot]], which resolves the
-    * mapping; the returned handle here is a metadata stub, not a
-    * scannable relation.
+    * of [[TxTable.renameColumn]]/[[TxTable.dropColumn]] (q360) — and
+    * ADD COLUMN is a metadata-only commit too ([[TxTable.addColumn]]:
+    * reads synthesize typed NULLs until an append materializes the
+    * column; schema-on-write appends, certified by q314, remain the
+    * implicit path). Other changes are rejected loudly. A mapped
+    * table's SQL scans
+    * are served from the snapshot plan by the
+    * [[graft.plans.TxSnapshotScan]] resolution rule (logical names
+    * resolved, DVs applied) — the raw parquet path would serve
+    * PHYSICAL names and is never used for such tables.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -367,6 +372,30 @@ class TxLogCatalog extends TableCatalog
           "txlog columns are top-level; nested drops unsupported")
         TxTable.dropColumn(spark, root, d.fieldNames.head)
         ()
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "txlog columns are top-level; nested adds unsupported")
+        require(a.isNullable,
+          "txlog ADD COLUMN must be nullable: there is no existing " +
+            "data to backfill a NOT NULL column")
+        require(a.position() == null,
+          "txlog ADD COLUMN appends at the end; FIRST/AFTER " +
+            "positioning is unsupported")
+        val name = a.fieldNames.head
+        if (TxTable.currentVersion(root) == 0) {
+          // created-but-empty table: extend the declared-schema marker
+          val cur = markerSchema(root).getOrElse(
+            throw new NoSuchTableException(Seq(root)))
+          require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"column $name already exists")
+          java.nio.file.Files.write(schemaMarker(root),
+            cur.add(name, a.dataType(), nullable = true)
+              .json.getBytes("UTF-8"))
+          ()
+        } else {
+          TxTable.addColumn(spark, root, name, a.dataType().sql)
+          ()
+        }
       // ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — Spark 4's
       // ANSI constraint DDL routes here as a TableChange; the engine
       // side (registry, staged-first enforcement, CLONE inheritance)
@@ -385,39 +414,49 @@ class TxLogCatalog extends TableCatalog
               "(only CHECK is supported)")
         }
       case d: TableChange.DropConstraint =>
-        val known = TxTable.checkConstraints(root).exists(_._1
-          .equalsIgnoreCase(d.name()))
-        if (!known && !d.ifExists())
+        // existence is checked case-insensitively, but the registry
+        // drop must use the STORED name — replay removes by exact
+        // match, so dropping under the user's casing would report
+        // success while the constraint kept enforcing
+        val stored = TxTable.checkConstraints(root)
+          .collectFirst { case (n, _) if n.equalsIgnoreCase(d.name()) => n }
+        if (stored.isEmpty && !d.ifExists())
           throw new IllegalArgumentException(
             s"no such constraint: ${d.name()}")
-        if (known) TxTable.dropCheckConstraint(root, d.name())
+        stored.foreach(TxTable.dropCheckConstraint(root, _))
       case other => readOnly(s"alterTable change $other")
     }
-    new MappedTxLogTable(root)
+    new SnapshotTxLogTable(root)
   }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("renameTable")
 }
 
-/** A COLUMN-MAPPED table's SQL handle: resolvable (logical-name
-  * schema, so ALTER TABLE and the DML bridge work) and writable
-  * (appends guard against physical-name shadowing inside the commit
-  * protocol), but any attempt to build a SCAN fails with the
-  * documented pointer — the raw parquet scan would serve PHYSICAL
-  * names, and silently wrong column names are worse than a loud
-  * error. Reads of mapped tables go through
-  * [[graft.operators.TxTable.snapshot]], which resolves the mapping.
+/** The SQL handle for a txlog table the raw parquet scan cannot
+  * serve — active column mapping (files carry PHYSICAL names) or
+  * in-force deletion vectors (the anti-join must apply). Resolvable
+  * (logical-name schema, so ALTER TABLE and the DML bridge work) and
+  * writable at head (appends guard against physical-name shadowing
+  * inside the commit protocol). SCANS are served by the
+  * [[graft.plans.TxSnapshotScan]] resolution rule, which swaps this
+  * relation for the certified snapshot plan (DV anti-join applied,
+  * logical names resolved) before a ScanBuilder is ever requested —
+  * `newScanBuilder` is only reached when the graft extensions are not
+  * registered, and fails with the pointer rather than serving
+  * resurrected rows or physical names.
   */
-private[sources] class MappedTxLogTable(root: String)
+private[graft] class SnapshotTxLogTable(val root: String,
+    val pinnedVersion: Option[Int] = None)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
-  override def name(): String = s"txlog $root (column-mapped)"
+  override def name(): String = s"txlog $root (snapshot" +
+    pinnedVersion.map(v => s" @v$v").getOrElse("") + ")"
   override def schema(): org.apache.spark.sql.types.StructType =
-    TxTable.snapshot(SparkSession.active, root).schema
+    TxTable.snapshot(SparkSession.active, root, pinnedVersion).schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
@@ -425,8 +464,10 @@ private[sources] class MappedTxLogTable(root: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     throw new IllegalArgumentException(
-      s"txlog table at $root uses column mapping (rename/drop); the " +
-        "SQL scan surface would serve physical names — read via " +
+      s"txlog table at $root has in-force deletion vectors or column " +
+        "mapping; the raw parquet scan cannot serve it. Register " +
+        "spark.sql.extensions=graft.engine.GraftExtensions (the " +
+        "TxSnapshotScan rule serves these scans) or read via " +
         "TxTable.snapshot")
 
   override def newWriteBuilder(
@@ -442,6 +483,9 @@ private[sources] class MappedTxLogTable(root: String)
                   overwrite: Boolean): Unit = {
                 if (overwrite) throw new UnsupportedOperationException(
                   "txlog rejects INSERT OVERWRITE")
+                if (pinnedVersion.nonEmpty)
+                  throw new UnsupportedOperationException(
+                    "cannot write to a version-pinned txlog snapshot")
                 TxTable.commitAppend(data, root)
                 ()
               }

@@ -57,6 +57,13 @@ class TxLogDataSource extends TableProvider
       schema: Option[StructType]): Table = {
     val root = rootOf(options)
     val version = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    // DV'd / column-mapped tables cannot be served by the raw parquet
+    // path — resolve to the snapshot stub; the TxSnapshotScan rule
+    // swaps it for the certified snapshot plan at analysis
+    val upTo = version.getOrElse(Int.MaxValue)
+    if (graft.operators.TxTable.dvRefsAt(root, upTo).nonEmpty ||
+        graft.operators.TxTable.mappingAt(root, upTo).active)
+      return new SnapshotTxLogTable(root, version)
     val files = graft.operators.TxTable.resolvedScanPaths(
       SparkSession.active, root, version)
     require(files.nonEmpty,

@@ -224,16 +224,28 @@ final class AmqpConnection(url: AmqpUrl) {
 
   // ---- reader thread: deliveries + RPC replies ----------------------
   private var pendingDeliver: Option[BasicDeliver] = None
+  private var pendingReturn: Option[BasicReturn] = None
   private var pendingHeader: Option[ContentHeader] = None
   private val bodyBuf = new java.io.ByteArrayOutputStream()
 
+  /** Unroutable MANDATORY publishes handed back by the broker
+    * (basic.return + content) — pika's `on_return_callback` surface.
+    * Args: (replyCode, replyText, exchange, body).
+    */
+  @volatile var onReturn: (Int, String, String, String) => Unit =
+    (_, _, _, _) => ()
+
   private def finishDeliveryIfComplete(): Unit =
-    (pendingDeliver, pendingHeader) match {
-      case (Some(d), Some(h)) if bodyBuf.size() >= h.bodySize =>
+    (pendingDeliver, pendingReturn, pendingHeader) match {
+      case (Some(d), _, Some(h)) if bodyBuf.size() >= h.bodySize =>
         val body = new String(bodyBuf.toByteArray, UTF_8)
         pendingDeliver = None; pendingHeader = None; bodyBuf.reset()
         onDeliver(d.deliveryTag, h.contentType.getOrElse("application/json"),
           body, d.redelivered)
+      case (_, Some(r0), Some(h)) if bodyBuf.size() >= h.bodySize =>
+        val body = new String(bodyBuf.toByteArray, UTF_8)
+        pendingReturn = None; pendingHeader = None; bodyBuf.reset()
+        onReturn(r0.replyCode, r0.replyText, r0.exchange, body)
       case _ => ()
     }
 
@@ -245,6 +257,7 @@ final class AmqpConnection(url: AmqpUrl) {
           case FrameHeartbeat => ()
           case FrameMethod => parseMethod(f.payload) match {
             case d: BasicDeliver => pendingDeliver = Some(d)
+            case r0: BasicReturn => pendingReturn = Some(r0)
             case _: ConnectionBlocked => blockLock.synchronized {
               blockedFlag = true
               blockedAtNanos = System.nanoTime()
@@ -388,7 +401,8 @@ final class AmqpConnection(url: AmqpUrl) {
       noLocal = false, noAck = false, exclusive = false, noWait = false,
       Map.empty)).consumerTag
 
-  def publish(exchange: String, body: String, contentType: String): Unit = {
+  def publish(exchange: String, body: String, contentType: String,
+      mandatory: Boolean = false): Unit = {
     // a blocked broker has stopped reading: stall the publish until
     // connection.unblocked (or death — including the blocked-timeout
     // teardown) instead of stuffing the socket buffer
@@ -400,11 +414,20 @@ final class AmqpConnection(url: AmqpUrl) {
     val bytes = body.getBytes(UTF_8)
     val frames =
       methodFrame(1, BasicPublish(exchange, routingKey = "",
-        mandatory = false, immediate = false)) +:
+        mandatory = mandatory, immediate = false)) +:
       headerFrame(1, ContentHeader(bytes.length, Some(contentType), Some(2))) +:
       bodyFrames(1, bytes, frameMax)
     sendFrames(frames: _*)
   }
+
+  /** basic.nack on the wire — pika's `basic_nack` shape (the
+    * reference's bad-JSON rejection, amqp.py:107-109). The engine's
+    * own consumer dead-letters engine-side instead (§7.4 divergence),
+    * but the frame is part of the client surface a broker expects.
+    */
+  def nackWire(deliveryTag: Long, requeue: Boolean): Unit =
+    sendFrames(methodFrame(1,
+      BasicNack(deliveryTag, multiple = false, requeue = requeue)))
 
   def ack(deliveryTag: Long, multiple: Boolean): Unit =
     sendFrames(methodFrame(1, BasicAck(deliveryTag, multiple)))

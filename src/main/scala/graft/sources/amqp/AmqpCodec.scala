@@ -324,6 +324,28 @@ object Amqp {
     def writeArgs(w: Writer): Unit =
       w.long(deliveryTag).bits(multiple): Unit
   }
+  /** basic.return (60/50): an unroutable MANDATORY publish handed
+    * back to the publisher, followed by the message content — the
+    * spec path pika surfaces as `on_return_callback`.
+    */
+  final case class BasicReturn(replyCode: Int, replyText: String,
+      exchange: String, routingKey: String) extends Method {
+    val classId = 60; val methodId = 50
+    def writeArgs(w: Writer): Unit =
+      w.short(replyCode).shortStr(replyText).shortStr(exchange)
+        .shortStr(routingKey): Unit
+  }
+  /** basic.nack (60/120, RabbitMQ's confirm extension adopted by the
+    * 0-9-1 errata): reject with optional requeue — the frame pika's
+    * `basic_nack(requeue=False)` puts on the wire for the reference's
+    * bad-JSON path (reference amqp.py:107-109).
+    */
+  final case class BasicNack(deliveryTag: Long, multiple: Boolean,
+      requeue: Boolean) extends Method {
+    val classId = 60; val methodId = 120
+    def writeArgs(w: Writer): Unit =
+      w.long(deliveryTag).bits(multiple, requeue): Unit
+  }
 
   def parseMethod(payload: Array[Byte]): Method = {
     val r = new Reader(payload)
@@ -386,6 +408,11 @@ object Amqp {
       case (60, 80) =>
         val dt = r.long(); val Seq(mu) = r.bits(1)
         BasicAck(dt, mu)
+      case (60, 50) =>
+        BasicReturn(r.short(), r.shortStr(), r.shortStr(), r.shortStr())
+      case (60, 120) =>
+        val dt = r.long(); val Seq(mu, rq) = r.bits(2)
+        BasicNack(dt, mu, rq)
       case other =>
         throw new IllegalArgumentException(s"unsupported AMQP method $other")
     }

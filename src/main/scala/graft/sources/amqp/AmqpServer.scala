@@ -370,13 +370,13 @@ final class AmqpServer(port: Int, walDir: Option[Path],
             val st = channels.get(f.channel)
             if (st != null) {
               st.pendingHeader = Some(parseHeader(f.payload))
-              finishPublishIfComplete(st)
+              finishPublishIfComplete(f.channel, st)
             }
           case FrameBody =>
             val st = channels.get(f.channel)
             if (st != null) {
               st.bodyBuf.write(f.payload)
-              finishPublishIfComplete(st)
+              finishPublishIfComplete(f.channel, st)
             }
           case other =>
             throw new IllegalArgumentException(s"unexpected frame type $other")
@@ -384,17 +384,33 @@ final class AmqpServer(port: Int, walDir: Option[Path],
       }
     }
 
-    private def finishPublishIfComplete(st: ChannelState): Unit =
+    private def finishPublishIfComplete(channel: Int,
+        st: ChannelState): Unit =
       (st.pendingPublish, st.pendingHeader) match {
         case (Some(pub), Some(hdr)) if st.bodyBuf.size() >= hdr.bodySize =>
           val body = st.bodyBuf.toByteArray
-          log(pub.exchange).publish(
-            new String(body, java.nio.charset.StandardCharsets.UTF_8),
-            hdr.contentType.getOrElse("application/json"))
           st.pendingPublish = None
           st.pendingHeader = None
           st.bodyBuf.reset()
-          recheckWatermark()
+          // MANDATORY publish that reaches no queue: the spec's
+          // NO_ROUTE basic.return — message + content handed straight
+          // back to the publisher, never enqueued (spec §3.1.10 /
+          // basic.return; pika surfaces this as on_return_callback)
+          if (pub.mandatory && !bindings.containsValue(pub.exchange)) {
+            val frames =
+              methodFrame(channel, BasicReturn(312, "NO_ROUTE",
+                pub.exchange, pub.routingKey)) +:
+              headerFrame(channel, ContentHeader(body.length,
+                Some(hdr.contentType.getOrElse("application/json")),
+                Some(2))) +:
+              bodyFrames(channel, body, frameMax)
+            send(frames: _*)
+          } else {
+            log(pub.exchange).publish(
+              new String(body, java.nio.charset.StandardCharsets.UTF_8),
+              hdr.contentType.getOrElse("application/json"))
+            recheckWatermark()
+          }
         case _ => ()
       }
 
@@ -481,6 +497,30 @@ final class AmqpServer(port: Int, walDir: Option[Path],
           while (st.singleAcked.remove(lg.committed)) lg.ack(lg.committed + 1)
         }
         recheckWatermark()
+
+      case n: BasicNack =>
+        val st = channels.get(channel)
+        require(st != null, s"basic.nack on unopened channel $channel")
+        if (n.requeue)
+          // a log-structured fanout broker cannot reorder a single
+          // message back into the stream — refuse loudly (the spec's
+          // channel exception for an unimplementable request) rather
+          // than silently dropping the redelivery promise
+          closeChannel(channel, 540, "NOT_IMPLEMENTED - requeue",
+            failClass = 60, failMethod = 120)
+        else {
+          // requeue=false = discard: advances the consume watermark
+          // exactly like an ack (the reference's nack-bad-JSON path,
+          // amqp.py:107-109, wants the message gone, not redelivered)
+          val lg = log(ackExchange(channel))
+          if (n.multiple) lg.ack(n.deliveryTag)
+          else st.singleAcked.synchronized {
+            st.singleAcked.add(n.deliveryTag - 1)
+            while (st.singleAcked.remove(lg.committed))
+              lg.ack(lg.committed + 1)
+          }
+          recheckWatermark()
+        }
 
       case other =>
         throw new IllegalArgumentException(s"unhandled method $other")

@@ -256,6 +256,50 @@ class AmqpGoldenFramesSpec extends AnyFunSuite {
       hex("01 0001 0000000D 003C 0050 0000000000000001 00 CE"))
   }
 
+  test("basic.return (60/50): NO_ROUTE handed back to the publisher") {
+    certify(1,
+      BasicReturn(312, "NO_ROUTE", "logs", ""),
+      hex("""
+        01 0001 00000015            # type=METHOD ch=1 size=21
+        003C 0032                   # class=basic method=return
+        0138                        # reply-code 312
+        08 4E4F5F524F555445         # reply-text shortstr "NO_ROUTE"
+        04 6C6F6773                 # exchange shortstr "logs"
+        00                          # routing-key shortstr ""
+        CE"""))
+  }
+
+  test("basic.nack (60/120): delivery tag + packed multiple/requeue bits") {
+    certify(1, BasicNack(5L, multiple = false, requeue = false),
+      hex("01 0001 0000000D 003C 0078 0000000000000005 00 CE"))
+    certify(1, BasicNack(5L, multiple = false, requeue = true),
+      hex("01 0001 0000000D 003C 0078 0000000000000005 02 CE"))
+  }
+
+  test("channel.close (20/40) carrying a 406 + failing method ids; close-ok (20/41)") {
+    certify(1,
+      ChannelClose(406, "PRECONDITION_FAILED", 60, 40),
+      hex("""
+        01 0001 0000001E            # type=METHOD ch=1 size=30
+        0014 0028                   # class=channel method=close
+        0196                        # reply-code 406
+        13 505245434F4E444954494F4E5F4641494C4544  # "PRECONDITION_FAILED"
+        003C 0028                   # failing class=60 method=40
+        CE"""))
+    // the 404 shape a passive declare of a missing exchange gets
+    certify(1,
+      ChannelClose(404, "NOT_FOUND", 40, 10),
+      hex("""
+        01 0001 00000014
+        0014 0028
+        0194
+        09 4E4F545F464F554E44
+        0028 000A
+        CE"""))
+    certify(1, ChannelCloseOk(),
+      hex("01 0001 00000004 0014 0029 CE"))
+  }
+
   test("heartbeat frame and frame-end enforcement") {
     val hb = hex("08 0000 00000000 CE")
     val f = readOne(hb)

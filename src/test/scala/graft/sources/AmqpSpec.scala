@@ -206,6 +206,76 @@ class AmqpSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("basic.return: mandatory publish to an unbound exchange comes back NO_ROUTE") {
+    val port = freePort()
+    val srv = new AmqpServer(port, None)
+    try {
+      val raw = new AmqpConnection("localhost", port)
+      val returned = new java.util.concurrent.LinkedBlockingQueue[
+        (Int, String, String, String)]()
+      raw.onReturn = (code, text, ex, body) =>
+        { returned.put((code, text, ex, body)); () }
+      try {
+        // no queue bound to ret_ex: the mandatory publish must come
+        // straight back as basic.return(312 NO_ROUTE) + content
+        raw.publish("ret_ex", """{"boomerang":1}""", "application/json",
+          mandatory = true)
+        val r = returned.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(r != null, "no basic.return arrived")
+        assert(r._1 == 312 && r._2 == "NO_ROUTE" && r._3 == "ret_ex")
+        assert(r._4 == """{"boomerang":1}""")
+        // and the message was never enqueued
+        raw.declareQueue("ret_ex")
+        raw.bind("ret_ex", "ret_ex")
+        assert(raw.queueBacklog("ret_ex") == 0)
+        // with a binding in place the same publish routes silently
+        raw.publish("ret_ex", """{"kept":1}""", "application/json",
+          mandatory = true)
+        eventually("routed mandatory publish lands") {
+          if (raw.queueBacklog("ret_ex") == 1) Some(()) else None
+        }
+        assert(returned.isEmpty, "routed publish must not return")
+        // non-mandatory to an unbound exchange still just enqueues
+        raw.publish("ret_ex2", """{"fire":1}""", "application/json")
+        assert(returned.isEmpty)
+      } finally raw.close()
+    } finally srv.stop()
+  }
+
+  test("basic.nack: requeue=false discards like an ack; requeue=true is a 540 channel error") {
+    val port = freePort()
+    val srv = new AmqpServer(port, None)
+    try {
+      val log = new AmqpConsumerLog("localhost", port, "nack_ex")
+      (0 until 3).foreach(i => log.publish(s"""{"i":$i}"""))
+      assert(log.slice(0, 3).length == 3) // subscribes + drains
+      // reach under the log for the raw connection to emit the frame
+      val raw = new AmqpConnection("localhost", port)
+      try {
+        raw.declareQueue("nack_ex"); raw.bind("nack_ex", "nack_ex")
+        assert(raw.queueBacklog("nack_ex") == 3)
+        // the consumer's channel owns the delivery tags: nack through
+        // a fresh consuming connection
+        val c2 = new AmqpConnection("localhost", port)
+        try {
+          c2.declareQueue("nack_ex"); c2.bind("nack_ex", "nack_ex")
+          c2.consume("nack_ex")
+          c2.nackWire(1L, requeue = false) // discard msg offset 0
+          eventually("nack(requeue=false) advances the watermark") {
+            if (raw.queueBacklog("nack_ex") == 2) Some(()) else None
+          }
+          // requeue=true cannot be honored by a log broker: channel
+          // exception 540, surfaced as connection death client-side
+          c2.nackWire(2L, requeue = true)
+          eventually("nack(requeue=true) raises the 540") {
+            if (c2.isDead) Some(()) else None
+          }
+        } finally if (!c2.isDead) c2.close()
+      } finally raw.close()
+      log.closeConnection()
+    } finally srv.stop()
+  }
+
   test("exchange.declare kwargs: auto_delete destroys on last consumer exit") {
     val wal = tmp("amqp-autodel-wal")
     val port = freePort()

@@ -147,21 +147,20 @@ class TxLogSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(10L, 20L))
     assert(TxTable.currentVersion(t2) == 1)
     // ALTER TABLE RENAME/DROP COLUMN = the column-mapping commits;
-    // the mapped table then reads through TxTable.snapshot (the raw
-    // DSv2 scan refuses mapped tables LOUDLY — it would serve
-    // physical names; the q360/q342 documented trade)
+    // SQL scans of the mapped table are served from the snapshot plan
+    // (TxSnapshotScan), under LOGICAL names
     spark.sql(s"ALTER TABLE txlog.`$t2` RENAME COLUMN id2 TO ident")
     assert(TxTable.snapshot(spark, t2).columns.toSeq ==
       Seq("ident", "s"))
+    assert(spark.sql(s"SELECT ident FROM txlog.`$t2` ORDER BY ident")
+      .collect().map(_.getLong(0)).toSeq == Seq(10L, 20L))
     spark.sql(s"ALTER TABLE txlog.`$t2` DROP COLUMN s")
     assert(TxTable.snapshot(spark, t2).columns.toSeq == Seq("ident"))
     assert(TxTable.snapshot(spark, t2)
       .collect().map(_.getLong(0)).toSet == Set(10L, 20L))
-    val loud = intercept[Exception] {
-      spark.sql(s"SELECT * FROM txlog.`$t2`").collect()
-    }
-    assert(loud.getMessage.contains("column mapping") ||
-      Option(loud.getCause).exists(_.getMessage.contains("column mapping")))
+    val sqlRead = spark.sql(s"SELECT * FROM txlog.`$t2`")
+    assert(sqlRead.columns.toSeq == Seq("ident"))
+    assert(sqlRead.collect().map(_.getLong(0)).toSet == Set(10L, 20L))
     // DROP TABLE removes it; a second drop reports not-found
     spark.sql(s"DROP TABLE txlog.`$t2`")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(t2)))
@@ -456,5 +455,158 @@ class TxLogSourceSpec extends SparkSpec {
         TxTable.commitTimestamp(d2, 3))
       assert(TxTable.versionAt(d2, TxTable.commitTimestamp(d2, 4)) == 4)
     } finally TxTable.clock = saved
+  }
+
+  test("SQL scan of a table with in-force deletion vectors (TxSnapshotScan)") {
+    val d2 = java.nio.file.Files.createTempDirectory("txlog-dvscan-")
+      .toString
+    TxTable.commitAppend((1L to 10L).map(i => (i, s"s$i"))
+      .toDF("id", "s").repartition(3), d2) // v1
+    TxTable.commitDeleteDV(spark, d2, col("id") % 3 === 0) // v2
+    assert(TxTable.dvRefsAt(d2).nonEmpty, "fixture needs a live DV")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val live = Set(1L, 2L, 4L, 5L, 7L, 8L, 10L)
+    // head scan applies the DV anti-join; deleted rows never resurrect
+    assert(ids(spark.sql(s"SELECT * FROM txlog.`$d2`")) == live)
+    // predicates apply on top of the anti-join
+    assert(ids(spark.sql(
+      s"SELECT id FROM txlog.`$d2` WHERE id > 4")) ==
+      Set(5L, 7L, 8L, 10L))
+    // time travel: v1 (no DV yet — raw parquet path) and v2 (DV'd)
+    assert(ids(spark.sql(
+      s"SELECT * FROM txlog.`$d2` VERSION AS OF 1")) == (1L to 10L).toSet)
+    assert(ids(spark.sql(
+      s"SELECT * FROM txlog.`$d2` VERSION AS OF 2")) == live)
+    // format("txlog") reads route the same way
+    assert(ids(spark.read.format("txlog").load(d2)) == live)
+    assert(ids(spark.read.format("txlog").option("versionAsOf", 1)
+      .load(d2)) == (1L to 10L).toSet)
+    // self-join of the DV'd relation (DeduplicateRelations must cope
+    // with two rewritten instances)
+    val selfJoin = spark.sql(
+      s"SELECT a.id FROM txlog.`$d2` a JOIN txlog.`$d2` b " +
+        "ON a.id = b.id + 1")
+    assert(ids(selfJoin) == Set(2L, 5L, 8L))
+    // aggregation through the rewritten scan
+    assert(spark.sql(s"SELECT count(*) AS n FROM txlog.`$d2`")
+      .collect().head.getLong(0) == live.size.toLong)
+    // DML still routes through the commit protocol on a DV'd table
+    spark.sql(s"DELETE FROM txlog.`$d2` WHERE id = 10")
+    assert(ids(spark.sql(s"SELECT * FROM txlog.`$d2`")) == live - 10L)
+    // INSERT INTO a DV'd table lands through the protocol too
+    spark.sql(s"INSERT INTO txlog.`$d2` VALUES (11, 'k')")
+    assert(ids(spark.sql(s"SELECT * FROM txlog.`$d2`")) ==
+      live - 10L + 11L)
+    ()
+  }
+
+  test("SQL scan of a column-mapped table serves logical names (TxSnapshotScan)") {
+    val d2 = java.nio.file.Files.createTempDirectory("txlog-cmscan-")
+      .toString
+    TxTable.commitAppend(Seq((1L, "a", "en"), (2L, "b", "de"))
+      .toDF("id", "s", "lang"), d2) // v1
+    TxTable.renameColumn(spark, d2, "s", "body") // v2
+    // head SQL read: logical names, correct values
+    val head = spark.sql(
+      s"SELECT id, body FROM txlog.`$d2` ORDER BY id")
+    assert(head.collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "a"), (2L, "b")))
+    // VERSION AS OF 1: pre-mapping, OLD names via the raw path
+    assert(spark.sql(s"SELECT s FROM txlog.`$d2` VERSION AS OF 1")
+      .collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // VERSION AS OF 2 resolves the mapping for the pinned version
+    assert(spark.sql(s"SELECT body FROM txlog.`$d2` VERSION AS OF 2")
+      .collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // mapped + DV'd stacks: a DV delete on the mapped table
+    TxTable.commitDeleteDV(spark, d2, col("lang") === "de") // v3
+    assert(spark.sql(s"SELECT id, body FROM txlog.`$d2`")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "a")))
+    // DML under LOGICAL names on the mapped table
+    spark.sql(s"UPDATE txlog.`$d2` SET body = 'z' WHERE id = 1")
+    assert(spark.sql(s"SELECT body FROM txlog.`$d2` WHERE id = 1")
+      .collect().head.getString(0) == "z")
+    // INSERT under logical names
+    spark.sql(s"INSERT INTO txlog.`$d2` VALUES (3, 'c', 'fr')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM txlog.`$d2`")
+      .collect().head.getLong(0) == 2L)
+    // CTAS FROM the mapped table (read position inside a write plan)
+    val t3 = java.nio.file.Files.createTempDirectory("txlog-cmscan3-")
+      .toString + "/t"
+    spark.sql(s"CREATE TABLE txlog.`$t3` AS " +
+      s"SELECT id, body FROM txlog.`$d2` WHERE id <= 3")
+    assert(spark.sql(s"SELECT count(*) AS n FROM txlog.`$t3`")
+      .collect().head.getLong(0) == 2L)
+    ()
+  }
+
+  test("ALTER TABLE ADD COLUMN is a metadata-only commit") {
+    val d2 = java.nio.file.Files.createTempDirectory("txlog-addcol-")
+      .toString
+    TxTable.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), d2)
+    val files1 = TxTable.liveFiles(d2).toSet
+    spark.sql(s"ALTER TABLE txlog.`$d2` ADD COLUMN q BIGINT")
+    // metadata only: no bytes moved, one non-dataChange commit
+    assert(TxTable.liveFiles(d2).toSet == files1,
+      "ADD COLUMN must move zero bytes")
+    assert(TxTable.currentVersion(d2) == 2)
+    assert(TxTable.historyFull(d2).find(_._1 == 2).exists(!_._4),
+      "ADD COLUMN must be dataChange=false")
+    // reads synthesize typed NULLs until a file carries the column
+    val head = spark.sql(s"SELECT id, s, q FROM txlog.`$d2` ORDER BY id")
+    assert(head.schema("q").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(head.collect().forall(_.isNullAt(2)))
+    // time travel: the pre-add version has no such column
+    assert(!spark.sql(s"SELECT * FROM txlog.`$d2` VERSION AS OF 1")
+      .columns.contains("q"))
+    // an insert materializes it; older rows stay NULL
+    spark.sql(s"INSERT INTO txlog.`$d2` VALUES (3, 'c', 30)")
+    val rows = spark.sql(
+        s"SELECT id, q FROM txlog.`$d2` ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, -1L), (2L, -1L), (3L, 30L)))
+    // predicates on the added column work both pre- and post-material
+    assert(spark.sql(s"SELECT id FROM txlog.`$d2` WHERE q > 10")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // the added column composes with RENAME (still metadata-only)
+    spark.sql(s"ALTER TABLE txlog.`$d2` RENAME COLUMN q TO score")
+    assert(spark.sql(s"SELECT score FROM txlog.`$d2` WHERE id = 3")
+      .collect().head.getLong(0) == 30L)
+    // duplicate / NOT NULL / positioned adds are rejected loudly
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE txlog.`$d2` ADD COLUMN id STRING"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE txlog.`$d2` ADD COLUMN nn BIGINT NOT NULL"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE txlog.`$d2` ADD COLUMN f BIGINT FIRST"))
+    // created-but-empty tables extend their declared-schema marker
+    val t4 = java.nio.file.Files.createTempDirectory("txlog-addcol4-")
+      .toString + "/t"
+    spark.sql(s"CREATE TABLE txlog.`$t4` (id BIGINT)")
+    spark.sql(s"ALTER TABLE txlog.`$t4` ADD COLUMN tag STRING")
+    spark.sql(s"INSERT INTO txlog.`$t4` VALUES (1, 'x')")
+    assert(spark.sql(s"SELECT tag FROM txlog.`$t4`")
+      .collect().head.getString(0) == "x")
+    ()
+  }
+
+  test("DROP CONSTRAINT resolves the stored name case-insensitively") {
+    val tmp = java.nio.file.Files.createTempDirectory("txlog-consci-")
+      .toString + "/t"
+    spark.sql(s"CREATE TABLE txlog.`$tmp` AS SELECT * FROM VALUES " +
+      "(1, 'en') AS t(id, lang)")
+    spark.sql(s"ALTER TABLE txlog.`$tmp` ADD CONSTRAINT Lang_Known " +
+      "CHECK (lang IN ('en', 'de'))")
+    // drop under DIFFERENT casing must actually lift the guard —
+    // pre-fix it reported success but the registry kept enforcing
+    spark.sql(s"ALTER TABLE txlog.`$tmp` DROP CONSTRAINT lang_known")
+    assert(TxTable.checkConstraints(tmp).isEmpty,
+      "constraint must be gone from the registry")
+    spark.sql(s"INSERT INTO txlog.`$tmp` VALUES (2, 'xx')")
+    assert(spark.sql(s"SELECT count(*) AS n FROM txlog.`$tmp`")
+      .collect().head.getLong(0) == 2L)
+    ()
   }
 }
