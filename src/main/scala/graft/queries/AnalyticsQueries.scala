@@ -989,6 +989,34 @@ object AnalyticsQueries {
         .orderBy(col("dd"), col("node")).limit(25)
     }),
 
+    // sf1-gate twin of q341 (round-15 task 4): the SAME winnowing
+    // match + components closure on a 1/16-subsampled corpus —
+    // per-doc fingerprints are corpus-independent, so the oracle
+    // simply FILTERS the existing q338 golden pin; the ~256×-smaller
+    // pair join makes the recursive closure DuckDB-practical at sf1
+    "q384_winnow_groups_twin" -> ((s, d) => {
+      val fp = graft.operators.Winnow
+        .fingerprints(t(s, d, "documents")
+          .filter(col("doc_id") % 32 <= 1), "doc_id", "text",
+          k = 8, t = 32).cache()
+      val edges = graft.operators.Winnow.matchesSigs(fp, fp)
+        .filter(col("a") < col("b")).select(col("a"), col("b"))
+      val out = graft.operators.Components
+        .connectedComponents(edges, "a", "b")
+        .orderBy("id")
+      out
+    }),
+
+    // sf1-gate twin of q334: the full near-dup MERGE protocol (index
+    // bootstrap, replay no-op, second batch against the index) on the
+    // 1/16-subsampled corpus (ids ≡ 0,1 mod 32 keep both parities);
+    // MinHash signatures are per-doc, so the oracle replays the merge
+    // from the FILTERED q333 pin — inside the sf1 DuckDB budget where
+    // the full replay (3.2M-row self-join) provably is not
+    "q385_neardup_merge_twin" -> ((s, d) =>
+      graft.operators.TxTable.snapshot(s, nearDupMergeTwinDir(s, d))
+        .select(col("doc_id")).orderBy("doc_id")),
+
     // sf1-gate twin of q261/q263's LPA: 2 synchronous rounds on the
     // 1/16-subsampled bipartite graph — all-integer label updates, so
     // the community sizes replay engine-independently
@@ -6459,6 +6487,33 @@ object AnalyticsQueries {
       tdir
     })
 
+  /** q385's fixture: [[nearDupMergeDir]]'s exact protocol on the
+    * 1/16-subsampled corpus (doc_id ≡ 0,1 mod 32 — both parities
+    * survive the subsample, so the even-bootstrap / replay / odd-batch
+    * sequence is unchanged).
+    */
+  private val nearDupMergeTwinCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupMergeTwinDir(s: SparkSession, dir: String): String =
+    nearDupMergeTwinCache.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ndmtwin-")
+        .toString
+      val (tdir, sdir) = (s"$tmp/table", s"$tmp/sigs")
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id") % 32 <= 1)
+        .select(col("doc_id"), col("text"))
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      def ingest(b: org.apache.spark.sql.DataFrame) =
+        graft.operators.TxTable.commitMergeNearDup(s, tdir, sdir, b,
+          "doc_id", "text", n = 3, threshold = 0.5,
+          statsCols = Seq("doc_id"))
+      val v1 = ingest(even)
+      val v2 = ingest(even) // replay: must not commit
+      require(v2 == v1, s"replayed twin batch committed: v$v1 -> v$v2")
+      ingest(docs.filter(col("doc_id") % 2 === 1))
+      tdir
+    })
+
   /** Exact-substring MERGE table (q340): q334's protocol on the
     * exact-match axis — even docs ingest first (building the
     * fingerprint index from empty), the same batch replays (version
@@ -9149,6 +9204,41 @@ object AnalyticsQueries {
     // xxhash64-defined fingerprint selection: golden pin (q29's rule)
     "q338_winnow_fp" ->
       golden("q338_winnow_fp", "doc_id, pos, fp", "doc_id, pos"),
+    // q341's replay on the 1/16-subsampled corpus: per-doc winnowing
+    // means the pin FILTERS cleanly; the hot rule recomputes on the
+    // filtered table exactly as the engine's matchesSigs does
+    "q384_winnow_groups_twin" ->
+      ("WITH RECURSIVE f AS (SELECT doc_id, fp FROM read_parquet('/root/repo/golden/sf0.01/q338_winnow_fp/*.parquet') WHERE doc_id % 32 <= 1), "
+       + "hot AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 64), "
+       + "pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM f a JOIN f b "
+       + "ON a.fp = b.fp AND a.doc_id < b.doc_id WHERE a.fp NOT IN (SELECT fp FROM hot)), "
+       + "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs), "
+       + "reach(id, comp) AS (SELECT src, src FROM edges "
+       + "UNION SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id) "
+       + "SELECT id, MIN(comp)::BIGINT AS comp FROM reach GROUP BY id ORDER BY id"),
+    // q334's full merge replay on the 1/16-subsampled corpus: the
+    // signature pin filters per-doc; band/agreement/keep-first rules
+    // are unchanged, the pair join is ~256× smaller
+    "q385_neardup_merge_twin" ->
+      ("WITH s AS (SELECT id, i, h FROM read_parquet('/root/repo/golden/sf0.01/q333_neardup_sigs/*.parquet') WHERE id % 32 <= 1), "
+       + "ag AS (SELECT a.id AS a, b.id AS b, ((a.i - 1) // 4) AS band, COUNT(*) AS c "
+       + "FROM s a JOIN s b ON a.i = b.i AND a.h = b.h AND a.id < b.id GROUP BY 1, 2, 3), "
+       + "cand AS (SELECT a, b FROM ag GROUP BY a, b HAVING MAX(c) = 4), "
+       + "matched AS (SELECT cand.a, cand.b FROM cand "
+       + "JOIN (SELECT a, b, SUM(c) AS k FROM ag GROUP BY a, b) t USING (a, b) WHERE t.k >= 32), "
+       + "evens AS (SELECT doc_id FROM documents WHERE doc_id % 32 <= 1 AND doc_id % 2 = 0), "
+       + "odds AS (SELECT doc_id FROM documents WHERE doc_id % 32 <= 1 AND doc_id % 2 = 1), "
+       + "drop1 AS (SELECT DISTINCT m.b AS doc_id FROM matched m "
+       + "JOIN evens ea ON ea.doc_id = m.a JOIN evens eb ON eb.doc_id = m.b), "
+       + "surv1 AS (SELECT doc_id FROM evens WHERE doc_id NOT IN (SELECT doc_id FROM drop1)), "
+       + "drop3c AS (SELECT DISTINCT o.doc_id FROM odds o JOIN matched m "
+       + "ON (m.a = o.doc_id AND m.b IN (SELECT doc_id FROM surv1)) "
+       + "OR (m.b = o.doc_id AND m.a IN (SELECT doc_id FROM surv1))), "
+       + "drop3i AS (SELECT DISTINCT m.b AS doc_id FROM matched m "
+       + "JOIN odds oa ON oa.doc_id = m.a JOIN odds ob ON ob.doc_id = m.b), "
+       + "surv3 AS (SELECT doc_id FROM odds WHERE doc_id NOT IN (SELECT doc_id FROM drop3c) "
+       + "AND doc_id NOT IN (SELECT doc_id FROM drop3i)) "
+       + "SELECT doc_id FROM surv1 UNION ALL SELECT doc_id FROM surv3 ORDER BY doc_id"),
     // the delta detection replayed in SQL from the pinned store:
     // evens are the index, odds the batch; counts and diagonals are
     // integer-exact

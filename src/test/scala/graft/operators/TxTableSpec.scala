@@ -204,6 +204,29 @@ class TxTableSpec extends SparkSpec {
     assert(reclaimed.exists(_.startsWith("v00009-deadbeef")))
     assert(!java.nio.file.Files.exists(orphan))
     assert(TxTable.snapshot(spark, dir).count() == 1)
+    // TREE age, not dir age: a partitioned writer's stage keeps its
+    // top-level mtime at creation — only the partition subdir/file
+    // mtimes move. An old dir holding a FRESH file is an in-flight
+    // commit, not an orphan (the round-15 advice fix: pre-fix a
+    // single commit outliving the retention window lost its stage)
+    val inflight = java.nio.file.Paths.get(dir, "data", "v00010-inflight")
+    val part = inflight.resolve("__p_lang=en")
+    java.nio.file.Files.createDirectories(part)
+    java.nio.file.Files.write(part.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(inflight, old)
+    java.nio.file.Files.setLastModifiedTime(part, old)
+    TxTable.vacuum(dir, retainFrom = 1)
+    assert(java.nio.file.Files.exists(part.resolve("part-0.parquet")),
+      "a live (fresh-file) stage must survive vacuum")
+    // once every byte in the tree is old it IS a crash leftover
+    java.nio.file.Files.setLastModifiedTime(
+      part.resolve("part-0.parquet"), old)
+    TxTable.vacuum(dir, retainFrom = 1)
+    assert(!java.nio.file.Files.exists(inflight),
+      "an all-old orphan stage must be reclaimed")
   }
 
   test("per-file stats skip files; snapshotWhere == snapshot.filter always") {
