@@ -34,6 +34,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("IsNotNull(event_type)") || s.contains("EqualTo(event_type"), s)
   }
 
+  test("SQL scan of a DV'd txlog table: filter reaches the parquet scan through the snapshot rewrite") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("txlog-planshape-")
+      .toString
+    import spark.implicits._
+    graft.operators.TxTable.commitAppend(
+      (1L to 100L).map(i => (i, s"s$i")).toDF("id", "s"), dir)
+    graft.operators.TxTable.commitDeleteDV(spark, dir, col("id") % 10 === 0)
+    val df = spark.sql(s"SELECT id FROM txlog.`$dir` WHERE id > 50")
+    val s2 = planString(df)
+    // the user predicate must reach the data-file scan underneath the
+    // TxSnapshotScan rewrite (through the alias Project and AROUND
+    // the DV anti-join) — otherwise every SQL read of a DV'd table
+    // scans the whole table at 100 TB
+    assert(s2.contains("PushedFilters: [") &&
+      (s2.contains("GreaterThan(id,50)") || s2.contains("GreaterThan(id, 50)")),
+      s2)
+    assert(df.collect().map(_.getLong(0)).toSet ==
+      (51L to 100L).toSet -- Set(60L, 70L, 80L, 90L, 100L))
+  }
+
   test("q01 projection prunes the scan to the selected columns") {
     val s = planString(q("q01_scan"))
     val read = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
