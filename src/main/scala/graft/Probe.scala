@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc measurement harness for the optimization rounds: times the
+  * labelled sub-stages of a hot query so a change targets the stage
+  * that actually costs (guide §1 "measure first"). Not part of any
+  * query path; never invoked by the driver.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.Sessions.local("graft-probe",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val which = args.headOption.getOrElse("q277")
+    def time(tag: String)(f: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(tag)
+      val t0 = System.nanoTime()
+      f
+      println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      spark.sparkContext.setJobDescription(null)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    which match {
+      case "q277" =>
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        // fixture: reuse the query's own cached dir by running it once
+        noop(SparkEntry.queries("q277_binary_ingest")(spark, sfDir))
+        // the NEWEST pngdir is the one this JVM's query just created
+        val d = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
+          .filter(p => p.getFileName.toString.startsWith("graft-pngdir-"))
+          .sorted(java.util.Comparator.comparingLong((p: java.nio.file.Path) =>
+            java.nio.file.Files.getLastModifiedTime(p).toMillis).reversed())
+          .findFirst().get().toString
+        println(s"PROBE dir $d")
+        def scan = spark.read.format("binaryFile").load(s"$d/*.png")
+        def scan2 = spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png").load(d)
+        time("count glob")(scan.selectExpr("count(*)").collect())
+        time("count dir+filter")(scan2.selectExpr("count(*)").collect())
+        time("count dir+filter 2")(scan2.selectExpr("count(*)").collect())
+        time("count only")(scan.selectExpr("count(*)").collect())
+        time("bytes noop")(noop(scan.select(col("content"))))
+        time("bytes noop 2")(noop(scan.select(col("content"))))
+        time("decode noop")(noop(graft.multimodal.Multimodal.decode(
+          scan.select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+            .cast("bigint").as("media_id"),
+            lit("image").as("media_type"), col("content")))))
+        val decoded = graft.multimodal.Multimodal.decode(
+          scan.select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
+            .cast("bigint").as("media_id"),
+            lit("image").as("media_type"), col("content")))
+          .filter(col("ok"))
+          .select(col("media_id"), col("width").cast("bigint").as("width"),
+            col("height").cast("bigint").as("height"))
+        time("no orderBy")(noop(decoded))
+        time("with orderBy")(noop(decoded.orderBy("media_id")))
+        time("with orderBy 2")(noop(decoded.orderBy("media_id")))
+        time("full query")(noop(
+          SparkEntry.queries("q277_binary_ingest")(spark, sfDir)))
+      case "q125" =>
+        // decompose PageRank: edge build vs ew pin vs per-round cost
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        def t0(n: String) = graft.engine.Tables(spark, sfDir, n)
+        def edges = {
+          val o = t0("orders").select(col("o_orderkey"), col("o_custkey"))
+          val l = t0("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"),
+              (col("l_suppkey") + lit(1000000000L)).as("su"))
+            .distinct()
+          pairs.select(col("c").as("src"), col("su").as("dst"))
+            .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+        }
+        // warm
+        noop(edges)
+        time("edge build noop")(noop(edges))
+        for (iters <- Seq(1, 2, 5)) {
+          time(s"pagerank $iters iters")(
+            noop(graft.operators.PageRank.run(edges, iters)))
+          spark.catalog.clearCache()
+        }
+        time("kcore 4 rounds")(noop(graft.operators.KCore.peel(
+          edges.select(col("src"), col("dst")), k = 3, rounds = 4)))
+      case other =>
+        // generic: run the named query once, cold, with one timing
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        time(other)(noop(SparkEntry.queries(other)(spark, sfDir)))
+    }
+    spark.stop()
+  }
+}

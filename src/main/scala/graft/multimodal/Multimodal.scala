@@ -34,6 +34,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every
+  // `ImageIO.read`/`write` call creates, fills and deletes a temp
+  // FILE (FileCacheImageInputStream) just to buffer bytes that are
+  // already in memory here (content arrives as byte arrays). One
+  // static opt-out switches every decode in this JVM to the in-memory
+  // cache — pure I/O plumbing, decoded pixels identical. Runs once
+  // per executor JVM when the object loads.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media-table schema: (id, media_type, content, meta). */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),

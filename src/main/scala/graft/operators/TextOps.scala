@@ -848,9 +848,15 @@ object TextOps {
     */
   def jsonProfile(df: DataFrame, jsonCol: String): DataFrame = {
     val total = df.agg(count(lit(1)).as("n_total"))
+    // ONE JSON parse per row: explode the object as a string→string
+    // map (Jackson renders scalar values as their raw text, exactly
+    // what `get_json_object('$.key')` returned). The previous shape —
+    // `json_object_keys` + one `get_json_object` per exploded key —
+    // re-parsed the full document k+1 times per row; a profiler's
+    // whole input is JSON, so the parse IS the operator's hot loop.
     val kv = df.select(col(jsonCol).as("j"))
-      .select(col("j"), explode(expr("json_object_keys(j)")).as("key"))
-      .withColumn("v", expr("get_json_object(j, concat('$.', key))"))
+      .select(explode(expr("from_json(j, 'map<string,string>')"))
+        .as(Seq("key", "v")))
       .withColumn("cls",
         when(col("v").rlike("^-?[0-9]+$"), "int")
           .when(col("v").isin("true", "false"), "bool")

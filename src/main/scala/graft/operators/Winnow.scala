@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
@@ -34,33 +33,24 @@ object Winnow {
 
   /** Fingerprint table: (did, pos, fp) — `pos` is the 1-based start
     * of the selected k-gram, `fp` its xxhash64. Selection is
-    * winnowing over windows of `t - k + 1` consecutive k-grams.
+    * winnowing over windows of `t - k + 1` consecutive k-grams,
+    * computed entirely scan-side by the one-pass monotonic-deque
+    * kernel ([[graft.functions.WinnowKernels]]): the previous plan
+    * exploded every gram through an Exchange(did) + sort and paid an
+    * O(L·w) sliding-frame `min(struct(h, -pos))` per document; the
+    * kernel emits the identical selection set (same xxhash64 grams,
+    * same rightmost-min tie-break, same first-full-window rule, same
+    * dedup) in O(L) inside whole-stage codegen with no shuffle at all.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, t: Int = 32): DataFrame = {
     require(k >= 2 && t > k, "need k >= 2 and t > k")
     val w = t - k + 1
-    val grams = graft.engine.Par.widen(docs)
-      .filter(length(col(textCol)) >= k)
+    graft.engine.Par.widen(docs)
       .select(col(idCol).cast("long").as("did"),
-        posexplode(transform(
-          sequence(lit(1), length(col(textCol)) - lit(k - 1)),
-          i => xxhash64(col(textCol).substr(i, lit(k)))))
-          .as(Seq("p0", "h")))
-      .select(col("did"), (col("p0") + 1).cast("int").as("pos"), col("h"))
-    val win = Window.partitionBy(col("did")).orderBy(col("pos"))
-      .rowsBetween(-(w - 1), Window.currentRow)
-    grams
-      .withColumn("sel",
-        min(struct(col("h").as("h"), (-col("pos")).as("np"))).over(win))
-      // windows shorter than w (the first w-1 per doc) would
-      // under-constrain the min — winnowing starts at the first FULL
-      // window, i.e. selections are valid from pos >= w
-      .filter(col("pos") >= w)
-      .select(col("did"),
-        (-col("sel.np")).cast("int").as("pos"),
-        col("sel.h").as("fp"))
-      .distinct()
+        explode(graft.functions.WinnowFunctions
+          .winnowSelect(col(textCol), k, w)).as("s"))
+      .select(col("did"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
   /** Candidate matches between a NEW batch and the persisted index

@@ -899,19 +899,12 @@ object AnalyticsQueries {
         .select(col("u"), col("v")).distinct()
         .repartition(col("u")).persist()
       val seed = e0.agg(min(col("u"))).collect()(0).getLong(0)
-      var dist = e0.select(col("u")).distinct()
+      val dist0 = e0.select(col("u")).distinct()
         .select(col("u").as("node"),
           when(col("u") === seed, 0L).otherwise(lit(Long.MaxValue))
             .as("dd"))
-      for (_ <- 1 to 2) {
-        val relaxed = dist.join(e0, col("node") === col("u"))
-          .filter(col("dd") =!= Long.MaxValue)
-          .select(col("v").as("node"), (col("dd") + 1L).as("dd"))
-        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
-        graft.engine.Checkpoints.release(dist)
-        dist = next
-      }
+      val dist = graft.operators.Relax
+        .rounds(e0, dist0, iterations = 2, weighted = false)
       val out = dist.filter(col("dd") =!= Long.MaxValue)
         .groupBy(col("dd").as("dist"))
         .agg(count(lit(1)).as("n_nodes"),
@@ -971,19 +964,12 @@ object AnalyticsQueries {
         .withColumn("w", pmod(col("u") + col("v"), lit(97L)) + lit(1L))
         .repartition(col("u")).persist()
       val seed = e0.agg(min(col("u"))).collect()(0).getLong(0)
-      var dist = e0.select(col("u")).distinct()
+      val dist0 = e0.select(col("u")).distinct()
         .select(col("u").as("node"),
           when(col("u") === seed, 0L).otherwise(lit(Long.MaxValue))
             .as("dd"))
-      for (_ <- 1 to 2) {
-        val relaxed = dist.join(e0, col("node") === col("u"))
-          .filter(col("dd") =!= Long.MaxValue)
-          .select(col("v").as("node"), (col("dd") + col("w")).as("dd"))
-        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
-        graft.engine.Checkpoints.release(dist)
-        dist = next
-      }
+      val dist = graft.operators.Relax
+        .rounds(e0, dist0, iterations = 2, weighted = true)
       e0.unpersist()
       dist.filter(col("dd") =!= Long.MaxValue)
         .orderBy(col("dd"), col("node")).limit(25)
@@ -2333,18 +2319,11 @@ object AnalyticsQueries {
       val e0 = a.join(b, Seq("k")).filter(col("u") =!= col("v"))
         .select(col("u"), col("v")).distinct()
         .repartition(col("u")).persist()
-      var dist = e0.select(col("u")).distinct()
+      val dist0 = e0.select(col("u")).distinct()
         .select(col("u").as("node"),
           when(col("u") === 1L, 0L).otherwise(lit(Long.MaxValue)).as("dd"))
-      for (_ <- 1 to 4) {
-        val relaxed = dist.join(e0, col("node") === col("u"))
-          .filter(col("dd") =!= Long.MaxValue)
-          .select(col("v").as("node"), (col("dd") + 1L).as("dd"))
-        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
-        graft.engine.Checkpoints.release(dist)
-        dist = next
-      }
+      val dist = graft.operators.Relax
+        .rounds(e0, dist0, iterations = 4, weighted = false)
       e0.unpersist() // dist is materialized by the final lineage cut
       dist.filter(col("dd") =!= Long.MaxValue)
         .groupBy(col("dd")).agg(count(lit(1)).as("n_nodes"))
@@ -3260,18 +3239,11 @@ object AnalyticsQueries {
         .select(col("u"), col("v")).distinct()
         .withColumn("w", pmod(col("u") + col("v"), lit(97L)) + lit(1L))
         .repartition(col("u")).persist()
-      var dist = e0.select(col("u")).distinct()
+      val dist0 = e0.select(col("u")).distinct()
         .select(col("u").as("node"),
           when(col("u") === 1L, 0L).otherwise(lit(Long.MaxValue)).as("dd"))
-      for (_ <- 1 to 4) {
-        val relaxed = dist.join(e0, col("node") === col("u"))
-          .filter(col("dd") =!= Long.MaxValue)
-          .select(col("v").as("node"), (col("dd") + col("w")).as("dd"))
-        val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
-          .groupBy(col("node")).agg(min(col("dd")).as("dd")))
-        graft.engine.Checkpoints.release(dist)
-        dist = next
-      }
+      val dist = graft.operators.Relax
+        .rounds(e0, dist0, iterations = 4, weighted = true)
       e0.unpersist() // dist is materialized by the final lineage cut
       dist.filter(col("dd") =!= Long.MaxValue)
         .orderBy(col("dd"), col("node")).limit(25)
@@ -3816,8 +3788,16 @@ object AnalyticsQueries {
     // scan-side, only (id, dims) scalars reach the sort)
     "q277_binary_ingest" -> ((s, d) => {
       val dir = pngFileDir(s, d)
+      // directory + pathGlobFilter, NOT a `dir/*.png` glob: the glob
+      // form expands to one ROOT PATH PER FILE before the scan, and
+      // DataSource then pays per-path existence/status work on every
+      // query invocation — measured 8.9 s vs 0.3 s for the identical
+      // 5000-file listing at sf0.1 (31x; guide §6 small-files cost,
+      // but in the driver's LISTING, not the executors' opens). Same
+      // file set, same rows.
       val decoded = graft.multimodal.Multimodal.decode(
-        s.read.format("binaryFile").load(s"$dir/*.png")
+        s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+          .load(dir)
           .select(regexp_extract(col("path"), "(\\d+)\\.png$", 1)
             .cast("bigint").as("media_id"),
             lit("image").as("media_type"), col("content")))

@@ -1398,7 +1398,8 @@ object StreamingQueries {
           StructField("modificationTime", TimestampType),
           StructField("length", LongType),
           StructField("content", BinaryType))))
-        .load(s"$wdir/*.warc*")
+        .option("pathGlobFilter", "*.warc*")
+        .load(wdir)
       val q = graft.sources.Warc.explodeRecords(files)
         .filter(col("warc_type") === "response")
         .select(

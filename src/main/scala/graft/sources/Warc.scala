@@ -148,7 +148,12 @@ object Warc {
     * records exploded scan-side.
     */
   def ingest(spark: SparkSession, dir: String): DataFrame =
-    explodeRecords(spark.read.format("binaryFile").load(s"$dir/*.warc*"))
+    // directory + pathGlobFilter, not a `dir/*.warc*` glob — the glob
+    // form turns every matched shard into its own root path and pays
+    // per-path driver listing work each invocation (q277's measured
+    // 31x trap); a WARC dump directory can hold 100k shards
+    explodeRecords(spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(dir))
 
   /** The record explosion alone, over any (path, content) relation —
     * batch or STREAMING (stateless mapPartitions, so the same walk

@@ -99,7 +99,11 @@ object WebDataset {
       StructField("shard", StringType),
       StructField("name", StringType),
       StructField("content", BinaryType))))
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    // directory + pathGlobFilter, not a `dir/*.tar` glob (the per-root-
+    // path driver listing trap — see q277): shard counts reach 10k+ in
+    // real WebDataset dumps
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+      .load(dir)
       .select(col("path"), col("content"))
       .mapPartitions { it =>
         it.flatMap { r =>

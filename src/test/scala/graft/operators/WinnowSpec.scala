@@ -40,6 +40,46 @@ class WinnowSpec extends SparkSpec {
     assert(got.size <= nGrams - w + 1 && got.nonEmpty)
   }
 
+  /** Code-point-aware gram hashes (the engine's `substr`/`length` unit
+    * — NOT UTF-16), for pinning the deque kernel on multibyte text.
+    */
+  private def gramHashesCp(text: String, k: Int): Seq[(Int, Long)] = {
+    val n = text.codePointCount(0, text.length)
+    (1 to n - k + 1).map { p =>
+      val s = text.offsetByCodePoints(0, p - 1)
+      val e = text.offsetByCodePoints(0, p - 1 + k)
+      p -> Seq(text.substring(s, e)).toDF("g")
+        .select(xxhash64(col("g"))).head().getLong(0)
+    }
+  }
+
+  test("kernel edge cases: multibyte, ties, boundary lengths") {
+    val k = 4
+    val t = 9
+    val w = t - k + 1 // 6
+    // multibyte: 2-byte, 3-byte and astral (4-byte) code points — the
+    // deque kernel walks UTF-8 bytes; positions must stay code-point
+    val multi = "héllo wörld 日本語😀 café " +
+      "pâté naïve résumé touché!"
+    // all-equal hashes: rightmost tie-break dominates every window
+    val ties = "aaaaaaaaaaaaaaaaaaaaaaaa"
+    // exactly one full window, and one char short of it
+    val nOne = k + w - 1
+    val one = "abcdefghijklmnopqrstuvwxyz".take(nOne)
+    val short = one.dropRight(1)
+    for (text <- Seq(multi, ties, one)) {
+      val got = Winnow.fingerprints(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", k, t)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+      val want = bruteWinnow(gramHashesCp(text, k), w)
+      assert(got == want, s"text=$text")
+      assert(got.nonEmpty)
+    }
+    assert(Winnow.fingerprints(
+        Seq((1L, short)).toDF("doc_id", "text"), "doc_id", "text", k, t)
+      .count() == 0, "no full window => no selection")
+  }
+
   test("guarantee: any shared run >= t yields a shared fingerprint") {
     def filler(seed: Int, n: Int): String =
       (0 until n).map { i =>

@@ -659,18 +659,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(s.contains("Window"), s"rounds must pair via lead():\n$s")
   }
 
-  test("q338 winnowing is one window pass per doc, no self-join") {
+  test("q338 winnowing is scan-side codegen, no window, no shuffle") {
+    // round-15 optimization pin: selection happens entirely inside the
+    // scan stage via the one-pass deque kernel (winnowselect explode)
+    // — no WindowExec, no join, and no hash exchange at all (the only
+    // allowed exchange is Par.widen's round-robin repartition)
     val df = graft.operators.Winnow.fingerprints(
       graft.engine.Tables(spark, sf, "documents")
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text")),
       "doc_id", "text")
     val s = planString(df)
-    assert(s.contains("Window"), s"selection must be a window:\n$s")
+    assert(s.contains("winnowselect"), s"selection must be the kernel:\n$s")
+    assert(!s.contains("Window"), s"no window pass anymore:\n$s")
     assert(!s.contains("Join"), s"selection must not join:\n$s")
     val exchanges = s.linesIterator
       .count(l => l.contains("Exchange hash"))
-    assert(exchanges <= 3,
-      s"widen + per-doc window + distinct only ($exchanges):\n$s")
+    assert(exchanges == 0,
+      s"selection must not shuffle ($exchanges):\n$s")
   }
 }
