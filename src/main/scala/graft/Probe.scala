@@ -85,6 +85,93 @@ object Probe {
         }
         time("kcore 4 rounds")(noop(graft.operators.KCore.peel(
           edges.select(col("src"), col("dst")), k = 3, rounds = 4)))
+      case "sym" =>
+        // A/B: union-form vs explode-form symmetrize feeding Lpa.run
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        def t0(n: String) = graft.engine.Tables(spark, sfDir, n)
+        def pairs = {
+          val o = t0("orders").select(col("o_orderkey"), col("o_custkey"))
+          val l = t0("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"),
+              (col("l_suppkey") + lit(1000000000L)).as("su"))
+            .distinct()
+        }
+        def unionForm = pairs.select(col("c").as("src"), col("su").as("dst"))
+          .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+        def explodeForm = pairs.select(explode(array(
+            struct(col("c").as("src"), col("su").as("dst")),
+            struct(col("su").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        noop(unionForm); noop(explodeForm) // warm
+        for (rep <- 1 to 3) {
+          time(s"edges union $rep")(noop(unionForm))
+          time(s"edges explode $rep")(noop(explodeForm))
+        }
+        for (rep <- 1 to 3) {
+          time(s"lpa union $rep")(
+            noop(graft.operators.Lpa.run(unionForm, 5)))
+          spark.catalog.clearCache()
+          time(s"lpa explode $rep")(
+            noop(graft.operators.Lpa.run(explodeForm, 5)))
+          spark.catalog.clearCache()
+        }
+      case "pr" =>
+        // A/B: aggregate+join outdeg attachment (old) vs count-over-
+        // window on the pinned shuffle (new), same 5-iteration loop
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        def t0(n: String) = graft.engine.Tables(spark, sfDir, n)
+        def edges = {
+          val o = t0("orders").select(col("o_orderkey"), col("o_custkey"))
+          val l = t0("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"),
+              (col("l_suppkey") + lit(1000000000L)).as("su"))
+            .distinct()
+          pairs.select(explode(array(
+              struct(col("c").as("src"), col("su").as("dst")),
+              struct(col("su").as("src"), col("c").as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        }
+        def runOld(iterations: Int): org.apache.spark.sql.DataFrame = {
+          val e = edges.select(col("src").cast("long").as("e_src"),
+            col("dst").cast("long").as("e_dst"))
+          val outdeg = e.groupBy(col("e_src")).agg(count(lit(1)).as("d"))
+            .select(col("e_src").as("o_src"), col("d"))
+          val ew = e.join(outdeg, col("e_src") === col("o_src"))
+            .select(col("e_src"), col("e_dst"), col("d"))
+            .repartition(col("e_src"))
+            .persist()
+          var ranks = outdeg.select(col("o_src").as("node"),
+            lit(graft.operators.PageRank.Scale).as("r"))
+          var lastCut: org.apache.spark.sql.DataFrame = null
+          for (_ <- 1 to iterations) {
+            val contribs = ranks
+              .join(ew, col("node") === col("e_src"))
+              .select(col("e_dst").as("node2"), expr("r div d").as("c"))
+            val plan = contribs.groupBy(col("node2"))
+              .agg(sum(col("c")).as("s"))
+              .select(col("node2").as("node"),
+                (lit(15L * graft.operators.PageRank.Scale / 100) +
+                  expr("(85 * s) div 100")).as("r"))
+            val next = graft.engine.Checkpoints.cut(plan)
+            if (lastCut != null) graft.engine.Checkpoints.release(lastCut)
+            lastCut = next
+            ranks = next
+          }
+          ew.unpersist()
+          ranks
+        }
+        noop(graft.operators.PageRank.run(edges, 5)); spark.catalog.clearCache()
+        noop(runOld(5)); spark.catalog.clearCache() // warm both
+        for (rep <- 1 to 3) {
+          time(s"pr old $rep")(noop(runOld(5)))
+          spark.catalog.clearCache()
+          time(s"pr new $rep")(noop(graft.operators.PageRank.run(edges, 5)))
+          spark.catalog.clearCache()
+        }
       case other =>
         // generic: run the named query once, cold, with one timing
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -77,15 +77,20 @@ object Components extends org.apache.spark.internal.Logging {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("_old"))
       // pointer doubling: follow my label to ITS label (left join — the
-      // label is always a live node id, but never drop a row on a miss)
-      val doubled = propagated
-        .join(labels.select(col("id").as("_pid"), col("comp").as("_pcomp")),
-          col("comp") === col("_pid"), "left")
+      // label is always a live node id, but never drop a row on a miss).
+      // Round 1 skips it: labels are the identity (comp == id), so
+      // label-of-label is provably comp itself — one fewer |V| join.
+      val doubled =
+        if (i == 0) propagated
+        else propagated
+          .join(labels.select(col("id").as("_pid"), col("comp").as("_pcomp")),
+            col("comp") === col("_pid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("_pcomp"), col("comp")))
+              .as("comp"),
+            col("_old"))
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = doubled
-        .select(col("id"),
-          least(col("comp"), coalesce(col("_pcomp"), col("comp"))).as("comp"),
-          col("_old"))
         .observe(obs, sum(when(col("comp") =!= col("_old"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("comp"))

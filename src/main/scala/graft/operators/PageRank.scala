@@ -45,15 +45,16 @@ object PageRank {
     // would trip the ambiguous-self-join check on every iteration
     val e = edges.select(col("src").cast("long").as("e_src"),
       col("dst").cast("long").as("e_dst"))
-    val outdeg = e.groupBy(col("e_src")).agg(count(lit(1)).as("d"))
-      .select(col("e_src").as("o_src"), col("d"))
-    // attach each edge's source outdegree ONCE, hash-partition the
-    // result on the join key, and pin it: the big relation of the loop
-    // is now shuffled a single time — every iteration's join re-uses
-    // the layout, so only the |V|-row ranks side moves per round
-    val ew = e.join(outdeg, col("e_src") === col("o_src"))
-      .select(col("e_src"), col("e_dst"), col("d"))
-      .repartition(col("e_src"))
+    // attach each edge's source outdegree ONCE as a count-over-window
+    // on the SAME shuffle that pins the loop layout: one pass over the
+    // edge list, one exchange — the previous aggregate-then-join shape
+    // paid a second exchange for the outdeg aggregate plus the join
+    // itself, and (exchange reuse aside) a second scan of the upstream
+    // edge build. Every iteration's join re-uses this layout, so only
+    // the |V|-row ranks side moves per round.
+    val ew = e.repartition(col("e_src"))
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("e_src"))))
       .persist()
     // every node appears as a src in a symmetrized edge list.
     // Lineage is cut EVERY round: a stride-2 variant (fuse two rounds
@@ -64,7 +65,8 @@ object PageRank {
     // every cut (release() on the intervening round's uncut composite
     // plan is a structural no-op). Per-round cut + release of the
     // previous round keeps resident blocks at ~2× the working set.
-    var ranks = outdeg.select(col("o_src").as("node"), lit(Scale).as("r"))
+    var ranks = ew.select(col("e_src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("r"))
     var lastCut: DataFrame = null
     for (i <- 1 to iterations) {
       val contribs = ranks
@@ -100,13 +102,12 @@ object PageRank {
       iterations: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("e_src"),
       col("dst").cast("long").as("e_dst"))
-    val outdeg = e.groupBy(col("e_src")).agg(count(lit(1)).as("d"))
-      .select(col("e_src").as("o_src"), col("d"))
-    val ew = e.join(outdeg, col("e_src") === col("o_src"))
-      .select(col("e_src"), col("e_dst"), col("d"))
-      .repartition(col("e_src"))
+    // one-exchange outdegree attachment — see [[run]]
+    val ew = e.repartition(col("e_src"))
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("e_src"))))
       .persist()
-    val nodes = outdeg.select(col("o_src").as("node"))
+    val nodes = ew.select(col("e_src").as("node")).distinct()
       .repartition(col("node"))
       .persist()
     val base = when(col("node") === source, lit(15L * Scale / 100))
@@ -150,16 +151,17 @@ object PageRank {
   def runDangling(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("e_src"),
       col("dst").cast("long").as("e_dst"))
-    val outdeg = e.groupBy(col("e_src")).agg(count(lit(1)).as("d"))
-      .select(col("e_src").as("o_src"), col("d"))
-    val ew = e.join(outdeg, col("e_src") === col("o_src"))
-      .select(col("e_src"), col("e_dst"), col("d"))
-      .repartition(col("e_src"))
+    // one-exchange outdegree attachment — see [[run]]
+    val ew = e.repartition(col("e_src"))
+      .withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("e_src"))))
       .persist()
     // node universe = src ∪ dst; pinned — reused |iterations| times as
-    // the left side of the rank refresh AND the dangling anti-join
-    val nodes = e.select(col("e_src").as("node"))
-      .union(e.select(col("e_dst").as("node")))
+    // the left side of the rank refresh AND the dangling anti-join.
+    // The src side reads the PINNED ew blocks (already partitioned on
+    // e_src) instead of replaying the upstream edge build.
+    val nodes = ew.select(col("e_src").as("node"))
+      .union(ew.select(col("e_dst").as("node")))
       .distinct()
       .repartition(col("node"))
       .persist()
@@ -170,7 +172,8 @@ object PageRank {
     // semi-joins ranks against this usually-tiny set instead of
     // anti-joining against the |V|-row outdeg table
     val dangNodes = nodes
-      .join(outdeg, col("node") === col("o_src"), "left_anti")
+      .join(ew.select(col("e_src").as("o_src")).distinct(),
+        col("node") === col("o_src"), "left_anti")
       .select(col("node").as("dn"))
       .persist()
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))

@@ -75,9 +75,15 @@ object SuffixDedup {
           sequence(lit(1), length(col(textCol)) - lit(b - 1)),
           i => col(textCol).substr(i, lit(b)))).as(Seq("p0", "g")))
       .select(col("did"), (col("p0") + 1).cast("int").as("pos"), col("g"))
-      .cache() // read twice: the id aggregate and the join-back
-    val rep0 = grams.groupBy(col("g")).agg(minMember().as("cls"))
-    var cls = grams.join(rep0, Seq("g"))
+    // seed class id as a min-member WINDOW over the gram groups: ONE
+    // shuffle of the gram rows (by g) instead of the previous
+    // aggregate + join-back pair, and no cache of the string-payload
+    // gram relation needed (it is read exactly once now). Same cls per
+    // row — min over the same group. (The PageRank round-15 outdeg
+    // lesson: attach a group aggregate on the shuffle you already pay,
+    // don't re-join it.)
+    var cls = grams
+      .withColumn("cls", minMember().over(Window.partitionBy(col("g"))))
       .select(col("did"), col("pos"), col("cls"))
       .repartition(col("did")) // the ONE exchange all rounds share
     var h = b
@@ -114,13 +120,12 @@ object SuffixDedup {
     * aggregate map-side-combines and the join-back is AQE-planable —
     * no single task ever buffers a hot class.
     */
-  private def rerank(cls: DataFrame): DataFrame = {
-    val c = cls.cache() // read twice: aggregate + join-back
-    val rep = c.groupBy(col("cls")).agg(minMember().as("nc"))
-    c.join(rep, Seq("cls"))
+  private def rerank(cls: DataFrame): DataFrame =
+    // min-member window over the class groups — one shuffle, no
+    // aggregate+join-back, no cache (same rewrite as the seed above)
+    cls.withColumn("nc", minMember().over(Window.partitionBy(col("cls"))))
       .select(col("did"), col("pos"), col("nc").as("cls"))
       .repartition(col("did")) // restore round partitioning
-  }
 
   /** Maximal duplicated regions: (doc_id, span_start, span_len), one
     * row per maximal union-merged run of duplicated `window`-gram

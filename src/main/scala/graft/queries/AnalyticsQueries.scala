@@ -25,6 +25,19 @@ object AnalyticsQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Symmetrize the (c, su) trade-pair relation to (src, dst) both
+    * ways in ONE pass — explode of a two-element struct array instead
+    * of a self-union: the union form computes the pair build (the
+    * orders⋈lineitem join + distinct) once per branch (exchange reuse
+    * dedupes only the distinct's shuffle, not the aggregate above it).
+    * Row multiset identical to the union form.
+    */
+  private def symBoth(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("c").as("src"), col("su").as("dst")),
+        struct(col("su").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** Synthetic media table per sf dir, generated once per JVM and kept
     * persisted: the PNG/WAV/AVI byte ASSEMBLY is test-fixture input
     * fabrication (a real pipeline reads existing media bytes), so it
@@ -856,8 +869,7 @@ object AnalyticsQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
-      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val edges = symBoth(pairs)
       graft.operators.PageRank.run(edges, iterations = 5)
         .orderBy(col("r").desc, col("node"))
         .limit(20)
@@ -878,8 +890,7 @@ object AnalyticsQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
-      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val edges = symBoth(pairs)
       graft.operators.PageRank.run(edges, iterations = 3)
         .orderBy(col("r").desc, col("node"))
         .limit(20)
@@ -1015,8 +1026,7 @@ object AnalyticsQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
-      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val edges = symBoth(pairs)
       graft.operators.Lpa.run(edges, iterations = 2)
         .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(20)
@@ -1181,8 +1191,7 @@ object AnalyticsQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
-      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val edges = symBoth(pairs)
       graft.operators.GraphStats.assortativity(edges, "src", "dst")
     }),
 
@@ -1221,8 +1230,7 @@ object AnalyticsQueries {
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
       val src = pairs.agg(min(col("c"))).head().getLong(0)
-      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val edges = symBoth(pairs)
       graft.operators.PageRank.personalized(edges, src, iterations = 5)
         .orderBy(col("r").desc, col("node"))
         .limit(20)
@@ -2755,8 +2763,7 @@ object AnalyticsQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
-      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val edges = symBoth(pairs)
       graft.operators.Lpa.run(edges, iterations = 5)
         .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(20)
@@ -2805,8 +2812,7 @@ object AnalyticsQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
-      val edges = pairs.select(col("c").as("src"), col("su").as("dst"))
-        .unionAll(pairs.select(col("su").as("src"), col("c").as("dst")))
+      val edges = symBoth(pairs)
       val lab = graft.operators.Lpa.run(edges, iterations = 5)
       val m2 = edges.agg(count(lit(1)).as("m2"))
       val el = edges
@@ -3542,10 +3548,14 @@ object AnalyticsQueries {
     // scale "how good is my near-dup detector" is itself a big join
     "q226_dedup_eval" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // both pair relations feed TWO consumers each (their own count
+      // and the semi join) — cache them so each pair engine's banded
+      // join runs once per call, not twice (the engines cache their
+      // signature tables internally, but not the join above them)
       val truth = Dedup.jaccardAuto(docs, "doc_id", "text",
-        n = 3, threshold = 0.8).select(col("a"), col("b"))
+        n = 3, threshold = 0.8).select(col("a"), col("b")).cache()
       val approx = Dedup.simHashPairs(docs, "doc_id", "text",
-        maxHamming = 3).select(col("a"), col("b"))
+        maxHamming = 3).select(col("a"), col("b")).cache()
       val hit = approx.join(truth, Seq("a", "b"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
