@@ -172,6 +172,109 @@ object Probe {
           time(s"pr new $rep")(noop(graft.operators.PageRank.run(edges, 5)))
           spark.catalog.clearCache()
         }
+      case "lpa" =>
+        // A/B: committed Lpa.run (observe early-exit) vs the pre-r15
+        // fixed-round loop, same edges, alternating in one JVM
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        def t0(n: String) = graft.engine.Tables(spark, sfDir, n)
+        def edges = {
+          val o = t0("orders").select(col("o_orderkey"), col("o_custkey"))
+          val l = t0("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey").as("c"),
+              (col("l_suppkey") + lit(1000000000L)).as("su"))
+            .distinct()
+          pairs.select(explode(array(
+              struct(col("c").as("src"), col("su").as("dst")),
+              struct(col("su").as("src"), col("c").as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        }
+        def lpaOld(iterations: Int): org.apache.spark.sql.DataFrame = {
+          val e = edges.select(col("src").cast("long").as("e_src"),
+            col("dst").cast("long").as("e_dst"))
+            .repartition(col("e_src")).persist()
+          var labels = e.select(col("e_src").as("node")).distinct()
+            .select(col("node"), col("node").as("lbl"))
+          var lastCut: org.apache.spark.sql.DataFrame = null
+          for (_ <- 1 to iterations) {
+            val votes = labels
+              .join(e, col("node") === col("e_src"))
+              .groupBy(col("e_dst"), col("lbl"))
+              .agg(count(lit(1)).as("cnt"))
+            val plan = votes
+              .groupBy(col("e_dst"))
+              .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l")))
+                .as("w"))
+              .select(col("e_dst").as("node"), col("w.l").as("lbl"))
+            val next = graft.engine.Checkpoints.cut(plan)
+            if (lastCut != null) graft.engine.Checkpoints.release(lastCut)
+            lastCut = next
+            labels = next
+          }
+          e.unpersist()
+          labels.select(col("node"), col("lbl").as("community"))
+        }
+        noop(lpaOld(5)); spark.catalog.clearCache()
+        noop(graft.operators.Lpa.run(edges, 5)); spark.catalog.clearCache()
+        for (rep <- 1 to 3) {
+          time(s"lpa old $rep")(noop(lpaOld(5)))
+          spark.catalog.clearCache()
+          time(s"lpa new $rep")(noop(graft.operators.Lpa.run(edges, 5)))
+          spark.catalog.clearCache()
+        }
+      case "bfs" =>
+        // A/B: Relax.rounds (join-refresh + observe exit) vs the old
+        // inlined union+groupBy, q140's shape, alternating in one JVM
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        def t0(n: String) = graft.engine.Tables(spark, sfDir, n)
+        def build() = {
+          val li = t0("lineitem").select(col("l_orderkey"), col("l_partkey"))
+          val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+          val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+          val e0 = a.join(b, Seq("k")).filter(col("u") =!= col("v"))
+            .select(col("u"), col("v")).distinct()
+            .repartition(col("u")).persist()
+          val dist0 = e0.select(col("u")).distinct()
+            .select(col("u").as("node"),
+              when(col("u") === 1L, 0L).otherwise(lit(Long.MaxValue))
+                .as("dd"))
+          (e0, dist0)
+        }
+        def bfsOld(): Unit = {
+          val (e0, d0) = build()
+          var dist = d0
+          for (_ <- 1 to 4) {
+            val relaxed = dist.join(e0, col("node") === col("u"))
+              .filter(col("dd") =!= Long.MaxValue)
+              .select(col("v").as("node"), (col("dd") + 1L).as("dd"))
+            val next = graft.engine.Checkpoints.cut(dist.unionByName(relaxed)
+              .groupBy(col("node")).agg(min(col("dd")).as("dd")))
+            graft.engine.Checkpoints.release(dist)
+            dist = next
+          }
+          e0.unpersist()
+          noop(dist.filter(col("dd") =!= Long.MaxValue)
+            .groupBy(col("dd")).agg(count(lit(1)).as("n_nodes"))
+            .orderBy("dd"))
+        }
+        def bfsNew(): Unit = {
+          val (e0, d0) = build()
+          val dist = graft.operators.Relax.rounds(e0, d0, 4, weighted = false)
+          e0.unpersist()
+          noop(dist.filter(col("dd") =!= Long.MaxValue)
+            .groupBy(col("dd")).agg(count(lit(1)).as("n_nodes"))
+            .orderBy("dd"))
+        }
+        bfsOld(); spark.catalog.clearCache()
+        bfsNew(); spark.catalog.clearCache()
+        for (rep <- 1 to 3) {
+          time(s"bfs old $rep")(bfsOld())
+          spark.catalog.clearCache()
+          time(s"bfs new $rep")(bfsNew())
+          spark.catalog.clearCache()
+        }
       case other =>
         // generic: run the named query once, cold, with one timing
         val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",

@@ -47,36 +47,28 @@ object Lpa {
     var labels = e.select(col("e_src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     var lastCut: DataFrame = null
-    var converged = false
-    var i = 0
-    while (!converged && i < iterations) {
+    // NO convergence check here, deliberately: a [[Components]]-style
+    // observe() early exit needs a per-round left join back to the
+    // previous labels (the vote relation does not carry them), and the
+    // round-15 same-JVM A/B measured that join as a NET LOSS at the
+    // declared iteration counts (old 3.6-3.8 s vs instrumented
+    // 4.1-4.5 s at 5 rounds, sf0.1 — synchronous LPA labels were still
+    // moving in round 5, so the exit never fired). Relax/Components
+    // keep their exits because there the check rides a join the round
+    // pays anyway.
+    for (_ <- 1 to iterations) {
       val votes = labels
         .join(e, col("node") === col("e_src"))
         .groupBy(col("e_dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-      // convergence check rides the round's own materialization via a
-      // left join back to the previous labels + observe() (the
-      // [[Components]] accumulator pattern — no extra per-round
-      // action): an UNCHANGED label relation makes every later round
-      // the identity (votes are a pure function of labels), so
-      // stopping early returns the declared-iteration result exactly.
-      val prev = labels.select(col("node").as("_pn"), col("lbl").as("_pl"))
-      val obs = new org.apache.spark.sql.Observation(
-        s"lpa_round_${i}_${System.nanoTime()}")
       val plan = votes
         .groupBy(col("e_dst"))
         .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("w"))
         .select(col("e_dst").as("node"), col("w.l").as("lbl"))
-        .join(prev, col("node") === col("_pn"), "left")
-        .observe(obs, sum(when(col("lbl") <=> col("_pl"), 0L)
-          .otherwise(1L)).as("changed"))
-        .select(col("node"), col("lbl"))
       val next = graft.engine.Checkpoints.cut(plan)
       if (lastCut != null) graft.engine.Checkpoints.release(lastCut)
       lastCut = next
       labels = next
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
-      i += 1
     }
     e.unpersist()
     labels.select(col("node"), col("lbl").as("community"))

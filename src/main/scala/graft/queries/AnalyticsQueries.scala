@@ -4973,6 +4973,10 @@ object AnalyticsQueries {
     // by the three-scale sweep
     "q347_kn_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // NOT cached: a cache() here was A/B'd in round 15 and LOST
+      // (2.0 -> 2.9 s) — ReuseExchange already dedupes the bigram
+      // shuffle across the scorer's three model reads, so the columnar
+      // cache build costs more than the reduce-side replays it saves
       val m = graft.operators.KneserNey
         .model(docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
       graft.operators.KneserNey
