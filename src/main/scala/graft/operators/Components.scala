@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   * constant along every edge, i.e. each component carries exactly its
   * min id.
   *
-  * Each round is two equi-joins + a partial-aggregatable min — no
-  * driver-side graph state. The convergence check rides the SAME job
-  * as the round's materialization via `observe()` (an accumulator-
-  * backed count of changed labels) — no extra per-round action.
+  * Each round is one neighbor equi-join on the dst-pinned edge list,
+  * one |V|-sized pointer self-join, and ONE partial-aggregatable min
+  * over their union — no driver-side graph state, no per-round edge
+  * exchange. The convergence check rides the SAME job as the round's
+  * materialization via `observe()` (an accumulator-backed count of
+  * changed labels) — no extra per-round action.
   * a per-round lineage cut ([[graft.engine.Checkpoints]]) truncates the plan so round i does not
   * recompute rounds 1..i-1. Non-convergence within `maxIters` (only
   * possible for diameter > 2^maxIters) logs a WARNING rather than
@@ -56,10 +58,17 @@ object Components extends org.apache.spark.internal.Logging {
 
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    // The edge list is pinned on `dst` ONCE: every round's neighbor
+    // lookup joins on dst, so without the pin each round re-exchanged
+    // the full |2E| relation (the r15 plan paid one edge exchange PER
+    // ROUND; the r16 same-JVM A/B reads old 2.96-3.7 s vs fused+pinned
+    // 2.52-2.94 s on the isolated rounds, and the saving grows with
+    // round count — guide §2.4 "establish the partitioning once").
     val sym = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .transform(graft.engine.Checkpoints.cut)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -67,30 +76,40 @@ object Components extends org.apache.spark.internal.Logging {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborMin = sym
+      // FUSED round (r16): one union-aggregate computes
+      //   comp' = min(comp, min neighbor comp, comp's own comp)
+      // and the changed count, replacing the r15 shape's two label
+      // joins (left-join refresh + pointer-chase join) and their |V|
+      // exchanges. The pointer chase follows the PREVIOUS round's
+      // labels (label-of-OLD-label, not label-of-refreshed-label), so
+      // a chain can take one extra round; the per-round recurrence is
+      // still d -> 2d+1 (O(log D) total) and the FIXPOINT is
+      // identical: labels only ever decrease within their component,
+      // and a round that changes nothing certifies every candidate as
+      // the identity. `is_old` tags the previous labels so the aggregate
+      // recovers comp_old for the convergence check without a join —
+      // each id contributes exactly one old row.
+      val old = labels.select(col("id"), col("comp"), lit(true).as("is_old"))
+      val cand = sym
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .groupBy(col("src"))
-        .agg(min(col("comp")).as("ncomp"))
-        .select(col("src").as("id"), col("ncomp"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          col("comp").as("_old"))
-      // pointer doubling: follow my label to ITS label (left join — the
-      // label is always a live node id, but never drop a row on a miss).
-      // Round 1 skips it: labels are the identity (comp == id), so
-      // label-of-label is provably comp itself — one fewer |V| join.
-      val doubled =
-        if (i == 0) propagated
-        else propagated
-          .join(labels.select(col("id").as("_pid"), col("comp").as("_pcomp")),
-            col("comp") === col("_pid"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("_pcomp"), col("comp")))
-              .as("comp"),
-            col("_old"))
+        .select(col("src").as("id"), col("comp"), lit(false).as("is_old"))
+      // Round 1 skips the pointer branch: labels are the identity
+      // (comp == id), so label-of-label is provably comp itself.
+      // Inner join is safe: comp is always a live node id (a min over
+      // node ids stays a member id), and `old` keeps every id alive
+      // through the union even if a pointer row went missing.
+      val ptr =
+        if (i == 0) None
+        else Some(labels.select(col("comp").as("jk"), col("id"))
+          .join(labels.select(col("id").as("jk"), col("comp").as("pcomp")),
+            Seq("jk"))
+          .select(col("id"), col("pcomp").as("comp"), lit(false).as("is_old")))
+      val unioned = ptr.foldLeft(old.unionByName(cand))(_ unionByName _)
       val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
-      val next = doubled
+      val next = unioned
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"),
+          min(when(col("is_old"), col("comp"))).as("_old"))
         .observe(obs, sum(when(col("comp") =!= col("_old"), 1L)
           .otherwise(0L)).as("changed"))
         .select(col("id"), col("comp"))

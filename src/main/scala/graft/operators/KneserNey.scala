@@ -33,10 +33,12 @@ import org.apache.spark.sql.functions._
   *    an explicit large penalty rather than silently scoring 0 — the
   *    q330 advisor lesson.
   *
-  * Plan shape for 100 TB: the model is three map-side-combinable
-  * groupBys off ONE tokenize pass (nothing wider than (w1, w2, count)
-  * shuffles; the N1+(··) scalar rides as a broadcast one-row cross
-  * join). Apply joins each doc's DISTINCT bigram tf against the model
+  * Plan shape for 100 TB: the model is one map-side-combinable
+  * groupBy off ONE tokenize pass, with the per-w1/per-w2 statistics
+  * as window aggregates over the resulting bigram-type relation —
+  * nothing wider than (w1, w2, count) shuffles, and nothing shuffles
+  * more than three times; the N1+(··) scalar rides as a broadcast
+  * one-row cross join. Apply joins each doc's DISTINCT bigram tf against the model
   * on (w1, w2) — an equi-join on the model's own key that AQE
   * broadcasts when the vocabulary fits, and the raw token stream is
   * never joined.
@@ -71,17 +73,28 @@ object KneserNey {
     * `n1p_bwd` = N1+(· w2), `n1p_all` = N1+(· ·).
     */
   def model(docs0: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = graft.engine.Par.widen(docs0)
     val bg = bigramsOf(docs, idCol, textCol)
     val c2 = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
-    val byW1 = c2.groupBy(col("w1"))
-      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1p_fwd"))
-    val byW2 = c2.groupBy(col("w2"))
-      .agg(count(lit(1)).as("n1p_bwd"))
+    // per-w1 and per-w2 statistics as WINDOW aggregates over the c2
+    // relation instead of groupBy+join-back (r16, the SuffixDedup /
+    // PageRank share-one-exchange rewrite): the r15 shape aggregated
+    // c2 twice and joined both results back — two aggregate exchanges
+    // plus two |bigram-types| join re-exchanges; the windows pay one
+    // exchange each and no join. Values are bit-identical (same sums
+    // and counts over the same groups — probe-checked diff=0).
+    // Skew note: one w1 group (a function word's continuation set) is
+    // bounded by |vocab| rows and buffers in a spillable
+    // ExternalAppendOnlyUnsafeRowArray — same rows the old join-back
+    // co-located in one task.
     val all = c2.agg(count(lit(1)).as("n1p_all"))
-    c2.join(byW1, Seq("w1"))
-      .join(byW2, Seq("w2"))
+    c2.withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+      .withColumn("n1p_fwd",
+        count(lit(1)).over(Window.partitionBy(col("w1"))))
+      .withColumn("n1p_bwd",
+        count(lit(1)).over(Window.partitionBy(col("w2"))))
       .crossJoin(broadcast(all))
       .select(col("w1"), col("w2"), col("c2"), col("c1"),
         col("n1p_fwd"), col("n1p_bwd"), col("n1p_all"))

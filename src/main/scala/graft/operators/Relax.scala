@@ -34,7 +34,16 @@ object Relax {
   /** @param edges    (u: long, v: long[, w: long]) — pinned/persisted
     *                 by the caller, hash-partitioned on `u`.
     * @param dist0    (node: long, dd: long) seed distances
-    *                 (Long.MaxValue = unreached).
+    *                 (Long.MaxValue = unreached). PRECONDITION: every
+    *                 edge target `v` must appear in dist0 — the round
+    *                 refreshes dist via a LEFT join, so a relaxation
+    *                 onto a node absent from dist0 is silently
+    *                 dropped (the inlined union+groupBy shape would
+    *                 have grown the node set instead). All current
+    *                 call sites seed dist0 with the full node universe
+    *                 of a symmetric graph, which satisfies this; an
+    *                 asymmetric edge list whose targets include
+    *                 non-sources does NOT.
     * @param iterations max relaxation rounds (the declared fixed
     *                 count — early exit only ever SKIPS identity
     *                 rounds).

@@ -115,10 +115,19 @@ object SuffixDedup {
   private def minMember(): Column =
     min(shiftleft(col("did"), 20) + col("pos"))
 
-  /** Collapse a widened class id back to one long (groupBy the id,
-    * key the class by its minimum member, join back). Skew-safe: the
-    * aggregate map-side-combines and the join-back is AQE-planable —
-    * no single task ever buffers a hot class.
+  /** Collapse a widened class id back to one long: a min-member
+    * window keyed on the class — ONE shuffle of the rank table, no
+    * aggregate+join-back, no cache (the r15 rewrite, −4.5 s over the
+    * suffix family at sf0.1). Skew note (the r15 advisor finding): a
+    * hot class now buffers in ONE WindowExec task
+    * (ExternalAppendOnlyUnsafeRowArray — spills, never OOMs) where
+    * the old aggregate+join-back shape map-side-combined and was
+    * AQE-skew-splittable. The exposure is the same ROWS landing in
+    * the same task (the join-back also co-located them); the window
+    * trades AQE splitability for one less |rows| exchange. At sf>=1
+    * with a planted hot gram this is the ScaleProbe follow-up; a
+    * salted two-phase fallback is the recorded mitigation if a
+    * measurement ever shows the spill path degrading.
     */
   private def rerank(cls: DataFrame): DataFrame =
     // min-member window over the class groups — one shuffle, no

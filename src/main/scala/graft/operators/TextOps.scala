@@ -841,7 +841,13 @@ object TextOps {
     * the extracted text (integer / boolean literal / everything else
     * a string), which is exact for JSON whose string values are not
     * digit-only — the caller's contract, and what makes the profile
-    * engine-independent.
+    * engine-independent. Two further clauses of that contract (from
+    * the map<string,string> parse): top-level keys must not repeat
+    * within one document (the map keeps the LAST occurrence where the
+    * per-key extract counted each and took the first), and NESTED
+    * values are re-serialized by Jackson rather than extracted
+    * verbatim — documents violating either can shift n_present /
+    * type counts.
     *
     * Output: (key, n_present, n_int, n_bool, n_str, presence_ppm)
     * with presence in exact ppm of the row count.

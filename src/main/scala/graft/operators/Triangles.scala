@@ -36,8 +36,11 @@ object Triangles {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val e = edges.select(col("u").cast("long").as("u"),
       col("v").cast("long").as("v"))
-    val deg = e.select(col("u").as("x"))
-      .unionAll(e.select(col("v").as("x")))
+    // one pass over the edge list, not a self-union: the union form
+    // re-evaluated the caller's edge BUILD (typically a join+distinct)
+    // once per branch — ReuseExchange dedupes only the distinct's
+    // shuffle, not the aggregate above it (the r15 symBoth lesson)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(functions.count(lit(1)).as("dg"))
     val withDeg = e
       .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")

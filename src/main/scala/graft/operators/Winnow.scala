@@ -41,6 +41,12 @@ object Winnow {
     * kernel emits the identical selection set (same xxhash64 grams,
     * same rightmost-min tie-break, same first-full-window rule, same
     * dedup) in O(L) inside whole-stage codegen with no shuffle at all.
+    *
+    * INPUT CONTRACT: `idCol` must be unique per row. The kernel's
+    * consecutive-run dedup is per-document; the old plan's global
+    * `.distinct()` would additionally have collapsed identical
+    * (did, pos, fp) rows arising from DUPLICATE doc_id rows in the
+    * input — such input now yields duplicate fingerprint rows.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, t: Int = 32): DataFrame = {

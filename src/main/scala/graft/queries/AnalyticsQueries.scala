@@ -955,8 +955,12 @@ object AnalyticsQueries {
       val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
       val und = a.join(b, Seq("k")).filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
-      val edges = und.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      // single-pass symmetrize (the symBoth pattern): the self-union
+      // form re-evaluated the co-order distinct once per branch
+      val edges = und.select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.KCore.peel(edges, k = 3, rounds = 2)
         .orderBy("node")
     }),
@@ -1251,8 +1255,12 @@ object AnalyticsQueries {
         .distinct()
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
-      val edges = und.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      // single-pass symmetrize (the symBoth pattern): the self-union
+      // form re-evaluated the repeat-co-purchase build once per branch
+      val edges = und.select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst")),
+          struct(col("v").as("src"), col("u").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.KCore.peel(edges, k = 3, rounds = 4)
         .orderBy("node")
     }),
@@ -1358,8 +1366,12 @@ object AnalyticsQueries {
         .distinct()
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2).select(col("u"), col("v"))
-      val sym = und.select(col("u").as("src"), col("v").as("dst2"))
-        .unionAll(und.select(col("v").as("src"), col("u").as("dst2")))
+      // single-pass symmetrize (the symBoth pattern): the self-union
+      // form re-evaluated the repeat-co-purchase build once per branch
+      val sym = und.select(explode(array(
+          struct(col("u").as("src"), col("v").as("dst2")),
+          struct(col("v").as("src"), col("u").as("dst2")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst2").as("dst2"))
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       val mid = sym.join(deg.filter(col("dg") <= 50), "src")
       val wedges = mid.select(col("src"), col("dst2").as("na"))
@@ -2820,19 +2832,23 @@ object AnalyticsQueries {
           Seq("src"))
         .join(lab.select(col("node").as("dst"), col("community").as("cb")),
           Seq("dst"))
-      val intc = el.filter(col("ca") === col("cb"))
-        .groupBy(col("ca").as("community"))
-        .agg(count(lit(1)).as("internal2"))
-      val degc = el.groupBy(col("ca").as("community"))
-        .agg(count(lit(1)).as("deg"))
+      // internal2 and deg in ONE pass over the labeled edge list
+      // (r16, guide §2.4): the r15 shape aggregated el twice —
+      // ReuseExchange deduped the underlying shuffles but the double
+      // label join above them was replayed per aggregate. A
+      // conditional sum inside the deg aggregate is the same numbers
+      // (left-join + coalesce(internal2, 0) became sum(when)=0).
+      val agg = el.groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("deg"),
+          sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+            .as("internal2"))
       val mem = lab.groupBy(col("community"))
         .agg(count(lit(1)).as("n_members"))
-      mem.join(degc, Seq("community"))
-        .join(intc, Seq("community"), "left")
+      mem.join(agg, Seq("community"))
         .crossJoin(broadcast(m2))
-        .select(col("community"), col("n_members"),
-          coalesce(col("internal2"), lit(0L)).as("internal2"), col("deg"),
-          (col("m2") * coalesce(col("internal2"), lit(0L))
+        .select(col("community"), col("n_members"), col("internal2"),
+          col("deg"),
+          (col("m2") * col("internal2")
             - col("deg") * col("deg")).as("q_num"))
         .orderBy(col("n_members").desc, col("community")).limit(20)
     }),

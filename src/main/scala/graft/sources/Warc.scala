@@ -151,8 +151,15 @@ object Warc {
     // directory + pathGlobFilter, not a `dir/*.warc*` glob — the glob
     // form turns every matched shard into its own root path and pays
     // per-path driver listing work each invocation (q277's measured
-    // 31x trap); a WARC dump directory can hold 100k shards
+    // 31x trap); a WARC dump directory can hold 100k shards.
+    // recursiveFileLookup is pinned false: the directory form is NOT
+    // file-set-identical to the old glob when subdirectories exist
+    // (partition discovery recurses into key=value dirs, or errors on
+    // mixed layouts, where the glob matched top-level files only) —
+    // this operator's contract is a FLAT shard directory, and the pin
+    // plus this note records that non-recursive assumption.
     explodeRecords(spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "false")
       .option("pathGlobFilter", "*.warc*").load(dir))
 
   /** The record explosion alone, over any (path, content) relation —

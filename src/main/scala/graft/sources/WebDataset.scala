@@ -101,8 +101,12 @@ object WebDataset {
       StructField("content", BinaryType))))
     // directory + pathGlobFilter, not a `dir/*.tar` glob (the per-root-
     // path driver listing trap — see q277): shard counts reach 10k+ in
-    // real WebDataset dumps
-    spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+    // real WebDataset dumps. recursiveFileLookup pinned false — the
+    // contract is a FLAT shard directory (see Warc.ingest's note on
+    // why the directory form differs from the glob under subdirs).
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "false")
+      .option("pathGlobFilter", "*.tar")
       .load(dir)
       .select(col("path"), col("content"))
       .mapPartitions { it =>

@@ -61,4 +61,23 @@ class RelaxSpec extends SparkSpec {
     // the unreachable island stays at MaxValue
     assert(got.filter(_._1 >= 10L).forall(_._2 == Long.MaxValue))
   }
+
+  test("PRECONDITION counter-example: a target absent from dist0 is dropped") {
+    // rounds() refreshes dist via a LEFT join, so it can only ever
+    // UPDATE nodes already present in dist0 — the documented 'every
+    // edge target must appear in dist0' precondition. On an ASYMMETRIC
+    // edge list whose target never appears as a source, the inlined
+    // union+groupBy reference GROWS the node set while rounds() does
+    // not: this pin makes the divergence explicit rather than silent.
+    val e0 = Seq((1L, 2L)).toDF("u", "v").withColumn("w", lit(1L))
+    val dist0 = Seq((1L, 0L)).toDF("node", "dd") // node 2 NOT seeded
+    val got = rows(Relax.rounds(e0, dist0, 2, weighted = false))
+    val want = rows(reference(e0, dist0, 2, weighted = false))
+    assert(got == Seq((1L, 0L)), "relaxation onto unseeded node 2 is dropped")
+    assert(want == Seq((1L, 0L), (2L, 1L)), "the reference would grow the set")
+    // seeding the full node universe restores equivalence
+    val distFull = Seq((1L, 0L), (2L, Long.MaxValue)).toDF("node", "dd")
+    assert(rows(Relax.rounds(e0, distFull, 2, weighted = false)) ==
+      rows(reference(e0, distFull, 2, weighted = false)))
+  }
 }
