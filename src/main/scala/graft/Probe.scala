@@ -745,6 +745,70 @@ object Probe {
             SparkEntry.queries("q160_rfm")(spark, sfDir)))
           spark.catalog.clearCache()
         }
+      case "q160b" =>
+        // A/B: committed q160 (cust cached) vs the uncached r15 shape,
+        // alternating in one JVM
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        def t0(n: String) = graft.engine.Tables(spark, sfDir, n)
+        def q160Uncached = {
+          val o = t0("orders").select(col("o_custkey"),
+            col("o_orderdate").cast("date").as("od"),
+            expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+          val maxd = o.agg(max(col("od")).as("maxd"))
+          val cust = o.crossJoin(broadcast(maxd))
+            .groupBy(col("o_custkey"))
+            .agg(min(datediff(col("maxd"), col("od"))).cast("bigint")
+              .as("recency"),
+              count(lit(1)).as("frequency"),
+              sum(col("cents")).as("monetary"))
+          val nRow = cust.agg(count(lit(1)).as("n"))
+          def bounds(metric: String, p: String) = {
+            val rc = cust.groupBy(col(metric).as("v"))
+              .agg(count(lit(1)).as("cnt"))
+            val pre = graft.operators.Packing
+              .byTokenOffset(rc, "v", "cnt", Long.MaxValue)
+              .select(col("v"), col("token_offset").as("cp"),
+                (col("token_offset") + col("cnt")).as("cum"))
+            pre.crossJoin(broadcast(nRow))
+              .select(col("v"),
+                (expr("(5 * cp) div n") + lit(1)).as("ilo"),
+                least(expr("(5 * cum) div n"), lit(4L)).as("ihi"))
+              .filter(col("ilo") <= col("ihi"))
+              .select(col("v"), explode(expr("sequence(ilo, ihi)")).as("i"))
+              .groupBy().agg(
+                max(when(col("i") === 1, col("v"))).as(p + "1"),
+                max(when(col("i") === 2, col("v"))).as(p + "2"),
+                max(when(col("i") === 3, col("v"))).as(p + "3"),
+                max(when(col("i") === 4, col("v"))).as(p + "4"))
+          }
+          def asc(m: String, p: String) =
+            expr(s"1 + cast($m >= ${p}1 as bigint) + " +
+              s"cast($m >= ${p}2 as bigint) + " +
+              s"cast($m >= ${p}3 as bigint) + cast($m >= ${p}4 as bigint)")
+          cust
+            .crossJoin(broadcast(bounds("recency", "rb")))
+            .crossJoin(broadcast(bounds("frequency", "fb")))
+            .crossJoin(broadcast(bounds("monetary", "mb")))
+            .select(col("o_custkey"), col("recency"), col("frequency"),
+              col("monetary"),
+              (lit(6L) - asc("recency", "rb")).as("r_score"),
+              asc("frequency", "fb").as("f_score"),
+              asc("monetary", "mb").as("m_score"))
+            .withColumn("rfm",
+              col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+            .orderBy("o_custkey")
+        }
+        noop(q160Uncached); spark.catalog.clearCache()
+        noop(SparkEntry.queries("q160_rfm")(spark, sfDir))
+        spark.catalog.clearCache()
+        for (rep <- 1 to 3) {
+          time(s"q160 uncached $rep")(noop(q160Uncached))
+          spark.catalog.clearCache()
+          time(s"q160 cached $rep")(
+            noop(SparkEntry.queries("q160_rfm")(spark, sfDir)))
+          spark.catalog.clearCache()
+        }
       case "stream_store" =>
         // state-store provider A/B on four stateful streams: default
         // (HDFS-backed, in-memory map + file checkpoint) vs RocksDB.

@@ -90,9 +90,15 @@ object Components extends org.apache.spark.internal.Logging {
       // recovers comp_old for the convergence check without a join —
       // each id contributes exactly one old row.
       val old = labels.select(col("id"), col("comp"), lit(true).as("is_old"))
-      val cand = sym
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .select(col("src").as("id"), col("comp"), lit(false).as("is_old"))
+      // round-1 identity shortcut: labels are the identity over the
+      // node set, so the neighbor lookup IS the pinned edge list with
+      // comp = dst — no |V|⋈|E| join in the first round.
+      val cand =
+        if (i == 0) sym.select(col("src").as("id"), col("dst").as("comp"),
+          lit(false).as("is_old"))
+        else sym
+          .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+          .select(col("src").as("id"), col("comp"), lit(false).as("is_old"))
       // Round 1 skips the pointer branch: labels are the identity
       // (comp == id), so label-of-label is provably comp itself.
       // Inner join is safe: comp is always a live node id (a min over

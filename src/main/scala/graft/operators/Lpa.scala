@@ -56,9 +56,17 @@ object Lpa {
     // moving in round 5, so the exit never fired). Relax/Components
     // keep their exits because there the check rides a join the round
     // pays anyway.
-    for (_ <- 1 to iterations) {
-      val votes = labels
-        .join(e, col("node") === col("e_src"))
+    for (i <- 1 to iterations) {
+      // round-1 identity shortcut (r16): the initial labels are the
+      // identity over exactly the e_src domain, so the first vote join
+      // IS the pinned edge list with lbl = e_src — no |V|⋈|E| join and
+      // no distinct-node materialization before it.
+      val voteRows =
+        if (i == 1) e.select(col("e_dst"), col("e_src").as("lbl"))
+        else labels
+          .join(e, col("node") === col("e_src"))
+          .select(col("e_dst"), col("lbl"))
+      val votes = voteRows
         .groupBy(col("e_dst"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       val plan = votes

@@ -69,9 +69,18 @@ object PageRank {
       .select(col("node"), lit(Scale).as("r"))
     var lastCut: DataFrame = null
     for (i <- 1 to iterations) {
-      val contribs = ranks
-        .join(ew, col("node") === col("e_src"))
-        .select(col("e_dst").as("node2"), expr("r div d").as("c"))
+      // round-1 identity shortcut (r16): the initial ranks are
+      // uniformly Scale over exactly the e_src domain, so the first
+      // join with them IS the pinned edge list — contribution
+      // Scale div d per edge, no |V|⋈|E| join and no distinct-node
+      // materialization before it.
+      val contribs =
+        if (i == 1)
+          ew.select(col("e_dst").as("node2"),
+            expr(s"CAST($Scale AS BIGINT) div d").as("c"))
+        else ranks
+          .join(ew, col("node") === col("e_src"))
+          .select(col("e_dst").as("node2"), expr("r div d").as("c"))
       val plan = contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
         .select(col("node2").as("node"),
@@ -114,10 +123,21 @@ object PageRank {
       .otherwise(lit(0L))
     var ranks = nodes.select(col("node"),
       when(col("node") === source, lit(Scale)).otherwise(lit(0L)).as("r"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks
-        .join(ew, col("node") === col("e_src"))
-        .select(col("e_dst").as("node2"), expr("r div d").as("c"))
+    for (i <- 1 to iterations) {
+      // round-1 identity shortcut (r16): initial rank is Scale at
+      // `source` and 0 elsewhere, so the first join reduces to the
+      // source's own out-edges. Later rounds drop rank-0 rows before
+      // the join — a 0 div d contribution adds nothing to any sum and
+      // the refresh left-join restores missing nodes via coalesce, so
+      // the result is exact while early rounds join only the frontier.
+      val contribs =
+        if (i == 1)
+          ew.filter(col("e_src") === source)
+            .select(col("e_dst").as("node2"),
+              expr(s"CAST($Scale AS BIGINT) div d").as("c"))
+        else ranks.filter(col("r") =!= 0L)
+          .join(ew, col("node") === col("e_src"))
+          .select(col("e_dst").as("node2"), expr("r div d").as("c"))
       val sums = contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
       val next = graft.engine.Checkpoints.cut(nodes
@@ -177,17 +197,26 @@ object PageRank {
       .select(col("node").as("dn"))
       .persist()
     var ranks = nodes.select(col("node"), lit(Scale).as("r"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks
-        .join(ew, col("node") === col("e_src"))
-        .select(col("e_dst").as("node2"), expr("r div d").as("c"))
+    for (i <- 1 to iterations) {
+      // round-1 identity shortcuts (r16): uniform initial ranks make
+      // the first contribution join the pinned edge list itself, and
+      // the first dangling sum |dangNodes|·Scale — no rank join either.
+      val contribs =
+        if (i == 1)
+          ew.select(col("e_dst").as("node2"),
+            expr(s"CAST($Scale AS BIGINT) div d").as("c"))
+        else ranks
+          .join(ew, col("node") === col("e_src"))
+          .select(col("e_dst").as("node2"), expr("r div d").as("c"))
       val sums = contribs.groupBy(col("node2"))
         .agg(sum(col("c")).as("s"))
       // rank parked on sinks this round, as a one-row relation
       // (coalesce: a sink-free graph has an empty sum, not a null share)
-      val dangling = ranks
-        .join(dangNodes, col("node") === col("dn"), "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      val dangling =
+        if (i == 1) dangNodes.agg((count(lit(1)) * lit(Scale)).as("dang"))
+        else ranks
+          .join(dangNodes, col("node") === col("dn"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       val next = graft.engine.Checkpoints.cut(nodes
         .join(sums, col("node") === col("node2"), "left")
         .crossJoin(broadcast(dangling))

@@ -1233,7 +1233,13 @@ object AnalyticsQueries {
         .select(col("o_custkey").as("c"),
           (col("l_suppkey") + lit(1000000000L)).as("su"))
         .distinct()
-      val src = pairs.agg(min(col("c"))).head().getLong(0)
+      // the source scalar: min(c) over the DISTINCT pair relation ==
+      // min o_custkey among orders with >=1 lineitem — MIN is invariant
+      // to the distinct, so the lookup action rides a left-semi join
+      // instead of re-paying the full pair build + distinct (r16)
+      val src = o.join(l.select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .agg(min(col("o_custkey"))).head().getLong(0)
       val edges = symBoth(pairs)
       graft.operators.PageRank.personalized(edges, src, iterations = 5)
         .orderBy(col("r").desc, col("node"))
@@ -1734,11 +1740,21 @@ object AnalyticsQueries {
         col("o_orderdate").cast("date").as("od"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
       val maxd = o.agg(max(col("od")).as("maxd"))
+      // CACHED (r16): five consumers (three quintile-bound builds, the
+      // row count, the final select) and the bound builds run through
+      // Packing.byTokenOffset's RDD jobs — separate ACTIONS, so
+      // ReuseExchange (which dedupes only within one physical plan)
+      // never applies here and each consumer re-ran the orders
+      // aggregate. In-call cache only, |customers|×4 columns; the
+      // bench clears it between queries. Same reasoning as q226, the
+      // opposite verdict from q263/q347 where one action's replays
+      // WERE exchange-reuse-covered.
       val cust = o.crossJoin(broadcast(maxd))
         .groupBy(col("o_custkey"))
         .agg(min(datediff(col("maxd"), col("od"))).cast("bigint").as("recency"),
           count(lit(1)).as("frequency"),
           sum(col("cents")).as("monetary"))
+        .cache()
       val nRow = cust.agg(count(lit(1)).as("n"))
       // quintile boundaries of one metric as a single broadcastable row
       // (b1..b4): min value whose cumulative count reaches i*N/5
