@@ -1027,6 +1027,77 @@ object ScaleProbe {
         .postings.count()
     })
 
+    // ---- hot-key window probes (r16, verdict item 7): a PLANTED hub /
+    // hot gram, committed count-over-window shape vs the old
+    // aggregate+join outdeg shape, same JVM. The window buffers one
+    // out-edge group per node (spillable ExternalAppendOnlyUnsafeRow-
+    // Array); the hub makes that group `n` rows in ONE task — the probe
+    // certifies the spill path degrades gracefully rather than OOMing
+    // or going superlinear vs the old join (whose build side co-located
+    // the same rows in the same task anyway).
+    def hubEdges = {
+      // star hub (node 0 <-> 1..n, both directions) + ring over 1..n:
+      // every node has in- and out-degree >= 1, hub outdeg = n
+      val n = 100000L * mult
+      val hub = spark.range(n).select(lit(0L).as("src"),
+        (col("id") + 1L).as("dst"))
+      val hubRev = spark.range(n).select((col("id") + 1L).as("src"),
+        lit(0L).as("dst"))
+      val ring = spark.range(n).select((col("id") + 1L).as("src"),
+        (pmod(col("id") + 1L, lit(n)) + 1L).as("dst"))
+      hub.unionByName(hubRev).unionByName(ring)
+    }
+    t("pagerank_hub_window")({
+      val r = graft.operators.PageRank.run(hubEdges, 3)
+      val out = r.count()
+      graft.engine.Checkpoints.release(r)
+      out
+    })
+    t("pagerank_hub_oldjoin")({
+      // the pre-r15 outdeg attachment: aggregate + equi-join + pinned
+      // repartition (inlined so the A/B survives operator rewrites)
+      val e2 = hubEdges.select(col("src").cast("long").as("e_src"),
+        col("dst").cast("long").as("e_dst"))
+      val outdeg = e2.groupBy(col("e_src"))
+        .agg(count(lit(1)).as("d"))
+        .select(col("e_src").as("o_src"), col("d"))
+      val ew = e2.join(outdeg, col("e_src") === col("o_src"))
+        .select(col("e_src"), col("e_dst"), col("d"))
+        .repartition(col("e_src"))
+        .persist()
+      var ranks = outdeg.select(col("o_src").as("node"),
+        lit(graft.operators.PageRank.Scale).as("r"))
+      var lastCut: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        val contribs = ranks
+          .join(ew, col("node") === col("e_src"))
+          .select(col("e_dst").as("node2"), expr("r div d").as("c"))
+        val plan = contribs.groupBy(col("node2"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("node2").as("node"),
+            (lit(15L * graft.operators.PageRank.Scale / 100) +
+              expr("(85 * s) div 100")).as("r"))
+        val next = graft.engine.Checkpoints.cut(plan)
+        if (lastCut != null) graft.engine.Checkpoints.release(lastCut)
+        lastCut = next
+        ranks = next
+      }
+      ew.unpersist()
+      val out = ranks.count()
+      graft.engine.Checkpoints.release(ranks)
+      out
+    })
+    t("suffix_hotgram")({
+      // every document shares a 58-char prefix: its window-grams form
+      // hot suffix classes of size |docs| that land in ONE rerank /
+      // seed window task each — the r15 advisor's skew scenario
+      val hot = "the quick brown fox jumps over the lazy dog once more..."
+      val docsH = spark.range(5000L * mult).select(col("id").as("doc_id"),
+        concat(lit(hot), lit(" "), col("id").cast("string")).as("text"))
+      graft.operators.SuffixDedup.duplicatedSpans(docsH, "doc_id", "text",
+        window = 32, minCount = 2L).count()
+    })
+
     spark.stop()
   }
 }
