@@ -745,6 +745,52 @@ object Probe {
             SparkEntry.queries("q160_rfm")(spark, sfDir)))
           spark.catalog.clearCache()
         }
+      case "aggpack" =>
+        // stage splits backing the q50/q151/q318 'inherent' verdicts
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1")
+        def t0(n: String) = graft.engine.Tables(spark, sfDir, n)
+        // q50: exact percentile — the value shuffle IS the plan
+        for (rep <- 1 to 2) {
+          time(s"q50 scan only $rep")(noop(t0("lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice"),
+              col("l_quantity"))))
+          spark.catalog.clearCache()
+          time(s"q50 full $rep")(noop(
+            SparkEntry.queries("q50_percentiles")(spark, sfDir)))
+          spark.catalog.clearCache()
+        }
+        // q151: basket self-join stage vs full
+        val li = t0("lineitem")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        def pairSup = {
+          val a = li.select(col("l_orderkey").as("k"),
+            col("l_partkey").as("pa"))
+          val b = li.select(col("l_orderkey").as("k"),
+            col("l_partkey").as("pb"))
+          a.join(b, Seq("k")).filter(col("pa") =!= col("pb"))
+            .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup_ab"))
+            .filter(col("sup_ab") >= 3)
+        }
+        for (rep <- 1 to 2) {
+          time(s"q151 li distinct $rep")(noop(li))
+          spark.catalog.clearCache()
+          time(s"q151 pair join $rep")(noop(pairSup))
+          spark.catalog.clearCache()
+          time(s"q151 full $rep")(noop(
+            SparkEntry.queries("q151_assoc_rules")(spark, sfDir)))
+          spark.catalog.clearCache()
+        }
+        // q318: sketch build vs full (sketch + rank validation scan)
+        val ev = t0("events").select(col("event_type"), col("value"))
+        for (rep <- 1 to 2) {
+          time(s"q318 sketch only $rep")(noop(
+            graft.operators.Kll.sketch(ev, "event_type", "value", 128)))
+          spark.catalog.clearCache()
+          time(s"q318 full $rep")(noop(
+            SparkEntry.queries("q318_kll_quantiles")(spark, sfDir)))
+          spark.catalog.clearCache()
+        }
       case "q160b" =>
         // A/B: committed q160 (cust cached) vs the uncached r15 shape,
         // alternating in one JVM
